@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** One declared engine operator: a Spark implementation plus (when
+  * SQL-expressible) the equivalent DuckDB oracle SQL. Column names and
+  * row order MUST match between the two (driver hash-compares).
+  */
+final case class GQuery(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object util {
+  /** Load one of the driver-generated parquet tables under `dir`.
+    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects; with spark.sql.legacy.parquet.nanosAsLong=true it
+    * arrives as nano-precision LongType and is converted back to a
+    * (micro-precision) timestamp here.
+    */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (df.schema.fields.exists(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType))
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000"))) // integer div: ns are > 2^53, float div would round
+    else df
+  }
+
+  /** Order-independent, engine-exact sum of a double column:
+    * per-row cast to decimal(22,8) (exact for the testdata's 2-decimal
+    * money columns and any product of up to four of them — scale 8
+    * avoids round-half midpoints where Spark HALF_UP and DuckDB
+    * HALF_EVEN disagree), exact decimal accumulation (no float
+    * reassociation across partitions), final cast back to double.
+    * DuckDB twin: cast(sum(cast(x as decimal(22,8))) as double).
+    */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(22, 8))).cast(DoubleType)
+
+  /** Deterministic average built from the exact decimal sum. */
+  def davg(c: Column): Column = (dsum(c) / count(lit(1))).cast(DoubleType)
+
+  /** SQL fragments mirroring dsum/davg for the DuckDB oracle. */
+  def sqlDsum(x: String): String = s"cast(sum(cast(($x) as decimal(22,8))) as double)"
+  def sqlDavg(x: String): String = s"(cast(sum(cast(($x) as decimal(22,8))) as double) / count(*))"
+}
