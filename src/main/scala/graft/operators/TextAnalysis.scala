@@ -1,8 +1,190 @@
 package graft.operators
 
 import graft.GQuery
+import graft.util._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
-/** Text analysis over `documents` — filled in wave 3. */
+/** Text analysis over `documents`: token statistics, quality scoring,
+  * tf-idf, marker-word language ID, and rolling-hash fingerprinting —
+  * the text half of the LLM-pipeline mandate.
+  *
+  * Everything is explode/groupBy/window over codegen'd built-ins; the
+  * shuffles are on (doc_id) or (term), both well distributed. Integer
+  * counts divide in double only at the last step so both engines agree
+  * bit-for-bit.
+  */
 object TextAnalysis {
-  val all: Seq[GQuery] = Seq()
+
+  /** Per-document token statistics. */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        size(array_distinct(col("ws"))).cast("long").as("n_distinct"),
+        (expr("aggregate(ws, 0L, (acc, w) -> acc + length(w))").cast("double") /
+          size(col("ws"))).as("avg_token_len"))
+      .orderBy(col("doc_id"))
+
+  val tokenStatsSql: String =
+    """SELECT doc_id, lang, n_chars,
+      | cast(len(ws) as bigint) AS n_tokens,
+      | cast(len(list_distinct(ws)) as bigint) AS n_distinct,
+      | cast(list_sum(list_transform(ws, w -> length(w))) as double) / len(ws)
+      |   AS avg_token_len
+      |FROM (SELECT *, string_split(text, ' ') AS ws FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Corpus statistics per language. */
+  def langStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_tokens")).as("total_tokens"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+      .orderBy(col("lang"))
+
+  val langStatsSql: String =
+    """SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+      | sum(cast(len(string_split(text, ' ')) as bigint)) AS total_tokens,
+      | cast(sum(n_chars) as double) / count(*) AS avg_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Quality scoring: length, lexical diversity, stopword ratio — the
+    * standard cheap pre-filters of a training-data pipeline. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val stop = "'the','a','of','and','to','in','is','on','for','with'"
+    t(spark, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), col("n_chars"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        round(size(array_distinct(col("ws"))).cast("double") / size(col("ws")), 6).as("uniq_ratio"),
+        round(expr(s"size(filter(ws, w -> w in ($stop)))").cast("double") / size(col("ws")), 6).as("stopword_ratio"))
+      .withColumn("quality",
+        round(least(col("uniq_ratio") * 2, lit(1.0)) * when(col("n_tokens") >= 5, 1.0).otherwise(0.5), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityScoreSql: String =
+    """SELECT doc_id, n_chars,
+      | cast(len(ws) as bigint) AS n_tokens,
+      | round(cast(len(list_distinct(ws)) as double) / len(ws), 6) AS uniq_ratio,
+      | round(cast(len(list_filter(ws, w -> w IN
+      |   ('the','a','of','and','to','in','is','on','for','with'))) as double)
+      |   / len(ws), 6) AS stopword_ratio,
+      | round(least(round(cast(len(list_distinct(ws)) as double) / len(ws), 6) * 2, 1.0)
+      |   * (CASE WHEN len(ws) >= 5 THEN 1.0 ELSE 0.5 END), 6) AS quality
+      |FROM (SELECT *, string_split(text, ' ') AS ws FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** tf-idf: top-3 terms per document (score = tf · ln(N/df), ties
+    * broken by term). Term-side shuffle only — no per-doc collect. */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    val terms = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df_ = terms.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(df_, Seq("term")).crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  val tfidfTopTermsSql: String =
+    """WITH terms AS (
+      | SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1),
+      |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+      |scored AS (
+      | SELECT doc_id, term, tf, df,
+      |  round(tf * ln(cast(n_docs as double) / df), 6) AS tfidf
+      | FROM tf JOIN df USING (term) CROSS JOIN n)
+      |SELECT doc_id, rk, term, tf, df, tfidf FROM (
+      | SELECT *, cast(row_number() OVER (PARTITION BY doc_id
+      |   ORDER BY tfidf DESC, term) as bigint) AS rk
+      | FROM scored)
+      |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
+  /** Marker-word language ID (n-gram-style heuristic): vote per
+    * language marker list, argmax with alphabetical tie-break,
+    * 'unknown' when nothing matches. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val markers = Seq(
+      ("en", "the"), ("en", "of"), ("en", "and"), ("en", "is"),
+      ("de", "der"), ("de", "und"), ("de", "die"), ("de", "nicht"),
+      ("fr", "le"), ("fr", "et"), ("fr", "la"), ("fr", "les"),
+      ("es", "el"), ("es", "los"), ("es", "que"), ("es", "por"),
+      ("zh", "的"), ("zh", "是"),
+    ).toDF("cand_lang", "marker")
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val votes = toks.join(broadcast(markers), col("w") === col("marker"))
+      .groupBy(col("doc_id"), col("cand_lang")).agg(count(lit(1)).as("hits"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("hits").desc, col("cand_lang"))
+    val best = votes.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("doc_id"), col("cand_lang"), col("hits"))
+    t(spark, dir, "documents").select(col("doc_id"), col("lang"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("cand_lang"), lit("unknown")).as("pred_lang"),
+        coalesce(col("hits"), lit(0L)).as("marker_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  val langIdSql: String =
+    """WITH markers(cand_lang, marker) AS (VALUES
+      | ('en','the'),('en','of'),('en','and'),('en','is'),
+      | ('de','der'),('de','und'),('de','die'),('de','nicht'),
+      | ('fr','le'),('fr','et'),('fr','la'),('fr','les'),
+      | ('es','el'),('es','los'),('es','que'),('es','por'),
+      | ('zh','的'),('zh','是')),
+      |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |votes AS (
+      | SELECT doc_id, cand_lang, count(*) AS hits
+      | FROM toks JOIN markers ON w = marker GROUP BY 1, 2),
+      |best AS (
+      | SELECT doc_id, cand_lang, hits FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY hits DESC, cand_lang) AS rk FROM votes)
+      | WHERE rk = 1)
+      |SELECT d.doc_id, d.lang,
+      | coalesce(b.cand_lang, 'unknown') AS pred_lang,
+      | coalesce(b.hits, 0) AS marker_hits
+      |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** Document fingerprint: winnowed rolling hash — min/max xxhash64
+    * over 4-token windows (content-defined, shift-invariant). Hash fn
+    * is engine-specific → rows-only check + ScalaTest determinism. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 4)
+      .withColumn("grams", expr(
+        "transform(sequence(1, size(ws)-3), i -> xxhash64(concat_ws(' ', element_at(ws,i), element_at(ws,i+1), element_at(ws,i+2), element_at(ws,i+3))))"))
+      .select(col("doc_id"),
+        expr("aggregate(grams, 9223372036854775807L, (acc, h) -> least(acc, h))").as("fp_min"),
+        expr("aggregate(grams, -9223372036854775808L, (acc, h) -> greatest(acc, h))").as("fp_max"),
+        size(col("grams")).cast("long").as("n_grams"))
+      .orderBy(col("doc_id"))
+
+  val all: Seq[GQuery] = Seq(
+    GQuery("text_token_stats", tokenStats, Some(tokenStatsSql)),
+    GQuery("text_lang_stats", langStats, Some(langStatsSql)),
+    GQuery("text_quality_score", qualityScore, Some(qualityScoreSql)),
+    GQuery("text_tfidf_top_terms", tfidfTopTerms, Some(tfidfTopTermsSql)),
+    GQuery("text_lang_id", langId, Some(langIdSql)),
+    GQuery("text_fingerprint", fingerprint, None),
+  )
 }
