@@ -13,7 +13,8 @@ object SparkEntry {
     operators.Dedup.all ++
     operators.Similarity.all ++
     operators.TextAnalysis.all ++
-    operators.Multimodal.all
+    operators.Multimodal.all ++
+    operators.StreamingOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,127 @@
+package graft.operators
+
+import graft.GQuery
+import graft.streaming.KStreams
+import graft.streaming.KStreams.Record
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Oracle-verified Structured Streaming runs: each query executes a
+  * real streaming pipeline over the events parquet (readStream →
+  * stateful transform → memory sink → processAllAvailable) and returns
+  * the final materialized state, which must hash-match the batch
+  * DuckDB oracle. This is the strongest possible check of the
+  * reference's stream→table semantics: the streaming state machine
+  * converges to exactly the relational answer.
+  */
+object StreamingOps {
+
+  private def uniq(prefix: String): String =
+    s"${prefix}_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+
+  /** events.parquet as a streaming Dataset[Record] (key = user_id,
+    * value = event_type), with the ns→µs conversion of graft.util.t. */
+  private def recordStream(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    // the file source wants a directory: stream the sf dir, glob-limited
+    // to the events table
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val withTs =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    withTs.select(
+      col("user_id").cast("string").as("key"),
+      col("event_type").as("value"),
+      col("ts")).as[Record]
+  }
+
+  /** R2 streaming — stream.toTable via flatMapGroupsWithState (update
+    * mode), interactive-query snapshot of the converged state. */
+  def latestPerKey(spark: SparkSession, dir: String): DataFrame = {
+    val name = uniq("latest_state")
+    val q = KStreams.KStreamDS(recordStream(spark, dir)).toTable.toMemory(name)
+    q.processAllAvailable(); q.stop()
+    KStreams.snapshot(spark, name).orderBy(col("key"))
+  }
+
+  val latestPerKeySql: String =
+    """SELECT cast(user_id as varchar) AS key, event_type AS value,
+      | date_trunc('microseconds', ts) AS ts
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |   ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+      |WHERE rn = 1 ORDER BY key""".stripMargin
+
+  /** R4 streaming — filtered KTable (latest state where the value
+    * says 'purchase'), last-state-wins read side. */
+  def filteredTable(spark: SparkSession, dir: String): DataFrame = {
+    val name = uniq("filtered_state")
+    val q = KStreams.KStreamDS(recordStream(spark, dir))
+      .toTable
+      .filter(lower(col("value")) === "purchase")
+      .toMemory(name)
+    q.processAllAvailable(); q.stop()
+    // tombstones retract keys that left the filtered view; snapshot
+    // drops them, so this is exactly the filter over the final table
+    KStreams.snapshot(spark, name).orderBy(col("key"))
+  }
+
+  val filteredTableSql: String =
+    """SELECT cast(user_id as varchar) AS key, event_type AS value,
+      | date_trunc('microseconds', ts) AS ts
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |   ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+      |WHERE rn = 1 AND lower(event_type) = 'purchase'
+      |ORDER BY key""".stripMargin
+
+  /** Streaming tumbling-window aggregation with watermark, complete
+    * output mode → converged counts equal the batch answer. */
+  def windowedCounts(spark: SparkSession, dir: String): DataFrame = {
+    val name = uniq("win_counts")
+    val q = recordStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("value"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name)
+      .select(col("window.start").as("w_start"), col("value"), col("n"))
+      .orderBy(col("w_start"), col("value"))
+  }
+
+  val windowedCountsSql: String =
+    """SELECT date_trunc('hour', ts) AS w_start, event_type AS value,
+      | count(*) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY w_start, value""".stripMargin
+
+  /** Streaming deduplication (dropDuplicates on the full key) —
+    * first-arrival wins; the distinct key set equals the batch
+    * DISTINCT regardless of arrival order. */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val name = uniq("dedup_stream")
+    val q = recordStream(spark, dir)
+      .dropDuplicates("key", "value")
+      .select(col("key"), col("value"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name).orderBy(col("key"), col("value"))
+  }
+
+  val streamDedupSql: String =
+    """SELECT DISTINCT cast(user_id as varchar) AS key,
+      | event_type AS value
+      |FROM events ORDER BY key, value""".stripMargin
+
+  val all: Seq[GQuery] = Seq(
+    GQuery("stream_latest_per_key", latestPerKey, Some(latestPerKeySql)),
+    GQuery("stream_filtered_table", filteredTable, Some(filteredTableSql)),
+    GQuery("stream_windowed_counts", windowedCounts, Some(windowedCountsSql)),
+    GQuery("stream_dedup", streamDedup, Some(streamDedupSql)),
+  )
+}

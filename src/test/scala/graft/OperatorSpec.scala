@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Batch operator sanity + the sketch-vs-exact containment/recall
+  * guarantees that the DuckDB oracle can't express. */
+class OperatorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  private def pairs(name: String) =
+    SparkEntry.queries(name)(spark, sf)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("flagship q1 aggregates all six flag/status groups") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.length == 6)
+    assert(rows.forall(_.getAs[Double]("sum_qty") > 0))
+  }
+
+  test("minhash-LSH output is contained in exact jaccard pairs, full recall on testdata") {
+    val exact = pairs("dedup_jaccard_pairs")
+    val sketch = pairs("dedup_minhash_lsh")
+    assert(sketch.subsetOf(exact), "LSH produced a false positive")
+    assert(sketch == exact, s"LSH recall ${sketch.size}/${exact.size} on planted near-dups")
+  }
+
+  test("ANN-LSH output is contained in exact cosine pairs") {
+    val exact = pairs("dedup_embedding_cosine")
+    val sketch = pairs("sim_ann_lsh")
+    assert(sketch.subsetOf(exact), "ANN produced a false positive")
+    assert(sketch.size >= (exact.size * 9) / 10, s"ANN recall ${sketch.size}/${exact.size} below 90%")
+  }
+
+  test("simhash pairs respect the hamming bound") {
+    val bad = SparkEntry.queries("dedup_simhash")(spark, sf)
+      .filter(col("hamming") > 3).count()
+    assert(bad == 0)
+  }
+
+  test("fingerprint is deterministic across runs") {
+    val a = SparkEntry.queries("text_fingerprint")(spark, sf).collect().toSeq
+    val b = SparkEntry.queries("text_fingerprint")(spark, sf).collect().toSeq
+    assert(a == b)
+  }
+
+  test("top-k per group never exceeds k") {
+    val over = SparkEntry.queries("q19_topk_per_group")(spark, sf)
+      .groupBy("o_custkey").count().filter(col("count") > 3).count()
+    assert(over == 0)
+  }
+
+  test("multimodal decode features are complete and sane") {
+    val df = SparkEntry.queries("mm_decode_features")(spark, sf)
+    assert(df.filter(col("n_bytes") <= 0 || col("byte_sum") <= 0).count() == 0)
+    assert(df.select("media_type").distinct().count() == 3)
+  }
+
+  test("every declared oracle name exists in queries") {
+    val qs = SparkEntry.queries.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
+  }
+}
