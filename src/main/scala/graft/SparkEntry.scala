@@ -14,7 +14,9 @@ object SparkEntry {
     operators.Similarity.all ++
     operators.TextAnalysis.all ++
     operators.Multimodal.all ++
-    operators.StreamingOps.all
+    operators.StreamingOps.all ++
+    functions.Udfs.all ++
+    plans.Describe.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -68,10 +68,14 @@ object KTableOps {
       | AND event_type IS NOT NULL AND lower(event_type) = 'purchase'
       |ORDER BY user_id""".stripMargin
 
-  /** R3 — mapValues: per-update projection over the table (the
-    * reference's watch/peek tap, KStreamsToKTable.java:84-85). */
+  /** R3 — mapValues: per-update projection over the table, with the
+    * reference's side-effecting watch/peek tap
+    * (KStreamsToKTable.java:84-85) as an `observe` metric — the
+    * observation rides the existing pass (no extra job) and surfaces
+    * through QueryExecutionListener, like the reference's stderr tap. */
   def ktMapValues(spark: SparkSession, dir: String): DataFrame =
     ktLatestPerKey(spark, dir)
+      .observe("kt_mapvalues_tap", count(lit(1)).as("n_updates"))
       .select(col("user_id"),
         upper(col("event_type")).as("event_type_uc"),
         (col("value") * 2).cast("decimal(18,4)").cast("double").as("value_x2"))
@@ -103,7 +107,9 @@ object KTableOps {
     * back (the reference's three `to(topic)` sinks,
     * KStreamsToKTable.java:100-104). Round-trip proves the sink path. */
   def ksSink(spark: SparkSession, dir: String): DataFrame = {
-    val out = s"${sys.props("java.io.tmpdir")}/graft_sink_topic"
+    // per-run unique path: concurrent suites must not collide
+    val out = s"${sys.props("java.io.tmpdir")}/graft_sink_topic_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
     t(spark, dir, "events")
       .select(col("event_id"), col("user_id").cast("string").as("key"),
         col("event_type").as("value"))
@@ -132,6 +138,30 @@ object KTableOps {
        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
        |   ORDER BY ts DESC, event_id DESC) AS rn FROM events)
        |WHERE rn = 1 GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** R8 — topic/DDL admin: the reference pre-creates its 4 topics with
+    * 3 partitions via AdminClient (KStreamsToKTable.java:110-141,
+    * partitions from dev.properties:5). Spark twin: provision a
+    * partitioned parquet "topic" (repartition(3, key) → 3 part files)
+    * and verify the layout — partition count from the file listing,
+    * row count from the data. */
+  def ksTopicAdmin(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${sys.props("java.io.tmpdir")}/graft_topic_admin_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    t(spark, dir, "events")
+      .select(col("event_id"), col("user_id").cast("string").as("key"),
+        col("event_type").as("value"))
+      .repartition(3, col("key"))
+      .write.mode("overwrite").parquet(out)
+    val back = spark.read.parquet(out)
+    val nParts = back.select(input_file_name()).distinct().count()
+    back.agg(count(lit(1)).as("n_rows"))
+      .select(lit(nParts).as("n_partitions"), col("n_rows"))
+  }
+
+  val ksTopicAdminSql: String =
+    """SELECT cast(3 as bigint) AS n_partitions, count(*) AS n_rows
+      |FROM events""".stripMargin
 
   // ---- windowed aggregation batch twins (streaming ops, §2.2) -------
   /** Tumbling 1-hour event-time window (streaming twin uses
@@ -197,6 +227,7 @@ object KTableOps {
     GQuery("kt_mapvalues", ktMapValues, Some(ktMapValuesSql)),
     GQuery("kt_to_stream", ktToStream, Some(ktToStreamSql)),
     GQuery("ks_sink_roundtrip", ksSink, Some(ksSinkSql)),
+    GQuery("ks_topic_admin", ksTopicAdmin, Some(ksTopicAdminSql)),
     GQuery("kt_interactive_scan", ktInteractiveScan, Some(ktInteractiveScanSql)),
     GQuery("ks_tumbling_window", ksTumblingWindow, Some(ksTumblingWindowSql)),
     GQuery("ks_sliding_window", ksSlidingWindow, Some(ksSlidingWindowSql)),

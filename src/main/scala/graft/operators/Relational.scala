@@ -588,6 +588,126 @@ object Relational {
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       |ORDER BY g_s, g_p, o_orderstatus, o_orderpriority""".stripMargin
 
+  /** Right outer join: all customers kept, only their 'O'-status
+    * orders counted — the mirror of q4's left join (at scale Spark
+    * plans it as the same shuffled hash join with sides swapped). */
+  def q32JoinRight(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders").filter(col("o_orderstatus") === "O")
+    val c = t(spark, dir, "customer")
+    o.join(c, o("o_custkey") === c("c_custkey"), "right")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(col("o_orderkey")).as("n_open"),
+        coalesce(dsum(col("o_totalprice")), lit(0.0)).as("open_total"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q32Sql: String =
+    s"""SELECT c_custkey, c_name, count(o_orderkey) AS n_open,
+       | coalesce(${sqlDsum("o_totalprice")}, 0.0) AS open_total
+       |FROM (SELECT * FROM orders WHERE o_orderstatus = 'O') o
+       |RIGHT JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin
+
+  /** Map-type functions: parse events.props JSON into map<string,long>,
+    * then map_keys / map_values / element_at / map_contains_key /
+    * map_concat (SURVEY.md §2.2 scalar-fns `map` row). */
+  def q33MapFuncs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("m", from_json(col("props"),
+        org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>")))
+      .select(col("event_id"),
+        array_join(map_keys(col("m")), ",").as("keys_csv"),
+        size(map_keys(col("m"))).cast("long").as("n_keys"),
+        element_at(col("m"), "k").as("k_val"),
+        map_contains_key(col("m"), "k").as("has_k"),
+        aggregate(map_values(col("m")), lit(0L), (acc, v) => acc + v).as("vals_sum"),
+        size(map_concat(col("m"), map(lit("src"), lit(1L)))).cast("long").as("n_keys_plus"))
+      .orderBy(col("event_id"))
+
+  val q33Sql: String =
+    """SELECT event_id,
+      | array_to_string(json_keys(props), ',') AS keys_csv,
+      | cast(len(json_keys(props)) as bigint) AS n_keys,
+      | cast(json_extract_string(props, '$.k') as bigint) AS k_val,
+      | json_extract(props, '$.k') IS NOT NULL AS has_k,
+      | cast(json_extract_string(props, '$.k') as bigint) AS vals_sum,
+      | cast(len(json_keys(props)) + 1 as bigint) AS n_keys_plus
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** RANGE window frame (value-based, vs q16's ROWS frames): for each
+    * order, count/sum of same-priority orders priced within 1000 below
+    * it. Peer rows enter the frame together, so the result does not
+    * depend on tie order. */
+  def q34RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice")).rangeBetween(-1000L, 0L)
+    t(spark, dir, "orders")
+      .filter(col("o_custkey") <= 100)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        count(lit(1)).over(w).as("n_within_1000"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).over(w)
+          .cast("double").as("sum_within_1000"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q34Sql: String =
+    """SELECT o_orderkey, o_orderpriority, o_totalprice,
+      | count(*) OVER w AS n_within_1000,
+      | cast(sum(cast(o_totalprice as decimal(18,4))) OVER w as double)
+      |   AS sum_within_1000
+      |FROM orders WHERE o_custkey <= 100
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
+      |             RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Theta (pure non-equi) join: region × nation pairs in DIFFERENT
+    * regions. Small×small only — Spark plans BroadcastNestedLoopJoin;
+    * at scale a theta join must have at least one broadcastable side. */
+  def q35ThetaJoin(spark: SparkSession, dir: String): DataFrame = {
+    val r = t(spark, dir, "region")
+    val n = t(spark, dir, "nation")
+    r.join(n, r("r_regionkey") =!= n("n_regionkey"))
+      .select(col("r_regionkey"), col("n_nationkey"), col("r_name"), col("n_name"))
+      .orderBy(col("r_regionkey"), col("n_nationkey"))
+  }
+
+  val q35Sql: String =
+    """SELECT r_regionkey, n_nationkey, r_name, n_name
+      |FROM region JOIN nation ON r_regionkey <> n_regionkey
+      |ORDER BY r_regionkey, n_nationkey""".stripMargin
+
+  /** As-of join: each click is matched to the user's most recent
+    * purchase at or before the click (DuckDB ASOF JOIN is the oracle).
+    * Spark mapping: equi-join on the key + range predicate, then
+    * row_number()=1 per click — the shuffle is on user_id (the equi
+    * key), the per-event sort is local; Spark 4 rewrites the
+    * rank-filter to WindowGroupLimit so only the top row survives the
+    * shuffle. Inner semantics (clicks with no prior purchase drop). */
+  def q36AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("value").as("p_value"))
+    val w = Window.partitionBy(col("click_id")).orderBy(col("p_ts").desc)
+    clicks.join(purchases, Seq("user_id"))
+      .filter(col("p_ts") <= col("click_ts"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("click_id"), col("user_id"), col("click_ts"), col("p_ts"), col("p_value"))
+      .orderBy(col("click_id"))
+  }
+
+  val q36Sql: String =
+    """SELECT c.event_id AS click_id, c.user_id,
+      | date_trunc('microseconds', c.ts) AS click_ts,
+      | date_trunc('microseconds', p.ts) AS p_ts,
+      | p.value AS p_value
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      | ON c.user_id = p.user_id AND c.ts >= p.ts
+      |ORDER BY click_id""".stripMargin
+
   /** approx_count_distinct (HLL sketch). Engines' sketches differ, so
     * no value-oracle — the driver records a rows-only check. */
   def q31ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
@@ -629,5 +749,10 @@ object Relational {
     GQuery("q29_in_subquery", q29InSubquery, Some(q29Sql)),
     GQuery("q30_grouping_sets", q30GroupingSets, Some(q30Sql)),
     GQuery("q31_approx_count_distinct", q31ApproxDistinct, None),
+    GQuery("q32_join_right", q32JoinRight, Some(q32Sql)),
+    GQuery("q33_map_funcs", q33MapFuncs, Some(q33Sql)),
+    GQuery("q34_range_frame", q34RangeFrame, Some(q34Sql)),
+    GQuery("q35_theta_join", q35ThetaJoin, Some(q35Sql)),
+    GQuery("q36_asof_join", q36AsofJoin, Some(q36Sql)),
   )
 }

@@ -16,12 +16,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** cos(va, vb) rounded to 6 decimals (rounding absorbs the
-    * engine-specific last-bit of the float fold). */
-  private def cosine(va: Column, vb: Column): Column = round(
-    expr(s"aggregate(zip_with(${va.toString}, ${vb.toString}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
-      (sqrt(expr(s"aggregate(${va.toString}, 0D, (acc, x) -> acc + x * x)")) *
-       sqrt(expr(s"aggregate(${vb.toString}, 0D, (acc, x) -> acc + x * x)"))), 6)
+  import graft.functions.Vectors.cosine
 
   /** Brute-force exact top-5 cosine neighbors for query vectors
     * (vec_id < 20). Broadcast the tiny query side; the corpus side
@@ -77,12 +72,15 @@ object Similarity {
     * deterministic pseudo-random (xxhash64 of (plane, dim)), so the
     * index is reproducible. A pair is a candidate if it shares any
     * table's 2-bit signature (recall ≈ 0.98 at cos 0.4); candidates
-    * are verified with exact cosine, so output ⊆
-    * dedup_embedding_cosine. On these near-uniform synthetic vectors
-    * bucket pruning is weak (low threshold + no cluster structure);
-    * on real clustered embeddings raise rows-per-band for selectivity.
-    * Sketch is engine-specific → rows-only check + recall spec in
-    * ScalaTest. */
+    * are verified with exact cosine, so output ⊆ the exact cosine
+    * pairs. The banding self-join and the dedup of candidate pairs
+    * carry ONLY (vec_id, tbl, sig) / (a_id, b_id) — the vector
+    * payloads are rejoined exactly once after the distinct, so the
+    * heaviest shuffle is a few longs wide, not 2×64 doubles. On these
+    * near-uniform synthetic vectors bucket pruning is weak (low
+    * threshold + no cluster structure); on real clustered embeddings
+    * raise rows-per-band for selectivity. Sketch is engine-specific →
+    * rows-only check + recall spec in ScalaTest. */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val tables = 8
     val rowsPerBand = 2
@@ -96,18 +94,24 @@ object Similarity {
            |  0D, (acc, x) -> acc + x)""".stripMargin)
       when(dot > 0, lit(1)).otherwise(0)
     }
-    val sigs = e.select(
-      col("vec_id") +: col("v") +:
+    // signatures only — vectors are dropped before any shuffle; one
+    // posexplode pass (a per-table union would recompute the 16
+    // hyperplane dot products once per table); the banded index is
+    // 3 longs per (vec, table) and is cached for the self-join
+    val banded = e.select(col("vec_id"), posexplode(array(
         (0 until tables).map(t0 =>
           (0 until rowsPerBand).map(r => planeBit(t0 * rowsPerBand + r) * (1 << r))
-            .reduce(_ + _).as(s"sig$t0")): _*)
-    val banded = (0 until tables).map { t0 =>
-      sigs.select(col("vec_id"), col("v"), lit(t0).as("tbl"), col(s"sig$t0").as("sig"))
-    }.reduce(_ unionAll _)
-    val a = banded.select(col("vec_id").as("a_id"), col("v").as("va"), col("tbl"), col("sig"))
-    val b = banded.select(col("vec_id").as("b_id"), col("v").as("vb"), col("tbl"), col("sig"))
-    a.join(b, Seq("tbl", "sig")).filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("va"), col("vb")).distinct()
+            .reduce(_ + _)): _*))
+      .as(Seq("tbl", "sig"))).cache()
+    val a = banded.select(col("vec_id").as("a_id"), col("tbl"), col("sig"))
+    val b = banded.select(col("vec_id").as("b_id"), col("tbl"), col("sig"))
+    val candidates = a.join(b, Seq("tbl", "sig"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    // exact-cosine verification: rejoin the two vectors once per pair
+    candidates
+      .join(e.select(col("vec_id").as("a_id"), col("v").as("va")), Seq("a_id"))
+      .join(e.select(col("vec_id").as("b_id"), col("v").as("vb")), Seq("b_id"))
       .withColumn("cos", cosine(col("va"), col("vb")))
       .filter(col("cos") >= 0.4)
       .select(col("a_id"), col("b_id"), col("cos"))

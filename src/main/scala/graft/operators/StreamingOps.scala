@@ -118,10 +118,31 @@ object StreamingOps {
       | event_type AS value
       |FROM events ORDER BY key, value""".stripMargin
 
+  /** Streaming dedup with BOUNDED state:
+    * `dropDuplicatesWithinWatermark` evicts per-key state once the
+    * watermark passes it — at 100 TB the unbounded `dropDuplicates`
+    * state is a leak; this is the production variant. The whole events
+    * file arrives in one micro-batch here, so the result still equals
+    * batch DISTINCT exactly. */
+  def streamDedupWm(spark: SparkSession, dir: String): DataFrame = {
+    val name = uniq("dedup_wm_stream")
+    val q = recordStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("key", "value")
+      .select(col("key"), col("value"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name).orderBy(col("key"), col("value"))
+  }
+
+  val streamDedupWmSql: String = streamDedupSql
+
   val all: Seq[GQuery] = Seq(
     GQuery("stream_latest_per_key", latestPerKey, Some(latestPerKeySql)),
     GQuery("stream_filtered_table", filteredTable, Some(filteredTableSql)),
     GQuery("stream_windowed_counts", windowedCounts, Some(windowedCountsSql)),
     GQuery("stream_dedup", streamDedup, Some(streamDedupSql)),
+    GQuery("stream_dedup_wm", streamDedupWm, Some(streamDedupWmSql)),
   )
 }

@@ -48,9 +48,12 @@ object TextAnalysis {
         (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
       .orderBy(col("lang"))
 
+  // the integer sums are cast back to bigint: DuckDB's sum(BIGINT)
+  // widens to HUGEINT, which would hash-mismatch Spark's long
   val langStatsSql: String =
-    """SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
-      | sum(cast(len(string_split(text, ' ')) as bigint)) AS total_tokens,
+    """SELECT lang, count(*) AS n_docs,
+      | cast(sum(n_chars) as bigint) AS total_chars,
+      | cast(sum(cast(len(string_split(text, ' ')) as bigint)) as bigint) AS total_tokens,
       | cast(sum(n_chars) as double) / count(*) AS avg_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** R8–R11 components + the round-2 operator additions. */
+class ComponentSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("R9 describe: flagship plan shows pushed-down scan and hash aggregation") {
+    val plan = plans.Describe.describe(spark, sf, "q1_pricing_summary")
+    assert(plan.contains("HashAggregate"), "no HashAggregate in plan")
+    assert(plan.contains("Scan parquet"), "no parquet scan in plan")
+    assert(plan.contains("PushedFilters"), "no pushdown info in plan")
+  }
+
+  test("R9 topology query: operator inventory is queryable") {
+    val ops = plans.Describe.topologyQuery(spark, sf)
+      .collect().map(_.getString(0)).toSet
+    assert(ops.exists(_.contains("HashAggregate")), s"ops=$ops")
+    assert(ops.exists(_.contains("Scan parquet")), s"ops=$ops")
+  }
+
+  test("R10 config: properties file round-trips into session conf") {
+    val f = java.io.File.createTempFile("graft_conf", ".properties")
+    java.nio.file.Files.writeString(f.toPath,
+      "spark.sql.cbo.enabled=true\napp.name=graft\nspark.graft.custom=42\n")
+    val props = GraftConfig.load(f.getPath)
+    assert(GraftConfig.sparkEntries(props).map(_._1) ==
+      Seq("spark.graft.custom", "spark.sql.cbo.enabled"))
+    val applied = GraftConfig.applyRuntime(spark, props)
+    assert(applied.contains("spark.sql.cbo.enabled"))
+    assert(spark.conf.get("spark.sql.cbo.enabled") == "true")
+    spark.conf.set("spark.sql.cbo.enabled", "false") // restore default
+    f.delete()
+  }
+
+  test("R11 lifecycle: monitor sees start and termination of a streaming query") {
+    val (_, m) = streaming.Lifecycle.withMonitor(spark) {
+      SparkEntry.queries("stream_dedup_wm")(spark, sf).count()
+    }
+    assert(m.started.get() >= 1, "no query start observed")
+    assert(streaming.Lifecycle.awaitTerminated(m, 1), "no termination observed in 5s")
+    assert(m.lastException.isEmpty, s"query failed: ${m.lastException}")
+  }
+
+  test("bounded-state streaming dedup equals batch distinct") {
+    val streamed = SparkEntry.queries("stream_dedup_wm")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val batch = util.t(spark, sf, "events")
+      .select(col("user_id").cast("string"), col("event_type"))
+      .distinct().collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(streamed == batch)
+  }
+
+  test("as-of join matches only the most recent preceding purchase") {
+    val bad = SparkEntry.queries("q36_asof_join")(spark, sf)
+      .filter(col("p_ts") > col("click_ts")).count()
+    assert(bad == 0)
+  }
+
+  test("UDF cosine agrees with the HOF cosine") {
+    val e = util.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .limit(50)
+    val a = e.select(col("vec_id").as("id"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("id"), col("v").as("vb"))
+    val both = a.join(b, "id")
+      .select(
+        round(functions.Udfs.cosineUdf(col("va"), col("vb")), 6).as("u"),
+        functions.Vectors.cosine(col("va"), col("vb")).as("h"))
+    assert(both.filter(col("u") =!= col("h")).count() == 0)
+  }
+
+  test("R8 topic admin provisions 3 partitions") {
+    val row = SparkEntry.queries("ks_topic_admin")(spark, sf).collect().head
+    assert(row.getAs[Long]("n_partitions") == 3L)
+    assert(row.getAs[Long]("n_rows") > 0L)
+  }
+}

@@ -27,8 +27,11 @@ class OperatorSpec extends AnyFunSuite {
   }
 
   test("ANN-LSH output is contained in exact cosine pairs") {
+    // the exact ground truth is bounded to the vec_id < cosineBlock
+    // block (oracle-only); compare the sketch within the same block
+    val block = operators.Dedup.cosineBlock
     val exact = pairs("dedup_embedding_cosine")
-    val sketch = pairs("sim_ann_lsh")
+    val sketch = pairs("sim_ann_lsh").filter(p => p._1 < block && p._2 < block)
     assert(sketch.subsetOf(exact), "ANN produced a false positive")
     assert(sketch.size >= (exact.size * 9) / 10, s"ANN recall ${sketch.size}/${exact.size} below 90%")
   }
