@@ -25,4 +25,12 @@ object Vectors {
     * engine-specific last bit of the float fold). */
   def cosine(x: Column, y: Column): Column =
     round(dot(x, y) / (norm(x) * norm(y)), 6)
+
+  /** cos(x, y) with pre-computed norms. In any pairwise query the
+    * norms should be computed once per VECTOR (n HOF folds) and
+    * carried through the join, not once per PAIR (3n² folds) — same
+    * double ops in the same order as `cosine`, so results are
+    * bit-identical. */
+  def cosinePre(x: Column, y: Column, nx: Column, ny: Column): Column =
+    round(dot(x, y) / (nx * ny), 6)
 }

@@ -16,8 +16,6 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  import graft.functions.Vectors.cosine
-
   /** Brute-force exact top-5 cosine neighbors for query vectors
     * (vec_id < 20). Broadcast the tiny query side; the corpus side
     * streams — the shape that survives a 100 TB corpus. */
@@ -27,7 +25,7 @@ object Similarity {
     val q = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("v").as("vq"))
     val joined = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .withColumn("cos", cosine(col("vq"), col("v")))
+      .withColumn("cos", graft.functions.CosineSim.cosine(col("vq"), col("v")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     joined.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 5)
@@ -108,11 +106,14 @@ object Similarity {
     val candidates = a.join(b, Seq("tbl", "sig"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id")).distinct()
-    // exact-cosine verification: rejoin the two vectors once per pair
+    // exact-cosine verification: rejoin the two vectors once per pair;
+    // the cosine is the fused native codegen expression (CosineSim) —
+    // on this stage (millions of candidate pairs) the HOF version's
+    // per-pair array allocation was the whole query's bottleneck
     candidates
       .join(e.select(col("vec_id").as("a_id"), col("v").as("va")), Seq("a_id"))
       .join(e.select(col("vec_id").as("b_id"), col("v").as("vb")), Seq("b_id"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", graft.functions.CosineSim.cosine(col("va"), col("vb")))
       .filter(col("cos") >= 0.4)
       .select(col("a_id"), col("b_id"), col("cos"))
       .orderBy(col("a_id"), col("b_id"))

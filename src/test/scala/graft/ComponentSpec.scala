@@ -60,6 +60,18 @@ class ComponentSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("native codegen cosine is bit-identical to the HOF cosine") {
+    val e = util.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val a = e.select(col("vec_id").as("a_id"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"))
+    val both = a.join(b, col("a_id") < col("b_id"))
+      .select(
+        functions.CosineSim.cosine(col("va"), col("vb")).as("nat"),
+        functions.Vectors.cosine(col("va"), col("vb")).as("hof"))
+    assert(both.filter(col("nat") =!= col("hof")).count() == 0)
+  }
+
   test("UDF cosine agrees with the HOF cosine") {
     val e = util.t(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
