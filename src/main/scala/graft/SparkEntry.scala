@@ -15,6 +15,8 @@ object SparkEntry {
     operators.TextAnalysis.all ++
     operators.Multimodal.all ++
     operators.StreamingOps.all ++
+    operators.Analytics.all ++
+    sources.FileSources.all ++
     functions.Udfs.all ++
     plans.Describe.all
 

@@ -1,0 +1,187 @@
+package graft.operators
+
+import graft.GQuery
+import graft.util._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Statistical aggregates, pivot/unpivot reshaping, ordered collection
+  * aggregates, the remaining window-function family, and the salted
+  * two-stage aggregation pattern for skewed keys — rounding out the
+  * relational inventory beyond Relational.scala's q1–q36.
+  */
+object Analytics {
+
+  /** Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`, both linear interpolation over the sorted set —
+    * verified bit-equal at 6 decimals). The exact percentile sorts
+    * per group; at 100 TB swap in approx_percentile (t-digest) — same
+    * call shape, sketch-based, no sort. */
+  def q37Percentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("med_qty"),
+        round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25_price"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  val q37Sql: String =
+    """SELECT l_returnflag,
+      | round(quantile_cont(l_quantity, 0.5), 6) AS med_qty,
+      | round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price,
+      | round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+      | count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Moment-based statistics: stddev/variance/covariance/correlation
+    * (both engines use numerically-stable one-pass updates; agreement
+    * at 6 decimals verified on the testdata). */
+  def q38StatsAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_linestatus"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 6).as("var_qty"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qd"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"))
+      .orderBy(col("l_linestatus"))
+
+  val q38Sql: String =
+    """SELECT l_linestatus,
+      | round(stddev_samp(l_quantity), 6) AS sd_qty,
+      | round(var_samp(l_quantity), 6) AS var_qty,
+      | round(covar_samp(l_quantity, l_discount), 6) AS cov_qd,
+      | round(corr(l_quantity, l_extendedprice), 6) AS corr_qp
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  /** Pivot: order counts + exact revenue per status, one column per
+    * returnflag (explicit pivot values — at scale never let pivot
+    * discover values with an extra pass). */
+  def q39Pivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("l_linestatus"), col("A").as("n_a"), col("N").as("n_n"), col("R").as("n_r"))
+      .orderBy(col("l_linestatus"))
+
+  val q39Sql: String =
+    """SELECT l_linestatus,
+      | count(*) FILTER (WHERE l_returnflag = 'A') AS n_a,
+      | count(*) FILTER (WHERE l_returnflag = 'N') AS n_n,
+      | count(*) FILTER (WHERE l_returnflag = 'R') AS n_r
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  /** Unpivot (melt): wide money columns → long (metric, value) rows. */
+  def q40Unpivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_orderkey") <= 50)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").as("quantity"),
+        col("l_extendedprice").as("extendedprice"),
+        col("l_discount").as("discount"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("quantity"), col("extendedprice"), col("discount")),
+        "metric", "val")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+
+  val q40Sql: String =
+    """SELECT l_orderkey, l_linenumber, metric, val FROM (
+      | SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS val
+      | FROM lineitem WHERE l_orderkey <= 50
+      | UNION ALL
+      | SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+      | FROM lineitem WHERE l_orderkey <= 50
+      | UNION ALL
+      | SELECT l_orderkey, l_linenumber, 'discount', l_discount
+      | FROM lineitem WHERE l_orderkey <= 50)
+      |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
+
+  /** Ordered collection aggregate: distinct sorted set as a CSV string
+    * (collect_set is unordered by contract — sort_array makes the
+    * result deterministic under any partitioning). */
+  def q41CollectAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        array_join(sort_array(collect_set(col("o_orderstatus"))), ",").as("statuses"),
+        countDistinct(col("o_orderstatus")).as("n_statuses"))
+      .orderBy(col("o_orderpriority"))
+
+  val q41Sql: String =
+    """SELECT o_orderpriority,
+      | array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS statuses,
+      | count(DISTINCT o_orderstatus) AS n_statuses
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Salted two-stage aggregation — the skew pattern: a hot group key
+    * (few event types over millions of rows) first aggregates on
+    * (key, salt) spreading each hot key over 8 reducers, then merges
+    * partials per key. Same exact result as the direct groupBy (the
+    * decimal sums are associative); at 100 TB this is the difference
+    * between one straggler reducer and even utilization. */
+  def q42SaltedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val salted = t(spark, dir, "events")
+      .withColumn("salt", pmod(xxhash64(col("event_id")), lit(8)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pn"),
+        sum(col("value").cast("decimal(22,8)")).as("psum"))
+    salted.groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n"),
+        sum(col("psum")).cast("double").as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val q42Sql: String =
+    s"""SELECT event_type, count(*) AS n,
+       | ${sqlDsum("value")} AS sum_value
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Window-function family completion: first/last/nth value over the
+    * full partition frame, percent_rank and cume_dist (deterministic:
+    * unique (price, key) ordering). */
+  def q43WindowExtras(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(spark, dir, "orders")
+      .filter(col("o_custkey") <= 200)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        first(col("o_totalprice")).over(full).as("cheapest"),
+        last(col("o_totalprice")).over(full).as("priciest"),
+        nth_value(col("o_totalprice"), 2).over(full).as("second_cheapest"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q43Sql: String =
+    """SELECT o_orderkey, o_orderpriority, o_totalprice,
+      | first_value(o_totalprice) OVER wf AS cheapest,
+      | last_value(o_totalprice) OVER wf AS priciest,
+      | nth_value(o_totalprice, 2) OVER wf AS second_cheapest,
+      | round(percent_rank() OVER w, 6) AS pct_rank,
+      | round(cume_dist() OVER w, 6) AS cume
+      |FROM orders WHERE o_custkey <= 200
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |             ORDER BY o_totalprice, o_orderkey),
+      |       wf AS (PARTITION BY o_orderpriority
+      |              ORDER BY o_totalprice, o_orderkey
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_orderkey""".stripMargin
+
+  val all: Seq[GQuery] = Seq(
+    GQuery("q37_percentiles", q37Percentiles, Some(q37Sql)),
+    GQuery("q38_stats_agg", q38StatsAgg, Some(q38Sql)),
+    GQuery("q39_pivot", q39Pivot, Some(q39Sql)),
+    GQuery("q40_unpivot", q40Unpivot, Some(q40Sql)),
+    GQuery("q41_collect_agg", q41CollectAgg, Some(q41Sql)),
+    GQuery("q42_salted_agg", q42SaltedAgg, Some(q42Sql)),
+    GQuery("q43_window_extras", q43WindowExtras, Some(q43Sql)),
+  )
+}

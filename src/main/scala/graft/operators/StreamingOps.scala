@@ -138,11 +138,77 @@ object StreamingOps {
 
   val streamDedupWmSql: String = streamDedupSql
 
+  /** Stream-static join: the event stream enriched against a static
+    * dimension (customer segment per user) — the dimension is
+    * broadcast per micro-batch, the stream side never shuffles. */
+  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    val name = uniq("enriched_stream")
+    val dim = graft.util.t(spark, dir, "customer")
+      .filter(col("c_custkey") < 150)
+      .select(col("c_custkey").cast("string").as("key"),
+        col("c_mktsegment").as("segment"))
+    val q = recordStream(spark, dir)
+      .join(broadcast(dim), Seq("key"))
+      .select(col("key"), col("value"), col("ts"), col("segment"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name)
+      .groupBy(col("segment"), col("value"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("segment"), col("value"))
+  }
+
+  val streamStaticJoinSql: String =
+    """SELECT c_mktsegment AS segment, event_type AS value, count(*) AS n
+      |FROM events JOIN customer ON cast(user_id as varchar) = cast(c_custkey as varchar)
+      |WHERE c_custkey < 150
+      |GROUP BY 1, 2 ORDER BY segment, value""".stripMargin
+
+  /** Stream-stream inner join with watermarks and a time-range
+    * condition: each purchase joined to the same user's clicks in the
+    * preceding hour. Both sides carry watermarks so the join state is
+    * BOUNDED — Spark evicts click state older than the watermark minus
+    * the range; without this, stream-stream join state grows forever. */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val name = uniq("ss_join")
+    val clicks = recordStream(spark, dir)
+      .filter(col("value") === "click")
+      .select(col("key"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = recordStream(spark, dir)
+      .filter(col("value") === "purchase")
+      .select(col("key").as("p_key"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val q = purchases.join(clicks,
+        col("key") === col("p_key") &&
+        col("click_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("p_ts"))
+      .select(col("p_key").as("user_key"), col("p_ts"), col("click_ts"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name)
+      .groupBy(col("user_key"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("user_key"))
+  }
+
+  val streamStreamJoinSql: String =
+    """SELECT cast(p.user_id as varchar) AS user_key, count(*) AS n_pairs
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      | ON p.user_id = c.user_id
+      | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+      |GROUP BY 1 ORDER BY user_key""".stripMargin
+
   val all: Seq[GQuery] = Seq(
     GQuery("stream_latest_per_key", latestPerKey, Some(latestPerKeySql)),
     GQuery("stream_filtered_table", filteredTable, Some(filteredTableSql)),
     GQuery("stream_windowed_counts", windowedCounts, Some(windowedCountsSql)),
     GQuery("stream_dedup", streamDedup, Some(streamDedupSql)),
     GQuery("stream_dedup_wm", streamDedupWm, Some(streamDedupWmSql)),
+    GQuery("stream_static_join", streamStaticJoin, Some(streamStaticJoinSql)),
+    GQuery("stream_stream_join", streamStreamJoin, Some(streamStreamJoinSql)),
   )
 }

@@ -1,0 +1,129 @@
+package graft.sources
+
+import graft.GQuery
+import graft.util._
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source/sink formats beyond parquet, and the two layout techniques
+  * that matter most at 100 TB: partitioned writes with partition
+  * pruning, and bucketed tables for shuffle-free co-located joins.
+  * Each entry round-trips real data through the layout and returns an
+  * oracle-checkable result (the oracle reads the original parquet, so
+  * the round-trip must be lossless).
+  */
+object FileSources {
+
+  private def uniq(prefix: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_${prefix}_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+
+  /** JSON sink + source round-trip (schema pinned on read — streaming
+    * and production batch reads never infer). */
+  def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = uniq("json")
+    t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .write.mode(SaveMode.Overwrite).json(out)
+    spark.read.schema("event_id bigint, user_id bigint, event_type string")
+      .json(out)
+      .orderBy(col("event_id"))
+  }
+
+  val jsonRoundtripSql: String =
+    """SELECT event_id, user_id, event_type
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** CSV sink + source round-trip (header, pinned schema). */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = uniq("csv")
+    t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .write.mode(SaveMode.Overwrite).option("header", "true").csv(out)
+    spark.read.schema("event_id bigint, user_id bigint, event_type string")
+      .option("header", "true").csv(out)
+      .orderBy(col("event_id"))
+  }
+
+  val csvRoundtripSql: String = jsonRoundtripSql
+
+  /** Hive-style partitioned write + partition-pruned read: the filter
+    * on the partition column never touches non-matching files (the
+    * plan's PartitionFilters — asserted in ComponentSpec). At 100 TB
+    * partition-by-low-cardinality-column is the first line of defense
+    * before any row filter runs. */
+  def partitionedPruning(spark: SparkSession, dir: String): DataFrame = {
+    val out = uniq("part")
+    t(spark, dir, "orders")
+      .write.mode(SaveMode.Overwrite).partitionBy("o_orderstatus").parquet(out)
+    spark.read.parquet(out)
+      .filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Exposed for the pruning spec: the filtered reader over a
+    * just-written partitioned layout. */
+  def partitionedReader(spark: SparkSession, dir: String): DataFrame = {
+    val out = uniq("part_spec")
+    t(spark, dir, "orders")
+      .write.mode(SaveMode.Overwrite).partitionBy("o_orderstatus").parquet(out)
+    spark.read.parquet(out).filter(col("o_orderstatus") === "F")
+  }
+
+  val partitionedPruningSql: String =
+    s"""SELECT o_orderpriority, count(*) AS n, ${sqlDsum("o_totalprice")} AS total
+       |FROM orders WHERE o_orderstatus = 'F'
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Bucketed tables + co-located join: both sides bucketed 8-ways on
+    * the join key → the join reads bucket i against bucket i with NO
+    * shuffle exchange on either side (asserted in ComponentSpec). At
+    * 100 TB this turns every recurring fact-fact join on the same key
+    * into a scan-local operation — the single biggest shuffle saving
+    * a warehouse layout can buy. */
+  // JVM-unique table names: the in-memory catalog forgets tables
+  // across JVMs but their warehouse locations persist — reusing a
+  // fixed name would hit LOCATION_ALREADY_EXISTS on the next run
+  private val tblSuffix = java.util.UUID.randomUUID.toString.replace("-", "").take(8)
+  private def ordersTbl = s"graft_orders_b_$tblSuffix"
+  private def lineitemTbl = s"graft_lineitem_b_$tblSuffix"
+
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders")
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable(ordersTbl)
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable(lineitemTbl)
+    val o = spark.table(ordersTbl)
+    val li = spark.table(lineitemTbl)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** The bare bucketed join (no agg) for the no-exchange plan spec. */
+  def bucketedJoinPlan(spark: SparkSession): DataFrame = {
+    val o = spark.table(ordersTbl)
+    val li = spark.table(lineitemTbl)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+  }
+
+  val bucketedJoinSql: String =
+    s"""SELECT o_orderpriority, count(*) AS n_items, ${sqlDsum("l_quantity")} AS qty
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  val all: Seq[GQuery] = Seq(
+    GQuery("src_json_roundtrip", jsonRoundtrip, Some(jsonRoundtripSql)),
+    GQuery("src_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),
+    GQuery("src_partitioned_pruning", partitionedPruning, Some(partitionedPruningSql)),
+    GQuery("src_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
+  )
+}

@@ -85,6 +85,45 @@ class ComponentSpec extends AnyFunSuite {
     assert(both.filter(col("u") =!= col("h")).count() == 0)
   }
 
+  test("partitioned read prunes partitions in the plan") {
+    val df = sources.FileSources.partitionedReader(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("o_orderstatus"), s"no partition pruning in:\n$plan")
+    // pruned scan must list fewer partitions than the full table has
+    assert(df.select("o_orderstatus").distinct().count() == 1)
+  }
+
+  test("bucketed join has no shuffle exchange on the join keys") {
+    SparkEntry.queries("src_bucketed_join")(spark, sf).count() // builds tables
+    // disable broadcast so the planner must choose the bucketed SMJ
+    // (at test scale everything fits the broadcast threshold)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = sources.FileSources.bucketedJoinPlan(spark)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a join in:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"scan not bucketed:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("salted aggregation equals the direct aggregation") {
+    val salted = SparkEntry.queries("q42_salted_agg")(spark, sf).collect().toSeq
+    val direct = util.t(spark, sf, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), util.dsum(col("value")).as("sum_value"))
+      .orderBy(col("event_type")).collect().toSeq
+    assert(salted == direct)
+  }
+
   test("R8 topic admin provisions 3 partitions") {
     val row = SparkEntry.queries("ks_topic_admin")(spark, sf).collect().head
     assert(row.getAs[Long]("n_partitions") == 3L)
