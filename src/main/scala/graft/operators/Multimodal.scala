@@ -7,22 +7,27 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal column handling: media payloads modeled as opaque
   * `binary` columns bundled with typed metadata structs, plus
-  * decode / feature-extract / frame-sample stages.
+  * decode / feature-extract / resize / frame-sample stages.
   *
-  * The container has no image/audio codecs, so the decode itself is a
-  * DETERMINISTIC FAKE (byte statistics standing in for pixel
-  * statistics) — but the Spark plumbing is real: binary columns,
-  * nested struct schema, partition-batched `mapPartitions` with a
-  * typed Encoder (the Scala analog of Python's mapInPandas batch
-  * shape), and explode of sampled frames. Swapping the fake for a JNI
-  * or Pandas-UDF codec changes one function, not the plan.
+  * The decode stage is a REAL image codec: payloads are binary PPM
+  * (P6) images (graft.functions.Ppm — header parse, bounds checks,
+  * pixel statistics, 2× box-filter downsample), generated
+  * deterministically from the document text since the container ships
+  * no camera data. The Spark plumbing is the production shape: binary
+  * columns, nested struct schema, partition-batched `mapPartitions`
+  * with a typed Encoder (the Scala analog of Python's mapInPandas
+  * batch shape), and explode of sampled frames. Swapping PPM for a
+  * JPEG/PNG JNI codec changes the two Ppm functions, not the plan.
   */
 object Multimodal {
+
+  import graft.functions.Ppm
 
   /** Media row shape used by the typed decode stage. */
   case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
   case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Long,
-      byte_sum: Long, first_byte: Int, frames_sampled: Int)
+      width: Int, height: Int, mean_r: Double, mean_g: Double, mean_b: Double,
+      mean_luma: Double, half_width: Int, half_height: Int)
 
   /** Bundle text + embedding + metadata into one multimodal struct
     * column and read typed fields back out (schema-evolution select).
@@ -50,26 +55,37 @@ object Multimodal {
       |FROM documents JOIN embeddings ON doc_id = vec_id
       |ORDER BY doc_id""".stripMargin
 
-  /** Decode / feature-extract over binary payloads via typed
-    * mapPartitions — batch-per-partition, the distributed shape a real
-    * codec UDF needs. The "decode" is byte statistics (see header). */
-  def decodeFeatures(spark: SparkSession, dir: String): DataFrame = {
+  /** The media ingest stage: one PPM image payload per document
+    * (deterministic from the text), typed for mapPartitions. */
+  def mediaTable(spark: SparkSession, dir: String) = {
     import spark.implicits._
-    val media = t(spark, dir, "documents")
+    t(spark, dir, "documents")
       .select(col("doc_id"),
-        // deterministic fake modality from the id
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
-        encode(col("text"), "utf-8").as("payload"))
-      .as[MediaRow]
-    media.mapPartitions { rows =>
+        col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, mt, text) =>
+        MediaRow(id, mt, Ppm.encode(Ppm.synth(text)))
+      })
+  }
+
+  /** Decode / feature-extract / resize over binary payloads via typed
+    * mapPartitions — batch-per-partition, the distributed shape a real
+    * codec needs (each partition decodes its images locally; nothing
+    * wide ever shuffles). Parses the PPM header, computes per-channel
+    * means + Rec.601 luma, and box-downsamples 2× (the resize stage). */
+  def decodeFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir).mapPartitions { rows =>
       rows.map { r =>
-        val bytes = r.payload
-        // stub decode: real impl would parse the codec here (???)
-        val sum = bytes.foldLeft(0L)((acc, b) => acc + (b & 0xFF))
-        val frames = bytes.indices.count(_ % 32 == 0) // every 32nd byte = one "frame"
-        MediaFeatures(r.doc_id, r.media_type, bytes.length.toLong, sum,
-          if (bytes.nonEmpty) bytes(0) & 0xFF else -1, frames)
+        val f = Ppm.features(r.payload)
+        val half = Ppm.downsample2x(Ppm.decode(r.payload))
+        MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong,
+          f.width, f.height,
+          math.rint(f.meanR * 1e6) / 1e6, math.rint(f.meanG * 1e6) / 1e6,
+          math.rint(f.meanB * 1e6) / 1e6, math.rint(f.meanLuma * 1e6) / 1e6,
+          half.width, half.height)
       }
     }.toDF().orderBy(col("doc_id"))
   }

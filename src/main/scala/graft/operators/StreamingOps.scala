@@ -202,7 +202,32 @@ object StreamingOps {
       | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
       |GROUP BY 1 ORDER BY user_key""".stripMargin
 
+  /** foreachBatch sink: per-micro-batch custom writer (the escape
+    * hatch for sinks Structured Streaming lacks natively — JDBC,
+    * multi-table fan-out, merge targets). Each batch appends to a
+    * parquet "topic"; the read-back aggregation must equal batch. */
+  def streamForeachBatch(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${sys.props("java.io.tmpdir")}/" + uniq("fe_batch_sink")
+    val q = recordStream(spark, dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[KStreams.Record], _: Long) =>
+        batch.write.mode("append").parquet(out)
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    spark.read.parquet(out)
+      .groupBy(col("value"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("key")).as("n_keys"))
+      .orderBy(col("value"))
+  }
+
+  val streamForeachBatchSql: String =
+    """SELECT event_type AS value, count(*) AS n,
+      | count(DISTINCT cast(user_id as varchar)) AS n_keys
+      |FROM events GROUP BY 1 ORDER BY value""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("stream_foreach_batch", streamForeachBatch, Some(streamForeachBatchSql)),
     GQuery("stream_latest_per_key", latestPerKey, Some(latestPerKeySql)),
     GQuery("stream_filtered_table", filteredTable, Some(filteredTableSql)),
     GQuery("stream_windowed_counts", windowedCounts, Some(windowedCountsSql)),

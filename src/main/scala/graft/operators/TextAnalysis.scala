@@ -182,7 +182,27 @@ object TextAnalysis {
         size(col("grams")).cast("long").as("n_grams"))
       .orderBy(col("doc_id"))
 
+  /** BPE-ish regex tokenization vs whitespace tokenization: runs of
+    * letters, runs of digits, and single punctuation marks each count
+    * as one token (the pre-tokenizer shape BPE vocabularies train
+    * over) — counted per document next to the whitespace count. */
+  def tokenRegex(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).cast("long").as("n_bpe_tokens"),
+        size(split(col("text"), " ")).cast("long").as("n_ws_tokens"))
+      .orderBy(col("doc_id"))
+
+  val tokenRegexSql: String =
+    """SELECT doc_id, lang,
+      | cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) as bigint)
+      |   AS n_bpe_tokens,
+      | cast(len(string_split(text, ' ')) as bigint) AS n_ws_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("text_token_regex", tokenRegex, Some(tokenRegexSql)),
     GQuery("text_token_stats", tokenStats, Some(tokenStatsSql)),
     GQuery("text_lang_stats", langStats, Some(langStatsSql)),
     GQuery("text_quality_score", qualityScore, Some(qualityScoreSql)),

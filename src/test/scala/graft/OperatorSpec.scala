@@ -56,7 +56,13 @@ class OperatorSpec extends AnyFunSuite {
 
   test("multimodal decode features are complete and sane") {
     val df = SparkEntry.queries("mm_decode_features")(spark, sf)
-    assert(df.filter(col("n_bytes") <= 0 || col("byte_sum") <= 0).count() == 0)
+    // real PPM decode: dims in the synth range, means within [0,255],
+    // downsample halves the dims
+    assert(df.filter(col("width") < 4 || col("width") > 7 ||
+      col("height") < 4 || col("height") > 7).count() == 0)
+    assert(df.filter(col("mean_luma") < 0 || col("mean_luma") > 255).count() == 0)
+    assert(df.filter(col("half_width") =!= expr("width div 2") ||
+      col("half_height") =!= expr("height div 2")).count() == 0)
     assert(df.select("media_type").distinct().count() == 3)
   }
 
