@@ -1,0 +1,64 @@
+package graft.plans
+
+import graft.functions.CosineSim
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
+
+/** Engine extensions, registered the production way:
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions`
+  * (wired into the Verify/Bench/test session builders).
+  *
+  * Currently one optimizer rule: [[ReplaceHofCosine]] — users write
+  * the portable higher-order-function cosine (`Vectors.cosine`:
+  * round(aggregate(zip_with(a,b,*))/ (sqrt(aggregate(a,x²)) *
+  * sqrt(aggregate(b,x²))), 6)) and the optimizer swaps in the fused
+  * native codegen expression [[graft.functions.CosineSim]] — same
+  * bits (both fold left-to-right, divide after sqrt-product), one
+  * loop instead of three HOF folds with a per-pair array allocation.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(_ => ReplaceHofCosine)
+}
+
+object ReplaceHofCosine extends Rule[LogicalPlan] {
+
+  /** aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, (acc,x) -> acc+x) */
+  private object DotAgg {
+    def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+      case ArrayAggregate(
+            ZipWith(a, b,
+              LambdaFunction(Multiply(_: NamedLambdaVariable, _: NamedLambdaVariable, _), _, _)),
+            Literal(0.0, DoubleType),
+            LambdaFunction(Add(_: NamedLambdaVariable, _: NamedLambdaVariable, _), _, _),
+            LambdaFunction(_: NamedLambdaVariable, _, _)) => Some((a, b))
+      case _ => None
+    }
+  }
+
+  /** sqrt(aggregate(x, 0.0, (acc,v) -> acc + v*v)) */
+  private object NormAgg {
+    def unapply(e: Expression): Option[Expression] = e match {
+      case Sqrt(ArrayAggregate(x,
+            Literal(0.0, DoubleType),
+            LambdaFunction(
+              Add(_: NamedLambdaVariable,
+                Multiply(v1: NamedLambdaVariable, v2: NamedLambdaVariable, _), _), _, _),
+            LambdaFunction(_: NamedLambdaVariable, _, _))) if v1.exprId == v2.exprId =>
+        Some(x)
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case r @ Round(
+            Divide(DotAgg(a, b), Multiply(NormAgg(a2), NormAgg(b2), _), _),
+            scale @ Literal(6, IntegerType), _)
+          if a.semanticEquals(a2) && b.semanticEquals(b2) =>
+        r.withNewChildren(Seq(CosineSim(a, b), scale))
+    }
+}

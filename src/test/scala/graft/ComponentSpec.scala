@@ -60,6 +60,17 @@ class ComponentSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("optimizer rule rewrites the HOF cosine into the native CosineSim") {
+    val e = util.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val df = e.select(functions.Vectors.cosine(col("v"), col("v")).as("c"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_cosine"),
+      s"ReplaceHofCosine did not fire:\n$optimized")
+    // and the rewritten plan still evaluates correctly: cos(v,v) = 1
+    assert(df.filter(col("c") =!= 1.0).count() == 0)
+  }
+
   test("native codegen cosine is bit-identical to the HOF cosine") {
     val e = util.t(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
