@@ -202,6 +202,40 @@ object StreamingOps {
       | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
       |GROUP BY 1 ORDER BY user_key""".stripMargin
 
+  /** Streaming session windows: per-user sessions with a 30-minute
+    * gap, closed by the watermark — the streaming twin of
+    * `ks_session_window` (state per open session, evicted once the
+    * watermark passes the gap; bounded regardless of stream length). */
+  def streamSessionCounts(spark: SparkSession, dir: String): DataFrame = {
+    val name = uniq("session_counts")
+    val q = recordStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("key"))
+      .agg(count(lit(1)).as("n_events"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name)
+      .select(col("key"), col("session_window.start").as("s_start"), col("n_events"))
+      .orderBy(col("key"), col("s_start"))
+  }
+
+  val streamSessionCountsSql: String =
+    """WITH marked AS (
+      | SELECT cast(user_id as varchar) AS key, ts,
+      |  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |        < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+      | FROM events),
+      |sessions AS (
+      | SELECT key, ts,
+      |  sum(new_session) OVER (PARTITION BY key ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      | FROM marked)
+      |SELECT key, date_trunc('microseconds', min(ts)) AS s_start,
+      | count(*) AS n_events
+      |FROM sessions GROUP BY key, sid
+      |ORDER BY key, s_start""".stripMargin
+
   /** foreachBatch sink: per-micro-batch custom writer (the escape
     * hatch for sinks Structured Streaming lacks natively — JDBC,
     * multi-table fan-out, merge targets). Each batch appends to a
@@ -235,5 +269,6 @@ object StreamingOps {
     GQuery("stream_dedup_wm", streamDedupWm, Some(streamDedupWmSql)),
     GQuery("stream_static_join", streamStaticJoin, Some(streamStaticJoinSql)),
     GQuery("stream_stream_join", streamStreamJoin, Some(streamStreamJoinSql)),
+    GQuery("stream_session_counts", streamSessionCounts, Some(streamSessionCountsSql)),
   )
 }

@@ -36,6 +36,17 @@ class OperatorSpec extends AnyFunSuite {
     assert(sketch.size >= (exact.size * 9) / 10, s"ANN recall ${sketch.size}/${exact.size} below 90%")
   }
 
+  test("IVF top-k reaches 80% recall of brute force while pruning the search space") {
+    val bf = SparkEntry.queries("sim_topk_bruteforce")(spark, sf)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SparkEntry.queries("sim_ivf_topk")(spark, sf)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(bf).size.toDouble / bf.size
+    assert(recall >= 0.8, s"IVF recall@5 = $recall")
+  }
+
   test("simhash pairs respect the hamming bound") {
     val bad = SparkEntry.queries("dedup_simhash")(spark, sf)
       .filter(col("hamming") > 3).count()
