@@ -202,6 +202,28 @@ object StreamingOps {
       | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
       |GROUP BY 1 ORDER BY user_key""".stripMargin
 
+  /** R2 streaming on the state-v2 API (`transformWithState` +
+    * `ValueState` + RocksDB provider — the production state store).
+    * Same converged result as `stream_latest_per_key`; the provider
+    * conf is set for this query and restored after (state v2 requires
+    * RocksDB; the session default stays HDFS-backed). */
+  def latestPerKeyV2(spark: SparkSession, dir: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val name = uniq("latest_state_v2")
+      val q = KStreams.KStreamDS(recordStream(spark, dir)).toTableV2.toMemory(name)
+      q.processAllAvailable(); q.stop()
+      KStreams.snapshot(spark, name).orderBy(col("key"))
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
+  val latestPerKeyV2Sql: String = latestPerKeySql
+
   /** Streaming session windows: per-user sessions with a 30-minute
     * gap, closed by the watermark — the streaming twin of
     * `ks_session_window` (state per open session, evicted once the
@@ -263,6 +285,7 @@ object StreamingOps {
   val all: Seq[GQuery] = Seq(
     GQuery("stream_foreach_batch", streamForeachBatch, Some(streamForeachBatchSql)),
     GQuery("stream_latest_per_key", latestPerKey, Some(latestPerKeySql)),
+    GQuery("stream_latest_per_key_v2", latestPerKeyV2, Some(latestPerKeyV2Sql)),
     GQuery("stream_filtered_table", filteredTable, Some(filteredTableSql)),
     GQuery("stream_windowed_counts", windowedCounts, Some(windowedCountsSql)),
     GQuery("stream_dedup", streamDedup, Some(streamDedupSql)),

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 
 /** Structured-Streaming twins of the reference topology
   * (KStreamsToKTable.java:66-107): a keyed record stream is upserted
@@ -51,11 +51,40 @@ object KStreams {
         }
       KTableDS(updated)
     }
+    /** stream.toTable on the state-v2 API (`transformWithState`,
+      * Spark 4): explicit `ValueState` + `StatefulProcessor` instead
+      * of `flatMapGroupsWithState` — the modern surface for custom
+      * state (TTL, multiple state variables, timers). Requires the
+      * RocksDB state-store provider (the production store; HDFS-backed
+      * does not support state v2). Semantics identical to [[toTable]]. */
+    def toTableV2: KTableDS = {
+      val spark = ds.sparkSession
+      import spark.implicits._
+      KTableDS(ds.groupByKey(_.key).transformWithState(
+        new LatestRecordProcessor, TimeMode.None(), OutputMode.Update()))
+    }
+
     /** stream.to(topic) — append sink (parquet stands in for Kafka). */
     def to(path: String, checkpoint: String): StreamingQuery =
       ds.writeStream.format("parquet").option("path", path)
         .option("checkpointLocation", checkpoint)
         .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+  }
+
+  /** State-v2 processor: keeps the latest record per key in a
+    * `ValueState`, emits only on change (the KTable changelog). */
+  final class LatestRecordProcessor extends StatefulProcessor[String, Record, Record] {
+    @transient private var latest: ValueState[Record] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      latest = getHandle.getValueState[Record]("latest", Encoders.product[Record], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[Record],
+        timerValues: TimerValues): Iterator[Record] = {
+      val prev = Option(latest.get())
+      val candidate = (prev.iterator ++ rows)
+        .reduceLeft((a, b) => if (b.ts.compareTo(a.ts) >= 0) b else a)
+      if (prev.contains(candidate)) Iterator.empty
+      else { latest.update(candidate); Iterator.single(candidate) }
+    }
   }
 
   /** KTable analog: update-mode stream of latest-per-key changes. */
