@@ -175,7 +175,62 @@ object Analytics {
       |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Join-strategy hints: force a sort-merge join where the planner
+    * would broadcast (the control a user needs when the "small" side
+    * is only small at dev scale — at 100 TB both sides of this join
+    * are facts and SMJ on the equi key is the right plan). Result is
+    * strategy-independent; the plan shape is spec-asserted. */
+  def q44JoinHintSmj(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders").hint("merge")
+    val li = t(spark, dir, "lineitem")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val q44Sql: String =
+    s"""SELECT o_orderstatus, count(*) AS n_items,
+       | ${sqlDsum("l_extendedprice")} AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** SQL surface: chained CTEs + a LATERAL VIEW explode (the UDTF
+    * position) over the pure-SQL entry point. */
+  def q45SqlCte(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "documents").createOrReplaceTempView("documents_cte")
+    spark.sql(
+      """WITH toks AS (
+        | SELECT doc_id, tok
+        | FROM documents_cte LATERAL VIEW explode(split(text, ' ')) AS tok),
+        |counts AS (
+        | SELECT doc_id, count(*) AS n_toks, count(DISTINCT tok) AS n_uniq
+        | FROM toks GROUP BY doc_id)
+        |SELECT doc_id, n_toks, n_uniq FROM counts ORDER BY doc_id""".stripMargin)
+  }
+
+  val q45Sql: String =
+    """WITH toks AS (
+      | SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |counts AS (
+      | SELECT doc_id, count(*) AS n_toks, count(DISTINCT tok) AS n_uniq
+      | FROM toks GROUP BY doc_id)
+      |SELECT doc_id, n_toks, n_uniq FROM counts ORDER BY doc_id""".stripMargin
+
+  /** approx_percentile (t-digest-style sketch) — the 100 TB percentile
+    * path (no per-group sort). Sketches differ per engine → rows-only
+    * check; the spec bounds its error against the exact percentile. */
+  def q46ApproxPercentile(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
   val all: Seq[GQuery] = Seq(
+    GQuery("q44_join_hint_smj", q44JoinHintSmj, Some(q44Sql)),
+    GQuery("q45_sql_cte", q45SqlCte, Some(q45Sql)),
+    GQuery("q46_approx_percentile", q46ApproxPercentile, None),
     GQuery("q37_percentiles", q37Percentiles, Some(q37Sql)),
     GQuery("q38_stats_agg", q38StatsAgg, Some(q38Sql)),
     GQuery("q39_pivot", q39Pivot, Some(q39Sql)),

@@ -126,6 +126,24 @@ class ComponentSpec extends AnyFunSuite {
     }
   }
 
+  test("merge hint forces a sort-merge join in the plan") {
+    val plan = operators.Analytics.q44JoinHintSmj(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"merge hint ignored:\n$plan")
+  }
+
+  test("approx_percentile tracks the exact percentile within 5%") {
+    val approx = SparkEntry.queries("q46_approx_percentile")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = util.t(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (k, e) =>
+      assert(math.abs(approx(k) - e) / e < 0.05, s"flag $k: approx=${approx(k)} exact=$e")
+    }
+  }
+
   test("salted aggregation equals the direct aggregation") {
     val salted = SparkEntry.queries("q42_salted_agg")(spark, sf).collect().toSeq
     val direct = util.t(spark, sf, "events")
