@@ -32,15 +32,23 @@ object util {
     * money columns and any product of up to four of them — scale 8
     * avoids round-half midpoints where Spark HALF_UP and DuckDB
     * HALF_EVEN disagree), exact decimal accumulation (no float
-    * reassociation across partitions), final cast back to double.
-    * DuckDB twin: cast(sum(cast(x as decimal(22,8))) as double).
+    * reassociation across partitions), final cast back to double
+    * ROUNDED to 4 decimals: the decimal sum is identical in both
+    * engines, but their decimal→double conversions can differ in the
+    * last ulp once sums exceed ~2^33 (seen at sf0.1: 1 ulp ≈ 2e-6 on
+    * 1e10-scale sums) — the 1e-4 grid is 100× coarser than that
+    * divergence and loses nothing on 2-decimal money data.
+    * DuckDB twin: round(cast(sum(cast(x as decimal(22,8))) as double), 4).
     */
-  def dsum(c: Column): Column = sum(c.cast(DecimalType(22, 8))).cast(DoubleType)
+  def dsum(c: Column): Column =
+    round(sum(c.cast(DecimalType(22, 8))).cast(DoubleType), 4)
 
-  /** Deterministic average built from the exact decimal sum. */
+  /** Deterministic average built from the exact decimal sum (the
+    * division inputs are bit-identical in both engines, so the
+    * quotient is too). */
   def davg(c: Column): Column = (dsum(c) / count(lit(1))).cast(DoubleType)
 
   /** SQL fragments mirroring dsum/davg for the DuckDB oracle. */
-  def sqlDsum(x: String): String = s"cast(sum(cast(($x) as decimal(22,8))) as double)"
-  def sqlDavg(x: String): String = s"(cast(sum(cast(($x) as decimal(22,8))) as double) / count(*))"
+  def sqlDsum(x: String): String = s"round(cast(sum(cast(($x) as decimal(22,8))) as double), 4)"
+  def sqlDavg(x: String): String = s"(${sqlDsum(x)} / count(*))"
 }

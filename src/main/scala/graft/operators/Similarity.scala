@@ -48,17 +48,23 @@ object Similarity {
 
   /** Per-label centroids, exact decimal accumulation per dimension —
     * dimension-wise partial aggregation, one shuffle on (label, pos). */
+  /** Centroids are rounded to 9 decimals: the double→decimal(22,12)
+    * per-element cast rounds half-up in Spark vs half-even in DuckDB,
+    * and with enough rows those 1e-12 differences accumulate to
+    * ~1e-14 in the sum (seen at sf0.1) — the 1e-9 grid is far coarser
+    * than the drift and far finer than the 1e-4-scale signal. */
   def labelCentroids(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "embeddings")
       .select(col("label"), posexplode(col("embedding").cast("array<double>")).as(Seq("pos0", "x")))
       .select(col("label"), (col("pos0") + 1).cast("long").as("pos"), col("x"))
       .groupBy(col("label"), col("pos"))
-      .agg((sum(col("x").cast("decimal(22,12)")).cast("double") / count(lit(1))).as("centroid"))
+      .agg(round(sum(col("x").cast("decimal(22,12)")).cast("double") / count(lit(1)), 9).as("centroid"))
       .filter(col("pos") <= 8) // keep the verified slice small; full width is the same plan
       .orderBy(col("label"), col("pos"))
 
   val labelCentroidsSql: String =
-    """SELECT label, pos, cast(sum(cast(x as decimal(22,12))) as double) / count(*) AS centroid
+    """SELECT label, pos,
+      | round(cast(sum(cast(x as decimal(22,12))) as double) / count(*), 9) AS centroid
       |FROM (SELECT label, generate_subscripts(embedding, 1) AS pos,
       |             unnest(embedding::DOUBLE[]) AS x
       |      FROM embeddings)

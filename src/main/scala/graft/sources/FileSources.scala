@@ -120,7 +120,38 @@ object FileSources {
        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Range-partitioned, sorted write: `repartitionByRange` +
+    * `sortWithinPartitions` clusters rows by date so every parquet
+    * row-group covers a narrow min/max range — date-filtered scans
+    * then skip whole files/row-groups on footer statistics alone (the
+    * sorted-layout trick for append-only fact tables). Read back with
+    * a range filter; spec asserts RangePartitioning in the write plan. */
+  def rangePartitionedWrite(spark: SparkSession, dir: String): DataFrame = {
+    val out = uniq("rangepart")
+    rangePartitionedWriter(spark, dir).write.mode(SaveMode.Overwrite).parquet(out)
+    spark.read.parquet(out)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** The clustered writer side, exposed for the plan spec. */
+  def rangePartitionedWriter(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .repartitionByRange(8, col("o_orderdate"))
+      .sortWithinPartitions(col("o_orderdate"))
+
+  val rangePartitionedWriteSql: String =
+    s"""SELECT o_orderstatus, count(*) AS n, ${sqlDsum("o_totalprice")} AS total
+       |FROM orders
+       |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+       | AND o_orderdate < TIMESTAMP '1998-01-01'
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("src_range_partitioned", rangePartitionedWrite, Some(rangePartitionedWriteSql)),
     GQuery("src_json_roundtrip", jsonRoundtrip, Some(jsonRoundtripSql)),
     GQuery("src_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),
     GQuery("src_partitioned_pruning", partitionedPruning, Some(partitionedPruningSql)),

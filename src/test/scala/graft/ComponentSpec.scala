@@ -153,6 +153,40 @@ class ComponentSpec extends AnyFunSuite {
     assert(salted == direct)
   }
 
+  test("range-partitioned writer plans a RangePartitioning exchange") {
+    val plan = sources.FileSources.rangePartitionedWriter(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning(o_orderdate"),
+      s"no range partitioning in:\n$plan")
+  }
+
+  test("R11 recovery: a restarted query resumes from the checkpoint without reprocessing") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_recovery").toString
+    val (src, ckpt, sink) = (s"$base/src", s"$base/ckpt", s"$base/sink")
+    def record(id: Long) = (id.toString, s"v$id", new java.sql.Timestamp(1700000000000L + id))
+    def run(): Unit = {
+      val q = spark.readStream
+        .schema("key string, value string, ts timestamp").parquet(src)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+    }
+    (1L to 5L).map(record).toDF("key", "value", "ts")
+      .write.mode("append").parquet(src)
+    run()
+    assert(spark.read.parquet(sink).count() == 5)
+    // "crash" happened; new data arrives; a NEW query instance restarts
+    // from the same checkpoint and must emit ONLY the new rows
+    (6L to 8L).map(record).toDF("key", "value", "ts")
+      .write.mode("append").parquet(src)
+    run()
+    val out = spark.read.parquet(sink)
+    assert(out.count() == 8, "restart reprocessed or dropped data")
+    assert(out.select("key").distinct().count() == 8)
+  }
+
   test("R8 topic admin provisions 3 partitions") {
     val row = SparkEntry.queries("ks_topic_admin")(spark, sf).collect().head
     assert(row.getAs[Long]("n_partitions") == 3L)
