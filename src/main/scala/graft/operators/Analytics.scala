@@ -227,7 +227,68 @@ object Analytics {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
+  /** Dedicated array-function family: construction, set algebra,
+    * sorting, slicing, membership — over per-priority order-status
+    * arrays (built deterministically with sort_array ∘ collect_set). */
+  def q47ArrayFuncs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(sort_array(collect_set(col("o_orderstatus"))).as("statuses"))
+      .select(col("o_orderpriority"),
+        size(col("statuses")).cast("long").as("n"),
+        array_contains(col("statuses"), "F").as("has_f"),
+        element_at(col("statuses"), 1).as("first_status"),
+        array_join(slice(col("statuses"), 1, 2), ",").as("first_two"),
+        array_join(array_intersect(col("statuses"), array(lit("F"), lit("O"))), ",").as("fo_only"),
+        array_join(array_union(col("statuses"), array(lit("X"))), ",").as("with_x"),
+        array_join(array_remove(col("statuses"), "P"), ",").as("no_p"),
+        array_join(reverse(col("statuses")), ",").as("rev"))
+      .orderBy(col("o_orderpriority"))
+
+  val q47Sql: String =
+    """WITH s AS (
+      | SELECT o_orderpriority,
+      |  list_sort(list_distinct(list(o_orderstatus))) AS statuses
+      | FROM orders GROUP BY o_orderpriority)
+      |SELECT o_orderpriority,
+      | cast(len(statuses) as bigint) AS n,
+      | list_contains(statuses, 'F') AS has_f,
+      | statuses[1] AS first_status,
+      | array_to_string(statuses[1:2], ',') AS first_two,
+      | array_to_string(list_filter(statuses, x -> x IN ('F','O')), ',') AS fo_only,
+      | array_to_string(list_concat(statuses,
+      |   list_filter(['X'], x -> NOT list_contains(statuses, x))), ',') AS with_x,
+      | array_to_string(list_filter(statuses, x -> x <> 'P'), ',') AS no_p,
+      | array_to_string(list_reverse(statuses), ',') AS rev
+      |FROM s ORDER BY o_orderpriority""".stripMargin
+
+  /** Struct construction + JSON serialization round-trip: named_struct
+    * → to_json → get back a field — the schema-evolution shape of a
+    * multimodal metadata column. */
+  def q48StructJson(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .filter(col("c_custkey") <= 200)
+      .withColumn("meta", struct(
+        col("c_name").as("name"),
+        col("c_mktsegment").as("segment"),
+        col("c_acctbal").as("balance")))
+      .select(col("c_custkey"),
+        col("meta.segment").as("segment"),
+        to_json(col("meta")).as("meta_json"),
+        get_json_object(to_json(col("meta")), "$.name").as("name_back"))
+      .orderBy(col("c_custkey"))
+
+  val q48Sql: String =
+    """SELECT c_custkey, c_mktsegment AS segment,
+      | concat('{"name":"', c_name, '","segment":"', c_mktsegment,
+      |        '","balance":', c_acctbal::VARCHAR, '}') AS meta_json,
+      | c_name AS name_back
+      |FROM customer WHERE c_custkey <= 200
+      |ORDER BY c_custkey""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("q47_array_funcs", q47ArrayFuncs, Some(q47Sql)),
+    GQuery("q48_struct_json", q48StructJson, Some(q48Sql)),
     GQuery("q44_join_hint_smj", q44JoinHintSmj, Some(q44Sql)),
     GQuery("q45_sql_cte", q45SqlCte, Some(q45Sql)),
     GQuery("q46_approx_percentile", q46ApproxPercentile, None),
