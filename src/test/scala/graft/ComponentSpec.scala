@@ -60,6 +60,23 @@ class ComponentSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("hot paths stay inside WholeStageCodegen (incl. the native cosine)") {
+    // AQE annotates codegen stages (`*(n)`) only on the FINAL plan —
+    // execute first, then inspect
+    val q1 = SparkEntry.queries("q1_pricing_summary")(spark, sf)
+    q1.collect()
+    val q1Plan = q1.queryExecution.executedPlan.toString
+    assert(q1Plan.contains("*("), s"q1 has no codegen stage:\n$q1Plan")
+    // CosineSim implements doGenCode, so the verify projection must be
+    // inside a codegen stage, not a fallback project
+    val e = util.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cos = e.select(functions.CosineSim.cosine(col("v"), col("v")).as("c"))
+    cos.collect()
+    val cosPlan = cos.queryExecution.executedPlan.toString
+    assert(cosPlan.contains("*("), s"cosine projection fell out of codegen:\n$cosPlan")
+  }
+
   test("optimizer rule rewrites the HOF cosine into the native CosineSim") {
     val e = util.t(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
