@@ -20,8 +20,16 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType}
   * loop instead of three HOF folds with a per-pair array allocation.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => ReplaceHofCosine)
+    // SQL surface for the native expression:
+    //   SELECT graft_cosine(a, b) FROM …
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[CosineSim].getName, "graft_cosine"),
+      (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
+  }
 }
 
 object ReplaceHofCosine extends Rule[LogicalPlan] {

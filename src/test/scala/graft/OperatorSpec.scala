@@ -81,4 +81,17 @@ class OperatorSpec extends AnyFunSuite {
     val qs = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
   }
+
+  test("registry names are unique (a duplicate would silently shadow a query)") {
+    val names = SparkEntry.registry.map(_.name)
+    val dupes = names.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dupes.isEmpty, s"duplicate query names: ${dupes.mkString(", ")}")
+  }
+
+  test("graft_cosine is callable from SQL") {
+    val r = spark.sql(
+      "SELECT round(graft_cosine(array(1.0D, 2.0D), array(2.0D, 4.0D)), 6) AS c")
+      .head().getDouble(0)
+    assert(r == 1.0)
+  }
 }
