@@ -21,13 +21,18 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  import graft.functions.Ppm
+  import graft.functions.{Ppm, Wav}
 
   /** Media row shape used by the typed decode stage. */
   case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
+
+  /** Unified decode output: image fields are -1 for audio rows and
+    * vice versa (one wide row beats a union of per-modality tables —
+    * the downstream filter prunes by media_type). */
   case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Long,
       width: Int, height: Int, mean_r: Double, mean_g: Double, mean_b: Double,
-      mean_luma: Double, half_width: Int, half_height: Int)
+      mean_luma: Double, half_width: Int, half_height: Int,
+      sample_rate: Int, n_samples: Int, mean_abs: Double, zero_crossings: Long)
 
   /** Bundle text + embedding + metadata into one multimodal struct
     * column and read typed fields back out (schema-evolution select).
@@ -55,8 +60,9 @@ object Multimodal {
       |FROM documents JOIN embeddings ON doc_id = vec_id
       |ORDER BY doc_id""".stripMargin
 
-  /** The media ingest stage: one PPM image payload per document
-    * (deterministic from the text), typed for mapPartitions. */
+  /** The media ingest stage: one media payload per document — a real
+    * PPM image for image/video docs, a real RIFF/WAV clip for audio
+    * docs (both deterministic from the text), typed for mapPartitions. */
   def mediaTable(spark: SparkSession, dir: String) = {
     import spark.implicits._
     t(spark, dir, "documents")
@@ -66,26 +72,42 @@ object Multimodal {
         col("text"))
       .as[(Long, String, String)]
       .mapPartitions(_.map { case (id, mt, text) =>
-        MediaRow(id, mt, Ppm.encode(Ppm.synth(text)))
+        val payload =
+          if (mt == "audio") Wav.encode(Wav.synth(text))
+          else Ppm.encode(Ppm.synth(text))
+        MediaRow(id, mt, payload)
       })
   }
 
   /** Decode / feature-extract / resize over binary payloads via typed
     * mapPartitions — batch-per-partition, the distributed shape a real
-    * codec needs (each partition decodes its images locally; nothing
-    * wide ever shuffles). Parses the PPM header, computes per-channel
-    * means + Rec.601 luma, and box-downsamples 2× (the resize stage). */
+    * codec needs (each partition decodes its media locally; nothing
+    * wide ever shuffles). The codec is chosen by CONTAINER DETECTION
+    * (RIFF magic vs PPM magic), not by trusting the metadata column:
+    * images get header parse + channel means + Rec.601 luma + 2× box
+    * downsample, audio gets chunk walk + amplitude stats. */
   def decodeFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     mediaTable(spark, dir).mapPartitions { rows =>
       rows.map { r =>
-        val f = Ppm.features(r.payload)
-        val half = Ppm.downsample2x(Ppm.decode(r.payload))
-        MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong,
-          f.width, f.height,
-          math.rint(f.meanR * 1e6) / 1e6, math.rint(f.meanG * 1e6) / 1e6,
-          math.rint(f.meanB * 1e6) / 1e6, math.rint(f.meanLuma * 1e6) / 1e6,
-          half.width, half.height)
+        val isRiff = r.payload.length >= 4 && r.payload(0) == 'R' &&
+          r.payload(1) == 'I' && r.payload(2) == 'F' && r.payload(3) == 'F'
+        if (isRiff) {
+          val f = Wav.features(r.payload)
+          MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong,
+            -1, -1, -1.0, -1.0, -1.0, -1.0, -1, -1,
+            f.sampleRate, f.nSamples,
+            math.rint(f.meanAbs * 1e6) / 1e6, f.zeroCrossings)
+        } else {
+          val f = Ppm.features(r.payload)
+          val half = Ppm.downsample2x(Ppm.decode(r.payload))
+          MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong,
+            f.width, f.height,
+            math.rint(f.meanR * 1e6) / 1e6, math.rint(f.meanG * 1e6) / 1e6,
+            math.rint(f.meanB * 1e6) / 1e6, math.rint(f.meanLuma * 1e6) / 1e6,
+            half.width, half.height,
+            -1, -1, -1.0, -1L)
+        }
       }
     }.toDF().orderBy(col("doc_id"))
   }

@@ -66,15 +66,24 @@ class OperatorSpec extends AnyFunSuite {
   }
 
   test("multimodal decode features are complete and sane") {
-    val df = SparkEntry.queries("mm_decode_features")(spark, sf)
-    // real PPM decode: dims in the synth range, means within [0,255],
-    // downsample halves the dims
-    assert(df.filter(col("width") < 4 || col("width") > 7 ||
-      col("height") < 4 || col("height") > 7).count() == 0)
-    assert(df.filter(col("mean_luma") < 0 || col("mean_luma") > 255).count() == 0)
-    assert(df.filter(col("half_width") =!= expr("width div 2") ||
-      col("half_height") =!= expr("height div 2")).count() == 0)
+    val df = SparkEntry.queries("mm_decode_features")(spark, sf).cache()
     assert(df.select("media_type").distinct().count() == 3)
+    // image/video rows: real PPM decode — dims in the synth range,
+    // luma within [0,255], downsample halves the dims
+    val img = df.filter(col("media_type") =!= "audio")
+    assert(img.filter(col("width") < 4 || col("width") > 7 ||
+      col("height") < 4 || col("height") > 7).count() == 0)
+    assert(img.filter(col("mean_luma") < 0 || col("mean_luma") > 255).count() == 0)
+    assert(img.filter(col("half_width") =!= expr("width div 2") ||
+      col("half_height") =!= expr("height div 2")).count() == 0)
+    // audio rows: real RIFF/WAV decode — synth rate and length, sane stats
+    val aud = df.filter(col("media_type") === "audio")
+    assert(aud.count() > 0)
+    assert(aud.filter(col("sample_rate") =!= 8000).count() == 0)
+    assert(aud.filter(col("n_samples") < 240 || col("n_samples") > 495).count() == 0)
+    assert(aud.filter(col("mean_abs") < 0 || col("mean_abs") > 32768).count() == 0)
+    assert(aud.filter(col("zero_crossings") >= col("n_samples")).count() == 0)
+    df.unpersist()
   }
 
   test("every declared oracle name exists in queries") {

@@ -44,6 +44,21 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  // ---- WAV codec: decode ∘ encode = identity --------------------------
+  val audioGen: Gen[functions.Wav.Audio] = for {
+    rate <- Gen.oneOf(8000, 16000, 44100)
+    n <- Gen.choose(1, 512)
+    samples <- Gen.containerOfN[Array, Short](n, Gen.choose(Short.MinValue, Short.MaxValue))
+  } yield functions.Wav.Audio(rate, samples)
+
+  test("WAV: decode(encode(audio)) round-trips exactly") {
+    forAllN(audioGen, 50) { a =>
+      val back = functions.Wav.decode(functions.Wav.encode(a))
+      assert(back.sampleRate == a.sampleRate)
+      assert(java.util.Arrays.equals(back.samples, a.samples))
+    }
+  }
+
   // ---- UDAF buffer algebra: merge is associative + commutative --------
   val bufGen: Gen[(Long, Long)] = for {
     c <- Gen.choose(-1000000L, 1000000L)
