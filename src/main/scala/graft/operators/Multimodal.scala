@@ -135,7 +135,33 @@ object Multimodal {
       | cast(greatest(ceil(octet_length(encode(text)) / 32.0), 1) as bigint) AS digest_len
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Audio framing: 20 ms (160-sample @ 8 kHz) windows per clip with
+    * per-frame energy — the audio twin of video frame sampling (the
+    * shape feeding any downstream acoustic model). Decode + frame
+    * locally in mapPartitions, then explode to one row per frame. */
+  case class AudioFrames(doc_id: Long, n_samples: Int, frame_energies: Array[Double])
+
+  def audioFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val frameLen = 160
+    mediaTable(spark, dir)
+      .filter(_.media_type == "audio")
+      .mapPartitions(_.map { r =>
+        val a = Wav.decode(r.payload)
+        val energies = a.samples.grouped(frameLen).map { frame =>
+          math.rint(frame.foldLeft(0.0)((acc, s) =>
+            acc + s.toDouble * s.toDouble) / frame.length) / 1e6
+        }.toArray
+        AudioFrames(r.doc_id, a.samples.length, energies)
+      })
+      .toDF()
+      .select(col("doc_id"), col("n_samples"),
+        posexplode(col("frame_energies")).as(Seq("frame_idx", "energy")))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   val all: Seq[GQuery] = Seq(
+    GQuery("mm_audio_frames", audioFrames, None),
     GQuery("mm_pack_struct", pack, Some(packSql)),
     GQuery("mm_decode_features", decodeFeatures, None),
     GQuery("mm_frame_sample", frameSample, Some(frameSampleSql)),

@@ -86,6 +86,16 @@ class OperatorSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("audio frames cover each clip exactly") {
+    val df = SparkEntry.queries("mm_audio_frames")(spark, sf)
+    val perDoc = df.groupBy("doc_id")
+      .agg(max("n_samples").as("n"), count(lit(1)).as("frames"))
+    // frame count = ceil(n_samples / 160)
+    assert(perDoc.filter(col("frames") =!= ceil(col("n") / lit(160.0)).cast("long"))
+      .count() == 0)
+    assert(df.filter(col("energy") < 0).count() == 0)
+  }
+
   test("every declared oracle name exists in queries") {
     val qs = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
