@@ -204,6 +204,28 @@ class ComponentSpec extends AnyFunSuite {
     assert(out.select("key").distinct().count() == 8)
   }
 
+  test("R3 peek/tap: the observe() metric is delivered to a listener") {
+    // the reference's mapValues debug tap (KStreamsToKTable.java:84-85)
+    // surfaces here as a named observation read by a QueryExecutionListener
+    @volatile var observed: Option[Long] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        qe.observedMetrics.get("kt_mapvalues_tap")
+          .foreach(row => observed = Some(row.getAs[Long]("n_updates")))
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val n = SparkEntry.queries("kt_mapvalues")(spark, sf).count()
+      // listener bus is async
+      val deadline = System.nanoTime() + 5000000000L
+      while (observed.isEmpty && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(observed.contains(n), s"tap saw $observed, query returned $n rows")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("R8 topic admin provisions 3 partitions") {
     val row = SparkEntry.queries("ks_topic_admin")(spark, sf).collect().head
     assert(row.getAs[Long]("n_partitions") == 3L)
