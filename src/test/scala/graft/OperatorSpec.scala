@@ -96,6 +96,17 @@ class OperatorSpec extends AnyFunSuite {
     assert(df.filter(col("energy") < 0).count() == 0)
   }
 
+  test("hash sampling is deterministic and near the target fraction") {
+    val a = SparkEntry.queries("sample_hash_deterministic")(spark, sf)
+    val total = util.t(spark, sf, "orders").count().toDouble
+    val frac = a.count() / total
+    assert(frac > 0.02 && frac < 0.08, s"sampled fraction $frac far from 5%")
+    // repartitioning must not change membership
+    val b = util.t(spark, sf, "orders").repartition(13)
+      .filter(pmod(xxhash64(col("o_orderkey")), lit(20)) === 0)
+    assert(b.count() == a.count())
+  }
+
   test("every declared oracle name exists in queries") {
     val qs = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
