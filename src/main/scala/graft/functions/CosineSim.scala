@@ -19,7 +19,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * the fused loop is the difference between the verify dominating the
   * query and it being a rounding error. Bit-compatible with the HOF
   * version and the DuckDB oracle: same left-to-right folds, then
-  * `dot / (sqrt(nx) * sqrt(ny))` in the same order.
+  * `dot / (sqrt(nx) * sqrt(ny))` in the same order — INCLUDING the
+  * null semantics: mismatched array lengths and null elements yield
+  * NULL here exactly as they do under `zip_with`/`aggregate` (where a
+  * null-padded or null element poisons the fold), so the optimizer
+  * rewrite [[graft.plans.ReplaceHofCosine]] is semantics-preserving
+  * for every input, not just the clean fixed-dim case.
   */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -34,13 +39,26 @@ case class CosineSim(left: Expression, right: Expression)
         s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
+  // NULL on length mismatch / null elements, even for non-null inputs
+  override def nullable: Boolean = true
+
+  /** Element null checks are emitted only when an input's array type
+    * can actually hold nulls — the fixed-dim embedding hot path
+    * (containsNull=false after the cast) keeps the branch-free loop. */
+  private def mayHaveNullElements: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  })
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val checkNulls = mayHaveNullElements
     var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xi = x.getDouble(i); val yi = y.getDouble(i)
       dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
     }
@@ -52,15 +70,26 @@ case class CosineSim(left: Expression, right: Expression)
       val (n, dot, nx, ny, i, xi, yi) = (ctx.freshName("n"), ctx.freshName("dot"),
         ctx.freshName("nx"), ctx.freshName("ny"), ctx.freshName("i"),
         ctx.freshName("xi"), ctx.freshName("yi"))
+      val nullElementCheck =
+        if (mayHaveNullElements)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  final double $xi = $a.getDouble($i);
-         |  final double $yi = $b.getDouble($i);
-         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullElementCheck
+         |    final double $xi = $a.getDouble($i);
+         |    final double $yi = $b.getDouble($i);
+         |    $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |  }
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
        """.stripMargin
     })
 

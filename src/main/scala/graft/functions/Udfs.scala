@@ -29,7 +29,8 @@ object Udfs {
     var na = 0.0
     var nb = 0.0
     var i = 0
-    while (i < a.length) {
+    val n = math.min(a.length, b.length) // ragged inputs must not throw
+    while (i < n) {
       dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
     }
     dot / (math.sqrt(na) * math.sqrt(nb))

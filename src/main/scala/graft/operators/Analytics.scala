@@ -131,9 +131,12 @@ object Analytics {
       .groupBy(col("event_type"), col("salt"))
       .agg(count(lit(1)).as("pn"),
         sum(col("value").cast("decimal(22,8)")).as("psum"))
+    // round(,4) matches sqlDsum's grid exactly (core.scala dsum): the
+    // merged decimal sum is identical in both engines, but the final
+    // decimal→double conversion can differ in the last ulp at scale
     salted.groupBy(col("event_type"))
       .agg(sum(col("pn")).as("n"),
-        sum(col("psum")).cast("double").as("sum_value"))
+        round(sum(col("psum")).cast("double"), 4).as("sum_value"))
       .orderBy(col("event_type"))
   }
 

@@ -142,16 +142,20 @@ object KTableOps {
   /** R8 — topic/DDL admin: the reference pre-creates its 4 topics with
     * 3 partitions via AdminClient (KStreamsToKTable.java:110-141,
     * partitions from dev.properties:5). Spark twin: provision a
-    * partitioned parquet "topic" (repartition(3, key) → 3 part files)
-    * and verify the layout — partition count from the file listing,
-    * row count from the data. */
+    * partitioned parquet "topic" (repartition(3) → 3 part files) and
+    * verify the layout — partition count from the file listing, row
+    * count from the data. Round-robin, not hash-on-key: the oracle
+    * asserts exactly 3 non-empty partitions, which key-hash layout
+    * cannot guarantee under skew (a hash leaving one bucket empty
+    * writes 2 files and flakes the check); key-colocated layout is
+    * the bucketed-table entry's job (`src_bucketed_join`). */
   def ksTopicAdmin(spark: SparkSession, dir: String): DataFrame = {
     val out = s"${sys.props("java.io.tmpdir")}/graft_topic_admin_" +
       java.util.UUID.randomUUID.toString.replace("-", "")
     t(spark, dir, "events")
       .select(col("event_id"), col("user_id").cast("string").as("key"),
         col("event_type").as("value"))
-      .repartition(3, col("key"))
+      .repartition(3)
       .write.mode("overwrite").parquet(out)
     val back = spark.read.parquet(out)
     val nParts = back.select(input_file_name()).distinct().count()

@@ -682,13 +682,19 @@ object Relational {
     * row_number()=1 per click — the shuffle is on user_id (the equi
     * key), the per-event sort is local; Spark 4 rewrites the
     * rank-filter to WindowGroupLimit so only the top row survives the
-    * shuffle. Inner semantics (clicks with no prior purchase drop). */
+    * shuffle. Inner semantics (clicks with no prior purchase drop).
+    * Two purchases by one user at the same timestamp would make the
+    * picked value nondeterministic in BOTH engines (DuckDB ASOF breaks
+    * ties arbitrarily too), so purchases are first reduced to one row
+    * per (user, ts) — max(value) — on both sides. */
   def q36AsofJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = t(spark, dir, "events")
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
     val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts").as("p_ts"), col("value").as("p_value"))
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("p_value"))
+      .select(col("user_id"), col("ts").as("p_ts"), col("p_value"))
     val w = Window.partitionBy(col("click_id")).orderBy(col("p_ts").desc)
     clicks.join(purchases, Seq("user_id"))
       .filter(col("p_ts") <= col("click_ts"))
@@ -704,7 +710,9 @@ object Relational {
       | date_trunc('microseconds', p.ts) AS p_ts,
       | p.value AS p_value
       |FROM (SELECT * FROM events WHERE event_type = 'click') c
-      |ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF JOIN (SELECT user_id, ts, max(value) AS value
+      |           FROM events WHERE event_type = 'purchase'
+      |           GROUP BY user_id, ts) p
       | ON c.user_id = p.user_id AND c.ts >= p.ts
       |ORDER BY click_id""".stripMargin
 

@@ -34,28 +34,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object ReplaceHofCosine extends Rule[LogicalPlan] {
 
-  /** aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, (acc,x) -> acc+x) */
+  /** aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, (acc,x) -> acc+x).
+    * The multiply must be of the two DISTINCT zip_with parameters (so
+    * `(x,y) -> x*x` — a self-product, not a dot — never matches), and
+    * the fold must add the accumulator to the element (not acc+acc /
+    * x+x). The rewrite is null-safe because CosineSim mirrors the HOF
+    * null semantics (null on length mismatch / null elements). */
   private object DotAgg {
     def unapply(e: Expression): Option[(Expression, Expression)] = e match {
       case ArrayAggregate(
             ZipWith(a, b,
-              LambdaFunction(Multiply(_: NamedLambdaVariable, _: NamedLambdaVariable, _), _, _)),
+              LambdaFunction(Multiply(x: NamedLambdaVariable, y: NamedLambdaVariable, _),
+                zipArgs, _)),
             Literal(0.0, DoubleType),
-            LambdaFunction(Add(_: NamedLambdaVariable, _: NamedLambdaVariable, _), _, _),
-            LambdaFunction(_: NamedLambdaVariable, _, _)) => Some((a, b))
+            LambdaFunction(Add(acc: NamedLambdaVariable, el: NamedLambdaVariable, _), _, _),
+            LambdaFunction(_: NamedLambdaVariable, _, _))
+          if x.exprId != y.exprId &&
+            zipArgs.map(_.exprId).toSet == Set(x.exprId, y.exprId) &&
+            acc.exprId != el.exprId =>
+        Some((a, b))
       case _ => None
     }
   }
 
-  /** sqrt(aggregate(x, 0.0, (acc,v) -> acc + v*v)) */
+  /** sqrt(aggregate(x, 0.0, (acc,v) -> acc + v*v)) — the squared term
+    * must be the element variable (v), not the accumulator. */
   private object NormAgg {
     def unapply(e: Expression): Option[Expression] = e match {
       case Sqrt(ArrayAggregate(x,
             Literal(0.0, DoubleType),
             LambdaFunction(
-              Add(_: NamedLambdaVariable,
+              Add(acc: NamedLambdaVariable,
                 Multiply(v1: NamedLambdaVariable, v2: NamedLambdaVariable, _), _), _, _),
-            LambdaFunction(_: NamedLambdaVariable, _, _))) if v1.exprId == v2.exprId =>
+            LambdaFunction(_: NamedLambdaVariable, _, _)))
+          if v1.exprId == v2.exprId && acc.exprId != v1.exprId =>
         Some(x)
       case _ => None
     }

@@ -47,6 +47,31 @@ object FileSources {
 
   val csvRoundtripSql: String = jsonRoundtripSql
 
+  /** Avro sink + source round-trip — the reference provisions an Avro
+    * serde + schema registry (build.gradle:29,32, dev.properties:3,
+    * docker-compose.yaml:34-45) even though its topology never uses
+    * it; this closes that format-parity gap. The Spark distribution
+    * bundles the avro classes inside spark-sql_2.13-4.1.2.jar but
+    * without the DataSourceRegister service entry, so the short name
+    * `avro` does not resolve — the fully-qualified FileFormat class
+    * works (`--packages spark-avro` restores the short name on a real
+    * cluster). Schema pinned on read, same discipline as JSON/CSV —
+    * the schema-registry role (a fixed contract between writer and
+    * reader) is played by the explicit read schema. */
+  private val avroFormat = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  def avroRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = uniq("avro")
+    t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .write.mode(SaveMode.Overwrite).format(avroFormat).save(out)
+    spark.read.schema("event_id bigint, user_id bigint, event_type string")
+      .format(avroFormat).load(out)
+      .orderBy(col("event_id"))
+  }
+
+  val avroRoundtripSql: String = jsonRoundtripSql
+
   /** Hive-style partitioned write + partition-pruned read: the filter
     * on the partition column never touches non-matching files (the
     * plan's PartitionFilters — asserted in ComponentSpec). At 100 TB
@@ -154,6 +179,7 @@ object FileSources {
     GQuery("src_range_partitioned", rangePartitionedWrite, Some(rangePartitionedWriteSql)),
     GQuery("src_json_roundtrip", jsonRoundtrip, Some(jsonRoundtripSql)),
     GQuery("src_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),
+    GQuery("src_avro_roundtrip", avroRoundtrip, Some(avroRoundtripSql)),
     GQuery("src_partitioned_pruning", partitionedPruning, Some(partitionedPruningSql)),
     GQuery("src_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
   )

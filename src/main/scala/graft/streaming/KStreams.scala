@@ -118,7 +118,20 @@ object KStreams {
   /** Current table state from an update-mode memory sink: the sink
     * holds every emitted update; latest-per-key of the updates IS the
     * state-store content (upserts are monotone per key). Keys whose
-    * latest update is a null-value tombstone are deleted. */
+    * latest update is a null-value tombstone are deleted.
+    *
+    * PRODUCTION NOTE — bounded memory: the memory sink retains the
+    * FULL update history, so on a long-lived query this grows without
+    * bound. It is the right device for tests and short interactive
+    * sessions only. A production interactive-query read side keeps
+    * state bounded by maintaining the latest-per-key table itself:
+    * `writeStream.foreachBatch { (b, _) => b.groupBy("key").agg(
+    * max_by(struct(value, ts), ts)) merged into a keyed parquet/Delta
+    * table (or an upserted temp view) }` — per-batch size is the
+    * changelog delta, and the materialized table holds exactly one row
+    * per key. The streaming incremental-dedup operator
+    * (graft.operators.StreamingOps) demonstrates the same
+    * state-stays-bounded discipline with transformWithState. */
   def snapshot(spark: SparkSession, name: String): DataFrame =
     spark.table(name)
       .groupBy(col("key"))
