@@ -3,9 +3,9 @@ package graft.operators
 import graft.GQuery
 import graft.streaming.KStreams
 import graft.streaming.KStreams.Record
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Oracle-verified Structured Streaming runs: each query executes a
   * real streaming pipeline over the events parquet (readStream →
@@ -224,6 +224,78 @@ object StreamingOps {
 
   val latestPerKeyV2Sql: String = latestPerKeySql
 
+  // ---- incremental corpus dedup (the LLM-ingest operator) -----------
+
+  /** One incoming document, pre-normalized. */
+  case class Doc(norm: String, doc_id: Long)
+  /** Converged per-text state: canonical (min) doc id + copy count. */
+  case class DedupEntry(doc_id: Long, n_copies: Long)
+
+  /** State-v2 processor: one `ValueState[DedupEntry]` per normalized
+    * text. Each batch folds its rows into the stored (min doc_id,
+    * count) and emits the updated entry — the update-mode changelog of
+    * the dedup table. State is one tiny record per DISTINCT text,
+    * partitioned by key hash across executors; min/count are
+    * associative+commutative, so the converged state is identical for
+    * ANY arrival order or batch split (spec-asserted). */
+  final class DedupProcessor extends StatefulProcessor[String, Doc, (String, Long, Long)] {
+    @transient private var st: ValueState[DedupEntry] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[DedupEntry]("entry",
+        Encoders.product[DedupEntry], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[Doc],
+        timerValues: TimerValues): Iterator[(String, Long, Long)] = {
+      val prev = Option(st.get())
+      var minId = prev.map(_.doc_id).getOrElse(Long.MaxValue)
+      var n = prev.map(_.n_copies).getOrElse(0L)
+      rows.foreach { d => n += 1; if (d.doc_id < minId) minId = d.doc_id }
+      st.update(DedupEntry(minId, n))
+      Iterator.single((key, minId, n))
+    }
+  }
+
+  /** Streaming INCREMENTAL dedup of the documents corpus — the
+    * operator a 100 TB ingest actually runs: batch dedup re-reads the
+    * whole corpus per run, this folds each arriving micro-batch into
+    * per-text state and converges to exactly the batch
+    * `dedup_normalized` answer (the DuckDB oracle checks it). Uses
+    * `transformWithState` + RocksDB provider (the production state
+    * store), same conf discipline as `stream_latest_per_key_v2`. */
+  def streamDedupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import spark.implicits._
+      val name = uniq("dedup_corpus")
+      val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+      val docs: Dataset[Doc] = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .select(
+          regexp_replace(trim(lower(col("text"))), " +", " ").as("norm"),
+          col("doc_id")).as[Doc]
+      val q = docs.groupByKey(_.norm)
+        .transformWithState(new DedupProcessor, TimeMode.None(), OutputMode.Update())
+        .toDF("norm", "doc_id", "n_copies")
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update).start()
+      q.processAllAvailable(); q.stop()
+      // converged state = last update per text (n_copies only grows)
+      spark.table(name)
+        .groupBy(col("norm"))
+        .agg(max_by(struct(col("doc_id"), col("n_copies")), col("n_copies")).as("r"))
+        .select(col("r.doc_id").as("doc_id"), col("r.n_copies").as("n_copies"))
+        .orderBy(col("doc_id"))
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
+  /** Same oracle as the batch normalized dedup — the streaming state
+    * machine must converge to the relational answer. */
+  val streamDedupCorpusSql: String = graft.operators.Dedup.normalizedDedupSql
+
   /** Streaming session windows: per-user sessions with a 30-minute
     * gap, closed by the watermark — the streaming twin of
     * `ks_session_window` (state per open session, evicted once the
@@ -293,5 +365,6 @@ object StreamingOps {
     GQuery("stream_static_join", streamStaticJoin, Some(streamStaticJoinSql)),
     GQuery("stream_stream_join", streamStreamJoin, Some(streamStreamJoinSql)),
     GQuery("stream_session_counts", streamSessionCounts, Some(streamSessionCountsSql)),
+    GQuery("stream_dedup_corpus", streamDedupCorpus, Some(streamDedupCorpusSql)),
   )
 }

@@ -46,6 +46,79 @@ class Round3Spec extends AnyFunSuite {
     assert(out(2).isNullAt(1), "null elements must yield NULL")
   }
 
+  test("trained IVF codebook is deterministic and balances buckets") {
+    import org.apache.spark.sql.functions.{col, max => smax}
+    val e = util.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // bit-reproducible training (decimal means, hash-deterministic
+    // sample + init): two runs must agree exactly
+    val c1 = operators.Similarity.trainCodebook(spark, e, 16)
+      .orderBy("cid").collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val c2 = operators.Similarity.trainCodebook(spark, e, 16)
+      .orderBy("cid").collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+    assert(c1.toSeq == c2.toSeq, "codebook training is not deterministic")
+    assert(c1.length == 16 && c1.forall(_._2.length == 64))
+    // bucket balance: the hottest bucket must hold a bounded share of
+    // the index entries, or IVF pruning degrades to a full scan
+    val assign = operators.Similarity.ivfAssignments(spark, sf).cache()
+    val total = assign.count().toDouble
+    val hottest = assign.groupBy("cid").count()
+      .agg(smax("count")).collect()(0).getLong(0).toDouble
+    assert(hottest / total <= 0.4,
+      f"hottest IVF bucket holds ${hottest / total}%.2f of index entries")
+    // every corpus vector is indexed (multi-probe 2)
+    val nVecs = e.count()
+    assert(assign.select("vec_id").distinct().count() == nVecs)
+    assign.unpersist()
+  }
+
+  test("incremental streaming dedup converges to batch dedup for any arrival split") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import operators.StreamingOps.{Doc, DedupProcessor}
+      val docs = Seq(
+        Doc("a b", 5), Doc("c d", 9), Doc("a b", 2), // "a b" spans batches
+        Doc("e", 7), Doc("a b", 11), Doc("c d", 1))
+      val (first, rest) = docs.splitAt(3)
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc]
+      val name = "r3_dedup_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = mem.toDS().groupByKey(_.norm)
+        .transformWithState(new DedupProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .toDF("norm", "doc_id", "n_copies")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      mem.addData(first); q.processAllAvailable()
+      mem.addData(rest); q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table(name)
+        .groupBy(col("norm"))
+        .agg(max_by(struct(col("doc_id"), col("n_copies")), col("n_copies")).as("r"))
+        .select(col("norm"), col("r.doc_id"), col("r.n_copies"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = docs.groupBy(_.norm).map { case (k, ds) =>
+        (k, ds.map(_.doc_id).min, ds.size.toLong)
+      }.toSet
+      assert(streamed == batch)
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
+  test("stream_dedup_corpus equals the batch normalized dedup") {
+    val streamed = SparkEntry.queries("stream_dedup_corpus")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val batch = SparkEntry.queries("dedup_normalized")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("ReplaceHofCosine does not rewrite a self-product zip_with") {
     // zip_with(a, b, (x,y) -> x*x) is NOT a dot product — the guarded
     // pattern must leave it (and the whole round/divide tree) alone
