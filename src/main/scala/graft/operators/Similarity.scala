@@ -252,7 +252,36 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** Int8 embedding quantization — the storage/bandwidth operator a
+    * 100 TB vector corpus runs before indexing: per-vector symmetric
+    * scale (max |x| / 127), quantize to [-127, 127], dequantize, and
+    * report per-label fidelity (worst cosine between original and
+    * dequantized, worst absolute element error vs the scale bound).
+    * 4 bytes → 1 byte per dimension with cosine ≥ 0.999 on this data
+    * (spec-enforced). Pure narrow HOF projection — no shuffle except
+    * the final tiny per-label aggregate. Engine-specific rounding at
+    * half-ulp boundaries → rows-only check; the spec carries the
+    * fidelity guarantee. */
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CosineSim.cosine
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("scale", // 1e-12 floor guards the all-zero vector
+        expr("greatest(aggregate(v, 0D, (acc, x) -> greatest(acc, abs(x))), 1e-12D)") / 127.0)
+      .withColumn("q", expr("transform(v, x -> cast(round(x / scale) as tinyint))"))
+      .withColumn("dq", expr("transform(q, x -> x * scale)"))
+    e.withColumn("cos_fid", cosine(col("v"), col("dq")))
+      .withColumn("max_err",
+        expr("aggregate(zip_with(v, dq, (a, b) -> abs(a - b)), 0D, (acc, x) -> greatest(acc, x))"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(min(col("cos_fid")), 6).as("worst_cosine"),
+        round(max(col("max_err") / col("scale")), 6).as("worst_err_over_scale"))
+      .orderBy(col("label"))
+  }
+
   val all: Seq[GQuery] = Seq(
+    GQuery("sim_quantize_int8", quantizeInt8, None),
     GQuery("sim_topk_bruteforce", topkBruteForce, Some(topkBruteForceSql)),
     GQuery("sim_label_centroids", labelCentroids, Some(labelCentroidsSql)),
     GQuery("sim_ann_lsh", annLsh, None),

@@ -224,6 +224,59 @@ object StreamingOps {
 
   val latestPerKeyV2Sql: String = latestPerKeySql
 
+  /** Memory-BOUNDED interactive query: the production alternative to
+    * the memory-sink `snapshot` (whose update history grows without
+    * bound — see the note on `KStreams.snapshot`). `foreachBatch`
+    * maintains the latest-per-key table itself: each micro-batch is
+    * reduced to its per-key latest, merged with the previous table
+    * version, and written as a new version (the poor man's MERGE — on
+    * a real deployment this is a Delta/Iceberg MERGE INTO). Held state
+    * = exactly one row per key, per-batch work = the changelog delta +
+    * a table rewrite; nothing accumulates with stream length. The
+    * final table must hash-match the batch latest-per-key oracle. */
+  def streamUpsertSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"${sys.props("java.io.tmpdir")}/" + uniq("upsert_tbl")
+    @volatile var current: Option[String] = None
+    // (ts, event_id) is the deterministic recency order — carried in
+    // the table so ties keep resolving correctly across batch merges
+    def latestPerKeyOf(df: DataFrame): DataFrame =
+      df.groupBy(col("key"))
+        .agg(max_by(struct(col("value"), col("ts"), col("event_id")),
+          struct(col("ts"), col("event_id"))).as("r"))
+        .select(col("key"), col("r.value").as("value"),
+          col("r.ts").as("ts"), col("r.event_id").as("event_id"))
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val withTs =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    val q = withTs
+      .select(col("user_id").cast("string").as("key"),
+        col("event_type").as("value"), col("ts"), col("event_id"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val delta = latestPerKeyOf(batch)
+        val merged = current match {
+          case Some(prev) => latestPerKeyOf(spark.read.parquet(prev).unionByName(delta))
+          case None => delta
+        }
+        val v = s"$base/v$id"
+        merged.write.mode("overwrite").parquet(v)
+        current = Some(v)
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    spark.read.parquet(current.get)
+      .select(col("key"), col("value"), col("ts"))
+      .orderBy(col("key"))
+  }
+
+  /** Same latest-per-key oracle as the state-store variants. */
+  val streamUpsertSnapshotSql: String = latestPerKeySql
+
   // ---- incremental corpus dedup (the LLM-ingest operator) -----------
 
   /** One incoming document, pre-normalized. */
@@ -366,5 +419,6 @@ object StreamingOps {
     GQuery("stream_stream_join", streamStreamJoin, Some(streamStreamJoinSql)),
     GQuery("stream_session_counts", streamSessionCounts, Some(streamSessionCountsSql)),
     GQuery("stream_dedup_corpus", streamDedupCorpus, Some(streamDedupCorpusSql)),
+    GQuery("stream_upsert_snapshot", streamUpsertSnapshot, Some(streamUpsertSnapshotSql)),
   )
 }

@@ -201,7 +201,85 @@ object TextAnalysis {
       | cast(len(string_split(text, ' ')) as bigint) AS n_ws_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Sequence packing — lay the corpus out as fixed-capacity training
+    * sequences (capacity 256 tokens). Documents are concatenated in
+    * doc_id order per language and each doc is assigned to the
+    * sequence where its FIRST token lands (floor(start/capacity) —
+    * the concat-then-chunk layout used when packing pretraining data;
+    * with per-language partitioning the window prefix-sum
+    * parallelizes across languages, and at 100 TB the partition key
+    * becomes (lang, shard) so no single ordering spans the corpus).
+    * Output: per-sequence occupancy stats — the packing-efficiency
+    * report a data pipeline uses to pick its capacity. */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val cap = 256
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(spark, dir, "documents")
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_id", floor(col("start") / cap))
+      .groupBy(col("lang"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("lang"), col("seq_id"))
+  }
+
+  val packSequencesSql: String =
+    """WITH toks AS (
+      | SELECT doc_id, lang,
+      |  cast(len(string_split(text, ' ')) as bigint) AS n_tokens
+      | FROM documents),
+      |pos AS (
+      | SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+      | FROM toks)
+      |SELECT lang, cast(floor(start / 256) as bigint) AS seq_id,
+      | count(*) AS n_docs, cast(sum(n_tokens) as bigint) AS n_tokens,
+      | min(doc_id) AS first_doc
+      |FROM pos GROUP BY lang, seq_id ORDER BY lang, seq_id""".stripMargin
+
+  /** PII scrubbing — the redaction pass a corpus runs before training:
+    * emails, long digit runs, and a configurable lexicon are replaced
+    * by placeholder tokens, with an audit count per language (how many
+    * documents were touched, how many spans redacted). The email/digit
+    * regexes are the production patterns; the lexicon is what fires on
+    * this synthetic corpus. One projection + one aggregation — scales
+    * trivially. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val pat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}|[0-9]{6,}|\\b(customer|key)\\b"
+    t(spark, dir, "documents")
+      .withColumn("n_redactions",
+        size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long"))
+      .withColumn("scrubbed", regexp_replace(col("text"), pat, "<PII>"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_redactions") > 0, 1L).otherwise(0L)).as("n_docs_touched"),
+        sum(col("n_redactions")).cast("long").as("n_redactions"),
+        sum(length(col("text")) - length(col("scrubbed"))).cast("long").as("chars_delta"))
+      .orderBy(col("lang"))
+  }
+
+  val piiScrubSql: String =
+    """WITH r AS (
+      | SELECT lang,
+      |  cast(len(regexp_extract_all(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}|[0-9]{6,}|\b(customer|key)\b')) as bigint)
+      |    AS n_redactions,
+      |  length(text) - length(regexp_replace(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}|[0-9]{6,}|\b(customer|key)\b',
+      |    '<PII>', 'g')) AS delta
+      | FROM documents)
+      |SELECT lang, count(*) AS n_docs,
+      | cast(sum(CASE WHEN n_redactions > 0 THEN 1 ELSE 0 END) as bigint) AS n_docs_touched,
+      | cast(sum(n_redactions) as bigint) AS n_redactions,
+      | cast(sum(delta) as bigint) AS chars_delta
+      |FROM r GROUP BY lang ORDER BY lang""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("text_pack_sequences", packSequences, Some(packSequencesSql)),
+    GQuery("text_pii_scrub", piiScrub, Some(piiScrubSql)),
     GQuery("text_token_regex", tokenRegex, Some(tokenRegexSql)),
     GQuery("text_token_stats", tokenStats, Some(tokenStatsSql)),
     GQuery("text_lang_stats", langStats, Some(langStatsSql)),

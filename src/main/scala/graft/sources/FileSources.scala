@@ -175,7 +175,41 @@ object FileSources {
        | AND o_orderdate < TIMESTAMP '1998-01-01'
        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Small-files compaction — the maintenance job every streaming
+    * ingest needs: a "topic" landed as 32 small files is rewritten
+    * into 2 right-sized ones (`coalesce` — a NARROW repartition: each
+    * output task reads 16 inputs, no shuffle), and the compacted data
+    * must be byte-identical in content. At 100 TB the small-files
+    * problem is a namenode/metadata killer and a scan-parallelism tax;
+    * the production loop picks `target = ceil(bytes / 128 MB)` per
+    * partition directory. Oracle checks the layout counts AND the data
+    * aggregate after the round-trip. */
+  def compaction(spark: SparkSession, dir: String): DataFrame = {
+    val small = uniq("small_files")
+    val compacted = uniq("compacted")
+    t(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(small)
+    def nFiles(p: String): Long =
+      spark.read.parquet(p).select(input_file_name()).distinct().count()
+    val before = nFiles(small)
+    spark.read.parquet(small).coalesce(2)
+      .write.mode(SaveMode.Overwrite).parquet(compacted)
+    val after = nFiles(compacted)
+    spark.read.parquet(compacted)
+      .agg(count(lit(1)).as("n_rows"), dsum(col("value")).as("sum_value"))
+      .select(lit(before).as("files_before"), lit(after).as("files_after"),
+        col("n_rows"), col("sum_value"))
+  }
+
+  val compactionSql: String =
+    s"""SELECT cast(32 as bigint) AS files_before, cast(2 as bigint) AS files_after,
+       | count(*) AS n_rows, ${sqlDsum("value")} AS sum_value
+       |FROM events""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("src_compaction", compaction, Some(compactionSql)),
     GQuery("src_range_partitioned", rangePartitionedWrite, Some(rangePartitionedWriteSql)),
     GQuery("src_json_roundtrip", jsonRoundtrip, Some(jsonRoundtripSql)),
     GQuery("src_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),

@@ -119,6 +119,23 @@ class Round3Spec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("int8 quantization keeps cosine fidelity and bounded element error") {
+    val rows = SparkEntry.queries("sim_quantize_int8")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val label = r.get(0)
+      assert(r.getDouble(2) >= 0.999, s"label $label worst cosine ${r.getDouble(2)}")
+      // symmetric round-to-nearest quantization error is <= scale/2
+      assert(r.getDouble(3) <= 0.500001, s"label $label err/scale ${r.getDouble(3)}")
+    }
+    // quantized values actually fit int8
+    val e = util.t(spark, sf, "embeddings")
+      .selectExpr("cast(embedding as array<double>) as v")
+      .selectExpr("greatest(aggregate(v, 0D, (acc, x) -> greatest(acc, abs(x))), 1e-12D) / 127.0 as scale", "v")
+      .selectExpr("aggregate(transform(v, x -> abs(round(x / scale))), 0D, (acc, x) -> greatest(acc, x)) as maxq")
+    assert(e.filter(col("maxq") > 127).count() == 0)
+  }
+
   test("ReplaceHofCosine does not rewrite a self-product zip_with") {
     // zip_with(a, b, (x,y) -> x*x) is NOT a dot product — the guarded
     // pattern must leave it (and the whole round/divide tree) alone
