@@ -289,7 +289,40 @@ object Analytics {
       |FROM customer WHERE c_custkey <= 200
       |ORDER BY c_custkey""".stripMargin
 
+  /** Salted shuffle JOIN — the skew pattern for joins (the join twin
+    * of `q42_salted_agg`): when the probe side has hot keys and the
+    * build side is too big to broadcast, salt the probe key over k
+    * buckets and REPLICATE each build row k times (explode over the
+    * salt range), joining on (key, salt) — each hot key's rows spread
+    * over k reducers instead of one straggler. Result is identical to
+    * the plain join (each probe row matches its build row at exactly
+    * its own salt); the oracle is the plain join. AQE's skew-join
+    * split handles moderate skew adaptively; explicit salting is the
+    * deterministic version for pipelines that cannot rely on runtime
+    * stats. */
+  def q49SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val ev = t(spark, dir, "events")
+      .withColumn("salt", pmod(xxhash64(col("event_id")), lit(k)))
+    val dim = t(spark, dir, "customer")
+      .filter(col("c_custkey") < 500)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .withColumn("salt", explode(sequence(lit(0L), lit(k - 1L))))
+    ev.join(dim, ev("user_id") === dim("c_custkey") && ev("salt") === dim("salt"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("c_mktsegment"), col("event_type"))
+  }
+
+  val q49Sql: String =
+    s"""SELECT c_mktsegment, event_type, count(*) AS n,
+       | ${sqlDsum("value")} AS sum_value
+       |FROM events JOIN customer ON user_id = c_custkey
+       |WHERE c_custkey < 500
+       |GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("q49_salted_join", q49SaltedJoin, Some(q49Sql)),
     GQuery("q47_array_funcs", q47ArrayFuncs, Some(q47Sql)),
     GQuery("q48_struct_json", q48StructJson, Some(q48Sql)),
     GQuery("q44_join_hint_smj", q44JoinHintSmj, Some(q44Sql)),

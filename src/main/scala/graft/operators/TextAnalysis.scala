@@ -277,7 +277,79 @@ object TextAnalysis {
       | cast(sum(delta) as bigint) AS chars_delta
       |FROM r GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Repetition filter — the boilerplate detector of the published
+    * corpus-quality rulesets: fraction of duplicate word 2-grams per
+    * document, documents above 0.2 flagged. Per-language report uses
+    * only counts and an order-independent max (no float accumulation
+    * across rows — the dup fraction itself is a single exact IEEE
+    * division, identical in both engines). */
+  def repetitionFilter(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 2)
+      .withColumn("bg", expr(
+        "transform(sequence(1, size(ws)-1), i -> concat_ws(' ', element_at(ws,i), element_at(ws,i+1)))"))
+      .withColumn("dup_frac",
+        lit(1.0) - size(array_distinct(col("bg"))).cast("double") / size(col("bg")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("dup_frac") > 0.2, 1L).otherwise(0L)).as("n_flagged"),
+        round(max(col("dup_frac")), 6).as("worst_dup_frac"))
+      .orderBy(col("lang"))
+
+  val repetitionFilterSql: String =
+    """WITH bg AS (
+      | SELECT lang,
+      |  list_transform(range(1, len(ws)),
+      |    i -> ws[i] || ' ' || ws[i+1]) AS bigrams
+      | FROM (SELECT lang, string_split(text, ' ') AS ws FROM documents)
+      | WHERE len(ws) >= 2),
+      |f AS (
+      | SELECT lang,
+      |  1.0 - cast(len(list_distinct(bigrams)) as double) / len(bigrams) AS dup_frac
+      | FROM bg)
+      |SELECT lang, count(*) AS n_docs,
+      | cast(sum(CASE WHEN dup_frac > 0.2 THEN 1 ELSE 0 END) as bigint) AS n_flagged,
+      | round(max(dup_frac), 6) AS worst_dup_frac
+      |FROM f GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Per-source quality gate — corpus pipelines score and drop whole
+    * SOURCES, not just documents: per source, count docs failing the
+    * quality rules (under 5 tokens or lexical diversity < 0.3) and
+    * verdict-drop any source where more than half fail. Counts only →
+    * engine-exact. */
+  def sourceQuality(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("ws", split(regexp_replace(trim(lower(col("text"))), " +", " "), " "))
+      .withColumn("bad",
+        when(size(col("ws")) < 5 ||
+          size(array_distinct(col("ws"))).cast("double") / size(col("ws")) < 0.3, 1L)
+          .otherwise(0L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("bad")).as("n_low_quality"),
+        sum(size(col("ws")).cast("long")).as("total_tokens"))
+      .withColumn("verdict",
+        when(col("n_low_quality") * 2 > col("n_docs"), "drop").otherwise("keep"))
+      .orderBy(col("source"))
+
+  val sourceQualitySql: String =
+    """WITH d AS (
+      | SELECT source, string_split(regexp_replace(trim(lower(text)), ' +', ' ', 'g'), ' ') AS ws
+      | FROM documents)
+      |SELECT source, count(*) AS n_docs,
+      | cast(sum(CASE WHEN len(ws) < 5
+      |   OR cast(len(list_distinct(ws)) as double) / len(ws) < 0.3
+      |   THEN 1 ELSE 0 END) as bigint) AS n_low_quality,
+      | cast(sum(cast(len(ws) as bigint)) as bigint) AS total_tokens,
+      | CASE WHEN sum(CASE WHEN len(ws) < 5
+      |   OR cast(len(list_distinct(ws)) as double) / len(ws) < 0.3
+      |   THEN 1 ELSE 0 END) * 2 > count(*) THEN 'drop' ELSE 'keep' END AS verdict
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("text_repetition_filter", repetitionFilter, Some(repetitionFilterSql)),
+    GQuery("text_source_quality", sourceQuality, Some(sourceQualitySql)),
     GQuery("text_pack_sequences", packSequences, Some(packSequencesSql)),
     GQuery("text_pii_scrub", piiScrub, Some(piiScrubSql)),
     GQuery("text_token_regex", tokenRegex, Some(tokenRegexSql)),

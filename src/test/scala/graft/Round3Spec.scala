@@ -136,6 +136,30 @@ class Round3Spec extends AnyFunSuite {
     assert(e.filter(col("maxq") > 127).count() == 0)
   }
 
+  test("compaction's coalesce is a narrow repartition — no shuffle exchange") {
+    val out = s"${sys.props("java.io.tmpdir")}/graft_coalesce_spec_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    util.t(spark, sf, "events").select("event_id").repartition(8)
+      .write.parquet(out)
+    val plan = spark.read.parquet(out).coalesce(2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Coalesce"), s"no Coalesce in:\n$plan")
+    assert(!plan.contains("Exchange"), s"coalesce shuffled:\n$plan")
+  }
+
+  test("sequence packing fills sequences to capacity (no empty or over-start sequences)") {
+    val rows = SparkEntry.queries("text_pack_sequences")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // every sequence holds at least one doc, and within each language
+    // seq ids are dense from 0 (the concat layout leaves no holes)
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      val ids = rs.map(_.getLong(1)).sorted.toSeq
+      assert(ids.headOption.contains(0L) && ids == (0L until ids.length).map(_.toLong),
+        s"lang $lang has sequence holes: ${ids.take(10).toSeq}")
+      assert(rs.forall(_.getLong(2) >= 1))
+    }
+  }
+
   test("ReplaceHofCosine does not rewrite a self-product zip_with") {
     // zip_with(a, b, (x,y) -> x*x) is NOT a dot product — the guarded
     // pattern must leave it (and the whole round/divide tree) alone
