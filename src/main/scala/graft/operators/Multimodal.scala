@@ -160,7 +160,81 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** Image near-dup detection by perceptual hash — the image half of
+    * the dedup story (byte-identical re-encodes are caught by exact
+    * hashing; dHash catches resized/re-rendered copies). Each image
+    * decodes locally in mapPartitions to a 9×8 mean-luma grid whose
+    * row-wise gradient signs form a 64-bit dHash; candidate pairs come
+    * from the same 4×16-bit pigeonhole banding as `dedup_simhash`
+    * (hamming ≤ 3 ⇒ some chunk equal) and are verified with
+    * `bit_count(xor)`. Index is (doc_id, 64-bit hash) — a few longs
+    * per image regardless of payload size, so the join side never
+    * carries pixels. Sketch → rows-only; spec asserts the hamming
+    * bound and that identical-payload images collide at hamming 0. */
+  case class ImgHash(doc_id: Long, dhash: Long)
+
+  /** 64-bit dHash of a PPM payload: 9×8 mean-luma grid, one bit per
+    * row-wise gradient sign. Pure — exposed for the property spec
+    * (equal payloads ⇒ equal hash; resilient to small luma jitter). */
+  def dhashOf(payload: Array[Byte]): Long = {
+    val img = Ppm.decode(payload)
+    val (gw, gh) = (9, 8)
+    var h = 0L; var bit = 0
+    var prev = 0.0
+    var gy = 0
+    while (gy < gh) {
+      var gx = 0
+      while (gx < gw) {
+        val x0 = gx * img.width / gw
+        val x1 = math.max((gx + 1) * img.width / gw, x0 + 1)
+        val y0 = gy * img.height / gh
+        val y1 = math.max((gy + 1) * img.height / gh, y0 + 1)
+        var s = 0.0; var n = 0
+        var y = y0
+        while (y < y1 && y < img.height) {
+          var x = x0
+          while (x < x1 && x < img.width) {
+            val p = (y * img.width + x) * 3
+            s += 0.299 * (img.pixels(p) & 0xFF) +
+              0.587 * (img.pixels(p + 1) & 0xFF) +
+              0.114 * (img.pixels(p + 2) & 0xFF)
+            n += 1; x += 1
+          }
+          y += 1
+        }
+        val luma = if (n > 0) s / n else 0.0
+        if (gx > 0) { // 8 gradient bits per row of 9 cells
+          if (luma > prev) h |= (1L << bit)
+          bit += 1
+        }
+        prev = luma
+        gx += 1
+      }
+      gy += 1
+    }
+    h
+  }
+
+  def imageDhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashes = mediaTable(spark, dir)
+      .filter(_.media_type != "audio")
+      .mapPartitions(_.map(r => ImgHash(r.doc_id, dhashOf(r.payload)))).toDF()
+    val banded = hashes.select(col("doc_id"), col("dhash"), posexplode(array(
+        (0 until 4).map(c => shiftright(col("dhash"), c * 16).bitwiseAND(0xFFFF)): _*))
+      .as(Seq("chunk", "chunk_val"))).cache()
+    val l = banded.select(col("doc_id").as("a_id"), col("dhash").as("ha"), col("chunk"), col("chunk_val"))
+    val r = banded.select(col("doc_id").as("b_id"), col("dhash").as("hb"), col("chunk"), col("chunk_val"))
+    l.join(r, Seq("chunk", "chunk_val")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("ha"), col("hb")).distinct()
+      .withColumn("hamming", bit_count(expr("ha ^ hb")).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   val all: Seq[GQuery] = Seq(
+    GQuery("mm_image_dhash_pairs", imageDhashPairs, None),
     GQuery("mm_audio_frames", audioFrames, None),
     GQuery("mm_pack_struct", pack, Some(packSql)),
     GQuery("mm_decode_features", decodeFeatures, None),
