@@ -716,6 +716,25 @@ object Relational {
       | ON c.user_id = p.user_id AND c.ts >= p.ts
       |ORDER BY click_id""".stripMargin
 
+  /** As-of join on the NATIVE operator (graft.plans.AsOfJoinExec —
+    * the full LogicalPlan → Strategy → SparkPlan extension ladder):
+    * co-partitioned sorted merge with O(1) buffered state per
+    * partition, instead of q36's materialize-all-pairs + window. Same
+    * purchases pre-reduction, same DuckDB ASOF oracle — the two
+    * declared entries must hash-match each other and the oracle. */
+  def q36bAsofNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("p_value"))
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("p_value"))
+    graft.plans.AsOf.join(clicks, purchases, "user_id", "p_user", "click_ts", "p_ts")
+      .select(col("click_id"), col("user_id"), col("click_ts"), col("p_ts"), col("p_value"))
+      .orderBy(col("click_id"))
+  }
+
   /** approx_count_distinct (HLL sketch). Engines' sketches differ, so
     * no value-oracle — the driver records a rows-only check. */
   def q31ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
@@ -762,5 +781,6 @@ object Relational {
     GQuery("q34_range_frame", q34RangeFrame, Some(q34Sql)),
     GQuery("q35_theta_join", q35ThetaJoin, Some(q35Sql)),
     GQuery("q36_asof_join", q36AsofJoin, Some(q36Sql)),
+    GQuery("q36b_asof_native", q36bAsofNative, Some(q36Sql)),
   )
 }

@@ -11,7 +11,11 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType}
   * `--conf spark.sql.extensions=graft.plans.GraftExtensions`
   * (wired into the Verify/Bench/test session builders).
   *
-  * Currently one optimizer rule: [[ReplaceHofCosine]] — users write
+  * Three injection points: the [[ReplaceHofCosine]] optimizer rule,
+  * the `graft_cosine` SQL function, and the [[AsOfStrategy]] planner
+  * strategy (the whole-operator extension — see plans/AsOfJoin.scala).
+  *
+  * [[ReplaceHofCosine]] — users write
   * the portable higher-order-function cosine (`Vectors.cosine`:
   * round(aggregate(zip_with(a,b,*))/ (sqrt(aggregate(a,x²)) *
   * sqrt(aggregate(b,x²))), 6)) and the optimizer swaps in the fused
@@ -22,6 +26,9 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => ReplaceHofCosine)
+    // whole-operator extension: the native as-of join (AsOfJoinPlan →
+    // AsOfJoinExec, merge over co-partitioned sorted children)
+    ext.injectPlannerStrategy(_ => AsOfStrategy)
     // SQL surface for the native expression:
     //   SELECT graft_cosine(a, b) FROM …
     ext.injectFunction((

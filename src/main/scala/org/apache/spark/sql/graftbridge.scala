@@ -11,4 +11,9 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object graftbridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+  /** DataFrame from a custom logical plan (`Dataset.ofRows` is
+    * private[sql]) — the construction hook for injected operators
+    * like graft.plans.AsOfJoinPlan. */
+  def ofRows(spark: SparkSession, plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

@@ -187,6 +187,31 @@ class Round3Spec extends AnyFunSuite {
     assert(dhashOf(p1) != dhashOf(Ppm.encode(Ppm.synth("completely different words here"))))
   }
 
+  test("native as-of join equals the window-based as-of and plans AsOfJoinExec, no Window") {
+    val composed = SparkEntry.queries("q36_asof_join")(spark, sf).collect().toSeq
+    val native = SparkEntry.queries("q36b_asof_native")(spark, sf)
+    val nativeRows = native.collect().toSeq
+    assert(nativeRows.nonEmpty && nativeRows == composed)
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"native exec not planned:\n$plan")
+    assert(!plan.contains("Window"), s"window survived in native plan:\n$plan")
+  }
+
+  test("native as-of join handles empty sides and null keys") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, 100L), (2L, 20L, 200L)).toDF("lid", "k", "t")
+    val rEmpty = Seq.empty[(Long, Long, String)].toDF("rk", "rt", "v")
+    assert(graft.plans.AsOf.join(l, rEmpty, "k", "rk", "t", "rt").count() == 0)
+    // null key on the right never matches; match picks latest ts <= t
+    val r = Seq((java.lang.Long.valueOf(10L), 90L, "old"),
+      (java.lang.Long.valueOf(10L), 95L, "new"),
+      (null.asInstanceOf[java.lang.Long], 99L, "nullkey"),
+      (java.lang.Long.valueOf(20L), 300L, "late")).toDF("rk", "rt", "v")
+    val out = graft.plans.AsOf.join(l, r, "k", "rk", "t", "rt")
+      .select("lid", "v").collect().map(x => (x.getLong(0), x.getString(1))).toSet
+    assert(out == Set((1L, "new"))) // lid=2: only a too-late right row
+  }
+
   test("ReplaceHofCosine does not rewrite a self-product zip_with") {
     // zip_with(a, b, (x,y) -> x*x) is NOT a dot product — the guarded
     // pattern must leave it (and the whole round/divide tree) alone
