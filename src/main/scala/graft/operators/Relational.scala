@@ -735,6 +735,42 @@ object Relational {
       .orderBy(col("click_id"))
   }
 
+  /** Pure interval join (NO equi key), binned to an equi-join — the
+    * scale rewrite for time-containment joins: `q10` has an equi key
+    * so its range predicate rides the hash shuffle, but "clicks inside
+    * ANY purchase's 2-hour attribution window" has none — Spark plans
+    * a nested-loop. Binning makes it an equi-join: each click carries
+    * its hour bin; each window explodes into the 2–3 bins it spans;
+    * join on bin, then re-verify the exact containment. A click has
+    * exactly one bin, so each (click, window) pair matches at most
+    * once — no dedup needed. Shuffle is on the well-distributed bin;
+    * bin width trades replication (windows/bin) vs selectivity. */
+  def q50IntervalJoinBinned(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val periods = ev
+      .filter(col("event_type") === "purchase" && col("event_id") % 20 === 0)
+      .select(col("event_id").as("period_id"), col("ts").as("p_start"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("p_end"))
+      .withColumn("bin", explode(sequence(
+        floor(unix_timestamp(col("p_start")) / 3600),
+        floor(unix_timestamp(col("p_end")) / 3600))))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts").as("c_ts"))
+      .withColumn("bin", floor(unix_timestamp(col("c_ts")) / 3600))
+    clicks.join(periods, Seq("bin"))
+      .filter(col("c_ts") >= col("p_start") && col("c_ts") < col("p_end"))
+      .groupBy(col("period_id"))
+      .agg(count(lit(1)).as("n_clicks"))
+      .orderBy(col("period_id"))
+  }
+
+  val q50Sql: String =
+    """SELECT p.event_id AS period_id, count(*) AS n_clicks
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase' AND event_id % 20 = 0) p
+      |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      | ON c.ts >= p.ts AND c.ts < p.ts + INTERVAL 2 HOUR
+      |GROUP BY 1 ORDER BY period_id""".stripMargin
+
   /** approx_count_distinct (HLL sketch). Engines' sketches differ, so
     * no value-oracle — the driver records a rows-only check. */
   def q31ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
@@ -782,5 +818,6 @@ object Relational {
     GQuery("q35_theta_join", q35ThetaJoin, Some(q35Sql)),
     GQuery("q36_asof_join", q36AsofJoin, Some(q36Sql)),
     GQuery("q36b_asof_native", q36bAsofNative, Some(q36Sql)),
+    GQuery("q50_interval_join_binned", q50IntervalJoinBinned, Some(q50Sql)),
   )
 }

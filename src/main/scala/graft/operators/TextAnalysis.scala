@@ -347,7 +347,30 @@ object TextAnalysis {
       |   THEN 1 ELSE 0 END) * 2 > count(*) THEN 'drop' ELSE 'keep' END AS verdict
       |FROM d GROUP BY source ORDER BY source""".stripMargin
 
+  /** Corpus heavy hitters via the native Misra–Gries sketch aggregate
+    * (graft.functions.MisraGriesTopK — TypedImperativeAggregate,
+    * partial-aggregable, fixed `capacity` counters per partition
+    * buffer). The fixture vocabulary (31 terms) is under the capacity
+    * (64), so the sketch counts are EXACT and the query oracle-checks
+    * against the true groupBy; at web scale the same plan keeps 64
+    * counters per partition instead of shuffling the full vocabulary,
+    * with the n/(capacity+1) Misra–Gries bound (property-spec'd with a
+    * small capacity). */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .agg(graft.functions.MisraGriesTopK.misraGries(col("w"), 64).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.term").as("term"), col("e.count").as("n"))
+      .orderBy(col("n").desc, col("term"))
+
+  val heavyHittersSql: String =
+    """SELECT w AS term, cast(count(*) as bigint) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |GROUP BY w ORDER BY n DESC, term""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("text_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     GQuery("text_repetition_filter", repetitionFilter, Some(repetitionFilterSql)),
     GQuery("text_source_quality", sourceQuality, Some(sourceQualitySql)),
     GQuery("text_pack_sequences", packSequences, Some(packSequencesSql)),

@@ -212,6 +212,43 @@ class Round3Spec extends AnyFunSuite {
     assert(out == Set((1L, "new"))) // lid=2: only a too-late right row
   }
 
+  test("Misra-Gries sketch honors the frequency guarantee at small capacity") {
+    import spark.implicits._
+    import graft.functions.MisraGriesTopK.misraGries
+    // skewed stream: "hot" appears 400/1000 times, capacity 4 ⇒ any
+    // term with freq > n/(capacity+1) = 200 MUST be reported, with
+    // count undercounting by at most 200
+    val words = (Seq.fill(400)("hot") ++ Seq.fill(250)("warm") ++
+      (0 until 350).map(i => s"cold${i % 70}"))
+    // deterministic shuffle so arrival order isn't adversarial-sorted
+    val stream = words.zipWithIndex
+      .sortBy { case (w, i) => scala.util.hashing.MurmurHash3.stringHash(s"$w$i") }
+      .map(_._1)
+    val out = stream.toDF("w").repartition(7) // exercise partial merges
+      .agg(misraGries(col("w"), 4).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.term"), col("e.count")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.size <= 4)
+    assert(out.contains("hot"), s"hot missing from $out")
+    assert(out("hot") >= 400 - 200 && out("hot") <= 400)
+    assert(out.contains("warm"), s"warm missing from $out")
+    assert(out("warm") >= 250 - 200 && out("warm") <= 250)
+  }
+
+  test("interval-binned join equals the nested-loop interval join") {
+    val binned = SparkEntry.queries("q50_interval_join_binned")(spark, sf).collect().toSeq
+    val ev = util.t(spark, sf, "events")
+    val p = ev.filter(col("event_type") === "purchase" && col("event_id") % 20 === 0)
+      .select(col("event_id").as("period_id"), col("ts").as("p_start"))
+    val c = ev.filter(col("event_type") === "click").select(col("ts").as("c_ts"))
+    val plain = c.join(p, col("c_ts") >= col("p_start") &&
+        col("c_ts") < col("p_start") + expr("INTERVAL 2 HOURS"))
+      .groupBy(col("period_id")).agg(count(lit(1)).as("n_clicks"))
+      .orderBy(col("period_id")).collect().toSeq
+    assert(binned.nonEmpty && binned == plain)
+  }
+
   test("ReplaceHofCosine does not rewrite a self-product zip_with") {
     // zip_with(a, b, (x,y) -> x*x) is NOT a dot product — the guarded
     // pattern must leave it (and the whole round/divide tree) alone
