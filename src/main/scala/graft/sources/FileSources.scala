@@ -175,6 +175,73 @@ object FileSources {
        | AND o_orderdate < TIMESTAMP '1998-01-01'
        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Schema evolution — the append-only table whose writer gained a
+    * column mid-stream: half the rows land with 2 columns, half with
+    * 3, and `mergeSchema` reconciles the footers on read (old rows
+    * read NULL for the new column). The aggregate proves both halves
+    * survive and the new column's values are intact. At 100 TB this
+    * is how fact tables actually evolve — rewriting history to add a
+    * column is not an option. */
+  def schemaMerge(spark: SparkSession, dir: String): DataFrame = {
+    val out = uniq("evolve")
+    val ev = t(spark, dir, "events")
+    ev.filter(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("event_type"))
+      .write.mode(SaveMode.Append).parquet(out)
+    ev.filter(col("event_id") % 2 === 1)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .write.mode(SaveMode.Append).parquet(out)
+    spark.read.option("mergeSchema", "true").parquet(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("value")).as("n_with_value"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val schemaMergeSql: String =
+    s"""SELECT event_type, count(*) AS n_rows,
+       | cast(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) as bigint) AS n_with_value,
+       | ${sqlDsum("CASE WHEN event_id % 2 = 1 THEN value END")} AS sum_value
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Corrupt-record quarantine — the ingest-resilience pattern: a JSON
+    * "topic" containing malformed producer output is read PERMISSIVE
+    * with a `_corrupt_record` column; good rows flow, bad rows are
+    * counted (in production: quarantined to a dead-letter table)
+    * instead of failing the job. The read is cached before filtering
+    * on the corrupt column — Spark disallows referencing it otherwise
+    * (the raw line is only available while parsing). */
+  def corruptRecords(spark: SparkSession, dir: String): DataFrame = {
+    val out = uniq("corrupt")
+    t(spark, dir, "events")
+      .select(col("event_id"), col("event_type"))
+      .write.mode(SaveMode.Overwrite).json(out)
+    // three malformed lines a crashing producer might emit
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$out/part-junk.json"),
+      "{\"event_id\": 1, \"event_type\"\nnot json at all\n{\"event_id\":")
+    val read = spark.read
+      .schema("event_id bigint, event_type string, _corrupt_record string")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(out)
+      .cache()
+    try {
+      read.agg(
+        count(when(col("_corrupt_record").isNull, 1)).as("n_good"),
+        count(col("_corrupt_record")).as("n_corrupt"))
+        .collect() // materialize while cached
+      read.agg(
+        count(when(col("_corrupt_record").isNull, 1)).as("n_good"),
+        count(col("_corrupt_record")).as("n_corrupt"))
+    } finally () // cache cleared by the harness between queries
+  }
+
+  val corruptRecordsSql: String =
+    """SELECT count(*) AS n_good, cast(3 as bigint) AS n_corrupt
+      |FROM events""".stripMargin
+
   /** Small-files compaction — the maintenance job every streaming
     * ingest needs: a "topic" landed as 32 small files is rewritten
     * into 2 right-sized ones (`coalesce` — a NARROW repartition: each
@@ -210,6 +277,8 @@ object FileSources {
 
   val all: Seq[GQuery] = Seq(
     GQuery("src_compaction", compaction, Some(compactionSql)),
+    GQuery("src_schema_merge", schemaMerge, Some(schemaMergeSql)),
+    GQuery("src_corrupt_records", corruptRecords, Some(corruptRecordsSql)),
     GQuery("src_range_partitioned", rangePartitionedWrite, Some(rangePartitionedWriteSql)),
     GQuery("src_json_roundtrip", jsonRoundtrip, Some(jsonRoundtripSql)),
     GQuery("src_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),
