@@ -249,6 +249,43 @@ class Round3Spec extends AnyFunSuite {
     assert(binned.nonEmpty && binned == plain)
   }
 
+  test("native as-of join over bucketed tables elides both shuffle exchanges") {
+    val suffix = java.util.UUID.randomUUID.toString.replace("-", "").take(8)
+    val (cTbl, pTbl) = (s"r3_asof_clicks_$suffix", s"r3_asof_purch_$suffix")
+    val ev = util.t(spark, sf, "events")
+    ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      .write.bucketBy(8, "user_id").sortBy("user_id", "click_ts").saveAsTable(cTbl)
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value").as("p_value"))
+      .write.bucketBy(8, "p_user").sortBy("p_user", "p_ts").saveAsTable(pTbl)
+    val joined = graft.plans.AsOf.join(
+      spark.table(cTbl), spark.table(pTbl), "user_id", "p_user", "click_ts", "p_ts")
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"no AsOfJoin in:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"bucketed as-of join still shuffles:\n$plan")
+  }
+
+  test("binned interval join plans a hash join, not a nested loop") {
+    val df = SparkEntry.queries("q50_interval_join_binned")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), s"interval join fell back to nested loop:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"no equi join in:\n$plan")
+  }
+
+  test("heavy hitters aggregate runs with a partial (map-side) phase") {
+    val df = SparkEntry.queries("text_heavy_hitters")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"sketch not object-agg planned:\n$plan")
+    assert(plan.contains("partial_misra_gries") || plan.contains("partial misra"),
+      s"no partial aggregation phase in:\n$plan")
+  }
+
   test("ReplaceHofCosine does not rewrite a self-product zip_with") {
     // zip_with(a, b, (x,y) -> x*x) is NOT a dot product — the guarded
     // pattern must leave it (and the whole round/divide tree) alone
