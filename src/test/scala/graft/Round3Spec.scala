@@ -4,8 +4,12 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Round-3 additions: the minhash-based apply path, Avro round-trip,
-  * and the semantics-preservation guarantees of the CosineSim rewrite
-  * (null propagation + guarded pattern match). */
+  * CosineSim rewrite semantics-preservation (null propagation +
+  * guarded pattern match), trained IVF codebook, streaming incremental
+  * dedup, int8 quantization, compaction/packing plan shapes, image
+  * dHash properties, the native as-of join (row equality, plan shape,
+  * edge cases, bucketed shuffle-elision), the Misra–Gries frequency
+  * guarantee, and the binned interval join. */
 class Round3Spec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = TestSpark.sf
