@@ -227,15 +227,10 @@ object FileSources {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(out)
       .cache()
-    try {
-      read.agg(
-        count(when(col("_corrupt_record").isNull, 1)).as("n_good"),
-        count(col("_corrupt_record")).as("n_corrupt"))
-        .collect() // materialize while cached
-      read.agg(
-        count(when(col("_corrupt_record").isNull, 1)).as("n_good"),
-        count(col("_corrupt_record")).as("n_corrupt"))
-    } finally () // cache cleared by the harness between queries
+    read.count() // materialize the cache (cleared by the harness per query)
+    read.agg(
+      count(when(col("_corrupt_record").isNull, 1)).as("n_good"),
+      count(col("_corrupt_record")).as("n_corrupt"))
   }
 
   val corruptRecordsSql: String =

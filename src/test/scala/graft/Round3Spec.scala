@@ -290,6 +290,31 @@ class Round3Spec extends AnyFunSuite {
       s"no partial aggregation phase in:\n$plan")
   }
 
+  test("salted join shuffles on (key, salt) when broadcast is off") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q49_salted_join")(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"no shuffle join in:\n$plan")
+      assert(plan.contains("salt"), s"salt not in the join keys:\n$plan")
+      // and the salted result still equals the plain join's oracle shape
+      val direct = util.t(spark, sf, "events")
+        .join(util.t(spark, sf, "customer").filter(col("c_custkey") < 500),
+          col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n"), util.dsum(col("value")).as("sum_value"))
+        .orderBy(col("c_mktsegment"), col("event_type")).collect().toSeq
+      assert(df.collect().toSeq == direct)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("ReplaceHofCosine does not rewrite a self-product zip_with") {
     // zip_with(a, b, (x,y) -> x*x) is NOT a dot product — the guarded
     // pattern must leave it (and the whole round/divide tree) alone
