@@ -35,10 +35,20 @@ object Bench {
       }.sorted
       name -> times(times.length / 2)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val total = r3(if (results.nonEmpty) results.values.sum else 0.0)
+    // The driver captures only the last ~2000 chars of output: a
+    // 123-query map (~3.7 KB) overflowed that window in r3 and the
+    // line failed to parse. Inline map = the 20 heaviest queries
+    // (what a perf review needs); full per-query medians go to
+    // BENCH_DETAIL.json in the repo root.
+    val fullQs = results.toSeq.sortBy(-_._2)
+      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+    val top = fullQs.take(20).mkString("{", ",", "}")
+    val detailPath = java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json")
+    java.nio.file.Files.write(detailPath,
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries":${fullQs.mkString("{", ",", "}")},"sf":"$sfDir"}""".getBytes("UTF-8"))
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries":$top,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
