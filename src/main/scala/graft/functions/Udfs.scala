@@ -23,18 +23,22 @@ object Udfs {
 
   /** Scala UDF: cosine similarity over two double vectors. Left-to-right
     * fold like DuckDB's list_dot_product; rounding happens OUTSIDE the
-    * UDF with Spark's round() (same discipline as the HOF version). */
-  val cosineUdf = udf((a: Seq[Double], b: Seq[Double]) => {
-    var dot = 0.0
-    var na = 0.0
-    var nb = 0.0
-    var i = 0
-    val n = math.min(a.length, b.length) // ragged inputs must not throw
-    while (i < n) {
-      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
-    }
-    dot / (math.sqrt(na) * math.sqrt(nb))
-  })
+    * UDF with Spark's round() (same discipline as the HOF version).
+    * Ragged or null inputs yield NULL — the same malformed-input
+    * contract as the native `CosineSim` expression and its HOF twin,
+    * so all three declared cosine surfaces agree. */
+  val cosineUdf = udf((a: Seq[Double], b: Seq[Double]) =>
+    if (a == null || b == null || a.length != b.length) Option.empty[Double]
+    else {
+      var dot = 0.0
+      var na = 0.0
+      var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      Some(dot / (math.sqrt(na) * math.sqrt(nb)))
+    })
 
   /** Cosine of vec i vs vec i+250 via the Scala UDF. */
   def udfCosinePairs(spark: SparkSession, dir: String): DataFrame = {

@@ -36,10 +36,25 @@ case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
     leftTs: Expression, rightTs: Expression) extends BinaryNode {
+  // the exec's merge loop reads keys/timestamps as raw longs — reject
+  // other types at plan construction, not with a ClassCastException
+  // mid-job (the DataFrame builder checks too, but the plan can be
+  // constructed directly, e.g. by a future SQL surface)
+  AsOfJoinPlan.validate(Seq(leftKey, rightKey, leftTs, rightTs))
   override def output: Seq[Attribute] = left.output ++ right.output
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
     copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinPlan {
+  /** Long/timestamp only (both are long-backed internally). Skips
+    * unresolved expressions — those fail analysis on their own. */
+  def validate(exprs: Seq[Expression]): Unit =
+    exprs.filter(_.resolved).foreach { e =>
+      require(e.dataType == LongType || e.dataType == TimestampType,
+        s"as-of join: key/ts expression '${e.sql}' must be long or timestamp, got ${e.dataType}")
+    }
 }
 
 /** Planner strategy mapping the logical node to the exec — registered
@@ -57,6 +72,8 @@ case class AsOfJoinExec(
     leftKey: Expression, rightKey: Expression,
     leftTs: Expression, rightTs: Expression)
   extends SparkPlan with BinaryExecNode {
+
+  AsOfJoinPlan.validate(Seq(leftKey, rightKey, leftTs, rightTs))
 
   override def output: Seq[Attribute] = left.output ++ right.output
 
