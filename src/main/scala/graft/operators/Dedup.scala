@@ -37,6 +37,34 @@ object Dedup {
       | FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
       | WHERE len(ws) >= 3)""".stripMargin
 
+  /** The shingle relation, for operators (streaming near-dup) that
+    * verify candidate pairs against the same tokenization. */
+  private[operators] def shingleRel(spark: SparkSession, dir: String): DataFrame =
+    shingles(spark, dir)
+
+  /** Exact-Jaccard verification of a candidate pair set — the shared
+    * tail of every sketch-based near-dup path: rejoin candidates to
+    * the shingle relation, count intersections, J = i/(|A|+|B|−i),
+    * keep J ≥ 0.8. Linear in candidates × shingles-per-doc. The
+    * shingle relation is locally checkpointed (it feeds three joins)
+    * so no catalog-cache entry outlives the call. */
+  private[operators] def verifyCandidates(
+      spark: SparkSession, dir: String, candidates: DataFrame): DataFrame = {
+    val sh = shingles(spark, dir).localCheckpoint(true)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = candidates
+      .join(sh.select(col("doc_id").as("a_id"), col("s")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("s")), Seq("b_id", "s"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
+      .withColumn("jaccard", round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** Exact dedup: one representative (min doc_id) per identical text. */
   def exactDedup(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
@@ -350,20 +378,34 @@ object Dedup {
       .toDF("src", "dst").cache()
     var comp = edges.select(col("src").as("id")).distinct()
       .withColumn("root", col("id")).cache()
+    var cached = comp
     var changed = 1L
     while (changed > 0) {
-      val next = edges.join(comp, edges("src") === comp("id"))
-        .select(col("dst").as("id"), col("root"))
-        .union(comp)
-        .groupBy(col("id")).agg(min(col("root")).as("root"))
+      // propagation and convergence check fused into ONE job per
+      // round: the node's own row carries its previous root through
+      // the min-aggregation (propagated rows carry null, and every id
+      // has exactly one self row, so min(prev) is exact), so `changed`
+      // falls out of the same materialization instead of a second
+      // cached-vs-cached join job
+      val step = edges.join(comp, edges("src") === comp("id"))
+        .select(col("dst").as("id"), col("root"), lit(null).cast("long").as("prev"))
+        .union(comp.select(col("id"), col("root"), col("root").as("prev")))
+        .groupBy(col("id")).agg(min(col("root")).as("root"), min(col("prev")).as("prev"))
         .cache()
-      changed = next.join(comp.withColumnRenamed("root", "prev"), Seq("id"))
-        .filter(col("root") =!= col("prev")).count()
-      comp.unpersist()
-      comp = next
+      changed = step.filter(col("root") =!= col("prev")).count()
+      cached.unpersist()
+      cached = step
+      comp = step.select(col("id"), col("root"))
     }
+    // eager localCheckpoint: materializes the converged labels,
+    // truncates the per-round join lineage, and lets EVERY loop cache
+    // be released here — callers get a self-contained DataFrame and
+    // own no cache (the blocks are GC'd with the plan by the context
+    // cleaner, unlike catalog-cache entries)
+    val out = comp.localCheckpoint(true)
+    cached.unpersist()
     edges.unpersist()
-    comp
+    out
   }
 
   def clusterComponents(spark: SparkSession, dir: String): DataFrame =

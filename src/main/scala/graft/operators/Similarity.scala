@@ -154,6 +154,11 @@ object Similarity {
       .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
       .collect().zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](1)) }
+    // an empty/undersized hash-sample must fail loudly, not train a
+    // silently-smaller codebook (or NPE on head below)
+    require(codebook.length == k,
+      s"IVF codebook: hash-sample (mod $sampleMod) yields only ${codebook.length} " +
+        s"vectors for k=$k centroids — widen the sample or lower k")
     val dim = codebook.head._2.length
     for (_ <- 0 until rounds) {
       val cents = spark.createDataFrame(
@@ -234,8 +239,9 @@ object Similarity {
     val e = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val cents = trainCodebook(spark, e, ivfCentroids)
-    // cached: the (vec_id, cid) index feeds the bucket equi-join
-    val assign = assignToBuckets(e, cents, ivfMultiProbe).cache()
+    // the (vec_id, cid) index appears once in the plan — no cache
+    // (an uncollected cache here outlived the query in embedded use)
+    val assign = assignToBuckets(e, cents, ivfMultiProbe)
     val qAssign = assignToBuckets(e.filter(col("vec_id") < 20), cents, ivfNProbe)
       .select(col("vec_id").as("q_id"), col("cid"))
     val candidates = qAssign.join(assign, Seq("cid"))
@@ -243,6 +249,156 @@ object Similarity {
       .select(col("q_id"), col("vec_id")).distinct()
     val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     candidates
+      .join(e.select(col("vec_id").as("q_id"), col("v").as("vq")), Seq("q_id"))
+      .join(e, Seq("vec_id"))
+      .withColumn("cos", cosine(col("vq"), col("v")))
+      .withColumn("rk", row_number().over(wTop).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** Product quantization (PQ) top-k ANN — the third scale path
+    * (beside hyperplane LSH and IVF), and the one that changes the
+    * STORAGE equation: vectors are L2-normalized (so L2² = 2 − 2·cos
+    * and distance order = cosine order), split into `pqM` = 8
+    * subspaces of 8 dims, and each subvector is replaced by the id of
+    * its nearest subspace centroid — 64 float dims become 8 byte
+    * codes (32× compression), which is what lets a 100 TB vector
+    * corpus live in executor memory.
+    *
+    * Training (all M subspaces in the SAME jobs — no per-subspace
+    * loop): deterministic hash-sample → posexplode into (vec_id, m,
+    * subvector) → per-(m) k smallest-hash init → per-round nearest-
+    * centroid assignment (L2, against the broadcast codebook) and
+    * per-(m, cid, pos) decimal-mean recentering. The collected
+    * codebook is M·k·(dim/M) doubles — constant-sized, never
+    * data-sized.
+    *
+    * Search (ADC — asymmetric distance computation): each query
+    * builds its M×k distance table against the broadcast codebook;
+    * corpus CODES (8 tiny rows per vector, not 64 doubles) join the
+    * broadcast table on (m, cid), partial sums per (q, vec) give the
+    * approximate distance, a window keeps the `pqShortlist` best, and
+    * ONLY those rejoin their true vectors for exact cosine re-ranking
+    * (the standard PQ + re-rank recipe). The corpus-wide work touches
+    * nothing wider than (vec_id, m, cid) until the shortlist.
+    * Sketch-based → rows-only driver check; the spec asserts
+    * recall@5 vs exact brute force. */
+  val pqM = 8
+  /** 32 centroids per subspace (5 bits × 8 codes = 40 bits/vector).
+    * On these near-uniform synthetic vectors k=16 leaves recall@5
+    * ≈ 0.6 — measured sweep: (k=16, short=50) 0.63, (k=16, short=100)
+    * 0.79, (k=32, short=100) 0.88 at sf0.01 — clustered real
+    * embeddings quantize far better at the same budget. */
+  val pqK = 32
+  /** Exact-re-rank shortlist per query. Fixed here; at scale this is
+    * the recall knob that grows with corpus size (a fraction, like
+    * IVF's nprobe), costing only shortlist × dim re-rank work. */
+  val pqShortlist = 100
+
+  /** (m, cid, cv) per-subspace codebooks, trained on the
+    * hash-sampled, L2-normalized, subspace-split corpus. */
+  def trainPqCodebooks(spark: SparkSession, e: DataFrame,
+      m: Int, k: Int, rounds: Int = 3, sampleMod: Int = 4): DataFrame = {
+    val dim = 64
+    val sub = dim / m
+    // (vec_id, m, sv): the subspace split of the normalized vectors
+    def split(df: DataFrame) = df
+      .select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), j -> slice(nv, j * $sub + 1, $sub))"))
+        .as(Seq("m", "sv")))
+    val sample = split(normalized(e)
+        .filter(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0))
+      .localCheckpoint(true)
+    // init: per subspace, the k sample subvectors with the smallest
+    // owner hash (ties by vec_id) — deterministic, no RNG
+    val wInit = Window.partitionBy(col("m"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+    var codebook: Array[(Int, Int, Seq[Double])] = sample
+      .withColumn("rk", row_number().over(wInit)).filter(col("rk") <= k)
+      .collect().map(r => (r.getInt(1), r.getInt(3), r.getSeq[Double](2))) // (m, rk, sv)
+      .groupBy(_._1).toArray.flatMap { case (mi, rows) =>
+        rows.sortBy(_._2).zipWithIndex.map { case ((_, _, v), cid) => (mi, cid, v) }
+      }
+    require(codebook.length == m * k,
+      s"PQ training: sample yields ${codebook.length} init centroids, need ${m * k}")
+    for (_ <- 0 until rounds) {
+      val cents = spark.createDataFrame(codebook.toSeq).toDF("m", "cid", "cv")
+      val wNearest = Window.partitionBy(col("vec_id"), col("m"))
+        .orderBy(col("d2"), col("cid"))
+      val means = sample.join(broadcast(cents), Seq("m"))
+        .withColumn("d2", l2sq(col("sv"), col("cv")))
+        .withColumn("ark", row_number().over(wNearest))
+        .filter(col("ark") === 1)
+        .select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("m"), col("cid"), col("pos"))
+        .agg((sum(col("x").cast("decimal(27,15)")) / count(lit(1)))
+          .cast("double").as("cm"))
+        .collect().map(r => ((r.getInt(0), r.getInt(1)), (r.getInt(2), r.getDouble(3))))
+      val byCell = means.groupBy(_._1).map { case (key, rows) =>
+        key -> rows.map(_._2).sortBy(_._1).map(_._2).toSeq
+      }
+      codebook = codebook.map { case (mi, cid, prev) =>
+        (mi, cid, byCell.getOrElse((mi, cid), prev)) // empty cell keeps its centroid
+      }
+    }
+    spark.createDataFrame(codebook.toSeq).toDF("m", "cid", "cv")
+  }
+
+  /** Unit-normalize: (vec_id, nv) with |nv| = 1 (zero vectors guarded). */
+  private def normalized(e: DataFrame): DataFrame =
+    e.withColumn("nrm", expr(
+        "greatest(sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x)), 1e-12D)"))
+      .select(col("vec_id"), expr("transform(v, x -> x / nrm)").as("nv"))
+
+  /** Squared L2 between two equal-length double arrays (codegen HOF). */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+
+  /** PQ codes: (vec_id, m, cid) — the byte-code representation. */
+  private def pqEncode(split: DataFrame, cents: DataFrame): DataFrame = {
+    val wNearest = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("d2"), col("cid"))
+    split.join(broadcast(cents), Seq("m"))
+      .withColumn("d2", l2sq(col("sv"), col("cv")))
+      .withColumn("ark", row_number().over(wNearest))
+      .filter(col("ark") === 1)
+      .select(col("vec_id"), col("m"), col("cid"))
+  }
+
+  def pqTopk(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CosineSim.cosine
+    val sub = 64 / pqM
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = trainPqCodebooks(spark, e, pqM, pqK)
+    def split(df: DataFrame) = df
+      .select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${pqM - 1}), j -> slice(nv, j * $sub + 1, $sub))"))
+        .as(Seq("m", "sv")))
+    val codes = pqEncode(split(normalized(e)), cents)
+    // per-query ADC distance table: M×k entries per query — tiny, broadcast
+    val dtable = split(normalized(e.filter(col("vec_id") < 20)))
+      .withColumnRenamed("vec_id", "q_id")
+      .join(broadcast(cents), Seq("m"))
+      .withColumn("d2", l2sq(col("sv"), col("cv")))
+      .select(col("q_id"), col("m"), col("cid"), col("d2"))
+    // ADC scan: codes ⋈ broadcast table on (m, cid), sum the M lookups
+    val approx = codes.join(broadcast(dtable), Seq("m", "cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d2")).as("adist"), count(lit(1)).as("nm"))
+      .filter(col("nm") === pqM) // every subspace must contribute
+    val wShort = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))
+    val shortlist = approx
+      .withColumn("srk", row_number().over(wShort))
+      .filter(col("srk") <= pqShortlist)
+      .select(col("q_id"), col("vec_id"))
+    // exact re-rank of the shortlist only — the expensive join is
+    // linear in shortlist size, never corpus size
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    shortlist
       .join(e.select(col("vec_id").as("q_id"), col("v").as("vq")), Seq("q_id"))
       .join(e, Seq("vec_id"))
       .withColumn("cos", cosine(col("vq"), col("v")))
@@ -286,5 +442,6 @@ object Similarity {
     GQuery("sim_label_centroids", labelCentroids, Some(labelCentroidsSql)),
     GQuery("sim_ann_lsh", annLsh, None),
     GQuery("sim_ivf_topk", ivfTopk, None),
+    GQuery("sim_pq_topk", pqTopk, None),
   )
 }
