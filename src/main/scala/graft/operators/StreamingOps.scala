@@ -349,6 +349,93 @@ object StreamingOps {
     * machine must converge to the relational answer. */
   val streamDedupCorpusSql: String = graft.operators.Dedup.normalizedDedupSql
 
+  /** One (band, band_key) posting of one document's MinHash signature. */
+  case class BandedDoc(band: Int, band_key: Long, doc_id: Long)
+
+  /** State-v2 processor keyed by (band, band_key): a `ListState` of
+    * the doc ids already posted to this LSH bucket — the STREAMING
+    * LSH INDEX. Each arriving doc emits a candidate pair against
+    * every doc already in its bucket, then joins the bucket. The
+    * emitted pair set is arrival-order independent (every co-bucket
+    * pair meets exactly once, whichever doc arrives second), so the
+    * converged candidates equal the batch banding self-join. At
+    * 100 TB the bucket lists get a TTL and a hot-bucket cap (a
+    * degenerate shingle posting millions of docs to one bucket must
+    * degrade to sampling, not OOM the state store) — here buckets are
+    * bounded by the 8×2 banding of a bounded corpus. */
+  final class NearDupProcessor
+    extends StatefulProcessor[(Int, Long), BandedDoc, (Long, Long)] {
+    @transient private var seen: org.apache.spark.sql.streaming.ListState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getListState[Long]("seen", Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: (Int, Long), rows: Iterator[BandedDoc],
+        timerValues: TimerValues): Iterator[(Long, Long)] = {
+      val prior = seen.get().toArray
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val inBucket = scala.collection.mutable.HashSet.empty[Long] ++ prior
+      rows.foreach { d =>
+        if (!inBucket.contains(d.doc_id)) {
+          inBucket.foreach { other =>
+            out += (if (other < d.doc_id) (other, d.doc_id) else (d.doc_id, other))
+          }
+          inBucket += d.doc_id
+          seen.appendValue(d.doc_id)
+        }
+      }
+      out.iterator
+    }
+  }
+
+  /** Streaming INCREMENTAL near-dup detection — the second half of the
+    * 100 TB ingest-dedup story beside `stream_dedup_corpus` (exact):
+    * each arriving document computes its 16-hash MinHash signature
+    * IN-STREAM (pure projection: shingle array → per-permutation
+    * array_min — no shuffle before the bucket grouping), posts its 8
+    * band keys to the streaming LSH index, and candidate pairs fall
+    * out as buckets collide across micro-batches. The banding math is
+    * bit-identical to the batch `dedup_minhash_lsh` (same xxhash64
+    * permutations, same 8×2 bands), and the post-stream exact-Jaccard
+    * verification is the shared `Dedup.verifyCandidates` tail — so
+    * the converged result must EQUAL the batch LSH result exactly
+    * (spec-asserted; sketch-based → rows-only driver check). */
+  def streamNearDupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import spark.implicits._
+      val nHash = 16
+      val bands = 8
+      val name = uniq("neardup_stream")
+      val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+      val minCols = (0 until nHash).map(i =>
+        expr(s"array_min(transform(sh, s -> xxhash64($i, s)))").as(s"h$i"))
+      val banded: Dataset[BandedDoc] = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .withColumn("ws", split(col("text"), " "))
+        .filter(size(col("ws")) >= 3)
+        .withColumn("sh", array_distinct(expr(
+          "transform(sequence(1, size(ws)-2), i -> concat_ws(' ', element_at(ws,i), element_at(ws,i+1), element_at(ws,i+2)))")))
+        .select(col("doc_id") +: minCols: _*)
+        .select(col("doc_id"), posexplode(array(
+          (0 until bands).map(b => xxhash64(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))): _*))
+          .as(Seq("band", "band_key")))
+        .as[BandedDoc]
+      val q = banded.groupByKey(d => (d.band, d.band_key))
+        .transformWithState(new NearDupProcessor, TimeMode.None(), OutputMode.Append())
+        .toDF("a_id", "b_id")
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      q.processAllAvailable(); q.stop()
+      // a pair can surface from several bands — distinct before the
+      // exact-Jaccard verify shared with the batch LSH path
+      Dedup.verifyCandidates(spark, dir, spark.table(name).distinct())
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
   /** Streaming session windows: per-user sessions with a 30-minute
     * gap, closed by the watermark — the streaming twin of
     * `ks_session_window` (state per open session, evicted once the
@@ -419,6 +506,7 @@ object StreamingOps {
     GQuery("stream_stream_join", streamStreamJoin, Some(streamStreamJoinSql)),
     GQuery("stream_session_counts", streamSessionCounts, Some(streamSessionCountsSql)),
     GQuery("stream_dedup_corpus", streamDedupCorpus, Some(streamDedupCorpusSql)),
+    GQuery("stream_neardup_minhash", streamNearDupMinhash, None),
     GQuery("stream_upsert_snapshot", streamUpsertSnapshot, Some(streamUpsertSnapshotSql)),
   )
 }
