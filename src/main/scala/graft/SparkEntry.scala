@@ -16,6 +16,7 @@ object SparkEntry {
     operators.Multimodal.all ++
     operators.StreamingOps.all ++
     operators.Analytics.all ++
+    operators.SqlSurface.all ++
     operators.Sampling.all ++
     sources.FileSources.all ++
     functions.Udfs.all ++
