@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-4 additions: the streaming LSH near-dup index (must converge
+  * to the batch LSH answer), the modern SQL surface (recursive CTE /
+  * VARIANT / SQL UDF / pipe syntax), the one-pass column profiler,
+  * and regression specs for the round's hardening (UDF null contract,
+  * oversized-token sketch serialization, as-of type validation,
+  * undersized-codebook guard). */
+class Round4Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("streaming minhash near-dup converges to the batch LSH result") {
+    // identical banding math + shared exact-Jaccard verify ⇒ the
+    // streaming index must reproduce dedup_minhash_lsh row-for-row
+    val streamed = SparkEntry.queries("stream_neardup_minhash")(spark, sf).collect().toSeq
+    val batch = SparkEntry.queries("dedup_minhash_lsh")(spark, sf).collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("recursive CTE spine reports all 12 months, empty ones as zero") {
+    val rows = SparkEntry.queries("q51_recursive_cte")(spark, sf).collect()
+    assert(rows.length == 12)
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 12))
+    // the spine must keep months with no 1995 orders (count 0), which
+    // a plain GROUP BY would drop
+    assert(rows.forall(_.getLong(1) >= 0L))
+  }
+
+  test("variant extraction agrees with the string JSON path") {
+    val v = SparkEntry.queries("q52_variant_json")(spark, sf)
+    val viaString = util.t(spark, sf, "events")
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"), col("value"))
+      .groupBy((col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n_events"), util.dsum(col("value")).as("total_value"))
+      .orderBy(col("k_bucket"))
+    assert(v.collect().toSeq == viaString.collect().toSeq)
+  }
+
+  test("SQL UDF result equals the inlined expression; pipe equals nested") {
+    val udfRows = SparkEntry.queries("q53_sql_udf")(spark, sf)
+    val inlined = spark.sql(
+      s"""SELECT l_returnflag, count(*) AS n,
+         | ${util.sqlDsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS disc_revenue
+         |FROM lineitem_su GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    assert(udfRows.collect().toSeq == inlined.collect().toSeq)
+    val pipe = SparkEntry.queries("q54_pipe_syntax")(spark, sf)
+    val nested = spark.sql(
+      s"""SELECT l_returnflag, count(*) AS n, ${util.sqlDsum("l_extendedprice")} AS revenue
+         |FROM lineitem_ps WHERE l_shipdate >= timestamp '1995-01-01 00:00:00'
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    assert(pipe.collect().toSeq == nested.collect().toSeq)
+  }
+
+  test("column profiler matches per-column ground truth in one pass") {
+    val prof = SparkEntry.queries("meta_profile_columns")(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val li = util.t(spark, sf, "lineitem")
+    val n = li.count()
+    assert(prof.size == 4)
+    assert(prof("l_orderkey").getLong(1) == n)
+    assert(prof("l_orderkey").getLong(2) == li.filter(col("l_orderkey").isNull).count())
+    assert(prof("l_returnflag").getLong(3) ==
+      li.select(countDistinct(col("l_returnflag"))).head().getLong(0))
+    assert(prof("l_quantity").getString(4).toDouble ==
+      li.agg(min(col("l_quantity"))).head().getDouble(0))
+  }
+
+  test("PQ top-k recall@5 vs exact brute force is >= 0.8") {
+    val pq = SparkEntry.queries("sim_pq_topk")(spark, sf)
+      .select(col("q_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = SparkEntry.queries("sim_topk_bruteforce")(spark, sf)
+      .select(col("q_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (pq intersect bf).size.toDouble / bf.size
+    assert(recall >= 0.8, s"PQ recall@5 = $recall")
+  }
+
+  test("PQ codebook training is deterministic across runs") {
+    val e = util.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    def train() = operators.Similarity
+      .trainPqCodebooks(spark, e, operators.Similarity.pqM, operators.Similarity.pqK)
+      .orderBy(col("m"), col("cid")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    assert(train().toSeq == train().toSeq)
+  }
+
+  test("scalar cosine UDF yields NULL on ragged input (native-expression parity)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0, 2.0), Seq(1.0, 2.0)),
+      (2L, Seq(1.0, 2.0), Seq(1.0))
+    ).toDF("id", "a", "b")
+    val out = df.select(col("id"), functions.Udfs.cosineUdf(col("a"), col("b")).as("c"))
+      .orderBy(col("id")).collect()
+    assert(!out(0).isNullAt(1) && math.abs(out(0).getDouble(1) - 1.0) < 1e-12)
+    assert(out(1).isNullAt(1), "ragged input must be NULL, not a prefix cosine")
+  }
+
+  test("Misra-Gries buffers round-trip terms whose UTF-8 exceeds 64 KiB") {
+    val mg = functions.MisraGriesTopK(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"), 4)
+    val buf = mg.createAggregationBuffer()
+    val huge = "é" * 40000 // 80 KB encoded — writeUTF would throw
+    buf.update(huge, 7L)
+    buf.update("small", 2L)
+    val back = mg.deserialize(mg.serialize(buf))
+    assert(back(huge) == 7L && back("small") == 2L)
+  }
+
+  test("as-of join plan rejects non-long/timestamp keys at construction") {
+    import spark.implicits._
+    val l = Seq(("a", 1L)).toDF("k", "ts").queryExecution.analyzed
+    val strKey = l.output.find(_.name == "k").get
+    val tsCol = l.output.find(_.name == "ts").get
+    val e = intercept[IllegalArgumentException] {
+      plans.AsOfJoinPlan(l, l, strKey, strKey, tsCol, tsCol)
+    }
+    assert(e.getMessage.contains("must be long or timestamp"))
+  }
+
+  test("codebook training fails loudly when the sample is smaller than k") {
+    import spark.implicits._
+    val tiny = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "v")
+    val e = intercept[IllegalArgumentException] {
+      operators.Similarity.trainCodebook(spark, tiny, 16, rounds = 1, sampleMod = 1)
+    }
+    assert(e.getMessage.contains("hash-sample"))
+  }
+}
