@@ -414,6 +414,70 @@ object Dedup {
       .select(col("root").as("component"), col("n_members"), col("max_member"))
       .orderBy(col("component"))
 
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", 2014) — the scale path the min-label propagation's
+    * doc promises: propagation needs component-DIAMETER rounds (fine
+    * for shallow near-dup clusters, hostile to adversarial chains),
+    * star contraction converges in rounds logarithmic in component
+    * size regardless of diameter. Per round both operations are one
+    * aggregation + one equi-join on the (tiny) pair graph:
+    * - large-star: every node's larger neighbors re-point at the min
+    *   of its neighborhood (including itself),
+    * - small-star: every node and its smaller neighbors re-point at
+    *   its smallest neighbor.
+    * Both preserve connectivity; the fixed point is a star per
+    * component with every node pointing at the component min. The
+    * fixed-point test is a (count, hash-sum) pair from one action per
+    * round; each round's edge set is eagerly checkpointed, so lineage
+    * stays one round deep. */
+  private[graft] def starLabels(pairs0: DataFrame): DataFrame = {
+    // orient (u, v) with u > v; self-loops dropped
+    var e = pairs0.toDF("a", "b")
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+      .distinct().localCheckpoint(true)
+    def largeStar(ed: DataFrame): DataFrame = {
+      val bi = ed.select(col("u"), col("v")).union(ed.select(col("v").as("u"), col("u").as("v")))
+      val m = bi.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      bi.join(m, Seq("u")).filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")).distinct()
+    }
+    def smallStar(ed: DataFrame): DataFrame = {
+      val m = ed.groupBy(col("u")).agg(min(col("v")).as("m"))
+      ed.join(m, Seq("u")).filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(m.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    var fp = (-1L, -1L)
+    var prev = (-2L, -2L)
+    while (fp != prev) {
+      prev = fp
+      e = smallStar(largeStar(e)).localCheckpoint(true)
+      // bit_xor, not sum: an order-independent fingerprint of the
+      // (distinct) edge set that cannot overflow under ANSI mode
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+      fp = (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    // fixed point = stars: every non-root points at its component min
+    nodes.join(e.select(col("u").as("id"), col("v").as("root")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("root"))
+  }
+
+  /** The clustering report over [[starLabels]] — same relation (and
+    * same DuckDB recursive-closure oracle) as `dedup_cluster_components`,
+    * produced by the contraction algorithm instead of propagation. */
+  def clusterComponentsStar(spark: SparkSession, dir: String): DataFrame =
+    starLabels(jaccardPairs(spark, dir).select(col("a_id"), col("b_id")))
+      .groupBy(col("root"))
+      .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_member"))
+      .select(col("root").as("component"), col("n_members"), col("max_member"))
+      .orderBy(col("component"))
+
   val clusterComponentsSql: String =
     s"""WITH RECURSIVE $shinglesSqlCte,
        | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -573,6 +637,7 @@ object Dedup {
     GQuery("pipeline_train_corpus", trainCorpus, Some(trainCorpusSql)),
     GQuery("dedup_apply_components", applyComponents, Some(applyComponentsSql)),
     GQuery("dedup_cluster_components", clusterComponents, Some(clusterComponentsSql)),
+    GQuery("dedup_cluster_star", clusterComponentsStar, Some(clusterComponentsSql)),
     GQuery("dedup_apply_neardup", applyNearDup, Some(applyNearDupSql)),
     GQuery("dedup_apply_minhash", applyNearDupMinhash, None),
     GQuery("dedup_contamination", contamination, Some(contaminationSql)),

@@ -90,6 +90,20 @@ class Round4Spec extends AnyFunSuite {
     assert(train().toSeq == train().toSeq)
   }
 
+  test("star-contraction components equal min-label propagation (and handle chains)") {
+    import spark.implicits._
+    // same pair graph, two algorithms, identical labels
+    val viaStar = SparkEntry.queries("dedup_cluster_star")(spark, sf).collect().toSeq
+    val viaProp = SparkEntry.queries("dedup_cluster_components")(spark, sf).collect().toSeq
+    assert(viaStar.nonEmpty && viaStar == viaProp)
+    // a 12-node path — the diameter-hostile shape the algorithm exists
+    // for — must collapse to one component rooted at the min
+    val chain = (1L to 11L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val labels = operators.Dedup.starLabels(chain)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels.size == 12 && labels.values.forall(_ == 1L))
+  }
+
   test("scalar cosine UDF yields NULL on ragged input (native-expression parity)") {
     import spark.implicits._
     val df = Seq(
