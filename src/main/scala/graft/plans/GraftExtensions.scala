@@ -36,6 +36,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[CosineSim].getName, "graft_cosine"),
       (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
+    // SQL surface for the native sketch aggregate:
+    //   SELECT graft_heavy_hitters(term, 64) FROM … — the analyzer
+    // wraps the returned AggregateFunction in an AggregateExpression
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_heavy_hitters"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.MisraGriesTopK].getName, "graft_heavy_hitters"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2 && exprs(1).foldable,
+          "graft_heavy_hitters(term, capacity) — capacity must be a literal")
+        graft.functions.MisraGriesTopK(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue())
+      }))
   }
 }
 

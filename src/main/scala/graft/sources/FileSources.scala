@@ -72,6 +72,25 @@ object FileSources {
 
   val avroRoundtripSql: String = jsonRoundtripSql
 
+  /** ORC sink + source round-trip — the remaining columnar format in
+    * the distribution (native `orc` short name, vectorized reader).
+    * Carries the timestamp column too: ORC round-trips it at
+    * microsecond precision, which must survive losslessly. */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = uniq("orc")
+    t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .write.mode(SaveMode.Overwrite).orc(out)
+    spark.read.schema("event_id bigint, user_id bigint, event_type string, ts timestamp")
+      .orc(out)
+      .orderBy(col("event_id"))
+  }
+
+  val orcRoundtripSql: String =
+    """SELECT event_id, user_id, event_type,
+      | date_trunc('microseconds', ts) AS ts
+      |FROM events ORDER BY event_id""".stripMargin
+
   /** Hive-style partitioned write + partition-pruned read: the filter
     * on the partition column never touches non-matching files (the
     * plan's PartitionFilters — asserted in ComponentSpec). At 100 TB
@@ -278,6 +297,7 @@ object FileSources {
     GQuery("src_json_roundtrip", jsonRoundtrip, Some(jsonRoundtripSql)),
     GQuery("src_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),
     GQuery("src_avro_roundtrip", avroRoundtrip, Some(avroRoundtripSql)),
+    GQuery("src_orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql)),
     GQuery("src_partitioned_pruning", partitionedPruning, Some(partitionedPruningSql)),
     GQuery("src_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
   )

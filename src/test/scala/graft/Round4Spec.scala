@@ -127,6 +127,25 @@ class Round4Spec extends AnyFunSuite {
     assert(back(huge) == 7L && back("small") == 2L)
   }
 
+  test("graft_heavy_hitters is SQL-callable and exact above the vocabulary size") {
+    util.t(spark, sf, "lineitem").createOrReplaceTempView("li_hh")
+    val viaSql = spark.sql(
+      "SELECT inline(graft_heavy_hitters(l_returnflag, 8)) FROM li_hh")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val truth = util.t(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(viaSql == truth) // capacity 8 > 3 distinct flags ⇒ exact
+  }
+
+  test("src_orc_roundtrip preserves microsecond timestamps") {
+    val back = SparkEntry.queries("src_orc_roundtrip")(spark, sf).collect().toSeq
+    val orig = util.t(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .orderBy(col("event_id")).collect().toSeq
+    assert(back.nonEmpty && back == orig)
+  }
+
   test("as-of join plan rejects non-long/timestamp keys at construction") {
     import spark.implicits._
     val l = Seq(("a", 1L)).toDF("k", "ts").queryExecution.analyzed
