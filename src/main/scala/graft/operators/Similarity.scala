@@ -300,6 +300,13 @@ object Similarity {
   /** (m, cid, cv) per-subspace codebooks, trained on the
     * hash-sampled, L2-normalized, subspace-split corpus. */
   def trainPqCodebooks(spark: SparkSession, e: DataFrame,
+      m: Int, k: Int, rounds: Int = 3, sampleMod: Int = 4): DataFrame =
+    trainPqOnPrepared(spark, normalized(e), m, k, rounds, sampleMod)
+
+  /** PQ training over an already-prepared (vec_id, nv) frame — `nv` is
+    * used as-is (the IVF-PQ path feeds RESIDUALS here, which must not
+    * be re-normalized). */
+  def trainPqOnPrepared(spark: SparkSession, prepared: DataFrame,
       m: Int, k: Int, rounds: Int = 3, sampleMod: Int = 4): DataFrame = {
     val dim = 64
     val sub = dim / m
@@ -308,7 +315,7 @@ object Similarity {
       .select(col("vec_id"), posexplode(expr(
         s"transform(sequence(0, ${m - 1}), j -> slice(nv, j * $sub + 1, $sub))"))
         .as(Seq("m", "sv")))
-    val sample = split(normalized(e)
+    val sample = split(prepared
         .filter(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0))
       .localCheckpoint(true)
     // init: per subspace, the k sample subvectors with the smallest
@@ -408,6 +415,95 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** IVF-PQ top-k ANN — the two index families COMPOSED, which is the
+    * architecture production vector stores actually deploy (FAISS
+    * `IVFx,PQy`): a coarse k-means quantizer routes each vector to one
+    * inverted list, and the vector's RESIDUAL against its coarse
+    * centroid is product-quantized to byte codes. Queries probe their
+    * `ivfpqNProbe` nearest lists only; within a probed list, ADC runs
+    * against a per-(query, list) residual distance table. So the scan
+    * cost is (probed fraction of corpus) × (bytes not floats) — IVF
+    * prunes, PQ compresses, and both knobs compose multiplicatively.
+    * Residual quantization is what makes PQ accurate here: residuals
+    * are centered near zero with far less variance than raw vectors,
+    * so the same 8×32 codebook spends its resolution where the data
+    * is. Exact cosine re-rank of the shortlist, as in [[pqTopk]].
+    * Sketch-based → rows-only check; recall + determinism specs. */
+  /** Query-side lists probed (of 16). Wider than `sim_ivf_topk`'s 6:
+    * the IVFPQ index posts each vector to ONE list (the standard
+    * layout — index size n, not multi-probe's 2n), so on these
+    * near-uniform vectors the query side buys the recall back.
+    * Measured recall@5: nprobe 6 → 0.65/0.66 (sf0.001/sf0.01),
+    * nprobe 10 → 0.78/0.83. Clustered real embeddings probe fewer. */
+  val ivfpqNProbe = 10
+
+  def ivfpqTopk(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CosineSim.cosine
+    val sub = 64 / pqM
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val en = normalized(e) // (vec_id, nv), |nv| = 1 ⇒ L2 order = cosine order
+    val coarse = trainCodebook(spark, en.withColumnRenamed("nv", "v"), ivfCentroids)
+    // one inverted list per vector (the standard IVFPQ layout); the
+    // residual r = nv − c is what gets product-quantized
+    val wA = Window.partitionBy(col("vec_id")).orderBy(col("ac").desc, col("cid"))
+    def residuals(df: DataFrame, n: Int): DataFrame =
+      df.crossJoin(broadcast(coarse))
+        .withColumn("ac", cosine(col("nv"), col("cv")))
+        .withColumn("ark", row_number().over(wA))
+        .filter(col("ark") <= n)
+        .select(col("vec_id"), col("cid"),
+          zip_with(col("nv"), col("cv"), (x, c) => x - c).as("rv"))
+    val corpusResid = residuals(en, 1)
+    val pqc = trainPqOnPrepared(spark,
+      corpusResid.select(col("vec_id"), col("rv").as("nv")), pqM, pqK)
+    def splitR(df: DataFrame) = df
+      .select(col("vec_id"), col("cid"), posexplode(expr(
+        s"transform(sequence(0, ${pqM - 1}), j -> slice(rv, j * $sub + 1, $sub))"))
+        .as(Seq("m", "sv")))
+    // codes: (vec_id, list cid, m, code) — disambiguate the two
+    // centroid-id namespaces (coarse list vs PQ code)
+    val wC = Window.partitionBy(col("vec_id"), col("cid"), col("m"))
+      .orderBy(col("d2"), col("code"))
+    val codes = splitR(corpusResid)
+      .join(broadcast(pqc.withColumnRenamed("cid", "code")), Seq("m"))
+      .withColumn("d2", l2sq(col("sv"), col("cv")))
+      .withColumn("crk", row_number().over(wC))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("cid"), col("m"), col("code"))
+    // query side: nprobe residuals → per-(q, list) ADC distance tables
+    val qResid = residuals(en.filter(col("vec_id") < 20), ivfpqNProbe)
+      .withColumnRenamed("vec_id", "q_id")
+    val dtable = qResid
+      .select(col("q_id"), col("cid"), posexplode(expr(
+        s"transform(sequence(0, ${pqM - 1}), j -> slice(rv, j * $sub + 1, $sub))"))
+        .as(Seq("m", "sv")))
+      .join(broadcast(pqc.withColumnRenamed("cid", "code")), Seq("m"))
+      .withColumn("d2", l2sq(col("sv"), col("cv")))
+      .select(col("q_id"), col("cid"), col("m"), col("code"), col("d2"))
+    // ADC: a corpus vector participates only if its list was probed by
+    // the query — the join on (cid, m, code) IS the IVF pruning
+    val approx = codes.join(broadcast(dtable), Seq("cid", "m", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d2")).as("adist"), count(lit(1)).as("nm"))
+      .filter(col("nm") === pqM)
+    val wShort = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))
+    val shortlist = approx
+      .withColumn("srk", row_number().over(wShort))
+      .filter(col("srk") <= pqShortlist)
+      .select(col("q_id"), col("vec_id"))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    shortlist
+      .join(e.select(col("vec_id").as("q_id"), col("v").as("vq")), Seq("q_id"))
+      .join(e, Seq("vec_id"))
+      .withColumn("cos", cosine(col("vq"), col("v")))
+      .withColumn("rk", row_number().over(wTop).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   /** Int8 embedding quantization — the storage/bandwidth operator a
     * 100 TB vector corpus runs before indexing: per-vector symmetric
     * scale (max |x| / 127), quantize to [-127, 127], dequantize, and
@@ -443,5 +539,6 @@ object Similarity {
     GQuery("sim_ann_lsh", annLsh, None),
     GQuery("sim_ivf_topk", ivfTopk, None),
     GQuery("sim_pq_topk", pqTopk, None),
+    GQuery("sim_ivfpq_topk", ivfpqTopk, None),
   )
 }

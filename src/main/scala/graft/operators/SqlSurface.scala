@@ -122,6 +122,32 @@ object SqlSurface {
        |WHERE l_shipdate >= timestamp '1995-01-01 00:00:00'
        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Correlated EXISTS and NOT EXISTS in one predicate: customers with
+    * at least one open order but no order above 300k. Catalyst
+    * decorrelates both into semi/anti joins — the plan never builds a
+    * per-customer subquery loop. */
+  def q55ExistsSubquery(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("customer_ex")
+    t(spark, dir, "orders").createOrReplaceTempView("orders_ex")
+    spark.sql(
+      """SELECT c_custkey, c_acctbal
+        |FROM customer_ex c
+        |WHERE EXISTS (SELECT 1 FROM orders_ex o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+        |  AND NOT EXISTS (SELECT 1 FROM orders_ex o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val q55Sql: String =
+    """SELECT c_custkey, c_acctbal
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+      |ORDER BY c_custkey""".stripMargin
+
   /** One-pass column profiler — the data-quality scan a 100 TB ingest
     * runs before anything else: per column, null count, exact distinct
     * count, min/max (rendered as strings so heterogeneous column types
@@ -167,6 +193,7 @@ object SqlSurface {
     GQuery("q52_variant_json", q52VariantJson, Some(q52Sql)),
     GQuery("q53_sql_udf", q53SqlUdf, Some(q53Sql)),
     GQuery("q54_pipe_syntax", q54PipeSyntax, Some(q54Sql)),
+    GQuery("q55_exists_subquery", q55ExistsSubquery, Some(q55Sql)),
     GQuery("meta_profile_columns", profileColumns, Some(profileColumnsSql)),
   )
 }
