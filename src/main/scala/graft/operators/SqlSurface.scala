@@ -188,12 +188,56 @@ object SqlSurface {
       .map(one).mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY \"column\"")
   }
 
+  /** Runtime bloom-filter join pruning — Spark's runtime filter
+    * builds a bloom filter from the SELECTIVE (filtered-dimension)
+    * side of a shuffle join and pushes `might_contain` into the fact
+    * scan, so fact rows that cannot join are dropped BEFORE the
+    * shuffle — at 100 TB this is the difference between shuffling the
+    * whole fact table and shuffling the matching slice. The
+    * injection thresholds assume warehouse-sized inputs (application
+    * side ≥ 10 GB), so this entry scopes them down (and disables
+    * broadcast, which would otherwise win at bench scale) and
+    * materializes inside the scope; the plan spec asserts
+    * `might_contain` reached the scan. Results are identical with or
+    * without the filter — the oracle checks values, the spec checks
+    * the plan. */
+  def q56BloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val urgent = t(spark, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val joined = t(spark, dir, "lineitem")
+        .join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy(col("l_returnflag"))
+      // materialize inside the scoped confs so the executed plan IS
+      // the bloom-pruned one (lazy execution would see restored confs)
+      joined.localCheckpoint(true)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  val q56Sql: String =
+    s"""SELECT l_returnflag, count(*) AS n, ${sqlDsum("l_extendedprice")} AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE o_orderpriority = '1-URGENT'
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val all: Seq[GQuery] = Seq(
     GQuery("q51_recursive_cte", q51RecursiveCte, Some(q51Sql)),
     GQuery("q52_variant_json", q52VariantJson, Some(q52Sql)),
     GQuery("q53_sql_udf", q53SqlUdf, Some(q53Sql)),
     GQuery("q54_pipe_syntax", q54PipeSyntax, Some(q54Sql)),
     GQuery("q55_exists_subquery", q55ExistsSubquery, Some(q55Sql)),
+    GQuery("q56_bloom_runtime_filter", q56BloomJoin, Some(q56Sql)),
     GQuery("meta_profile_columns", profileColumns, Some(profileColumnsSql)),
   )
 }

@@ -91,6 +91,69 @@ object FileSources {
       | date_trunc('microseconds', ts) AS ts
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** Z-ORDER layout — multi-column data clustering for file skipping.
+    * A single-column sort gives perfect min/max pruning on that column
+    * and none on any other; interleaving the bits of two filter
+    * columns (the z-value) and range-partitioning on it gives BOTH
+    * columns partial locality, so parquet min/max stats prune files
+    * for predicates on either — the reason warehouse layouts z-order
+    * their two or three hottest filter columns at 100 TB. This entry
+    * writes lineitem twice (z-ordered vs orderkey-sorted), reads back
+    * per-file min/max spans via input_file_name, and reports the mean
+    * span fraction per (layout, column): z-order must shrink the
+    * non-sort column's span far below the sorted layout's ~1.0
+    * (spec-asserted). File-boundary sampling makes exact spans
+    * run-specific → rows-only check; the spec carries the guarantee. */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    // Scale BOTH columns onto a common 16-bit grid before interleaving
+    // — raw keys have unequal bit-widths (orderkey ~ 8× partkey), and
+    // un-normalized interleave puts only the wider column in the
+    // z-value's high bits, silently degenerating to a single-column
+    // sort. One tiny agg (min/max per column) broadcast into the
+    // scaling expression; at 100 TB these bounds come from table stats.
+    val b = li.agg(
+      min(col("l_orderkey")).as("o_lo"), max(col("l_orderkey")).as("o_hi"),
+      min(col("l_partkey")).as("p_lo"), max(col("l_partkey")).as("p_hi"))
+    def scaled(c: String, lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      ((col(c) - lo).cast("double") / greatest(hi - lo, lit(1)).cast("double") * 65535.0)
+        .cast("bigint")
+    val z = expr(
+      """aggregate(sequence(0, 15), cast(0 as bigint), (acc, i) ->
+        |  acc + shiftleft(shiftright(so, i) & 1, 2 * i)
+        |      + shiftleft(shiftright(sp, i) & 1, 2 * i + 1))""".stripMargin)
+    val files = 8
+    val zOut = uniq("zorder")
+    val sOut = uniq("sorted")
+    li.crossJoin(broadcast(b))
+      .withColumn("so", scaled("l_orderkey", col("o_lo"), col("o_hi")))
+      .withColumn("sp", scaled("l_partkey", col("p_lo"), col("p_hi")))
+      .withColumn("zv", z)
+      .select(col("l_orderkey"), col("l_partkey"), col("zv"))
+      .repartitionByRange(files, col("zv"))
+      .drop("zv").write.mode(SaveMode.Overwrite).parquet(zOut)
+    li.repartitionByRange(files, col("l_orderkey"))
+      .write.mode(SaveMode.Overwrite).parquet(sOut)
+    def spans(path: String, layout: String): DataFrame = {
+      val df = spark.read.parquet(path)
+        .select(input_file_name().as("f"), col("l_orderkey"), col("l_partkey"))
+      val g = df.agg(
+        (max(col("l_orderkey")) - min(col("l_orderkey"))).cast("double").as("ro"),
+        (max(col("l_partkey")) - min(col("l_partkey"))).cast("double").as("rp"))
+      df.groupBy(col("f"))
+        .agg((max(col("l_orderkey")) - min(col("l_orderkey"))).cast("double").as("so"),
+          (max(col("l_partkey")) - min(col("l_partkey"))).cast("double").as("sp"))
+        .crossJoin(broadcast(g))
+        .agg(avg(col("so") / col("ro")).as("l_orderkey"), avg(col("sp") / col("rp")).as("l_partkey"))
+        .select(lit(layout).as("layout"), explode(map(
+          lit("l_orderkey"), col("l_orderkey"),
+          lit("l_partkey"), col("l_partkey"))).as(Seq("column", "avg_file_span")))
+    }
+    spans(zOut, "zorder").union(spans(sOut, "sorted_by_orderkey"))
+      .select(col("layout"), col("column"), round(col("avg_file_span"), 3).as("avg_file_span"))
+      .orderBy(col("layout"), col("column"))
+  }
+
   /** Hive-style partitioned write + partition-pruned read: the filter
     * on the partition column never touches non-matching files (the
     * plan's PartitionFilters — asserted in ComponentSpec). At 100 TB
@@ -298,6 +361,7 @@ object FileSources {
     GQuery("src_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),
     GQuery("src_avro_roundtrip", avroRoundtrip, Some(avroRoundtripSql)),
     GQuery("src_orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql)),
+    GQuery("src_zorder_layout", zorderLayout, None),
     GQuery("src_partitioned_pruning", partitionedPruning, Some(partitionedPruningSql)),
     GQuery("src_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
   )

@@ -184,6 +184,42 @@ class Round4Spec extends AnyFunSuite {
     assert(e.getMessage.contains("must be long or timestamp"))
   }
 
+  test("runtime bloom filter from the filtered dimension reaches the fact scan") {
+    // q56's value claim is the PLAN (fact rows dropped pre-shuffle);
+    // the oracle checks the values. Reproduce the scoped confs and
+    // assert might_contain made it into the optimized plan.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val urgent = util.t(spark, sf, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val joined = util.t(spark, sf, "lineitem")
+        .join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag")).count()
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"), s"no runtime bloom filter in:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("z-order layout clusters BOTH filter columns; single sort only one") {
+    val spans = SparkEntry.queries("src_zorder_layout")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // sorted layout: near-perfect on the sort column, useless on the other
+    assert(spans(("sorted_by_orderkey", "l_orderkey")) < 0.35)
+    assert(spans(("sorted_by_orderkey", "l_partkey")) > 0.9)
+    // z-order: both columns meaningfully clustered — every file's
+    // min/max span covers well under the full range of either key
+    assert(spans(("zorder", "l_orderkey")) < 0.8)
+    assert(spans(("zorder", "l_partkey")) < 0.8)
+  }
+
   test("codebook training fails loudly when the sample is smaller than k") {
     import spark.implicits._
     val tiny = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
