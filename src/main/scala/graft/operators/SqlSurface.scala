@@ -188,6 +188,48 @@ object SqlSurface {
       .map(one).mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY \"column\"")
   }
 
+  /** ANALYZE TABLE + catalog statistics — the warehouse operation that
+    * feeds cost-based optimization. Three tables are materialized into
+    * the catalog, `ANALYZE TABLE ... COMPUTE STATISTICS FOR ALL
+    * COLUMNS` records row counts, sizes, and per-column NDV/min/max/
+    * null stats, and the entry reports the catalog's row counts (which
+    * must equal the true counts — the oracle recounts the parquet).
+    * The spec goes further: with `spark.sql.cbo.enabled`, a filtered
+    * plan's estimated rowCount comes from the recorded column stats
+    * (FilterEstimation), i.e. the optimizer can size a join side
+    * BEFORE running it — at 100 TB the difference between a planned
+    * broadcast and a discovered-too-late shuffle. Catalog reads are
+    * driver-side meta ops, like the topology describe. */
+  // JVM-unique names: in-memory catalog forgets tables across JVMs but
+  // warehouse dirs persist (same pattern as FileSources' bucketed tables)
+  private val statsSuffix = java.util.UUID.randomUUID.toString.replace("-", "").take(8)
+  def statsTbl(base: String): String = s"graft_stats_${base}_$statsSuffix"
+
+  def cboStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tbls = Seq("customer", "nation", "region")
+    val rows = tbls.map { tb =>
+      val name = statsTbl(tb)
+      t(spark, dir, tb).write.mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable(name)
+      spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR ALL COLUMNS")
+      val meta = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name))
+      val st = meta.stats.getOrElse(sys.error(s"no stats recorded for $name"))
+      (tb, st.rowCount.map(_.toLong).getOrElse(-1L), st.colStats.size.toLong)
+    }
+    rows.toDF("tbl", "row_count", "n_cols_with_stats").orderBy(col("tbl"))
+  }
+
+  val cboStatsSql: String =
+    """SELECT * FROM (
+      | SELECT 'customer' AS tbl, count(*) AS row_count,
+      |  (SELECT count(*) FROM (DESCRIBE customer)) AS n_cols_with_stats FROM customer
+      | UNION ALL SELECT 'nation', count(*),
+      |  (SELECT count(*) FROM (DESCRIBE nation)) FROM nation
+      | UNION ALL SELECT 'region', count(*),
+      |  (SELECT count(*) FROM (DESCRIBE region)) FROM region
+      |) ORDER BY tbl""".stripMargin
+
   /** Runtime bloom-filter join pruning — Spark's runtime filter
     * builds a bloom filter from the SELECTIVE (filtered-dimension)
     * side of a shuffle join and pushes `might_contain` into the fact
@@ -231,6 +273,98 @@ object SqlSurface {
        |WHERE o_orderpriority = '1-URGENT'
        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** AQE skew-join handling — the RUNTIME complement to the manual
+    * salted join (`q49_salted_join`): Spark measures the shuffle's
+    * per-partition bytes at stage boundary, detects that one join
+    * partition dwarfs the median, and SPLITS it across tasks
+    * (replicating the matching build-side partition) with no query
+    * rewrite — the mechanism that saves a 1000-executor job when one
+    * hot key holds 98 % of the data. The skewed fact is constructed
+    * sf-independently (top-1000 lineitem rows × 50 replicas, 98 % on
+    * key 0, an md5 payload that defeats shuffle compression) and
+    * WRITTEN TO PARQUET first: skew splitting operates on map-output
+    * statistics of real scans. Thresholds are scoped down so the
+    * split fires at bench scale; the spec asserts `skew=true` in the
+    * executed join, the oracle replays the same data to check values
+    * are unchanged by the split. */
+  private def uniqPath(prefix: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_${prefix}_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+
+  /** Writes the deterministic skewed fact + dim tables; returns paths. */
+  def q57SkewData(spark: SparkSession, dir: String): (String, String) = {
+    val fact = t(spark, dir, "lineitem")
+      .orderBy(col("l_orderkey"), col("l_linenumber")).limit(1000)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .withColumn("rep", explode(expr("sequence(1, 50)")))
+      .withColumn("k",
+        when(col("rep") <= 49, 0L).otherwise(col("l_orderkey")))
+      .withColumn("payload",
+        md5(concat_ws("-", col("l_orderkey"), col("l_linenumber"), col("rep"))))
+    val lPath = uniqPath("skewfact")
+    val rPath = uniqPath("skewdim")
+    fact.repartition(4).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(lPath)
+    fact.select(col("k")).distinct()
+      .withColumn("attr", md5(col("k").cast("string")))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(rPath)
+    (lPath, rPath)
+  }
+
+  /** The scoped confs under which the skew split fires at test scale. */
+  val q57Confs: Seq[(String, String)] = Seq(
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+    "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+
+  def withConfs[A](spark: SparkSession, confs: Seq[(String, String)])(body: => A): A = {
+    val prev = confs.map { case (c, _) => c -> spark.conf.getOption(c) }
+    confs.foreach { case (c, v) => spark.conf.set(c, v) }
+    try body finally prev.foreach {
+      case (c, Some(v)) => spark.conf.set(c, v)
+      case (c, None) => spark.conf.unset(c)
+    }
+  }
+
+  /** The bare skewed join under the scoped confs (spec asserts its
+    * executed plan contains the skew split). */
+  def q57Join(spark: SparkSession, lPath: String, rPath: String): DataFrame =
+    spark.read.parquet(lPath)
+      .join(spark.read.parquet(rPath), Seq("k"))
+
+  def q57AqeSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (lPath, rPath) = q57SkewData(spark, dir)
+    withConfs(spark, q57Confs) {
+      q57Join(spark, lPath, rPath)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("k")).as("n_keys"),
+          max(col("payload")).as("max_payload"),
+          max(col("attr")).as("max_attr"),
+          dsum(col("l_quantity")).as("qty"))
+        .localCheckpoint(true) // materialize while the scoped confs hold
+    }
+  }
+
+  val q57Sql: String =
+    s"""WITH top1000 AS (
+       | SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+       | ORDER BY l_orderkey, l_linenumber LIMIT 1000),
+       |fact AS (
+       | SELECT l_orderkey, l_linenumber, l_quantity, rep,
+       |  CASE WHEN rep <= 49 THEN 0 ELSE l_orderkey END AS k,
+       |  md5(concat_ws('-', l_orderkey, l_linenumber, rep)) AS payload
+       | FROM top1000 CROSS JOIN (SELECT unnest(range(1, 51)) AS rep)),
+       |dim AS (
+       | SELECT k, md5(cast(k AS varchar)) AS attr FROM (SELECT DISTINCT k FROM fact))
+       |SELECT cast(count(*) as bigint) AS n_rows,
+       | cast(count(DISTINCT f.k) as bigint) AS n_keys,
+       | max(payload) AS max_payload, max(attr) AS max_attr,
+       | ${sqlDsum("l_quantity")} AS qty
+       |FROM fact f JOIN dim d ON f.k = d.k""".stripMargin
+
   val all: Seq[GQuery] = Seq(
     GQuery("q51_recursive_cte", q51RecursiveCte, Some(q51Sql)),
     GQuery("q52_variant_json", q52VariantJson, Some(q52Sql)),
@@ -238,6 +372,8 @@ object SqlSurface {
     GQuery("q54_pipe_syntax", q54PipeSyntax, Some(q54Sql)),
     GQuery("q55_exists_subquery", q55ExistsSubquery, Some(q55Sql)),
     GQuery("q56_bloom_runtime_filter", q56BloomJoin, Some(q56Sql)),
+    GQuery("q57_aqe_skew_join", q57AqeSkewJoin, Some(q57Sql)),
     GQuery("meta_profile_columns", profileColumns, Some(profileColumnsSql)),
+    GQuery("meta_cbo_stats", cboStats, Some(cboStatsSql)),
   )
 }

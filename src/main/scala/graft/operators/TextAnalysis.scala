@@ -369,7 +369,68 @@ object TextAnalysis {
       |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
       |GROUP BY w ORDER BY n DESC, term""".stripMargin
 
+  /** Bigram-LM perplexity scoring — the published corpus pipelines
+    * score every document against a small language model and drop the
+    * high-perplexity tail (wikipedia-trained KenLM in CCNet; here a
+    * bigram model with add-k smoothing trained on the corpus itself,
+    * which is the same plan shape). Distributed as three counting
+    * aggregations (bigram contexts, bigram pairs, vocab size) joined
+    * back to the exploded bigrams on their natural keys — the model
+    * "parameters" are a TABLE, not a driver-side object, so the same
+    * plan trains on one shard and scores 100 TB. Each bigram's
+    * -ln p(w2|w1) is rounded to 6 decimals and accumulated in exact
+    * decimal so the per-doc average is partition-order independent
+    * (the repo's float discipline). */
+  def perplexity(spark: SparkSession, dir: String): DataFrame = {
+    val alpha = 0.5
+    val docs = t(spark, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 2)
+    val bigrams = docs
+      .withColumn("b", explode(expr(
+        "transform(sequence(1, size(ws)-1), i -> struct(element_at(ws,i) AS w1, element_at(ws,i+1) AS w2))")))
+      .select(col("doc_id"), col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val pairCounts = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val ctxCounts = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("cw"))
+    val vocab = docs
+      .select(explode(col("ws")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val nll = bigrams
+      .join(pairCounts, Seq("w1", "w2"))
+      .join(ctxCounts, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("nll", round(
+        -log((col("cb") + alpha) / (col("cw") + lit(alpha) * col("v"))), 6))
+    nll.groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("nll").cast("decimal(18,6)")).as("s"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        round(col("s").cast("double") / col("n_bigrams"), 6).as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  val perplexitySql: String =
+    """WITH toks AS (
+      | SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+      |bg AS (
+      | SELECT doc_id, lang,
+      |  unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+      | FROM toks WHERE len(ws) >= 2),
+      |pc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+      |cc AS (SELECT w1, count(*) AS cw FROM bg GROUP BY 1),
+      |vb AS (
+      | SELECT count(DISTINCT w) AS v
+      | FROM (SELECT unnest(ws) AS w FROM toks WHERE len(ws) >= 2)),
+      |nll AS (
+      | SELECT doc_id, lang,
+      |  round(-ln((cb + 0.5) / (cw + 0.5 * v)), 6) AS nll
+      | FROM bg JOIN pc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN vb)
+      |SELECT doc_id, lang, count(*) AS n_bigrams,
+      | round(cast(sum(cast(nll as decimal(18,6))) as double) / count(*), 6) AS avg_nll
+      |FROM nll GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("text_perplexity", perplexity, Some(perplexitySql)),
     GQuery("text_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     GQuery("text_repetition_filter", repetitionFilter, Some(repetitionFilterSql)),
     GQuery("text_source_quality", sourceQuality, Some(sourceQualitySql)),

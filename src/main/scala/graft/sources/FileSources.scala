@@ -98,23 +98,25 @@ object FileSources {
     * columns partial locality, so parquet min/max stats prune files
     * for predicates on either — the reason warehouse layouts z-order
     * their two or three hottest filter columns at 100 TB. This entry
-    * writes lineitem twice (z-ordered vs orderkey-sorted), reads back
+    * writes orders twice (z-ordered vs orderkey-sorted), reads back
     * per-file min/max spans via input_file_name, and reports the mean
     * span fraction per (layout, column): z-order must shrink the
     * non-sort column's span far below the sorted layout's ~1.0
     * (spec-asserted). File-boundary sampling makes exact spans
-    * run-specific → rows-only check; the spec carries the guarantee. */
+    * run-specific → rows-only check; the spec carries the guarantee.
+    * Runs on orders (o_orderkey × o_custkey): the demonstration needs
+    * two independent keys, not the biggest table. */
   def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
-    val li = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val src = t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
     // Scale BOTH columns onto a common 16-bit grid before interleaving
-    // — raw keys have unequal bit-widths (orderkey ~ 8× partkey), and
-    // un-normalized interleave puts only the wider column in the
-    // z-value's high bits, silently degenerating to a single-column
-    // sort. One tiny agg (min/max per column) broadcast into the
-    // scaling expression; at 100 TB these bounds come from table stats.
-    val b = li.agg(
-      min(col("l_orderkey")).as("o_lo"), max(col("l_orderkey")).as("o_hi"),
-      min(col("l_partkey")).as("p_lo"), max(col("l_partkey")).as("p_hi"))
+    // — raw keys have unequal bit-widths, and un-normalized interleave
+    // puts only the wider column in the z-value's high bits, silently
+    // degenerating to a single-column sort. One tiny agg (min/max per
+    // column) broadcast into the scaling expression; at 100 TB these
+    // bounds come from table stats.
+    val b = src.agg(
+      min(col("o_orderkey")).as("o_lo"), max(col("o_orderkey")).as("o_hi"),
+      min(col("o_custkey")).as("p_lo"), max(col("o_custkey")).as("p_hi"))
     def scaled(c: String, lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       ((col(c) - lo).cast("double") / greatest(hi - lo, lit(1)).cast("double") * 65535.0)
         .cast("bigint")
@@ -125,29 +127,31 @@ object FileSources {
     val files = 8
     val zOut = uniq("zorder")
     val sOut = uniq("sorted")
-    li.crossJoin(broadcast(b))
-      .withColumn("so", scaled("l_orderkey", col("o_lo"), col("o_hi")))
-      .withColumn("sp", scaled("l_partkey", col("p_lo"), col("p_hi")))
+    src.crossJoin(broadcast(b))
+      .withColumn("so", scaled("o_orderkey", col("o_lo"), col("o_hi")))
+      .withColumn("sp", scaled("o_custkey", col("p_lo"), col("p_hi")))
       .withColumn("zv", z)
-      .select(col("l_orderkey"), col("l_partkey"), col("zv"))
+      .select(col("o_orderkey"), col("o_custkey"), col("zv"))
       .repartitionByRange(files, col("zv"))
       .drop("zv").write.mode(SaveMode.Overwrite).parquet(zOut)
-    li.repartitionByRange(files, col("l_orderkey"))
+    src.repartitionByRange(files, col("o_orderkey"))
       .write.mode(SaveMode.Overwrite).parquet(sOut)
     def spans(path: String, layout: String): DataFrame = {
-      val df = spark.read.parquet(path)
-        .select(input_file_name().as("f"), col("l_orderkey"), col("l_partkey"))
-      val g = df.agg(
-        (max(col("l_orderkey")) - min(col("l_orderkey"))).cast("double").as("ro"),
-        (max(col("l_partkey")) - min(col("l_partkey"))).cast("double").as("rp"))
-      df.groupBy(col("f"))
-        .agg((max(col("l_orderkey")) - min(col("l_orderkey"))).cast("double").as("so"),
-          (max(col("l_partkey")) - min(col("l_partkey"))).cast("double").as("sp"))
-        .crossJoin(broadcast(g))
-        .agg(avg(col("so") / col("ro")).as("l_orderkey"), avg(col("sp") / col("rp")).as("l_partkey"))
+      // per-file min/max in ONE scan; global ranges fold from the same
+      // 8 aggregate rows (max-of-maxes), no second pass over the data
+      val perFile = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col("o_orderkey")).as("o_min"), max(col("o_orderkey")).as("o_max"),
+          min(col("o_custkey")).as("p_min"), max(col("o_custkey")).as("p_max"))
+      perFile
+        .agg(
+          (avg(col("o_max") - col("o_min")) /
+            (max(col("o_max")) - min(col("o_min"))).cast("double")).as("o_span"),
+          (avg(col("p_max") - col("p_min")) /
+            (max(col("p_max")) - min(col("p_min"))).cast("double")).as("p_span"))
         .select(lit(layout).as("layout"), explode(map(
-          lit("l_orderkey"), col("l_orderkey"),
-          lit("l_partkey"), col("l_partkey"))).as(Seq("column", "avg_file_span")))
+          lit("o_orderkey"), col("o_span"),
+          lit("o_custkey"), col("p_span"))).as(Seq("column", "avg_file_span")))
     }
     spans(zOut, "zorder").union(spans(sOut, "sorted_by_orderkey"))
       .select(col("layout"), col("column"), round(col("avg_file_span"), 3).as("avg_file_span"))

@@ -208,16 +208,49 @@ class Round4Spec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits the skewed join partition at runtime (skew=true in the executed plan)") {
+    val (lPath, rPath) = operators.SqlSurface.q57SkewData(spark, sf)
+    operators.SqlSurface.withConfs(spark, operators.SqlSurface.q57Confs) {
+      val j = operators.SqlSurface.q57Join(spark, lPath, rPath)
+      // collect() (not count()) — count() runs its OWN query execution,
+      // leaving j's adaptive plan unfinalized
+      assert(j.collect().length == 50000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"no skew split in:\n$plan")
+    }
+  }
+
   test("z-order layout clusters BOTH filter columns; single sort only one") {
     val spans = SparkEntry.queries("src_zorder_layout")(spark, sf)
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
     // sorted layout: near-perfect on the sort column, useless on the other
-    assert(spans(("sorted_by_orderkey", "l_orderkey")) < 0.35)
-    assert(spans(("sorted_by_orderkey", "l_partkey")) > 0.9)
+    assert(spans(("sorted_by_orderkey", "o_orderkey")) < 0.35)
+    assert(spans(("sorted_by_orderkey", "o_custkey")) > 0.9)
     // z-order: both columns meaningfully clustered — every file's
     // min/max span covers well under the full range of either key
-    assert(spans(("zorder", "l_orderkey")) < 0.8)
-    assert(spans(("zorder", "l_partkey")) < 0.8)
+    assert(spans(("zorder", "o_orderkey")) < 0.8)
+    assert(spans(("zorder", "o_custkey")) < 0.8)
+  }
+
+  test("CBO estimates filter selectivity from analyzed column statistics") {
+    SparkEntry.queries("meta_cbo_stats")(spark, sf).collect() // materialize + ANALYZE
+    val key = "spark.sql.cbo.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      val nation = spark.table(operators.SqlSurface.statsTbl("nation"))
+      val full = nation.queryExecution.optimizedPlan.stats
+      assert(full.rowCount.contains(BigInt(25)), s"catalog rowCount: ${full.rowCount}")
+      // column stats let FilterEstimation size the filtered side
+      // BEFORE execution — a strict subset of the full 25 rows
+      val filtered = nation.filter(col("n_regionkey") === 0)
+        .queryExecution.optimizedPlan.stats
+      assert(filtered.rowCount.exists(rc => rc > 0 && rc < 25),
+        s"estimated filtered rowCount: ${filtered.rowCount}")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   test("codebook training fails loudly when the sample is smaller than k") {
