@@ -158,6 +158,35 @@ object FileSources {
       .orderBy(col("layout"), col("column"))
   }
 
+  /** Reads through the custom DataSource V2 connector
+    * (`GraftRangeSource` — TableProvider → ScanBuilder with column
+    * pruning + filter pushdown → InputPartition planning): the pushed
+    * id-range filter prunes 6 of 8 input partitions before any task
+    * is scheduled, and only the projected columns' generators run.
+    * Every column is a pure function of id, so DuckDB replays the
+    * same table from range(); the plan spec asserts the pruning via
+    * the scan's description. The `dir` argument is unused — the
+    * connector IS the source. */
+  def dsv2Source(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft.sources.GraftRangeSource")
+      .option("rows", "100000").option("slices", "8").load()
+      .filter(col("id") >= 25000 && col("id") < 50000)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("bucket")).as("bsum"),
+        dsum(col("value")).as("vsum"),
+        min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+      .orderBy(col("label"))
+
+  val dsv2SourceSql: String =
+    s"""SELECT 'lbl' || (id % 5) AS label, count(*) AS n,
+       | cast(sum(id % 16) as bigint) AS bsum,
+       | ${sqlDsum("cast((id * 2654435761) % 1000 as double) / 10.0")} AS vsum,
+       | min(id) AS min_id, max(id) AS max_id
+       |FROM (SELECT range AS id FROM range(25000, 50000))
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Hive-style partitioned write + partition-pruned read: the filter
     * on the partition column never touches non-matching files (the
     * plan's PartitionFilters — asserted in ComponentSpec). At 100 TB
@@ -366,6 +395,7 @@ object FileSources {
     GQuery("src_avro_roundtrip", avroRoundtrip, Some(avroRoundtripSql)),
     GQuery("src_orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql)),
     GQuery("src_zorder_layout", zorderLayout, None),
+    GQuery("src_dsv2_source", dsv2Source, Some(dsv2SourceSql)),
     GQuery("src_partitioned_pruning", partitionedPruning, Some(partitionedPruningSql)),
     GQuery("src_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
   )

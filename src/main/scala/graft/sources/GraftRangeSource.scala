@@ -1,0 +1,171 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A complete DataSource V2 connector — the extension point a user
+  * would implement to plug a Kafka-like transport (or any external
+  * system) into this engine. The reference's only source is
+  * `builder.stream(topic)` (KStreamsToKTable.java:75); no Kafka
+  * connector jar exists in this environment (SURVEY.md §0), so this
+  * connector demonstrates the full V2 surface the real one would use:
+  * `TableProvider` → `Table(SupportsRead)` → `ScanBuilder` with
+  * COLUMN PRUNING (`SupportsPushDownRequiredColumns`) and FILTER
+  * PUSHDOWN (`SupportsPushDownFilters`) → `Batch` planning
+  * `InputPartition`s → per-partition `PartitionReader`s.
+  *
+  * The table itself is a deterministic generated range (options
+  * `rows`, `slices`): every column is a pure function of `id`, so a
+  * DuckDB oracle can replay it exactly. The scale behaviors are real:
+  * the source plans `slices` independent partitions (executor
+  * parallelism, no driver materialization), pushed id-range filters
+  * prune whole partitions BEFORE they are scheduled (the V2 analogue
+  * of partition pruning — at 100 TB this is offset/time-range pruning
+  * on a Kafka topic), and column pruning means a 2-column projection
+  * never builds the other columns' values. The plan spec asserts both
+  * via the scan's `description()`.
+  */
+class GraftRangeSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftRangeSource.schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GraftRangeTable(
+      properties.getOrDefault("rows", "1000").toLong,
+      properties.getOrDefault("slices", "8").toInt)
+}
+
+object GraftRangeSource {
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("bucket", LongType, nullable = false),
+    StructField("label", StringType, nullable = false),
+    StructField("value", DoubleType, nullable = false)))
+
+  // every column is a pure function of id (replayable in the oracle)
+  def bucketOf(id: Long): Long = id % 16
+  def labelOf(id: Long): String = "lbl" + (id % 5)
+  def valueOf(id: Long): Double = ((id * 2654435761L) % 1000L).toDouble / 10.0
+}
+
+class GraftRangeTable(rows: Long, slices: Int) extends Table with SupportsRead {
+  override def name(): String = s"graft_range($rows)"
+  override def schema(): StructType = GraftRangeSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftRangeScanBuilder(rows, slices)
+}
+
+class GraftRangeScanBuilder(rows: Long, slices: Int)
+  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var requiredSchema: StructType = GraftRangeSource.schema
+  private var pushed: Array[Filter] = Array.empty
+  // id bounds accumulated from pushed filters: [lo, hi)
+  private var lo: Long = 0L
+  private var hi: Long = Long.MaxValue
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
+    case i: Int => Some(i.toLong)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case GreaterThan("id", v) => asLong(v).isDefined
+      case GreaterThanOrEqual("id", v) => asLong(v).isDefined
+      case LessThan("id", v) => asLong(v).isDefined
+      case LessThanOrEqual("id", v) => asLong(v).isDefined
+      case EqualTo("id", v) => asLong(v).isDefined
+      case _ => false
+    }
+    accepted.foreach {
+      case GreaterThan("id", v) => lo = math.max(lo, asLong(v).get + 1)
+      case GreaterThanOrEqual("id", v) => lo = math.max(lo, asLong(v).get)
+      case LessThan("id", v) => hi = math.min(hi, asLong(v).get)
+      case LessThanOrEqual("id", v) => hi = math.min(hi, asLong(v).get + 1)
+      case EqualTo("id", v) =>
+        lo = math.max(lo, asLong(v).get); hi = math.min(hi, asLong(v).get + 1)
+      case _ =>
+    }
+    pushed = accepted
+    // accepted bounds are fully enforced by partition pruning + the
+    // reader's clamped range, so only the rejected ones remain residual
+    rejected
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(required: StructType): Unit =
+    requiredSchema = required
+
+  override def build(): Scan =
+    new GraftRangeScan(rows, slices, requiredSchema, lo, math.min(hi, rows), pushed.length)
+}
+
+class GraftRangeScan(
+    rows: Long, slices: Int, required: StructType,
+    lo: Long, hi: Long, nPushed: Int) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  // one slice = one InputPartition = one task; slices whose id range
+  // is disjoint with the pushed [lo, hi) bound are never planned
+  private def allSlices: Seq[(Long, Long)] = {
+    val per = math.max(1L, (rows + slices - 1) / slices)
+    (0 until slices).map(i => (i * per, math.min(rows, (i + 1) * per)))
+      .filter { case (s, e) => s < e }
+  }
+  private def keptSlices: Seq[(Long, Long)] =
+    allSlices.map { case (s, e) => (math.max(s, lo), math.min(e, hi)) }
+      .filter { case (s, e) => s < e }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    keptSlices.map { case (s, e) => GraftRangePartition(s, e) }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftRangeReaderFactory(required)
+
+  override def description(): String =
+    s"GraftRangeScan(rows=$rows, slices=${keptSlices.size}/${allSlices.size} kept, " +
+      s"pushedFilters=$nPushed, columns=${required.fieldNames.mkString(",")})"
+}
+
+case class GraftRangePartition(start: Long, end: Long) extends InputPartition
+
+class GraftRangeReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftRangePartition]
+    new PartitionReader[InternalRow] {
+      private var id = p.start - 1
+      // column pruning is real: only the projected generators run
+      private val gens: Array[Long => Any] = required.fieldNames.map {
+        case "id" => (i: Long) => i
+        case "bucket" => (i: Long) => GraftRangeSource.bucketOf(i)
+        case "label" => (i: Long) => UTF8String.fromString(GraftRangeSource.labelOf(i))
+        case "value" => (i: Long) => GraftRangeSource.valueOf(i)
+        case other => sys.error(s"unknown column $other")
+      }
+      override def next(): Boolean = { id += 1; id < p.end }
+      override def get(): InternalRow = InternalRow.fromSeq(gens.map(_(id)).toSeq)
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -208,6 +208,22 @@ class Round4Spec extends AnyFunSuite {
     }
   }
 
+  test("custom DSv2 source prunes partitions and columns via pushdown") {
+    val df = spark.read.format("graft.sources.GraftRangeSource")
+      .option("rows", "100000").option("slices", "8").load()
+      .filter(col("id") < 12500).select(col("id"), col("value"))
+    val rows = df.collect()
+    assert(rows.length == 12500)
+    // generator contract holds for what came back
+    assert(rows.forall(r =>
+      r.getDouble(1) == ((r.getLong(0) * 2654435761L) % 1000L).toDouble / 10.0))
+    val plan = df.queryExecution.executedPlan.toString
+    // the pushed id bound pruned 7 of 8 input partitions BEFORE
+    // scheduling, and only the two projected columns' generators run
+    assert(plan.contains("slices=1/8 kept"), s"no partition pruning in:\n$plan")
+    assert(plan.contains("columns=id,value"), s"no column pruning in:\n$plan")
+  }
+
   test("AQE splits the skewed join partition at runtime (skew=true in the executed plan)") {
     val (lPath, rPath) = operators.SqlSurface.q57SkewData(spark, sf)
     operators.SqlSurface.withConfs(spark, operators.SqlSurface.q57Confs) {
