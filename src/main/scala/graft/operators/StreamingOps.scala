@@ -514,7 +514,39 @@ object StreamingOps {
       | count(DISTINCT cast(user_id as varchar)) AS n_keys
       |FROM events GROUP BY 1 ORDER BY value""".stripMargin
 
+  /** Streams through the custom DataSource V2 connector's
+    * MicroBatchStream face (`sources/GraftRangeSource.scala`) — the
+    * closest in-environment twin of `builder.stream(topic)`: the
+    * driver tracks offsets, each trigger plans the newly-available
+    * slice as input partitions (batchRows=2500 paces a 10k-row table
+    * into 4+ micro-batches like a live topic), and the complete-mode
+    * aggregation converges to exactly the batch answer, which DuckDB
+    * replays from range(). */
+  def streamDsv2Source(spark: SparkSession, dir: String): DataFrame =
+    withStatePartitions(spark) {
+      val name = uniq("dsv2stream")
+      val q = spark.readStream.format("graft.sources.GraftRangeSource")
+        .option("rows", "10000").option("slices", "4").option("batchRows", "2500")
+        .load()
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("bucket")).as("bsum"),
+          graft.util.dsum(col("value")).as("vsum"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete()).start()
+      q.processAllAvailable(); q.stop()
+      spark.table(name).orderBy(col("label"))
+    }
+
+  val streamDsv2SourceSql: String =
+    s"""SELECT 'lbl' || (id % 5) AS label, count(*) AS n,
+       | cast(sum(id % 16) as bigint) AS bsum,
+       | ${graft.util.sqlDsum("cast((id * 2654435761) % 1000 as double) / 10.0")} AS vsum
+       |FROM (SELECT range AS id FROM range(0, 10000))
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("stream_dsv2_source", streamDsv2Source, Some(streamDsv2SourceSql)),
     GQuery("stream_foreach_batch", streamForeachBatch, Some(streamForeachBatchSql)),
     GQuery("stream_latest_per_key", latestPerKey, Some(latestPerKeySql)),
     GQuery("stream_latest_per_key_v2", latestPerKeyV2, Some(latestPerKeyV2Sql)),

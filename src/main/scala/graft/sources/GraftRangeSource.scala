@@ -43,7 +43,8 @@ class GraftRangeSource extends TableProvider {
       properties: util.Map[String, String]): Table =
     new GraftRangeTable(
       properties.getOrDefault("rows", "1000").toLong,
-      properties.getOrDefault("slices", "8").toInt)
+      properties.getOrDefault("slices", "8").toInt,
+      properties.getOrDefault("batchRows", "1000").toLong)
 }
 
 object GraftRangeSource {
@@ -59,17 +60,18 @@ object GraftRangeSource {
   def valueOf(id: Long): Double = ((id * 2654435761L) % 1000L).toDouble / 10.0
 }
 
-class GraftRangeTable(rows: Long, slices: Int) extends Table with SupportsRead {
+class GraftRangeTable(rows: Long, slices: Int, batchRows: Long)
+  extends Table with SupportsRead {
   override def name(): String = s"graft_range($rows)"
   override def schema(): StructType = GraftRangeSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftRangeScanBuilder(rows, slices)
+    new GraftRangeScanBuilder(rows, slices, batchRows)
 }
 
-class GraftRangeScanBuilder(rows: Long, slices: Int)
+class GraftRangeScanBuilder(rows: Long, slices: Int, batchRows: Long = 1000L)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var requiredSchema: StructType = GraftRangeSource.schema
@@ -116,15 +118,25 @@ class GraftRangeScanBuilder(rows: Long, slices: Int)
     requiredSchema = required
 
   override def build(): Scan =
-    new GraftRangeScan(rows, slices, requiredSchema, lo, math.min(hi, rows), pushed.length)
+    new GraftRangeScan(rows, slices, batchRows, requiredSchema, lo, math.min(hi, rows), pushed.length)
 }
 
 class GraftRangeScan(
-    rows: Long, slices: Int, required: StructType,
+    rows: Long, slices: Int, batchRows: Long, required: StructType,
     lo: Long, hi: Long, nPushed: Int) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Streaming face of the same table — the Kafka-transport analogue:
+    * the driver tracks a monotone offset (`n` rows served), each
+    * trigger plans the [committed, available) slice as input
+    * partitions, and the checkpoint replays offsets on restart
+    * (deserializeOffset). `batchRows` paces availability so a run
+    * takes several micro-batches, like a live topic. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftRangeMicroBatchStream(rows, slices, batchRows, required)
 
   // one slice = one InputPartition = one task; slices whose id range
   // is disjoint with the pushed [lo, hi) bound are never planned
@@ -149,6 +161,45 @@ class GraftRangeScan(
 }
 
 case class GraftRangePartition(start: Long, end: Long) extends InputPartition
+
+case class GraftRangeOffset(n: Long)
+  extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = n.toString
+}
+
+class GraftRangeMicroBatchStream(
+    rows: Long, slices: Int, batchRows: Long, required: StructType)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  // driver-side availability pacing: each trigger exposes batchRows
+  // more (a live topic's "new messages"); the stream converges when
+  // committed == rows
+  private var available: Long = 0L
+
+  override def initialOffset(): Offset = GraftRangeOffset(0L)
+  override def latestOffset(): Offset = {
+    available = math.min(rows, available + math.max(1L, batchRows))
+    GraftRangeOffset(available)
+  }
+  override def deserializeOffset(json: String): Offset =
+    GraftRangeOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftRangeOffset].n
+    val e = end.asInstanceOf[GraftRangeOffset].n
+    if (s >= e) Array.empty
+    else {
+      val per = math.max(1L, (e - s + slices - 1) / slices)
+      (s until e by per).map(b => GraftRangePartition(b, math.min(e, b + per))).toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftRangeReaderFactory(required)
+}
 
 class GraftRangeReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {

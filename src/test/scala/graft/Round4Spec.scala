@@ -224,6 +224,23 @@ class Round4Spec extends AnyFunSuite {
     assert(plan.contains("columns=id,value"), s"no column pruning in:\n$plan")
   }
 
+  test("DSv2 micro-batch stream converges over several offset-paced batches") {
+    val name = "dsv2_spec_stream"
+    val q = spark.readStream.format("graft.sources.GraftRangeSource")
+      .option("rows", "10000").option("slices", "4").option("batchRows", "2500")
+      .load()
+      .groupBy(col("label")).agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    // offset pacing made this take >= 4 micro-batches with rows in them
+    val fed = q.recentProgress.count(_.numInputRows > 0)
+    assert(fed >= 4, s"expected >=4 fed micro-batches, got $fed")
+    val counts = spark.table(name).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(counts == (0 to 4).map(i => s"lbl$i" -> 2000L).toMap)
+  }
+
   test("AQE splits the skewed join partition at runtime (skew=true in the executed plan)") {
     val (lPath, rPath) = operators.SqlSurface.q57SkewData(spark, sf)
     operators.SqlSurface.withConfs(spark, operators.SqlSurface.q57Confs) {
