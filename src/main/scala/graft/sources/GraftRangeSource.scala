@@ -169,8 +169,9 @@ case class GraftRangeOffset(n: Long)
 
 class GraftRangeMicroBatchStream(
     rows: Long, slices: Int, batchRows: Long, required: StructType)
-  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   // driver-side availability pacing: each trigger exposes batchRows
   // more (a live topic's "new messages"); the stream converges when
@@ -178,12 +179,25 @@ class GraftRangeMicroBatchStream(
   private var available: Long = 0L
 
   override def initialOffset(): Offset = GraftRangeOffset(0L)
-  override def latestOffset(): Offset = {
+
+  /** Admission-controlled form — the one the engine actually calls.
+    * `start` is the restart-safe committed offset: the pacer must
+    * never fall below it, or a restarted query would see an end
+    * offset behind its start, regress, and replay committed rows
+    * (caught by the Round4Spec restart test). */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    available = math.max(available, start.asInstanceOf[GraftRangeOffset].n)
     available = math.min(rows, available + math.max(1L, batchRows))
     GraftRangeOffset(available)
   }
-  override def deserializeOffset(json: String): Offset =
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  // basic-API form, unused once SupportsAdmissionControl is present
+  override def latestOffset(): Offset = GraftRangeOffset(available)
+
+  override def deserializeOffset(json: String): Offset = {
+    available = math.max(available, json.toLong)
     GraftRangeOffset(json.toLong)
+  }
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 

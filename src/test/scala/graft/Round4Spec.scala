@@ -241,6 +241,30 @@ class Round4Spec extends AnyFunSuite {
     assert(counts == (0 to 4).map(i => s"lbl$i" -> 2000L).toMap)
   }
 
+  test("DSv2 stream restart resumes from the committed offset without reprocessing") {
+    val base = s"${sys.props("java.io.tmpdir")}/graft_dsv2_restart_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val ckpt = s"$base/ckpt"
+    val out = s"$base/out"
+    def run(rows: Long): Unit = {
+      val q = spark.readStream.format("graft.sources.GraftRangeSource")
+        .option("rows", rows.toString).option("slices", "4").option("batchRows", "2500")
+        .load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out)
+        }.start()
+      q.processAllAvailable(); q.stop()
+    }
+    run(5000)  // first run drains ids [0, 5000)
+    run(10000) // restart: same checkpoint, more data available
+    val ids = spark.read.parquet(out).select(col("id"))
+      .collect().map(_.getLong(0)).sorted
+    // exactly-once resume: committed rows were NOT reprocessed
+    assert(ids.length == 10000, s"expected 10000 rows, got ${ids.length}")
+    assert(ids.head == 0L && ids.last == 9999L && ids.distinct.length == 10000)
+  }
+
   test("AQE splits the skewed join partition at runtime (skew=true in the executed plan)") {
     val (lPath, rPath) = operators.SqlSurface.q57SkewData(spark, sf)
     operators.SqlSurface.withConfs(spark, operators.SqlSurface.q57Confs) {
