@@ -187,6 +187,40 @@ object FileSources {
        |FROM (SELECT range AS id FROM range(25000, 50000))
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Round-trips the connector's WRITE half (`GraftTextSink` — the V2
+    * transactional commit protocol: executors stage `_tmp_*` files and
+    * report them in commit messages; the driver's `BatchWrite.commit`
+    * renames them into visibility and drops `_SUCCESS`; underscore
+    * prefixes keep staged files invisible to any reader meanwhile).
+    * The ranged source writes through the sink, a CSV read recovers
+    * the rows (Double.toString is round-trip exact), and DuckDB
+    * replays the aggregate from range(). The atomicity contract —
+    * a poisoned task leaves NO visible output — is spec-asserted. */
+  def dsv2Sink(spark: SparkSession, dir: String): DataFrame = {
+    val out = uniq("textsink")
+    spark.read.format("graft.sources.GraftRangeSource")
+      .option("rows", "10000").option("slices", "4").load()
+      .write.format("graft.sources.GraftTextSink")
+      .mode(SaveMode.Append).option("path", out).save()
+    spark.read.schema("id long, bucket long, label string, value double")
+      .csv(out)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("bucket")).as("bsum"),
+        dsum(col("value")).as("vsum"),
+        min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+      .orderBy(col("label"))
+  }
+
+  val dsv2SinkSql: String =
+    s"""SELECT 'lbl' || (id % 5) AS label, count(*) AS n,
+       | cast(sum(id % 16) as bigint) AS bsum,
+       | ${sqlDsum("cast((id * 2654435761) % 1000 as double) / 10.0")} AS vsum,
+       | min(id) AS min_id, max(id) AS max_id
+       |FROM (SELECT range AS id FROM range(0, 10000))
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Hive-style partitioned write + partition-pruned read: the filter
     * on the partition column never touches non-matching files (the
     * plan's PartitionFilters — asserted in ComponentSpec). At 100 TB
@@ -396,6 +430,7 @@ object FileSources {
     GQuery("src_orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql)),
     GQuery("src_zorder_layout", zorderLayout, None),
     GQuery("src_dsv2_source", dsv2Source, Some(dsv2SourceSql)),
+    GQuery("src_dsv2_sink", dsv2Sink, Some(dsv2SinkSql)),
     GQuery("src_partitioned_pruning", partitionedPruning, Some(partitionedPruningSql)),
     GQuery("src_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
   )

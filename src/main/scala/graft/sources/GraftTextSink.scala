@@ -1,0 +1,137 @@
+package graft.sources
+
+import java.io.{BufferedWriter, File, FileWriter}
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The write half of the connector surface — a DataSource V2 batch
+  * SINK implementing the V2 transactional commit protocol, the
+  * contract a Kafka-producer-like or warehouse sink implements for
+  * exactly-once batch writes:
+  *
+  *   executors: `DataWriter.write(row)*` → `commit(): WriterCommitMessage`
+  *     (each task stages its output as an invisible `_tmp_*` file and
+  *     reports the staged name back — nothing is visible yet)
+  *   driver: `BatchWrite.commit(messages)` renames every staged file
+  *     to its final `part-*.txt` name and drops a `_SUCCESS` marker —
+  *     the all-or-nothing publish step; `BatchWrite.abort(messages)`
+  *     deletes the staged files instead, so a failed job leaves NO
+  *     partial output (spec-asserted by poisoning one task).
+  *
+  * Rows serialize as delimiter-joined text (`Double.toString` is
+  * round-trip exact, so a CSV read recovers identical values — the
+  * round-trip entry is DuckDB-oracle-checked). `supportsExternalMetadata`
+  * lets the write path hand the query's schema straight to the table.
+  */
+class GraftTextSink extends TableProvider {
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    throw new UnsupportedOperationException(
+      "graft-text is a write-only sink; read the written files back as CSV")
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null, "graft-text sink requires option(\"path\", ...)")
+    new GraftTextTable(path, schema)
+  }
+}
+
+class GraftTextTable(path: String, writeSchema: StructType)
+  extends Table with SupportsWrite {
+  override def name(): String = s"graft_text($path)"
+  override def schema(): StructType = writeSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new GraftTextBatchWrite(path, info.schema())
+      }
+    }
+}
+
+case class GraftTextCommitMessage(stagedName: String, rows: Long)
+  extends WriterCommitMessage
+
+class GraftTextBatchWrite(path: String, schema: StructType) extends BatchWrite {
+  new File(path).mkdirs()
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftTextWriterFactory(path, schema)
+
+  /** The publish step: staged files become visible atomically-enough
+    * for a local filesystem (per-file rename is atomic; a reader keys
+    * on the `_SUCCESS` marker written last). On a real object store
+    * this is the same shape as a commit-coordinator / manifest write. */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    messages.zipWithIndex.foreach { case (m, i) =>
+      val msg = m.asInstanceOf[GraftTextCommitMessage]
+      val ok = new File(path, msg.stagedName)
+        .renameTo(new File(path, f"part-$i%05d.txt"))
+      require(ok, s"failed to publish ${msg.stagedName}")
+    }
+    new File(path, "_SUCCESS").createNewFile()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GraftTextCommitMessage(staged, _) => new File(path, staged).delete()
+      case _ =>
+    }
+}
+
+class GraftTextWriterFactory(path: String, schema: StructType)
+  extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftTextDataWriter(path, schema, partitionId, taskId)
+}
+
+class GraftTextDataWriter(
+    path: String, schema: StructType, partitionId: Int, taskId: Long)
+  extends DataWriter[InternalRow] {
+
+  // staged invisible until the driver's commit renames it
+  private val stagedName = s"_tmp_${partitionId}_$taskId"
+  private val file = new File(path, stagedName)
+  private var out: BufferedWriter = _
+  private var rows = 0L
+
+  private def field(row: InternalRow, i: Int): String = schema(i).dataType match {
+    case LongType => row.getLong(i).toString
+    case IntegerType => row.getInt(i).toString
+    case DoubleType => row.getDouble(i).toString // round-trip exact
+    case StringType => row.getUTF8String(i).toString
+    case BooleanType => row.getBoolean(i).toString
+    case other => sys.error(s"graft-text sink: unsupported type $other")
+  }
+
+  override def write(row: InternalRow): Unit = {
+    if (out == null) out = new BufferedWriter(new FileWriter(file))
+    out.write(schema.indices.map(field(row, _)).mkString(","))
+    out.newLine()
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (out != null) out.close() else file.createNewFile()
+    GraftTextCommitMessage(stagedName, rows)
+  }
+
+  override def abort(): Unit = {
+    if (out != null) out.close()
+    file.delete()
+  }
+
+  override def close(): Unit = ()
+}

@@ -241,6 +241,23 @@ class Round4Spec extends AnyFunSuite {
     assert(counts == (0 to 4).map(i => s"lbl$i" -> 2000L).toMap)
   }
 
+  test("DSv2 sink abort leaves no visible output (two-phase commit atomicity)") {
+    val out = s"${sys.props("java.io.tmpdir")}/graft_sink_abort_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val poisoned = spark.range(0, 1000, 1, 4)
+      .selectExpr("id",
+        "case when id = 777 then raise_error('poison') else cast(id as string) end as s")
+    intercept[Exception] {
+      poisoned.write.format("graft.sources.GraftTextSink")
+        .mode("append").option("path", out).save()
+    }
+    val dir = new java.io.File(out)
+    val visible = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(visible.isEmpty, s"aborted write left: ${visible.map(_.getName).mkString(",")}")
+    assert(!new java.io.File(out, "_SUCCESS").exists())
+  }
+
   test("DSv2 stream restart resumes from the committed offset without reprocessing") {
     val base = s"${sys.props("java.io.tmpdir")}/graft_dsv2_restart_" +
       java.util.UUID.randomUUID.toString.replace("-", "")
