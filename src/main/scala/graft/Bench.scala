@@ -45,9 +45,15 @@ object Bench {
     val fullQs = results.toSeq.sortBy(-_._2)
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
     val top = fullQs.take(20).mkString("{", ",", "}")
-    val detailPath = java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json")
-    java.nio.file.Files.write(detailPath,
-      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries":${fullQs.mkString("{", ",", "}")},"sf":"$sfDir"}""".getBytes("UTF-8"))
+    // cwd-relative (the driver runs sbt from the repo root), and a
+    // failed detail write must not lose the summary line below — the
+    // whole bench run already happened
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+        s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries":${fullQs.mkString("{", ",", "}")},"sf":"$sfDir"}""".getBytes("UTF-8"))
+    } catch {
+      case e: Exception => System.err.println(s"[bench] detail write failed: $e")
+    }
     println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries":$top,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }

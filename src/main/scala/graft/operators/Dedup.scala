@@ -37,21 +37,14 @@ object Dedup {
       | FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
       | WHERE len(ws) >= 3)""".stripMargin
 
-  /** The shingle relation, for operators (streaming near-dup) that
-    * verify candidate pairs against the same tokenization. */
-  private[operators] def shingleRel(spark: SparkSession, dir: String): DataFrame =
-    shingles(spark, dir)
-
-  /** Exact-Jaccard verification of a candidate pair set — the shared
-    * tail of every sketch-based near-dup path: rejoin candidates to
-    * the shingle relation, count intersections, J = i/(|A|+|B|−i),
-    * keep J ≥ 0.8. Linear in candidates × shingles-per-doc. The
-    * shingle relation is locally checkpointed (it feeds three joins)
-    * so no catalog-cache entry outlives the call. */
-  private[operators] def verifyCandidates(
-      spark: SparkSession, dir: String, candidates: DataFrame): DataFrame = {
-    val sh = shingles(spark, dir).localCheckpoint(true)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+  /** Exact-Jaccard verification core — the shared tail of every
+    * sketch-based near-dup path: rejoin candidates to the shingle
+    * relation `sh`, count intersections, J = i/(|A|+|B|−i), keep
+    * J ≥ 0.8. Linear in candidates × shingles-per-doc. `sizes` is
+    * (doc_id, n) so callers that already aggregated |A| (minhashLsh
+    * fuses it into the signature pass) pay no second shingle scan. */
+  private def verifyPairs(
+      sh: DataFrame, sizes: DataFrame, candidates: DataFrame): DataFrame = {
     val inter = candidates
       .join(sh.select(col("doc_id").as("a_id"), col("s")), Seq("a_id"))
       .join(sh.select(col("doc_id").as("b_id"), col("s")), Seq("b_id", "s"))
@@ -63,6 +56,15 @@ object Dedup {
       .filter(col("jaccard") >= 0.8)
       .select(col("a_id"), col("b_id"), col("jaccard"))
       .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** verifyPairs over a freshly-built shingle relation (streaming
+    * near-dup path). Locally checkpointed (it feeds three joins) so
+    * no catalog-cache entry outlives the call. */
+  private[operators] def verifyCandidates(
+      spark: SparkSession, dir: String, candidates: DataFrame): DataFrame = {
+    val sh = shingles(spark, dir).localCheckpoint(true)
+    verifyPairs(sh, sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n")), candidates)
   }
 
   /** Exact dedup: one representative (min doc_id) per identical text. */
@@ -161,20 +163,9 @@ object Dedup {
     val candidates = l.join(r, Seq("band", "band_key"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id")).distinct()
-    // per-candidate exact Jaccard: |A∩B| via shingle rejoin on the
-    // candidate ids, |A∪B| = |A|+|B|−|A∩B| — both equi-joins on
-    // well-distributed keys; cost scales with candidate count only
-    val inter = candidates
-      .join(sh.select(col("doc_id").as("a_id"), col("s")), Seq("a_id"))
-      .join(sh.select(col("doc_id").as("b_id"), col("s")), Seq("b_id", "s"))
-      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("i"))
-    inter
-      .join(sigs.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
-      .join(sigs.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
-      .withColumn("jaccard", round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6))
-      .filter(col("jaccard") >= 0.8)
-      .select(col("a_id"), col("b_id"), col("jaccard"))
-      .orderBy(col("a_id"), col("b_id"))
+    // per-candidate exact Jaccard via the shared verify core; |A| and
+    // |B| come from the fused `n` in sigs — no second shingle scan
+    verifyPairs(sh, sigs.select(col("doc_id"), col("n")), candidates)
   }
 
   /** SimHash near-dup detection: 64-bit signature from token hashes;

@@ -308,7 +308,10 @@ object Similarity {
     * be re-normalized). */
   def trainPqOnPrepared(spark: SparkSession, prepared: DataFrame,
       m: Int, k: Int, rounds: Int = 3, sampleMod: Int = 4): DataFrame = {
-    val dim = 64
+    // derive the width from the data (hardcoding it silently zeroes
+    // the upper subspaces for any other vector width)
+    val dim = prepared.select(size(col("nv")).as("d")).head().getInt(0)
+    require(dim % m == 0, s"vector dim $dim not divisible by m=$m subspaces")
     val sub = dim / m
     // (vec_id, m, sv): the subspace split of the normalized vectors
     def split(df: DataFrame) = df

@@ -243,29 +243,24 @@ object SqlSurface {
     * `might_contain` reached the scan. Results are identical with or
     * without the filter — the oracle checks values, the spec checks
     * the plan. */
-  def q56BloomJoin(spark: SparkSession, dir: String): DataFrame = {
-    val confs = Seq(
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
+  val q56Confs: Seq[(String, String)] = Seq(
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+
+  def q56BloomJoin(spark: SparkSession, dir: String): DataFrame =
+    withConfs(spark, q56Confs) {
       val urgent = t(spark, dir, "orders")
         .filter(col("o_orderpriority") === "1-URGENT")
         .select(col("o_orderkey"), col("o_custkey"))
-      val joined = t(spark, dir, "lineitem")
+      t(spark, dir, "lineitem")
         .join(urgent, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"))
         .orderBy(col("l_returnflag"))
-      // materialize inside the scoped confs so the executed plan IS
-      // the bloom-pruned one (lazy execution would see restored confs)
-      joined.localCheckpoint(true)
-    } finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
+        // materialize inside the scoped confs so the executed plan IS
+        // the bloom-pruned one (lazy execution would see restored confs)
+        .localCheckpoint(true)
     }
-  }
 
   val q56Sql: String =
     s"""SELECT l_returnflag, count(*) AS n, ${sqlDsum("l_extendedprice")} AS revenue

@@ -386,10 +386,14 @@ object TextAnalysis {
     val docs = t(spark, dir, "documents")
       .withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= 2)
+    // checkpointed: it feeds three derivations (pair counts, context
+    // counts, the scoring join) and Spark does not dedupe common
+    // subplans — without it documents would re-tokenize per use
     val bigrams = docs
       .withColumn("b", explode(expr(
         "transform(sequence(1, size(ws)-1), i -> struct(element_at(ws,i) AS w1, element_at(ws,i+1) AS w2))")))
       .select(col("doc_id"), col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .localCheckpoint(true)
     val pairCounts = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
     val ctxCounts = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("cw"))
     val vocab = docs

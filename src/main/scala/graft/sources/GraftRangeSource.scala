@@ -97,13 +97,17 @@ class GraftRangeScanBuilder(rows: Long, slices: Int, batchRows: Long = 1000L)
       case EqualTo("id", v) => asLong(v).isDefined
       case _ => false
     }
+    // saturating +1: Long.MaxValue literals must not wrap the bound —
+    // accepted filters leave no residual, so a wrapped bound would
+    // silently return the wrong rows
+    def succ(v: Long): Long = if (v == Long.MaxValue) v else v + 1
     accepted.foreach {
-      case GreaterThan("id", v) => lo = math.max(lo, asLong(v).get + 1)
+      case GreaterThan("id", v) => lo = math.max(lo, succ(asLong(v).get))
       case GreaterThanOrEqual("id", v) => lo = math.max(lo, asLong(v).get)
       case LessThan("id", v) => hi = math.min(hi, asLong(v).get)
-      case LessThanOrEqual("id", v) => hi = math.min(hi, asLong(v).get + 1)
+      case LessThanOrEqual("id", v) => hi = math.min(hi, succ(asLong(v).get))
       case EqualTo("id", v) =>
-        lo = math.max(lo, asLong(v).get); hi = math.min(hi, asLong(v).get + 1)
+        lo = math.max(lo, asLong(v).get); hi = math.min(hi, succ(asLong(v).get))
       case _ =>
     }
     pushed = accepted

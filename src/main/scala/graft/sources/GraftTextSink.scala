@@ -67,6 +67,11 @@ case class GraftTextCommitMessage(stagedName: String, rows: Long)
 class GraftTextBatchWrite(path: String, schema: StructType) extends BatchWrite {
   new File(path).mkdirs()
 
+  // job-unique part prefix: a second Append to the same path must add
+  // files, not rename onto (and silently destroy) an earlier batch's
+  // part-NNNNN names
+  private val jobId = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftTextWriterFactory(path, schema)
 
@@ -78,7 +83,7 @@ class GraftTextBatchWrite(path: String, schema: StructType) extends BatchWrite {
     messages.zipWithIndex.foreach { case (m, i) =>
       val msg = m.asInstanceOf[GraftTextCommitMessage]
       val ok = new File(path, msg.stagedName)
-        .renameTo(new File(path, f"part-$i%05d.txt"))
+        .renameTo(new File(path, f"part-$jobId-$i%05d.txt"))
       require(ok, s"failed to publish ${msg.stagedName}")
     }
     new File(path, "_SUCCESS").createNewFile()
