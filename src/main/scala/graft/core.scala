@@ -51,4 +51,32 @@ object util {
   /** SQL fragments mirroring dsum/davg for the DuckDB oracle. */
   def sqlDsum(x: String): String = s"round(cast(sum(cast(($x) as decimal(22,8))) as double), 4)"
   def sqlDavg(x: String): String = s"(${sqlDsum(x)} / count(*))"
+
+  /** Recursively delete a directory tree (no-op on missing paths). */
+  def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete()
+    ()
+  }
+
+  private lazy val cleanupHook: java.util.concurrent.ConcurrentLinkedQueue[String] = {
+    val q = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      q.forEach(p => deleteRecursively(new java.io.File(p)))))
+    q
+  }
+
+  /** A unique temp-dir path under java.io.tmpdir, registered for
+    * recursive deletion at JVM exit — entries that write scratch
+    * layouts (round-trips, skew facts, bucketed tables) must not
+    * accumulate artifacts across bench/spec runs. Deletion is deferred
+    * to shutdown because most entries return a LAZY DataFrame still
+    * reading from the path. */
+  def scratchDir(prefix: String): String = {
+    val p = s"${sys.props("java.io.tmpdir")}/graft_${prefix}_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    cleanupHook.add(p)
+    p
+  }
 }

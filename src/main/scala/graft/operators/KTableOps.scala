@@ -107,9 +107,9 @@ object KTableOps {
     * back (the reference's three `to(topic)` sinks,
     * KStreamsToKTable.java:100-104). Round-trip proves the sink path. */
   def ksSink(spark: SparkSession, dir: String): DataFrame = {
-    // per-run unique path: concurrent suites must not collide
-    val out = s"${sys.props("java.io.tmpdir")}/graft_sink_topic_" +
-      java.util.UUID.randomUUID.toString.replace("-", "")
+    // per-run unique path (concurrent suites must not collide),
+    // registered for JVM-exit deletion
+    val out = scratchDir("sink_topic")
     t(spark, dir, "events")
       .select(col("event_id"), col("user_id").cast("string").as("key"),
         col("event_type").as("value"))
@@ -150,8 +150,7 @@ object KTableOps {
     * writes 2 files and flakes the check); key-colocated layout is
     * the bucketed-table entry's job (`src_bucketed_join`). */
   def ksTopicAdmin(spark: SparkSession, dir: String): DataFrame = {
-    val out = s"${sys.props("java.io.tmpdir")}/graft_topic_admin_" +
-      java.util.UUID.randomUUID.toString.replace("-", "")
+    val out = scratchDir("topic_admin")
     t(spark, dir, "events")
       .select(col("event_id"), col("user_id").cast("string").as("key"),
         col("event_type").as("value"))

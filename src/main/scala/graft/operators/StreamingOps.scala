@@ -255,7 +255,7 @@ object StreamingOps {
     * a table rewrite; nothing accumulates with stream length. The
     * final table must hash-match the batch latest-per-key oracle. */
   def streamUpsertSnapshot(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
-    val base = s"${sys.props("java.io.tmpdir")}/" + uniq("upsert_tbl")
+    val base = graft.util.scratchDir("upsert_tbl")
     @volatile var current: Option[String] = None
     // (ts, event_id) is the deterministic recency order — carried in
     // the table so ties keep resolving correctly across batch merges
@@ -495,7 +495,7 @@ object StreamingOps {
     * multi-table fan-out, merge targets). Each batch appends to a
     * parquet "topic"; the read-back aggregation must equal batch. */
   def streamForeachBatch(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
-    val out = s"${sys.props("java.io.tmpdir")}/" + uniq("fe_batch_sink")
+    val out = graft.util.scratchDir("fe_batch_sink")
     val q = recordStream(spark, dir)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[KStreams.Record], _: Long) =>

@@ -14,9 +14,8 @@ import org.apache.spark.sql.functions._
   */
 object FileSources {
 
-  private def uniq(prefix: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_${prefix}_" +
-      java.util.UUID.randomUUID.toString.replace("-", "")
+  // scratch layouts register for JVM-exit deletion (core.scala)
+  private def uniq(prefix: String): String = scratchDir(prefix)
 
   /** JSON sink + source round-trip (schema pinned on read — streaming
     * and production batch reads never infer). */

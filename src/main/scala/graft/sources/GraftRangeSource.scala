@@ -137,10 +137,15 @@ class GraftRangeScan(
     * trigger plans the [committed, available) slice as input
     * partitions, and the checkpoint replays offsets on restart
     * (deserializeOffset). `batchRows` paces availability so a run
-    * takes several micro-batches, like a live topic. */
+    * takes several micro-batches, like a live topic. Pushed id bounds
+    * are forwarded and enforced here too: `pushFilters` reported the
+    * accepted bounds as fully enforced (no residual), so the streaming
+    * face must clamp to them as well or a future engine version that
+    * pushes filters into micro-batch scans would silently read rows
+    * outside the bounds. */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftRangeMicroBatchStream(rows, slices, batchRows, required)
+    new GraftRangeMicroBatchStream(rows, slices, batchRows, required, lo, hi)
 
   // one slice = one InputPartition = one task; slices whose id range
   // is disjoint with the pushed [lo, hi) bound are never planned
@@ -172,7 +177,8 @@ case class GraftRangeOffset(n: Long)
 }
 
 class GraftRangeMicroBatchStream(
-    rows: Long, slices: Int, batchRows: Long, required: StructType)
+    rows: Long, slices: Int, batchRows: Long, required: StructType,
+    lo: Long = 0L, hi: Long = Long.MaxValue)
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
@@ -211,7 +217,13 @@ class GraftRangeMicroBatchStream(
     if (s >= e) Array.empty
     else {
       val per = math.max(1L, (e - s + slices - 1) / slices)
-      (s until e by per).map(b => GraftRangePartition(b, math.min(e, b + per))).toArray
+      (s until e by per)
+        .map(b => (b, math.min(e, b + per)))
+        // enforce the pushed id bounds the batch face promised (no residual)
+        .map { case (ps, pe) => (math.max(ps, lo), math.min(pe, hi)) }
+        .filter { case (ps, pe) => ps < pe }
+        .map { case (ps, pe) => GraftRangePartition(ps, pe) }
+        .toArray
     }
   }
 

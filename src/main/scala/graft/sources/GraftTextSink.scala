@@ -1,6 +1,7 @@
 package graft.sources
 
-import java.io.{BufferedWriter, File, FileWriter}
+import java.io.{BufferedWriter, File, FileOutputStream, OutputStreamWriter}
+import java.nio.charset.StandardCharsets
 import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
@@ -24,10 +25,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     deletes the staged files instead, so a failed job leaves NO
   *     partial output (spec-asserted by poisoning one task).
   *
-  * Rows serialize as delimiter-joined text (`Double.toString` is
+  * Rows serialize as RFC-4180 CSV text in UTF-8 (`Double.toString` is
   * round-trip exact, so a CSV read recovers identical values — the
-  * round-trip entry is DuckDB-oracle-checked). `supportsExternalMetadata`
-  * lets the write path hand the query's schema straight to the table.
+  * round-trip entry is DuckDB-oracle-checked). String fields containing
+  * the delimiter, a quote, or a newline are quoted with inner quotes
+  * doubled; read those back with `option("escape", "\"")` (+
+  * `multiLine` for embedded newlines) — spec-asserted in Round5Spec.
+  * `supportsExternalMetadata` lets the write path hand the query's
+  * schema straight to the table.
   */
 class GraftTextSink extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
@@ -112,17 +117,25 @@ class GraftTextDataWriter(
   private var out: BufferedWriter = _
   private var rows = 0L
 
+  // RFC-4180: fields containing the delimiter, a quote, or a newline
+  // are quoted; inner quotes double
+  private def csvEscape(s: String): String =
+    if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+      "\"" + s.replace("\"", "\"\"") + "\""
+    else s
+
   private def field(row: InternalRow, i: Int): String = schema(i).dataType match {
     case LongType => row.getLong(i).toString
     case IntegerType => row.getInt(i).toString
     case DoubleType => row.getDouble(i).toString // round-trip exact
-    case StringType => row.getUTF8String(i).toString
+    case StringType => csvEscape(row.getUTF8String(i).toString)
     case BooleanType => row.getBoolean(i).toString
     case other => sys.error(s"graft-text sink: unsupported type $other")
   }
 
   override def write(row: InternalRow): Unit = {
-    if (out == null) out = new BufferedWriter(new FileWriter(file))
+    if (out == null) out = new BufferedWriter(
+      new OutputStreamWriter(new FileOutputStream(file), StandardCharsets.UTF_8))
     out.write(schema.indices.map(field(row, _)).mkString(","))
     out.newLine()
     rows += 1
