@@ -67,6 +67,15 @@ object util {
     q
   }
 
+  /** Register an EXISTING path for recursive deletion at JVM exit —
+    * for artifacts whose location the caller does not choose (e.g. a
+    * saveAsTable warehouse dir: the in-memory catalog forgets the
+    * table across JVMs, but its directory would persist). */
+  def registerShutdownDelete(path: String): Unit = {
+    cleanupHook.add(path)
+    ()
+  }
+
   /** A unique temp-dir path under java.io.tmpdir, registered for
     * recursive deletion at JVM exit — entries that write scratch
     * layouts (round-trips, skew facts, bucketed tables) must not

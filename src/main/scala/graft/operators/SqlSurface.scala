@@ -214,6 +214,10 @@ object SqlSurface {
       spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR ALL COLUMNS")
       val meta = spark.sessionState.catalog
         .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name))
+      // the catalog entry dies with the JVM (in-memory catalog) but the
+      // warehouse dir would persist — register it for exit cleanup so
+      // bench/spec runs leave no graft_stats_* artifacts behind
+      graft.util.registerShutdownDelete(new java.io.File(meta.location).getAbsolutePath)
       val st = meta.stats.getOrElse(sys.error(s"no stats recorded for $name"))
       (tb, st.rowCount.map(_.toLong).getOrElse(-1L), st.colStats.size.toLong)
     }
@@ -282,10 +286,6 @@ object SqlSurface {
     * split fires at bench scale; the spec asserts `skew=true` in the
     * executed join, the oracle replays the same data to check values
     * are unchanged by the split. */
-  private def uniqPath(prefix: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_${prefix}_" +
-      java.util.UUID.randomUUID.toString.replace("-", "")
-
   /** Writes the deterministic skewed fact + dim tables; returns paths. */
   def q57SkewData(spark: SparkSession, dir: String): (String, String) = {
     val fact = t(spark, dir, "lineitem")
@@ -296,8 +296,8 @@ object SqlSurface {
         when(col("rep") <= 49, 0L).otherwise(col("l_orderkey")))
       .withColumn("payload",
         md5(concat_ws("-", col("l_orderkey"), col("l_linenumber"), col("rep"))))
-    val lPath = uniqPath("skewfact")
-    val rPath = uniqPath("skewdim")
+    val lPath = graft.util.scratchDir("skewfact")
+    val rPath = graft.util.scratchDir("skewdim")
     fact.repartition(4).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(lPath)
     fact.select(col("k")).distinct()
       .withColumn("attr", md5(col("k").cast("string")))

@@ -5,7 +5,7 @@ import graft.streaming.KStreams
 import graft.streaming.KStreams.Record
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Oracle-verified Structured Streaming runs: each query executes a
   * real streaming pipeline over the events parquet (readStream →
@@ -220,6 +220,172 @@ object StreamingOps {
       |JOIN (SELECT * FROM events WHERE event_type = 'click') c
       | ON p.user_id = c.user_id
       | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+      |GROUP BY 1 ORDER BY user_key""".stripMargin
+
+  /** One changelog row of the TTL table: an upsert carries the new
+    * latest record; an eviction is a null-value tombstone. */
+  case class TtlUpdate(key: String, value: String,
+      ts: java.sql.Timestamp, evicted: Boolean)
+
+  /** Recency TTL for the latest-per-key table: 6 hours of event time. */
+  private[operators] val ttlMs: Long = 6L * 3600 * 1000
+
+  /** State-v2 processor with EVENT-TIME TIMERS — the Spark twin of the
+    * reference's scheduled watcher + 1-hour cancel
+    * (`KStreamsToKTable.java:48,152-167`, a punctuator-shaped
+    * pattern): every upsert (re)arms a timer at `latest.ts + TTL`;
+    * when the watermark passes it, the key's state is CLEARED and a
+    * tombstone emitted. This is how a 100 TB latest-per-key table
+    * stays bounded forever: state size tracks the ACTIVE key set, not
+    * the all-time key set — idle keys evict themselves, and a key that
+    * returns after eviction re-enters as fresh (spec-asserted).
+    *
+    * Timer discipline: the previous timer is deleted on upsert (one
+    * live timer per key); `handleExpiredTimer` still re-checks the
+    * CURRENT state against the expiry so a stale timer that survives a
+    * race can never evict a fresh key. */
+  final class TtlLatestProcessor
+    extends StatefulProcessor[String, Record, TtlUpdate] {
+    @transient private var latest: ValueState[Record] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      latest = getHandle.getValueState[Record]("latest",
+        Encoders.product[Record], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[Record],
+        timerValues: TimerValues): Iterator[TtlUpdate] = {
+      val prev = Option(latest.get())
+      val candidate = (prev.iterator ++ rows)
+        .reduceLeft((a, b) => if (b.ts.compareTo(a.ts) >= 0) b else a)
+      if (prev.contains(candidate)) Iterator.empty
+      else {
+        prev.foreach(p => getHandle.deleteTimer(p.ts.getTime + ttlMs))
+        latest.update(candidate)
+        getHandle.registerTimer(candidate.ts.getTime + ttlMs)
+        Iterator.single(TtlUpdate(key, candidate.value, candidate.ts, evicted = false))
+      }
+    }
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[TtlUpdate] = {
+      val cur = Option(latest.get())
+      if (cur.exists(_.ts.getTime + ttlMs <= expiredTimerInfo.getExpiryTimeInMs)) {
+        latest.clear()
+        Iterator.single(TtlUpdate(key, null, null, evicted = true))
+      } else Iterator.empty
+    }
+  }
+
+  /** Latest-per-key with TTL EVICTION — `transformWithState` +
+    * `TimeMode.EventTime` + registered timers (RocksDB provider, same
+    * conf discipline as the other state-v2 runs). The stream carries a
+    * zero-delay watermark, so after the data batch the watermark jumps
+    * to max(ts) and Spark runs a no-data micro-batch that fires every
+    * timer older than it: keys idle for ≥ 6 h of event time are
+    * evicted and tombstoned. The surviving table must hash-match the
+    * batch latest-per-key oracle under the same recency cutoff
+    * (`latest_ts > max_ts - 6 h` — boundary keys verified ≥ 3 s away
+    * at all SFs, so ms-vs-µs truncation cannot flip a row). */
+  def ttlLatestPerKey(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import spark.implicits._
+      val name = uniq("ttl_latest")
+      val q = recordStream(spark, dir)
+        .withWatermark("ts", "0 seconds")
+        .groupByKey(_.key)
+        .transformWithState(new TtlLatestProcessor, TimeMode.EventTime(), OutputMode.Update())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update).start()
+      q.processAllAvailable(); q.stop()
+      // converged table = latest upsert per key, minus keys whose
+      // eviction tombstone came after every upsert (in this bounded
+      // run all upserts land in the data batch and all tombstones in
+      // the timer batch, so any tombstoned key is gone)
+      val updates = spark.table(name)
+      // toDF mints fresh attribute ids — both sides read the same
+      // memory table, so a bare self-join would conflict
+      val evictedKeys = updates.filter(col("evicted"))
+        .select(col("key")).distinct().toDF("ekey")
+      updates.filter(!col("evicted"))
+        .groupBy(col("key"))
+        .agg(max_by(struct(col("value"), col("ts")), col("ts")).as("r"))
+        .join(evictedKeys, col("key") === col("ekey"), "left_anti")
+        .select(col("key"), col("r.value").as("value"), col("r.ts").as("ts"))
+        .orderBy(col("key"))
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
+  /** The batch twin: latest per key, kept only when the key's latest
+    * event is within the 6-hour recency window of the global max. */
+  val ttlLatestPerKeySql: String =
+    """SELECT key, value, ts FROM (
+      | SELECT cast(user_id as varchar) AS key, event_type AS value,
+      |  date_trunc('microseconds', ts) AS ts,
+      |  row_number() OVER (PARTITION BY user_id
+      |    ORDER BY ts DESC, event_id DESC) AS rn
+      | FROM events)
+      |WHERE rn = 1 AND ts > (SELECT max(ts) - INTERVAL 6 HOUR FROM events)
+      |ORDER BY key""".stripMargin
+
+  /** Stream-stream LEFT OUTER join with watermarks and a time-range
+    * condition — the outer twin of `stream_stream_join`: purchases
+    * with no click in the preceding hour are emitted NULL-PADDED, but
+    * only once the watermark passes the purchase (before that a
+    * matching click could still arrive, so the engine must hold the
+    * row — the spec asserts null rows appear only after the watermark
+    * moves). State cleanup is the same watermark eviction as the inner
+    * join; the null emission rides on it.
+    *
+    * Determinism at the tail: a purchase newer than the FINAL
+    * watermark never has its null row flushed before the query stops,
+    * so the entry (and its oracle) cut at max(ts) − 2 h — one hour of
+    * margin below the 1-hour join range, clear of either possible
+    * state-watermark formula. The cutoff is computed from the static
+    * table at full µs precision so both engines filter identically. */
+  def streamStreamJoinOuter(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
+    val name = uniq("ss_join_outer")
+    val clicks = recordStream(spark, dir)
+      .filter(col("value") === "click")
+      .select(col("key"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "0 seconds")
+    val purchases = recordStream(spark, dir)
+      .filter(col("value") === "purchase")
+      .select(col("key").as("p_key"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "0 seconds")
+    val q = purchases.join(clicks,
+        col("key") === col("p_key") &&
+        col("click_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("p_ts"),
+      "leftOuter")
+      .select(col("p_key").as("user_key"), col("p_ts"), col("click_ts"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable(); q.stop()
+    // µs-exact cutoff: Timestamp → Instant keeps the nanos, so the
+    // literal matches the oracle's max(ts) - INTERVAL 2 HOUR exactly
+    val maxTs = graft.util.t(spark, dir, "events")
+      .agg(max(col("ts"))).first().getTimestamp(0)
+    val cutoff = java.sql.Timestamp.from(maxTs.toInstant.minusSeconds(2 * 3600))
+    spark.table(name)
+      .filter(col("p_ts") <= lit(cutoff))
+      .groupBy(col("user_key"))
+      .agg(count(col("click_ts")).as("n_pairs"),
+        sum(when(col("click_ts").isNull, 1L).otherwise(0L)).as("n_unmatched"))
+      .orderBy(col("user_key"))
+  }
+
+  val streamStreamJoinOuterSql: String =
+    """SELECT cast(p.user_id as varchar) AS user_key,
+      | count(c.ts) AS n_pairs,
+      | cast(sum(CASE WHEN c.ts IS NULL THEN 1 ELSE 0 END) as bigint) AS n_unmatched
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      | ON p.user_id = c.user_id
+      | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+      |WHERE p.ts <= (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
       |GROUP BY 1 ORDER BY user_key""".stripMargin
 
   /** R2 streaming on the state-v2 API (`transformWithState` +
@@ -556,6 +722,8 @@ object StreamingOps {
     GQuery("stream_dedup_wm", streamDedupWm, Some(streamDedupWmSql)),
     GQuery("stream_static_join", streamStaticJoin, Some(streamStaticJoinSql)),
     GQuery("stream_stream_join", streamStreamJoin, Some(streamStreamJoinSql)),
+    GQuery("stream_stream_join_outer", streamStreamJoinOuter, Some(streamStreamJoinOuterSql)),
+    GQuery("stream_ttl_latest_per_key", ttlLatestPerKey, Some(ttlLatestPerKeySql)),
     GQuery("stream_session_counts", streamSessionCounts, Some(streamSessionCountsSql)),
     GQuery("stream_dedup_corpus", streamDedupCorpus, Some(streamDedupCorpusSql)),
     GQuery("stream_neardup_minhash", streamNearDupMinhash, None),

@@ -44,10 +44,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.functions.MisraGriesTopK].getName, "graft_heavy_hitters"),
       (exprs: Seq[Expression]) => {
-        require(exprs.length == 2 && exprs(1).foldable,
-          "graft_heavy_hitters(term, capacity) — capacity must be a literal")
-        graft.functions.MisraGriesTopK(exprs(0),
-          exprs(1).eval().asInstanceOf[Number].intValue())
+        // capacity must be a foldable, non-null, integral literal > 0 —
+        // anything else (NULL, a string, a fractional/zero/negative
+        // value) is a user error and must surface as a descriptive
+        // analysis-time failure, not an executor NPE/ClassCastException
+        val capMsg = "graft_heavy_hitters(term, capacity) — capacity must be " +
+          "a positive integral literal (e.g. graft_heavy_hitters(term, 64))"
+        require(exprs.length == 2 && exprs(1).foldable, capMsg)
+        val cap = exprs(1).eval() match {
+          case i: java.lang.Integer => i.longValue()
+          case l: java.lang.Long => l.longValue()
+          case s: java.lang.Short => s.longValue()
+          case b: java.lang.Byte => b.longValue()
+          case _ => throw new IllegalArgumentException(capMsg) // null / string / fractional
+        }
+        require(cap > 0 && cap <= Int.MaxValue, capMsg)
+        graft.functions.MisraGriesTopK(exprs(0), cap.toInt)
       }))
   }
 }

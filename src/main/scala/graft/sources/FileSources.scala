@@ -273,6 +273,14 @@ object FileSources {
       .write.mode(SaveMode.Overwrite)
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .saveAsTable(lineitemTbl)
+    // same leak shape as cboStats' graft_stats_* tables: the catalog
+    // entry dies with the JVM, the warehouse dir would not — register
+    // both for exit cleanup (deferred: bucketedJoinPlan reads them later)
+    Seq(ordersTbl, lineitemTbl).foreach { n =>
+      val meta = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(n))
+      graft.util.registerShutdownDelete(new java.io.File(meta.location).getAbsolutePath)
+    }
     val o = spark.table(ordersTbl)
     val li = spark.table(lineitemTbl)
     li.join(o, li("l_orderkey") === o("o_orderkey"))

@@ -30,7 +30,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * round-trip entry is DuckDB-oracle-checked). String fields containing
   * the delimiter, a quote, or a newline are quoted with inner quotes
   * doubled; read those back with `option("escape", "\"")` (+
-  * `multiLine` for embedded newlines) — spec-asserted in Round5Spec.
+  * `multiLine` for embedded newlines) — spec-asserted in Round6Spec.
   * `supportsExternalMetadata` lets the write path hand the query's
   * schema straight to the table.
   */

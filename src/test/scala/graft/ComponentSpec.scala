@@ -179,7 +179,8 @@ class ComponentSpec extends AnyFunSuite {
 
   test("R11 recovery: a restarted query resumes from the checkpoint without reprocessing") {
     import spark.implicits._
-    val base = java.nio.file.Files.createTempDirectory("graft_recovery").toString
+    val base = util.scratchDir("recovery")
+    new java.io.File(base).mkdirs()
     val (src, ckpt, sink) = (s"$base/src", s"$base/ckpt", s"$base/sink")
     def record(id: Long) = (id.toString, s"v$id", new java.sql.Timestamp(1700000000000L + id))
     def run(): Unit = {
