@@ -30,6 +30,21 @@ object DevRun {
         .parquet(s"$outDir/$n")
       println(f"[devrun] $n: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+    // oracle_sql.json for the selected names, so tools/check.py works
+    // on a DevRun dump exactly as on a full Verify dump
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = SparkEntry.oracleSql.view.filterKeys(names.contains)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
 }

@@ -18,6 +18,7 @@ object SparkEntry {
     operators.Analytics.all ++
     operators.SqlSurface.all ++
     operators.Sampling.all ++
+    operators.Warehouse.all ++
     sources.FileSources.all ++
     functions.Udfs.all ++
     plans.Describe.all

@@ -321,7 +321,118 @@ object Analytics {
        |WHERE c_custkey < 500
        |GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""".stripMargin
 
+  /** Positional generator (posexplode): each part expands to its first
+    * min(p_size, 5) price steps with an explicit 1-based position —
+    * the generator+ordinality pattern (DuckDB twin: zipped unnest over
+    * the same list). Generate runs inside WholeStageCodegen with no
+    * shuffle; output is bounded at 5× input by construction, the
+    * discipline any 100 TB explode needs. */
+  def q63Posexplode(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .select(col("p_partkey"), col("p_retailprice"),
+        posexplode(sequence(lit(1), least(col("p_size"), lit(5)))))
+      .select(col("p_partkey"), (col("pos") + 1).as("pos"),
+        (col("p_retailprice") * col("col")).as("step_price"))
+      .orderBy(col("p_partkey"), col("pos"))
+
+  val q63Sql: String =
+    """SELECT p_partkey,
+      | unnest(range(1, least(p_size, 5) + 1)) AS pos,
+      | p_retailprice * unnest(range(1, least(p_size, 5) + 1)) AS step_price
+      |FROM part ORDER BY p_partkey, pos""".stripMargin
+
+  /** Time-series gap fill: a per-user daily spine (date sequence from
+    * the corpus bounds) left-joined to daily activity, with zero-fill
+    * and a forward-filled last-observation column (`last(...,
+    * ignoreNulls)` over an ordered window — IGNORE NULLS in the DuckDB
+    * twin). The spine is users × days (generated, never shuffled
+    * wide); the fill is one window pass partitioned by user — at
+    * 100 TB both scale with the user count, and the sequence() spine
+    * costs no scan at all. */
+  def q64GapFill(spark: SparkSession, dir: String): DataFrame = {
+    // `day` stays a TIMESTAMP (date_trunc) on both sides: a DATE
+    // column stringifies differently in the two engines' compare path
+    val ev = t(spark, dir, "events").filter(col("user_id") % 20 === 0)
+    val bounds = ev.agg(date_trunc("day", min(col("ts"))).as("d0"),
+      date_trunc("day", max(col("ts"))).as("d1"))
+    val spine = ev.select(col("user_id")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val daily = ev.groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("n_events"), ignoreNulls = true).over(w).as("last_seen"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val q64Sql: String =
+    """WITH ev AS (SELECT * FROM events WHERE user_id % 20 = 0),
+      |bounds AS (SELECT date_trunc('day', min(cast(ts AS timestamp))) AS d0,
+      |                  date_trunc('day', max(cast(ts AS timestamp))) AS d1 FROM ev),
+      |spine AS (
+      |  SELECT u.user_id,
+      |   unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY)) AS day
+      |  FROM (SELECT DISTINCT user_id FROM ev) u, bounds b),
+      |daily AS (
+      |  SELECT user_id, date_trunc('day', cast(ts AS timestamp)) AS day,
+      |         count(*) AS n_events
+      |  FROM ev GROUP BY 1, 2)
+      |SELECT s.user_id, s.day,
+      |  coalesce(d.n_events, 0) AS n_events,
+      |  last_value(d.n_events IGNORE NULLS)
+      |    OVER (PARTITION BY s.user_id ORDER BY s.day) AS last_seen
+      |FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+      |ORDER BY s.user_id, s.day""".stripMargin
+
+  /** Z-score outlier detection per event_type — the standard
+    * streaming-ingest QA gate, computed with the exact-decimal-sum
+    * discipline: n, Σx, Σx² accumulate as decimals (partition-order
+    * independent), and mean/σ/z are derived in double from those exact
+    * inputs with an expression tree mirrored in the oracle, so both
+    * engines produce bit-identical z. One aggregate + one broadcast
+    * rejoin; nothing quadratic, no second scan for the variance. */
+  def q65ZscoreAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val ev = t(spark, dir, "events")
+    val stats = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("value").cast(DecimalType(22, 8))).as("s1"),
+      sum((col("value") * col("value")).cast(DecimalType(22, 8))).as("s2"))
+    val s1d = col("s1").cast("double")
+    val s2d = col("s2").cast("double")
+    ev.join(broadcast(stats), Seq("event_type"))
+      .withColumn("z",
+        (col("value") - s1d / col("n")) /
+          sqrt((s2d - s1d * s1d / col("n")) / (col("n") - 1)))
+      .filter(abs(col("z")) > 3)
+      .select(col("event_id"), col("event_type"), round(col("z"), 2).as("z"))
+      .orderBy(col("event_id"))
+  }
+
+  val q65Sql: String =
+    """WITH stats AS (
+      |  SELECT event_type, count(*) AS n,
+      |         sum(cast(value AS decimal(22,8))) AS s1,
+      |         sum(cast(value * value AS decimal(22,8))) AS s2
+      |  FROM events GROUP BY event_type)
+      |SELECT e.event_id, e.event_type,
+      |  round((e.value - cast(s.s1 AS double) / s.n) /
+      |    sqrt((cast(s.s2 AS double) - cast(s.s1 AS double) * cast(s.s1 AS double) / s.n)
+      |         / (s.n - 1)), 2) AS z
+      |FROM events e JOIN stats s ON e.event_type = s.event_type
+      |WHERE abs((e.value - cast(s.s1 AS double) / s.n) /
+      |      sqrt((cast(s.s2 AS double) - cast(s.s1 AS double) * cast(s.s1 AS double) / s.n)
+      |           / (s.n - 1))) > 3
+      |ORDER BY e.event_id""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("q63_posexplode", q63Posexplode, Some(q63Sql)),
+    GQuery("q64_gap_fill", q64GapFill, Some(q64Sql)),
+    GQuery("q65_zscore_anomaly", q65ZscoreAnomaly, Some(q65Sql)),
     GQuery("q49_salted_join", q49SaltedJoin, Some(q49Sql)),
     GQuery("q47_array_funcs", q47ArrayFuncs, Some(q47Sql)),
     GQuery("q48_struct_json", q48StructJson, Some(q48Sql)),

@@ -624,7 +624,53 @@ object Dedup {
        | cast(sum(n_tokens) as bigint) AS total_tokens
        |FROM pos GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Edit-distance (fuzzy) near-dup pairs — the character-level
+    * complement of shingle-Jaccard: catches small in-word edits that
+    * token-set measures under-weigh. The operator is DEFINED as
+    * blocked-verify: candidate generation is the SAME inverted-index
+    * shingle join as jaccardPairs (pairs sharing ≥ 8 word-3-shingles;
+    * one character edit perturbs the ≤ 3 shingles containing its word,
+    * so a ≤12-edit pair of n-word docs shares ≥ n−2−36 shingles and
+    * always passes the block for n ≥ 46 — edits clustered in fewer
+    * words, the common near-dup shape, pass at far smaller n), then
+    * ONLY candidates pay the O(len²) levenshtein verify. Never
+    * corpus² distance computations: at 100 TB the candidate set is
+    * linear in true near-dups, and the DP cost is per-candidate.
+    * Both engines implement unit-cost Levenshtein identically, and the
+    * candidate rule is deterministic relational algebra → full SQL
+    * oracle (same blocked-verify plan expressed in DuckDB). */
+  def fuzzyEditPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val sh = shingles(spark, dir)
+    val cand = sh.select(col("doc_id").as("a_id"), col("s"))
+      .join(sh.select(col("doc_id").as("b_id"), col("s")), Seq("s"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("i"))
+      .filter(col("i") >= 8)
+    cand
+      .join(docs.select(col("doc_id").as("a_id"), col("text").as("a_text")), Seq("a_id"))
+      .join(docs.select(col("doc_id").as("b_id"), col("text").as("b_text")), Seq("b_id"))
+      .withColumn("edit_dist", levenshtein(col("a_text"), col("b_text")))
+      .filter(col("edit_dist") <= 12)
+      .select(col("a_id"), col("b_id"), col("edit_dist"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val fuzzyEditPairsSql: String =
+    s"""WITH $shinglesSqlCte,
+       | cand AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 8)
+       |SELECT c.a_id, c.b_id, levenshtein(a.text, b.text) AS edit_dist
+       |FROM cand c
+       | JOIN documents a ON a.doc_id = c.a_id
+       | JOIN documents b ON b.doc_id = c.b_id
+       |WHERE levenshtein(a.text, b.text) <= 12
+       |ORDER BY a_id, b_id""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("dedup_fuzzy_edit", fuzzyEditPairs, Some(fuzzyEditPairsSql)),
     GQuery("pipeline_train_corpus", trainCorpus, Some(trainCorpusSql)),
     GQuery("dedup_apply_components", applyComponents, Some(applyComponentsSql)),
     GQuery("dedup_cluster_components", clusterComponents, Some(clusterComponentsSql)),

@@ -360,7 +360,54 @@ object SqlSurface {
        | ${sqlDsum("l_quantity")} AS qty
        |FROM fact f JOIN dim d ON f.k = d.k""".stripMargin
 
+  /** GROUP BY ALL (Spark 4 / modern ANSI sugar): every non-aggregate
+    * select item becomes a grouping key — the analyzer expands it to
+    * the same hash aggregate as an explicit GROUP BY, so the plan (and
+    * the scale story) is identical to q1. */
+  def q61GroupByAll(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "lineitem").createOrReplaceTempView("lineitem_gba")
+    spark.sql(
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+         | ${sqlDsum("l_quantity")} AS sum_qty
+         |FROM lineitem_gba GROUP BY ALL
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  val q61Sql: String =
+    s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+       | ${sqlDsum("l_quantity")} AS sum_qty
+       |FROM lineitem GROUP BY ALL
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT — top-2
+    * customers per nation, the lateral formulation of per-group top-k.
+    * Spark decorrelates the lateral into a window/limit over a single
+    * shuffled join (no per-outer-row re-execution), so it scales like
+    * q19_topk_per_group while keeping the for-each-row SQL shape users
+    * write. Ties broken by name for determinism. */
+  def q62LateralTopk(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "nation").createOrReplaceTempView("nation_lat")
+    t(spark, dir, "customer").createOrReplaceTempView("customer_lat")
+    spark.sql(
+      """SELECT n.n_name, x.c_name, x.c_acctbal
+        |FROM nation_lat n,
+        | LATERAL (SELECT c_name, c_acctbal FROM customer_lat c
+        |          WHERE c.c_nationkey = n.n_nationkey
+        |          ORDER BY c_acctbal DESC, c_name LIMIT 2) x
+        |ORDER BY n.n_name, x.c_acctbal DESC, x.c_name""".stripMargin)
+  }
+
+  val q62Sql: String =
+    """SELECT n.n_name, x.c_name, x.c_acctbal
+      |FROM nation n,
+      | LATERAL (SELECT c_name, c_acctbal FROM customer c
+      |          WHERE c.c_nationkey = n.n_nationkey
+      |          ORDER BY c_acctbal DESC, c_name LIMIT 2) x
+      |ORDER BY n.n_name, x.c_acctbal DESC, x.c_name""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("q61_group_by_all", q61GroupByAll, Some(q61Sql)),
+    GQuery("q62_lateral_topk", q62LateralTopk, Some(q62Sql)),
     GQuery("q51_recursive_cte", q51RecursiveCte, Some(q51Sql)),
     GQuery("q52_variant_json", q52VariantJson, Some(q52Sql)),
     GQuery("q53_sql_udf", q53SqlUdf, Some(q53Sql)),

@@ -711,7 +711,52 @@ object StreamingOps {
        |FROM (SELECT range AS id FROM range(0, 10000))
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** CHAINED stateful operators in one streaming query (Spark 4
+    * multi-stateful support): watermarked dedup
+    * (`dropDuplicatesWithinWatermark` on (key, value, hour)) feeding a
+    * tumbling-window count — the "unique actives per hour" pipeline
+    * that previously required two queries with an intermediate topic.
+    * Both operators share one event-time watermark; the dedup evicts
+    * state as the watermark passes (bounded), and the window agg emits
+    * each hour when it closes. Dedup keys include the hour bucket so
+    * the surviving row's window assignment is deterministic regardless
+    * of which duplicate arrives first.
+    *
+    * Tail determinism (same discipline as the outer join): windows not
+    * closed by the FINAL watermark are never emitted, so entry and
+    * oracle both cut at w_start ≤ max(ts) − 2 h. */
+  def streamChainedStateful(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
+    val name = uniq("chained_stateful")
+    val q = recordStream(spark, dir)
+      .withColumn("hour", date_trunc("hour", col("ts")))
+      .withWatermark("ts", "0 seconds")
+      .dropDuplicatesWithinWatermark("key", "value", "hour")
+      .groupBy(window(col("ts"), "1 hour"), col("value"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("value"), col("n"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable(); q.stop()
+    val maxTs = graft.util.t(spark, dir, "events")
+      .agg(max(col("ts"))).first().getTimestamp(0)
+    val cutoff = java.sql.Timestamp.from(maxTs.toInstant.minusSeconds(2 * 3600))
+    spark.table(name)
+      .filter(col("w_start") <= lit(cutoff))
+      .orderBy(col("w_start"), col("value"))
+  }
+
+  val streamChainedStatefulSql: String =
+    """WITH d AS (
+      |  SELECT DISTINCT user_id, event_type,
+      |         date_trunc('hour', cast(ts AS timestamp)) AS h
+      |  FROM events)
+      |SELECT h AS w_start, event_type AS value, count(*) AS n
+      |FROM d
+      |WHERE h <= (SELECT max(cast(ts AS timestamp)) - INTERVAL 2 HOUR FROM events)
+      |GROUP BY 1, 2 ORDER BY w_start, value""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("stream_chained_stateful", streamChainedStateful, Some(streamChainedStatefulSql)),
     GQuery("stream_dsv2_source", streamDsv2Source, Some(streamDsv2SourceSql)),
     GQuery("stream_foreach_batch", streamForeachBatch, Some(streamForeachBatchSql)),
     GQuery("stream_latest_per_key", latestPerKey, Some(latestPerKeySql)),

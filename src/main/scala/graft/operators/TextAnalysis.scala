@@ -433,7 +433,56 @@ object TextAnalysis {
       | round(cast(sum(cast(nll as decimal(18,6))) as double) / count(*), 6) AS avg_nll
       |FROM nll GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
 
+  /** Boilerplate n-gram detection (C4/RefinedWeb-style): a word bigram
+    * occurring in ≥ 8 % of all documents is template text, not
+    * content; each document reports how much of it is boilerplate and
+    * a drop verdict. The threshold is RELATIVE (df·100 ≥ 8·corpus
+    * size, integer arithmetic — scale-free across SFs and exact in
+    * both engines). Plan shape: one explode pass → distinct(doc, gram)
+    * → df counts; the boilerplate vocabulary is bounded by the gram
+    * space, so the rejoin broadcasts; per-doc aggregation shuffles on
+    * doc_id only. The ratio is one int/int double division — bit-equal
+    * unrounded in both engines. */
+  def boilerplateNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val grams = docs
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws)-1), i -> concat_ws(' ', element_at(ws,i), element_at(ws,i+1)))"
+      )).as("g"))
+    val df = grams.distinct().groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val boiler = df.crossJoin(broadcast(total))
+      .filter(col("df") * 100 >= col("n_total") * 8)
+      .select(col("g"), lit(1).as("is_b"))
+    grams.join(broadcast(boiler), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("is_b")).as("n_boiler"))
+      .withColumn("boiler_ratio", col("n_boiler").cast("double") / col("n_grams"))
+      .withColumn("drop", col("boiler_ratio") >= 0.5)
+      .orderBy(col("doc_id"))
+  }
+
+  val boilerplateNgramsSql: String =
+    """WITH grams AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+      |    i -> ws[i] || ' ' || ws[i+1])) AS g
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      |  WHERE len(ws) >= 2),
+      |df AS (
+      |  SELECT g, count(*) AS df
+      |  FROM (SELECT DISTINCT doc_id, g FROM grams) GROUP BY g),
+      |total AS (SELECT count(*) AS n_total FROM documents),
+      |boiler AS (SELECT g FROM df, total WHERE df * 100 >= n_total * 8)
+      |SELECT gr.doc_id, count(*) AS n_grams, count(b.g) AS n_boiler,
+      |       cast(count(b.g) AS double) / count(*) AS boiler_ratio,
+      |       (cast(count(b.g) AS double) / count(*)) >= 0.5 AS "drop"
+      |FROM grams gr LEFT JOIN boiler b ON gr.g = b.g
+      |GROUP BY gr.doc_id ORDER BY gr.doc_id""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("text_boilerplate_ngrams", boilerplateNgrams, Some(boilerplateNgramsSql)),
     GQuery("text_perplexity", perplexity, Some(perplexitySql)),
     GQuery("text_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     GQuery("text_repetition_filter", repetitionFilter, Some(repetitionFilterSql)),

@@ -1,0 +1,196 @@
+package graft.operators
+
+import graft.GQuery
+import graft.util._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Warehouse-maintenance operators — the mutation/reconciliation half
+  * of a production analytics engine that the reference sandbox (one
+  * fixed append topology, `KStreamsToKTable.java:66-107`) never needs:
+  * MERGE-style upsert, slowly-changing-dimension history, and snapshot
+  * diffing (CDC). Spark on plain parquet has no transactional MERGE
+  * INTO target, so each operator is expressed as the relational core a
+  * table format would wrap: a keyed full-outer reconciliation. That is
+  * also why they scale — every one is a single equi-shuffle on the
+  * merge key (AQE-splittable, salting-compatible), no driver-side
+  * state, no per-row RPCs.
+  *
+  * Determinism for the oracle: derived "update" prices use one IEEE
+  * double op (`* 1.25`, `+ 5.0`) on the raw column — bit-identical in
+  * Spark and DuckDB, no decimal rounding mode in play.
+  */
+object Warehouse {
+
+  /** MERGE INTO semantics (upsert): target = orders snapshot missing
+    * every 3rd key; source = refreshed rows for even keys at 1.25×
+    * price. Matched → update, source-only → insert, target-only →
+    * keep. One full-outer equi-join on the key: at 100 TB both sides
+    * shuffle-partition on o_orderkey and each task merges its slice —
+    * the same plan a Delta/Iceberg MERGE compiles to for the
+    * all-partitions-touched case. */
+  def q58MergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val target = orders.filter(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice").as("price"))
+    val source = orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice") * 1.25).as("price"))
+    target.as("t").join(source.as("s"), Seq("o_orderkey"), "full_outer")
+      .select(
+        col("o_orderkey"),
+        coalesce(col("s.o_custkey"), col("t.o_custkey")).as("o_custkey"),
+        coalesce(col("s.price"), col("t.price")).as("price"),
+        when(col("t.o_custkey").isNull, "insert")
+          .when(col("s.o_custkey").isNull, "keep")
+          .otherwise("update").as("action"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q58Sql: String =
+    """WITH target AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice AS price
+      |  FROM orders WHERE o_orderkey % 3 <> 0),
+      |source AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice * 1.25 AS price
+      |  FROM orders WHERE o_orderkey % 2 = 0)
+      |SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+      |       coalesce(s.o_custkey, t.o_custkey) AS o_custkey,
+      |       coalesce(s.price, t.price) AS price,
+      |       CASE WHEN t.o_custkey IS NULL THEN 'insert'
+      |            WHEN s.o_custkey IS NULL THEN 'keep'
+      |            ELSE 'update' END AS action
+      |FROM target t FULL JOIN source s ON t.o_orderkey = s.o_orderkey
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** SCD Type-2 dimension build from the event stream: compress each
+    * user's event_type runs (keep only rows where the type changed),
+    * then derive [valid_from, valid_to) intervals with lead() — the
+    * standard dimension-history recipe. Two window passes over the
+    * same (user_id, ts) partitioning: Catalyst reuses one sort+shuffle
+    * for both. Ties broken by event_id for determinism. */
+  def q59Scd2Dimension(spark: SparkSession, dir: String): DataFrame = {
+    val wLag = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wLead = Window.partitionBy(col("user_id")).orderBy(col("valid_from"))
+    t(spark, dir, "events")
+      .withColumn("prev", lag(col("event_type"), 1).over(wLag))
+      .filter(col("prev").isNull || col("event_type") =!= col("prev"))
+      .select(col("user_id"), col("event_type"), col("ts").as("valid_from"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wLead))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy(col("user_id"), col("valid_from"))
+  }
+
+  val q59Sql: String =
+    """WITH ordered AS (
+      |  SELECT user_id, ts, event_type,
+      |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |changes AS (
+      |  SELECT user_id, ts, event_type FROM ordered
+      |  WHERE prev IS NULL OR event_type <> prev)
+      |SELECT user_id, event_type, ts AS valid_from,
+      |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+      |       (lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL) AS is_current
+      |FROM changes ORDER BY user_id, valid_from""".stripMargin
+
+  /** Snapshot diff (CDC extract): version B drops every 11th key and
+    * bumps every 7th price; the diff classifies removed/changed rows.
+    * Full-outer on the key + value comparison — the plan that powers
+    * incremental downstream refresh when a source can't emit a
+    * changelog. Unchanged rows are filtered pre-sort, so the output
+    * (and the sort) is proportional to the CHANGE set, not the
+    * snapshot. */
+  def q60SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val snapA = orders.select(col("o_orderkey"), col("o_totalprice").as("price"))
+    val snapB = orders.filter(col("o_orderkey") % 11 =!= 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 5.0)
+          .otherwise(col("o_totalprice")).as("price"))
+    snapA.as("a").join(snapB.as("b"), Seq("o_orderkey"), "full_outer")
+      .filter(col("b.price").isNull || col("a.price") =!= col("b.price"))
+      .select(
+        col("o_orderkey"),
+        when(col("b.price").isNull, "removed").otherwise("changed").as("change"),
+        col("a.price").as("old_price"),
+        col("b.price").as("new_price"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q60Sql: String =
+    """WITH snap_a AS (
+      |  SELECT o_orderkey, o_totalprice AS price FROM orders),
+      |snap_b AS (
+      |  SELECT o_orderkey,
+      |         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 5.0
+      |              ELSE o_totalprice END AS price
+      |  FROM orders WHERE o_orderkey % 11 <> 0)
+      |SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+      |       CASE WHEN b.price IS NULL THEN 'removed'
+      |            ELSE 'changed' END AS change,
+      |       a.price AS old_price, b.price AS new_price
+      |FROM snap_a a FULL JOIN snap_b b ON a.o_orderkey = b.o_orderkey
+      |WHERE b.price IS NULL OR a.price <> b.price
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Data-quality expectations report (dbt-test/Deequ-style): each row
+    * is one declared constraint over the star schema — key uniqueness,
+    * non-null, referential integrity, accepted range — with its
+    * violation count and verdict. Every check is an independent
+    * aggregate/anti-join (no cross-check dependency), so on a cluster
+    * they run as parallel jobs over pruned column subsets; the report
+    * union is six 1-row DataFrames. */
+  def metaExpectations(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val customer = t(spark, dir, "customer")
+    val lineitem = t(spark, dir, "lineitem")
+    val events = t(spark, dir, "events")
+    def check(name: String, violations: DataFrame): DataFrame =
+      violations.select(lit(name).as("check_name"), col("violations"))
+    val report =
+      check("orders_pk_unique",
+        orders.agg((count(lit(1)) - countDistinct(col("o_orderkey"))).as("violations"))) union
+      check("customer_name_not_null",
+        customer.agg(count(when(col("c_name").isNull, 1)).as("violations"))) union
+      check("orders_custkey_fk",
+        orders.join(customer, col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("violations"))) union
+      check("lineitem_qty_range",
+        lineitem.agg(count(when(col("l_quantity") < 0 || col("l_quantity") > 60, 1)).as("violations"))) union
+      check("lineitem_orderkey_fk",
+        lineitem.join(orders, col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("violations"))) union
+      check("events_value_not_null",
+        events.agg(count(when(col("value").isNull, 1)).as("violations")))
+    report
+      .withColumn("pass", col("violations") === 0)
+      .orderBy(col("check_name"))
+  }
+
+  val metaExpectationsSql: String =
+    """SELECT check_name, violations, violations = 0 AS pass FROM (
+      |  SELECT 'orders_pk_unique' AS check_name,
+      |         (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders) AS violations
+      |  UNION ALL SELECT 'customer_name_not_null',
+      |         (SELECT count(*) FROM customer WHERE c_name IS NULL)
+      |  UNION ALL SELECT 'orders_custkey_fk',
+      |         (SELECT count(*) FROM orders o
+      |          WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+      |  UNION ALL SELECT 'lineitem_qty_range',
+      |         (SELECT count(*) FROM lineitem WHERE l_quantity < 0 OR l_quantity > 60)
+      |  UNION ALL SELECT 'lineitem_orderkey_fk',
+      |         (SELECT count(*) FROM lineitem l
+      |          WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+      |  UNION ALL SELECT 'events_value_not_null',
+      |         (SELECT count(*) FROM events WHERE value IS NULL)
+      |) ORDER BY check_name""".stripMargin
+
+  val all: Seq[GQuery] = Seq(
+    GQuery("q58_merge_upsert", q58MergeUpsert, Some(q58Sql)),
+    GQuery("q59_scd2_dimension", q59Scd2Dimension, Some(q59Sql)),
+    GQuery("q60_snapshot_diff", q60SnapshotDiff, Some(q60Sql)),
+    GQuery("meta_expectations", metaExpectations, Some(metaExpectationsSql)),
+  )
+}
