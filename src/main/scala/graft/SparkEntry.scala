@@ -19,6 +19,7 @@ object SparkEntry {
     operators.SqlSurface.all ++
     operators.Sampling.all ++
     operators.Warehouse.all ++
+    operators.Graph.all ++
     sources.FileSources.all ++
     functions.Udfs.all ++
     plans.Describe.all

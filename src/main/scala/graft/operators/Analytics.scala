@@ -429,7 +429,82 @@ object Analytics {
       |           / (s.n - 1))) > 3
       |ORDER BY e.event_id""".stripMargin
 
+  /** Gap-based sessionization via the SECONDARY-SORT pattern:
+    * `repartition(user_id)` + `sortWithinPartitions(user_id, ts)` +
+    * a single-pass typed `mapPartitions` with O(1) state per partition
+    * — the physical shape (one shuffle, one partition-local sort,
+    * streaming iterator, zero per-key buffering) that handles a user
+    * whose history exceeds executor memory, where a
+    * `collect_list`-per-user approach would OOM. Same semantics as
+    * the built-in `session_window` twin (`ks_session_window`, ≥ 30 min
+    * gap starts a new session — spec-asserted equal); this entry adds
+    * session_end. Event times are compared as epoch micros (exact
+    * integer arithmetic), so the oracle's interval algebra agrees
+    * bit-for-bit. */
+  def q66SessionizeScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val gapUs = 30L * 60 * 1000000
+    val sessions = t(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long)]
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts_us"))
+      .mapPartitions { it =>
+        // streaming fold: emit a session when the user changes or the
+        // gap reaches 30 min; O(1) state, never materializes a user
+        new Iterator[(Long, Long, Long, Long)] {
+          private var cur: Option[(Long, Long, Long, Long)] = None // uid, start, end, n
+          private var pending: Option[(Long, Long, Long, Long)] = None
+          private def advance(): Unit = {
+            while (pending.isEmpty && it.hasNext) {
+              val (uid, ts) = it.next()
+              cur match {
+                case Some((u, s, e, n)) if u == uid && ts - e < gapUs =>
+                  cur = Some((u, s, ts, n + 1))
+                case Some(done) =>
+                  pending = Some(done); cur = Some((uid, ts, ts, 1L))
+                case None =>
+                  cur = Some((uid, ts, ts, 1L))
+              }
+            }
+            if (pending.isEmpty && !it.hasNext && cur.isDefined) {
+              pending = cur; cur = None
+            }
+          }
+          override def hasNext: Boolean = { advance(); pending.isDefined }
+          override def next(): (Long, Long, Long, Long) = {
+            advance(); val r = pending.get; pending = None; r
+          }
+        }
+      }
+      .toDF("user_id", "start_us", "end_us", "n_events")
+    sessions.select(col("user_id"),
+      timestamp_micros(col("start_us")).as("session_start"),
+      timestamp_micros(col("end_us")).as("session_end"),
+      col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  val q66Sql: String =
+    """WITH marked AS (
+      | SELECT user_id, ts,
+      |  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |        < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+      | FROM events),
+      |sessions AS (
+      | SELECT user_id, ts,
+      |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      | FROM marked)
+      |SELECT user_id,
+      | date_trunc('microseconds', min(ts)) AS session_start,
+      | date_trunc('microseconds', max(ts)) AS session_end,
+      | count(*) AS n_events
+      |FROM sessions GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("q66_sessionize_scan", q66SessionizeScan, Some(q66Sql)),
     GQuery("q63_posexplode", q63Posexplode, Some(q63Sql)),
     GQuery("q64_gap_fill", q64GapFill, Some(q64Sql)),
     GQuery("q65_zscore_anomaly", q65ZscoreAnomaly, Some(q65Sql)),

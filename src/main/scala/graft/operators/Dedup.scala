@@ -4,6 +4,7 @@ import graft.GQuery
 import graft.util._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Deduplication over `documents` (north-star LLM-pipeline mandate):
   * exact, exact-normalized, shingle-Jaccard (the exact oracle), and the
@@ -669,7 +670,69 @@ object Dedup {
        |WHERE levenshtein(a.text, b.text) <= 12
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** Passage-level exact dedup (the C4/RefinedWeb line-dedup rule at
+    * 8-word-chunk granularity — the fixture corpus has no newlines, so
+    * the "line" unit is a fixed word window): every document is split
+    * into consecutive 8-word passages, a passage that recurs ANYWHERE
+    * in the corpus survives only at its global first occurrence
+    * (min (doc_id, pos)), and each document's text is rebuilt from its
+    * surviving passages (empty if none survive — the row stays, like a
+    * boilerplate-only page). Unlike document-level dedup this removes
+    * repeated boilerplate INSIDE otherwise-unique pages.
+    *
+    * Plan shape: posexplode → one shuffle keyed on passage text for
+    * the first-occurrence window → groupBy(doc_id) rebuild. Passages
+    * are near-unique keys, so the shuffle is well distributed; at
+    * 100 TB the window key becomes xxhash64(chunk) (band on the hash,
+    * verify in-bucket) so full passage text never keys a shuffle —
+    * same plan, cheaper key; text kept here for oracle parity. */
+  def passageDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val flat = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, (size(w)-1) div 8), i -> array_join(slice(w, i*8+1, 8), ' '))"))
+        .as(Seq("pos", "chunk")))
+    val w = Window.partitionBy(col("chunk")).orderBy(col("doc_id"), col("pos"))
+    val kept = flat.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(expr(
+          "transform(array_sort(collect_list(struct(pos, chunk))), x -> x.chunk)"),
+          " ").as("text_kept"))
+    docs.select(col("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  val passageDedupSql: String =
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |flat0 AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(0, ((len(w)-1)//8)+1),
+      |           i -> {'pos': i,
+      |                 'chunk': array_to_string(list_slice(w, i*8+1, i*8+8), ' ')})) AS pc
+      |  FROM ws),
+      |flat AS (SELECT doc_id, pc.pos AS pos, pc.chunk AS chunk FROM flat0),
+      |ranked AS (
+      |  SELECT doc_id, pos, chunk,
+      |         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rk
+      |  FROM flat),
+      |rebuilt AS (
+      |  SELECT doc_id, count(*) AS n_kept,
+      |         string_agg(chunk, ' ' ORDER BY pos) AS text_kept
+      |  FROM ranked WHERE rk = 1 GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |       coalesce(r.n_kept, 0) AS n_kept,
+      |       coalesce(r.text_kept, '') AS text_kept
+      |FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("dedup_passages", passageDedup, Some(passageDedupSql)),
     GQuery("dedup_fuzzy_edit", fuzzyEditPairs, Some(fuzzyEditPairsSql)),
     GQuery("pipeline_train_corpus", trainCorpus, Some(trainCorpusSql)),
     GQuery("dedup_apply_components", applyComponents, Some(applyComponentsSql)),

@@ -44,8 +44,38 @@ object Sampling {
     """SELECT lang, least(25, count(*)) AS n_sampled
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Bounded per-group sample via the native
+    * [[graft.functions.BottomKByPriority]] aggregate: the 10 documents
+    * per language with the smallest deterministic priority
+    * `(doc_id · 2654435761) mod 2³²` (Knuth multiplicative hash — pure
+    * row function, so ANY engine can replay membership, unlike
+    * `xxhash64`). One-pass, partial-aggregable: map tasks keep ≤ k
+    * pairs per group, so only k·|groups| pairs shuffle — the scale
+    * alternative to the window-sort sample above, which shuffles every
+    * row of every stratum. Fully oracle-checkable (row_number twin). */
+  def reservoirGroup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("pri", pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)))
+      .groupBy(col("lang"))
+      .agg(graft.functions.BottomKByPriority.bottomK(col("pri"), col("doc_id"), 10).as("ids"))
+      .select(col("lang"), posexplode(col("ids")).as(Seq("sample_rank", "doc_id")))
+      .withColumn("sample_rank", (col("sample_rank") + 1).cast("long"))
+      .orderBy(col("lang"), col("sample_rank"))
+
+  val reservoirGroupSql: String =
+    """WITH ranked AS (
+      |  SELECT lang, doc_id,
+      |         row_number() OVER (
+      |           PARTITION BY lang
+      |           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS sample_rank
+      |  FROM documents)
+      |SELECT lang, sample_rank, doc_id FROM ranked
+      |WHERE sample_rank <= 10
+      |ORDER BY lang, sample_rank""".stripMargin
+
   val all: Seq[GQuery] = Seq(
     GQuery("sample_hash_deterministic", hashSample, None),
     GQuery("sample_stratified", stratifiedSample, Some(stratifiedSampleSql)),
+    GQuery("sample_reservoir_group", reservoirGroup, Some(reservoirGroupSql)),
   )
 }

@@ -711,6 +711,45 @@ object StreamingOps {
        |FROM (SELECT range AS id FROM range(0, 10000))
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The connector matrix's fourth quadrant — STREAMING WRITE through
+    * the V2 sink (`GraftTextStreamingWrite`): the admission-controlled
+    * range stream feeds `writeStream.format(graft-text)`, each
+    * micro-batch publishing as an independent epoch commit with
+    * deterministic `part-e<epoch>-*` names (replayed epochs replace,
+    * not duplicate — idempotent commit = exactly-once; spec-asserted
+    * together with the multi-epoch file layout). The CSV read-back
+    * aggregate hash-matches the range() replay, proving no row was
+    * lost or doubled across the epoch boundaries. */
+  def streamDsv2Sink(spark: SparkSession, dir: String): DataFrame =
+    withStatePartitions(spark) {
+      val out = graft.util.scratchDir("dsv2streamsink")
+      val ckpt = graft.util.scratchDir("dsv2streamsink_ckpt")
+      val q = spark.readStream.format("graft.sources.GraftRangeSource")
+        .option("rows", "10000").option("slices", "4").option("batchRows", "2500")
+        .load()
+        .writeStream.format("graft.sources.GraftTextSink")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+      q.processAllAvailable(); q.stop()
+      spark.read.schema("id long, bucket long, label string, value double")
+        .csv(out)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("bucket")).as("bsum"),
+          graft.util.dsum(col("value")).as("vsum"),
+          min(col("id")).as("min_id"),
+          max(col("id")).as("max_id"))
+        .orderBy(col("label"))
+    }
+
+  val streamDsv2SinkSql: String =
+    s"""SELECT 'lbl' || (id % 5) AS label, count(*) AS n,
+       | cast(sum(id % 16) as bigint) AS bsum,
+       | ${graft.util.sqlDsum("cast((id * 2654435761) % 1000 as double) / 10.0")} AS vsum,
+       | min(id) AS min_id, max(id) AS max_id
+       |FROM (SELECT range AS id FROM range(0, 10000))
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** CHAINED stateful operators in one streaming query (Spark 4
     * multi-stateful support): watermarked dedup
     * (`dropDuplicatesWithinWatermark` on (key, value, hour)) feeding a
@@ -758,6 +797,7 @@ object StreamingOps {
   val all: Seq[GQuery] = Seq(
     GQuery("stream_chained_stateful", streamChainedStateful, Some(streamChainedStatefulSql)),
     GQuery("stream_dsv2_source", streamDsv2Source, Some(streamDsv2SourceSql)),
+    GQuery("stream_dsv2_sink", streamDsv2Sink, Some(streamDsv2SinkSql)),
     GQuery("stream_foreach_batch", streamForeachBatch, Some(streamForeachBatchSql)),
     GQuery("stream_latest_per_key", latestPerKey, Some(latestPerKeySql)),
     GQuery("stream_latest_per_key_v2", latestPerKeyV2, Some(latestPerKeyV2Sql)),

@@ -481,7 +481,60 @@ object TextAnalysis {
       |FROM grams gr LEFT JOIN boiler b ON gr.g = b.g
       |GROUP BY gr.doc_id ORDER BY gr.doc_id""".stripMargin
 
+  /** Unicode cleanup — the canonical first pass over crawled text:
+    * NFC-normalize (via the native codegen expression
+    * [[graft.functions.NfcNormalize]] — Spark has no built-in), map
+    * NBSP → space and delete zero-width spaces, collapse whitespace
+    * runs, trim. The fixture text is ASCII, so the query FIRST builds a
+    * deterministic dirty variant (decomposed `e`+U+0301, NBSP, ZWSP
+    * wrappers around each doc's prefix) and then proves the cleanup
+    * canonicalizes it — the oracle replays the same construction with
+    * DuckDB's `nfc_normalize`, so composition semantics are
+    * cross-checked engine-to-engine, not assumed. Per-row narrow work,
+    * no shuffle: at 100 TB this runs at scan speed.
+    */
+  def unicodeClean(spark: SparkSession, dir: String): DataFrame = {
+    val comb = "\u0301" // COMBINING ACUTE ACCENT
+    val nbsp = "\u00A0"
+    val zwsp = "\u200B"
+    t(spark, dir, "documents")
+      .withColumn("dirty",
+        concat(lit("Cafe" + comb + nbsp), substring(col("text"), 1, 60),
+          lit("  " + zwsp + "e" + comb)))
+      .withColumn("nfc", graft.functions.NfcNormalize.nfcNormalize(col("dirty")))
+      .withColumn("cleaned",
+        trim(regexp_replace(translate(col("nfc"), nbsp + zwsp, " "), "[ \t\r\n]+", " ")))
+      .select(col("doc_id"),
+        length(col("dirty")).cast("long").as("len_raw"),
+        length(col("cleaned")).cast("long").as("len_clean"),
+        (col("dirty") =!= col("cleaned")).as("changed"),
+        col("cleaned"))
+      .orderBy(col("doc_id"))
+  }
+
+  // chr(769)=U+0301 combining acute, chr(160)=NBSP, chr(8203)=ZWSP —
+  // spelled via chr() so the oracle JSON stays pure ASCII
+  val unicodeCleanSql: String =
+    """WITH dirty AS (
+      |  SELECT doc_id,
+      |         'Cafe' || chr(769) || chr(160) || substring(text, 1, 60)
+      |           || '  ' || chr(8203) || 'e' || chr(769) AS dirty
+      |  FROM documents),
+      |cleaned AS (
+      |  SELECT doc_id, dirty,
+      |         trim(regexp_replace(
+      |           translate(nfc_normalize(dirty), chr(160) || chr(8203), ' '),
+      |           '[ \t\r\n]+', ' ', 'g')) AS cleaned
+      |  FROM dirty)
+      |SELECT doc_id,
+      |       length(dirty) AS len_raw,
+      |       length(cleaned) AS len_clean,
+      |       dirty <> cleaned AS changed,
+      |       cleaned
+      |FROM cleaned ORDER BY doc_id""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("text_unicode_clean", unicodeClean, Some(unicodeCleanSql)),
     GQuery("text_boilerplate_ngrams", boilerplateNgrams, Some(boilerplateNgramsSql)),
     GQuery("text_perplexity", perplexity, Some(perplexitySql)),
     GQuery("text_heavy_hitters", heavyHitters, Some(heavyHittersSql)),

@@ -61,6 +61,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(cap > 0 && cap <= Int.MaxValue, capMsg)
         graft.functions.MisraGriesTopK(exprs(0), cap.toInt)
       }))
+    // SQL surface for the bounded-sample aggregate:
+    //   SELECT graft_bottomk(priority, id, 10) FROM … GROUP BY g
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bottomk"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.BottomKByPriority].getName, "graft_bottomk"),
+      (exprs: Seq[Expression]) => {
+        val kMsg = "graft_bottomk(priority, id, k) — k must be a positive " +
+          "integral literal (e.g. graft_bottomk(pri, doc_id, 10))"
+        require(exprs.length == 3 && exprs(2).foldable, kMsg)
+        val k = exprs(2).eval() match {
+          case i: java.lang.Integer => i.longValue()
+          case l: java.lang.Long => l.longValue()
+          case s: java.lang.Short => s.longValue()
+          case b: java.lang.Byte => b.longValue()
+          case _ => throw new IllegalArgumentException(kMsg) // null / string / fractional
+        }
+        require(k > 0 && k <= Int.MaxValue, kMsg)
+        graft.functions.BottomKByPriority(exprs(0), exprs(1), k.toInt)
+      }))
+    // SQL surface for the string normalizer:
+    //   SELECT graft_nfc(text) FROM …
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_nfc"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.NfcNormalize].getName, "graft_nfc"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_nfc(text) takes exactly one argument")
+        graft.functions.NfcNormalize(exprs(0))
+      }))
   }
 }
 

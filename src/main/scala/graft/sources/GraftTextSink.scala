@@ -56,12 +56,14 @@ class GraftTextTable(path: String, writeSchema: StructType)
   override def name(): String = s"graft_text($path)"
   override def schema(): StructType = writeSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new GraftTextBatchWrite(path, info.schema())
+        override def toStreaming: streaming.StreamingWrite =
+          new GraftTextStreamingWrite(path, info.schema())
       }
     }
 }
@@ -104,15 +106,67 @@ class GraftTextBatchWrite(path: String, schema: StructType) extends BatchWrite {
 class GraftTextWriterFactory(path: String, schema: StructType)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftTextDataWriter(path, schema, partitionId, taskId)
+    new GraftTextDataWriter(path, schema, s"_tmp_${partitionId}_$taskId")
+}
+
+/** The streaming face of the same commit protocol — what makes the
+  * connector's write half exactly-once under micro-batch execution:
+  *
+  *   - every epoch is an independent transactional commit: executors
+  *     stage `_tmp_e<epoch>_*` files, the driver's
+  *     `commit(epochId, messages)` publishes them;
+  *   - final names are a DETERMINISTIC function of (epochId, message
+  *     index) — when a failed/restarted query REPLAYS an epoch (the
+  *     replayable-source contract), the re-commit renames onto the
+  *     same `part-e<epoch>-*` names, replacing rather than
+  *     duplicating: commit is idempotent per epoch, so
+  *     replayable source + idempotent sink = exactly-once end-to-end
+  *     (idempotence is spec-asserted by double-committing an epoch);
+  *   - `abort(epochId, ...)` deletes that epoch's staged files only —
+  *     previously committed epochs stay visible.
+  *
+  * A `_commit_e<epoch>` marker (underscore-invisible to readers)
+  * records each published epoch, the local-FS stand-in for a stream
+  * sink's commit log.
+  */
+class GraftTextStreamingWrite(path: String, schema: StructType)
+  extends streaming.StreamingWrite {
+  new File(path).mkdirs()
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory =
+    new GraftTextStreamingWriterFactory(path, schema)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    messages.zipWithIndex.foreach { case (m, i) =>
+      val msg = m.asInstanceOf[GraftTextCommitMessage]
+      val ok = new File(path, msg.stagedName)
+        .renameTo(new File(path, f"part-e$epochId-$i%05d.txt"))
+      require(ok, s"failed to publish ${msg.stagedName} for epoch $epochId")
+    }
+    new File(path, s"_commit_e$epochId").createNewFile()
+    ()
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GraftTextCommitMessage(staged, _) => new File(path, staged).delete()
+      case _ =>
+    }
+}
+
+class GraftTextStreamingWriterFactory(path: String, schema: StructType)
+  extends streaming.StreamingDataWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new GraftTextDataWriter(path, schema, s"_tmp_e${epochId}_${partitionId}_$taskId")
 }
 
 class GraftTextDataWriter(
-    path: String, schema: StructType, partitionId: Int, taskId: Long)
+    path: String, schema: StructType, stagedName: String)
   extends DataWriter[InternalRow] {
 
   // staged invisible until the driver's commit renames it
-  private val stagedName = s"_tmp_${partitionId}_$taskId"
   private val file = new File(path, stagedName)
   private var out: BufferedWriter = _
   private var rows = 0L
