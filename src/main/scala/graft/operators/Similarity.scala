@@ -535,7 +535,83 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** Exact k-NN JOIN (k = 3): EVERY vector joined to its 3 nearest
+    * neighbors — the all-pairs similarity join behind corpus-wide
+    * near-dup mining and RAG index QA, distinct from
+    * `sim_topk_bruteforce`'s fixed 20-query lookup. This exact variant
+    * is deliberately quadratic (n²/p fused-cosine pairs per task, the
+    * ground-truth/testing tier — at 100 TB you run it on samples);
+    * [[knnJoinIvf]] is the same join pruned through trained IVF
+    * buckets, the scale path. The 64-dim corpus side broadcasts at
+    * this SF; blocked both-side partitioning replaces that beyond
+    * broadcast size. Fully DuckDB-oracle-checked (same fold order,
+    * round 6). */
+  def knnJoinExact(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.select(col("vec_id").as("q_id"), col("v").as("vq"))
+    val joined = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", graft.functions.CosineSim.cosine(col("vq"), col("v")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    joined.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  val knnJoinExactSql: String =
+    """SELECT q_id, rk, neighbor_id, cos FROM (
+      | SELECT *, cast(row_number() OVER (PARTITION BY q_id
+      |   ORDER BY cos DESC, neighbor_id) as bigint) AS rk
+      | FROM (
+      |  SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+      |   round(list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) /
+      |    (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+      |     sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS cos
+      |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id))
+      |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+
+  /** Query-side nprobe for the k-NN JOIN: slightly narrower than the
+    * 20-query lookup's 6 because every vector is a query — the knob
+    * trades total candidate volume (nprobe/16 × index) against
+    * recall@3 (spec-bounded ≥ 0.8 vs [[knnJoinExact]]; measured 0.77
+    * at nprobe 4 / 0.8+ at 5 on the near-uniform synthetic data —
+    * clustered real embeddings prune far harder at equal recall). */
+  val knnJoinNProbe = 5
+
+  /** The k-NN JOIN at scale: both sides IVF-bucketed through ONE
+    * trained codebook — every vector posts to its 2 nearest lists
+    * (index side) and probes its 4 nearest (query side); candidate
+    * pairs exist only inside shared lists, so the join is equi-keyed
+    * on `cid` and candidate-linear, never n² — then exact fused-cosine
+    * re-scoring and a per-query top-3. Same output shape as the exact
+    * twin; recall@3 ≥ 0.8 spec at sf0.001 (training is engine-specific
+    * ⇒ rows-only here). */
+  def knnJoinIvf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CosineSim.cosine
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = trainCodebook(spark, e, ivfCentroids)
+    val assign = assignToBuckets(e, cents, ivfMultiProbe)
+    val qAssign = assignToBuckets(e, cents, knnJoinNProbe)
+      .select(col("vec_id").as("q_id"), col("cid"))
+    val candidates = qAssign.join(assign, Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id")).distinct()
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    candidates
+      .join(e.select(col("vec_id").as("q_id"), col("v").as("vq")), Seq("q_id"))
+      .join(e, Seq("vec_id"))
+      .withColumn("cos", cosine(col("vq"), col("v")))
+      .withColumn("rk", row_number().over(wTop).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   val all: Seq[GQuery] = Seq(
+    GQuery("sim_knn_join_exact", knnJoinExact, Some(knnJoinExactSql)),
+    GQuery("sim_knn_join_ivf", knnJoinIvf, None),
     GQuery("sim_quantize_int8", quantizeInt8, None),
     GQuery("sim_topk_bruteforce", topkBruteForce, Some(topkBruteForceSql)),
     GQuery("sim_label_centroids", labelCentroids, Some(labelCentroidsSql)),

@@ -5,7 +5,7 @@ import graft.streaming.KStreams
 import graft.streaming.KStreams.Record
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Oracle-verified Structured Streaming runs: each query executes a
   * real streaming pipeline over the events parquet (readStream →
@@ -711,6 +711,86 @@ object StreamingOps {
        |FROM (SELECT range AS id FROM range(0, 10000))
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  final case class TopkSnap(key: String, total: Long, types: Seq[String], counts: Seq[Long])
+
+  /** State-v2 processor on MAP state — the per-key sub-keyed state
+    * shape (the reference's store is key→value; a per-key MAP is what
+    * a per-user counter table needs). One `MapState[event_type, count]`
+    * per user: each batch increments the touched counters in place —
+    * O(batch) state-store ops, never rewriting the whole map — and
+    * emits a (total, top-3) snapshot. Emissions carry the running
+    * total, which strictly grows, so the converged table is simply the
+    * max-total snapshot per key. Top-3 ties break by event_type, so
+    * the converged output is deterministic and fully oracle-checkable
+    * against the batch count+rank twin. */
+  final class TopkProcessor
+    extends StatefulProcessor[String, KStreams.Record, TopkSnap] {
+    @transient private var counts: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[KStreams.Record],
+        timerValues: TimerValues): Iterator[TopkSnap] = {
+      var added = 0L
+      rows.foreach { r =>
+        val c = if (counts.containsKey(r.value)) counts.getValue(r.value) else 0L
+        counts.updateValue(r.value, c + 1L)
+        added += 1
+      }
+      if (added == 0) Iterator.empty
+      else {
+        val all = counts.iterator().toSeq
+        val top = all.sortBy { case (t, c) => (-c, t) }.take(3)
+        Iterator.single(TopkSnap(key, all.map(_._2).sum, top.map(_._1), top.map(_._2)))
+      }
+    }
+  }
+
+  /** Per-user running top-3 event types — `transformWithState` +
+    * `MapState` (completing the state-API matrix beside ValueState
+    * upserts, ListState LSH buckets, and event-time timers; RocksDB
+    * provider as in the other state-v2 runs). The converged snapshot
+    * must hash-match the batch groupBy-count + rank oracle. */
+  def streamUserTopk(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import spark.implicits._
+      val name = uniq("user_topk")
+      val q = recordStream(spark, dir)
+        .groupByKey(_.key)
+        .transformWithState(new TopkProcessor, TimeMode.None(), OutputMode.Update())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update).start()
+      q.processAllAvailable(); q.stop()
+      val latest = spark.table(name)
+        .groupBy(col("key"))
+        .agg(max_by(struct(col("types"), col("counts")), col("total")).as("r"))
+        .select(col("key").cast("long").as("user_id"),
+          col("r.types").as("t"), col("r.counts").as("c"))
+      latest
+        .select(col("user_id"), posexplode(arrays_zip(col("t"), col("c"))).as(Seq("p", "z")))
+        .select(col("user_id"), (col("p") + 1).cast("long").as("rk"),
+          col("z.t").as("event_type"), col("z.c").as("n"))
+        .orderBy(col("user_id"), col("rk"))
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
+  val streamUserTopkSql: String =
+    """WITH c AS (
+      |  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT user_id, event_type, n,
+      |         cast(row_number() OVER (PARTITION BY user_id
+      |           ORDER BY n DESC, event_type) as bigint) AS rk
+      |  FROM c)
+      |SELECT user_id, rk, event_type, n FROM r WHERE rk <= 3
+      |ORDER BY user_id, rk""".stripMargin
+
   /** The connector matrix's fourth quadrant — STREAMING WRITE through
     * the V2 sink (`GraftTextStreamingWrite`): the admission-controlled
     * range stream feeds `writeStream.format(graft-text)`, each
@@ -798,6 +878,7 @@ object StreamingOps {
     GQuery("stream_chained_stateful", streamChainedStateful, Some(streamChainedStatefulSql)),
     GQuery("stream_dsv2_source", streamDsv2Source, Some(streamDsv2SourceSql)),
     GQuery("stream_dsv2_sink", streamDsv2Sink, Some(streamDsv2SinkSql)),
+    GQuery("stream_user_topk", streamUserTopk, Some(streamUserTopkSql)),
     GQuery("stream_foreach_batch", streamForeachBatch, Some(streamForeachBatchSql)),
     GQuery("stream_latest_per_key", latestPerKey, Some(latestPerKeySql)),
     GQuery("stream_latest_per_key_v2", latestPerKeyV2, Some(latestPerKeyV2Sql)),

@@ -216,6 +216,71 @@ class Round6cSpec extends AnyFunSuite {
     }
   }
 
+  // ---- kNN join ---------------------------------------------------------
+
+  test("sim_knn_join_ivf reaches recall@3 >= 0.8 vs the exact join") {
+    import spark.implicits._
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("q_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().toSet
+    val exact = pairs(operators.Similarity.knnJoinExact(spark, sf))
+    val ivf = pairs(operators.Similarity.knnJoinIvf(spark, sf))
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall@3 = $recall")
+  }
+
+  test("knn join outputs are well-formed per query (<=3 ranked, cos non-increasing)") {
+    val rows = operators.Similarity.knnJoinIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (q, ns) =>
+      val byRank = ns.sortBy(_._2)
+      assert(byRank.length <= 3 && byRank.map(_._2).toSeq == (1L to byRank.length).toSeq,
+        s"q=$q ranks ${byRank.map(_._2).toSeq}")
+      byRank.map(_._3).sliding(2).foreach {
+        case Array(a, b) => assert(a >= b, s"q=$q cos not sorted")
+        case _ =>
+      }
+    }
+  }
+
+  // ---- MapState top-k ---------------------------------------------------
+
+  test("MapState top-k converges across micro-batches (arrival-split independent)") {
+    import graft.streaming.KStreams.Record
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val pk = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(pk)
+    spark.conf.set(pk,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val ctx = spark.sqlContext
+      val ms = MemoryStream[Record]
+      val q = ms.toDS()
+        .groupByKey(_.key)
+        .transformWithState(new operators.StreamingOps.TopkProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .writeStream.format("memory").queryName("t_topk")
+        .outputMode("update").start()
+      def rec(t: String) = Record("u1", t, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))
+      // batch 1: a×2, b×1 → top = a(2), b(1)
+      ms.addData(rec("a"), rec("a"), rec("b"))
+      q.processAllAvailable()
+      // batch 2: b×2, c×1 → counters must MERGE with prior state:
+      // final a=2, b=3, c=1 → top = b(3), a(2), c(1)
+      ms.addData(rec("b"), rec("b"), rec("c"))
+      q.processAllAvailable(); q.stop()
+      val last = spark.table("t_topk").collect()
+        .map(r => (r.getLong(1), r.getSeq[String](2), r.getSeq[Long](3)))
+        .maxBy(_._1)
+      assert(last == ((6L, Seq("b", "a", "c"), Seq(3L, 2L, 1L))),
+        s"got $last")
+    } finally {
+      prevProv match { case Some(v) => spark.conf.set(pk, v); case None => spark.conf.unset(pk) }
+    }
+  }
+
   // ---- V2 streaming sink ------------------------------------------------
 
   test("streaming sink publishes each epoch as its own commit (multi-epoch layout)") {
