@@ -503,7 +503,48 @@ object Analytics {
       |FROM sessions GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** Mode + median per group. Spark's built-in `mode()` is
+    * tie-nondeterministic, so the mode here is the count+rank
+    * formulation with an explicit (count desc, value asc) tie-break —
+    * the only way a distributed mode can be hash-compared against
+    * another engine. Median is the built-in (both engines interpolate
+    * the midpoint of the sorted set — same family as the q37
+    * percentile equivalence). */
+  def q67ModeMedian(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val counts = li.groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("cnt").desc, col("l_quantity"))
+    val mode = counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+        col("cnt").as("mode_n"))
+    val med = li.groupBy(col("l_returnflag"))
+      .agg(round(median(col("l_quantity")), 6).as("median_qty"))
+    mode.join(med, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("mode_qty"), col("mode_n"), col("median_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q67Sql: String =
+    """WITH c AS (
+      |  SELECT l_returnflag, l_quantity, count(*) AS cnt
+      |  FROM lineitem GROUP BY 1, 2),
+      |m AS (
+      |  SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_n FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY cnt DESC, l_quantity) AS rk FROM c)
+      |  WHERE rk = 1),
+      |med AS (
+      |  SELECT l_returnflag, round(median(l_quantity), 6) AS median_qty
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, mode_qty, mode_n, median_qty
+      |FROM m JOIN med USING (l_returnflag)
+      |ORDER BY l_returnflag""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("q67_mode_median", q67ModeMedian, Some(q67Sql)),
     GQuery("q66_sessionize_scan", q66SessionizeScan, Some(q66Sql)),
     GQuery("q63_posexplode", q63Posexplode, Some(q63Sql)),
     GQuery("q64_gap_fill", q64GapFill, Some(q64Sql)),

@@ -405,7 +405,41 @@ object SqlSurface {
       |          ORDER BY c_acctbal DESC, c_name LIMIT 2) x
       |ORDER BY n.n_name, x.c_acctbal DESC, x.c_name""".stripMargin
 
+  /** Query observability via the `Observation` API: named metrics
+    * (`df.observe`) are computed DURING the query's own pass
+    * (CollectMetricsExec accumulators) — no second scan, the
+    * production way to get row counts / checksums / freshness out of a
+    * pipeline stage for free. The entry runs one observed pass over
+    * lineitem and returns the collected metrics as a one-row frame;
+    * the oracle recomputes them relationally, proving the
+    * accumulator path reports exactly what a dedicated aggregation
+    * would. */
+  def observeMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val obs = org.apache.spark.sql.Observation(
+      s"metrics_${java.util.UUID.randomUUID.toString.take(8)}")
+    t(spark, dir, "lineitem")
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        date_format(min(col("l_shipdate")), "yyyy-MM-dd HH:mm:ss").as("min_ship"),
+        date_format(max(col("l_shipdate")), "yyyy-MM-dd HH:mm:ss").as("max_ship"))
+      .write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    Seq((m("n_rows").asInstanceOf[Long], m("sum_qty").asInstanceOf[Double],
+      m("min_ship").asInstanceOf[String], m("max_ship").asInstanceOf[String]))
+      .toDF("n_rows", "sum_qty", "min_ship", "max_ship")
+  }
+
+  val observeMetricsSql: String =
+    s"""SELECT count(*) AS n_rows,
+       | ${sqlDsum("l_quantity")} AS sum_qty,
+       | strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S') AS min_ship,
+       | strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS max_ship
+       |FROM lineitem""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("meta_observe_metrics", observeMetrics, Some(observeMetricsSql)),
     GQuery("q61_group_by_all", q61GroupByAll, Some(q61Sql)),
     GQuery("q62_lateral_topk", q62LateralTopk, Some(q62Sql)),
     GQuery("q51_recursive_cte", q51RecursiveCte, Some(q51Sql)),

@@ -533,7 +533,48 @@ object TextAnalysis {
       |       cleaned
       |FROM cleaned ORDER BY doc_id""".stripMargin
 
+  /** CCNet-style perplexity bucketing: the corpus split into
+    * head/middle/tail tertiles by bigram-LM perplexity (low = cleanest
+    * — the bucket CCNet keeps for LM training). Buckets come from
+    * `ntile(3)` over (avg_nll, doc_id) — deterministic, same remainder
+    * rule in both engines. The per-bucket mean nll accumulates in
+    * decimal(18,6) (inputs are already 6-decimal-rounded), so both
+    * engines agree bit-for-bit. Composes the trained-as-tables LM of
+    * `text_perplexity`; the oracle nests that entry's full SQL as a
+    * CTE — one pipeline, two engines. Scale note: the global ntile is
+    * a single-partition sort HERE; at 100 TB CCNet computes the two
+    * tertile CUTOFFS on a sample and broadcasts them — same output,
+    * no global sort. */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val ppl = perplexity(spark, dir)
+    val w = Window.orderBy(col("avg_nll"), col("doc_id"))
+    ppl.withColumn("t", ntile(3).over(w))
+      .withColumn("bucket",
+        when(col("t") === 1, "head").when(col("t") === 2, "middle").otherwise("tail"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("avg_nll").cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
+          .as("mean_nll"),
+        round(min(col("avg_nll")), 6).as("min_nll"),
+        round(max(col("avg_nll")), 6).as("max_nll"))
+      .orderBy(col("bucket"))
+  }
+
+  def ccnetBucketsSql: String =
+    s"""WITH ppl AS ($perplexitySql),
+       |b AS (
+       |  SELECT doc_id, avg_nll,
+       |         ntile(3) OVER (ORDER BY avg_nll, doc_id) AS t
+       |  FROM ppl)
+       |SELECT CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       |       count(*) AS n_docs,
+       |       round(cast(sum(cast(avg_nll as decimal(18,6))) as double) / count(*), 6) AS mean_nll,
+       |       round(min(avg_nll), 6) AS min_nll,
+       |       round(max(avg_nll), 6) AS max_nll
+       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("text_ccnet_buckets", ccnetBuckets, Some(ccnetBucketsSql)),
     GQuery("text_unicode_clean", unicodeClean, Some(unicodeCleanSql)),
     GQuery("text_boilerplate_ngrams", boilerplateNgrams, Some(boilerplateNgramsSql)),
     GQuery("text_perplexity", perplexity, Some(perplexitySql)),

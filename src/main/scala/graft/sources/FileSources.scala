@@ -426,7 +426,60 @@ object FileSources {
        | count(*) AS n_rows, ${sqlDsum("value")} AS sum_value
        |FROM events""".stripMargin
 
+  /** Manifest-based FILE pruning — the table-format pattern
+    * (Iceberg/Delta data skipping) built from first principles: write
+    * orders range-partitioned on o_orderdate into 16 date-sorted
+    * files, derive a MANIFEST (per-file min/max of the sort column —
+    * one scan with `input_file_name()`), and answer a date-range query
+    * by consulting the manifest first: only files whose [min, max]
+    * interval intersects the predicate are read at all. The manifest
+    * `collect()` is METADATA-sized (16 rows — exactly what an Iceberg
+    * planner holds on the driver), never data. The spec asserts real
+    * pruning (selected < total files); the oracle is the plain
+    * filtered aggregate, proving skipped files contained no matching
+    * rows. At 100 TB this is the difference between a scan planning in
+    * O(files-matching) and O(corpus). */
+  def manifestParts(spark: SparkSession, dir: String): (Seq[String], Int, String) = {
+    val out = uniq("manifest")
+    t(spark, dir, "orders")
+      .repartitionByRange(16, col("o_orderdate"))
+      .sortWithinPartitions(col("o_orderdate"))
+      .write.mode(SaveMode.Overwrite).parquet(out)
+    // min/max as 'yyyy-MM-dd HH:mm:ss' strings: lexicographic order ==
+    // chronological order, and the driver-side compare stays free of
+    // the java.sql vs java.time API split
+    val manifest = spark.read.parquet(out)
+      .groupBy(input_file_name().as("file"))
+      .agg(date_format(min(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss").as("mn"),
+        date_format(max(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss").as("mx"))
+    val rows = manifest.collect() // metadata-sized: one row per file
+    val lo = "1996-01-01 00:00:00"
+    val hi = "1996-12-31 00:00:00"
+    // file intersects the predicate interval iff [mn, mx] ∩ [lo, hi] ≠ ∅
+    val selected = rows.toSeq
+      .filter(r => r.getString(2) >= lo && r.getString(1) <= hi)
+      .map(_.getString(0))
+    (selected, rows.length, out)
+  }
+
+  def manifestPruning(spark: SparkSession, dir: String): DataFrame = {
+    val (selected, _, _) = manifestParts(spark, dir)
+    spark.read.parquet(selected: _*)
+      .filter(col("o_orderdate").between("1996-01-01", "1996-12-31"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val manifestPruningSql: String =
+    s"""SELECT o_orderpriority, count(*) AS n,
+       | ${sqlDsum("o_totalprice")} AS total
+       |FROM orders
+       |WHERE o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("src_manifest_pruning", manifestPruning, Some(manifestPruningSql)),
     GQuery("src_compaction", compaction, Some(compactionSql)),
     GQuery("src_schema_merge", schemaMerge, Some(schemaMergeSql)),
     GQuery("src_corrupt_records", corruptRecords, Some(corruptRecordsSql)),

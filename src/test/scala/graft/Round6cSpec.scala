@@ -281,6 +281,33 @@ class Round6cSpec extends AnyFunSuite {
     }
   }
 
+  // ---- manifest pruning -------------------------------------------------
+
+  test("manifest pruning reads a strict subset of files and misses no rows") {
+    val (selected, total, _) = sources.FileSources.manifestParts(spark, sf)
+    assert(selected.nonEmpty && selected.length < total,
+      s"manifest must prune: ${selected.length} of $total files selected")
+    val got = sources.FileSources.manifestPruning(spark, sf)
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    val want = util.t(spark, sf, "orders")
+      .filter(col("o_orderdate").between("1996-01-01", "1996-12-31")).count()
+    assert(got == want, s"pruned read lost rows: $got vs $want")
+  }
+
+  // ---- CCNet buckets ----------------------------------------------------
+
+  test("ccnet buckets are ordered tertiles with near-equal sizes") {
+    val rows = operators.TextAnalysis.ccnetBuckets(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == Seq("head", "middle", "tail"))
+    val sizes = rows.map(_._2)
+    assert(sizes.max - sizes.min <= 1, s"ntile sizes must differ by <=1: ${sizes.toSeq}")
+    // head's worst perplexity <= middle's, middle's <= tail's
+    val Seq(h, m, t) = rows.toSeq.map(r => (r._3, r._4))
+    assert(h._2 <= m._1 + 1e-9 && m._2 <= t._1 + 1e-9,
+      s"tertiles out of order: $h $m $t")
+  }
+
   // ---- V2 streaming sink ------------------------------------------------
 
   test("streaming sink publishes each epoch as its own commit (multi-epoch layout)") {
