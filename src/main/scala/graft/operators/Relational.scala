@@ -735,6 +735,59 @@ object Relational {
       .orderBy(col("click_id"))
   }
 
+  /** The q50 scenario written NAIVELY — a bare inequality band join
+    * with no equi key — and rewritten to the binned equi-join by the
+    * ENGINE ([[graft.plans.AutoRangeJoin]], registered via
+    * SparkSessionExtensions): users write the predicate they mean,
+    * the optimizer supplies the 100 TB plan. The bin-width conf is
+    * scoped to this entry, so the result materializes to scratch
+    * parquet while the rule is armed (the conf is read at optimization
+    * time, and other entries' plans must stay untouched); the
+    * rule-on ≡ rule-off equivalence, plan shape, and empty-interval
+    * guard are spec-asserted, and the result hash-matches the same
+    * naive SQL in DuckDB. */
+  def q68AutoRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val key = "spark.graft.autoRangeJoin.binWidth"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "3600")
+    try {
+      val ev = t(spark, dir, "events")
+      val periods = ev
+        .filter(col("event_type") === "purchase" && col("event_id") % 20 === 0)
+        .select(col("event_id").as("period_id"),
+          unix_timestamp(col("ts")).as("p_start_s"),
+          (unix_timestamp(col("ts")) + 7200L).as("p_end_s"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), unix_timestamp(col("ts")).as("c_s"))
+      val joined = clicks.join(periods,
+          col("c_s") >= col("p_start_s") && col("c_s") < col("p_end_s"))
+        .groupBy(col("period_id"))
+        .agg(count(lit(1)).as("n_clicks"), min(col("click_id")).as("first_click"))
+      val out = scratchDir("q68_auto_range")
+      joined.write.parquet(out) // executes while the rule is armed
+      spark.read.parquet(out).orderBy(col("period_id"))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  val q68Sql: String =
+    """WITH periods AS (
+      |  SELECT event_id AS period_id,
+      |         CAST(floor(epoch(ts)) AS BIGINT) AS p_start_s,
+      |         CAST(floor(epoch(ts)) AS BIGINT) + 7200 AS p_end_s
+      |  FROM events WHERE event_type = 'purchase' AND event_id % 20 = 0),
+      |clicks AS (
+      |  SELECT event_id AS click_id, CAST(floor(epoch(ts)) AS BIGINT) AS c_s
+      |  FROM events WHERE event_type = 'click')
+      |SELECT period_id, count(*) AS n_clicks, min(click_id) AS first_click
+      |FROM clicks JOIN periods
+      |  ON c_s >= p_start_s AND c_s < p_end_s
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Pure interval join (NO equi key), binned to an equi-join — the
     * scale rewrite for time-containment joins: `q10` has an equi key
     * so its range predicate rides the hash shuffle, but "clicks inside
@@ -819,5 +872,6 @@ object Relational {
     GQuery("q36_asof_join", q36AsofJoin, Some(q36Sql)),
     GQuery("q36b_asof_native", q36bAsofNative, Some(q36Sql)),
     GQuery("q50_interval_join_binned", q50IntervalJoinBinned, Some(q50Sql)),
+    GQuery("q68_range_join_auto", q68AutoRangeJoin, Some(q68Sql)),
   )
 }

@@ -26,6 +26,9 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => ReplaceHofCosine)
+    // automatic range-join binning (inequality-band join → equi-join
+    // on a bin key) — see plans/AutoRangeJoin.scala
+    ext.injectOptimizerRule(_ => AutoRangeJoin)
     // whole-operator extension: the native as-of join (AsOfJoinPlan →
     // AsOfJoinExec, merge over co-partitioned sorted children)
     ext.injectPlannerStrategy(_ => AsOfStrategy)

@@ -281,6 +281,51 @@ class Round6cSpec extends AnyFunSuite {
     }
   }
 
+  // ---- AutoRangeJoin optimizer rule -------------------------------------
+
+  test("AutoRangeJoin rewrites a band join to a binned equi-join, same rows") {
+    import spark.implicits._
+    val key = "spark.graft.autoRangeJoin.binWidth"
+    val iv = Seq((1L, 0L, 25L), (2L, 30L, 31L), (3L, 90L, 60L), (4L, -10L, -1L))
+      .toDF("id", "lo", "hi") // id 3 is EMPTY (lo > hi); id 4 all-negative
+    val pts = Seq((100L, 5L), (101L, 24L), (102L, 30L), (103L, 55L), (104L, -3L))
+      .toDF("pid", "pt")
+    def run() = pts.join(iv, col("pt") >= col("lo") && col("pt") <= col("hi"))
+    spark.conf.set(key, "10")
+    try {
+      val on = run()
+      val optimized = on.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("graft_range_bin"), s"rule did not fire:\n$optimized")
+      assert(!on.queryExecution.executedPlan.toString.contains("NestedLoop"),
+        "binned join must not plan a nested loop")
+      val got = on.select(col("pid"), col("id")).as[(Long, Long)].collect().toSet
+      spark.conf.set(key, "0")
+      val off = run()
+      assert(!off.queryExecution.optimizedPlan.toString.contains("graft_range_bin"))
+      val want = off.select(col("pid"), col("id")).as[(Long, Long)].collect().toSet
+      assert(got == want, s"rule changed results: got=$got want=$want")
+      assert(want == Set((100L, 1L), (101L, 1L), (102L, 2L), (104L, 4L)),
+        s"fixture expectation drifted: $want")
+      assert(!got.exists(_._2 == 3L), "empty interval must match nothing (and not crash)")
+    } finally spark.conf.unset(key)
+  }
+
+  test("AutoRangeJoin leaves equi and 3-conjunct joins untouched") {
+    import spark.implicits._
+    val key = "spark.graft.autoRangeJoin.binWidth"
+    spark.conf.set(key, "10")
+    try {
+      val a = Seq((1L, 2L)).toDF("k", "v")
+      val b = Seq((1L, 0L, 5L)).toDF("k2", "lo", "hi")
+      val equi = a.join(b, col("k") === col("k2"))
+      assert(!equi.queryExecution.optimizedPlan.toString.contains("graft_range_bin"))
+      val three = a.join(b,
+        col("k") === col("k2") && col("v") >= col("lo") && col("v") <= col("hi"))
+      assert(!three.queryExecution.optimizedPlan.toString.contains("graft_range_bin"),
+        "equi-keyed range joins already hash-shuffle; the rule must not touch them")
+    } finally spark.conf.unset(key)
+  }
+
   // ---- manifest pruning -------------------------------------------------
 
   test("manifest pruning reads a strict subset of files and misses no rows") {
