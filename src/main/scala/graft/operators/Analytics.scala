@@ -543,7 +543,42 @@ object Analytics {
       |FROM m JOIN med USING (l_returnflag)
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Multiset set operations — INTERSECT ALL / EXCEPT ALL (bag
+    * semantics: multiplicities min / subtract, not the dedup of q21's
+    * INTERSECT / q22's EXCEPT). Spark plans both as a single hash
+    * aggregation over a union with per-side counts — no join, one
+    * shuffle on the value. Per-key result counts make the bag
+    * multiplicities directly hash-checkable. */
+  def q69SetopsAll(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val u = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    val inter = f.intersectAll(u).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_common"))
+    val exc = f.exceptAll(u).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_only_f"))
+    inter.join(exc, Seq("o_custkey"), "full")
+      .select(col("o_custkey"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        coalesce(col("n_only_f"), lit(0L)).as("n_only_f"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val q69Sql: String =
+    """WITH f AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+      |u AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+      |i AS (SELECT o_custkey, count(*) AS n_common
+      |      FROM (SELECT * FROM f INTERSECT ALL SELECT * FROM u) GROUP BY 1),
+      |e AS (SELECT o_custkey, count(*) AS n_only_f
+      |      FROM (SELECT * FROM f EXCEPT ALL SELECT * FROM u) GROUP BY 1)
+      |SELECT o_custkey,
+      |       coalesce(n_common, 0) AS n_common,
+      |       coalesce(n_only_f, 0) AS n_only_f
+      |FROM i FULL JOIN e USING (o_custkey)
+      |ORDER BY o_custkey""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("q69_setops_all", q69SetopsAll, Some(q69Sql)),
     GQuery("q67_mode_median", q67ModeMedian, Some(q67Sql)),
     GQuery("q66_sessionize_scan", q66SessionizeScan, Some(q66Sql)),
     GQuery("q63_posexplode", q63Posexplode, Some(q63Sql)),

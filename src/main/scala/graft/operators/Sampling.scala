@@ -73,9 +73,37 @@ object Sampling {
       |WHERE sample_rank <= 10
       |ORDER BY lang, sample_rank""".stripMargin
 
+  /** WEIGHTED sample without replacement — Efraimidis–Spirakis
+    * (A-ES) exponential keys: item i gets key `-ln(uᵢ)/wᵢ` and the k
+    * SMALLEST keys are the sample, equivalent to sequential weighted
+    * draws. The uniform uᵢ is the deterministic Knuth hash mapped into
+    * (0, 1], so membership is layout- and run-independent; keys are
+    * scaled to integer priorities and fed through the same bounded
+    * [[graft.functions.BottomKByPriority]] aggregate — one pass, k
+    * pairs of state, no sort of the corpus. Weight = n_chars (longer
+    * docs proportionally likelier — the "sample by contribution"
+    * pipeline cut). ln() last-ulp behavior is libm-specific → rows-only;
+    * specs pin determinism, exact size, and the heavy-doc bias. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val u = (pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)) + 1).cast("double") /
+      lit(4294967296.0)
+    val pri = (-log(u) / col("n_chars") * lit(1e15)).cast("long")
+    val docs = t(spark, dir, "documents")
+    docs
+      .withColumn("pri", pri)
+      .groupBy()
+      .agg(graft.functions.BottomKByPriority.bottomK(col("pri"), col("doc_id"), 50).as("ids"))
+      .select(posexplode(col("ids")).as(Seq("rank0", "doc_id")))
+      .select((col("rank0") + 1).cast("long").as("sample_rank"), col("doc_id"))
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .select(col("sample_rank"), col("doc_id"), col("n_chars"))
+      .orderBy(col("sample_rank"))
+  }
+
   val all: Seq[GQuery] = Seq(
     GQuery("sample_hash_deterministic", hashSample, None),
     GQuery("sample_stratified", stratifiedSample, Some(stratifiedSampleSql)),
     GQuery("sample_reservoir_group", reservoirGroup, Some(reservoirGroupSql)),
+    GQuery("sample_weighted", weightedSample, None),
   )
 }

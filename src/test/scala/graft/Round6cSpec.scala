@@ -281,6 +281,23 @@ class Round6cSpec extends AnyFunSuite {
     }
   }
 
+  // ---- weighted sample --------------------------------------------------
+
+  test("weighted sample is deterministic, exact-size, and biased to heavy docs") {
+    import spark.implicits._
+    val a = operators.Sampling.weightedSample(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    val b = operators.Sampling.weightedSample(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(a == b, "A-ES keys are pure row functions — reruns must agree")
+    assert(a.length == 50 && a.map(_._2).distinct.length == 50)
+    val sampleMean = a.map(_._3).sum.toDouble / a.length
+    val corpusMean = util.t(spark, sf, "documents")
+      .agg(avg(col("n_chars"))).collect()(0).getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"weighting by n_chars must skew heavy: sample $sampleMean vs corpus $corpusMean")
+  }
+
   // ---- AutoRangeJoin optimizer rule -------------------------------------
 
   test("AutoRangeJoin rewrites a band join to a binned equi-join, same rows") {
