@@ -731,7 +731,44 @@ object Dedup {
       |FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** SemDeDup-style SEMANTIC dedup — the cluster-scoped scale path for
+    * embedding near-dups (Abbas et al.: k-means the corpus, then look
+    * for high-cosine pairs only WITHIN each cluster): each vector is
+    * assigned to its single nearest trained centroid
+    * (`Similarity.trainCodebook` — the shared coarse quantizer), the
+    * pairwise cos ≥ 0.4 check runs per cluster (work is Σ|cluster|²,
+    * never corpus² — with balanced clusters a 16× cut here, k× in
+    * general), and pairwise keep-first drops the larger id of every
+    * in-cluster duplicate pair. Output is the per-cluster audit
+    * (members / dropped / survivors). Training is engine-specific ⇒
+    * rows-only; the spec recomputes the keep-first decision per
+    * cluster from first principles and checks conservation, and the
+    * missed-duplicate rate vs the exact pair set is the documented
+    * recall trade (cross-cluster pairs are the ANN-vs-exact gap). */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = Similarity.trainCodebook(spark, e, Similarity.ivfCentroids)
+    val assign = Similarity.assignOne(e, cents)
+    val m = assign.join(e, Seq("vec_id"))
+    val a = m.select(col("cid"), col("vec_id").as("a_id"), col("v").as("va"))
+    val b = m.select(col("cid"), col("vec_id").as("b_id"), col("v").as("vb"))
+    val dupPairs = a.join(b, Seq("cid"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos", graft.functions.CosineSim.cosine(col("va"), col("vb")))
+      .filter(col("cos") >= 0.4)
+    val dropped = dupPairs.select(col("cid"), col("b_id").as("vec_id")).distinct()
+    assign
+      .join(dropped.select(col("vec_id"), lit(1).as("is_dropped")), Seq("vec_id"), "left")
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(coalesce(col("is_dropped"), lit(0))).as("n_dropped"),
+        (count(lit(1)) - sum(coalesce(col("is_dropped"), lit(0)))).as("n_survivors"))
+      .orderBy(col("cid"))
+  }
+
   val all: Seq[GQuery] = Seq(
+    GQuery("dedup_semantic_clusters", semanticDedup, None),
     GQuery("dedup_passages", passageDedup, Some(passageDedupSql)),
     GQuery("dedup_fuzzy_edit", fuzzyEditPairs, Some(fuzzyEditPairsSql)),
     GQuery("pipeline_train_corpus", trainCorpus, Some(trainCorpusSql)),

@@ -226,6 +226,11 @@ object Similarity {
       .select(col("vec_id"), col("cid"))
   }
 
+  /** Single-nearest-centroid assignment — the SemDeDup clustering step
+    * (shared with `Dedup.semanticDedup`). */
+  def assignOne(e: DataFrame, cents: DataFrame): DataFrame =
+    assignToBuckets(e, cents, 1)
+
   /** The IVF index side over a trained codebook. Exposed for the
     * bucket-balance spec. */
   def ivfAssignments(spark: SparkSession, dir: String): DataFrame = {

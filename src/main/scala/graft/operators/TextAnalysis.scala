@@ -573,7 +573,103 @@ object TextAnalysis {
        |       round(max(avg_nll), 6) AS max_nll
        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Multinomial Naive Bayes language classifier trained AS TABLES —
+    * the fasttext-style corpus classifier of a training-data pipeline
+    * (source/quality/language gating) with NO driver-side model, the
+    * same discipline as `text_perplexity`: the "model" is three
+    * aggregations (class priors, per-class token totals, per-(class,
+    * word) counts) Laplace-smoothed over the full (vocab × classes)
+    * grid, and inference is an equi-join + per-doc sum. Every log is
+    * rounded to 6 decimals and accumulated in decimal(18,6), so both
+    * engines compute bit-identical scores and the ARGMAX (ties broken
+    * by class name) is hash-stable; train/test split by doc_id parity.
+    * Output is the confusion matrix (true lang × predicted lang), so
+    * the oracle checks every prediction without shipping 250 rows of
+    * scores. Scale shape: vocab-sized model tables (broadcastable),
+    * one explode pass over test docs, shuffles keyed on word then
+    * doc_id — nothing corpus². */
+  def nbClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val test = docs.filter(col("doc_id") % 2 === 1)
+
+    val trainTok = train.select(col("lang").as("c"), explode(col("ws")).as("w"))
+    val classTok = trainTok.groupBy(col("c")).agg(count(lit(1)).as("tok_c"))
+    val wc = trainTok.groupBy(col("c"), col("w")).agg(count(lit(1)).as("cnt"))
+    val vocab = trainTok.select(col("w")).distinct()
+    val vocabN = vocab.agg(count(lit(1)).as("v"))
+    val classes = train.groupBy(col("lang").as("c")).agg(count(lit(1)).as("docs_c"))
+    val totalN = train.agg(count(lit(1)).as("n_train"))
+
+    // model table 1: log-likelihood for EVERY (word, class) cell
+    val lik = vocab.crossJoin(classes.select(col("c")))
+      .join(wc, Seq("w", "c"), "left")
+      .join(classTok, Seq("c"))
+      .crossJoin(broadcast(vocabN))
+      .select(col("w"), col("c"),
+        round(log((coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
+          (col("tok_c") + col("v")).cast("double")), 6)
+          .cast("decimal(18,6)").as("loglik"))
+    // model table 2: class log-priors
+    val prior = classes.crossJoin(broadcast(totalN))
+      .select(col("c"),
+        round(log(col("docs_c").cast("double") / col("n_train").cast("double")), 6)
+          .cast("decimal(18,6)").as("logprior"))
+
+    val testTok = test.select(col("doc_id"), col("lang"), explode(col("ws")).as("w"))
+    val scores = testTok.join(lik, Seq("w")) // unseen words drop in BOTH engines
+      .groupBy(col("doc_id"), col("lang"), col("c"))
+      .agg(sum(col("loglik")).as("sumlik"))
+      .join(prior, Seq("c"))
+      .withColumn("score", col("sumlik") + col("logprior"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("c"))
+    scores.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .groupBy(col("lang"), col("c").as("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("lang"), col("pred_lang"), col("n"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
+  val nbClassifierSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+      |train AS (SELECT * FROM docs WHERE doc_id % 2 = 0),
+      |test AS (SELECT * FROM docs WHERE doc_id % 2 = 1),
+      |train_tok AS (SELECT lang AS c, unnest(ws) AS w FROM train),
+      |class_tok AS (SELECT c, count(*) AS tok_c FROM train_tok GROUP BY 1),
+      |wc AS (SELECT c, w, count(*) AS cnt FROM train_tok GROUP BY 1, 2),
+      |vocab AS (SELECT DISTINCT w FROM train_tok),
+      |vocab_n AS (SELECT count(*) AS v FROM vocab),
+      |classes AS (SELECT lang AS c, count(*) AS docs_c FROM train GROUP BY 1),
+      |total_n AS (SELECT count(*) AS n_train FROM train),
+      |lik AS (
+      |  SELECT vocab.w, classes.c,
+      |    CAST(round(ln(CAST(coalesce(wc.cnt, 0) + 1 AS DOUBLE) /
+      |      CAST(class_tok.tok_c + vocab_n.v AS DOUBLE)), 6) AS DECIMAL(18,6)) AS loglik
+      |  FROM vocab CROSS JOIN classes
+      |  LEFT JOIN wc ON wc.w = vocab.w AND wc.c = classes.c
+      |  JOIN class_tok ON class_tok.c = classes.c
+      |  CROSS JOIN vocab_n),
+      |prior AS (
+      |  SELECT c, CAST(round(ln(CAST(docs_c AS DOUBLE) / CAST(n_train AS DOUBLE)), 6)
+      |    AS DECIMAL(18,6)) AS logprior
+      |  FROM classes CROSS JOIN total_n),
+      |test_tok AS (SELECT doc_id, lang, unnest(ws) AS w FROM test),
+      |scores AS (
+      |  SELECT t.doc_id, t.lang, l.c, sum(l.loglik) + any_value(p.logprior) AS score
+      |  FROM test_tok t JOIN lik l ON l.w = t.w JOIN prior p ON p.c = l.c
+      |  GROUP BY t.doc_id, t.lang, l.c),
+      |pred AS (
+      |  SELECT doc_id, lang, c AS pred_lang FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, c) AS rk FROM scores)
+      |  WHERE rk = 1)
+      |SELECT lang, pred_lang, count(*) AS n
+      |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("text_nb_classifier", nbClassifier, Some(nbClassifierSql)),
     GQuery("text_ccnet_buckets", ccnetBuckets, Some(ccnetBucketsSql)),
     GQuery("text_unicode_clean", unicodeClean, Some(unicodeCleanSql)),
     GQuery("text_boilerplate_ngrams", boilerplateNgrams, Some(boilerplateNgramsSql)),

@@ -281,6 +281,55 @@ class Round6cSpec extends AnyFunSuite {
     }
   }
 
+  // ---- SemDeDup ---------------------------------------------------------
+
+  test("semantic dedup matches a first-principles in-memory referee per cluster") {
+    import spark.implicits._
+    val e = util.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = operators.Similarity.trainCodebook(spark, e, operators.Similarity.ivfCentroids)
+    val assign = operators.Similarity.assignOne(e, cents)
+      .as[(Long, Int)].collect().toMap // vec_id -> cid (training is deterministic)
+    val vecs = e.as[(Long, Seq[Double])].collect().toMap
+    def cos(x: Seq[Double], y: Seq[Double]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0
+      while (i < x.length) { d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1 }
+      // HALF_UP to match Spark's round()
+      BigDecimal(d / (math.sqrt(nx) * math.sqrt(ny)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byCluster = assign.groupBy(_._2).view.mapValues(_.keys.toSeq.sorted).toMap
+    val refDropped = byCluster.view.mapValues { ids =>
+      ids.combinations(2).collect {
+        case Seq(a, b) if cos(vecs(a), vecs(b)) >= 0.4 => math.max(a, b)
+      }.toSet.size.toLong
+    }.toMap
+
+    val got = operators.Dedup.semanticDedup(spark, sf).collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.values.map(_._1).sum == vecs.size, "every vector lands in one cluster")
+    got.foreach { case (cid, (members, dropped, survivors)) =>
+      assert(members == byCluster.getOrElse(cid, Nil).size.toLong, s"cid=$cid members")
+      assert(dropped == refDropped.getOrElse(cid, 0L), s"cid=$cid dropped")
+      assert(survivors == members - dropped)
+    }
+  }
+
+  // ---- Naive Bayes classifier -------------------------------------------
+
+  test("nb classifier predicts exactly once per test doc and beats chance") {
+    val rows = operators.TextAnalysis.nbClassifier(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nTest = util.t(spark, sf, "documents").filter(col("doc_id") % 2 === 1).count()
+    assert(rows.map(_._3).sum == nTest,
+      "every test doc must appear exactly once in the confusion matrix")
+    val correct = rows.filter(r => r._1 == r._2).map(_._3).sum.toDouble
+    // the fixture text is near-uniform word soup, so accuracy is modest —
+    // but a trained model must still beat the 1-in-5 uniform baseline
+    assert(correct / nTest > 0.2, s"accuracy ${correct / nTest} not above chance")
+  }
+
   // ---- weighted sample --------------------------------------------------
 
   test("weighted sample is deterministic, exact-size, and biased to heavy docs") {
