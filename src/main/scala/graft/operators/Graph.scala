@@ -4,6 +4,7 @@ import graft.GQuery
 import graft.util._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Iterative graph analytics expressed as relational operators — the
   * Pregel/GraphX message-passing pattern without an RDD in sight:
@@ -96,7 +97,85 @@ object Graph {
        |ORDER BY r DESC, node LIMIT 20""".stripMargin
   }
 
+  /** Triangle counting on a top-K co-supply projection: supplier
+    * pairs are ranked by shared-customer count and the 3·|suppliers|
+    * heaviest overlaps become edges (deterministic tie-break; top-K is
+    * the scale-free sparsifier — a fixed absolute or fraction-of-base
+    * threshold flips between complete and empty as the bipartite
+    * density shifts across SFs, measured on this data: all 4 950 pairs
+    * pass 1/9-of-base at sf0.01, zero pass at sf0.1). Triangles are
+    * then counted by the ordered two-hop join (a < b < c with all
+    * three edges present — each triangle found exactly once, the
+    * classic distributed formulation whose join work is Σ deg² over a
+    * ~3-average-degree graph, never n³). Pure counting over a
+    * deterministic edge set ⇒ fully oracle-checkable.
+    */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = t(spark, dir, "orders")
+      .join(t(spark, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .select(col("l_suppkey").as("s"), col("o_custkey").as("c"))
+      .distinct()
+    val nSupp = pairs.agg(countDistinct(col("s")).as("ns"))
+    val wRank = Window.orderBy(col("common").desc, col("a"), col("b"))
+    // the edge list is referenced five times below (three join legs +
+    // degree both ends) — materialize it ONCE or the whole
+    // co-occurrence chain re-executes per reference (same checkpoint
+    // discipline as pageRank's edge table)
+    val ePath = scratchDir("triangle_edges")
+    pairs.as("x").join(pairs.as("y"), col("x.c") === col("y.c"))
+      .filter(col("x.s") < col("y.s"))
+      .groupBy(col("x.s").as("a"), col("y.s").as("b"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("rk", row_number().over(wRank))
+      .crossJoin(broadcast(nSupp))
+      .filter(col("rk") <= col("ns") * 3)
+      .select(col("a"), col("b"))
+      .write.parquet(ePath)
+    val e = spark.read.parquet(ePath)
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val deg = e.select(col("a").as("s")).unionAll(e.select(col("b").as("s")))
+      .groupBy(col("s")).agg(count(lit(1)).as("d"))
+    val summary = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(col("d")).as("degree_sum"), max(col("d")).as("max_degree"))
+    tri.crossJoin(summary)
+      .select(col("n_triangles"), col("n_nodes"), col("degree_sum"), col("max_degree"))
+  }
+
+  val trianglesSql: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |nsupp AS (SELECT count(DISTINCT s) AS ns FROM pairs),
+      |common AS (
+      |  SELECT x.s AS a, y.s AS b, count(*) AS common
+      |  FROM pairs x JOIN pairs y ON x.c = y.c AND x.s < y.s
+      |  GROUP BY 1, 2),
+      |e AS (
+      |  SELECT a, b FROM (
+      |    SELECT a, b, row_number() OVER (ORDER BY common DESC, a, b) AS rk
+      |    FROM common) r CROSS JOIN nsupp
+      |  WHERE rk <= ns * 3),
+      |tri AS (
+      |  SELECT count(*) AS n_triangles
+      |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+      |            JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b),
+      |deg AS (
+      |  SELECT s, count(*) AS d FROM (
+      |    SELECT a AS s FROM e UNION ALL SELECT b AS s FROM e)
+      |  GROUP BY 1),
+      |summary AS (
+      |  SELECT count(*) AS n_nodes, cast(sum(d) as bigint) AS degree_sum,
+      |         max(d) AS max_degree
+      |  FROM deg)
+      |SELECT n_triangles, n_nodes, degree_sum, max_degree
+      |FROM tri CROSS JOIN summary""".stripMargin
+
   val all: Seq[GQuery] = Seq(
     GQuery("graph_pagerank", pageRank, Some(pageRankSql)),
+    GQuery("graph_triangles", triangles, Some(trianglesSql)),
   )
 }

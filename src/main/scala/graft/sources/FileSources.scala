@@ -478,7 +478,41 @@ object FileSources {
        |WHERE o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Compression codec matrix — the same slice written as parquet
+    * under each codec in the distribution (snappy / zstd / gzip / lz4
+    * / uncompressed), read back and checksummed: count + exact
+    * orderkey sum + exact decimal price sum per codec must all equal
+    * the source (codec choice is a pure storage trade, never a
+    * semantics one — the thing to PROVE before flipping a 100 TB
+    * table to zstd). File sizes differ per codec/build, so the
+    * oracle checks the five identical checksum rows, not bytes. */
+  def codecMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val src = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val codecs = Seq("snappy", "zstd", "gzip", "lz4", "uncompressed")
+    codecs.map { c =>
+      val out = uniq(s"codec_$c")
+      src.write.mode(SaveMode.Overwrite).option("compression", c).parquet(out)
+      spark.read.parquet(out)
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          dsum(col("o_totalprice")).as("price_sum"))
+        .select(lit(c).as("codec"), col("n"), col("key_sum"), col("price_sum"))
+    }.reduce(_.unionAll(_)).orderBy(col("codec"))
+  }
+
+  val codecMatrixSql: String = {
+    val one = (c: String) =>
+      s"""SELECT '$c' AS codec, count(*) AS n,
+         | cast(sum(o_orderkey) as bigint) AS key_sum,
+         | ${sqlDsum("o_totalprice")} AS price_sum
+         |FROM orders""".stripMargin
+    Seq("snappy", "zstd", "gzip", "lz4", "uncompressed")
+      .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY codec")
+  }
+
   val all: Seq[GQuery] = Seq(
+    GQuery("src_codec_matrix", codecMatrix, Some(codecMatrixSql)),
     GQuery("src_manifest_pruning", manifestPruning, Some(manifestPruningSql)),
     GQuery("src_compaction", compaction, Some(compactionSql)),
     GQuery("src_schema_merge", schemaMerge, Some(schemaMergeSql)),
