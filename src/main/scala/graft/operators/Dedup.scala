@@ -767,7 +767,88 @@ object Dedup {
       .orderBy(col("cid"))
   }
 
+  /** Epoch data-mixture planning — the "20 % books / 80 % web" recipe
+    * step of LLM training (domain reweighting): given target token
+    * weights per language (en 40 %, others 15 %), compute for each
+    * language how the natural corpus maps onto its epoch share:
+    * `full_copies = target div natural` whole passes plus a PARTIAL
+    * pass — the greedy prefix of documents (in deterministic Knuth-hash
+    * order) whose cumulative tokens fit the remaining budget. ALL
+    * integer arithmetic and an engine-replayable order, so the entire
+    * plan (copies, partial membership, achieved tokens) hash-matches
+    * DuckDB. Shapes: one token count pass, per-lang aggregates, one
+    * window cumulative sum — nothing materializes the mixed epoch
+    * itself (at 100 TB the plan drives the sampler; you never write
+    * `full_copies × corpus`). */
+  def mixEpochs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+    val weights = Seq(("en", 40L), ("de", 15L), ("fr", 15L), ("es", 15L), ("zh", 15L))
+    val wdf = broadcast(docs.sparkSession.createDataFrame(weights).toDF("lang", "w"))
+    val natural = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("natural_toks"))
+    val total = docs.agg(sum(col("toks")).as("total_toks"))
+    val plan = natural.join(wdf, Seq("lang")).crossJoin(broadcast(total))
+      .withColumn("target_toks", expr("(total_toks * w) div 100"))
+      .withColumn("full_copies", expr("target_toks div natural_toks"))
+      .withColumn("partial_budget", expr("target_toks - full_copies * natural_toks"))
+    val wOrd = Window.partitionBy(col("lang"))
+      .orderBy(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)), col("doc_id"))
+    val partial = docs
+      .withColumn("cum", sum(col("toks")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(plan.select(col("lang"), col("partial_budget")), Seq("lang"))
+      .filter(col("cum") <= col("partial_budget"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("partial_docs"), sum(col("toks")).as("partial_toks"))
+    plan.join(partial, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("natural_toks"), col("target_toks"),
+        col("full_copies"),
+        coalesce(col("partial_docs"), lit(0L)).as("partial_docs"),
+        (col("full_copies") * col("natural_toks") +
+          coalesce(col("partial_toks"), lit(0L))).as("achieved_toks"))
+      .orderBy(col("lang"))
+  }
+
+  val mixEpochsSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, lang,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+      |  FROM documents),
+      |weights(lang, w) AS (VALUES ('en', 40), ('de', 15), ('fr', 15), ('es', 15), ('zh', 15)),
+      |nat AS (
+      |  SELECT lang, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS natural_toks
+      |  FROM docs GROUP BY 1),
+      |total AS (SELECT CAST(sum(toks) AS BIGINT) AS total_toks FROM docs),
+      |plan AS (
+      |  SELECT lang, n_docs, natural_toks,
+      |         (total_toks * w) // 100 AS target_toks,
+      |         ((total_toks * w) // 100) // natural_toks AS full_copies,
+      |         (total_toks * w) // 100
+      |           - (((total_toks * w) // 100) // natural_toks) * natural_toks AS partial_budget
+      |  FROM nat JOIN weights USING (lang) CROSS JOIN total),
+      |cum AS (
+      |  SELECT lang, toks,
+      |         sum(toks) OVER (PARTITION BY lang
+      |           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM docs),
+      |partial AS (
+      |  SELECT c.lang, count(*) AS partial_docs, CAST(sum(c.toks) AS BIGINT) AS partial_toks
+      |  FROM cum c JOIN plan p ON p.lang = c.lang
+      |  WHERE c.cum <= p.partial_budget GROUP BY 1)
+      |SELECT lang, n_docs, natural_toks,
+      |       CAST(target_toks AS BIGINT) AS target_toks,
+      |       CAST(full_copies AS BIGINT) AS full_copies,
+      |       coalesce(partial_docs, 0) AS partial_docs,
+      |       CAST(full_copies * natural_toks + coalesce(partial_toks, 0) AS BIGINT)
+      |         AS achieved_toks
+      |FROM plan LEFT JOIN partial USING (lang)
+      |ORDER BY lang""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("pipeline_mix_epochs", mixEpochs, Some(mixEpochsSql)),
     GQuery("dedup_semantic_clusters", semanticDedup, None),
     GQuery("dedup_passages", passageDedup, Some(passageDedupSql)),
     GQuery("dedup_fuzzy_edit", fuzzyEditPairs, Some(fuzzyEditPairsSql)),

@@ -281,6 +281,22 @@ class Round6cSpec extends AnyFunSuite {
     }
   }
 
+  // ---- epoch mixing -----------------------------------------------------
+
+  test("mix epochs: achieved fits the target budget within one document") {
+    val rows = operators.Dedup.mixEpochs(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(6)))
+    assert(rows.map(_._1).sorted.toSeq == Seq("de", "en", "es", "fr", "zh"))
+    val maxToks = util.t(spark, sf, "documents")
+      .agg(max(size(split(col("text"), " ")))).collect()(0).getInt(0)
+    rows.foreach { case (lang, natural, target, achieved) =>
+      assert(achieved <= target, s"$lang over budget: $achieved > $target")
+      assert(target - achieved <= maxToks,
+        s"$lang under-filled by more than one document: $target - $achieved")
+      assert(natural > 0)
+    }
+  }
+
   // ---- SemDeDup ---------------------------------------------------------
 
   test("semantic dedup matches a first-principles in-memory referee per cluster") {
