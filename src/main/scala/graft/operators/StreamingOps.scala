@@ -388,6 +388,59 @@ object StreamingOps {
       |WHERE p.ts <= (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
       |GROUP BY 1 ORDER BY user_key""".stripMargin
 
+  /** Watermarked stream-stream FULL OUTER join — completes the
+    * streaming join matrix (inner, left-outer, full-outer): BOTH sides
+    * now emit null-padded non-matches when the watermark closes their
+    * window, exercising eviction-with-emission state cleanup on each
+    * side. Tail determinism: rows are kept where the side that governs
+    * their eviction (`coalesce(p_ts, click_ts)`) is ≥ 2 h before the
+    * final watermark, so the batch FULL JOIN oracle matches exactly —
+    * the same cutoff discipline as the left-outer entry, applied
+    * symmetrically. */
+  def streamStreamJoinFull(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
+    val name = uniq("ss_join_full")
+    val clicks = recordStream(spark, dir)
+      .filter(col("value") === "click")
+      .select(col("key"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "0 seconds")
+    val purchases = recordStream(spark, dir)
+      .filter(col("value") === "purchase")
+      .select(col("key").as("p_key"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "0 seconds")
+    val q = purchases.join(clicks,
+        col("key") === col("p_key") &&
+        col("click_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("p_ts"),
+      "fullOuter")
+      .select(coalesce(col("p_key"), col("key")).as("user_key"),
+        col("p_ts"), col("click_ts"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable(); q.stop()
+    val maxTs = graft.util.t(spark, dir, "events")
+      .agg(max(col("ts"))).first().getTimestamp(0)
+    val cutoff = java.sql.Timestamp.from(maxTs.toInstant.minusSeconds(2 * 3600))
+    spark.table(name)
+      .filter(coalesce(col("p_ts"), col("click_ts")) <= lit(cutoff))
+      .groupBy(col("user_key"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("click_ts").isNull, 1L).otherwise(0L)).as("n_no_click"),
+        sum(when(col("p_ts").isNull, 1L).otherwise(0L)).as("n_no_purchase"))
+      .orderBy(col("user_key"))
+  }
+
+  val streamStreamJoinFullSql: String =
+    """SELECT cast(coalesce(p.user_id, c.user_id) as varchar) AS user_key,
+      | count(*) AS n_rows,
+      | cast(sum(CASE WHEN c.ts IS NULL THEN 1 ELSE 0 END) as bigint) AS n_no_click,
+      | cast(sum(CASE WHEN p.ts IS NULL THEN 1 ELSE 0 END) as bigint) AS n_no_purchase
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      | ON p.user_id = c.user_id
+      | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+      |WHERE coalesce(p.ts, c.ts) <= (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
+      |GROUP BY 1 ORDER BY user_key""".stripMargin
+
   /** R2 streaming on the state-v2 API (`transformWithState` +
     * `ValueState` + RocksDB provider — the production state store).
     * Same converged result as `stream_latest_per_key`; the provider
@@ -889,6 +942,7 @@ object StreamingOps {
     GQuery("stream_static_join", streamStaticJoin, Some(streamStaticJoinSql)),
     GQuery("stream_stream_join", streamStreamJoin, Some(streamStreamJoinSql)),
     GQuery("stream_stream_join_outer", streamStreamJoinOuter, Some(streamStreamJoinOuterSql)),
+    GQuery("stream_stream_join_full", streamStreamJoinFull, Some(streamStreamJoinFullSql)),
     GQuery("stream_ttl_latest_per_key", ttlLatestPerKey, Some(ttlLatestPerKeySql)),
     GQuery("stream_session_counts", streamSessionCounts, Some(streamSessionCountsSql)),
     GQuery("stream_dedup_corpus", streamDedupCorpus, Some(streamDedupCorpusSql)),
