@@ -364,11 +364,17 @@ object StreamingOps {
       .writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Append).start()
     q.processAllAvailable(); q.stop()
-    // µs-exact cutoff: Timestamp → Instant keeps the nanos, so the
-    // literal matches the oracle's max(ts) - INTERVAL 2 HOUR exactly
-    val maxTs = graft.util.t(spark, dir, "events")
-      .agg(max(col("ts"))).first().getTimestamp(0)
-    val cutoff = java.sql.Timestamp.from(maxTs.toInstant.minusSeconds(2 * 3600))
+    // µs-exact cutoff keyed off the watermark the stream actually
+    // REACHES — the global watermark is the MIN across the two inputs'
+    // event-time maxima (multipleWatermarkPolicy=min), so a corpus
+    // whose click stream ends hours before its purchase stream would
+    // otherwise leave the tail un-closed (the full-outer twin hit
+    // exactly this at sf0.001)
+    val b0 = graft.util.t(spark, dir, "events")
+      .agg(max(when(col("event_type") === "click", col("ts"))).as("mc"),
+        max(when(col("event_type") === "purchase", col("ts"))).as("mp")).first()
+    val wm0 = Seq(b0.getTimestamp(0), b0.getTimestamp(1)).minBy(_.getTime)
+    val cutoff = java.sql.Timestamp.from(wm0.toInstant.minusSeconds(2 * 3600))
     spark.table(name)
       .filter(col("p_ts") <= lit(cutoff))
       .groupBy(col("user_key"))
@@ -385,7 +391,10 @@ object StreamingOps {
       |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       | ON p.user_id = c.user_id
       | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
-      |WHERE p.ts <= (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
+      |WHERE p.ts <= (SELECT least(
+      |    (SELECT max(ts) FROM events WHERE event_type = 'click'),
+      |    (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+      |  ) - INTERVAL 2 HOUR)
       |GROUP BY 1 ORDER BY user_key""".stripMargin
 
   /** Watermarked stream-stream FULL OUTER join — completes the
@@ -417,9 +426,17 @@ object StreamingOps {
       .writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Append).start()
     q.processAllAvailable(); q.stop()
-    val maxTs = graft.util.t(spark, dir, "events")
-      .agg(max(col("ts"))).first().getTimestamp(0)
-    val cutoff = java.sql.Timestamp.from(maxTs.toInstant.minusSeconds(2 * 3600))
+    // the global watermark is the MIN across the two inputs' event-time
+    // maxima (multipleWatermarkPolicy=min) — the last click/purchase is
+    // never closed, so the cutoff must key off the watermark the stream
+    // actually REACHES, not max(ts) overall (at sf0.001 the corpus's
+    // final click is hours before the final purchase and this is the
+    // difference between an exact oracle and a missing null-padded row)
+    val b = graft.util.t(spark, dir, "events")
+      .agg(max(when(col("event_type") === "click", col("ts"))).as("mc"),
+        max(when(col("event_type") === "purchase", col("ts"))).as("mp")).first()
+    val wm = Seq(b.getTimestamp(0), b.getTimestamp(1)).minBy(_.getTime)
+    val cutoff = java.sql.Timestamp.from(wm.toInstant.minusSeconds(2 * 3600))
     spark.table(name)
       .filter(coalesce(col("p_ts"), col("click_ts")) <= lit(cutoff))
       .groupBy(col("user_key"))
@@ -429,16 +446,25 @@ object StreamingOps {
       .orderBy(col("user_key"))
   }
 
+  // the stream runs on µs-truncated event time (graft.util.t), so the
+  // oracle must join at the same precision — at sf0.001 one click pair
+  // sits within nanoseconds of the interval edge and flips otherwise
   val streamStreamJoinFullSql: String =
-    """SELECT cast(coalesce(p.user_id, c.user_id) as varchar) AS user_key,
+    """WITH ev AS (
+      |  SELECT user_id, event_type, date_trunc('microseconds', ts) AS ts
+      |  FROM events)
+      |SELECT cast(coalesce(p.user_id, c.user_id) as varchar) AS user_key,
       | count(*) AS n_rows,
       | cast(sum(CASE WHEN c.ts IS NULL THEN 1 ELSE 0 END) as bigint) AS n_no_click,
       | cast(sum(CASE WHEN p.ts IS NULL THEN 1 ELSE 0 END) as bigint) AS n_no_purchase
-      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-      |FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
+      |FULL JOIN (SELECT * FROM ev WHERE event_type = 'click') c
       | ON p.user_id = c.user_id
       | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
-      |WHERE coalesce(p.ts, c.ts) <= (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
+      |WHERE coalesce(p.ts, c.ts) <= (SELECT least(
+      |    (SELECT max(ts) FROM ev WHERE event_type = 'click'),
+      |    (SELECT max(ts) FROM ev WHERE event_type = 'purchase')
+      |  ) - INTERVAL 2 HOUR)
       |GROUP BY 1 ORDER BY user_key""".stripMargin
 
   /** R2 streaming on the state-v2 API (`transformWithState` +
