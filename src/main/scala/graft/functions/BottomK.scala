@@ -4,6 +4,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.{graftbridge, Column}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.BinaryLike
@@ -44,6 +45,22 @@ case class BottomKByPriority(
   override def prettyName: String = "bottomk_by_priority"
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  /** Both children must be integral at ANALYSIS time: via the SQL
+    * surface (`graft_bottomk`) a double priority would silently
+    * truncate through `Number.longValue` and a decimal one would throw
+    * `ClassCastException` mid-execution (Spark's `Decimal` is not a
+    * `java.lang.Number`) — fail the query plan instead. */
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def integral(e: Expression, role: String): Option[String] = e.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => None
+      case other => Some(s"$role must be an integral type, got ${other.sql}")
+    }
+    integral(left, "priority").orElse(integral(right, "id")) match {
+      case Some(msg) => TypeCheckResult.TypeCheckFailure(s"$prettyName: $msg")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+  }
 
   // max-heap on (priority, id): the root is the WORST kept pair, so a
   // better candidate replaces it in O(log k)

@@ -487,13 +487,13 @@ object Analytics {
 
   val q66Sql: String =
     """WITH marked AS (
-      | SELECT user_id, ts,
+      | SELECT user_id, ts, event_id,
       |  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
       |        < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
       | FROM events),
       |sessions AS (
       | SELECT user_id, ts,
-      |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
       | FROM marked)
       |SELECT user_id,

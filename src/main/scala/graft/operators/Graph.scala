@@ -4,7 +4,6 @@ import graft.GQuery
 import graft.util._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Iterative graph analytics expressed as relational operators — the
   * Pregel/GraphX message-passing pattern without an RDD in sight:
@@ -110,27 +109,39 @@ object Graph {
     * ~3-average-degree graph, never n³). Pure counting over a
     * deterministic edge set ⇒ fully oracle-checkable.
     */
-  def triangles(spark: SparkSession, dir: String): DataFrame = {
+  /** The sparsified edge list: the 3·|suppliers| heaviest co-supply
+    * overlaps, ranked (shared-customer count desc, a, b). Planned as
+    * `TakeOrderedAndProject` — every partition keeps its own top-3·ns
+    * in a bounded heap and a single merge sees only partitions·3·ns
+    * pre-truncated rows — NEVER a global `row_number()` window, whose
+    * un-partitioned sort would drag the full quadratic co-occurrence
+    * table through one task (the round-6 formulation; spec-asserted
+    * gone). `ns` itself is a scalar count (metadata-sized first(),
+    * like the manifest read), and the 3·ns edge budget is node-linear
+    * by construction, so the Int limit holds at any SF that Spark's
+    * own limit operator does. */
+  private[graft] def topCoSupplyEdges(spark: SparkSession, dir: String): DataFrame = {
     val pairs = t(spark, dir, "orders")
       .join(t(spark, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
       .select(col("l_suppkey").as("s"), col("o_custkey").as("c"))
       .distinct()
-    val nSupp = pairs.agg(countDistinct(col("s")).as("ns"))
-    val wRank = Window.orderBy(col("common").desc, col("a"), col("b"))
+    val ns = pairs.agg(countDistinct(col("s"))).first().getLong(0)
+    pairs.as("x").join(pairs.as("y"), col("x.c") === col("y.c"))
+      .filter(col("x.s") < col("y.s"))
+      .groupBy(col("x.s").as("a"), col("y.s").as("b"))
+      .agg(count(lit(1)).as("common"))
+      .orderBy(col("common").desc, col("a"), col("b"))
+      .limit((ns * 3).toInt)
+      .select(col("a"), col("b"))
+  }
+
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
     // the edge list is referenced five times below (three join legs +
     // degree both ends) — materialize it ONCE or the whole
     // co-occurrence chain re-executes per reference (same checkpoint
     // discipline as pageRank's edge table)
     val ePath = scratchDir("triangle_edges")
-    pairs.as("x").join(pairs.as("y"), col("x.c") === col("y.c"))
-      .filter(col("x.s") < col("y.s"))
-      .groupBy(col("x.s").as("a"), col("y.s").as("b"))
-      .agg(count(lit(1)).as("common"))
-      .withColumn("rk", row_number().over(wRank))
-      .crossJoin(broadcast(nSupp))
-      .filter(col("rk") <= col("ns") * 3)
-      .select(col("a"), col("b"))
-      .write.parquet(ePath)
+    topCoSupplyEdges(spark, dir).write.parquet(ePath)
     val e = spark.read.parquet(ePath)
     val tri = e.as("e1")
       .join(e.as("e2"), col("e1.b") === col("e2.a"))

@@ -210,13 +210,13 @@ object KTableOps {
 
   val ksSessionWindowSql: String =
     """WITH marked AS (
-      | SELECT user_id, ts,
+      | SELECT user_id, ts, event_id,
       |  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
       |        < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
       | FROM events),
       |sessions AS (
       | SELECT user_id, ts,
-      |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
       | FROM marked)
       |SELECT user_id, date_trunc('microseconds', min(ts)) AS s_start, count(*) AS n_events

@@ -748,8 +748,15 @@ object Relational {
     * naive SQL in DuckDB. */
   def q68AutoRangeJoin(spark: SparkSession, dir: String): DataFrame = {
     val key = "spark.graft.autoRangeJoin.binWidth"
+    val capKey = "spark.graft.autoRangeJoin.maxBinsPerRow"
     val prev = spark.conf.getOption(key)
+    val prevCap = spark.conf.getOption(capKey)
     spark.conf.set(key, "3600")
+    // the attribution windows are FIXED 2-hour intervals — every row
+    // spans 2–3 bins at w=3600 by construction, so this entry arms the
+    // no-fallback expert mode (pure binned plan, no second scan pair);
+    // the default wide-interval split is spec-covered in Round7Spec
+    spark.conf.set(capKey, "-1")
     try {
       val ev = t(spark, dir, "events")
       val periods = ev
@@ -770,6 +777,10 @@ object Relational {
       prev match {
         case Some(v) => spark.conf.set(key, v)
         case None => spark.conf.unset(key)
+      }
+      prevCap match {
+        case Some(v) => spark.conf.set(capKey, v)
+        case None => spark.conf.unset(capKey)
       }
     }
   }

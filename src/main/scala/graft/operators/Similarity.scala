@@ -548,9 +548,9 @@ object Similarity {
     * ground-truth/testing tier — at 100 TB you run it on samples);
     * [[knnJoinIvf]] is the same join pruned through trained IVF
     * buckets, the scale path. The 64-dim corpus side broadcasts at
-    * this SF; blocked both-side partitioning replaces that beyond
-    * broadcast size. Fully DuckDB-oracle-checked (same fold order,
-    * round 6). */
+    * this SF; [[knnJoinExactBlocked]] is the both-sides-partitioned
+    * twin that replaces it beyond broadcast size. Fully
+    * DuckDB-oracle-checked (same fold order, round 6). */
   /** Top-k tail shared by both k-NN joins: per-query top-k via the
     * bounded [[graft.functions.BottomKByPriority]] aggregate instead
     * of a window sort — a `row_number()` window shuffles and sorts
@@ -570,7 +570,9 @@ object Similarity {
       .select(col("q_id"), (col("rk0") + 1).cast("long").as("rk"), col("neighbor_id"))
       .join(e.select(col("vec_id").as("q_id"), col("v").as("vq")), Seq("q_id"))
       .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("vn")), Seq("neighbor_id"))
-      .withColumn("cos", cosine(col("vq"), col("vn")))
+      // rounded like the priority it was ranked by, so the emitted cos
+      // is exactly non-increasing per query and oracle-comparable
+      .withColumn("cos", round(cosine(col("vq"), col("vn")), 6))
       .select(col("q_id"), col("rk"), col("neighbor_id"), col("cos"))
       .orderBy(col("q_id"), col("rk"))
   }
@@ -640,6 +642,50 @@ object Similarity {
       |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id))
       |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
 
+  /** Grid width of the blocked exact tier: queries replicate ×B on the
+    * corpus-block axis and the corpus replicates ×B on the query-block
+    * axis, so the equi-join key (qb, cb) has B² values — enough
+    * distinct keys to spread the n²/B² per-block work across every
+    * executor. B is a tuning knob: shuffle volume grows linearly in B
+    * (each side replicated B×) while per-task memory shrinks as 1/B²;
+    * at 100 TB pick B ≈ √(tasks you want). */
+  val knnBlockGrid = 8
+
+  /** Exact k-NN JOIN beyond broadcast size — the BLOCKED both-sides
+    * tier [[knnJoinExact]]'s Scaladoc promises: when the corpus no
+    * longer fits a broadcast (let alone the driver), partition the
+    * n×n score grid into B×B blocks via the theta-join grid of Okcan &
+    * Riedewald (SIGMOD'11, "1-Bucket-Theta"): queries hash to a query
+    * block and replicate across all B corpus blocks, corpus vectors
+    * hash to a corpus block and replicate across all B query blocks,
+    * and the cross product becomes an EQUI-join on (qb, cb) — every
+    * (query, corpus) pair meets in exactly one block, no broadcast, no
+    * driver state, both sides pure shuffle. Scored pairs never
+    * materialize past the codegen pipeline: the fused [[CosineSim]]
+    * projection feeds [[graft.functions.BottomKByPriority]] partials,
+    * so each task forwards at most k pairs per query and only
+    * k·queries rows cross the final shuffle. Same output, same DuckDB
+    * oracle as the broadcast tier (row-for-row equality is also
+    * spec-asserted); the broadcast tier stays the right choice while
+    * the corpus fits — this one costs 2·B× input replication. */
+  def knnJoinExactBlocked(spark: SparkSession, dir: String): DataFrame = {
+    val b = knnBlockGrid.toLong
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.select(col("vec_id").as("q_id"), col("v").as("vq"))
+      .withColumn("qb", pmod(xxhash64(col("q_id")), lit(b)))
+      .withColumn("cb", explode(sequence(lit(0L), lit(b - 1))))
+    val c = e.withColumn("cb", pmod(xxhash64(col("vec_id")), lit(b)))
+      .withColumn("qb", explode(sequence(lit(0L), lit(b - 1))))
+    val scored = q.join(c, Seq("qb", "cb"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("pri", round((lit(1.0) - round(
+        graft.functions.CosineSim.cosine(col("vq"), col("v")), 6)) * 1e6, 0)
+        .cast("long"))
+      .select(col("q_id"), col("vec_id"), col("pri"))
+    finishTopK(e, scored, 3)
+  }
+
   /** Query-side nprobe for the k-NN JOIN: slightly narrower than the
     * 20-query lookup's 6 because every vector is a query — the knob
     * trades total candidate volume (nprobe/16 × index) against
@@ -657,7 +703,6 @@ object Similarity {
     * twin; recall@3 ≥ 0.8 spec at sf0.001 (training is engine-specific
     * ⇒ rows-only here). */
   def knnJoinIvf(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val e = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val cents = trainCodebook(spark, e, ivfCentroids)
@@ -665,26 +710,31 @@ object Similarity {
     val qAssign = assignToBuckets(e, cents, knnJoinNProbe)
       .select(col("vec_id").as("q_id"), col("cid"))
     // candidate generation stays fully relational on COMPACT ids (the
-    // scale path — equi-join on cid, never n²); the verify stage then
-    // scores each candidate pair with a broadcast vector lookup
-    // instead of dragging two 64-double arrays through two shuffle
-    // joins (measured ~12 s → ~3 s at sf0.1)
+    // scale path — equi-join on cid, never n²); the verify stage is
+    // relational too: each candidate pair rejoins the vector table
+    // twice on its id (Catalyst broadcasts the vector side at this SF
+    // and falls back to a shuffle equi-join beyond the threshold —
+    // either way the corpus NEVER collects to the driver, so the plan
+    // survives a corpus that no single machine can hold) and is scored
+    // by the fused codegen cosine. The rounded cosine maps to an exact
+    // integer priority, so (pri asc, id asc) ≡ (cos desc, id asc)
+    // including ties — same contract [[finishTopK]] documents.
     val candidates = qAssign.join(assign, Seq("cid"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id")).distinct()
-    val vecs = spark.sparkContext.broadcast(
-      e.as[(Long, Array[Double])].collect().toMap)
-    val scored = candidates.as[(Long, Long)].mapPartitions { it =>
-      val m = vecs.value
-      it.map { case (qid, nid) =>
-        (qid, nid, math.round((1.0 - round6(cosRaw(m(qid), m(nid)))) * 1e6))
-      }
-    }.toDF("q_id", "vec_id", "pri")
+    val scored = candidates
+      .join(e.select(col("vec_id").as("q_id"), col("v").as("vq")), Seq("q_id"))
+      .join(e.select(col("vec_id"), col("v").as("vn")), Seq("vec_id"))
+      .withColumn("pri", round((lit(1.0) - round(
+        graft.functions.CosineSim.cosine(col("vq"), col("vn")), 6)) * 1e6, 0)
+        .cast("long"))
+      .select(col("q_id"), col("vec_id"), col("pri"))
     finishTopK(e, scored, 3)
   }
 
   val all: Seq[GQuery] = Seq(
     GQuery("sim_knn_join_exact", knnJoinExact, Some(knnJoinExactSql)),
+    GQuery("sim_knn_join_blocked", knnJoinExactBlocked, Some(knnJoinExactSql)),
     GQuery("sim_knn_join_ivf", knnJoinIvf, None),
     GQuery("sim_quantize_int8", quantizeInt8, None),
     GQuery("sim_topk_bruteforce", topkBruteForce, Some(topkBruteForceSql)),

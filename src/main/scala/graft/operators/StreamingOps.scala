@@ -330,6 +330,127 @@ object StreamingOps {
       |WHERE rn = 1 AND ts > (SELECT max(ts) - INTERVAL 6 HOUR FROM events)
       |ORDER BY key""".stripMargin
 
+  /** PROCESSING-TIME punctuator — the reference watcher's ACTUAL timer
+    * semantics (`KStreamsToKTable.java:164-166` schedules on WALL
+    * CLOCK, not event time; [[TtlLatestProcessor]] is the
+    * reproducible event-time variant): every upsert re-arms a
+    * wall-clock timer `ttlMs` ahead; when it fires, the key's latest
+    * record is emitted as an eviction snapshot and the state cleared.
+    * State stays bounded by the key set ACTIVE in the last `ttlMs` of
+    * wall time — the Kafka Streams punctuator-eviction pattern.
+    * One live timer per key: the previous expiry is stored and
+    * deleted on re-arm, and a fired timer is always current. */
+  final class ProcTtlProcessor(procTtlMs: Long)
+    extends StatefulProcessor[String, Record, TtlUpdate] {
+    @transient private var latest: ValueState[Record] = _
+    @transient private var armed: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      latest = getHandle.getValueState[Record]("latest",
+        Encoders.product[Record], TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: String, rows: Iterator[Record],
+        timerValues: TimerValues): Iterator[TtlUpdate] = {
+      val prev = Option(latest.get())
+      val candidate = (prev.iterator ++ rows)
+        .reduceLeft((a, b) => if (b.ts.compareTo(a.ts) >= 0) b else a)
+      if (Option(armed.get()).exists(_ > 0L)) getHandle.deleteTimer(armed.get())
+      val expiry = timerValues.getCurrentProcessingTimeInMs + procTtlMs
+      getHandle.registerTimer(expiry)
+      armed.update(expiry)
+      if (prev.contains(candidate)) Iterator.empty
+      else {
+        latest.update(candidate)
+        Iterator.single(TtlUpdate(key, candidate.value, candidate.ts, evicted = false))
+      }
+    }
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[TtlUpdate] = {
+      val cur = Option(latest.get())
+      latest.clear(); armed.clear()
+      cur.map(r => TtlUpdate(key, r.value, r.ts, evicted = true)).iterator
+    }
+  }
+
+  /** Wall-clock TTL snapshot — the processing-time twin of
+    * `stream_ttl_latest_per_key`. The data arrives in ONE bounded run
+    * (arming one wall-clock timer per key); after `ttl` of real time a
+    * RESTARTED run fires every expired timer, so the converged
+    * eviction rows ARE the latest-per-key table — which is why this
+    * wall-clock entry still has an exact DuckDB oracle (the spec
+    * additionally pins the periodic behavior: no eviction before the
+    * TTL, state cleared, key re-entry fresh).
+    *
+    * Execution shape: with `TimeMode.ProcessingTime` the engine keeps
+    * scheduling micro-batches on its own to service pending timers —
+    * `processAllAvailable` never quiesces (measured), which IS the
+    * punctuator lifecycle: the job runs continuously and the runtime
+    * wakes it on wall clock. So the run polls the sink until every
+    * key's eviction has landed (bounded wait), then stops — no
+    * watermark, no second data batch required. A MemoryStream feeds
+    * the run; the driver-side sample is 1/20th of events at test SFs
+    * — the PROCESSOR is corpus-scale, state holds one record per
+    * key. */
+  def streamPunctuateSnapshot(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      val cp = graft.util.scratchDir("punct_cp")
+      // deterministic 1/20 sample, ordered so the last record per key
+      // equals the oracle's (ts DESC, event_id DESC) winner
+      val sample = graft.util.t(spark, dir, "events")
+        .filter(col("event_id") % 20 === 0)
+        .orderBy(col("ts"), col("event_id"))
+        .select(col("user_id").cast("string").as("key"),
+          col("event_type").as("value"), col("ts"))
+        .as[Record].collect().toSeq
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val nKeys = sample.map(_.key).distinct.size
+      val ms = MemoryStream[Record]
+      val name = uniq("punctuate")
+      val q = ms.toDS().groupByKey(_.key)
+        .transformWithState(new ProcTtlProcessor(400L),
+          TimeMode.ProcessingTime(), OutputMode.Update())
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", cp)
+        .outputMode(OutputMode.Update).start()
+      ms.addData(sample)
+      // the engine self-schedules batches; converged = every key
+      // evicted exactly once (all data arrived in one batch, so no
+      // timer can re-arm after its eviction)
+      val deadline = System.nanoTime + 120L * 1000 * 1000 * 1000
+      def evictedCount(): Long =
+        spark.table(name).filter(col("evicted")).count()
+      while (evictedCount() < nKeys && System.nanoTime < deadline)
+        Thread.sleep(100L)
+      q.stop()
+      require(evictedCount() == nKeys,
+        s"punctuator timers did not all fire: ${evictedCount()} of $nKeys")
+      spark.table(name)
+        .filter(col("evicted"))
+        .select(col("key"), col("value"), col("ts"))
+        .orderBy(col("key"))
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
+  /** Eviction snapshots carry the latest record per key, so the oracle
+    * is plain latest-per-key over the same 1/20 sample. */
+  val streamPunctuateSnapshotSql: String =
+    """SELECT key, value, ts FROM (
+      | SELECT cast(user_id as varchar) AS key, event_type AS value,
+      |  date_trunc('microseconds', ts) AS ts,
+      |  row_number() OVER (PARTITION BY user_id
+      |    ORDER BY ts DESC, event_id DESC) AS rn
+      | FROM events WHERE event_id % 20 = 0)
+      |WHERE rn = 1 ORDER BY key""".stripMargin
+
   /** Stream-stream LEFT OUTER join with watermarks and a time-range
     * condition — the outer twin of `stream_stream_join`: purchases
     * with no click in the preceding hour are emitted NULL-PADDED, but
@@ -617,36 +738,73 @@ object StreamingOps {
   /** One (band, band_key) posting of one document's MinHash signature. */
   case class BandedDoc(band: Int, band_key: Long, doc_id: Long)
 
+  /** Deterministic admission priority for hot LSH buckets: a fixed
+    * avalanche mix of the doc id (splitmix64 finalizer). A bucket at
+    * capacity keeps the `cap` ids with the SMALLEST mix — a uniform
+    * hash-sample of the bucket's full population whose membership is
+    * independent of arrival order. */
+  private[graft] def mixId(id: Long): Long = {
+    var h = id * -0x61c8864680b583ebL // 0x9E3779B97F4A7C15
+    h ^= (h >>> 32); h *= -0x40a7b892e31b1a47L // 0xBF58476D1CE4E5B9
+    h ^ (h >>> 29)
+  }
+
   /** State-v2 processor keyed by (band, band_key): a `ListState` of
     * the doc ids already posted to this LSH bucket — the STREAMING
     * LSH INDEX. Each arriving doc emits a candidate pair against
-    * every doc already in its bucket, then joins the bucket. The
-    * emitted pair set is arrival-order independent (every co-bucket
-    * pair meets exactly once, whichever doc arrives second), so the
-    * converged candidates equal the batch banding self-join. At
-    * 100 TB the bucket lists get a TTL and a hot-bucket cap (a
-    * degenerate shingle posting millions of docs to one bucket must
-    * degrade to sampling, not OOM the state store) — here buckets are
-    * bounded by the 8×2 banding of a bounded corpus. */
-  final class NearDupProcessor
+    * every doc currently resident in its bucket, then joins it. While
+    * a bucket is under its cap the emitted pair set is arrival-order
+    * independent (every co-bucket pair meets exactly once, whichever
+    * doc arrives second), so the converged candidates equal the batch
+    * banding self-join.
+    *
+    * 100 TB degeneracy guards, both REAL here:
+    *  - hot-bucket cap: a degenerate shingle posting millions of docs
+    *    to one bucket must degrade to SAMPLING, not OOM the state
+    *    store. Past `maxBucket` residents the bucket keeps the cap
+    *    ids with the smallest [[mixId]] (a deterministic uniform
+    *    sample — spec-asserted arrival-order independent); an
+    *    un-admitted arrival still pairs against the sample, so every
+    *    doc keeps candidate coverage while per-bucket state and
+    *    per-arrival work are both O(cap);
+    *  - TTL: bucket entries expire after `ttl` of wall time (the
+    *    state-store TTL, armed by the entry), bounding the index by
+    *    the ingest window rather than corpus history. */
+  final class NearDupProcessor(maxBucket: Int = 4096,
+      ttl: TTLConfig = TTLConfig.NONE)
     extends StatefulProcessor[(Int, Long), BandedDoc, (Long, Long)] {
     @transient private var seen: org.apache.spark.sql.streaming.ListState[Long] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      seen = getHandle.getListState[Long]("seen", Encoders.scalaLong, TTLConfig.NONE)
+      seen = getHandle.getListState[Long]("seen", Encoders.scalaLong, ttl)
     override def handleInputRows(key: (Int, Long), rows: Iterator[BandedDoc],
         timerValues: TimerValues): Iterator[(Long, Long)] = {
-      val prior = seen.get().toArray
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-      val inBucket = scala.collection.mutable.HashSet.empty[Long] ++ prior
+      // (mix, id) ordered set: last = the weakest resident
+      val residents = scala.collection.mutable.TreeSet.empty[(Long, Long)]
+      seen.get().foreach(id => residents += ((mixId(id), id)))
+      val present = scala.collection.mutable.HashSet.empty[Long] ++ residents.iterator.map(_._2)
+      var added = List.empty[Long]
+      var evictedAny = false
       rows.foreach { d =>
-        if (!inBucket.contains(d.doc_id)) {
-          inBucket.foreach { other =>
+        if (!present.contains(d.doc_id)) {
+          residents.foreach { case (_, other) =>
             out += (if (other < d.doc_id) (other, d.doc_id) else (d.doc_id, other))
           }
-          inBucket += d.doc_id
-          seen.appendValue(d.doc_id)
+          val cand = (mixId(d.doc_id), d.doc_id)
+          if (residents.size < maxBucket) {
+            residents += cand; present += d.doc_id; added ::= d.doc_id
+          } else if (Ordering.Tuple2[Long, Long].lt(cand, residents.last)) {
+            val worst = residents.last
+            residents -= worst; present -= worst._2
+            residents += cand; present += d.doc_id
+            evictedAny = true
+          }
         }
       }
+      if (evictedAny) {
+        seen.clear()
+        residents.foreach { case (_, id) => seen.appendValue(id) }
+      } else added.reverse.foreach(seen.appendValue)
       out.iterator
     }
   }
@@ -687,8 +845,15 @@ object StreamingOps {
           (0 until bands).map(b => xxhash64(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))): _*))
           .as(Seq("band", "band_key")))
         .as[BandedDoc]
+      // TimeMode.None on purpose: arming the state TTL needs
+      // ProcessingTime mode, in which the engine self-schedules
+      // batches forever and processAllAvailable never quiesces — wrong
+      // lifecycle for this run-to-convergence entry. The TTL path is
+      // real and spec-verified (Round7Spec feeds a bucket across the
+      // TTL boundary); a 24/7 ingest deployment arms it
       val q = banded.groupByKey(d => (d.band, d.band_key))
-        .transformWithState(new NearDupProcessor, TimeMode.None(), OutputMode.Append())
+        .transformWithState(new NearDupProcessor(),
+          TimeMode.None(), OutputMode.Append())
         .toDF("a_id", "b_id")
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append).start()
@@ -721,13 +886,13 @@ object StreamingOps {
 
   val streamSessionCountsSql: String =
     """WITH marked AS (
-      | SELECT cast(user_id as varchar) AS key, ts,
+      | SELECT cast(user_id as varchar) AS key, ts, event_id,
       |  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
       |        < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
       | FROM events),
       |sessions AS (
       | SELECT key, ts,
-      |  sum(new_session) OVER (PARTITION BY key ORDER BY ts
+      |  sum(new_session) OVER (PARTITION BY key ORDER BY ts, event_id
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
       | FROM marked)
       |SELECT key, date_trunc('microseconds', min(ts)) AS s_start,
@@ -970,6 +1135,7 @@ object StreamingOps {
     GQuery("stream_stream_join_outer", streamStreamJoinOuter, Some(streamStreamJoinOuterSql)),
     GQuery("stream_stream_join_full", streamStreamJoinFull, Some(streamStreamJoinFullSql)),
     GQuery("stream_ttl_latest_per_key", ttlLatestPerKey, Some(ttlLatestPerKeySql)),
+    GQuery("stream_punctuate_snapshot", streamPunctuateSnapshot, Some(streamPunctuateSnapshotSql)),
     GQuery("stream_session_counts", streamSessionCounts, Some(streamSessionCountsSql)),
     GQuery("stream_dedup_corpus", streamDedupCorpus, Some(streamDedupCorpusSql)),
     GQuery("stream_neardup_minhash", streamNearDupMinhash, None),

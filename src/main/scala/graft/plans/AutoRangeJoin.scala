@@ -43,6 +43,22 @@ import org.apache.spark.sql.types._
   * proportional to genuine proximity. Correctness is spec-asserted
   * (rule-on ≡ rule-off row sets, plan shape, empty-interval guard) and
   * the declared query `q68_range_join_auto` is DuckDB-oracle-checked.
+  *
+  * Fan-out guard (`spark.graft.autoRangeJoin.maxBinsPerRow`, default
+  * 4096): a single wide interval with a small `w` would otherwise
+  * `sequence()` up to 2³¹ bins — a runtime failure (or an enormous
+  * fan-out before it) that turns a WORKING nested-loop query into a
+  * broken one the moment the rule is armed. The span is per-row, so
+  * the guard cannot be a plan-time skip: instead the interval side is
+  * SPLIT — rows spanning ≤ cap bins take the binned equi-join, wider
+  * rows fall back to the original band join — and the two results
+  * union. The fallback branch costs an extra scan of both inputs even
+  * when no row is wide, so `-1` disables the split for pipelines that
+  * can promise bounded intervals (the round-6 behavior: pure binned
+  * rewrite, no second scan). Split correctness: the two branch
+  * predicates partition the non-null-span rows exactly, and rows with
+  * a NULL bound (span NULL → both filters false) match nothing in
+  * either branch — same as the original inner band join.
   */
 object AutoRangeJoin extends Rule[LogicalPlan] {
 
@@ -73,6 +89,14 @@ object AutoRangeJoin extends Rule[LogicalPlan] {
           s"(positive to enable, 0/unset to disable), got '$raw'")
     }
     if (w <= 0) return plan
+    val capRaw = conf.getConfString("spark.graft.autoRangeJoin.maxBinsPerRow", "4096")
+    val cap = try capRaw.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"spark.graft.autoRangeJoin.maxBinsPerRow must be a positive bin cap " +
+          s"or -1 to disable the wide-interval fallback, got '$capRaw'")
+    }
+    require(cap == -1L || cap >= 1L,
+      s"spark.graft.autoRangeJoin.maxBinsPerRow must be >= 1 or -1, got $cap")
     plan.transform {
       case j @ Join(left, right, Inner, Some(cond), hint) =>
         val conjuncts = splitAnd(cond)
@@ -94,7 +118,7 @@ object AutoRangeJoin extends Rule[LogicalPlan] {
                 (ptSide, ivSide) match {
                   case (Some(p), Some(iv)) if p.ne(iv) &&
                       Seq(pt, lo, hi).forall(isIntegral) =>
-                    Some(rewrite(j, cond, pt, lo, hi, p, iv, w))
+                    Some(rewrite(j, cond, pt, lo, hi, p, iv, w, cap))
                   case _ => None
                 }
               }
@@ -107,10 +131,15 @@ object AutoRangeJoin extends Rule[LogicalPlan] {
 
   private def rewrite(j: Join, cond: Expression,
       pt: Expression, lo: Expression, hi: Expression,
-      ptChild: LogicalPlan, ivChild: LogicalPlan, w: Long): LogicalPlan = {
+      ptChild: LogicalPlan, ivChild: LogicalPlan, w: Long, cap: Long): LogicalPlan = {
     val wLit = Literal(w)
     def binOf(e: Expression): Expression =
       IntegralDivide(Cast(e, LongType), wLit)
+    // per-row bin span; NULL when either bound is NULL (row matches
+    // nothing in an inner band join, so both branch filters drop it)
+    val spanExpr = Add(Subtract(binOf(hi), binOf(lo)), Literal(1L))
+    val narrowIv =
+      if (cap == -1L) ivChild else Filter(LessThanOrEqual(spanExpr, Literal(cap)), ivChild)
     // Sequence is TimeZoneAwareExpression — without an explicit zone it
     // reports unresolved and the optimizer rejects the rewritten plan
     val seqExpr = If(LessThanOrEqual(Cast(lo, LongType), Cast(hi, LongType)),
@@ -119,13 +148,27 @@ object AutoRangeJoin extends Rule[LogicalPlan] {
       Literal.create(Array.empty[Long], ArrayType(LongType, containsNull = false)))
     val binAttr = AttributeReference("graft_range_bin", LongType, nullable = false)()
     val ivGen = Generate(Explode(seqExpr), unrequiredChildIndex = Nil,
-      outer = false, qualifier = None, generatorOutput = Seq(binAttr), child = ivChild)
+      outer = false, qualifier = None, generatorOutput = Seq(binAttr), child = narrowIv)
     val ptBinAlias = Alias(binOf(pt), "graft_pt_bin")()
     val ptProj = Project(ptChild.output :+ ptBinAlias, ptChild)
     val (newLeft, newRight) =
       if (j.left.eq(ivChild)) (ivGen: LogicalPlan, ptProj: LogicalPlan)
       else (ptProj: LogicalPlan, ivGen: LogicalPlan)
     val newCond = And(EqualTo(binAttr, ptBinAlias.toAttribute), cond)
-    Project(j.output, Join(newLeft, newRight, Inner, Some(newCond), j.hint))
+    val binned = Project(j.output, Join(newLeft, newRight, Inner, Some(newCond), j.hint))
+    if (cap == -1L) binned
+    else {
+      // wide tail: intervals spanning more bins than the cap keep the
+      // ORIGINAL band join (nested loop over the few wide rows). The
+      // appended TRUE conjunct makes the condition 3 conjuncts so this
+      // join can never re-match the rule inside the fixed-point batch.
+      val wideIv = Filter(GreaterThan(spanExpr, Literal(cap)), ivChild)
+      val (wl, wr) =
+        if (j.left.eq(ivChild)) (wideIv: LogicalPlan, ptChild)
+        else (ptChild, wideIv: LogicalPlan)
+      val wide = Project(j.output,
+        Join(wl, wr, Inner, Some(And(cond, Literal.TrueLiteral)), j.hint))
+      Union(Seq(binned, wide), byName = false, allowMissingCol = false)
+    }
   }
 }

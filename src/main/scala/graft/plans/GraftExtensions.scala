@@ -27,8 +27,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => ReplaceHofCosine)
     // automatic range-join binning (inequality-band join → equi-join
-    // on a bin key) — see plans/AutoRangeJoin.scala
-    ext.injectOptimizerRule(_ => AutoRangeJoin)
+    // on a bin key) — see plans/AutoRangeJoin.scala. Injected as a
+    // PRE-CBO rule (a Once batch), NOT an operator-optimization rule:
+    // in the fixed-point operator batch, BooleanSimplification strips
+    // the wide-tail marker conjunct between iterations and the rule
+    // re-wraps its own fallback branch ~100× (measured: a 0.6 s plan
+    // ballooned to a 2400-node Union at 36 s). The Once batch runs the
+    // rewrite exactly once; the marker keeps it idempotent under
+    // Once-idempotence checks.
+    ext.injectPreCBORule(_ => AutoRangeJoin)
     // whole-operator extension: the native as-of join (AsOfJoinPlan →
     // AsOfJoinExec, merge over co-partitioned sorted children)
     ext.injectPlannerStrategy(_ => AsOfStrategy)

@@ -439,7 +439,9 @@ object FileSources {
     * filtered aggregate, proving skipped files contained no matching
     * rows. At 100 TB this is the difference between a scan planning in
     * O(files-matching) and O(corpus). */
-  def manifestParts(spark: SparkSession, dir: String): (Seq[String], Int, String) = {
+  def manifestParts(spark: SparkSession, dir: String,
+      loDate: String = "1996-01-01", hiDate: String = "1996-12-31")
+      : (Seq[String], Int, String) = {
     val out = uniq("manifest")
     t(spark, dir, "orders")
       .repartitionByRange(16, col("o_orderdate"))
@@ -453,8 +455,8 @@ object FileSources {
       .agg(date_format(min(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss").as("mn"),
         date_format(max(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss").as("mx"))
     val rows = manifest.collect() // metadata-sized: one row per file
-    val lo = "1996-01-01 00:00:00"
-    val hi = "1996-12-31 00:00:00"
+    val lo = s"$loDate 00:00:00"
+    val hi = s"$hiDate 00:00:00"
     // file intersects the predicate interval iff [mn, mx] ∩ [lo, hi] ≠ ∅
     val selected = rows.toSeq
       .filter(r => r.getString(2) >= lo && r.getString(1) <= hi)
@@ -462,14 +464,26 @@ object FileSources {
     (selected, rows.length, out)
   }
 
-  def manifestPruning(spark: SparkSession, dir: String): DataFrame = {
-    val (selected, _, _) = manifestParts(spark, dir)
-    spark.read.parquet(selected: _*)
-      .filter(col("o_orderdate").between("1996-01-01", "1996-12-31"))
+  def manifestPruningFor(spark: SparkSession, dir: String,
+      loDate: String, hiDate: String): DataFrame = {
+    val (selected, _, out) = manifestParts(spark, dir, loDate, hiDate)
+    // a predicate no file's [min, max] intersects prunes EVERYTHING —
+    // parquet() on an empty path list cannot infer a schema and
+    // throws, so an empty selection must short-circuit to an empty
+    // DataFrame with the table's real schema (what a table-format
+    // planner returns for an empty file list)
+    val base =
+      if (selected.nonEmpty) spark.read.parquet(selected: _*)
+      else spark.read.parquet(out).limit(0)
+    base
+      .filter(col("o_orderdate").between(loDate, hiDate))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
       .orderBy(col("o_orderpriority"))
   }
+
+  def manifestPruning(spark: SparkSession, dir: String): DataFrame =
+    manifestPruningFor(spark, dir, "1996-01-01", "1996-12-31")
 
   val manifestPruningSql: String =
     s"""SELECT o_orderpriority, count(*) AS n,

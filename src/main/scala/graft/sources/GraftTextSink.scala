@@ -138,6 +138,23 @@ class GraftTextStreamingWrite(path: String, schema: StructType)
     new GraftTextStreamingWriterFactory(path, schema)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    // a replayed epoch may run with FEWER writer partitions than the
+    // failed attempt — renaming onto part-e<epoch>-0..N would then
+    // leave the first attempt's higher-indexed part files (and any
+    // orphaned _tmp stages) visible beside the replay's, duplicating
+    // rows. Publish must be a true REPLACE of the epoch: clear every
+    // prior part-e<epoch>-* / _tmp_e<epoch>_* before renaming.
+    val dir = new File(path)
+    Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
+      if (f.getName.startsWith(s"part-e$epochId-") ||
+          f.getName.startsWith(s"_tmp_e${epochId}_")) {
+        val staged = messages.exists {
+          case GraftTextCommitMessage(s0, _) => s0 == f.getName
+          case _ => false
+        }
+        if (!staged) f.delete()
+      }
+    }
     messages.zipWithIndex.foreach { case (m, i) =>
       val msg = m.asInstanceOf[GraftTextCommitMessage]
       val ok = new File(path, msg.stagedName)

@@ -374,6 +374,9 @@ class Round6cSpec extends AnyFunSuite {
       .toDF("pid", "pt")
     def run() = pts.join(iv, col("pt") >= col("lo") && col("pt") <= col("hi"))
     spark.conf.set(key, "10")
+    // expert mode (no wide-interval fallback branch): the plan must be
+    // the PURE binned equi-join — Round7Spec covers the default split
+    spark.conf.set("spark.graft.autoRangeJoin.maxBinsPerRow", "-1")
     try {
       val on = run()
       val optimized = on.queryExecution.optimizedPlan.toString
@@ -389,7 +392,10 @@ class Round6cSpec extends AnyFunSuite {
       assert(want == Set((100L, 1L), (101L, 1L), (102L, 2L), (104L, 4L)),
         s"fixture expectation drifted: $want")
       assert(!got.exists(_._2 == 3L), "empty interval must match nothing (and not crash)")
-    } finally spark.conf.unset(key)
+    } finally {
+      spark.conf.unset(key)
+      spark.conf.unset("spark.graft.autoRangeJoin.maxBinsPerRow")
+    }
   }
 
   test("AutoRangeJoin leaves equi and 3-conjunct joins untouched") {
