@@ -135,6 +135,93 @@ object Warehouse {
       |WHERE b.price IS NULL OR a.price <> b.price
       |ORDER BY o_orderkey""".stripMargin
 
+  /** MERGE-ON-READ position deletes (the Iceberg v2 / Delta
+    * deletion-vector pattern, built from first principles): deleting
+    * rows from a 100 TB table must not rewrite data files, so deletes
+    * are recorded as a SIDECAR of (file_id, pos) coordinates and every
+    * read applies them with an anti-join. Here the base table is
+    * materialized to scratch parquet bucketed by a deterministic
+    * file_id with an explicit in-file position (the coordinates a
+    * table format tracks implicitly), the delete vector is derived
+    * from a predicate (the DELETE statement) but stored as PURE
+    * positions — the read side never re-evaluates the predicate — and
+    * the merge-on-read scan is `base ANTI JOIN dv ON (file_id, pos)`.
+    *
+    * Scale design: the DV is delete-linear (two longs per deleted
+    * row, never a rewritten file); the anti-join key (file_id, pos)
+    * is exactly the base table's layout, so a format-aware reader
+    * applies each file's vector scan-local with no shuffle — the
+    * relational plan here shuffle-hashes on the same key, the
+    * portable equivalent. Everything is integer-deterministic ⇒ the
+    * survivor aggregate hash-matches DuckDB replaying the same
+    * coordinates. */
+  def q70DeleteVectors(spark: SparkSession, dir: String): DataFrame = {
+    val nFiles = 8
+    val wPos = Window.partitionBy(col("file_id")).orderBy(col("o_orderkey"))
+    val base0 = t(spark, dir, "orders")
+      .withColumn("file_id", pmod(col("o_orderkey"), lit(nFiles)))
+      .withColumn("pos", row_number().over(wPos).cast("long"))
+    val basePath = scratchDir("dv_base")
+    base0.select(col("file_id"), col("pos"), col("o_orderkey"),
+        col("o_orderpriority"), col("o_totalprice"))
+      .repartition(col("file_id"))
+      .write.partitionBy("file_id").parquet(basePath)
+    val base = spark.read.parquet(basePath)
+    // the DELETE: predicate evaluated ONCE at delete time, persisted
+    // as bare coordinates (file_id, pos)
+    val dvPath = scratchDir("dv_sidecar")
+    base.filter(col("o_orderkey") % 5 === 0 || col("o_totalprice") > 400000.0)
+      .select(col("file_id"), col("pos"))
+      .write.parquet(dvPath)
+    val dv = spark.read.parquet(dvPath)
+    base.join(dv, Seq("file_id", "pos"), "left_anti")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_live"), dsum(col("o_totalprice")).as("live_total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** The oracle replays the identical coordinate derivation — the
+    * anti-join collapses to the predicate's complement, proving the
+    * position-delete read path loses and invents nothing. */
+  val q70Sql: String =
+    s"""SELECT o_orderpriority, count(*) AS n_live,
+       | ${sqlDsum("o_totalprice")} AS live_total
+       |FROM orders
+       |WHERE NOT (o_orderkey % 5 = 0 OR o_totalprice > 400000.0)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Sketch-partitioned distinct counting — the INCREMENTAL pattern
+    * behind every 100 TB "unique users" dashboard: per-partition
+    * (here per-month) HyperLogLog sketches are materialized ONCE as a
+    * tiny binary sketch TABLE, and any rollup (quarter, year, ad-hoc
+    * month set) is answered by UNIONING sketches — never rescanning
+    * the fact table. Uses Spark's built-in DataSketches HLL aggregates
+    * (`hll_sketch_agg` / `hll_union_agg`, codegen'd); the sketch
+    * estimate is engine-specific ⇒ rows-only driver check, with the
+    * load-bearing properties spec-asserted: every estimate within the
+    * configured-lgK error of exact, and the union of monthly sketches
+    * estimates EXACTLY what one whole-year sketch estimates
+    * (mergeability — the property that makes the pattern sound). */
+  def metaHllSketches(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("m"), col("o_custkey"))
+    val skPath = scratchDir("hll_sketches")
+    o.groupBy(col("m"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"),
+        countDistinct(col("o_custkey")).as("exact"))
+      .write.parquet(skPath)
+    val sketches = spark.read.parquet(skPath)
+    val monthly = sketches.select(col("m").as("scope"),
+      hll_sketch_estimate(col("sk")).as("estimate"), col("exact"))
+    val exactAll = o.agg(countDistinct(col("o_custkey")).as("exact"))
+    val overall = sketches
+      .agg(hll_union_agg(col("sk")).as("sk"))
+      .crossJoin(exactAll)
+      .select(lit("ALL").as("scope"),
+        hll_sketch_estimate(col("sk")).as("estimate"), col("exact"))
+    monthly.unionAll(overall).orderBy(col("scope"))
+  }
+
   /** Data-quality expectations report (dbt-test/Deequ-style): each row
     * is one declared constraint over the star schema — key uniqueness,
     * non-null, referential integrity, accepted range — with its
@@ -191,6 +278,8 @@ object Warehouse {
     GQuery("q58_merge_upsert", q58MergeUpsert, Some(q58Sql)),
     GQuery("q59_scd2_dimension", q59Scd2Dimension, Some(q59Sql)),
     GQuery("q60_snapshot_diff", q60SnapshotDiff, Some(q60Sql)),
+    GQuery("q70_delete_vectors", q70DeleteVectors, Some(q70Sql)),
+    GQuery("meta_hll_sketches", metaHllSketches, None),
     GQuery("meta_expectations", metaExpectations, Some(metaExpectationsSql)),
   )
 }

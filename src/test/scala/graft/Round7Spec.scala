@@ -299,6 +299,25 @@ class Round7Spec extends AnyFunSuite {
     })
   }
 
+  test("hll sketch table: error-bounded estimates and exact mergeability") {
+    val rows = operators.Warehouse.metaHllSketches(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Number](1).longValue(), r.getLong(2)))
+    assert(rows.length >= 2, s"expected monthly rows + ALL: ${rows.toSeq}")
+    rows.foreach { case (scope, est, exact) =>
+      assert(math.abs(est - exact) <= math.max(2.0, exact * 0.05),
+        s"$scope: estimate $est strays from exact $exact")
+    }
+    // mergeability: the union of the materialized monthly sketches
+    // must estimate EXACTLY what one whole-set sketch estimates —
+    // the property that lets rollups skip the fact table
+    val all = rows.find(_._1 == "ALL").get
+    val direct = util.t(spark, sf, "orders")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("e"))
+      .collect()(0).getAs[Number](0).longValue()
+    assert(all._2 == direct,
+      s"sketch union (${all._2}) != whole-set sketch ($direct)")
+  }
+
   test("stream-stream outer join state SHRINKS once the watermark passes") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
