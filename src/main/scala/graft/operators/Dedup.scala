@@ -847,7 +847,60 @@ object Dedup {
       |FROM plan LEFT JOIN partial USING (lang)
       |ORDER BY lang""".stripMargin
 
+  /** Duplicated-SUBSTRING-span detection — the within-document twin of
+    * document-level dedup (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", ACL'22: repeated ≥50-char spans
+    * are what a suffix-array dedup removes). The distributed shape of
+    * a corpus-scale suffix array: slide a 60-char window at stride 20
+    * over every document, group windows BY CONTENT, and flag windows
+    * whose text recurs in ≥2 distinct documents; per-document output
+    * is (total windows, duplicated windows) — the span map a surgical
+    * span-removal pass consumes.
+    *
+    * Scale design: windows are corpus-linear (len/stride per doc) and
+    * the only shuffle is the groupBy on window text — never an
+    * all-pairs doc comparison; the left-semi flag-back join is
+    * candidate-linear. At 100 TB the group key would be
+    * `xxhash64(win)` (8-byte shuffle keys instead of 60-char strings;
+    * collisions vanish at 2^-64) — raw text is kept here so DuckDB
+    * can replay the grouping for the oracle. Window+stride trade
+    * recall for cost exactly like shingling: any duplicated run
+    * ≥ W+S−1 = 79 chars is guaranteed to contain a flagged window. */
+  def substringSpans(spark: SparkSession, dir: String): DataFrame = {
+    // corpus-linear window relation; checkpointed once — it feeds the
+    // dup-window build, the per-doc totals, and the flag-back join
+    val wins = t(spark, dir, "documents")
+      .filter(length(col("text")) >= 60)
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(1, length(text) - 59, 20)")).as("p"))
+      .select(col("doc_id"), expr("substring(text, p, 60)").as("win"))
+      .localCheckpoint(true)
+    val dup = wins.groupBy(col("win"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("win"))
+    val tot = wins.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
+    val dupPer = wins.join(dup, Seq("win"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_windows"))
+    tot.join(dupPer, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+      .orderBy(col("doc_id"))
+  }
+
+  val substringSpansSql: String =
+    """WITH w AS (
+      | SELECT doc_id, substr(text, s, 60) AS win
+      | FROM documents, LATERAL (SELECT unnest(range(1, len(text)-58, 20)) AS s) g
+      | WHERE len(text) >= 60),
+      |dup AS (SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) >= 2)
+      |SELECT doc_id, count(*) AS n_windows,
+      | cast(sum(CASE WHEN win IN (SELECT win FROM dup) THEN 1 ELSE 0 END) as bigint)
+      |   AS n_dup_windows
+      |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("dedup_substring_spans", substringSpans, Some(substringSpansSql)),
     GQuery("pipeline_mix_epochs", mixEpochs, Some(mixEpochsSql)),
     GQuery("dedup_semantic_clusters", semanticDedup, None),
     GQuery("dedup_passages", passageDedup, Some(passageDedupSql)),

@@ -668,7 +668,66 @@ object TextAnalysis {
       |SELECT lang, pred_lang, count(*) AS n
       |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Inverted-index construction (the search/retrieval-side operator
+    * beside tf-idf's ranking side): term → document frequency + a
+    * BOUNDED posting list (first 50 doc_ids ascending — production
+    * posting lists are sharded/skip-listed, never materialized whole;
+    * df keeps the true count). One explode + distinct + groupBy(term):
+    * the shuffle key is the term, postings build as a mergeable
+    * collect within each term's reducer, and a 100 TB build would
+    * bucket the output by `hash(term)` so query-time lookups are
+    * pruned scans. Deterministic (sorted postings, capped by slice) ⇒
+    * fully oracle-checked. */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val posts = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .distinct()
+    posts.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        array_join(slice(sort_array(collect_list(col("doc_id"))), 1, 50)
+          .cast("array<string>"), ",").as("postings"))
+      .orderBy(col("term"))
+  }
+
+  val invertedIndexSql: String =
+    """WITH p AS (
+      | SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+      | FROM documents)
+      |SELECT term, count(*) AS df,
+      | array_to_string(list_transform((list(doc_id ORDER BY doc_id))[1:50],
+      |   x -> cast(x AS varchar)), ',') AS postings
+      |FROM p WHERE term <> '' GROUP BY term ORDER BY term""".stripMargin
+
+  /** Deterministic shard plan — the LAST operator of every training-
+    * data pipeline: assign each document a shard via a pure
+    * multiplicative hash (Knuth 2654435761 mod a prime mod nShards —
+    * replayable by ANY engine, unlike engine-private hash functions)
+    * and report per-shard doc/token totals. The write path this plans
+    * is a single `partitionBy(shard)` pass; balance comes from the
+    * hash, not a sort, so there is no global ordering bottleneck and
+    * adding data never reshuffles existing shards. Balance is
+    * spec-asserted (max/min ≤ 1.3 on the fixture); fully
+    * oracle-checked because the hash is plain integer arithmetic. */
+  def shardPlan(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("shard", col("doc_id") * lit(2654435761L) % lit(1000000007L) % lit(8))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("shard"))
+
+  val shardPlanSql: String =
+    """SELECT (doc_id * 2654435761) % 1000000007 % 8 AS shard,
+      | count(*) AS n_docs,
+      | cast(sum(len(string_split(text, ' '))) as bigint) AS n_tokens,
+      | min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("text_inverted_index", invertedIndex, Some(invertedIndexSql)),
+    GQuery("text_shard_plan", shardPlan, Some(shardPlanSql)),
     GQuery("text_nb_classifier", nbClassifier, Some(nbClassifierSql)),
     GQuery("text_ccnet_buckets", ccnetBuckets, Some(ccnetBucketsSql)),
     GQuery("text_unicode_clean", unicodeClean, Some(unicodeCleanSql)),

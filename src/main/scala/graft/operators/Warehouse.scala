@@ -222,6 +222,106 @@ object Warehouse {
     monthly.unionAll(overall).orderBy(col("scope"))
   }
 
+  /** Incremental materialized-view maintenance: the view (order count
+    * + revenue per (priority, month)) is stored as PARTIAL aggregates
+    * — count plus the EXACT decimal(22,8) sum, never a rounded double
+    * — so a delta batch refreshes it by aggregating ONLY the delta and
+    * combining partials: `stored ∪ delta-partials → re-agg`. The fact
+    * base is read once at materialization and never rescanned; refresh
+    * cost is O(delta + |view|), the property that makes a 100 TB
+    * dashboard refreshable per-micro-batch. Works because count/sum
+    * are commutative monoids and decimal addition is associative —
+    * the combined result is bit-identical to a full recompute, which
+    * is exactly what the DuckDB oracle does (same reason avg/stddev
+    * views must store (n, Σx, Σx²) partials, not finished quotients).
+    */
+  def q71IncrementalView(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("m"), col("o_totalprice"))
+    val mvPath = scratchDir("mv_partials")
+    o.filter(col("o_orderkey") % 7 =!= 0)
+      .groupBy(col("o_orderpriority"), col("m"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(22, 8))).as("rev"))
+      .write.parquet(mvPath)
+    val mv = spark.read.parquet(mvPath)
+    val delta = o.filter(col("o_orderkey") % 7 === 0)
+      .groupBy(col("o_orderpriority"), col("m"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(22, 8))).as("rev"))
+    mv.unionByName(delta)
+      .groupBy(col("o_orderpriority"), col("m"))
+      .agg(sum(col("n_orders")).as("n_orders"),
+        round(sum(col("rev")).cast("double"), 4).as("revenue"))
+      .orderBy(col("o_orderpriority"), col("m"))
+  }
+
+  /** Full recompute over all orders — incremental maintenance must be
+    * indistinguishable from it. */
+  val q71Sql: String =
+    s"""SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS m,
+       | count(*) AS n_orders, ${sqlDsum("o_totalprice")} AS revenue
+       |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** KMV (k-minimum-values / bottom-k theta) sketch table with SET
+    * INTERSECTION — the cohort-overlap question HyperLogLog cannot
+    * answer ("how many customers ordered in BOTH months?"). Same
+    * materialize-once shape as [[metaHllSketches]], but through the
+    * project's native `KmvSketchAgg` family (`functions/KmvSketch
+    * .scala`): per-month bottom-k sketches of distinct `o_custkey`,
+    * rollups via `KmvUnionAgg` (exactly mergeable: the union of
+    * bottom-k sketches IS the bottom-k of the union — spec-asserted
+    * bit-identical to a whole-set sketch), and consecutive-month
+    * overlap via the clipped-theta intersection estimator.
+    *
+    * Scale design: each sketch is ≤ 8k bytes however many rows feed
+    * it; the agg is partial-aggregable so only k hashes per partition
+    * shuffle; every overlap row is answered from the sketch table
+    * without rescanning the fact table. k = 64 here so the fixture
+    * exercises BOTH estimator paths (un-saturated months are exact,
+    * the saturated ALL rollup estimates); production would use
+    * k = 2^14 (~1 % error). Sketch hashing is fixed-constant
+    * splitmix64 ⇒ deterministic output, but engine-specific ⇒
+    * rows-only driver check; error bounds, both-paths exactness, and
+    * a sequential in-JVM referee (distributed merge ≡ sequential
+    * build) are spec-asserted. */
+  def metaKmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KmvSketch._
+    val o = t(spark, dir, "orders")
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("m"), col("o_custkey"))
+    val skPath = scratchDir("kmv_sketches")
+    o.groupBy(col("m"))
+      .agg(kmvSketch(col("o_custkey"), 64).as("sk"),
+        countDistinct(col("o_custkey")).as("exact"))
+      .write.parquet(skPath)
+    val sk = spark.read.parquet(skPath)
+    val monthly = sk.select(col("m").as("scope"),
+      round(kmvEstimate(col("sk")), 2).as("estimate"), col("exact"))
+    val exactAll = o.agg(countDistinct(col("o_custkey")).as("exact"))
+    val overall = sk.agg(kmvUnion(col("sk")).as("sk"))
+      .crossJoin(exactAll)
+      .select(lit("ALL").as("scope"),
+        round(kmvEstimate(col("sk")), 2).as("estimate"), col("exact"))
+    // consecutive-month overlap: sketch-vs-sketch intersection beside
+    // the exact distinct-customer intersection (self-join on custkey)
+    val mc = o.distinct()
+    val exactOv = mc.toDF("m1", "c")
+      .join(mc.toDF("m2", "c"), Seq("c"))
+      .filter(date_format(add_months(to_date(concat(col("m1"), lit("-01"))), 1),
+        "yyyy-MM") === col("m2"))
+      .groupBy(col("m1"), col("m2")).agg(count(lit(1)).as("exact"))
+    val ov = sk.select(col("m").as("m1"), col("sk").as("ska"),
+        date_format(add_months(to_date(concat(col("m"), lit("-01"))), 1),
+          "yyyy-MM").as("m2"))
+      .join(sk.select(col("m").as("m2"), col("sk").as("skb")), Seq("m2"))
+      .join(exactOv, Seq("m1", "m2"), "left")
+      .select(concat(col("m1"), lit("|"), col("m2")).as("scope"),
+        round(kmvIntersect(col("ska"), col("skb")), 2).as("estimate"),
+        coalesce(col("exact"), lit(0L)).as("exact"))
+    monthly.unionAll(overall).unionAll(ov).orderBy(col("scope"))
+  }
+
   /** Data-quality expectations report (dbt-test/Deequ-style): each row
     * is one declared constraint over the star schema — key uniqueness,
     * non-null, referential integrity, accepted range — with its
@@ -279,7 +379,9 @@ object Warehouse {
     GQuery("q59_scd2_dimension", q59Scd2Dimension, Some(q59Sql)),
     GQuery("q60_snapshot_diff", q60SnapshotDiff, Some(q60Sql)),
     GQuery("q70_delete_vectors", q70DeleteVectors, Some(q70Sql)),
+    GQuery("q71_incremental_view", q71IncrementalView, Some(q71Sql)),
     GQuery("meta_hll_sketches", metaHllSketches, None),
+    GQuery("meta_kmv_overlap", metaKmvOverlap, None),
     GQuery("meta_expectations", metaExpectations, Some(metaExpectationsSql)),
   )
 }

@@ -318,6 +318,61 @@ class Round7Spec extends AnyFunSuite {
       s"sketch union (${all._2}) != whole-set sketch ($direct)")
   }
 
+  test("kmv sketches: referee equality, both estimator paths, exact mergeability") {
+    import graft.functions.Kmv
+    def r2(x: Double): Double = // Spark round(x, 2) is HALF_UP on doubles
+      BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = operators.Warehouse.metaKmvOverlap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val data = util.t(spark, sf, "orders")
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("m"), col("o_custkey"))
+      .distinct().collect().map(r => (r.getString(0), r.getLong(1)))
+    // sequential in-JVM referee: one-threaded sketch per month — the
+    // distributed partial-merge must land on the identical sketch
+    val refSk = data.groupBy(_._1).map { case (m, rs) =>
+      val b = new Kmv.Buffer(64)
+      rs.map(_._2).foreach(c => b.add(Kmv.mix(c)))
+      m -> Kmv.serialize(b)
+    }
+    val monthExact = data.groupBy(_._1).map { case (m, rs) => m -> rs.map(_._2).distinct.size }
+    // the fixture must exercise BOTH paths: unsaturated (exact) months
+    // and a saturated (estimating) rollup
+    assert(rows.exists(_._3 > 64), s"no saturated scope — raise fixture or lower k")
+    assert(rows.exists(r => r._3 < 64 && !r._1.contains("|")), "no unsaturated month")
+    rows.foreach { case (scope, est, exact) =>
+      assert(math.abs(est - exact) <= math.max(2.0, 0.55 * exact),
+        s"$scope: estimate $est strays from exact $exact beyond 4-sigma")
+    }
+    rows.filter(r => !r._1.contains("|") && r._1 != "ALL").foreach { case (m, est, exact) =>
+      assert(est == r2(Kmv.estimate(refSk(m))),
+        s"$m: distributed sketch diverges from sequential referee")
+      if (exact < 64) assert(est == exact.toDouble, s"$m: unsaturated sketch must be exact")
+    }
+    // overlap rows are exact whenever both sides are unsaturated (θ=1)
+    rows.filter(_._1.contains("|")).foreach { case (scope, est, exact) =>
+      val Array(m1, m2) = scope.split('|')
+      if (monthExact(m1) < 64 && monthExact(m2) < 64)
+        assert(est == exact.toDouble, s"$scope: unsaturated intersection must be exact")
+    }
+    // exact mergeability: union of the monthly sketches IS the
+    // bottom-k of the whole set — ALL must equal a one-shot sketch
+    val whole = new Kmv.Buffer(64)
+    data.map(_._2).foreach(c => whole.add(Kmv.mix(c)))
+    assert(rows.find(_._1 == "ALL").get._2 == r2(Kmv.estimate(Kmv.serialize(whole))),
+      "union-of-monthly sketch != whole-set sketch")
+  }
+
+  test("shard plan: multiplicative-hash shards are balanced and exhaustive") {
+    val rows = operators.TextAnalysis.shardPlan(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == (0L until 8L), s"missing shards: ${rows.toSeq}")
+    val docs = rows.map(_._2)
+    assert(docs.max.toDouble / docs.min <= 1.3,
+      s"shard skew ${docs.max}/${docs.min} — multiplicative hash failed to spread")
+    val total = util.t(spark, sf, "documents").count()
+    assert(docs.sum == total, "shards must partition the corpus exactly")
+  }
+
   test("stream-stream outer join state SHRINKS once the watermark passes") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
