@@ -699,6 +699,101 @@ object TextAnalysis {
       |   x -> cast(x AS varchar)), ',') AS postings
       |FROM p WHERE term <> '' GROUP BY term ORDER BY term""".stripMargin
 
+  /** Greedy left-to-right merge of one (a, b) pair over a segment
+    * array, as a pure Catalyst HOF fold (no UDF): scan state is
+    * (out, justMerged); an element equal to `b` fuses with a trailing
+    * `a` unless that `a` was itself produced by the immediately
+    * preceding fuse — exactly the `i += 2` of the sequential scan.
+    * `get()` (null on out-of-bounds) keeps the empty-prefix probe safe
+    * under ANSI mode, where `element_at(-1)` on an empty array throws. */
+  private def bpeMergeFold(a: String, b: String): org.apache.spark.sql.Column = {
+    val init = struct(typedLit(Seq.empty[String]).as("out"), lit(false).as("jm"))
+    aggregate(col("segs"), init,
+      (st, x) => {
+        val canMerge = !st("jm") &&
+          get(st("out"), size(st("out")) - 1) === lit(a) && (x === lit(b))
+        when(canMerge, struct(
+          concat(slice(st("out"), lit(1), size(st("out")) - 1), array(lit(a + b))).as("out"),
+          lit(true).as("jm")))
+          .otherwise(struct(
+            concat(st("out"), array(x)).as("out"), lit(false).as("jm")))
+      },
+      st => st("out"))
+  }
+
+  /** Distributed BPE training state: the (word, freq, segs) table after
+    * `rounds` merges, plus the merge table itself. BPE trains on the
+    * WORD-FREQUENCY table, not the corpus: one corpus-linear pass
+    * builds (word, freq), and every round after that is vocabulary-
+    * sized — at 100 TB the corpus is read once and the iteration runs
+    * over ~10M rows however big the input was. Each round is (1) an
+    * adjacent-pair count weighted by freq — a vocabulary-sized explode
+    * + groupBy, overlapping occurrences counted like HF/sentencepiece
+    * do; (2) an argmax with deterministic (count desc, pair asc)
+    * tie-break, the only driver materialization (ONE row per round);
+    * (3) a pure-HOF greedy rewrite of every segmentation; checkpointed
+    * per round so 16 rounds don't stack 16 fold plans. */
+  private[operators] def bpeTrain(spark: SparkSession, dir: String, rounds: Int)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
+    var words = t(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .withColumn("segs", expr("filter(split(word, ''), x -> x <> '')"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    var r = 0
+    var go = true
+    while (r < rounds && go) {
+      val best = words.filter(size(col("segs")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(segs)-1), i -> struct(element_at(segs, i) AS a, element_at(segs, i+1) AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty || best(0).getLong(2) < 2) go = false
+      else {
+        val (a, b, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r + 1, a, b, a + b, cnt))
+        words = words.withColumn("segs", bpeMergeFold(a, b)).localCheckpoint(true)
+        r += 1
+      }
+    }
+    (merges.toSeq, words)
+  }
+
+  /** BPE (byte-pair encoding) vocabulary induction — the tokenizer-
+    * training operator of an LLM data pipeline, run distributed (see
+    * [[bpeTrain]]). Output is the learned merge table (rank, left,
+    * right, merged, weighted pair count). Deterministic (fixed
+    * tie-break, no RNG) but 16 dependent argmax rounds are not
+    * SQL-expressible ⇒ rows-only; a sequential in-JVM referee
+    * recomputes the identical table in the spec. */
+  def bpeTrainTable(spark: SparkSession, dir: String): DataFrame = {
+    val (merges, _) = bpeTrain(spark, dir, 16)
+    import spark.implicits._
+    merges.toDF("rank", "left", "right", "merged", "pair_count")
+      .orderBy(col("rank"))
+  }
+
+  /** BPE application over the training corpus: after training, the
+    * word table's final segmentations ARE the tokenization of every
+    * corpus word, so applying the tokenizer is a broadcast-sized
+    * equi-join (word → token count) — no per-row merge loop at read
+    * time. Per-doc whitespace-token vs BPE-token counts: the
+    * compression curve that picks a vocabulary size. */
+  def bpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    val (_, words) = bpeTrain(spark, dir, 16)
+    t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .join(broadcast(words.select(col("word"), size(col("segs")).as("n_bpe"))), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_bpe")).as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic shard plan — the LAST operator of every training-
     * data pipeline: assign each document a shard via a pure
     * multiplicative hash (Knuth 2654435761 mod a prime mod nShards —
@@ -728,6 +823,8 @@ object TextAnalysis {
   val all: Seq[GQuery] = Seq(
     GQuery("text_inverted_index", invertedIndex, Some(invertedIndexSql)),
     GQuery("text_shard_plan", shardPlan, Some(shardPlanSql)),
+    GQuery("text_bpe_train", bpeTrainTable, None),
+    GQuery("text_bpe_tokens", bpeTokens, None),
     GQuery("text_nb_classifier", nbClassifier, Some(nbClassifierSql)),
     GQuery("text_ccnet_buckets", ccnetBuckets, Some(ccnetBucketsSql)),
     GQuery("text_unicode_clean", unicodeClean, Some(unicodeCleanSql)),

@@ -373,6 +373,58 @@ class Round7Spec extends AnyFunSuite {
     assert(docs.sum == total, "shards must partition the corpus exactly")
   }
 
+  test("bpe training + application match a sequential in-JVM referee merge-for-merge") {
+    def greedyMerge(ss: Vector[String], a: String, b: String): Vector[String] = {
+      val buf = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < ss.length) {
+        if (i < ss.length - 1 && ss(i) == a && ss(i + 1) == b) { buf += (a + b); i += 2 }
+        else { buf += ss(i); i += 1 }
+      }
+      buf.toVector
+    }
+    val got = operators.TextAnalysis.bpeTrainTable(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    val wf = util.t(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("w")).filter(col("w") =!= "")
+      .groupBy("w").count().collect().map(r => (r.getString(0), r.getLong(1)))
+    val freqs = wf.toMap
+    var segs: Map[String, Vector[String]] =
+      wf.map { case (w, _) => w -> w.map(_.toString).toVector }.toMap
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    var r = 0
+    var go = true
+    while (r < 16 && go) {
+      val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+      for { (w, ss) <- segs; if ss.length >= 2; i <- 0 until ss.length - 1 }
+        counts((ss(i), ss(i + 1))) = counts.getOrElse((ss(i), ss(i + 1)), 0L) + freqs(w)
+      if (counts.isEmpty) go = false
+      else {
+        val ((a, b), cnt) = counts.minBy { case ((x, y), c) => (-c, x, y) }
+        if (cnt < 2) go = false
+        else {
+          merges += ((r + 1, a, b, a + b, cnt))
+          segs = segs.map { case (w, ss) => w -> greedyMerge(ss, a, b) }
+          r += 1
+        }
+      }
+    }
+    assert(got.toSeq == merges.toSeq,
+      s"merge tables diverge:\n got=${got.toSeq}\nwant=${merges.toSeq}")
+    // application: per-doc BPE token counts equal replaying the
+    // referee's final segmentations over the raw word stream
+    val gotTok = operators.TextAnalysis.bpeTokens(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val docWords = util.t(spark, sf, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = docWords.groupBy(_._1).toSeq.map { case (d, ws) =>
+      (d, ws.length.toLong, ws.map(x => segs(x._2).length.toLong).sum)
+    }.sortBy(_._1)
+    assert(gotTok.toSeq == want, "bpe token counts diverge from referee")
+  }
+
   test("stream-stream outer join state SHRINKS once the watermark passes") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
