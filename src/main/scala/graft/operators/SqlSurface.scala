@@ -379,6 +379,36 @@ object SqlSurface {
        |FROM lineitem GROUP BY ALL
        |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** FILTER-clause + DISTINCT aggregates (ANSI SQL:2003 surface):
+    * several differently-conditioned aggregates in ONE grouping pass —
+    * the alternative is N self-joins or N CASE pyramids. Spark plans
+    * every FILTER aggregate into the same hash aggregate (one scan,
+    * one shuffle); `count(DISTINCT ...)` expands to the standard
+    * two-stage distinct aggregate. One pass over 100 TB instead of
+    * five is the whole point of the clause. */
+  def q73AggFilter(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders_af")
+    spark.sql(
+      s"""SELECT o_orderpriority,
+         | count(*) AS n_orders,
+         | count(DISTINCT o_custkey) AS n_custs,
+         | count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+         | count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+         | round(cast(sum(cast(o_totalprice AS decimal(22,8)))
+         |   FILTER (WHERE o_orderstatus = 'F') AS double), 4) AS rev_f
+         |FROM orders_af GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  val q73Sql: String =
+    """SELECT o_orderpriority,
+      | count(*) AS n_orders,
+      | count(DISTINCT o_custkey) AS n_custs,
+      | count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+      | count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+      | round(cast(sum(cast(o_totalprice AS decimal(22,8)))
+      |   FILTER (WHERE o_orderstatus = 'F') AS double), 4) AS rev_f
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Correlated LATERAL subquery with ORDER BY + LIMIT — top-2
     * customers per nation, the lateral formulation of per-group top-k.
     * Spark decorrelates the lateral into a window/limit over a single
@@ -441,6 +471,7 @@ object SqlSurface {
   val all: Seq[GQuery] = Seq(
     GQuery("meta_observe_metrics", observeMetrics, Some(observeMetricsSql)),
     GQuery("q61_group_by_all", q61GroupByAll, Some(q61Sql)),
+    GQuery("q73_agg_filter", q73AggFilter, Some(q73Sql)),
     GQuery("q62_lateral_topk", q62LateralTopk, Some(q62Sql)),
     GQuery("q51_recursive_cte", q51RecursiveCte, Some(q51Sql)),
     GQuery("q52_variant_json", q52VariantJson, Some(q52Sql)),

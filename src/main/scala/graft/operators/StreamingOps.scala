@@ -735,6 +735,67 @@ object StreamingOps {
     * machine must converge to the relational answer. */
   val streamDedupCorpusSql: String = graft.operators.Dedup.normalizedDedupSql
 
+  // ---- streaming approximate distinct: sketches as stream state ----
+
+  /** One event for per-type distinct-user counting. */
+  case class TypedUser(event_type: String, user_id: Long)
+
+  /** `ValueState[Array[Byte]]` holding one serialized KMV sketch per
+    * key: per-batch work is O(batch + k) and held state is ≤ 8k bytes
+    * per key REGARDLESS of stream length — the streaming twin of the
+    * `meta_kmv_overlap` sketch table (`functions/KmvSketch.scala`).
+    * Because a KMV sketch is EXACTLY mergeable (bottom-k of a union ≡
+    * union of bottom-ks), the converged state is independent of
+    * arrival order and batch split, and must equal a batch
+    * `KmvSketchAgg` over the same rows bit-for-bit (spec-asserted,
+    * alongside a convergence-to-exact error bound). */
+  final class KmvDistinctProcessor
+    extends StatefulProcessor[String, TypedUser, (String, Double)] {
+    @transient private var st: ValueState[Array[Byte]] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[Array[Byte]]("sk", Encoders.BINARY, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[TypedUser],
+        timerValues: TimerValues): Iterator[(String, Double)] = {
+      import graft.functions.Kmv
+      val buf = Option(st.get()).map(Kmv.deserialize).getOrElse(new Kmv.Buffer(64))
+      rows.foreach(r => buf.add(Kmv.mix(r.user_id)))
+      val bytes = Kmv.serialize(buf)
+      st.update(bytes)
+      Iterator.single((key, Kmv.estimate(bytes)))
+    }
+  }
+
+  /** Streaming approximate distinct users per event type — the
+    * "unique visitors" counter that cannot hold per-user state at
+    * 100 TB: the sketch bounds memory however many users arrive. The
+    * estimate is monotone non-decreasing as elements are added, so the
+    * converged snapshot is the max emission per key. */
+  def streamKmvDistinct(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import spark.implicits._
+      val name = uniq("kmv_distinct")
+      val schema = spark.read.parquet(s"$dir/events.parquet").schema
+      val evs = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .select(col("event_type"), col("user_id")).as[TypedUser]
+      val q = evs.groupByKey(_.event_type)
+        .transformWithState(new KmvDistinctProcessor, TimeMode.None(), OutputMode.Update())
+        .toDF("event_type", "est_distinct")
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update).start()
+      q.processAllAvailable(); q.stop()
+      spark.table(name).groupBy(col("event_type"))
+        .agg(max(col("est_distinct")).as("est_distinct"))
+        .orderBy(col("event_type"))
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
   /** One (band, band_key) posting of one document's MinHash signature. */
   case class BandedDoc(band: Int, band_key: Long, doc_id: Long)
 
@@ -1138,6 +1199,7 @@ object StreamingOps {
     GQuery("stream_punctuate_snapshot", streamPunctuateSnapshot, Some(streamPunctuateSnapshotSql)),
     GQuery("stream_session_counts", streamSessionCounts, Some(streamSessionCountsSql)),
     GQuery("stream_dedup_corpus", streamDedupCorpus, Some(streamDedupCorpusSql)),
+    GQuery("stream_kmv_distinct", streamKmvDistinct, None),
     GQuery("stream_neardup_minhash", streamNearDupMinhash, None),
     GQuery("stream_upsert_snapshot", streamUpsertSnapshot, Some(streamUpsertSnapshotSql)),
   )

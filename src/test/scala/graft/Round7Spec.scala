@@ -425,6 +425,25 @@ class Round7Spec extends AnyFunSuite {
     assert(gotTok.toSeq == want, "bpe token counts diverge from referee")
   }
 
+  test("streaming kmv distinct converges to the batch sketch bit-for-bit") {
+    val got = operators.StreamingOps.streamKmvDistinct(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    import graft.functions.KmvSketch._
+    val batch = util.t(spark, sf, "events")
+      .groupBy(col("event_type"))
+      .agg(kmvEstimate(kmvSketch(col("user_id"), 64)).as("e"),
+        countDistinct(col("user_id")).as("exact"))
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getLong(2)))).toMap
+    assert(got.map(_._1).toSet == batch.keySet, "key sets diverge")
+    got.foreach { case (k, e) =>
+      // exact mergeability: any batch split must land on the batch sketch
+      assert(e == batch(k)._1, s"$k: stream estimate $e != batch sketch ${batch(k)._1}")
+      val exact = batch(k)._2
+      assert(math.abs(e - exact) <= math.max(2.0, 0.55 * exact),
+        s"$k: estimate $e strays from exact $exact")
+    }
+  }
+
   test("stream-stream outer join state SHRINKS once the watermark passes") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
