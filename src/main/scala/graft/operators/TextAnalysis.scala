@@ -794,6 +794,47 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Count-min-sketched term frequencies (`functions/CmsSketch.scala`)
+    * — per-source CMS sketches of the word stream materialized ONCE as
+    * a 16 KiB-per-source sketch table; any term's frequency in any
+    * source (or, via the lossless counter-addition union, the whole
+    * corpus) is then answered from the table without rescanning. The
+    * probe list includes an absent term: CMS never underestimates
+    * (spec-asserted row-by-row) and overestimates only by collisions.
+    * Sketch hashing is engine-specific ⇒ rows-only; a sequential
+    * in-JVM referee and the never-underestimate / union-lossless
+    * properties are spec-asserted. */
+  def cmsTermFreq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CmsSketch._
+    import spark.implicits._
+    val words = t(spark, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val skPath = scratchDir("cms_sketches")
+    words.groupBy(col("source")).agg(cmsSketch(col("w")).as("sk"))
+      .write.parquet(skPath)
+    val sk = spark.read.parquet(skPath)
+    val probes = Seq("join", "hash", "row", "batch", "scan", "filter", "quantum")
+    val probeDf = probes.toDF("term")
+    val perSource = sk.crossJoin(broadcast(probeDf))
+      .select(col("source"), col("term"), cmsEstimate(col("sk"), col("term")).as("est"))
+    val overall = sk.agg(cmsUnion(col("sk")).as("sk"))
+      .crossJoin(broadcast(probeDf))
+      .select(lit("ALL").as("source"), col("term"),
+        cmsEstimate(col("sk"), col("term")).as("est"))
+    val exactSrc = words.filter(col("w").isin(probes: _*))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("exact"))
+      .select(col("source"), col("w").as("term"), col("exact"))
+    val exactAll = words.filter(col("w").isin(probes: _*))
+      .groupBy(col("w")).agg(count(lit(1)).as("exact"))
+      .select(lit("ALL").as("source"), col("w").as("term"), col("exact"))
+    perSource.unionAll(overall)
+      .join(exactSrc.unionAll(exactAll), Seq("source", "term"), "left")
+      .select(col("source"), col("term"), col("est"),
+        coalesce(col("exact"), lit(0L)).as("exact"))
+      .orderBy(col("source"), col("term"))
+  }
+
   /** Deterministic shard plan — the LAST operator of every training-
     * data pipeline: assign each document a shard via a pure
     * multiplicative hash (Knuth 2654435761 mod a prime mod nShards —
@@ -825,6 +866,7 @@ object TextAnalysis {
     GQuery("text_shard_plan", shardPlan, Some(shardPlanSql)),
     GQuery("text_bpe_train", bpeTrainTable, None),
     GQuery("text_bpe_tokens", bpeTokens, None),
+    GQuery("text_cms_termfreq", cmsTermFreq, None),
     GQuery("text_nb_classifier", nbClassifier, Some(nbClassifierSql)),
     GQuery("text_ccnet_buckets", ccnetBuckets, Some(ccnetBucketsSql)),
     GQuery("text_unicode_clean", unicodeClean, Some(unicodeCleanSql)),

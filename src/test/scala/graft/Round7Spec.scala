@@ -444,6 +444,51 @@ class Round7Spec extends AnyFunSuite {
     }
   }
 
+  test("cms term frequencies: never-underestimate, referee equality, lossless union") {
+    import graft.functions.Cms
+    val rows = operators.TextAnalysis.cmsTermFreq(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // CMS NEVER underestimates — a deterministic guarantee, not a bound
+    rows.foreach { case (src, term, est, exact) =>
+      assert(est >= exact, s"$src/$term: CMS underestimated ($est < $exact)")
+    }
+    // the absent probe must appear with exact = 0 in every scope
+    assert(rows.count { case (_, t, _, e) => t == "quantum" && e == 0L } >= 2,
+      "absent probe missing")
+    // sequential referee: one-threaded sketches per source must equal
+    // the distributed partial-merge estimates bit-for-bit, and the
+    // ALL row must equal a whole-corpus sequential sketch (union is
+    // lossless counter addition)
+    val words = util.t(spark, sf, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bySource = words.groupBy(_._1)
+    val sketches = scala.collection.mutable.HashMap[String, Array[Long]]()
+    bySource.foreach { case (src, ws) =>
+      val c = new Array[Long](Cms.Depth * Cms.Width)
+      ws.foreach(w => Cms.update(c, org.apache.spark.unsafe.types.UTF8String.fromString(w._2)))
+      sketches(src) = c
+    }
+    val all = new Array[Long](Cms.Depth * Cms.Width)
+    sketches.values.foreach { c => var i = 0; while (i < all.length) { all(i) += c(i); i += 1 } }
+    sketches("ALL") = all
+    rows.foreach { case (src, term, est, _) =>
+      val want = Cms.estimate(sketches(src),
+        org.apache.spark.unsafe.types.UTF8String.fromString(term))
+      assert(est == want, s"$src/$term: distributed $est != sequential referee $want")
+    }
+    // error bound sanity: overestimate <= 8 * N / Width on the fixture
+    bySource.foreach { case (src, ws) =>
+      val n = ws.length
+      rows.filter(_._1 == src).foreach { case (_, term, est, exact) =>
+        assert(est - exact <= math.max(3L, 8L * n / Cms.Width),
+          s"$src/$term: overcount ${est - exact} beyond bound for n=$n")
+      }
+    }
+  }
+
   test("stream-stream outer join state SHRINKS once the watermark passes") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
