@@ -322,6 +322,69 @@ object Warehouse {
     monthly.unionAll(overall).unionAll(ov).orderBy(col("scope"))
   }
 
+  /** Mergeable QUANTILE summaries from bounded uniform row samples —
+    * the percentile companion of the HLL/KMV/CMS sketch tables: each
+    * month keeps only the 256 rows with the smallest engine-replayable
+    * Knuth priority (a uniform sample, via the native
+    * `BottomKByPriority` aggregate — k pairs per group cross the
+    * shuffle, never the fact rows), and any rollup re-ranks the UNION
+    * of stored samples (bottom-k of a union ≡ union of bottom-ks), so
+    * the ALL row never rescans orders. (priority, value-in-cents) is
+    * packed into one long — priority·2²⁷ + cents, exact because cents
+    * < 2²⁷ — so the sample carries its values through the id-only
+    * aggregate. Quantile = exact order statistic of the sample at
+    * integer index ⌊(n−1)·q⌋: everything is integer arithmetic, so —
+    * unlike t-digest/KLL — the whole summary replays in DuckDB and the
+    * entry is FULLY oracle-checked at every SF (months under 256 rows
+    * degrade to exact quantiles; above, to the sampled estimate).
+    * Sampling error is the classic O(1/√k) quantile bound —
+    * spec-asserted against exact percentiles on the fixture. */
+  def metaQuantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val L = 134217728L // 2^27 value packing
+    val packed = t(spark, dir, "orders")
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("m"),
+        (pmod(col("o_orderkey") * lit(2654435761L), lit(4294967296L)) * lit(L) +
+          expr("cast(round(o_totalprice * 100, 0) as bigint)")).as("packed"))
+    val monthly = packed.groupBy(col("m"))
+      .agg(graft.functions.BottomKByPriority.bottomK(col("packed"), col("packed"), 256).as("sample"))
+    val allScope = monthly
+      .select(explode(col("sample")).as("packed"))
+      .agg(graft.functions.BottomKByPriority.bottomK(col("packed"), col("packed"), 256).as("sample"))
+      .select(lit("ALL").as("scope"), col("sample"))
+    def quants(df: DataFrame): DataFrame = df
+      .withColumn("cents", expr(s"array_sort(transform(sample, x -> x % ${L}L))"))
+      .select(col("scope"),
+        size(col("cents")).cast("long").as("n_sample"),
+        expr("element_at(cents, cast((size(cents)-1)/2 as int) + 1)").as("p50_cents"),
+        expr("element_at(cents, cast((size(cents)-1)*9/10 as int) + 1)").as("p90_cents"))
+    quants(monthly.select(col("m").as("scope"), col("sample")).unionByName(allScope))
+      .orderBy(col("scope"))
+  }
+
+  /** DuckDB replays the identical priorities, ranks, union, and
+    * order-statistic indexes — all integer arithmetic. */
+  val metaQuantileSketchSql: String =
+    """WITH pk AS (
+      | SELECT strftime(o_orderdate, '%Y-%m') AS m,
+      |  ((o_orderkey * 2654435761) % 4294967296) * 134217728
+      |    + cast(round(o_totalprice * 100, 0) as bigint) AS packed
+      | FROM orders),
+      |ms AS (SELECT m, packed FROM (
+      |  SELECT m, packed, row_number() OVER (PARTITION BY m ORDER BY packed) AS rk
+      |  FROM pk) WHERE rk <= 256),
+      |alls AS (SELECT 'ALL' AS m, packed FROM (
+      |  SELECT packed, row_number() OVER (ORDER BY packed) AS rk FROM ms)
+      | WHERE rk <= 256),
+      |vals AS (SELECT m AS scope, packed % 134217728 AS cents
+      |         FROM (SELECT * FROM ms UNION ALL SELECT * FROM alls)),
+      |rk AS (SELECT scope, cents,
+      |  row_number() OVER (PARTITION BY scope ORDER BY cents) AS r,
+      |  count(*) OVER (PARTITION BY scope) AS n FROM vals)
+      |SELECT scope, cast(any_value(n) as bigint) AS n_sample,
+      | max(CASE WHEN r = (n-1)//2 + 1 THEN cents END) AS p50_cents,
+      | max(CASE WHEN r = (n-1)*9//10 + 1 THEN cents END) AS p90_cents
+      |FROM rk GROUP BY scope ORDER BY scope""".stripMargin
+
   /** Data-quality expectations report (dbt-test/Deequ-style): each row
     * is one declared constraint over the star schema — key uniqueness,
     * non-null, referential integrity, accepted range — with its
@@ -382,6 +445,7 @@ object Warehouse {
     GQuery("q71_incremental_view", q71IncrementalView, Some(q71Sql)),
     GQuery("meta_hll_sketches", metaHllSketches, None),
     GQuery("meta_kmv_overlap", metaKmvOverlap, None),
+    GQuery("meta_quantile_sketch", metaQuantileSketch, Some(metaQuantileSketchSql)),
     GQuery("meta_expectations", metaExpectations, Some(metaExpectationsSql)),
   )
 }

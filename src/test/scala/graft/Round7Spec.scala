@@ -489,6 +489,34 @@ class Round7Spec extends AnyFunSuite {
     }
   }
 
+  test("quantile sketch: sampled order statistics sit at the right ranks") {
+    val rows = operators.Warehouse.metaQuantileSketch(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val cents = util.t(spark, sf, "orders")
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("m"),
+        expr("cast(round(o_totalprice * 100, 0) as bigint)").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val all = cents.map(_._2).sorted
+    def rankOf(v: Long, xs: Array[Long]): Double = xs.count(_ <= v).toDouble / xs.length
+    // the sampled ALL row: order statistics within the O(1/sqrt(k)) rank band
+    val allRow = rows.find(_._1 == "ALL").get
+    assert(allRow._2 == 256 && all.length > 256, "ALL must exercise the sampling path")
+    assert(rankOf(allRow._3, all) >= 0.35 && rankOf(allRow._3, all) <= 0.65,
+      s"ALL p50 ${allRow._3} at rank ${rankOf(allRow._3, all)}")
+    assert(rankOf(allRow._4, all) >= 0.78 && rankOf(allRow._4, all) <= 0.98,
+      s"ALL p90 ${allRow._4} at rank ${rankOf(allRow._4, all)}")
+    // months under k rows degrade to EXACT order statistics
+    val byMonth = cents.groupBy(_._1)
+    val exactMonths = rows.filter(r => r._1 != "ALL" && r._2 < 256)
+    assert(exactMonths.nonEmpty, "no exact-path month at this sf")
+    exactMonths.foreach { case (m, n, p50, p90) =>
+      val xs = byMonth(m).map(_._2).sorted
+      assert(n == xs.length, s"$m sample must be the whole month")
+      assert(p50 == xs((xs.length - 1) / 2), s"$m p50 not the exact median")
+      assert(p90 == xs(((xs.length - 1) * 9) / 10), s"$m p90 not the exact order statistic")
+    }
+  }
+
   test("stream-stream outer join state SHRINKS once the watermark passes") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
