@@ -91,6 +91,77 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(k > 0 && k <= Int.MaxValue, kMsg)
         graft.functions.BottomKByPriority(exprs(0), exprs(1), k.toInt)
       }))
+    // SQL surface for the KMV sketch family:
+    //   SELECT graft_kmv_estimate(graft_kmv(user_id, 64)) FROM …
+    //   SELECT graft_kmv_intersect(a.sk, b.sk) FROM sketches a, sketches b
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_kmv"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.KmvSketchAgg].getName, "graft_kmv"),
+      (exprs: Seq[Expression]) => {
+        val kMsg = "graft_kmv(value, k) — k must be an integral literal >= 16 " +
+          "(e.g. graft_kmv(user_id, 64))"
+        require(exprs.length == 2 && exprs(1).foldable, kMsg)
+        val k = exprs(1).eval() match {
+          case i: java.lang.Integer => i.longValue()
+          case l: java.lang.Long => l.longValue()
+          case s: java.lang.Short => s.longValue()
+          case b: java.lang.Byte => b.longValue()
+          case _ => throw new IllegalArgumentException(kMsg)
+        }
+        require(k >= 16 && k <= Int.MaxValue, kMsg)
+        graft.functions.KmvSketchAgg(exprs(0), k.toInt)
+      }))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_kmv_union"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.KmvUnionAgg].getName, "graft_kmv_union"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_kmv_union(sketch) takes exactly one argument")
+        graft.functions.KmvUnionAgg(exprs(0))
+      }))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_kmv_estimate"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.KmvEstimate].getName, "graft_kmv_estimate"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_kmv_estimate(sketch) takes exactly one argument")
+        graft.functions.KmvEstimate(exprs(0))
+      }))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_kmv_intersect"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.KmvIntersectEstimate].getName, "graft_kmv_intersect"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_kmv_intersect(a, b) takes exactly two arguments")
+        graft.functions.KmvIntersectEstimate(exprs(0), exprs(1))
+      }))
+    // SQL surface for the count-min family:
+    //   SELECT graft_cms_estimate(graft_cms(term), 'join') FROM …
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cms"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.CmsSketchAgg].getName, "graft_cms"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_cms(value) takes exactly one argument")
+        graft.functions.CmsSketchAgg(exprs(0))
+      }))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cms_union"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.CmsUnionAgg].getName, "graft_cms_union"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_cms_union(sketch) takes exactly one argument")
+        graft.functions.CmsUnionAgg(exprs(0))
+      }))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cms_estimate"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.CmsEstimate].getName, "graft_cms_estimate"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_cms_estimate(sketch, item) takes exactly two arguments")
+        graft.functions.CmsEstimate(exprs(0), exprs(1))
+      }))
     // SQL surface for the string normalizer:
     //   SELECT graft_nfc(text) FROM …
     ext.injectFunction((

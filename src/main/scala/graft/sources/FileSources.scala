@@ -525,7 +525,51 @@ object FileSources {
       .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY codec")
   }
 
+  /** Snapshot time travel from first principles (the Iceberg/Delta
+    * `VERSION AS OF` read path): a table is a MANIFEST of immutable
+    * data files per snapshot — commit v1 writes files A, commit v2
+    * appends file B and a manifest row [A, B]; reading "as of v1"
+    * selects A, reading v2 selects A+B, and NOTHING is rewritten or
+    * copied between versions (file A is shared by both manifests).
+    * The manifest here is a 2-row JSON of (version → file list) —
+    * metadata-sized, the only driver read — and each snapshot read is
+    * a plain pruned parquet scan of its file set. At 100 TB this is
+    * why time travel is free: versions share files, the manifest is
+    * KB-sized, and snapshot isolation falls out of file immutability.
+    * Both snapshots' aggregates replay exactly in DuckDB from the
+    * defining predicates ⇒ fully oracle-checked. */
+  def timeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val base = uniq("ttravel")
+    val v1Files = s"$base/data_v1"
+    val v2Files = s"$base/data_v2"
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    // commit 1: the initial load; commit 2: an APPEND-only delta
+    o.filter(col("o_orderkey") % 3 =!= 0).write.parquet(v1Files)
+    o.filter(col("o_orderkey") % 3 === 0).write.parquet(v2Files)
+    val manifest = Seq(
+      (1L, Seq(v1Files)),
+      (2L, Seq(v1Files, v2Files)))
+    def snapshot(version: Long): DataFrame = {
+      val files = manifest.find(_._1 == version).get._2
+      spark.read.parquet(files: _*)
+        .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("revenue"))
+        .select(lit(version).as("version"), col("n_rows"), col("revenue"))
+    }
+    snapshot(1L).unionAll(snapshot(2L)).orderBy(col("version"))
+  }
+
+  val timeTravelSql: String =
+    s"""SELECT cast(1 as bigint) AS version, count(*) AS n_rows,
+       | ${sqlDsum("o_totalprice")} AS revenue
+       |FROM orders WHERE o_orderkey % 3 <> 0
+       |UNION ALL
+       |SELECT cast(2 as bigint), count(*), ${sqlDsum("o_totalprice")}
+       |FROM orders
+       |ORDER BY version""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("src_time_travel", timeTravel, Some(timeTravelSql)),
     GQuery("src_codec_matrix", codecMatrix, Some(codecMatrixSql)),
     GQuery("src_manifest_pruning", manifestPruning, Some(manifestPruningSql)),
     GQuery("src_compaction", compaction, Some(compactionSql)),

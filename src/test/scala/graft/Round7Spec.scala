@@ -517,6 +517,46 @@ class Round7Spec extends AnyFunSuite {
     }
   }
 
+  test("kmv/cms SQL surface: registered functions compute and validate args") {
+    util.t(spark, sf, "orders").createOrReplaceTempView("orders_sk")
+    val exact = spark.sql(
+      """SELECT count(DISTINCT o_custkey) AS d,
+        | count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS f
+        |FROM orders_sk""".stripMargin).collect()(0)
+    val r = spark.sql(
+      """SELECT graft_kmv_estimate(graft_kmv(o_custkey, 64)) AS d,
+        | graft_cms_estimate(graft_cms(o_orderpriority), '1-URGENT') AS f
+        |FROM orders_sk""".stripMargin).collect()(0)
+    assert(math.abs(r.getDouble(0) - exact.getLong(0)) <=
+      math.max(2.0, 0.55 * exact.getLong(0)), "kmv estimate out of band")
+    assert(r.getLong(1) >= exact.getLong(1), "cms underestimated via SQL")
+    // union over a grouped sketch table == one whole-set sketch (exact
+    // mergeability, through the SQL surface end-to-end)
+    val merged = spark.sql(
+      """WITH sk AS (SELECT o_orderstatus AS s, graft_kmv(o_custkey, 64) AS sk
+        |            FROM orders_sk GROUP BY 1)
+        |SELECT graft_kmv_estimate(graft_kmv_union(sk)) FROM sk""".stripMargin)
+      .collect()(0).getDouble(0)
+    assert(merged == r.getDouble(0), "union-of-groups != whole-set sketch")
+    // intersections are non-negative and bounded by the smaller side
+    val ov = spark.sql(
+      """WITH sk AS (SELECT o_orderstatus AS s, graft_kmv(o_custkey, 64) AS sk,
+        |                   count(DISTINCT o_custkey) AS d
+        |            FROM orders_sk GROUP BY 1)
+        |SELECT a.s, b.s, graft_kmv_intersect(a.sk, b.sk) AS est,
+        |       least(a.d, b.d) AS cap
+        |FROM sk a JOIN sk b ON a.s < b.s""".stripMargin).collect()
+    assert(ov.nonEmpty)
+    ov.foreach(row => assert(row.getDouble(2) >= 0.0 &&
+      row.getDouble(2) <= row.getLong(3) * 1.6 + 2,
+      s"intersect estimate ${row.getDouble(2)} vs cap ${row.getLong(3)}"))
+    // bad args must fail at analysis, not at execution
+    intercept[Exception](
+      spark.sql("SELECT graft_kmv(o_custkey, 4) FROM orders_sk").collect())
+    intercept[Exception](
+      spark.sql("SELECT graft_cms_estimate(graft_cms(o_orderpriority)) FROM orders_sk").collect())
+  }
+
   test("stream-stream outer join state SHRINKS once the watermark passes") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
