@@ -577,7 +577,96 @@ object Analytics {
       |FROM i FULL JOIN e USING (o_custkey)
       |ORDER BY o_custkey""".stripMargin
 
+  /** Ordered conversion funnel (view -> click -> purchase) by min-ts
+    * chaining: the user's first view, their first click STRICTLY after
+    * that view, their first purchase strictly after that click — the
+    * product-analytics "did they progress, and when" query.
+    *
+    * Shape: three user-keyed hash aggregations chained by equi-joins —
+    * every stage shuffles on `user_id` only (events-linear, and AQE
+    * reuses the exchange across the v→c→p chain), with NO window over
+    * the event log and no per-user event materialization, so the plan
+    * is identical at 100 TB: each funnel stage is one partial-agg
+    * (map-side min) + one shuffle. Timestamps are compared as epoch
+    * MICROS (integer floor of the source nanos, `util.t`'s conversion)
+    * so both engines run the same integer arithmetic; depth is the
+    * reached-stage count. */
+  def q74FunnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("us") > col("v_us"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("c_us"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("us") > col("c_us"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("p_us"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"),
+        timestamp_micros(col("v_us")).as("view_ts"),
+        timestamp_micros(col("c_us")).as("click_ts"),
+        timestamp_micros(col("p_us")).as("purchase_ts"),
+        (lit(1L) + when(col("c_us").isNotNull, 1L).otherwise(0L)
+          + when(col("p_us").isNotNull, 1L).otherwise(0L)).as("depth"))
+      .orderBy(col("user_id"))
+  }
+
+  val q74Sql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+      |v AS (SELECT user_id, min(us) AS v_us FROM e WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.us) AS c_us FROM e JOIN v USING (user_id)
+      |      WHERE e.event_type = 'click' AND e.us > v.v_us GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.us) AS p_us FROM e JOIN c USING (user_id)
+      |      WHERE e.event_type = 'purchase' AND e.us > c.c_us GROUP BY 1)
+      |SELECT v.user_id,
+      | make_timestamp(v_us) AS view_ts,
+      | make_timestamp(c_us) AS click_ts,
+      | make_timestamp(p_us) AS purchase_ts,
+      | cast(1 + (CASE WHEN c_us IS NULL THEN 0 ELSE 1 END)
+      |        + (CASE WHEN p_us IS NULL THEN 0 ELSE 1 END) AS bigint) AS depth
+      |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
+  /** Weekly retention cohorts: users grouped by the week of their
+    * first event, counted as active in each later week they appear.
+    * Weeks are INTEGRAL — epoch-micros div (7 days of micros) — so
+    * cohort assignment and offsets are pure BIGINT floor division in
+    * both engines (no calendar/week-of-year semantics to disagree on).
+    *
+    * Shape: one user-keyed min-agg (the cohort), one user-week
+    * distinct (events-linear), one equi-join back on `user_id`, then a
+    * (cohort, offset)-keyed count-distinct. At 100 TB each step is a
+    * single hash shuffle on a narrow key; the count-distinct's state
+    * is (cohorts x offsets x users-per-cell) — the same cells the
+    * answer itself has — and would move to HLL (`meta_hll_sketches`'s
+    * estimator) if exactness were negotiable. */
+  def q75RetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    val uw = t(spark, dir, "events")
+      .select(col("user_id"),
+        (unix_micros(col("ts")) / weekUs).cast("long").as("week"))
+      .distinct()
+    val cohort = uw.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    uw.join(cohort, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val q75Sql: String =
+    """WITH uw AS (
+      | SELECT DISTINCT user_id, (epoch_ns(ts) // 1000) // 604800000000 AS week
+      | FROM events),
+      |cohort AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY 1)
+      |SELECT c.cohort_week, u.week - c.cohort_week AS week_offset,
+      |       cast(count(DISTINCT u.user_id) AS bigint) AS active_users
+      |FROM uw u JOIN cohort c USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("q74_funnel_steps", q74FunnelSteps, Some(q74Sql)),
+    GQuery("q75_retention_cohorts", q75RetentionCohorts, Some(q75Sql)),
     GQuery("q69_setops_all", q69SetopsAll, Some(q69Sql)),
     GQuery("q67_mode_median", q67ModeMedian, Some(q67Sql)),
     GQuery("q66_sessionize_scan", q66SessionizeScan, Some(q66Sql)),

@@ -185,8 +185,71 @@ object Graph {
       |SELECT n_triangles, n_nodes, degree_sum, max_degree
       |FROM tri CROSS JOIN summary""".stripMargin
 
+  /** Single-source BFS shortest paths (≤ 4 hops) over the symmetric
+    * trade graph, from the smallest node id present (deterministic,
+    * guaranteed-reachable source). Classic Pregel min-combine: each
+    * superstep relaxes `dist' = min(dist, min over in-edges (dist+1))`
+    * as `edges ⋈ dist → groupBy(node) → min` — one hash shuffle on the
+    * node key per round, edge-linear message volume, no all-pairs
+    * state anywhere.
+    *
+    * Scale design: the edge list is materialized once (pageRank's
+    * checkpoint discipline) so superstep k never re-derives the
+    * orders ⋈ lineitem join; the dist side stays node-linear. The
+    * bounded hop count keeps lineage shallow; an unbounded BFS would
+    * localCheckpoint per round (the `dedup_cluster_components`
+    * pattern) and iterate the FRONTIER only (left-anti against
+    * settled nodes — delta iteration) instead of re-joining the full
+    * dist table, trading one extra join per round for message volume
+    * that shrinks as the wave passes. Distances are small BIGINTs ⇒
+    * fully hash-checkable; the oracle is a recursive CTE with UNION
+    * (not ALL) dedup, so the walk enumeration stays (nodes × hops)
+    * there too. */
+  def shortestPaths(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = t(spark, dir, "orders")
+      .join(t(spark, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).cast("long").as("c"),
+        (col("l_suppkey") * 2 + 1).cast("long").as("s"))
+      .distinct()
+    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
+    val ePath = scratchDir("bfs_edges")
+    edges.write.parquet(ePath)
+    val e = spark.read.parquet(ePath)
+    val srcId = e.agg(min(col("src"))).first().getLong(0) // scalar, metadata-sized
+
+    var dist = spark.range(1)
+      .select(lit(srcId).as("node"), lit(0L).as("dist"))
+    for (_ <- 1 to 4) {
+      val relaxed = e.join(dist, col("src") === col("node"))
+        .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
+      dist = dist.unionAll(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+    }
+    dist.orderBy(col("node"))
+  }
+
+  val shortestPathsSql: String =
+    """WITH RECURSIVE pairs AS (
+      |  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS c,
+      |                  CAST(l_suppkey * 2 + 1 AS BIGINT) AS s
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |edges AS (
+      |  SELECT c AS src, s AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT s AS src, c AS dst FROM pairs),
+      |bfs(node, dist) AS (
+      |  SELECT min(src), CAST(0 AS BIGINT) FROM edges
+      |  UNION
+      |  SELECT e.dst, b.dist + 1
+      |  FROM bfs b JOIN edges e ON e.src = b.node
+      |  WHERE b.dist < 4)
+      |SELECT node, min(dist) AS dist FROM bfs
+      |GROUP BY node ORDER BY node""".stripMargin
+
   val all: Seq[GQuery] = Seq(
     GQuery("graph_pagerank", pageRank, Some(pageRankSql)),
     GQuery("graph_triangles", triangles, Some(trianglesSql)),
+    GQuery("graph_shortest_paths", shortestPaths, Some(shortestPathsSql)),
   )
 }

@@ -673,11 +673,14 @@ object TextAnalysis {
     * BOUNDED posting list (first 50 doc_ids ascending — production
     * posting lists are sharded/skip-listed, never materialized whole;
     * df keeps the true count). One explode + distinct + groupBy(term):
-    * the shuffle key is the term, postings build as a mergeable
-    * collect within each term's reducer, and a 100 TB build would
-    * bucket the output by `hash(term)` so query-time lookups are
-    * pruned scans. Deterministic (sorted postings, capped by slice) ⇒
-    * fully oracle-checked. */
+    * the shuffle key is the term, and the posting list builds through
+    * the bounded `BottomKByPriority` aggregate (priority = doc_id), so
+    * agg state is ≤ 50 ids per term even for a stopword whose full
+    * list would be corpus-sized — a collect_list-then-slice would
+    * materialize that whole list in the reducer first. A 100 TB build
+    * would additionally bucket the output by `hash(term)` so
+    * query-time lookups are pruned scans. Deterministic ⇒ fully
+    * oracle-checked. */
   def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
     val posts = t(spark, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
@@ -685,7 +688,8 @@ object TextAnalysis {
       .distinct()
     posts.groupBy(col("term"))
       .agg(count(lit(1)).as("df"),
-        array_join(slice(sort_array(collect_list(col("doc_id"))), 1, 50)
+        array_join(graft.functions.BottomKByPriority
+          .bottomK(col("doc_id"), col("doc_id"), 50)
           .cast("array<string>"), ",").as("postings"))
       .orderBy(col("term"))
   }
@@ -861,7 +865,46 @@ object TextAnalysis {
       | min(doc_id) AS min_doc, max(doc_id) AS max_doc
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Context-window chunking with overlap — the LLM-training prep
+    * step that slices each document into fixed-size token windows
+    * (64 tokens, stride 48 ⇒ 16-token overlap) so no span is lost at
+    * a chunk boundary. Expressed as codegen'd array primitives:
+    * `sequence` generates the start offsets, `posexplode` fans out
+    * one row per window, `slice` + `array_join` cut the window — no
+    * UDF, whole row fan-out stays inside WholeStageCodegen.
+    *
+    * Scale design: per-row work is token-linear and the explode is a
+    * map-side fan-out (≈ len/stride rows per doc, no shuffle at all
+    * until the final presentation sort — which a pipeline consumer
+    * would drop, making the whole operator shuffle-free). Window
+    * boundaries depend only on the document itself, so chunking is
+    * embarrassingly parallel at any SF; downstream packing to model
+    * context length is `text_pack_sequences`. Exact strings + integral
+    * offsets ⇒ fully oracle-checked. */
+  def chunkOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    t(spark, dir, "documents")
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        posexplode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)), lit(48))),
+        col("toks"))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        size(slice(col("toks"), col("col") + 1, lit(64))).cast("long").as("n_tokens"),
+        array_join(slice(col("toks"), col("col") + 1, lit(64)), " ").as("chunk"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val chunkOverlapSql: String =
+    """WITH d AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+      |s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS start FROM d)
+      |SELECT doc_id,
+      | CAST(start // 48 AS BIGINT) AS chunk_id,
+      | CAST(len(list_slice(toks, start + 1, start + 64)) AS BIGINT) AS n_tokens,
+      | array_to_string(list_slice(toks, start + 1, start + 64), ' ') AS chunk
+      |FROM s ORDER BY doc_id, chunk_id""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("text_chunk_overlap", chunkOverlap, Some(chunkOverlapSql)),
     GQuery("text_inverted_index", invertedIndex, Some(invertedIndexSql)),
     GQuery("text_shard_plan", shardPlan, Some(shardPlanSql)),
     GQuery("text_bpe_train", bpeTrainTable, None),
