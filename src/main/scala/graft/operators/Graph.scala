@@ -247,9 +247,83 @@ object Graph {
       |SELECT node, min(dist) AS dist FROM bfs
       |GROUP BY node ORDER BY node""".stripMargin
 
+  /** k-core peeling trace on the symmetric co-supply projection:
+    * three rounds of "drop every node with degree < k", where
+    * k = avg-degree + 1 is computed ONCE from the round-0 graph with
+    * pure integer arithmetic (`count div countDistinct + 1` — a
+    * RELATIVE threshold, the same scale-free discipline as the
+    * triangle sparsifier: measured k = 7 at sf0.001/0.01/0.1 alike).
+    * Output is the per-round (surviving nodes, surviving edges)
+    * trace, not the member list — the trace is never empty even when
+    * the core itself peels to nothing on a tiny graph (sf0.001 does),
+    * so the entry is degeneracy-proof across SFs.
+    *
+    * Shape per round: one degree agg (hash shuffle on `src`) + two
+    * LEFT SEMI joins filtering both edge endpoints — edge-linear,
+    * no all-pairs anything; each round's survivor edge list is
+    * `localCheckpoint`ed (the connected-components discipline) so
+    * round r never replays rounds 1..r-1 and the three trace aggs
+    * read settled blocks. The oracle unrolls the identical three
+    * rounds as a CTE chain with the identical integral k. */
+  def kcorePeel(spark: SparkSession, dir: String): DataFrame = {
+    val ePath = scratchDir("kcore_edges")
+    topCoSupplyEdges(spark, dir).write.parquet(ePath)
+    val base = spark.read.parquet(ePath)
+    var e = base.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(base.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    val k = e.agg(expr("count(1) div count(distinct src) + 1")).first().getLong(0)
+    val trace = (1 to 3).map { r =>
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("src").as("node"))
+      e = e.join(keep, col("src") === keep("node"), "left_semi")
+        .join(keep, col("dst") === keep("node"), "left_semi")
+        .localCheckpoint()
+      e.agg(countDistinct(col("src")).as("n_nodes"), count(lit(1)).as("n_edges"))
+        .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges"))
+    }
+    trace.reduce(_ unionAll _).orderBy(col("round"))
+  }
+
+  val kcorePeelSql: String = {
+    val rounds = (1 to 3).map { r =>
+      s"""kp$r AS (SELECT src AS node FROM (
+         |  SELECT src, count(*) AS d FROM e${r - 1} GROUP BY 1)
+         |  WHERE d >= (SELECT kv FROM kk)),
+         |e$r AS (SELECT e.src, e.dst FROM e${r - 1} e
+         |  JOIN kp$r a ON e.src = a.node
+         |  JOIN kp$r b ON e.dst = b.node)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to 3).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS round, count(DISTINCT src) AS n_nodes, count(*) AS n_edges FROM e$r"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |nsupp AS (SELECT count(DISTINCT s) AS ns FROM pairs),
+       |common AS (
+       |  SELECT x.s AS a, y.s AS b, count(*) AS common
+       |  FROM pairs x JOIN pairs y ON x.c = y.c AND x.s < y.s
+       |  GROUP BY 1, 2),
+       |tk AS (
+       |  SELECT a, b FROM (
+       |    SELECT a, b, row_number() OVER (ORDER BY common DESC, a, b) AS rk
+       |    FROM common) r CROSS JOIN nsupp
+       |  WHERE rk <= ns * 3),
+       |e0 AS (
+       |  SELECT a AS src, b AS dst FROM tk
+       |  UNION ALL
+       |  SELECT b AS src, a AS dst FROM tk),
+       |kk AS (SELECT count(*) // count(DISTINCT src) + 1 AS kv FROM e0),
+       |$rounds
+       |$out
+       |ORDER BY round""".stripMargin
+  }
+
   val all: Seq[GQuery] = Seq(
     GQuery("graph_pagerank", pageRank, Some(pageRankSql)),
     GQuery("graph_triangles", triangles, Some(trianglesSql)),
     GQuery("graph_shortest_paths", shortestPaths, Some(shortestPathsSql)),
+    GQuery("graph_kcore_peel", kcorePeel, Some(kcorePeelSql)),
   )
 }
