@@ -61,22 +61,28 @@ object Cms {
     m
   }
 
-  def serialize(counts: Array[Long]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(8 + 8 * counts.length)
-    bb.putInt(Depth); bb.putInt(Width)
-    counts.foreach(bb.putLong)
+  /** Aggregation state: the counter matrix plus the input-kind tag
+    * (Kmv.Kind*): integral and string items hash differently, so a
+    * probe against the wrong-kind sketch must error, not return a
+    * collisions-only near-zero count. */
+  final class Buf(val counts: Array[Long], var kind: Byte)
+
+  def serialize(buf: Buf): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(9 + 8 * buf.counts.length)
+    bb.putInt(Depth); bb.putInt(Width); bb.put(buf.kind)
+    buf.counts.foreach(bb.putLong)
     bb.array()
   }
 
-  def deserialize(bytes: Array[Byte]): Array[Long] = {
+  def deserialize(bytes: Array[Byte]): Buf = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
-    val d = bb.getInt; val w = bb.getInt
+    val d = bb.getInt; val w = bb.getInt; val kind = bb.get()
     require(d == Depth && w == Width,
       s"cms sketch dims ($d x $w) do not match this build (${Depth} x ${Width})")
     val counts = new Array[Long](d * w)
     var i = 0
     while (i < counts.length) { counts(i) = bb.getLong; i += 1 }
-    counts
+    new Buf(counts, kind)
   }
 }
 
@@ -85,7 +91,7 @@ case class CmsSketchAgg(
     child: Expression,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[Cms.Buf] with UnaryLike[Expression] {
 
   override def prettyName: String = "cms_sketch"
   override def nullable: Boolean = false
@@ -98,24 +104,25 @@ case class CmsSketchAgg(
       s"cms_sketch requires an integral or string child, got ${other.catalogString}")
   }
 
-  override def createAggregationBuffer(): Array[Long] =
-    new Array[Long](Cms.Depth * Cms.Width)
+  override def createAggregationBuffer(): Cms.Buf =
+    new Cms.Buf(new Array[Long](Cms.Depth * Cms.Width), Kmv.kindOf(child.dataType))
 
-  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+  override def update(buf: Cms.Buf, input: InternalRow): Cms.Buf = {
     val v = child.eval(input)
-    if (v != null) Cms.update(buf, v)
+    if (v != null) Cms.update(buf.counts, v)
     buf
   }
 
-  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+  override def merge(buf: Cms.Buf, other: Cms.Buf): Cms.Buf = {
+    buf.kind = Kmv.mergeKinds(buf.kind, other.kind, "cms merge")
     var i = 0
-    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    while (i < buf.counts.length) { buf.counts(i) += other.counts(i); i += 1 }
     buf
   }
 
-  override def eval(buf: Array[Long]): Any = Cms.serialize(buf)
-  override def serialize(buf: Array[Long]): Array[Byte] = Cms.serialize(buf)
-  override def deserialize(bytes: Array[Byte]): Array[Long] = Cms.deserialize(bytes)
+  override def eval(buf: Cms.Buf): Any = Cms.serialize(buf)
+  override def serialize(buf: Cms.Buf): Array[Byte] = Cms.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): Cms.Buf = Cms.deserialize(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): CmsSketchAgg =
     copy(mutableAggBufferOffset = newOffset)
@@ -131,7 +138,7 @@ case class CmsUnionAgg(
     child: Expression,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[Cms.Buf] with UnaryLike[Expression] {
 
   override def prettyName: String = "cms_union"
   override def nullable: Boolean = false
@@ -143,24 +150,25 @@ case class CmsUnionAgg(
       s"cms_union requires a binary (serialized sketch) child, got ${other.catalogString}")
   }
 
-  override def createAggregationBuffer(): Array[Long] =
-    new Array[Long](Cms.Depth * Cms.Width)
+  override def createAggregationBuffer(): Cms.Buf =
+    new Cms.Buf(new Array[Long](Cms.Depth * Cms.Width), Kmv.KindUnknown)
 
-  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+  override def update(buf: Cms.Buf, input: InternalRow): Cms.Buf = {
     val v = child.eval(input)
     if (v != null) merge(buf, Cms.deserialize(v.asInstanceOf[Array[Byte]]))
     buf
   }
 
-  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+  override def merge(buf: Cms.Buf, other: Cms.Buf): Cms.Buf = {
+    buf.kind = Kmv.mergeKinds(buf.kind, other.kind, "cms_union")
     var i = 0
-    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    while (i < buf.counts.length) { buf.counts(i) += other.counts(i); i += 1 }
     buf
   }
 
-  override def eval(buf: Array[Long]): Any = Cms.serialize(buf)
-  override def serialize(buf: Array[Long]): Array[Byte] = Cms.serialize(buf)
-  override def deserialize(bytes: Array[Byte]): Array[Long] = Cms.deserialize(bytes)
+  override def eval(buf: Cms.Buf): Any = Cms.serialize(buf)
+  override def serialize(buf: Cms.Buf): Array[Byte] = Cms.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): Cms.Buf = Cms.deserialize(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): CmsUnionAgg =
     copy(mutableAggBufferOffset = newOffset)
@@ -170,7 +178,10 @@ case class CmsUnionAgg(
     copy(child = newChild)
 }
 
-/** Point-frequency estimate of `item` in a serialized sketch. */
+/** Point-frequency estimate of `item` in a serialized sketch. The
+  * probe item's STATIC kind (integral vs string) is validated against
+  * the kind tag serialized in the sketch header — a wrong-kind probe
+  * errors instead of silently returning a collisions-only count. */
 case class CmsEstimate(left: Expression, right: Expression)
   extends BinaryExpression with CodegenFallback {
 
@@ -183,8 +194,11 @@ case class CmsEstimate(left: Expression, right: Expression)
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"cms_estimate requires (binary sketch, integral-or-string item), got ${l.catalogString}, ${r.catalogString}")
     }
-  override protected def nullSafeEval(sk: Any, item: Any): Any =
-    Cms.estimate(Cms.deserialize(sk.asInstanceOf[Array[Byte]]), item)
+  override protected def nullSafeEval(sk: Any, item: Any): Any = {
+    val buf = Cms.deserialize(sk.asInstanceOf[Array[Byte]])
+    Kmv.mergeKinds(buf.kind, Kmv.kindOf(right.dataType), "cms_estimate probe")
+    Cms.estimate(buf.counts, item)
+  }
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CmsEstimate =
     copy(left = newLeft, right = newRight)
 }

@@ -64,13 +64,42 @@ object Kmv {
     case other => hashBytes(other.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
+  /** Input-kind tag serialized into sketch headers: integrals and
+    * strings hash DIFFERENTLY (splitmix on the long vs FNV-1a on the
+    * bytes), so probing or combining sketches across kinds silently
+    * yields collisions-only near-zero results instead of an error.
+    * The tag makes the mismatch detectable from the binary sketch.
+    * 0 = unknown (raw buffers built outside the typed aggregates). */
+  val KindUnknown: Byte = 0
+  val KindIntegral: Byte = 1
+  val KindString: Byte = 2
+  def kindOf(dt: DataType): Byte = dt match {
+    case ByteType | ShortType | IntegerType | LongType => KindIntegral
+    case StringType => KindString
+    case _ => KindUnknown
+  }
+  def kindName(k: Byte): String = k match {
+    case KindIntegral => "integral"
+    case KindString => "string"
+    case _ => "unknown"
+  }
+  /** Reconcile two kinds: adopt the known one; ERROR on a true clash. */
+  def mergeKinds(a: Byte, b: Byte, op: String): Byte =
+    if (a == KindUnknown) b
+    else if (b == KindUnknown || a == b) a
+    else throw new IllegalArgumentException(
+      s"$op over sketches built from different input kinds " +
+        s"(${kindName(a)} vs ${kindName(b)}) — their hash spaces are " +
+        "disjoint and the result would be a collisions-only near-zero count")
+
   /** Uniform fraction in [0,1) from a 64-bit hash (unsigned order-
     * preserving: flip the sign bit, scale by 2^-64). */
   def frac(h: Long): Double =
     ((h ^ Long.MinValue).toDouble - Long.MinValue.toDouble) / 1.8446744073709552E19
 
-  /** Bounded sorted set of the k unsigned-smallest hashes. */
-  final class Buffer(val k: Int) {
+  /** Bounded sorted set of the k unsigned-smallest hashes, tagged with
+    * the input kind it was built from (0 = unknown/raw). */
+  final class Buffer(val k: Int, var kind: Byte = KindUnknown) {
     val set = new java.util.TreeSet[java.lang.Long](
       (a: java.lang.Long, b: java.lang.Long) => java.lang.Long.compareUnsigned(a, b))
     def add(h: Long): Unit = {
@@ -78,14 +107,15 @@ object Kmv {
       if (set.size > k) { set.pollLast(); () }
     }
     def mergeFrom(other: Buffer): Unit = {
+      kind = mergeKinds(kind, other.kind, "kmv merge")
       val it = other.set.iterator()
       while (it.hasNext) add(it.next())
     }
   }
 
   def serialize(buf: Buffer): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(8 + 8 * buf.set.size)
-    bb.putInt(buf.k); bb.putInt(buf.set.size)
+    val bb = java.nio.ByteBuffer.allocate(9 + 8 * buf.set.size)
+    bb.putInt(buf.k); bb.putInt(buf.set.size); bb.put(buf.kind)
     val it = buf.set.iterator()
     while (it.hasNext) bb.putLong(it.next())
     bb.array()
@@ -93,28 +123,28 @@ object Kmv {
 
   def deserialize(bytes: Array[Byte]): Buffer = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
-    val k = bb.getInt; val n = bb.getInt
-    val buf = new Buffer(k)
+    val k = bb.getInt; val n = bb.getInt; val kind = bb.get()
+    val buf = new Buffer(k, kind)
     var i = 0
     while (i < n) { buf.set.add(bb.getLong); i += 1 }
     buf
   }
 
-  /** (sorted hash array, θ) view of a serialized sketch: θ = u(k-th
-    * smallest) when the sketch is full, else 1.0 (all values seen). */
-  def view(bytes: Array[Byte]): (Array[Long], Double) = {
+  /** (sorted hash array, θ, kind) view of a serialized sketch: θ =
+    * u(k-th smallest) when the sketch is full, else 1.0. */
+  def view(bytes: Array[Byte]): (Array[Long], Double, Byte) = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
-    val k = bb.getInt; val n = bb.getInt
+    val k = bb.getInt; val n = bb.getInt; val kind = bb.get()
     val hs = new Array[Long](n)
     var i = 0
     while (i < n) { hs(i) = bb.getLong; i += 1 }
     val theta = if (n >= k) frac(hs(n - 1)) else 1.0
-    (hs, theta)
+    (hs, theta, kind)
   }
 
   def estimate(bytes: Array[Byte]): Double = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
-    val k = bb.getInt; val n = bb.getInt
+    val k = bb.getInt; val n = bb.getInt; bb.get()
     if (n < k || n == 0) n.toDouble
     else {
       // (k-1)/θ — the unbiased KMV estimator
@@ -126,10 +156,12 @@ object Kmv {
 
   /** |A ∩ B| via the clipped-theta rule: θ = min(θ_a, θ_b), ρ = common
     * hashes below θ, estimate ρ/θ. Exact when both sketches are
-    * un-saturated (θ = 1: every distinct value is present). */
+    * un-saturated (θ = 1: every distinct value is present). Sketches
+    * of differing input kinds ERROR (hash spaces are disjoint). */
   def intersectEstimate(a: Array[Byte], b: Array[Byte]): Double = {
-    val (ha, ta) = view(a)
-    val (hb, tb) = view(b)
+    val (ha, ta, ka) = view(a)
+    val (hb, tb, kb) = view(b)
+    mergeKinds(ka, kb, "kmv_intersect_estimate")
     val theta = math.min(ta, tb)
     var i = 0; var j = 0; var rho = 0L
     while (i < ha.length && j < hb.length) {
@@ -164,7 +196,8 @@ case class KmvSketchAgg(
       s"kmv_sketch requires an integral or string child, got ${other.catalogString}")
   }
 
-  override def createAggregationBuffer(): Kmv.Buffer = new Kmv.Buffer(k)
+  override def createAggregationBuffer(): Kmv.Buffer =
+    new Kmv.Buffer(k, Kmv.kindOf(child.dataType))
 
   override def update(buf: Kmv.Buffer, input: InternalRow): Kmv.Buffer = {
     val v = child.eval(input)

@@ -664,9 +664,50 @@ object Analytics {
       |FROM uw u JOIN cohort c USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Sketch size for the retention twin: σ ≈ 1/√(k−2) ≈ 4.4 % — the
+    * spec bounds per-cell error at 3σ (plus a small-count floor). */
+  val retentionSketchK = 512
+
+  /** [[q75RetentionCohorts]] re-based on the engine's own MERGEABLE
+    * KMV sketches (`meta_hll_sketches`' discipline): the per-cell
+    * distinct-user count comes from a bottom-k theta sketch instead of
+    * an exact count-distinct. Same two shuffles; what changes is the
+    * aggregation STATE — ≤ k hashes per (cohort, offset) cell instead
+    * of every distinct user id — which is the 100 TB trade: exact
+    * count-distinct state is cell-cardinality-sized and skew-fragile,
+    * sketch state is fixed-size, partial-aggregable, and the stored
+    * sketch TABLE rolls up to any coarser grouping by lossless union
+    * without rescanning events (spec-asserted: unioning a cohort's
+    * cell sketches re-estimates the cohort size — identical to the
+    * offset-0 cell — within the same bound). Cells under k are EXACT
+    * (θ = 1); estimation begins only where exactness would cost.
+    * Engine-specific hashing → rows-only check + error-bound spec. */
+  def q75bRetentionSketch(spark: SparkSession, dir: String): DataFrame =
+    retentionCellSketches(spark, dir)
+      .select(col("cohort_week"), col("week_offset"),
+        round(graft.functions.KmvSketch.kmvEstimate(col("sk")))
+          .cast("long").as("est_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+
+  /** The stored sketch table behind [[q75bRetentionSketch]] — exposed
+    * so the spec can union cells into cohort rollups. */
+  private[graft] def retentionCellSketches(spark: SparkSession, dir: String): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    val uw = t(spark, dir, "events")
+      .select(col("user_id"),
+        (unix_micros(col("ts")) / weekUs).cast("long").as("week"))
+      .distinct()
+    val cohort = uw.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    uw.join(cohort, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(graft.functions.KmvSketch
+        .kmvSketch(col("user_id"), retentionSketchK).as("sk"))
+  }
+
   val all: Seq[GQuery] = Seq(
     GQuery("q74_funnel_steps", q74FunnelSteps, Some(q74Sql)),
     GQuery("q75_retention_cohorts", q75RetentionCohorts, Some(q75Sql)),
+    GQuery("q75b_retention_sketch", q75bRetentionSketch, None),
     GQuery("q69_setops_all", q69SetopsAll, Some(q69Sql)),
     GQuery("q67_mode_median", q67ModeMedian, Some(q67Sql)),
     GQuery("q66_sessionize_scan", q66SessionizeScan, Some(q66Sql)),

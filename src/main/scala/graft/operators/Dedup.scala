@@ -748,7 +748,11 @@ object Dedup {
   def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val cents = Similarity.trainCodebook(spark, e, Similarity.ivfCentroids)
+    // the shared coarse quantizer comes PREBUILT from the persisted ANN
+    // index (Similarity.buildIvfPqIndex) — SemDeDup reuses the vector
+    // store's codebook rather than retraining it per execution
+    val cents = spark.read.parquet(
+      s"${Similarity.ivfPqIndexRoot(spark, dir)}/coarse_raw")
     val assign = Similarity.assignOne(e, cents)
     val m = assign.join(e, Seq("vec_id"))
     val a = m.select(col("cid"), col("vec_id").as("a_id"), col("v").as("va"))

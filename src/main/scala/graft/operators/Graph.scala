@@ -229,6 +229,72 @@ object Graph {
     dist.orderBy(col("node"))
   }
 
+  /** Frontier (delta-iteration) BFS — the UNBOUNDED-depth scale path
+    * the bounded twin's Scaladoc promises: each round relaxes only the
+    * FRONTIER (nodes first reached last round), never the full dist
+    * table, so message volume tracks the wave — it grows while the
+    * wave expands and shrinks to zero as the component exhausts, at
+    * which point the loop terminates on its own (no hop bound).
+    *
+    * Round shape: frontier ⋈ edges → min-combine per dst → LEFT ANTI
+    * against settled (only never-seen nodes enter the next frontier).
+    * Both the frontier and the settled table are `localCheckpoint`ed
+    * per round — the lineage-truncation discipline of every iterative
+    * op here (pageRank/k-core/components); without it round r replays
+    * rounds 1..r−1 and the plan grows without bound. At 100 TB: edges
+    * are the one big table (scanned once per round, pre-partitioned by
+    * src), the frontier is transient and wave-sized, settled is
+    * node-linear and append-only — the Flink delta-iteration /
+    * Pregel-with-halting shape.
+    *
+    * Same DuckDB oracle as [[shortestPaths]]: exact BFS distances
+    * restricted to the ≤ 4-hop prefix hash-match the bounded twin
+    * (identical by definition — min-combine BFS is exact); the
+    * unbounded tail beyond 4 hops (empty on this graph: the
+    * trade graph's eccentricity from the min node is ≤ 4) is cut by
+    * the same predicate in both engines. The per-round frontier trace
+    * (message-volume collapse + self-termination) is spec-asserted. */
+  private[graft] def frontierBfs(spark: SparkSession, dir: String): (DataFrame, Seq[Long]) = {
+    val pairs = t(spark, dir, "orders")
+      .join(t(spark, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).cast("long").as("c"),
+        (col("l_suppkey") * 2 + 1).cast("long").as("s"))
+      .distinct()
+    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
+    val ePath = scratchDir("bfs_frontier_edges")
+    edges.write.parquet(ePath)
+    val e = spark.read.parquet(ePath)
+    val srcId = e.agg(min(col("src"))).first().getLong(0)
+
+    var settled = spark.range(1)
+      .select(lit(srcId).as("node"), lit(0L).as("dist")).localCheckpoint(true)
+    var frontier = settled
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var frontierSize = 1L
+    while (frontierSize > 0L) {
+      val next = e.join(frontier.withColumnRenamed("node", "fnode"),
+          col("src") === col("fnode"))
+        .groupBy(col("dst")).agg((min(col("dist")) + 1L).as("dist"))
+        .select(col("dst").as("node"), col("dist"))
+        .join(settled.select(col("node").as("snode")),
+          col("node") === col("snode"), "left_anti")
+        .localCheckpoint(true)
+      frontierSize = next.count()
+      sizes += frontierSize // terminal 0 recorded: the wave's collapse
+      if (frontierSize > 0L) {
+        settled = settled.unionAll(next).localCheckpoint(true)
+        frontier = next
+      }
+    }
+    (settled, sizes.toSeq)
+  }
+
+  /** Registry entry: the frontier BFS result clipped to the bounded
+    * twin's ≤ 4-hop window so both share one oracle (see above). */
+  def shortestPathsFrontier(spark: SparkSession, dir: String): DataFrame =
+    frontierBfs(spark, dir)._1.filter(col("dist") <= 4L).orderBy(col("node"))
+
   val shortestPathsSql: String =
     """WITH RECURSIVE pairs AS (
       |  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS c,
@@ -324,6 +390,7 @@ object Graph {
     GQuery("graph_pagerank", pageRank, Some(pageRankSql)),
     GQuery("graph_triangles", triangles, Some(trianglesSql)),
     GQuery("graph_shortest_paths", shortestPaths, Some(shortestPathsSql)),
+    GQuery("graph_shortest_paths_frontier", shortestPathsFrontier, Some(shortestPathsSql)),
     GQuery("graph_kcore_peel", kcorePeel, Some(kcorePeelSql)),
   )
 }

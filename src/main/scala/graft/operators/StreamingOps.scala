@@ -253,6 +253,10 @@ object StreamingOps {
     override def handleInputRows(key: String, rows: Iterator[Record],
         timerValues: TimerValues): Iterator[TtlUpdate] = {
       val prev = Option(latest.get())
+      // equal-ts ties fall to iterator order here because Record has no
+      // sequence field; sound for `events` where (user_id, ts) is unique
+      // at every SF (verified) — a feed with duplicate timestamps should
+      // use the SeqRecord/(ts, seq) discipline of [[ProcTtlProcessor]]
       val candidate = (prev.iterator ++ rows)
         .reduceLeft((a, b) => if (b.ts.compareTo(a.ts) >= 0) b else a)
       if (prev.contains(candidate)) Iterator.empty
@@ -340,21 +344,32 @@ object StreamingOps {
     * wall time — the Kafka Streams punctuator-eviction pattern.
     * One live timer per key: the previous expiry is stored and
     * deleted on re-arm, and a fired timer is always current. */
+  /** Record plus a per-record SEQUENCE (event_id): row order within a
+    * key after the shuffle into `transformWithState` is NOT guaranteed,
+    * so a latest-per-key reduction tie-broken by iterator order would
+    * be nondeterministic whenever two records share a timestamp. The
+    * sequence makes the winner total-ordered — (ts, seq) — matching
+    * the oracle's ORDER BY ts DESC, event_id DESC exactly. */
+  case class SeqRecord(key: String, value: String,
+      ts: java.sql.Timestamp, seq: Long)
+
   final class ProcTtlProcessor(procTtlMs: Long)
-    extends StatefulProcessor[String, Record, TtlUpdate] {
-    @transient private var latest: ValueState[Record] = _
+    extends StatefulProcessor[String, SeqRecord, TtlUpdate] {
+    @transient private var latest: ValueState[SeqRecord] = _
     @transient private var armed: ValueState[Long] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      latest = getHandle.getValueState[Record]("latest",
-        Encoders.product[Record], TTLConfig.NONE)
+      latest = getHandle.getValueState[SeqRecord]("latest",
+        Encoders.product[SeqRecord], TTLConfig.NONE)
       armed = getHandle.getValueState[Long]("armed",
         Encoders.scalaLong, TTLConfig.NONE)
     }
-    override def handleInputRows(key: String, rows: Iterator[Record],
+    override def handleInputRows(key: String, rows: Iterator[SeqRecord],
         timerValues: TimerValues): Iterator[TtlUpdate] = {
       val prev = Option(latest.get())
       val candidate = (prev.iterator ++ rows)
-        .reduceLeft((a, b) => if (b.ts.compareTo(a.ts) >= 0) b else a)
+        .reduceLeft((a, b) =>
+          if (b.ts.compareTo(a.ts) > 0 ||
+            (b.ts.compareTo(a.ts) == 0 && b.seq > a.seq)) b else a)
       if (Option(armed.get()).exists(_ > 0L)) getHandle.deleteTimer(armed.get())
       val expiry = timerValues.getCurrentProcessingTimeInMs + procTtlMs
       getHandle.registerTimer(expiry)
@@ -401,17 +416,19 @@ object StreamingOps {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import spark.implicits._
       val cp = graft.util.scratchDir("punct_cp")
-      // deterministic 1/20 sample, ordered so the last record per key
-      // equals the oracle's (ts DESC, event_id DESC) winner
+      // deterministic 1/20 sample; event_id rides along as the seq so
+      // the processor's (ts, seq) winner matches the oracle's
+      // (ts DESC, event_id DESC) winner under ANY delivery order
       val sample = graft.util.t(spark, dir, "events")
         .filter(col("event_id") % 20 === 0)
         .orderBy(col("ts"), col("event_id"))
         .select(col("user_id").cast("string").as("key"),
-          col("event_type").as("value"), col("ts"))
-        .as[Record].collect().toSeq
+          col("event_type").as("value"), col("ts"),
+          col("event_id").cast("long").as("seq"))
+        .as[SeqRecord].collect().toSeq
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
       val nKeys = sample.map(_.key).distinct.size
-      val ms = MemoryStream[Record]
+      val ms = MemoryStream[SeqRecord]
       val name = uniq("punctuate")
       val q = ms.toDS().groupByKey(_.key)
         .transformWithState(new ProcTtlProcessor(400L),
@@ -835,8 +852,18 @@ object StreamingOps {
       ttl: TTLConfig = TTLConfig.NONE)
     extends StatefulProcessor[(Int, Long), BandedDoc, (Long, Long)] {
     @transient private var seen: org.apache.spark.sql.streaming.ListState[Long] = _
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    @transient private var refused: org.apache.spark.sql.streaming.ListState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       seen = getHandle.getListState[Long]("seen", Encoders.scalaLong, ttl)
+      // docs whose pairs WERE emitted but that lost the full-bucket
+      // priority contest: remembered so a re-delivered posting (source
+      // retry, replayed batch) cannot re-emit the identical pairs into
+      // the Append sink — 'every co-bucket pair meets exactly once'
+      // holds under at-least-once delivery, not just exactly-once.
+      // Growth is bounded: entries accrue only while the bucket sits at
+      // maxBucket, and the same TTL that ages residents ages them.
+      refused = getHandle.getListState[Long]("refused", Encoders.scalaLong, ttl)
+    }
     override def handleInputRows(key: (Int, Long), rows: Iterator[BandedDoc],
         timerValues: TimerValues): Iterator[(Long, Long)] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
@@ -844,10 +871,12 @@ object StreamingOps {
       val residents = scala.collection.mutable.TreeSet.empty[(Long, Long)]
       seen.get().foreach(id => residents += ((mixId(id), id)))
       val present = scala.collection.mutable.HashSet.empty[Long] ++ residents.iterator.map(_._2)
+      val refusedSet = scala.collection.mutable.HashSet.empty[Long]
+      refused.get().foreach(refusedSet += _)
       var added = List.empty[Long]
       var evictedAny = false
       rows.foreach { d =>
-        if (!present.contains(d.doc_id)) {
+        if (!present.contains(d.doc_id) && !refusedSet.contains(d.doc_id)) {
           residents.foreach { case (_, other) =>
             out += (if (other < d.doc_id) (other, d.doc_id) else (d.doc_id, other))
           }
@@ -859,6 +888,13 @@ object StreamingOps {
             residents -= worst; present -= worst._2
             residents += cand; present += d.doc_id
             evictedAny = true
+            // an evicted resident is the same hazard: its pairs were
+            // emitted, so a re-delivered posting must not replay them
+            refusedSet += worst._2
+            refused.appendValue(worst._2)
+          } else {
+            refusedSet += d.doc_id
+            refused.appendValue(d.doc_id)
           }
         }
       }
@@ -1179,7 +1215,103 @@ object StreamingOps {
       |WHERE h <= (SELECT max(cast(ts AS timestamp)) - INTERVAL 2 HOUR FROM events)
       |GROUP BY 1, 2 ORDER BY w_start, value""".stripMargin
 
+  /** Input/state shapes of the streaming funnel. `us` is event-time
+    * epoch micros (the batch twin's integer timeline); 0 = stage not
+    * reached; `emit` is a per-key monotone sequence so the converged
+    * snapshot is selected by max_by, not sink row order. */
+  case class FEvent(user_id: Long, event_type: String, us: Long)
+  case class FunnelSnap(user_id: Long, v_us: Long, c_us: Long, p_us: Long, emit: Long)
+
+  /** Per-user ordered-stage funnel state machine: first view, first
+    * click strictly after it, first purchase strictly after that —
+    * the `transformWithState` twin of `Analytics.q74FunnelSteps`.
+    *
+    * Rows are folded in EVENT-TIME order inside each batch, so the
+    * arbitrary arrival order the shuffle hands the processor cannot
+    * change the outcome (equal-us ties are irrelevant: every stage
+    * predicate is a STRICT us inequality, so a tied candidate loses
+    * under either fold order). Across batches the state machine is
+    * monotone — stages only ever fill in, never move — so replaying
+    * the log in any event-time-ordered split converges to the batch
+    * answer (spec-asserted with a two-chunk arrival split). State per
+    * key is three longs + a counter — the 100 TB shape: funnel state
+    * tracks USERS, not events, and an idle user costs 32 bytes. */
+  final class FunnelProcessor extends StatefulProcessor[Long, FEvent, FunnelSnap] {
+    @transient private var st: ValueState[FunnelSnap] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[FunnelSnap]("funnel",
+        Encoders.product[FunnelSnap], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[FEvent],
+        timerValues: TimerValues): Iterator[FunnelSnap] = {
+      val cur = Option(st.get()).getOrElse(FunnelSnap(key, 0L, 0L, 0L, 0L))
+      var v = cur.v_us; var c = cur.c_us; var p = cur.p_us
+      rows.toArray.sortBy(_.us).foreach { e =>
+        e.event_type match {
+          case "view" => if (v == 0L) v = e.us
+          case "click" => if (v != 0L && c == 0L && e.us > v) c = e.us
+          case "purchase" => if (c != 0L && p == 0L && e.us > c) p = e.us
+          case _ => ()
+        }
+      }
+      if (v == cur.v_us && c == cur.c_us && p == cur.p_us) Iterator.empty
+      else {
+        val snap = FunnelSnap(key, v, c, p, cur.emit + 1L)
+        st.update(snap)
+        Iterator.single(snap)
+      }
+    }
+  }
+
+  /** Streaming funnel — completes the analytics ↔ streaming matrix
+    * the way `stream_dedup_corpus`/`dedup_normalized` pair: the live
+    * state machine's converged snapshot must hash-match the batch
+    * funnel's DuckDB oracle exactly. */
+  def streamFunnel(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import spark.implicits._
+      val name = uniq("funnel")
+      val path = s"$dir/events.parquet"
+      val schema = spark.read.parquet(path).schema
+      val raw = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val withTs =
+        if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else raw
+      val q = withTs
+        .select(col("user_id").cast("long").as("user_id"),
+          col("event_type"), unix_micros(col("ts")).as("us")).as[FEvent]
+        .groupByKey(_.user_id)
+        .transformWithState(new FunnelProcessor, TimeMode.None(), OutputMode.Update())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update).start()
+      q.processAllAvailable(); q.stop()
+      funnelSnapshot(spark.table(name))
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
+  /** Converged funnel table from the update-mode sink: last emission
+    * per user (max emit), rendered in the batch twin's schema. Shared
+    * with the arrival-split spec. */
+  private[graft] def funnelSnapshot(updates: DataFrame): DataFrame =
+    updates.groupBy(col("user_id"))
+      .agg(max_by(struct(col("v_us"), col("c_us"), col("p_us")), col("emit")).as("r"))
+      .select(col("user_id"),
+        timestamp_micros(col("r.v_us")).as("view_ts"),
+        when(col("r.c_us") =!= 0L, timestamp_micros(col("r.c_us"))).as("click_ts"),
+        when(col("r.p_us") =!= 0L, timestamp_micros(col("r.p_us"))).as("purchase_ts"),
+        (lit(1L) + when(col("r.c_us") =!= 0L, 1L).otherwise(0L)
+          + when(col("r.p_us") =!= 0L, 1L).otherwise(0L)).as("depth"))
+      .orderBy(col("user_id"))
+
   val all: Seq[GQuery] = Seq(
+    GQuery("stream_funnel", streamFunnel, Some(Analytics.q74Sql)),
     GQuery("stream_chained_stateful", streamChainedStateful, Some(streamChainedStatefulSql)),
     GQuery("stream_dsv2_source", streamDsv2Source, Some(streamDsv2SourceSql)),
     GQuery("stream_dsv2_sink", streamDsv2Sink, Some(streamDsv2SinkSql)),

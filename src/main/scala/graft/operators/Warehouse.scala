@@ -341,9 +341,16 @@ object Warehouse {
     * spec-asserted against exact percentiles on the fixture. */
   def metaQuantileSketch(spark: SparkSession, dir: String): DataFrame = {
     val L = 134217728L // 2^27 value packing
+    // o_orderkey is reduced mod 2^31 BEFORE the Knuth multiply: the
+    // raw product overflows Long once o_orderkey > ~3.47e9 (Spark ANSI
+    // would error; DuckDB raises) — (2^31-1) * 2654435761 < 2^63 keeps
+    // both engines exact at any SF, and the reduction is the identity
+    // for every realistic orderkey range below 2^31. The 2^27 cents
+    // bound (o_totalprice < 1,342,177.28) is spec-asserted.
     val packed = t(spark, dir, "orders")
       .select(date_format(col("o_orderdate"), "yyyy-MM").as("m"),
-        (pmod(col("o_orderkey") * lit(2654435761L), lit(4294967296L)) * lit(L) +
+        (pmod(pmod(col("o_orderkey"), lit(2147483648L)) * lit(2654435761L),
+          lit(4294967296L)) * lit(L) +
           expr("cast(round(o_totalprice * 100, 0) as bigint)")).as("packed"))
     val monthly = packed.groupBy(col("m"))
       .agg(graft.functions.BottomKByPriority.bottomK(col("packed"), col("packed"), 256).as("sample"))

@@ -231,8 +231,7 @@ class Round7Spec extends AnyFunSuite {
   }
 
   test("processing-time punctuator evicts on wall clock and clears state") {
-    import graft.streaming.KStreams.Record
-    import operators.StreamingOps.ProcTtlProcessor
+    import operators.StreamingOps.{ProcTtlProcessor, SeqRecord}
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     import spark.implicits._
@@ -244,7 +243,7 @@ class Round7Spec extends AnyFunSuite {
       implicit val ctx = spark.sqlContext
       val cp = util.scratchDir("punct_spec_cp")
       val ttlMs = 1500L
-      val ms = MemoryStream[Record]
+      val ms = MemoryStream[SeqRecord]
       // continuous run: the engine self-schedules micro-batches to
       // service wall-clock timers (the punctuator lifecycle)
       val q = ms.toDS().groupByKey(_.key)
@@ -262,9 +261,13 @@ class Round7Spec extends AnyFunSuite {
       }
       def at(s: String) = java.sql.Timestamp.valueOf(s)
       val t0 = System.nanoTime
-      ms.addData(Record("a", "v1", at("2024-01-01 10:00:00")),
-        Record("a", "v2", at("2024-01-01 11:00:00")),
-        Record("b", "w1", at("2024-01-01 10:30:00")))
+      // key "a" carries an equal-ts PAIR delivered higher-seq FIRST:
+      // the (ts, seq) tie-break must pick v2 (seq 3) regardless of the
+      // iterator order the shuffle hands the processor
+      ms.addData(SeqRecord("a", "v1", at("2024-01-01 10:00:00"), 1L),
+        SeqRecord("a", "v2", at("2024-01-01 11:00:00"), 3L),
+        SeqRecord("a", "v2x", at("2024-01-01 11:00:00"), 2L),
+        SeqRecord("b", "w1", at("2024-01-01 10:30:00"), 4L))
       pollUntil("both evictions")(rows().count(_._4) == 2)
       val elapsedMs = (System.nanoTime - t0) / 1000000
       // periodic semantics: the wall-clock TTL gates the emission
@@ -276,7 +279,7 @@ class Round7Spec extends AnyFunSuite {
       // state must be CLEARED: a re-entering record with an OLDER ts
       // than the evicted latest becomes the fresh latest (stale state
       // would swallow the upsert)
-      ms.addData(Record("a", "v0", at("2024-01-01 09:00:00")))
+      ms.addData(SeqRecord("a", "v0", at("2024-01-01 09:00:00"), 5L))
       pollUntil("fresh re-entry upsert")(
         rows().contains(("a", "v0", at("2024-01-01 09:00:00"), false)))
       q.stop()
