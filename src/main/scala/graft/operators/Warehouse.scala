@@ -190,6 +190,83 @@ object Warehouse {
        |WHERE NOT (o_orderkey % 5 = 0 OR o_totalprice > 400000.0)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** TIME TRAVEL through DELETE-VECTOR snapshots — `src_time_travel`'s
+    * append-only manifest composed with [[q70DeleteVectors]]' sidecar
+    * read path, which is what a real merge-on-read table does: a
+    * version's manifest lists BOTH its data files and its delete
+    * vectors, and reading "as of N" is
+    * `union(data files of ≤ N) ANTI JOIN union(dv files of ≤ N)` on
+    * the (commit-set, file, pos) coordinate — no file is rewritten by
+    * an append OR a delete, so every version stays readable forever
+    * from immutable parts.
+    *
+    * History: commit 1 loads F1; commit 2 appends F2 and deletes
+    * WHERE A (coordinates persisted as dv1 — the predicate is
+    * evaluated ONCE, at delete time); commit 3 deletes WHERE B over
+    * the then-live rows (dv2). The read side below touches only
+    * manifests, file scans, and coordinate anti-joins — never the
+    * predicates — while the DuckDB oracle recomputes each version
+    * from the defining predicates; their hash-match proves the
+    * coordinate path reconstructs every historical state exactly.
+    * At 100 TB: manifests are KB-sized, DVs are delete-linear, the
+    * anti-join key is the table's own layout (a format-aware reader
+    * applies it scan-local), and old versions cost zero storage
+    * beyond their share of immutable files. */
+  def q76TimeTravelDv(spark: SparkSession, dir: String): DataFrame = {
+    val nFiles = 8
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    // stable (cset, file_id, pos) coordinates per commit's file set
+    def withCoords(df: DataFrame, cset: Int): DataFrame = {
+      val wPos = Window.partitionBy(col("file_id")).orderBy(col("o_orderkey"))
+      df.withColumn("file_id", pmod(col("o_orderkey"), lit(nFiles)))
+        .withColumn("pos", row_number().over(wPos).cast("long"))
+        .withColumn("cset", lit(cset))
+    }
+    val f1Path = scratchDir("ttdv_f1")
+    val f2Path = scratchDir("ttdv_f2")
+    withCoords(o.filter(col("o_orderkey") % 3 =!= 0), 1).write.parquet(f1Path)
+    withCoords(o.filter(col("o_orderkey") % 3 === 0), 2).write.parquet(f2Path)
+    val f1 = spark.read.parquet(f1Path)
+    val f2 = spark.read.parquet(f2Path)
+    val coords = Seq("cset", "file_id", "pos")
+    // commit 2's DELETE WHERE A, over the post-append table
+    val dv1Path = scratchDir("ttdv_dv1")
+    f1.unionByName(f2).filter(col("o_orderkey") % 7 === 0)
+      .select(coords.map(col): _*).write.parquet(dv1Path)
+    val dv1 = spark.read.parquet(dv1Path)
+    // commit 3's DELETE WHERE B, over the rows live AT v2
+    val dv2Path = scratchDir("ttdv_dv2")
+    f1.unionByName(f2).join(dv1, coords, "left_anti")
+      .filter(col("o_totalprice") > 350000.0)
+      .select(coords.map(col): _*).write.parquet(dv2Path)
+    val dv2 = spark.read.parquet(dv2Path)
+    // the manifest: version -> (data file sets, dv sidecars)
+    val manifest: Seq[(Long, Seq[DataFrame], Seq[DataFrame])] = Seq(
+      (1L, Seq(f1), Nil),
+      (2L, Seq(f1, f2), Seq(dv1)),
+      (3L, Seq(f1, f2), Seq(dv1, dv2)))
+    manifest.map { case (v, data, dvs) =>
+      val base = data.reduce(_ unionByName _)
+      val live = dvs.foldLeft(base)((d, dv) => d.join(dv, coords, "left_anti"))
+      live.agg(count(lit(1)).as("n_live"), dsum(col("o_totalprice")).as("live_total"))
+        .select(lit(v).as("version"), col("n_live"), col("live_total"))
+    }.reduce(_ unionAll _).orderBy(col("version"))
+  }
+
+  /** Each version replayed from its defining predicates. */
+  val q76Sql: String =
+    s"""SELECT cast(1 as bigint) AS version, count(*) AS n_live,
+       | ${sqlDsum("o_totalprice")} AS live_total
+       |FROM orders WHERE o_orderkey % 3 <> 0
+       |UNION ALL
+       |SELECT cast(2 as bigint), count(*), ${sqlDsum("o_totalprice")}
+       |FROM orders WHERE NOT (o_orderkey % 7 = 0)
+       |UNION ALL
+       |SELECT cast(3 as bigint), count(*), ${sqlDsum("o_totalprice")}
+       |FROM orders WHERE NOT (o_orderkey % 7 = 0) AND NOT (o_totalprice > 350000.0)
+       |ORDER BY version""".stripMargin
+
   /** Sketch-partitioned distinct counting — the INCREMENTAL pattern
     * behind every 100 TB "unique users" dashboard: per-partition
     * (here per-month) HyperLogLog sketches are materialized ONCE as a
@@ -449,6 +526,7 @@ object Warehouse {
     GQuery("q59_scd2_dimension", q59Scd2Dimension, Some(q59Sql)),
     GQuery("q60_snapshot_diff", q60SnapshotDiff, Some(q60Sql)),
     GQuery("q70_delete_vectors", q70DeleteVectors, Some(q70Sql)),
+    GQuery("q76_time_travel_dv", q76TimeTravelDv, Some(q76Sql)),
     GQuery("q71_incremental_view", q71IncrementalView, Some(q71Sql)),
     GQuery("meta_hll_sketches", metaHllSketches, None),
     GQuery("meta_kmv_overlap", metaKmvOverlap, None),
