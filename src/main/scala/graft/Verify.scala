@@ -13,6 +13,10 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // driver testdata is parquet timestamp[us] with no UTC flag: read it as
+      // session-zone (UTC) TimestampType, not NTZ — watermarks/unix_micros/as-of
+      // require TimestampType and every oracle was defined on UTC wall-clock
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.warehouse.dir",
         s"${sys.props("java.io.tmpdir")}/graft_warehouse_verify")
       .config("spark.ui.enabled", "false")

@@ -21,7 +21,16 @@ object util {
     * (micro-precision) timestamp here.
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val df0 = spark.read.parquet(s"$dir/$name.parquet")
+    // driver testdata regenerated as timestamp[us] without the UTC flag:
+    // sessions read it as TimestampType via inferTimestampNTZ=false, but a
+    // session missing that conf gets NTZ — normalize to session-zone (UTC)
+    // TimestampType so watermarks/unix_micros/as-of keep working
+    val df = df0.schema.fields.foldLeft(df0) { (acc, f) =>
+      if (f.dataType == org.apache.spark.sql.types.TimestampNTZType)
+        acc.withColumn(f.name, col(f.name).cast("timestamp"))
+      else acc
+    }
     if (df.schema.fields.exists(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType))
       df.withColumn("ts", timestamp_micros(expr("ts div 1000"))) // integer div: ns are > 2^53, float div would round
     else df
