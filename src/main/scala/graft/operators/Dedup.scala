@@ -131,6 +131,55 @@ object Dedup {
        |WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.8
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** AllPairs/PPJoin PREFIX FILTERING — the LOSSLESS scale path for a
+    * threshold set-similarity self-join (Bayardo et al. WWW'07; Xiao
+    * et al. WWW'08), complementing the probabilistic MinHash path.
+    * Order every document's shingles by one GLOBAL total order
+    * (document frequency ascending, rarest first — ties broken by the
+    * token itself), and keep only each document's first
+    * n − ⌈τ·n⌉ + 1 tokens as its PREFIX. Prefix-filtering principle:
+    * if J(x,y) ≥ τ then |x∩y| ≥ ⌈τ·max(|x|,|y|)⌉, and two sets whose
+    * overlap reaches α must collide inside their (len−α+1)-prefixes
+    * under any shared total order — so candidates = pairs whose
+    * PREFIXES share a token, a strict subset of pairs sharing ANY
+    * token, with zero false negatives. Verification is the shared
+    * exact-Jaccard tail, linear in candidates.
+    *
+    * Scale design: the prefix relation is ~(1−τ) of the shingle
+    * relation (5× smaller at τ=0.8), and rarest-first ordering puts
+    * only low-df tokens in prefixes, so the self-join's per-key
+    * fan-out stays tiny where the full inverted index blows up on hot
+    * shingles. Everything is deterministic relational arithmetic —
+    * integer ⌈4n/5⌉ via (4n+4) div 5, no floats in the filter — so
+    * unlike MinHash the operator needs no recall spec: its DuckDB
+    * oracle is the exact ground truth itself ([[jaccardPairsSql]]).
+    */
+  def prefixFilterPairs(spark: SparkSession, dir: String): DataFrame = {
+    val (sh, sizes, candidates) = prefixFilterParts(spark, dir)
+    verifyPairs(sh, sizes, candidates)
+  }
+
+  /** (shingles, sizes, prefix-collision candidate pairs) — the
+    * candidate relation is exposed for the pruning spec (it must be a
+    * strict subset of pairs sharing ANY shingle). */
+  private[graft] def prefixFilterParts(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val sh = shingles(spark, dir).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    val pref = sh.join(dfreq, Seq("s"))
+      .withColumn("r", row_number().over(wDoc).cast("long"))
+      .join(sizes, Seq("doc_id"))
+      .filter(col("r") <= col("n") - expr("(4 * n + 4) div 5") + lit(1L))
+      .select(col("doc_id"), col("s"))
+    val candidates = pref.select(col("doc_id").as("a_id"), col("s"))
+      .join(pref.select(col("doc_id").as("b_id"), col("s")), Seq("s"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    (sh, sizes, candidates)
+  }
+
   /** MinHash + LSH banding near-dup detection — the 100 TB path.
     * 16 minhash functions (xxhash64 with per-permutation salt), banded
     * 8×2; candidate pairs are generated by an equi-join on
@@ -920,6 +969,7 @@ object Dedup {
     GQuery("dedup_exact", exactDedup, Some(exactDedupSql)),
     GQuery("dedup_normalized", normalizedDedup, Some(normalizedDedupSql)),
     GQuery("dedup_jaccard_pairs", jaccardPairs, Some(jaccardPairsSql)),
+    GQuery("dedup_prefix_filter", prefixFilterPairs, Some(jaccardPairsSql)),
     GQuery("dedup_minhash_lsh", minhashLsh, None),
     GQuery("dedup_simhash", simhashPairs, None),
     GQuery("dedup_embedding_cosine", embeddingNearDup, Some(embeddingNearDupSql)),

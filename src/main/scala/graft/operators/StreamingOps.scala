@@ -1215,6 +1215,120 @@ object StreamingOps {
       |WHERE h <= (SELECT max(cast(ts AS timestamp)) - INTERVAL 2 HOUR FROM events)
       |GROUP BY 1, 2 ORDER BY w_start, value""".stripMargin
 
+  /** One CDC changelog row: `op` is 'u' (upsert) or 'd' (delete);
+    * (us, event_id) is the changelog's total order. */
+  case class CdcOp(user_id: Long, op: String, value: String, us: Long, event_id: Long)
+  /** Per-key applied state: the latest op's coordinates + payload;
+    * `deleted` marks a tombstone (key absent from the table). */
+  case class CdcSnap(user_id: Long, value: String, us: Long,
+      event_id: Long, deleted: Boolean, emit: Long)
+
+  /** CDC changelog APPLY — the streaming twin of `q58_merge_upsert`:
+    * a Debezium-shaped stream of keyed upserts and DELETE tombstones
+    * materialized into the current table via `transformWithState`
+    * `ValueState`. Per key the state is one (us, event_id, value,
+    * deleted) tuple — the LAST op under the changelog's total order —
+    * so unlike the funnel's ordered state machine this fold is fully
+    * COMMUTATIVE: max-by over a total order converges to the same
+    * state under ANY batch split or arrival order (spec feeds the log
+    * reversed). A deleted key keeps its tombstone coordinates (the
+    * standard CDC compaction trick) so a late pre-delete upsert
+    * cannot resurrect it; the converged snapshot drops tombstones.
+    * State per key = two longs + a string, whatever the stream
+    * length — the 100 TB shape for table mirroring. */
+  final class CdcApplyProcessor extends StatefulProcessor[Long, CdcOp, CdcSnap] {
+    @transient private var st: ValueState[CdcSnap] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[CdcSnap]("cdc",
+        Encoders.product[CdcSnap], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[CdcOp],
+        timerValues: TimerValues): Iterator[CdcSnap] = {
+      val cur = Option(st.get())
+      var us = cur.map(_.us).getOrElse(Long.MinValue)
+      var eid = cur.map(_.event_id).getOrElse(Long.MinValue)
+      var value = cur.map(_.value).getOrElse("")
+      var deleted = cur.map(_.deleted).getOrElse(true)
+      var changed = false
+      rows.foreach { r =>
+        if (r.us > us || (r.us == us && r.event_id > eid)) {
+          us = r.us; eid = r.event_id
+          value = r.value; deleted = r.op == "d"; changed = true
+        }
+      }
+      if (!changed) Iterator.empty
+      else {
+        val snap = CdcSnap(key, value, us, eid, deleted,
+          cur.map(_.emit).getOrElse(0L) + 1L)
+        st.update(snap)
+        Iterator.single(snap)
+      }
+    }
+  }
+
+  /** The changelog derived from events: every 10th event_id is a
+    * DELETE for its key, the rest upsert the event_type. */
+  private[graft] def cdcLog(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val withTs =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    withTs.select(
+      col("user_id").cast("long").as("user_id"),
+      when(col("event_id") % 10 === 0, "d").otherwise("u").as("op"),
+      col("event_type").as("value"),
+      unix_micros(col("ts")).as("us"),
+      col("event_id").cast("long").as("event_id"))
+  }
+
+  def streamCdcApply(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import spark.implicits._
+      val name = uniq("cdc_apply")
+      val q = cdcLog(spark, dir).as[CdcOp]
+        .groupByKey(_.user_id)
+        .transformWithState(new CdcApplyProcessor, TimeMode.None(), OutputMode.Update())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update).start()
+      q.processAllAvailable(); q.stop()
+      cdcSnapshot(spark.table(name))
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
+  /** Converged live table from the update stream: last emission per
+    * key, tombstones dropped. Shared with the arrival-order spec. */
+  private[graft] def cdcSnapshot(updates: DataFrame): DataFrame =
+    updates.groupBy(col("user_id"))
+      .agg(max_by(struct(col("value"), col("us"), col("deleted")), col("emit")).as("r"))
+      .filter(!col("r.deleted"))
+      .select(col("user_id"), col("r.value").as("value"),
+        timestamp_micros(col("r.us")).as("ts"))
+      .orderBy(col("user_id"))
+
+  val streamCdcApplySql: String =
+    """WITH c AS (
+      |  SELECT user_id, event_id, event_type,
+      |         date_trunc('microseconds', ts) AS ts,
+      |         CASE WHEN event_id % 10 = 0 THEN 'd' ELSE 'u' END AS op
+      |  FROM events),
+      |last AS (
+      |  SELECT user_id, event_type, ts, op,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM c)
+      |SELECT user_id, event_type AS value, ts
+      |FROM last WHERE rn = 1 AND op <> 'd'
+      |ORDER BY user_id""".stripMargin
+
   /** Input/state shapes of the streaming funnel. `us` is event-time
     * epoch micros (the batch twin's integer timeline); 0 = stage not
     * reached; `emit` is a per-key monotone sequence so the converged
@@ -1312,6 +1426,7 @@ object StreamingOps {
 
   val all: Seq[GQuery] = Seq(
     GQuery("stream_funnel", streamFunnel, Some(Analytics.q74Sql)),
+    GQuery("stream_cdc_apply", streamCdcApply, Some(streamCdcApplySql)),
     GQuery("stream_chained_stateful", streamChainedStateful, Some(streamChainedStatefulSql)),
     GQuery("stream_dsv2_source", streamDsv2Source, Some(streamDsv2SourceSql)),
     GQuery("stream_dsv2_sink", streamDsv2Sink, Some(streamDsv2SinkSql)),

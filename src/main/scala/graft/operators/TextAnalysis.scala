@@ -433,6 +433,73 @@ object TextAnalysis {
       | round(cast(sum(cast(nll as decimal(18,6))) as double) / count(*), 6) AS avg_nll
       |FROM nll GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
 
+  /** DSIR-style importance weighting (Xie et al., NeurIPS'23 — "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every raw document by how TARGET-like its token distribution is,
+    * log w(d) = Σ_t c_{t,d} · (ln p̂_target(t) − ln p̂_raw(t)), and
+    * keep documents whose weight is positive (more probable under the
+    * curated seed distribution than under the raw crawl). The seed
+    * slice here is the deterministic doc_id % 5 = 0 subset (a stand-in
+    * for "wikipedia-quality" pages); both distributions are
+    * add-0.5-smoothed over the RAW vocabulary and live as TABLES —
+    * token → (raw count, target count) — so "apply the importance
+    * model" is an equi-join on the token, the same plan that trains on
+    * one curated shard and scores 100 TB of crawl. Per-token log-ratio
+    * is rounded to the 1e-6 grid and the per-doc sum accumulates in
+    * exact decimal (the repo float discipline), so the entry is fully
+    * hash-checked. At 100 TB the paper's hashed-n-gram variant swaps
+    * tokens for pmod(xxhash64(gram), 2^k) buckets — identical plan
+    * with a bounded feature table. */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .localCheckpoint(true) // feeds per-doc counts + both distributions
+    val perDoc = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("ct"))
+    val rawC = toks.groupBy(col("w")).agg(count(lit(1)).as("cr"))
+    val tgtC = toks.filter(col("doc_id") % 5 === 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("ctg"))
+    val totals = toks.agg(
+      count(lit(1)).as("nr"),
+      sum(when(col("doc_id") % 5 === 0, 1L).otherwise(0L)).as("ntg"),
+      countDistinct(col("w")).as("v"))
+    val ratio = rawC.join(tgtC, Seq("w"), "left")
+      .withColumn("ctg", coalesce(col("ctg"), lit(0L)))
+      .crossJoin(broadcast(totals))
+      .withColumn("lr",
+        round(log((col("ctg") + 0.5) / (col("ntg") + lit(0.5) * col("v"))), 6) -
+        round(log((col("cr") + 0.5) / (col("nr") + lit(0.5) * col("v"))), 6))
+    perDoc.join(ratio.select(col("w"), col("lr")), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("ct")).as("n_tokens"),
+        sum(round(col("ct") * col("lr"), 6).cast("decimal(18,6)")).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("s").cast("double"), 6).as("log_weight"),
+        (col("s") > 0).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dsirWeightsSql: String =
+    """WITH toks AS (
+      | SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |pd AS (SELECT doc_id, w, count(*) AS ct FROM toks GROUP BY 1, 2),
+      |rawc AS (SELECT w, count(*) AS cr FROM toks GROUP BY 1),
+      |tgtc AS (SELECT w, count(*) AS ctg FROM toks WHERE doc_id % 5 = 0 GROUP BY 1),
+      |tot AS (
+      | SELECT count(*) AS nr,
+      |  cast(sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) as bigint) AS ntg,
+      |  count(DISTINCT w) AS v
+      | FROM toks),
+      |ratio AS (
+      | SELECT w,
+      |  round(ln((coalesce(ctg, 0) + 0.5) / (ntg + 0.5 * v)), 6) -
+      |  round(ln((cr + 0.5) / (nr + 0.5 * v)), 6) AS lr
+      | FROM rawc LEFT JOIN tgtc USING (w) CROSS JOIN tot)
+      |SELECT doc_id, cast(sum(ct) as bigint) AS n_tokens,
+      | round(cast(sum(cast(round(ct * lr, 6) as decimal(18,6))) as double), 6) AS log_weight,
+      | sum(cast(round(ct * lr, 6) as decimal(18,6))) > 0 AS keep
+      |FROM pd JOIN ratio USING (w)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Boilerplate n-gram detection (C4/RefinedWeb-style): a word bigram
     * occurring in ≥ 8 % of all documents is template text, not
     * content; each document reports how much of it is boilerplate and
@@ -989,6 +1056,7 @@ object TextAnalysis {
     GQuery("text_unicode_clean", unicodeClean, Some(unicodeCleanSql)),
     GQuery("text_boilerplate_ngrams", boilerplateNgrams, Some(boilerplateNgramsSql)),
     GQuery("text_perplexity", perplexity, Some(perplexitySql)),
+    GQuery("text_dsir_weights", dsirWeights, Some(dsirWeightsSql)),
     GQuery("text_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     GQuery("text_repetition_filter", repetitionFilter, Some(repetitionFilterSql)),
     GQuery("text_source_quality", sourceQuality, Some(sourceQualitySql)),

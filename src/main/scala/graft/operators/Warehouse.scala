@@ -267,6 +267,78 @@ object Warehouse {
        |FROM orders WHERE NOT (o_orderkey % 7 = 0) AND NOT (o_totalprice > 350000.0)
        |ORDER BY version""".stripMargin
 
+  /** DELETE-VECTOR COMPACTION — the maintenance half of merge-on-read
+    * (Iceberg's rewrite_data_files / Delta's PURGE): DVs keep deletes
+    * cheap, but a file whose vector grows pays the anti-join on every
+    * read forever, so table services periodically REWRITE heavily
+    * deleted files (materializing their survivors, dropping their
+    * vectors) while leaving lightly-deleted files untouched. Policy
+    * here: rewrite when ≥ 25 % of a file's rows are deleted, decided
+    * by integer arithmetic (4·deleted ≥ total). The v2 manifest is
+    * {kept files + their DVs} ∪ {compacted files, no DVs}; the read
+    * after compaction must equal the read before it — compaction is
+    * a physical-layout transaction, never a semantic one.
+    *
+    * The fixture's DELETE concentrates in files 0–2 (o_orderkey%16<3
+    * lands only there, ~50 % of each) with a thin price-predicate
+    * tail across all files, so the policy genuinely splits the file
+    * set: 0–2 rewritten, 3–7 keep their small vectors. At 100 TB the
+    * per-file (total, deleted) stats come from the manifest — the
+    * policy decision reads no data files, and the rewrite touches
+    * only the hot files (delete-concentration-linear, not
+    * table-linear). The oracle replays the surviving predicate, so
+    * the full detour — coordinates → sidecar → policy → rewrite →
+    * two-manifest union read — must land exactly on the logical
+    * table. */
+  def q77DvCompaction(spark: SparkSession, dir: String): DataFrame = {
+    val nFiles = 8
+    val wPos = Window.partitionBy(col("file_id")).orderBy(col("o_orderkey"))
+    val basePath = scratchDir("dvc_base")
+    t(spark, dir, "orders")
+      .withColumn("file_id", pmod(col("o_orderkey"), lit(nFiles)))
+      .withColumn("pos", row_number().over(wPos).cast("long"))
+      .select(col("file_id"), col("pos"), col("o_orderkey"),
+        col("o_orderpriority"), col("o_totalprice"))
+      .repartition(col("file_id"))
+      .write.partitionBy("file_id").parquet(basePath)
+    val base = spark.read.parquet(basePath)
+    val dvPath = scratchDir("dvc_sidecar")
+    base.filter(col("o_orderkey") % 16 < 3 || col("o_totalprice") > 480000.0)
+      .select(col("file_id"), col("pos"))
+      .write.parquet(dvPath)
+    val dv = spark.read.parquet(dvPath)
+    // policy from manifest-sized stats: files with 4·deleted ≥ total
+    val stats = base.groupBy(col("file_id")).agg(count(lit(1)).as("tot"))
+      .join(dv.groupBy(col("file_id")).agg(count(lit(1)).as("del")),
+        Seq("file_id"), "left")
+      .withColumn("del", coalesce(col("del"), lit(0L)))
+    val hot = stats.filter(col("del") * 4 >= col("tot")).select(col("file_id"))
+    // the rewrite: hot files' survivors materialized WITHOUT coordinates'
+    // baggage; their DV entries are retired with them
+    val compactPath = scratchDir("dvc_compact")
+    base.join(hot, Seq("file_id"), "left_semi")
+      .join(dv, Seq("file_id", "pos"), "left_anti")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .coalesce(2)
+      .write.parquet(compactPath)
+    // v2 read: untouched files still merge their (small) vectors;
+    // compacted files scan clean
+    val keptRead = base.join(hot, Seq("file_id"), "left_anti")
+      .join(dv, Seq("file_id", "pos"), "left_anti")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    keptRead.unionByName(spark.read.parquet(compactPath))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_live"), dsum(col("o_totalprice")).as("live_total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q77Sql: String =
+    s"""SELECT o_orderpriority, count(*) AS n_live,
+       | ${sqlDsum("o_totalprice")} AS live_total
+       |FROM orders
+       |WHERE NOT (o_orderkey % 16 < 3 OR o_totalprice > 480000.0)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Sketch-partitioned distinct counting — the INCREMENTAL pattern
     * behind every 100 TB "unique users" dashboard: per-partition
     * (here per-month) HyperLogLog sketches are materialized ONCE as a
@@ -527,6 +599,7 @@ object Warehouse {
     GQuery("q60_snapshot_diff", q60SnapshotDiff, Some(q60Sql)),
     GQuery("q70_delete_vectors", q70DeleteVectors, Some(q70Sql)),
     GQuery("q76_time_travel_dv", q76TimeTravelDv, Some(q76Sql)),
+    GQuery("q77_dv_compaction", q77DvCompaction, Some(q77Sql)),
     GQuery("q71_incremental_view", q71IncrementalView, Some(q71Sql)),
     GQuery("meta_hll_sketches", metaHllSketches, None),
     GQuery("meta_kmv_overlap", metaKmvOverlap, None),

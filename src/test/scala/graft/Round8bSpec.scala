@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-8 second wave: prefix-filter similarity join, delete-vector
+  * compaction, CDC changelog apply, DSIR importance weighting.
+  */
+class Round8bSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("prefix filtering prunes the candidate space and loses no pair") {
+    val (sh, _, cand) = operators.Dedup.prefixFilterParts(spark, sf)
+    val nCand = cand.count()
+    // pairs sharing ANY shingle — what the full inverted-index join
+    // would verify; the prefix candidates must be a strict subset
+    val a = sh.select(col("doc_id").as("a_id"), col("s"))
+    val b = sh.select(col("doc_id").as("b_id"), col("s"))
+    val nAll = a.join(b, Seq("s")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct().count()
+    assert(nCand < nAll, s"prefix filter pruned nothing: $nCand vs $nAll")
+    assert(nCand > 0)
+    // losslessness (the prefix-filtering principle): the verified
+    // output equals the exact ground truth row-for-row
+    val got = operators.Dedup.prefixFilterPairs(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val want = operators.Dedup.jaccardPairs(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want, s"prefix filter diverges from exact: ${want.diff(got).take(3)}")
+  }
+
+  test("dv compaction: fixture delete skew splits the file set at the 25% policy") {
+    // the policy's premise on this fixture: the o_orderkey%16<3 delete
+    // concentrates in files 0-2 (>=25% of each), while the thin price
+    // tail leaves files 3-7 under the threshold with NON-empty vectors
+    // (both manifest paths exercised: rewrite AND keep)
+    val perFile = util.t(spark, sf, "orders")
+      .withColumn("file_id", pmod(col("o_orderkey"), lit(8)))
+      .withColumn("del",
+        (col("o_orderkey") % 16 < 3 || col("o_totalprice") > 480000.0).cast("long"))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("tot"), sum(col("del")).as("ndel"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val hot = perFile.filter { case (_, tot, ndel) => ndel * 4 >= tot }.map(_._1).toSet
+    assert(hot == Set(0L, 1L, 2L), s"hot files $hot != {0,1,2}")
+    val coldDeleted = perFile.filterNot(f => hot(f._1)).map(_._3).sum
+    assert(coldDeleted > 0L, "cold files carry no delete vectors — keep path unexercised")
+    // the compacted read reconstructs the logical table exactly
+    val got = operators.Warehouse.q77DvCompaction(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val want = util.t(spark, sf, "orders")
+      .filter(!(col("o_orderkey") % 16 < 3 || col("o_totalprice") > 480000.0))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_live"), util.dsum(col("o_totalprice")).as("live_total"))
+      .orderBy(col("o_orderpriority"))
+      .collect().map(_.toSeq).toSeq
+    assert(got == want)
+  }
+
+  test("cdc apply converges under reversed arrival order and drops tombstones") {
+    import operators.StreamingOps.{CdcOp, CdcApplyProcessor}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import spark.implicits._
+    val pk = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(pk)
+    spark.conf.set(pk,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val ctx = spark.sqlContext
+      val log = util.t(spark, sf, "events")
+        .select(col("user_id").cast("long").as("user_id"),
+          when(col("event_id") % 10 === 0, "d").otherwise("u").as("op"),
+          col("event_type").as("value"),
+          unix_micros(col("ts")).as("us"),
+          col("event_id").cast("long").as("event_id"))
+        .as[CdcOp].collect()
+      // REVERSED changelog order, split in two: the fold is commutative
+      // max-by over the (us, event_id) total order, so even adversarial
+      // delivery must converge to the same table
+      val rev = log.sortBy(r => (-r.us, -r.event_id))
+      val (a, b) = rev.splitAt(rev.length / 2)
+      val ms = MemoryStream[CdcOp]
+      val q = ms.toDS().groupByKey(_.user_id)
+        .transformWithState(new CdcApplyProcessor, TimeMode.None(), OutputMode.Update())
+        .writeStream.format("memory").queryName("cdc_rev")
+        .option("checkpointLocation", util.scratchDir("cdc_rev_cp"))
+        .outputMode(OutputMode.Update).start()
+      ms.addData(a.toIndexedSeq); q.processAllAvailable()
+      ms.addData(b.toIndexedSeq); q.processAllAvailable()
+      q.stop()
+      val got = operators.StreamingOps.cdcSnapshot(spark.table("cdc_rev"))
+        .collect().map(_.toSeq).toSeq
+      // batch twin: last op per key under the total order, tombstones out
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("us").desc, col("event_id").desc)
+      val want = log.toSeq.toDF()
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("op") =!= "d")
+        .select(col("user_id"), col("value"), timestamp_micros(col("us")).as("ts"))
+        .orderBy(col("user_id"))
+        .collect().map(_.toSeq).toSeq
+      assert(got == want, s"cdc snapshot diverges: ${want.diff(got).take(3)}")
+      // tombstones really remove keys: every key whose LAST op is a
+      // delete must be absent from the snapshot
+      val tombstoned = log.groupBy(_.user_id).filter { case (_, ops) =>
+        ops.maxBy(r => (r.us, r.event_id)).op == "d"
+      }.keySet
+      val present = got.map(_.head.asInstanceOf[Long]).toSet
+      assert(tombstoned.intersect(present).isEmpty,
+        s"tombstoned keys survive: ${tombstoned.intersect(present).take(3)}")
+    } finally {
+      prevProv match {
+        case Some(v) => spark.conf.set(pk, v); case None => spark.conf.unset(pk)
+      }
+    }
+  }
+
+  test("dsir weights skew positive on the seed slice and keep tracks sign") {
+    val rows = operators.TextAnalysis.dsirWeights(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, w, keep) =>
+      assert(keep == (w > 0), s"doc $id keep=$keep but log_weight=$w")
+    }
+    // the DSIR premise: documents drawn from the target slice score
+    // higher under the importance model than the rest on average
+    val (seed, rest) = rows.partition(_._1 % 5 == 0)
+    val mSeed = seed.map(_._2).sum / seed.length
+    val mRest = rest.map(_._2).sum / rest.length
+    assert(mSeed > mRest,
+      s"seed mean $mSeed not above non-seed mean $mRest — importance model inverted")
+  }
+}
