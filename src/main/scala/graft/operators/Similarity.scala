@@ -356,13 +356,17 @@ object Similarity {
     * every row — the determinism spec pins two independent builds to
     * identical summaries. */
   def indexSummary(spark: SparkSession, root: String): DataFrame =
-    indexArtifacts.map { a =>
-      val df = spark.read.parquet(s"$root/$a")
-      val cols = df.columns.sorted.mkString(", ")
-      df.agg(count(lit(1)).as("rows"),
-          coalesce(expr(s"bit_xor(xxhash64($cols))"), lit(0L)).as("checksum"))
-        .select(lit(a).as("artifact"), col("rows"), col("checksum"))
-    }.reduce(_ unionAll _).orderBy(col("artifact"))
+    indexArtifacts.map(a => dfSummary(spark.read.parquet(s"$root/$a"), a))
+      .reduce(_ unionAll _).orderBy(col("artifact"))
+
+  /** (artifact, rows, checksum) of one relation — the order-independent
+    * XOR-of-xxhash64 fingerprint [[indexSummary]] uses per artifact. */
+  private def dfSummary(df: DataFrame, name: String): DataFrame = {
+    val cols = df.columns.sorted.mkString(", ")
+    df.agg(count(lit(1)).as("rows"),
+        coalesce(expr(s"bit_xor(xxhash64($cols))"), lit(0L)).as("checksum"))
+      .select(lit(name).as("artifact"), col("rows"), col("checksum"))
+  }
 
   /** `sim_index_build` entry: ensure the (dir, params) index exists and
     * report its per-artifact summary. First execution in a JVM pays the
@@ -373,6 +377,95 @@ object Similarity {
     * twice into fresh roots and asserts identical summaries. */
   def indexBuild(spark: SparkSession, dir: String): DataFrame =
     indexSummary(spark, ivfPqIndexRoot(spark, dir))
+
+  /** Incremental index ADD — the FAISS add-without-retrain path, and
+    * the reason the build/query split matters operationally: a vector
+    * store ingesting a stream must route and encode NEW vectors
+    * against the FROZEN trained codebooks (retraining per batch would
+    * both thrash the index and shift every existing code). The
+    * "arrivals" here are the deterministic vec_id % 10 = 7 slice;
+    * their postings (nearest coarse lists) and PQ codes are computed
+    * by the exact encode stages the builder ran, against the
+    * PREBUILT `coarse_raw`/`pq_norm` artifacts — no training job
+    * anywhere in this entry's plan. Because every encode stage is
+    * deterministic, the increments must be BIT-IDENTICAL to the rows
+    * the full build produced for those ids (spec-asserted via the
+    * artifact checksums): add-then-query ≡ rebuild-then-query, the
+    * property that makes incremental maintenance sound at 100 TB.
+    * Engine-specific artifacts → rows-only driver check. */
+  def indexAdd(spark: SparkSession, dir: String): DataFrame = {
+    val root = ivfPqIndexRoot(spark, dir)
+    val sub = 64 / pqM
+    val eNew = t(spark, dir, "embeddings")
+      .filter(col("vec_id") % 10 === 7)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = spark.read.parquet(s"$root/coarse_raw")
+    val pqNorm = spark.read.parquet(s"$root/pq_norm")
+    val addAssign = assignToBuckets(eNew, cents, ivfMultiProbe)
+    val addCodes = pqEncode(
+      splitSubspaces(normalized(eNew), pqM, sub)
+        .select(col("vec_id"), col("m"), col("sv")), pqNorm)
+    dfSummary(addAssign, "assign_raw")
+      .unionAll(dfSummary(addCodes, "codes_pq"))
+      .orderBy(col("artifact"))
+  }
+
+  /** The stored index's summaries restricted to the arrival slice —
+    * what [[indexAdd]]'s increments must checksum-match. */
+  private[graft] def indexSliceSummary(spark: SparkSession, dir: String): DataFrame = {
+    val root = ivfPqIndexRoot(spark, dir)
+    Seq("assign_raw", "codes_pq").map { a =>
+      dfSummary(spark.read.parquet(s"$root/$a")
+        .filter(col("vec_id") % 10 === 7), a)
+    }.reduce(_ unionAll _).orderBy(col("artifact"))
+  }
+
+  /** Cosine RANGE search (radius query) over the prebuilt IVF index:
+    * every corpus vector within cos ≥ τ of each query — the "find all
+    * near-duplicates of this document" / "all evidence above the
+    * retrieval floor" shape, where top-k's fixed budget is wrong
+    * because the true answer set size varies per query. Candidates
+    * come from the index postings (query's nprobe nearest lists,
+    * candidate-linear equi-join on cid — never corpus × queries) and
+    * are verified with the exact codegen cosine, so precision is 1 by
+    * construction and the only approximation is list recall
+    * (spec-asserted ≥ 0.8 on the strong-match stratum). τ = 0.3 sits
+    * ~2.4σ above the random-pair background (σ ≈ 1/√64), so output
+    * stays answer-sized at every SF. Sketch-routed → rows-only driver
+    * check. */
+  def rangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CosineSim.cosine
+    val tau = 0.3
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val root = ivfPqIndexRoot(spark, dir)
+    val cents = spark.read.parquet(s"$root/coarse_raw")
+    val assign = spark.read.parquet(s"$root/assign_raw")
+    val qAssign = assignToBuckets(e.filter(col("vec_id") < 20), cents, ivfNProbe)
+      .select(col("vec_id").as("q_id"), col("cid"))
+    qAssign.join(assign, Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id")).distinct()
+      .join(e.select(col("vec_id").as("q_id"), col("v").as("vq")), Seq("q_id"))
+      .join(e, Seq("vec_id"))
+      .withColumn("cos", round(cosine(col("vq"), col("v")), 6))
+      .filter(col("cos") >= tau)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy(col("q_id"), col("neighbor_id"))
+  }
+
+  /** Brute-force range-search truth for the recall spec. */
+  private[graft] def rangeSearchExact(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CosineSim.cosine
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    e.filter(col("vec_id") < 20).select(col("vec_id").as("q_id"), col("v").as("vq"))
+      .crossJoin(e)
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(cosine(col("vq"), col("v")), 6))
+      .filter(col("cos") >= 0.3)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cos"))
+  }
 
   def ivfTopk(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.CosineSim.cosine
@@ -863,5 +956,7 @@ object Similarity {
     GQuery("sim_pq_topk", pqTopk, None),
     GQuery("sim_ivfpq_topk", ivfpqTopk, None),
     GQuery("sim_index_build", indexBuild, None),
+    GQuery("sim_index_add", indexAdd, None),
+    GQuery("sim_range_search", rangeSearch, None),
   )
 }

@@ -117,6 +117,34 @@ class Round8bSpec extends AnyFunSuite {
     }
   }
 
+  test("index add increments are bit-identical to the full build's slice") {
+    val inc = operators.Similarity.indexAdd(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val stored = operators.Similarity.indexSliceSummary(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(inc.map(_._1) == Seq("assign_raw", "codes_pq"))
+    assert(inc.forall(_._2 > 0), s"empty increment: $inc")
+    // encode-against-frozen-codebooks must reproduce the build's rows
+    // exactly: add-then-query == rebuild-then-query
+    assert(inc == stored, s"incremental add diverges from full build:\n$inc\nvs\n$stored")
+  }
+
+  test("range search: exact precision, strong-match recall via the index") {
+    val got = operators.Similarity.rangeSearch(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val truth = operators.Similarity.rangeSearchExact(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.nonEmpty, "range search returned nothing at tau=0.3")
+    // every returned row is exact-verified: precision 1 by construction
+    assert(got.subsetOf(truth), s"false positives: ${got.diff(truth).take(3)}")
+    // list recall on the strong stratum (planted near-dups, cos >= 0.45)
+    val strong = truth.filter(_._3 >= 0.45)
+    if (strong.nonEmpty) {
+      val recall = strong.count(got).toDouble / strong.size
+      assert(recall >= 0.8, s"strong-match recall $recall < 0.8 (${strong.size} strong)")
+    }
+  }
+
   test("dsir weights skew positive on the seed slice and keep tracks sign") {
     val rows = operators.TextAnalysis.dsirWeights(spark, sf)
       .collect().map(r => (r.getLong(0), r.getDouble(2), r.getBoolean(3)))
