@@ -131,6 +131,92 @@ object Dedup {
        |WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.8
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** INCREMENTAL corpus ingest — the batch-arrival shape every
+    * production training-data pipeline actually runs: a DELTA of new
+    * documents (the deterministic doc_id % 7 = 3 slice) is admitted
+    * against the EXISTING corpus without rescanning it pair-vs-pair.
+    * Verdict per new doc, in priority order:
+    *
+    *  - `dup_exact` — its normalized text already exists in the
+    *    corpus, or an earlier doc of the same batch claimed it
+    *    (anti-join on the norm key: at 100 TB the corpus side is the
+    *    maintained norm-hash TABLE, delta-linear work);
+    *  - `dup_near` — shingle-Jaccard ≥ 0.8 against some existing doc
+    *    (candidates from the shingle inverted index restricted to
+    *    batch × corpus postings — never batch × corpus rows — then
+    *    the exact verify, linear in candidates; at 100 TB the corpus
+    *    side is the maintained signature/posting table);
+    *  - `ingest` — survives both gates.
+    *
+    * Everything is deterministic relational arithmetic ⇒ fully
+    * oracle-checked. Batch-internal NEAR-dups are left to the next
+    * full near-dup pass by design (the standard trade: the in-batch
+    * exact gate is free, the in-batch near gate would double the
+    * index write path). */
+  def incrementalIngest(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "documents")
+      .withColumn("norm", regexp_replace(trim(lower(col("text"))), " +", " "))
+    val isNew = col("doc_id") % 7 === 3
+    val newb = base.filter(isNew).select(col("doc_id"), col("norm"))
+    val ex = base.filter(!isNew).select(col("doc_id"), col("norm"))
+    // exact gate: corpus hit, or an earlier batch doc holds the norm
+    val exactCorpus = newb.join(ex.select(col("norm")).distinct(), Seq("norm"), "left_semi")
+    val firstInBatch = newb.groupBy(col("norm")).agg(min(col("doc_id")).as("first_id"))
+    val exactDupIds = exactCorpus.select(col("doc_id"))
+      .unionByName(newb.join(firstInBatch, Seq("norm"))
+        .filter(col("doc_id") =!= col("first_id")).select(col("doc_id")))
+      .distinct()
+    // near gate: inverted-index candidates between batch and corpus only
+    val sh = shingles(spark, dir).localCheckpoint(true)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val candidates = sh.filter(isNew).select(col("doc_id").as("a_id"), col("s"))
+      .join(sh.filter(!isNew).select(col("doc_id").as("b_id"), col("s")), Seq("s"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val nearDupIds = verifyPairs(sh, sizes, candidates)
+      .select(col("a_id").as("doc_id")).distinct()
+    newb.select(col("doc_id"))
+      .join(exactDupIds.withColumn("is_exact", lit(1)), Seq("doc_id"), "left")
+      .join(nearDupIds.withColumn("is_near", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_exact") === 1, "dup_exact")
+          .when(col("is_near") === 1, "dup_near")
+          .otherwise("ingest").as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
+  val incrementalIngestSql: String =
+    s"""WITH $shinglesSqlCte,
+       | base AS (SELECT doc_id,
+       |   regexp_replace(trim(lower(text)), ' +', ' ', 'g') AS norm
+       |  FROM documents),
+       | newb AS (SELECT * FROM base WHERE doc_id % 7 = 3),
+       | ex AS (SELECT * FROM base WHERE doc_id % 7 <> 3),
+       | exact_dup AS (
+       |  SELECT n.doc_id FROM newb n
+       |  WHERE EXISTS (SELECT 1 FROM ex e WHERE e.norm = n.norm)
+       |     OR EXISTS (SELECT 1 FROM newb p
+       |                WHERE p.norm = n.norm AND p.doc_id < n.doc_id)),
+       | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       | inter AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.s = b.s
+       |  WHERE a.doc_id % 7 = 3 AND b.doc_id % 7 <> 3
+       |  GROUP BY 1, 2),
+       | near_dup AS (
+       |  SELECT DISTINCT a_id AS doc_id
+       |  FROM inter
+       |   JOIN sizes sa ON inter.a_id = sa.doc_id
+       |   JOIN sizes sb ON inter.b_id = sb.doc_id
+       |  WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.8)
+       |SELECT n.doc_id,
+       | CASE WHEN ed.doc_id IS NOT NULL THEN 'dup_exact'
+       |      WHEN nd.doc_id IS NOT NULL THEN 'dup_near'
+       |      ELSE 'ingest' END AS verdict
+       |FROM newb n
+       | LEFT JOIN exact_dup ed ON n.doc_id = ed.doc_id
+       | LEFT JOIN near_dup nd ON n.doc_id = nd.doc_id
+       |ORDER BY n.doc_id""".stripMargin
+
   /** AllPairs/PPJoin PREFIX FILTERING — the LOSSLESS scale path for a
     * threshold set-similarity self-join (Bayardo et al. WWW'07; Xiao
     * et al. WWW'08), complementing the probabilistic MinHash path.
@@ -970,6 +1056,7 @@ object Dedup {
     GQuery("dedup_normalized", normalizedDedup, Some(normalizedDedupSql)),
     GQuery("dedup_jaccard_pairs", jaccardPairs, Some(jaccardPairsSql)),
     GQuery("dedup_prefix_filter", prefixFilterPairs, Some(jaccardPairsSql)),
+    GQuery("pipeline_incremental_ingest", incrementalIngest, Some(incrementalIngestSql)),
     GQuery("dedup_minhash_lsh", minhashLsh, None),
     GQuery("dedup_simhash", simhashPairs, None),
     GQuery("dedup_embedding_cosine", embeddingNearDup, Some(embeddingNearDupSql)),

@@ -250,6 +250,56 @@ object FileSources {
        |FROM orders WHERE o_orderstatus = 'F'
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** PARTITION-SCHEME EVOLUTION (the Iceberg partition-evolution
+    * pattern from first principles): a table's early files were
+    * partitioned by MONTH; later the scheme evolved to DAY — and
+    * evolving must not rewrite history, so both eras coexist and
+    * every query plans each era against ITS OWN scheme. A date-range
+    * read prunes era-1 at month granularity (coarse partition
+    * predicate + residual row filter for the mid-month edges) and
+    * era-2 at day granularity (exact, no residual needed); the union
+    * must equal the logical table's range scan. The range here
+    * deliberately starts and ends MID-month so the old scheme's
+    * residual filter is load-bearing. At 100 TB this is why evolution
+    * is free: the manifest maps each file to its era's partition
+    * tuple, pruning stays metadata-only in both eras, and no byte of
+    * era-1 is ever rewritten. */
+  def partitionEvolution(spark: SparkSession, dir: String): DataFrame =
+    evolutionReader(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderpriority"))
+
+  /** The two-era pruned union read — exposed for the pruning spec. */
+  def evolutionReader(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority"), col("o_totalprice"))
+    val era1 = uniq("evo_month")
+    val era2 = uniq("evo_day")
+    o.filter(col("o_orderdate") < "1999-01-01")
+      .withColumn("pmonth", date_format(col("o_orderdate"), "yyyy-MM"))
+      .write.partitionBy("pmonth").parquet(era1)
+    o.filter(col("o_orderdate") >= "1999-01-01")
+      .withColumn("pday", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      .write.partitionBy("pday").parquet(era2)
+    // the query: [1998-10-15, 1999-03-15] spans the era boundary
+    val q1 = spark.read.parquet(era1)
+      .filter(col("pmonth") >= "1998-10" && col("pmonth") <= "1999-03")
+      .filter(col("o_orderdate") >= "1998-10-15" && col("o_orderdate") <= "1999-03-15")
+      .drop("pmonth")
+    val q2 = spark.read.parquet(era2)
+      .filter(col("pday") >= "1998-10-15" && col("pday") <= "1999-03-15")
+      .drop("pday")
+    q1.unionByName(q2)
+  }
+
+  val partitionEvolutionSql: String =
+    s"""SELECT o_orderpriority, count(*) AS n, ${sqlDsum("o_totalprice")} AS total
+       |FROM orders
+       |WHERE o_orderdate >= '1998-10-15' AND o_orderdate <= '1999-03-15'
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** Bucketed tables + co-located join: both sides bucketed 8-ways on
     * the join key → the join reads bucket i against bucket i with NO
     * shuffle exchange on either side (asserted in ComponentSpec). At
@@ -584,6 +634,7 @@ object FileSources {
     GQuery("src_dsv2_source", dsv2Source, Some(dsv2SourceSql)),
     GQuery("src_dsv2_sink", dsv2Sink, Some(dsv2SinkSql)),
     GQuery("src_partitioned_pruning", partitionedPruning, Some(partitionedPruningSql)),
+    GQuery("q78_partition_evolution", partitionEvolution, Some(partitionEvolutionSql)),
     GQuery("src_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
   )
 }

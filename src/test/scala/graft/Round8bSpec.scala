@@ -145,6 +145,45 @@ class Round8bSpec extends AnyFunSuite {
     }
   }
 
+  test("partition evolution prunes both eras by their own scheme") {
+    val reader = sources.FileSources.evolutionReader(spark, sf)
+    val physical = reader.queryExecution.executedPlan.toString
+    // both scans carry partition predicates — pruning is metadata-only
+    // in each era, under each era's own scheme
+    val pf = "PartitionFilters: \\[(?!\\])".r.findAllIn(physical).length
+    assert(pf >= 2, s"expected partition filters on both era scans:\n$physical")
+    assert(physical.contains("pmonth") && physical.contains("pday"))
+    // the union equals the logical range scan
+    val got = reader.agg(count(lit(1))).head().getLong(0)
+    val want = util.t(spark, sf, "orders")
+      .filter(col("o_orderdate") >= "1998-10-15" && col("o_orderdate") <= "1999-03-15")
+      .count()
+    assert(got == want && got > 0)
+  }
+
+  test("incremental ingest verdicts partition the batch and match recomputation") {
+    val rows = operators.Dedup.incrementalIngest(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.nonEmpty)
+    val nNew = util.t(spark, sf, "documents")
+      .filter(col("doc_id") % 7 === 3).count()
+    assert(rows.length == nNew, "every batch doc gets exactly one verdict")
+    // the exact gate must agree with a direct norm-key recomputation
+    val docs = util.t(spark, sf, "documents")
+      .withColumn("norm", regexp_replace(trim(lower(col("text"))), " +", " "))
+      .select(col("doc_id"), col("norm"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val exNorms = docs.filter(_._1 % 7 != 3).map(_._2).toSet
+    val batch = docs.filter(_._1 % 7 == 3).sortBy(_._1)
+    val seen = scala.collection.mutable.Set[String]()
+    val expectExact = batch.filter { case (_, n) =>
+      val d = exNorms(n) || seen(n); seen += n; d
+    }.map(_._1).toSet
+    val gotExact = rows.filter(_._2 == "dup_exact").map(_._1).toSet
+    assert(gotExact == expectExact,
+      s"exact gate diverges: ${gotExact.diff(expectExact).take(3)} / ${expectExact.diff(gotExact).take(3)}")
+  }
+
   test("dsir weights skew positive on the seed slice and keep tracks sign") {
     val rows = operators.TextAnalysis.dsirWeights(spark, sf)
       .collect().map(r => (r.getLong(0), r.getDouble(2), r.getBoolean(3)))
