@@ -131,6 +131,54 @@ object Dedup {
        |WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.8
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** ASYMMETRIC CONTAINMENT pairs — C(A→B) = |A∩B| / |A|: the measure
+    * for "document A is (mostly) INSIDE document B", which symmetric
+    * Jaccard structurally misses when sizes differ (a 50-shingle quote
+    * inside a 500-shingle page has J ≈ 0.1 but C ≈ 1.0). This is the
+    * benchmark-contamination / quote-mining shape: the small side is
+    * the eval item, the large side the crawl page. Same inverted-index
+    * candidate generation as the Jaccard family (pairs sharing ≥ 1
+    * shingle via the posting join — hot-shingle caveat as
+    * `dedup_jaccard_pairs`), intersection counted once per unordered
+    * pair, then BOTH directions scored from the one count — the
+    * asymmetry is free. Deterministic ⇒ fully oracle-checked. */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("doc_id").as("a_id"), col("s"))
+      .join(sh.select(col("doc_id").as("b_id"), col("s")), Seq("s"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("i"))
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
+    // score both directions from the single intersection count
+    val ab = inter.select(col("a_id").as("src_id"), col("b_id").as("dst_id"),
+      round(col("i").cast("double") / col("na"), 6).as("containment"))
+    val ba = inter.select(col("b_id").as("src_id"), col("a_id").as("dst_id"),
+      round(col("i").cast("double") / col("nb"), 6).as("containment"))
+    ab.unionByName(ba)
+      .filter(col("containment") >= 0.8)
+      .orderBy(col("src_id"), col("dst_id"))
+  }
+
+  val containmentPairsSql: String =
+    s"""WITH $shinglesSqlCte,
+       | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       | inter AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       | both_dirs AS (
+       |  SELECT a_id AS src_id, b_id AS dst_id,
+       |   round(i * 1.0 / sa.n, 6) AS containment
+       |  FROM inter JOIN sizes sa ON inter.a_id = sa.doc_id
+       |  UNION ALL
+       |  SELECT b_id, a_id, round(i * 1.0 / sb.n, 6)
+       |  FROM inter JOIN sizes sb ON inter.b_id = sb.doc_id)
+       |SELECT src_id, dst_id, containment
+       |FROM both_dirs WHERE containment >= 0.8
+       |ORDER BY src_id, dst_id""".stripMargin
+
   /** INCREMENTAL corpus ingest — the batch-arrival shape every
     * production training-data pipeline actually runs: a DELTA of new
     * documents (the deterministic doc_id % 7 = 3 slice) is admitted
@@ -1057,6 +1105,7 @@ object Dedup {
     GQuery("dedup_jaccard_pairs", jaccardPairs, Some(jaccardPairsSql)),
     GQuery("dedup_prefix_filter", prefixFilterPairs, Some(jaccardPairsSql)),
     GQuery("pipeline_incremental_ingest", incrementalIngest, Some(incrementalIngestSql)),
+    GQuery("dedup_containment_pairs", containmentPairs, Some(containmentPairsSql)),
     GQuery("dedup_minhash_lsh", minhashLsh, None),
     GQuery("dedup_simhash", simhashPairs, None),
     GQuery("dedup_embedding_cosine", embeddingNearDup, Some(embeddingNearDupSql)),

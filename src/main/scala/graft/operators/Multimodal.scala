@@ -60,6 +60,45 @@ object Multimodal {
       |FROM documents JOIN embeddings ON doc_id = vec_id
       |ORDER BY doc_id""".stripMargin
 
+  /** WebDataset-style BYTE-BUDGET shard plan for media blobs: training
+    * loaders stream sequential tar shards of roughly fixed byte size,
+    * so the plan assigns each blob, in deterministic (source, doc_id)
+    * order, to shard = exclusive-prefix-bytes div budget — byte-offset
+    * sharding, the streaming-writer semantic (a shard absorbs the blob
+    * that crosses its boundary). Prefix sums run per SOURCE (the
+    * WebDataset convention of sharding within a collection), so the
+    * window is bounded by the largest source, not the corpus — the
+    * same per-group discipline as `text_pack_sequences`; a global
+    * ordering would be the one-task sort this repo bans. All-integer
+    * arithmetic ⇒ fully oracle-checked. */
+  def shardByBytes(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 16384L
+    t(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        octet_length(encode(col("text"), "utf-8")).cast("long").as("nbytes"))
+      .withColumn("shard",
+        expr(s"coalesce(sum(nbytes) over (partition by source order by doc_id rows between unbounded preceding and 1 preceding), 0L) div $budget"))
+      .groupBy(col("source"), col("shard"))
+      .agg(count(lit(1)).as("n_blobs"), sum(col("nbytes")).as("shard_bytes"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("shard"))
+  }
+
+  val shardByBytesSql: String =
+    """WITH blobs AS (
+      | SELECT source, doc_id,
+      |  cast(octet_length(encode(text)) as bigint) AS nbytes
+      | FROM documents),
+      |planned AS (
+      | SELECT source, doc_id, nbytes,
+      |  coalesce(sum(nbytes) OVER (PARTITION BY source ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 16384 AS shard
+      | FROM blobs)
+      |SELECT source, shard, count(*) AS n_blobs,
+      | cast(sum(nbytes) as bigint) AS shard_bytes,
+      | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM planned GROUP BY source, shard ORDER BY source, shard""".stripMargin
+
   /** The media ingest stage: one media payload per document — a real
     * PPM image for image/video docs, a real RIFF/WAV clip for audio
     * docs (both deterministic from the text), typed for mapPartitions. */
@@ -237,6 +276,7 @@ object Multimodal {
     GQuery("mm_image_dhash_pairs", imageDhashPairs, None),
     GQuery("mm_audio_frames", audioFrames, None),
     GQuery("mm_pack_struct", pack, Some(packSql)),
+    GQuery("mm_shard_bybytes", shardByBytes, Some(shardByBytesSql)),
     GQuery("mm_decode_features", decodeFeatures, None),
     GQuery("mm_frame_sample", frameSample, Some(frameSampleSql)),
   )

@@ -100,8 +100,40 @@ object Sampling {
       .orderBy(col("sample_rank"))
   }
 
+  /** Deterministic A/B experiment assignment — the traffic-split
+    * primitive every ramp/holdout pipeline needs: the UNIT (user) maps
+    * to an arm by pure integer arithmetic on its id — Knuth
+    * multiplicative hash mod 100, bucket < 50 → A — so membership is
+    * layout-, run-, and engine-independent (the
+    * `sample_hash_deterministic` discipline: a user's arm never
+    * changes across days or recomputations, the property randomized
+    * assignment cannot give). Output is the sample-ratio-mismatch
+    * sanity table: per (arm, event_type) user counts, event counts,
+    * and exact-decimal value sums. One shuffle on the grouping key;
+    * all-integer assignment ⇒ fully oracle-checked. */
+  def abSplit(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("arm",
+        when(pmod(col("user_id") * lit(2654435761L), lit(4294967296L)) % 100 < 50, "A")
+          .otherwise("B"))
+      .groupBy(col("arm"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("total_value"))
+      .orderBy(col("arm"), col("event_type"))
+
+  val abSplitSql: String =
+    s"""SELECT CASE WHEN (user_id * 2654435761) % 4294967296 % 100 < 50
+       |       THEN 'A' ELSE 'B' END AS arm,
+       | event_type,
+       | count(DISTINCT user_id) AS n_users,
+       | count(*) AS n_events,
+       | ${sqlDsum("value")} AS total_value
+       |FROM events GROUP BY 1, 2 ORDER BY arm, event_type""".stripMargin
+
   val all: Seq[GQuery] = Seq(
     GQuery("sample_hash_deterministic", hashSample, None),
+    GQuery("sample_ab_split", abSplit, Some(abSplitSql)),
     GQuery("sample_stratified", stratifiedSample, Some(stratifiedSampleSql)),
     GQuery("sample_reservoir_group", reservoirGroup, Some(reservoirGroupSql)),
     GQuery("sample_weighted", weightedSample, None),

@@ -360,6 +360,50 @@ object SqlSurface {
        | ${sqlDsum("l_quantity")} AS qty
        |FROM fact f JOIN dim d ON f.k = d.k""".stripMargin
 
+  /** DYNAMIC PARTITION PRUNING — the runtime complement to static
+    * pruning (`src_partitioned_pruning`) and the flagship star-schema
+    * scan optimization: the fact table is partitioned on the join key,
+    * the dimension's selective filter is only known at RUN time, and
+    * Spark injects a `dynamicpruning` subquery into the fact scan's
+    * PartitionFilters — the dim side's broadcast result prunes fact
+    * PARTITIONS before any fact task is scheduled. At 100 TB this is
+    * the difference between scanning a quarter and scanning seven
+    * years when the calendar dimension says Q1-1999: the fact
+    * predicate cannot be written statically because it lives in the
+    * dim table. Fact = orders month-partitioned to scratch parquet;
+    * dim = a month→quarter calendar (also a real parquet scan);
+    * filter on the QUARTER attribute, join on the month key.
+    * Spec asserts `dynamicpruning` in the fact scan; oracle replays
+    * the equivalent static date range. */
+  def q80DynamicPruning(spark: SparkSession, dir: String): DataFrame =
+    q80Join(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderpriority"))
+
+  /** The bare DPP join — exposed for the plan spec. */
+  def q80Join(spark: SparkSession, dir: String): DataFrame = {
+    val factPath = graft.util.scratchDir("dpp_fact")
+    t(spark, dir, "orders")
+      .withColumn("pmonth", date_format(col("o_orderdate"), "yyyy-MM"))
+      .repartition(col("pmonth")) // one file per partition dir, not one per task
+      .write.partitionBy("pmonth").parquet(factPath)
+    val dimPath = graft.util.scratchDir("dpp_dim")
+    spark.read.parquet(factPath).select(col("pmonth")).distinct()
+      .withColumn("quarter", concat(substring(col("pmonth"), 1, 4), lit("-Q"),
+        expr("(cast(substring(pmonth, 6, 2) as int) - 1) div 3 + 1")))
+      .write.parquet(dimPath)
+    spark.read.parquet(factPath)
+      .join(spark.read.parquet(dimPath).filter(col("quarter") === "1999-Q1"),
+        Seq("pmonth"))
+  }
+
+  val q80Sql: String =
+    s"""SELECT o_orderpriority, count(*) AS n, ${sqlDsum("o_totalprice")} AS total
+       |FROM orders
+       |WHERE o_orderdate >= '1999-01-01' AND o_orderdate < '1999-04-01'
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** GROUP BY ALL (Spark 4 / modern ANSI sugar): every non-aggregate
     * select item becomes a grouping key — the analyzer expands it to
     * the same hash aggregate as an explicit GROUP BY, so the plan (and
@@ -480,6 +524,7 @@ object SqlSurface {
     GQuery("q55_exists_subquery", q55ExistsSubquery, Some(q55Sql)),
     GQuery("q56_bloom_runtime_filter", q56BloomJoin, Some(q56Sql)),
     GQuery("q57_aqe_skew_join", q57AqeSkewJoin, Some(q57Sql)),
+    GQuery("q80_dynamic_pruning", q80DynamicPruning, Some(q80Sql)),
     GQuery("meta_profile_columns", profileColumns, Some(profileColumnsSql)),
     GQuery("meta_cbo_stats", cboStats, Some(cboStatsSql)),
   )

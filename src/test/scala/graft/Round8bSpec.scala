@@ -156,7 +156,7 @@ class Round8bSpec extends AnyFunSuite {
     // the union equals the logical range scan
     val got = reader.agg(count(lit(1))).head().getLong(0)
     val want = util.t(spark, sf, "orders")
-      .filter(col("o_orderdate") >= "1998-10-15" && col("o_orderdate") <= "1999-03-15")
+      .filter(col("o_orderdate") >= "2000-10-15" && col("o_orderdate") <= "2001-03-15")
       .count()
     assert(got == want && got > 0)
   }
@@ -182,6 +182,32 @@ class Round8bSpec extends AnyFunSuite {
     val gotExact = rows.filter(_._2 == "dup_exact").map(_._1).toSet
     assert(gotExact == expectExact,
       s"exact gate diverges: ${gotExact.diff(expectExact).take(3)} / ${expectExact.diff(gotExact).take(3)}")
+  }
+
+  test("dynamic partition pruning fires on the fact scan") {
+    val joined = operators.SqlSurface.q80Join(spark, sf)
+    val physical = joined.queryExecution.executedPlan.toString
+    assert(physical.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic pruning subquery in the fact scan:\n$physical")
+    // and the result equals the static range it replaces
+    val got = joined.agg(count(lit(1))).head().getLong(0)
+    val want = util.t(spark, sf, "orders")
+      .filter(col("o_orderdate") >= "1999-01-01" && col("o_orderdate") < "1999-04-01")
+      .count()
+    assert(got == want && got > 0)
+  }
+
+  test("byte-budget shards stay within budget plus one blob") {
+    val rows = operators.Multimodal.shardByBytes(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val maxBlob = util.t(spark, sf, "documents")
+      .agg(max(octet_length(encode(col("text"), "utf-8")).cast("long"))).head().getLong(0)
+    // offset sharding: a shard absorbs the blob crossing its boundary,
+    // so its size is < budget + that blob
+    rows.foreach { case (src, shard, bytes) =>
+      assert(bytes < 16384L + maxBlob, s"shard ($src, $shard) holds $bytes bytes")
+    }
   }
 
   test("dsir weights skew positive on the seed slice and keep tracks sign") {
