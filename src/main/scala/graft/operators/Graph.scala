@@ -96,6 +96,90 @@ object Graph {
        |ORDER BY r DESC, node LIMIT 20""".stripMargin
   }
 
+  /** PERSONALIZED PageRank — rank relative to a SEED set (the
+    * recommendation / similar-entities shape: "important near these
+    * customers", not globally): teleport mass returns only to seeds,
+    * so relevance localizes around them. Seeds = customer nodes with
+    * custkey % 25 = 0 (deterministic, sf-stable ~4 % of customers).
+    * Same checkpointed degree-annotated edge table and integral
+    * micro-unit arithmetic as [[pageRank]] — per step
+    * `r' = [v ∈ seeds]·(1000000 div |seeds|)·15 div 100·?` kept
+    * simpler: `r' = tele(v) + (85 · Σ_in (r div deg)) div 100` with
+    * tele(v) = 1000000 div nseeds on seeds, 0 elsewhere; initial mass
+    * all on seeds. Floor division keeps both engines bit-identical ⇒
+    * fully hash-checked via a four-step unrolled CTE oracle. Non-seed
+    * nodes never receiving mass stay absent (sparse frontier — at
+    * 100 TB the ranks side is proportional to the REACHED set, not
+    * the graph). */
+  def personalizedPageRank(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val lineitem = t(spark, dir, "lineitem")
+    val pairs = orders
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).cast("long").as("c"),
+        (col("l_suppkey") * 2 + 1).cast("long").as("s"))
+      .distinct()
+    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val edgePath = scratchDir("ppr_edges")
+    edges.join(deg, "src").write.parquet(edgePath)
+    val withDeg = spark.read.parquet(edgePath)
+    val seeds = withDeg.select(col("src").as("node")).distinct()
+      .filter(col("node") % 2 === 0 && expr("(node div 2) % 25 = 0"))
+      .localCheckpoint(true) // feeds the teleport join every superstep
+    val nseeds = seeds.count()
+    val tele = seeds.withColumn("t", lit(1000000L / nseeds))
+    var ranks = tele.select(col("node"), col("t").as("r"))
+    for (_ <- 1 to 4) {
+      val pushed = withDeg.join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("r div d").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(expr("(85 * sum(contrib)) div 100").as("m"))
+        .select(col("dst").as("node"), col("m"))
+      ranks = pushed.join(tele, Seq("node"), "full_outer")
+        .select(col("node"),
+          (coalesce(col("m"), lit(0L)) + coalesce(col("t"), lit(0L))).as("r"))
+        .filter(col("r") > 0)
+    }
+    ranks.orderBy(col("r").desc, col("node")).limit(20)
+      .select(col("node"), col("r").as("rank"))
+  }
+
+  val personalizedPageRankSql: String = {
+    val steps = (1 to 4).map { i =>
+      s"""p$i AS (
+         |  SELECT coalesce(m.node, t.node) AS node,
+         |         CAST(coalesce(m.m, 0) + coalesce(t.t, 0) AS BIGINT) AS r
+         |  FROM (SELECT e.dst AS node,
+         |               CAST((85 * SUM(p.r // e.d)) // 100 AS BIGINT) AS m
+         |        FROM edges e JOIN p${i - 1} p ON p.node = e.src
+         |        GROUP BY e.dst) m
+         |  FULL JOIN tele t ON m.node = t.node
+         |  WHERE coalesce(m.m, 0) + coalesce(t.t, 0) > 0)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS c,
+       |                  CAST(l_suppkey * 2 + 1 AS BIGINT) AS s
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |edges0 AS (
+       |  SELECT c AS src, s AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT s AS src, c AS dst FROM pairs),
+       |deg AS (SELECT src, count(*) AS d FROM edges0 GROUP BY src),
+       |edges AS (SELECT e.src, e.dst, d.d FROM edges0 e JOIN deg d USING (src)),
+       |seeds AS (
+       |  SELECT DISTINCT src AS node FROM edges
+       |  WHERE src % 2 = 0 AND (src // 2) % 25 = 0),
+       |tele AS (
+       |  SELECT node, CAST(1000000 // (SELECT count(*) FROM seeds) AS BIGINT) AS t
+       |  FROM seeds),
+       |p0 AS (SELECT node, t AS r FROM tele),
+       |$steps
+       |SELECT node, r AS rank FROM p4
+       |ORDER BY r DESC, node LIMIT 20""".stripMargin
+  }
+
   /** Triangle counting on a top-K co-supply projection: supplier
     * pairs are ranked by shared-customer count and the 3·|suppliers|
     * heaviest overlaps become edges (deterministic tie-break; top-K is
@@ -388,6 +472,7 @@ object Graph {
 
   val all: Seq[GQuery] = Seq(
     GQuery("graph_pagerank", pageRank, Some(pageRankSql)),
+    GQuery("graph_ppr", personalizedPageRank, Some(personalizedPageRankSql)),
     GQuery("graph_triangles", triangles, Some(trianglesSql)),
     GQuery("graph_shortest_paths", shortestPaths, Some(shortestPathsSql)),
     GQuery("graph_shortest_paths_frontier", shortestPathsFrontier, Some(shortestPathsSql)),
