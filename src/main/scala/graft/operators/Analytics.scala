@@ -349,6 +349,47 @@ object Analytics {
     * wide); the fill is one window pass partitioned by user — at
     * 100 TB both scale with the user count, and the sequence() spine
     * costs no scan at all. */
+  /** TIME-WEIGHTED average — the aggregate time-series stores treat as
+    * primitive and plain AVG silently gets wrong on irregular samples:
+    * a reading "holds" until the next one, so it weighs by its HOLD
+    * DURATION, not its sample count (a sensor emitting 100 readings in
+    * one quiet minute must not dominate the hour it was silent for).
+    * Per user: interval = lead(ts) − ts under the (ts, event_id) total
+    * order — one window pass, one shuffle on user_id; the last reading
+    * has no successor and drops out (the standard left-closed
+    * formulation). value·µs products accumulate in exact decimal
+    * (partition-order independence), the final division is one double
+    * op on bit-identical inputs ⇒ fully oracle-checked. */
+  def q81TimeWeightedAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("dur_us", lead(col("us"), 1).over(w) - col("us"))
+      .filter(col("dur_us").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dur_us")).as("span_us"),
+        sum(col("value").cast("decimal(22,8)") * col("dur_us")).as("vw"))
+      .select(col("user_id"), col("n_intervals"), col("span_us"),
+        round(col("vw").cast("double") / col("span_us"), 6).as("twa"))
+      .orderBy(col("user_id"))
+  }
+
+  val q81Sql: String =
+    """WITH iv AS (
+      | SELECT user_id, value,
+      |  lead(epoch_us(ts)) OVER (PARTITION BY user_id
+      |    ORDER BY epoch_us(ts), event_id) - epoch_us(ts) AS dur_us
+      | FROM events)
+      |SELECT user_id,
+      | count(*) AS n_intervals,
+      | cast(sum(dur_us) as bigint) AS span_us,
+      | round(cast(sum(cast(value as decimal(22,8)) * dur_us) as double)
+      |   / cast(sum(dur_us) as bigint), 6) AS twa
+      |FROM iv WHERE dur_us IS NOT NULL
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   def q64GapFill(spark: SparkSession, dir: String): DataFrame = {
     // `day` stays a TIMESTAMP (date_trunc) on both sides: a DATE
     // column stringifies differently in the two engines' compare path
@@ -713,6 +754,7 @@ object Analytics {
     GQuery("q66_sessionize_scan", q66SessionizeScan, Some(q66Sql)),
     GQuery("q63_posexplode", q63Posexplode, Some(q63Sql)),
     GQuery("q64_gap_fill", q64GapFill, Some(q64Sql)),
+    GQuery("q81_time_weighted_avg", q81TimeWeightedAvg, Some(q81Sql)),
     GQuery("q65_zscore_anomaly", q65ZscoreAnomaly, Some(q65Sql)),
     GQuery("q49_salted_join", q49SaltedJoin, Some(q49Sql)),
     GQuery("q47_array_funcs", q47ArrayFuncs, Some(q47Sql)),

@@ -378,6 +378,69 @@ object Similarity {
   def indexBuild(spark: SparkSession, dir: String): DataFrame =
     indexSummary(spark, ivfPqIndexRoot(spark, dir))
 
+  /** MAX-INNER-PRODUCT top-k (MIPS) — the retrieval scoring most
+    * recommender / two-tower models actually use (unnormalized dot
+    * product: popularity lives in the magnitude), which cosine ANN
+    * cannot serve directly. The production answer is the
+    * norm-AUGMENTATION reduction (Bachrach et al. RecSys'14): append
+    * one dim sqrt(M² − |x|²) to every corpus vector (M = max norm)
+    * and 0 to queries — every augmented corpus vector has norm
+    * exactly M, so cos(q̃, x̃) = ⟨q,x⟩ / (|q|·M) is a per-query
+    * MONOTONE transform of the inner product, and any cosine ANN
+    * index answers MIPS unchanged. The entry ranks by the exact inner
+    * product on the 1e-6 grid (deterministic, fully oracle-checked
+    * against DuckDB's list_dot_product); the REDUCTION is pinned by
+    * spec — the augmented-cosine ranking reproduces the
+    * inner-product ranking per query, and every augmented corpus
+    * norm equals M. */
+  def mipsTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("ip").desc, col("neighbor_id"))
+    e.filter(col("vec_id") < 20).select(col("vec_id").as("q_id"), col("v").as("vq"))
+      .crossJoin(e.select(col("vec_id").as("neighbor_id"), col("v")))
+      .filter(col("neighbor_id") =!= col("q_id"))
+      .withColumn("ip", round(expr(
+        "aggregate(zip_with(vq, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"), 6))
+      .withColumn("rk", row_number().over(wTop).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("rk"), col("neighbor_id"), col("ip"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  val mipsTopkSql: String =
+    """SELECT q_id, rk, neighbor_id, ip FROM (
+      | SELECT *, cast(row_number() OVER (PARTITION BY q_id
+      |   ORDER BY ip DESC, neighbor_id) as bigint) AS rk
+      | FROM (
+      |  SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+      |   round(list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS ip
+      |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 20))
+      |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
+  /** The augmented-space ranking for the reduction spec: corpus
+    * vectors gain sqrt(M² − |x|²), queries gain 0, ranking by the
+    * codegen cosine over the augmented arrays. */
+  private[graft] def mipsViaAugmentedCosine(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CosineSim.cosine
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("n2", expr("aggregate(v, 0D, (acc, x) -> acc + x * x)"))
+    val m2 = e.agg(max(col("n2"))).first().getDouble(0) // scalar, metadata-sized
+    val corpus = e.select(col("vec_id").as("neighbor_id"),
+      expr(s"concat(v, array(sqrt($m2 - n2)))").as("va"))
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), expr("concat(v, array(0D))").as("qa"))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    queries.crossJoin(corpus)
+      .filter(col("neighbor_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("qa"), col("va")))
+      .withColumn("rk", row_number().over(wTop).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("rk"), col("neighbor_id"))
+  }
+
   /** Incremental index ADD — the FAISS add-without-retrain path, and
     * the reason the build/query split matters operationally: a vector
     * store ingesting a stream must route and encode NEW vectors
@@ -950,6 +1013,7 @@ object Similarity {
     GQuery("sim_knn_join_ivf", knnJoinIvf, None),
     GQuery("sim_quantize_int8", quantizeInt8, None),
     GQuery("sim_topk_bruteforce", topkBruteForce, Some(topkBruteForceSql)),
+    GQuery("sim_mips_topk", mipsTopk, Some(mipsTopkSql)),
     GQuery("sim_label_centroids", labelCentroids, Some(labelCentroidsSql)),
     GQuery("sim_ann_lsh", annLsh, None),
     GQuery("sim_ivf_topk", ivfTopk, None),

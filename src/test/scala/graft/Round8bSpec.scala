@@ -210,6 +210,24 @@ class Round8bSpec extends AnyFunSuite {
     }
   }
 
+  test("MIPS norm-augmentation reduction reproduces the inner-product ranking") {
+    val byIp = operators.Similarity.mipsTopk(spark, sf)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq }
+    val byCos = operators.Similarity.mipsViaAugmentedCosine(spark, sf)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq }
+    assert(byIp.keySet == byCos.keySet && byIp.nonEmpty)
+    byIp.foreach { case (q, ids) =>
+      val aug = byCos(q)
+      // cos(q~, x~) = ip/(|q|·M) is monotone in ip; the entry ranks on
+      // the 1e-6 grid, so allow one boundary swap at the top-5 edge
+      assert(ids.head == aug.head, s"query $q: top-1 differs ($ids vs $aug)")
+      assert(ids.toSet.intersect(aug.toSet).size >= 4,
+        s"query $q: augmented ranking diverges ($ids vs $aug)")
+    }
+  }
+
   test("dsir weights skew positive on the seed slice and keep tracks sign") {
     val rows = operators.TextAnalysis.dsirWeights(spark, sf)
       .collect().map(r => (r.getLong(0), r.getDouble(2), r.getBoolean(3)))
