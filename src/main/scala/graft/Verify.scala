@@ -28,8 +28,19 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only match {
-      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
-      case None => SparkEntry.queries
+      case Some(names) =>
+        // sentinel: a targeted run leaves a mixed-staleness outDir
+        // (untouched query outputs are from an older code state) —
+        // make that state impossible to mistake for a full dump
+        Files.writeString(Paths.get(s"$outDir/_FILTERED"),
+          names.toSeq.sorted.mkString("\n") + "\n")
+        System.err.println(
+          s"[verify] SPARK_GRAFT_VERIFY_ONLY active (${names.size} queries) — " +
+            s"$outDir is a PARTIAL dump; other outputs in it may be stale")
+        SparkEntry.queries.filter(kv => names(kv._1))
+      case None =>
+        Files.deleteIfExists(Paths.get(s"$outDir/_FILTERED"))
+        SparkEntry.queries
     }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

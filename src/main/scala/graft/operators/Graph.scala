@@ -129,6 +129,11 @@ object Graph {
       .filter(col("node") % 2 === 0 && expr("(node div 2) % 25 = 0"))
       .localCheckpoint(true) // feeds the teleport join every superstep
     val nseeds = seeds.count()
+    // explicit empty-seed failure: a fixture where no customer with
+    // orders hits the seed predicate would otherwise surface as a raw
+    // ArithmeticException from the division below
+    require(nseeds > 0,
+      s"personalizedPageRank: no seed nodes under $dir (seed predicate custkey % 25 == 0 matched nothing)")
     val tele = seeds.withColumn("t", lit(1000000L / nseeds))
     var ranks = tele.select(col("node"), col("t").as("r"))
     for (_ <- 1 to 4) {

@@ -70,9 +70,12 @@ object Multimodal {
     * window is bounded by the largest source, not the corpus — the
     * same per-group discipline as `text_pack_sequences`; a global
     * ordering would be the one-task sort this repo bans. All-integer
-    * arithmetic ⇒ fully oracle-checked. */
+    * arithmetic ⇒ fully oracle-checked. The 2 KiB budget is sized so
+    * the oracle fixture (≈7 KB/source at sf0.01) yields 3–4 shards per
+    * source — the boundary-absorption semantic is exercised, not just
+    * shard 0. */
   def shardByBytes(spark: SparkSession, dir: String): DataFrame = {
-    val budget = 16384L
+    val budget = 2048L
     t(spark, dir, "documents")
       .select(col("source"), col("doc_id"),
         octet_length(encode(col("text"), "utf-8")).cast("long").as("nbytes"))
@@ -91,8 +94,8 @@ object Multimodal {
       | FROM documents),
       |planned AS (
       | SELECT source, doc_id, nbytes,
-      |  coalesce(sum(nbytes) OVER (PARTITION BY source ORDER BY doc_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 16384 AS shard
+      |  cast(coalesce(sum(nbytes) OVER (PARTITION BY source ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS shard
       | FROM blobs)
       |SELECT source, shard, count(*) AS n_blobs,
       | cast(sum(nbytes) as bigint) AS shard_bytes,

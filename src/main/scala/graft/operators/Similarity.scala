@@ -263,16 +263,17 @@ object Similarity {
   private def paramsKey: String =
     s"ivf$ivfCentroids-mp$ivfMultiProbe-pq${pqM}x$pqK"
 
-  private val indexRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  /** Root of the built ANN index for `dir` — builds on first use
-    * (atomically: concurrent callers block on the single build). */
+  /** Root of the built ANN index for `dir` — CROSS-JVM persistent via
+    * [[graft.util.artifactRoot]], keyed by (embeddings-table
+    * fingerprint, [[paramsKey]]). First process to need the index pays
+    * the k-means training and atomically publishes the artifacts; a
+    * second JVM (Verify, Bench, every spec suite) READS the trained
+    * artifacts instead of retraining — the production index lifecycle
+    * (build keyed by table version + params, serve many queries). The
+    * build is deterministic, so a lost publish race loses nothing. */
   def ivfPqIndexRoot(spark: SparkSession, dir: String): String =
-    indexRoots.computeIfAbsent(s"$dir|$paramsKey", _ => {
-      val p = scratchDir("vecindex")
-      buildIvfPqIndex(spark, dir, p)
-      p
-    })
+    artifactRoot(s"vecindex-${tableFingerprint(dir, "embeddings")}-$paramsKey")(
+      buildIvfPqIndex(spark, dir, _))
 
   /** Subspace split of a (vec_id, ..., nv) frame: one row per (vec_id,
     * m, sv) where sv = the m-th `sub`-wide slice of nv. */
@@ -358,15 +359,6 @@ object Similarity {
   def indexSummary(spark: SparkSession, root: String): DataFrame =
     indexArtifacts.map(a => dfSummary(spark.read.parquet(s"$root/$a"), a))
       .reduce(_ unionAll _).orderBy(col("artifact"))
-
-  /** (artifact, rows, checksum) of one relation — the order-independent
-    * XOR-of-xxhash64 fingerprint [[indexSummary]] uses per artifact. */
-  private def dfSummary(df: DataFrame, name: String): DataFrame = {
-    val cols = df.columns.sorted.mkString(", ")
-    df.agg(count(lit(1)).as("rows"),
-        coalesce(expr(s"bit_xor(xxhash64($cols))"), lit(0L)).as("checksum"))
-      .select(lit(name).as("artifact"), col("rows"), col("checksum"))
-  }
 
   /** `sim_index_build` entry: ensure the (dir, params) index exists and
     * report its per-artifact summary. First execution in a JVM pays the
