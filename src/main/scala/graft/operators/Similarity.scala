@@ -522,6 +522,83 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cos"))
   }
 
+  /** FILTERED vector search — the production "ANN with a metadata
+    * predicate" (every real vector store grows this: FAISS
+    * IDSelector, Lucene/HNSW filtered search, pgvector WHERE):
+    * top-k cosine neighbors of each query AMONG the corpus rows
+    * passing a relational predicate (here `label IN (2,5,7)`).
+    * Post-filtering a plain top-k is wrong (k results may all fail
+    * the predicate — recall collapses at selective filters); the
+    * sound composition is candidates = index postings ∩ filtered ids,
+    * THEN exact verify and top-k, so k survivors always exist when
+    * the filtered corpus has them.
+    *
+    * Plan shape: the predicate is PUSHED to the embeddings parquet
+    * scan (spec asserts PushedFilters carries the label In-filter);
+    * the filtered id set intersects the prebuilt `assign_raw`
+    * postings via a BROADCAST left-semi join (the id set is
+    * selectivity-sized — at 100 TB with a weak filter this becomes a
+    * shuffle semi-join on vec_id or a pushed-down id bitmap, same
+    * relation either way); candidates are candidate-linear equi-joins
+    * on cid as in [[ivfTopk]]; exact codegen cosine verifies, so
+    * precision vs the filtered ground truth is 1 and the only
+    * approximation is list recall (spec ≥ 0.8). Index-routed →
+    * rows-only driver check. */
+  val filterLabels: Seq[Int] = Seq(2, 5, 7)
+
+  /** Selectivity-aware probe width: a filter keeping fraction f of
+    * the corpus thins every posting list by ~f, so the filtered
+    * search probes ~nprobe/f lists to see the same number of true
+    * candidates — the FAISS guidance for IDSelector search. Here
+    * f ≈ 0.3 (3 of 10 labels) and nprobe = 6 → probe 10 of the 16
+    * lists (recall-vs-exact-filtered spec ≥ 0.8 pins it). */
+  val filteredNProbe: Int = 10
+
+  def filteredTopk(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CosineSim.cosine
+    val root = ivfPqIndexRoot(spark, dir)
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label"))
+    val keep = e.filter(col("label").isin(filterLabels.map(Integer.valueOf): _*))
+      .select(col("vec_id"), col("v"))
+    val cents = spark.read.parquet(s"$root/coarse_raw")
+    val assign = spark.read.parquet(s"$root/assign_raw")
+    val filteredAssign = assign
+      .join(broadcast(keep.select(col("vec_id"))), Seq("vec_id"), "left_semi")
+    val qAssign = assignToBuckets(
+        e.filter(col("vec_id") < 20).select(col("vec_id"), col("v")), cents, filteredNProbe)
+      .select(col("vec_id").as("q_id"), col("cid"))
+    val candidates = qAssign.join(filteredAssign, Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id")).distinct()
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    candidates
+      .join(e.select(col("vec_id").as("q_id"), col("v").as("vq")), Seq("q_id"))
+      .join(keep, Seq("vec_id"))
+      .withColumn("cos", round(cosine(col("vq"), col("v")), 6))
+      .withColumn("rk", row_number().over(wTop).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** Brute-force filtered ground truth for the recall/precision spec. */
+  private[graft] def filteredTopkExact(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CosineSim.cosine
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label"))
+    val keep = e.filter(col("label").isin(filterLabels.map(Integer.valueOf): _*))
+      .select(col("vec_id"), col("v"))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    e.filter(col("vec_id") < 20).select(col("vec_id").as("q_id"), col("v").as("vq"))
+      .crossJoin(keep)
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(cosine(col("vq"), col("v")), 6))
+      .withColumn("rk", row_number().over(wTop).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cos"))
+  }
+
   def ivfTopk(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.CosineSim.cosine
     val e = t(spark, dir, "embeddings")
@@ -1014,5 +1091,6 @@ object Similarity {
     GQuery("sim_index_build", indexBuild, None),
     GQuery("sim_index_add", indexAdd, None),
     GQuery("sim_range_search", rangeSearch, None),
+    GQuery("sim_filtered_topk", filteredTopk, None),
   )
 }

@@ -286,23 +286,26 @@ object SqlSurface {
     * split fires at bench scale; the spec asserts `skew=true` in the
     * executed join, the oracle replays the same data to check values
     * are unchanged by the split. */
-  /** Writes the deterministic skewed fact + dim tables; returns paths. */
+  /** The deterministic skewed fact + dim fixture — memoized per
+    * (lineitem fingerprint) via [[graft.util.artifactRoot]] so bench
+    * reps (and every spec JVM) measure the SKEW-SPLIT JOIN, not a
+    * repeated fixture write; returns (fact, dim) paths. */
   def q57SkewData(spark: SparkSession, dir: String): (String, String) = {
-    val fact = t(spark, dir, "lineitem")
-      .orderBy(col("l_orderkey"), col("l_linenumber")).limit(1000)
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-      .withColumn("rep", explode(expr("sequence(1, 50)")))
-      .withColumn("k",
-        when(col("rep") <= 49, 0L).otherwise(col("l_orderkey")))
-      .withColumn("payload",
-        md5(concat_ws("-", col("l_orderkey"), col("l_linenumber"), col("rep"))))
-    val lPath = graft.util.scratchDir("skewfact")
-    val rPath = graft.util.scratchDir("skewdim")
-    fact.repartition(4).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(lPath)
-    fact.select(col("k")).distinct()
-      .withColumn("attr", md5(col("k").cast("string")))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(rPath)
-    (lPath, rPath)
+    val root = artifactRoot(s"q57skew-${tableFingerprint(dir, "lineitem")}") { staged =>
+      val fact = t(spark, dir, "lineitem")
+        .orderBy(col("l_orderkey"), col("l_linenumber")).limit(1000)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .withColumn("rep", explode(expr("sequence(1, 50)")))
+        .withColumn("k",
+          when(col("rep") <= 49, 0L).otherwise(col("l_orderkey")))
+        .withColumn("payload",
+          md5(concat_ws("-", col("l_orderkey"), col("l_linenumber"), col("rep"))))
+      fact.repartition(4).write.parquet(s"$staged/fact")
+      fact.select(col("k")).distinct()
+        .withColumn("attr", md5(col("k").cast("string")))
+        .write.parquet(s"$staged/dim")
+    }
+    (s"$root/fact", s"$root/dim")
   }
 
   /** The scoped confs under which the skew split fires at test scale. */
@@ -381,20 +384,23 @@ object SqlSurface {
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
       .orderBy(col("o_orderpriority"))
 
-  /** The bare DPP join — exposed for the plan spec. */
+  /** The bare DPP join — exposed for the plan spec. The month-
+    * partitioned fact + calendar dim fixture is memoized per (orders
+    * fingerprint): bench reps measure the dynamically-pruned read, not
+    * the ~200-partition-dir write. */
   def q80Join(spark: SparkSession, dir: String): DataFrame = {
-    val factPath = graft.util.scratchDir("dpp_fact")
-    t(spark, dir, "orders")
-      .withColumn("pmonth", date_format(col("o_orderdate"), "yyyy-MM"))
-      .repartition(col("pmonth")) // one file per partition dir, not one per task
-      .write.partitionBy("pmonth").parquet(factPath)
-    val dimPath = graft.util.scratchDir("dpp_dim")
-    spark.read.parquet(factPath).select(col("pmonth")).distinct()
-      .withColumn("quarter", concat(substring(col("pmonth"), 1, 4), lit("-Q"),
-        expr("(cast(substring(pmonth, 6, 2) as int) - 1) div 3 + 1")))
-      .write.parquet(dimPath)
-    spark.read.parquet(factPath)
-      .join(spark.read.parquet(dimPath).filter(col("quarter") === "1999-Q1"),
+    val root = artifactRoot(s"dpp-${tableFingerprint(dir, "orders")}") { staged =>
+      t(spark, dir, "orders")
+        .withColumn("pmonth", date_format(col("o_orderdate"), "yyyy-MM"))
+        .repartition(col("pmonth")) // one file per partition dir, not one per task
+        .write.partitionBy("pmonth").parquet(s"$staged/fact")
+      spark.read.parquet(s"$staged/fact").select(col("pmonth")).distinct()
+        .withColumn("quarter", concat(substring(col("pmonth"), 1, 4), lit("-Q"),
+          expr("(cast(substring(pmonth, 6, 2) as int) - 1) div 3 + 1")))
+        .write.parquet(s"$staged/dim")
+    }
+    spark.read.parquet(s"$root/fact")
+      .join(spark.read.parquet(s"$root/dim").filter(col("quarter") === "1999-Q1"),
         Seq("pmonth"))
   }
 

@@ -1329,6 +1329,99 @@ object StreamingOps {
       |FROM last WHERE rn = 1 AND op <> 'd'
       |ORDER BY user_id""".stripMargin
 
+  /** One retraction-stream change row: the CDC apply's effect on a
+    * downstream aggregate — `d_keys`/`d_users` are +1/-1-signed monoid
+    * deltas (live-key count, live user_id sum) for `value`'s group. */
+  case class CdcDelta(value: String, d_keys: Long, d_users: Long)
+
+  /** CDC → INCREMENTAL VIEW, end-to-end — wires `stream_cdc_apply`'s
+    * changelog fold into `q71_incremental_view`'s partial-aggregate
+    * merge: the stateful operator emits a RETRACTION STREAM (Flink's
+    * retract-stream shape — net -old/+new deltas per key-state
+    * transition, including tombstone deletes), and the view is the
+    * running monoid sum of those deltas per group. Because count and
+    * sum are commutative monoids and the per-key fold is the same
+    * total-order max-by as [[CdcApplyProcessor]], the converged view
+    * is BIT-IDENTICAL to a full recompute over the CDC-applied table
+    * under any batch split or arrival order — which is exactly what
+    * the DuckDB oracle runs, so this entry is fully hash-checked.
+    * At 100 TB the deltas are answer-sized (one ±row per actual state
+    * change, never per input event) and the view refresh is
+    * O(deltas + |view|) — the streaming twin of q71's batch merge. */
+  final class CdcViewProcessor extends StatefulProcessor[Long, CdcOp, CdcDelta] {
+    @transient private var st: ValueState[CdcSnap] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[CdcSnap]("cdcview",
+        Encoders.product[CdcSnap], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[CdcOp],
+        timerValues: TimerValues): Iterator[CdcDelta] = {
+      val cur = Option(st.get())
+      var us = cur.map(_.us).getOrElse(Long.MinValue)
+      var eid = cur.map(_.event_id).getOrElse(Long.MinValue)
+      var value = cur.map(_.value).getOrElse("")
+      var deleted = cur.map(_.deleted).getOrElse(true)
+      var changed = false
+      rows.foreach { r =>
+        if (r.us > us || (r.us == us && r.event_id > eid)) {
+          us = r.us; eid = r.event_id
+          value = r.value; deleted = r.op == "d"; changed = true
+        }
+      }
+      if (!changed) Iterator.empty
+      else {
+        st.update(CdcSnap(key, value, us, eid, deleted, 0L))
+        val retract = cur.filter(!_.deleted)
+          .map(o => CdcDelta(o.value, -1L, -key)).toSeq
+        val insert = if (deleted) Seq.empty else Seq(CdcDelta(value, 1L, key))
+        (retract ++ insert).iterator
+      }
+    }
+  }
+
+  def streamCdcView(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import spark.implicits._
+      val name = uniq("cdc_view")
+      val q = cdcLog(spark, dir).as[CdcOp]
+        .groupByKey(_.user_id)
+        .transformWithState(new CdcViewProcessor, TimeMode.None(), OutputMode.Append())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      q.processAllAvailable(); q.stop()
+      // the view merge: monoid-sum the retraction stream per group —
+      // groups whose live count nets to zero leave the view
+      spark.table(name).groupBy(col("value"))
+        .agg(sum(col("d_keys")).as("n_live"), sum(col("d_users")).as("sum_user_ids"))
+        .filter(col("n_live") > 0)
+        .orderBy(col("value"))
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
+  /** Full recompute over the CDC-applied table — the incremental view
+    * must be indistinguishable from it. */
+  val streamCdcViewSql: String =
+    """WITH c AS (
+      |  SELECT user_id, event_id, event_type,
+      |         CASE WHEN event_id % 10 = 0 THEN 'd' ELSE 'u' END AS op,
+      |         date_trunc('microseconds', ts) AS ts
+      |  FROM events),
+      |last AS (
+      |  SELECT user_id, event_type, op,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM c),
+      |snap AS (
+      |  SELECT user_id, event_type AS value FROM last WHERE rn = 1 AND op <> 'd')
+      |SELECT value, count(*) AS n_live,
+      |       cast(sum(user_id) as bigint) AS sum_user_ids
+      |FROM snap GROUP BY value ORDER BY value""".stripMargin
+
   /** Input/state shapes of the streaming funnel. `us` is event-time
     * epoch micros (the batch twin's integer timeline); 0 = stage not
     * reached; `emit` is a per-key monotone sequence so the converged
@@ -1427,6 +1520,7 @@ object StreamingOps {
   val all: Seq[GQuery] = Seq(
     GQuery("stream_funnel", streamFunnel, Some(Analytics.q74Sql)),
     GQuery("stream_cdc_apply", streamCdcApply, Some(streamCdcApplySql)),
+    GQuery("stream_cdc_view", streamCdcView, Some(streamCdcViewSql)),
     GQuery("stream_chained_stateful", streamChainedStateful, Some(streamChainedStatefulSql)),
     GQuery("stream_dsv2_source", streamDsv2Source, Some(streamDsv2SourceSql)),
     GQuery("stream_dsv2_sink", streamDsv2Sink, Some(streamDsv2SinkSql)),

@@ -124,17 +124,23 @@ object FileSources {
         |  acc + shiftleft(shiftright(so, i) & 1, 2 * i)
         |      + shiftleft(shiftright(sp, i) & 1, 2 * i + 1))""".stripMargin)
     val files = 8
-    val zOut = uniq("zorder")
-    val sOut = uniq("sorted")
-    src.crossJoin(broadcast(b))
-      .withColumn("so", scaled("o_orderkey", col("o_lo"), col("o_hi")))
-      .withColumn("sp", scaled("o_custkey", col("p_lo"), col("p_hi")))
-      .withColumn("zv", z)
-      .select(col("o_orderkey"), col("o_custkey"), col("zv"))
-      .repartitionByRange(files, col("zv"))
-      .drop("zv").write.mode(SaveMode.Overwrite).parquet(zOut)
-    src.repartitionByRange(files, col("o_orderkey"))
-      .write.mode(SaveMode.Overwrite).parquet(sOut)
+    // both layouts memoized per (orders fingerprint): bench reps (and
+    // the span spec) measure the min/max-stat read path, not two
+    // repeated range-partitioned writes — and file boundaries become
+    // stable across runs
+    val root = artifactRoot(s"zorder-${tableFingerprint(dir, "orders")}-f$files") { staged =>
+      src.crossJoin(broadcast(b))
+        .withColumn("so", scaled("o_orderkey", col("o_lo"), col("o_hi")))
+        .withColumn("sp", scaled("o_custkey", col("p_lo"), col("p_hi")))
+        .withColumn("zv", z)
+        .select(col("o_orderkey"), col("o_custkey"), col("zv"))
+        .repartitionByRange(files, col("zv"))
+        .drop("zv").write.parquet(s"$staged/zorder")
+      src.repartitionByRange(files, col("o_orderkey"))
+        .write.parquet(s"$staged/sorted")
+    }
+    val zOut = s"$root/zorder"
+    val sOut = s"$root/sorted"
     def spans(path: String, layout: String): DataFrame = {
       // per-file min/max in ONE scan; global ranges fold from the same
       // 8 aggregate rows (max-of-maxes), no second pass over the data
@@ -272,25 +278,29 @@ object FileSources {
 
   /** The two-era pruned union read — exposed for the pruning spec. */
   def evolutionReader(spark: SparkSession, dir: String): DataFrame = {
-    val o = t(spark, dir, "orders")
-      .select(col("o_orderkey"), col("o_orderdate"),
-        col("o_orderpriority"), col("o_totalprice"))
-    val era1 = uniq("evo_month")
-    val era2 = uniq("evo_day")
     // repartition ON the partition column before each partitionBy write:
     // otherwise every task writes a file into every partition dir — at
     // sf0.1 the day era is ~200 dirs × 32 tasks of small files (measured
     // 14.8 s; ~3 s with the repartition). Same discipline as q70's
     // file_id write. Era-2 starts 2001: day-granularity layouts are for
     // the RECENT era, which is also why real tables evolve mid-history.
-    o.filter(col("o_orderdate") < "2001-01-01")
-      .withColumn("pmonth", date_format(col("o_orderdate"), "yyyy-MM"))
-      .repartition(col("pmonth"))
-      .write.partitionBy("pmonth").parquet(era1)
-    o.filter(col("o_orderdate") >= "2001-01-01")
-      .withColumn("pday", date_format(col("o_orderdate"), "yyyy-MM-dd"))
-      .repartition(col("pday"))
-      .write.partitionBy("pday").parquet(era2)
+    // The two-era layout is memoized per (orders fingerprint) — bench
+    // reps measure the two pruned scans, not the era writes.
+    val root = artifactRoot(s"evo-${tableFingerprint(dir, "orders")}") { staged =>
+      val o = t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"), col("o_totalprice"))
+      o.filter(col("o_orderdate") < "2001-01-01")
+        .withColumn("pmonth", date_format(col("o_orderdate"), "yyyy-MM"))
+        .repartition(col("pmonth"))
+        .write.partitionBy("pmonth").parquet(s"$staged/month")
+      o.filter(col("o_orderdate") >= "2001-01-01")
+        .withColumn("pday", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+        .repartition(col("pday"))
+        .write.partitionBy("pday").parquet(s"$staged/day")
+    }
+    val era1 = s"$root/month"
+    val era2 = s"$root/day"
     // the query: [2000-10-15, 2001-03-15] spans the era boundary
     val q1 = spark.read.parquet(era1)
       .filter(col("pmonth") >= "2000-10" && col("pmonth") <= "2001-03")

@@ -1,0 +1,183 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-9 pins: the cross-JVM artifact cache, the persisted dedup
+  * pair-graph (VERDICT r8 #2/#4), the shard-by-bytes boundary fixture
+  * (r8 #1), filtered ANN search (r8 #5), and the CDC → incremental
+  * view wiring (r8 #6).
+  */
+class Round9Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("artifactRoot builds once per key, publishes atomically, persists manifest") {
+    val key = s"spec-artifact-${java.util.UUID.randomUUID.toString.take(8)}"
+    var builds = 0
+    def build(staged: String): Unit = {
+      builds += 1
+      new java.io.File(staged).mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$staged/payload"), "x")
+    }
+    val r1 = util.artifactRoot(key)(build)
+    val r2 = util.artifactRoot(key)(build)
+    assert(r1 == r2 && builds == 1, s"memo miss: $builds builds")
+    assert(new java.io.File(r1, "_MANIFEST").isFile, "manifest missing after publish")
+    assert(new java.io.File(r1, "payload").isFile, "staged content not published")
+    // the published root is what a SECOND process would key on: the
+    // manifest alone must gate rebuilds (simulate by checking the
+    // directory outlives the memo — path is stable, not a scratch UUID)
+    assert(r1.endsWith(key), s"root $r1 not keyed stably")
+    util.registerShutdownDelete(r1) // test key: clean up at exit
+  }
+
+  test("dedup graph build is bit-deterministic across independent builds") {
+    val r1 = util.scratchDir("dedupgraph_det1")
+    val r2 = util.scratchDir("dedupgraph_det2")
+    operators.Dedup.buildDedupGraph(spark, sf, r1)
+    operators.Dedup.buildDedupGraph(spark, sf, r2)
+    def summary(root: String) = operators.Dedup.dedupArtifacts
+      .map(a => util.dfSummary(spark.read.parquet(s"$root/$a"), a))
+      .reduce(_ unionAll _).orderBy(col("artifact"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val s1 = summary(r1)
+    val s2 = summary(r2)
+    assert(s1.sameElements(s2),
+      s"dedup graph builds diverge:\n${s1.mkString("\n")}\nvs\n${s2.mkString("\n")}")
+    assert(s1.forall(_._2 > 0), s"empty dedup artifact: ${s1.mkString(", ")}")
+  }
+
+  test("persisted pairs_exact equals the live exact-Jaccard ground truth") {
+    val live = operators.Dedup.jaccardPairs(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val stored = operators.Dedup.jaccardPairsIndexed(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(stored == live, s"persisted pairs diverge from live ground truth")
+    assert(live.nonEmpty, "fixture has no near-dup pairs — spec is vacuous")
+  }
+
+  test("persisted components agree with live star-contraction labels") {
+    val root = operators.Dedup.dedupGraphRoot(spark, sf)
+    val stored = spark.read.parquet(s"$root/components")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val star = operators.Dedup.starLabels(
+        spark.read.parquet(s"$root/pairs_exact").select(col("a_id"), col("b_id")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(stored == star,
+      "propagation-built components diverge from star contraction over the same pairs")
+  }
+
+  test("shard-by-bytes exercises real boundaries and conserves bytes") {
+    val budget = 2048L
+    val rows = operators.Multimodal.shardByBytes(spark, sf).collect()
+    val bySource = rows.groupBy(_.getString(0))
+    // every source must split into >= 2 shards at oracle scale — a
+    // budget larger than any source would silently stop testing the
+    // boundary-absorption semantic (the r8 red row's second cause)
+    bySource.foreach { case (src, shards) =>
+      assert(shards.length >= 2, s"$src fits one shard — boundary untested")
+      // shard ids are the dense prefix 0..n-1 in order
+      assert(shards.map(_.getLong(1)).sorted.sameElements(0L until shards.length),
+        s"$src shard ids not dense")
+    }
+    // absorption: a blob crossing the boundary stays in the shard where
+    // it started, so some shard must exceed the budget
+    assert(rows.exists(_.getLong(3) > budget),
+      "no shard absorbed a boundary-crossing blob — semantic untested")
+    // conservation: shard bytes per source sum to the source's total
+    val totals = util.t(spark, sf, "documents")
+      .groupBy(col("source"))
+      .agg(sum(octet_length(encode(col("text"), "utf-8")).cast("long")).as("tot"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySource.foreach { case (src, shards) =>
+      assert(shards.map(_.getLong(3)).sum == totals(src), s"$src loses bytes")
+    }
+  }
+
+  test("filtered ANN: precision 1 on the predicate, recall >= 0.8 vs exact") {
+    val labels = operators.Similarity.filterLabels.toSet
+    val got = operators.Similarity.filteredTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val byId = util.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.nonEmpty, "filtered search returned nothing")
+    got.foreach { case (_, n) =>
+      assert(labels.contains(byId(n)), s"neighbor $n violates the metadata filter")
+    }
+    val want = operators.Similarity.filteredTopkExact(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = got.intersect(want).size.toDouble / want.size
+    assert(recall >= 0.8, f"filtered-ANN recall $recall%.3f < 0.8")
+  }
+
+  test("filtered ANN plan: label filter pushed to scan, id set broadcast, index read") {
+    val df = operators.Similarity.filteredTopk(spark, sf)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters") && physical.contains("label"),
+      "label predicate not pushed to the embeddings parquet scan")
+    assert(physical.contains("BroadcastHashJoin") || physical.contains("BroadcastExchange"),
+      "filtered id set not broadcast into the posting intersection")
+    val root = operators.Similarity.ivfPqIndexRoot(spark, sf)
+    assert(physical.contains(new java.io.File(root).getName),
+      "plan never scans the persisted index root")
+  }
+
+  test("cdc view converges under reversed arrival and equals the applied-table aggregate") {
+    import operators.StreamingOps.{CdcOp, CdcViewProcessor}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import spark.implicits._
+    val pk = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(pk)
+    spark.conf.set(pk,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val ctx = spark.sqlContext
+      val log = util.t(spark, sf, "events")
+        .select(col("user_id").cast("long").as("user_id"),
+          when(col("event_id") % 10 === 0, "d").otherwise("u").as("op"),
+          col("event_type").as("value"),
+          unix_micros(col("ts")).as("us"),
+          col("event_id").cast("long").as("event_id"))
+        .as[CdcOp].collect()
+      // adversarial delivery: reversed changelog split across batches —
+      // the retraction stream must still net out to the same view
+      val rev = log.sortBy(r => (-r.us, -r.event_id))
+      val (a, b) = rev.splitAt(rev.length / 2)
+      val ms = MemoryStream[CdcOp]
+      val q = ms.toDS().groupByKey(_.user_id)
+        .transformWithState(new CdcViewProcessor, TimeMode.None(), OutputMode.Append())
+        .writeStream.format("memory").queryName("cdc_view_rev")
+        .option("checkpointLocation", util.scratchDir("cdc_view_rev_cp"))
+        .outputMode(OutputMode.Append).start()
+      ms.addData(a.toIndexedSeq); q.processAllAvailable()
+      ms.addData(b.toIndexedSeq); q.processAllAvailable()
+      q.stop()
+      val got = spark.table("cdc_view_rev").groupBy(col("value"))
+        .agg(sum(col("d_keys")).as("n_live"), sum(col("d_users")).as("sum_user_ids"))
+        .filter(col("n_live") > 0)
+        .orderBy(col("value"))
+        .collect().map(_.toSeq).toSeq
+      // full recompute over the CDC-applied table — the incremental
+      // view must be bit-identical to it
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("us").desc, col("event_id").desc)
+      val want = log.toSeq.toDF()
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("op") =!= "d")
+        .groupBy(col("value"))
+        .agg(count(lit(1)).as("n_live"), sum(col("user_id")).as("sum_user_ids"))
+        .orderBy(col("value"))
+        .collect().map(_.toSeq).toSeq
+      assert(got == want, s"incremental view diverges from recompute:\n$got\nvs\n$want")
+    } finally {
+      prevProv match {
+        case Some(v) => spark.conf.set(pk, v)
+        case None => spark.conf.unset(pk)
+      }
+    }
+  }
+}
