@@ -370,6 +370,147 @@ object Similarity {
   def indexBuild(spark: SparkSession, dir: String): DataFrame =
     indexSummary(spark, ivfPqIndexRoot(spark, dir))
 
+  /** EMBEDDING DRIFT diagnostics — the monitoring table an embedding
+    * pipeline publishes per batch: did the vector distribution move
+    * between two populations (model version A/B, yesterday/today,
+    * train/serve)? Populations here are the deterministic vec_id
+    * parity halves; per label the entry reports both counts and the
+    * squared L2 distance between the halves' CENTROIDS — the
+    * first-moment drift statistic (CLT: ~2σ²·dim/n under no drift,
+    * so a stable embedding space shows dist2 ≈ 0.0x at these n).
+    * Float discipline: per-(label, pos) means use exact decimal
+    * accumulation (the dsum discipline) rounded to the 1e-9 grid;
+    * the 64 squared differences are EXACT decimal arithmetic summed
+    * in decimal — no float reassociation anywhere, so the statistic
+    * is bit-reproducible and the entry FULLY oracle-checked. One
+    * posexplode + one (label, pos) shuffle; at 100 TB the same plan
+    * emits per-day partitions of a drift dashboard. */
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val means = t(spark, dir, "embeddings")
+      .select(col("label"), (col("vec_id") % 2).cast("int").as("half"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("half"), col("pos"))
+      .agg(round(sum(col("x").cast("decimal(22,12)")).cast("double") / count(lit(1)), 9)
+        .cast("decimal(22,9)").as("m"),
+        count(lit(1)).as("n"))
+    means.groupBy(col("label"), col("pos"))
+      .agg(min(when(col("half") === 0, col("m"))).as("ma"),
+        min(when(col("half") === 1, col("m"))).as("mb"),
+        min(when(col("half") === 0, col("n"))).as("na"),
+        min(when(col("half") === 1, col("n"))).as("nb"))
+      // square in DOUBLE, not decimal: Spark caps decimal products at
+      // precision 38 by silently REDUCING scale (a (23,9)×(23,9)
+      // product re-rounds to scale 10) while DuckDB handles the
+      // overflow differently — the per-pos difference is on the exact
+      // 1e-9 grid, so its double image and square are engine-identical,
+      // and the 1e-12-rounded squares sum exactly in decimal
+      .withColumn("dd", (col("ma") - col("mb")).cast("double"))
+      .withColumn("sq", round(col("dd") * col("dd"), 12).cast("decimal(16,12)"))
+      .groupBy(col("label"))
+      .agg(min(col("na")).as("n_a"), min(col("nb")).as("n_b"),
+        round(sum(col("sq")).cast("double"), 9).as("centroid_dist2"))
+      .orderBy(col("label"))
+  }
+
+  val embeddingDriftSql: String =
+    """WITH xs AS (
+      |  SELECT label, cast(vec_id % 2 as int) AS half,
+      |    generate_subscripts(embedding, 1) - 1 AS pos,
+      |    unnest(embedding::DOUBLE[]) AS x
+      |  FROM embeddings),
+      |means AS (
+      |  SELECT label, half, pos,
+      |    cast(round(cast(sum(cast(x as decimal(22,12))) as double) / count(*), 9)
+      |      as decimal(22,9)) AS m,
+      |    count(*) AS n
+      |  FROM xs GROUP BY 1, 2, 3),
+      |paired AS (
+      |  SELECT label, pos,
+      |    min(CASE WHEN half = 0 THEN m END) AS ma,
+      |    min(CASE WHEN half = 1 THEN m END) AS mb,
+      |    min(CASE WHEN half = 0 THEN n END) AS na,
+      |    min(CASE WHEN half = 1 THEN n END) AS nb
+      |  FROM means GROUP BY 1, 2),
+      |sq AS (
+      |  SELECT label, na, nb,
+      |    cast(round(cast(ma - mb as double) * cast(ma - mb as double), 12)
+      |      as decimal(16,12)) AS sq
+      |  FROM paired)
+      |SELECT label, min(na) AS n_a, min(nb) AS n_b,
+      |  round(cast(sum(sq) as double), 9) AS centroid_dist2
+      |FROM sq GROUP BY label ORDER BY label""".stripMargin
+
+  /** HYBRID RETRIEVAL via reciprocal-rank fusion (Cormack et al.
+    * SIGIR'09 — the fusion every production search stack runs when it
+    * has both a lexical and a vector index): fuse BM25 top-20 (from
+    * [[TextAnalysis.bm25Scores]], candidate-linear inverted-index
+    * retrieval) with exact-cosine top-20 per query on
+    * RRF(d) = Σ_retrievers 1/(60 + rank_r(d)) — rank fusion needs no
+    * score calibration between incommensurable scales, which is why
+    * it beats score interpolation in practice. Queries are ids < 5 in
+    * both spaces (documents ↔ embeddings share ids). Both rank lists
+    * are deterministic (score ties broken by id), the reciprocal
+    * terms are exact-integer double divisions summed in written
+    * order, so the fused ranking is FULLY oracle-checked — DuckDB
+    * replays BM25, brute-force cosine, and the FULL OUTER fusion
+    * join. At 100 TB each leg is its own indexed top-k (postings /
+    * ANN) and the fusion join is answer-sized: queries × ≤ 40 rows. */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CosineSim.cosine
+    val wT = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("doc_id"))
+    val textRanks = TextAnalysis.bm25Scores(spark, dir)
+      .withColumn("rt", row_number().over(wT).cast("long"))
+      .filter(col("rt") <= 20)
+      .select(col("q_id"), col("doc_id"), col("rt"))
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val wV = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("doc_id"))
+    val vecRanks = e.join(broadcast(e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("vq"))),
+        col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(cosine(col("vq"), col("v")), 6))
+      .select(col("q_id"), col("vec_id").as("doc_id"), col("cos"))
+      .withColumn("rv", row_number().over(wV).cast("long"))
+      .filter(col("rv") <= 20)
+      .select(col("q_id"), col("doc_id"), col("rv"))
+    val wF = Window.partitionBy(col("q_id")).orderBy(col("rrf").desc, col("doc_id"))
+    textRanks.join(vecRanks, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf", expr(
+        "round(coalesce(1.0 / (60 + rt), 0.0) + coalesce(1.0 / (60 + rv), 0.0), 9)"))
+      .withColumn("rk", row_number().over(wF).cast("long"))
+      .filter(col("rk") <= 10)
+      .select(col("q_id"), col("rk"), col("doc_id"), col("rrf"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  val hybridRrfSql: String =
+    s"""WITH ${TextAnalysis.bm25SqlCtes},
+       |trank AS (
+       | SELECT q_id, doc_id, rt FROM (
+       |  SELECT q_id, doc_id, cast(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY score DESC, doc_id) as bigint) AS rt FROM bm25)
+       | WHERE rt <= 20),
+       |vrank AS (
+       | SELECT q_id, doc_id, rv FROM (
+       |  SELECT q.vec_id AS q_id, e.vec_id AS doc_id,
+       |   cast(row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |    round(list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) /
+       |     (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+       |      sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6)
+       |    DESC, e.vec_id) as bigint) AS rv
+       |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 5)
+       | WHERE rv <= 20),
+       |fused AS (
+       | SELECT coalesce(t.q_id, v.q_id) AS q_id,
+       |  coalesce(t.doc_id, v.doc_id) AS doc_id,
+       |  round(coalesce(1.0 / (60 + rt), 0.0) + coalesce(1.0 / (60 + rv), 0.0), 9) AS rrf
+       | FROM trank t FULL JOIN vrank v ON t.q_id = v.q_id AND t.doc_id = v.doc_id)
+       |SELECT q_id, rk, doc_id, rrf FROM (
+       | SELECT *, cast(row_number() OVER (PARTITION BY q_id
+       |   ORDER BY rrf DESC, doc_id) as bigint) AS rk FROM fused)
+       |WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin
+
   /** MAX-INNER-PRODUCT top-k (MIPS) — the retrieval scoring most
     * recommender / two-tower models actually use (unnormalized dot
     * product: popularity lives in the magnitude), which cosine ANN
@@ -1092,5 +1233,7 @@ object Similarity {
     GQuery("sim_index_add", indexAdd, None),
     GQuery("sim_range_search", rangeSearch, None),
     GQuery("sim_filtered_topk", filteredTopk, None),
+    GQuery("sim_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
+    GQuery("sim_embedding_drift", embeddingDrift, Some(embeddingDriftSql)),
   )
 }

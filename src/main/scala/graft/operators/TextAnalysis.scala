@@ -118,6 +118,92 @@ object TextAnalysis {
       | FROM scored)
       |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
+  /** Okapi BM25 ranked retrieval (Robertson et al., TREC-3; the
+    * Lucene-default scoring function) — the missing middle of the
+    * text stack between `text_inverted_index` (the index) and
+    * `text_tfidf_top_terms` (per-doc keywords): score DOCUMENTS
+    * against QUERIES and return ranked results. Queries are the
+    * doc_id < 5 documents (more-like-this retrieval); candidates come
+    * from the inverted-index join on shared terms — candidate-linear,
+    * the production retrieval shape (never queries × corpus).
+    *
+    * Cross-engine float discipline (what makes this fully
+    * oracle-checkable where naive BM25 is not): the only libm call,
+    * ln(), is quantized per TERM to an integer micro-idf
+    * (`idf6 = round(idf · 1e6)`), so a last-ulp ln() divergence
+    * between JVM and DuckDB would need to land within 1e-16 of a
+    * 5e-7 rounding midpoint on one of ~5k terms to matter; every
+    * other factor is integer-derived double arithmetic (exactly
+    * rounded IEEE ops, identical in both engines, written in the
+    * same evaluation order); per-term contributions are rounded to
+    * the 1e-9 grid and summed EXACTLY in decimal(20,9) — the `dsum`
+    * discipline — so the (q, d) score never depends on Spark's
+    * partition-summation order. k1 = 1.2, b = 0.75. */
+  def bm25Scores(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val terms = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = df_.crossJoin(broadcast(stats.select(col("n_docs"))))
+      .withColumn("idf6",
+        expr("cast(round(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * 1e6) as bigint)"))
+      .select(col("term"), col("idf6"))
+    val qterms = terms.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("q_id"), col("term")).distinct()
+    qterms.join(tf, Seq("term"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(broadcast(idf), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats.select(col("avgdl"))))
+      .withColumn("c", expr(
+        "round((idf6 / 1e6) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 9)"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(round(sum(col("c").cast(org.apache.spark.sql.types.DecimalType(20, 9)))
+        .cast("double"), 6).as("score"))
+  }
+
+  /** The BM25 CTE chain shared by the retrieval oracle and the hybrid
+    * fusion oracle. */
+  private[operators] val bm25SqlCtes: String =
+    """terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY 1),
+      |stats AS (SELECT count(*) AS n_docs,
+      |          cast(sum(dl) as double) / count(*) AS avgdl FROM dl),
+      |idf AS (SELECT term,
+      |  cast(round(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * 1e6) as bigint) AS idf6
+      | FROM (SELECT term, count(*) AS df FROM tf GROUP BY 1) CROSS JOIN stats),
+      |q AS (SELECT DISTINCT doc_id AS q_id, term FROM terms WHERE doc_id < 5),
+      |contrib AS (
+      | SELECT q.q_id, tf.doc_id,
+      |  round((idf6 / 1e6) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 9) AS c
+      | FROM q JOIN tf USING (term) JOIN idf USING (term)
+      |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+      | WHERE tf.doc_id <> q.q_id),
+      |bm25 AS (SELECT q_id, doc_id,
+      |  round(cast(sum(cast(c as decimal(20,9))) as double), 6) AS score
+      | FROM contrib GROUP BY 1, 2)""".stripMargin
+
+  def bm25Topk(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("doc_id"))
+    bm25Scores(spark, dir)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("rk"), col("doc_id"), col("score"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  val bm25TopkSql: String =
+    s"""WITH $bm25SqlCtes
+       |SELECT q_id, rk, doc_id, score FROM (
+       | SELECT *, cast(row_number() OVER (PARTITION BY q_id
+       |   ORDER BY score DESC, doc_id) as bigint) AS rk
+       | FROM bm25)
+       |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
   /** Marker-word language ID (n-gram-style heuristic): vote per
     * language marker list, argmax with alphabetical tie-break,
     * 'unknown' when nothing matches. */
@@ -1067,6 +1153,7 @@ object TextAnalysis {
     GQuery("text_lang_stats", langStats, Some(langStatsSql)),
     GQuery("text_quality_score", qualityScore, Some(qualityScoreSql)),
     GQuery("text_tfidf_top_terms", tfidfTopTerms, Some(tfidfTopTermsSql)),
+    GQuery("text_bm25_topk", bm25Topk, Some(bm25TopkSql)),
     GQuery("text_lang_id", langId, Some(langIdSql)),
     GQuery("text_fingerprint", fingerprint, None),
   )

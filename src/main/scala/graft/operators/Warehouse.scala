@@ -471,6 +471,47 @@ object Warehouse {
     monthly.unionAll(overall).unionAll(ov).orderBy(col("scope"))
   }
 
+  /** Sketch-based JOIN-CARDINALITY estimation — the query-optimizer
+    * capability behind every CBO join reorder: predict |A ⋈ B| on a
+    * key from per-TABLE statistics, never by running the join. Each
+    * side contributes one scan collecting (rows, distinct keys, KMV
+    * sketch of the key); a candidate join is then costed in O(k) from
+    * the sketch pair: est_overlap = KMV theta-intersection of the two
+    * key sets, est_rows = overlap · (rowsA/dA) · (rowsB/dB) — the
+    * System-R uniform-frequency model with the sketch replacing the
+    * containment guess, which is where naive CBO estimates go wrong
+    * on filtered/partial key spaces. At 100 TB the per-table sketch
+    * pass amortizes over EVERY candidate join in the plan space
+    * (k · tables bytes of state); the exact join count here is the
+    * referee column, not part of the estimator. Sketch-routed →
+    * rows-only; the spec bounds relative error on every row. */
+  def metaJoinEstimate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KmvSketch._
+    val k = 512
+    def side(table: String, keyCol: String): DataFrame =
+      t(spark, dir, table).select(col(keyCol).as("key"))
+        .agg(count(lit(1)).as("rows"), countDistinct(col("key")).as("d"),
+          kmvSketch(col("key"), k).as("sk"))
+        .select(lit(table).as("tbl"), col("rows"), col("d"), col("sk"))
+    val joins = Seq(
+      ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+      ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"))
+    joins.map { case (name, ta, ka, tb, kb) =>
+      val exact = t(spark, dir, ta).select(col(ka).as("key"))
+        .join(t(spark, dir, tb).select(col(kb).as("key")), Seq("key"))
+        .count()
+      side(ta, ka).crossJoin(side(tb, kb).select(
+          col("rows").as("rows_b"), col("d").as("d_b"), col("sk").as("sk_b")))
+        .select(lit(name).as("join_name"),
+          round(kmvIntersect(col("sk"), col("sk_b")), 2).as("est_overlap"),
+          round(kmvIntersect(col("sk"), col("sk_b")) *
+            (col("rows").cast("double") / col("d")) *
+            (col("rows_b").cast("double") / col("d_b")), 2).as("est_rows"),
+          lit(exact).as("exact_rows"))
+    }.reduce(_ unionAll _).orderBy(col("join_name"))
+  }
+
   /** Mergeable QUANTILE summaries from bounded uniform row samples —
     * the percentile companion of the HLL/KMV/CMS sketch tables: each
     * month keeps only the 256 rows with the smallest engine-replayable
@@ -603,6 +644,7 @@ object Warehouse {
     GQuery("q71_incremental_view", q71IncrementalView, Some(q71Sql)),
     GQuery("meta_hll_sketches", metaHllSketches, None),
     GQuery("meta_kmv_overlap", metaKmvOverlap, None),
+    GQuery("meta_join_estimate", metaJoinEstimate, None),
     GQuery("meta_quantile_sketch", metaQuantileSketch, Some(metaQuantileSketchSql)),
     GQuery("meta_expectations", metaExpectations, Some(metaExpectationsSql)),
   )

@@ -125,6 +125,19 @@ class Round9Spec extends AnyFunSuite {
       "plan never scans the persisted index root")
   }
 
+  test("sketch join-cardinality estimates land within 25% of exact") {
+    val rows = operators.Warehouse.metaJoinEstimate(spark, sf).collect()
+    assert(rows.length == 3, "expected one estimate per declared join")
+    rows.foreach { r =>
+      val (name, est, exact) = (r.getString(0), r.getDouble(2), r.getLong(3))
+      assert(exact > 0, s"$name: degenerate fixture")
+      val relErr = math.abs(est - exact) / exact
+      // k=512 bottom-k sketch: theta-intersection error ~1/sqrt(k) ≈ 4.4%
+      // plus the uniform-frequency model error — 25% is the CBO-grade bound
+      assert(relErr <= 0.25, f"$name: est $est%.1f vs exact $exact (relErr $relErr%.3f)")
+    }
+  }
+
   test("cdc view converges under reversed arrival and equals the applied-table aggregate") {
     import operators.StreamingOps.{CdcOp, CdcViewProcessor}
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
