@@ -40,22 +40,41 @@ object Graph {
     * state, and the ranks side of the join is node-linear. The oracle
     * replays the identical five steps as an unrolled CTE chain.
     */
-  def pageRank(spark: SparkSession, dir: String): DataFrame = {
-    val orders = t(spark, dir, "orders")
-    val lineitem = t(spark, dir, "lineitem")
-    val pairs = orders
-      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).cast("long").as("c"),
-        (col("l_suppkey") * 2 + 1).cast("long").as("s"))
-      .distinct()
-    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
-      .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+  /** Memoized trade-graph derivations — every graph entry used to
+    * re-derive (and re-write) its edge table per execution; the edge
+    * tables are pure functions of (orders, lineitem), so they live in
+    * the cross-JVM artifact cache like the ANN index and the dedup
+    * graph. Artifacts: `sym` (symmetric customer↔supplier edges),
+    * `symdeg` (degree-annotated, the PageRank/PPR superstep input),
+    * `cosupply` (the top-K co-supply projection — the quadratic
+    * build, the one that matters most to amortize), `backbone`
+    * (strong-tie bipartite edges for LPA). The supersteps stay live
+    * per entry — they ARE the declared operators. */
+  private def tradeGraphRoot(spark: SparkSession, dir: String): String =
+    artifactRoot(s"tradegraph-${tableFingerprint(dir, "orders")}-${tableFingerprint(dir, "lineitem")}") { staged =>
+      val pairs = t(spark, dir, "orders")
+        .join(t(spark, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).cast("long").as("c"),
+          (col("l_suppkey") * 2 + 1).cast("long").as("s"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+        .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
+      edges.write.parquet(s"$staged/sym")
+      val sym = spark.read.parquet(s"$staged/sym")
+      val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      sym.join(deg, "src").write.parquet(s"$staged/symdeg")
+      topCoSupplyEdges(spark, dir).write.parquet(s"$staged/cosupply")
+      t(spark, dir, "orders")
+        .join(t(spark, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_quantity") >= 48)
+        .select((col("o_custkey") * 2).cast("long").as("c"),
+          (col("l_suppkey") * 2 + 1).cast("long").as("s"))
+        .distinct()
+        .write.parquet(s"$staged/backbone")
+    }
 
-    // materialize the per-superstep input once (checkpoint pattern)
-    val edgePath = scratchDir("pagerank_edges")
-    edges.join(deg, "src").write.parquet(edgePath)
-    val withDeg = spark.read.parquet(edgePath)
+  def pageRank(spark: SparkSession, dir: String): DataFrame = {
+    val withDeg = spark.read.parquet(s"${tradeGraphRoot(spark, dir)}/symdeg")
 
     var ranks = withDeg.select(col("src").as("node")).distinct()
       .withColumn("r", lit(1000000L))
@@ -113,19 +132,7 @@ object Graph {
     * 100 TB the ranks side is proportional to the REACHED set, not
     * the graph). */
   def personalizedPageRank(spark: SparkSession, dir: String): DataFrame = {
-    val orders = t(spark, dir, "orders")
-    val lineitem = t(spark, dir, "lineitem")
-    val pairs = orders
-      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).cast("long").as("c"),
-        (col("l_suppkey") * 2 + 1).cast("long").as("s"))
-      .distinct()
-    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
-      .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    val edgePath = scratchDir("ppr_edges")
-    edges.join(deg, "src").write.parquet(edgePath)
-    val withDeg = spark.read.parquet(edgePath)
+    val withDeg = spark.read.parquet(s"${tradeGraphRoot(spark, dir)}/symdeg")
     val seeds = withDeg.select(col("src").as("node")).distinct()
       .filter(col("node") % 2 === 0 && expr("(node div 2) % 25 = 0"))
       .localCheckpoint(true) // feeds the teleport join every superstep
@@ -209,15 +216,7 @@ object Graph {
     // 48.5k edges → 1 community unfiltered, 3.5k edges → 36
     // communities at >= 48). The thresholded-backbone projection is
     // the standard preprocessing for co-occurrence community mining.
-    val pairs = t(spark, dir, "orders")
-      .join(t(spark, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-      .filter(col("l_quantity") >= 48)
-      .select((col("o_custkey") * 2).cast("long").as("c"),
-        (col("l_suppkey") * 2 + 1).cast("long").as("s"))
-      .distinct()
-    val ePath = scratchDir("lpa_edges")
-    pairs.write.parquet(ePath)
-    val ed = spark.read.parquet(ePath)
+    val ed = spark.read.parquet(s"${tradeGraphRoot(spark, dir)}/backbone")
     def mode(joined: DataFrame, nodeCol: String): DataFrame = {
       val w = Window.partitionBy(col(nodeCol)).orderBy(col("n").desc, col("label"))
       joined.groupBy(col(nodeCol), col("label")).agg(count(lit(1)).as("n"))
@@ -321,9 +320,7 @@ object Graph {
     // degree both ends) — materialize it ONCE or the whole
     // co-occurrence chain re-executes per reference (same checkpoint
     // discipline as pageRank's edge table)
-    val ePath = scratchDir("triangle_edges")
-    topCoSupplyEdges(spark, dir).write.parquet(ePath)
-    val e = spark.read.parquet(ePath)
+    val e = spark.read.parquet(s"${tradeGraphRoot(spark, dir)}/cosupply")
     val tri = e.as("e1")
       .join(e.as("e2"), col("e1.b") === col("e2.a"))
       .join(e.as("e3"),
@@ -387,16 +384,7 @@ object Graph {
     * (not ALL) dedup, so the walk enumeration stays (nodes × hops)
     * there too. */
   def shortestPaths(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = t(spark, dir, "orders")
-      .join(t(spark, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).cast("long").as("c"),
-        (col("l_suppkey") * 2 + 1).cast("long").as("s"))
-      .distinct()
-    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
-      .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
-    val ePath = scratchDir("bfs_edges")
-    edges.write.parquet(ePath)
-    val e = spark.read.parquet(ePath)
+    val e = spark.read.parquet(s"${tradeGraphRoot(spark, dir)}/sym")
     val srcId = e.agg(min(col("src"))).first().getLong(0) // scalar, metadata-sized
 
     var dist = spark.range(1)
@@ -436,16 +424,7 @@ object Graph {
     * the same predicate in both engines. The per-round frontier trace
     * (message-volume collapse + self-termination) is spec-asserted. */
   private[graft] def frontierBfs(spark: SparkSession, dir: String): (DataFrame, Seq[Long]) = {
-    val pairs = t(spark, dir, "orders")
-      .join(t(spark, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).cast("long").as("c"),
-        (col("l_suppkey") * 2 + 1).cast("long").as("s"))
-      .distinct()
-    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
-      .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
-    val ePath = scratchDir("bfs_frontier_edges")
-    edges.write.parquet(ePath)
-    val e = spark.read.parquet(ePath)
+    val e = spark.read.parquet(s"${tradeGraphRoot(spark, dir)}/sym")
     val srcId = e.agg(min(col("src"))).first().getLong(0)
 
     var settled = spark.range(1)
@@ -513,9 +492,7 @@ object Graph {
     * read settled blocks. The oracle unrolls the identical three
     * rounds as a CTE chain with the identical integral k. */
   def kcorePeel(spark: SparkSession, dir: String): DataFrame = {
-    val ePath = scratchDir("kcore_edges")
-    topCoSupplyEdges(spark, dir).write.parquet(ePath)
-    val base = spark.read.parquet(ePath)
+    val base = spark.read.parquet(s"${tradeGraphRoot(spark, dir)}/cosupply")
     var e = base.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(base.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint()
