@@ -349,6 +349,86 @@ object Analytics {
     * wide); the fill is one window pass partitioned by user — at
     * 100 TB both scale with the user count, and the sequence() spine
     * costs no scan at all. */
+  /** MULTI-TOUCH ATTRIBUTION — the marketing-analytics primitive over
+    * the event stream: every `purchase` (conversion) credits the
+    * user's PRECEDING non-purchase touches under three standard
+    * models in one pass over the same conversion×touch relation —
+    * first-touch (earliest touch takes the credit), last-touch
+    * (latest), and linear (each of the n touches gets 1/n, held as
+    * exact integer micro-credits `1000000 div n` so both engines
+    * agree bit-for-bit; floor division makes per-conversion credit
+    * ≤ 1e6 — the standard integral-credit trick). "Preceding" is the
+    * strict (ts, event_id) total order, so equal-timestamp events
+    * resolve deterministically. The conversion×touch join is keyed on
+    * user_id — per-user work is touches × conversions of THAT user,
+    * never cross-user; the two credit picks are per-conversion top-1
+    * windows (answer-sized). Fully oracle-checked. */
+  def q82Attribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("conv_id"), col("us").as("cus"))
+    val touch = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_type").as("touch_type"),
+        col("event_id").as("touch_id"), col("us").as("tus"))
+    val joined = conv.join(touch, Seq("user_id"))
+      .filter(col("tus") < col("cus") ||
+        (col("tus") === col("cus") && col("touch_id") < col("conv_id")))
+      .select(col("conv_id"), col("touch_type"), col("touch_id"), col("tus"))
+    val wF = Window.partitionBy(col("conv_id")).orderBy(col("tus"), col("touch_id"))
+    val wL = Window.partitionBy(col("conv_id")).orderBy(col("tus").desc, col("touch_id").desc)
+    val wN = Window.partitionBy(col("conv_id"))
+    val first = joined.withColumn("rn", row_number().over(wF)).filter(col("rn") === 1)
+      .groupBy(col("touch_type")).agg(count(lit(1)).as("first_touch"))
+    val last = joined.withColumn("rn", row_number().over(wL)).filter(col("rn") === 1)
+      .groupBy(col("touch_type")).agg(count(lit(1)).as("last_touch"))
+    val linear = joined.withColumn("n", count(lit(1)).over(wN))
+      .groupBy(col("touch_type"))
+      .agg(sum(expr("1000000 div n")).cast("long").as("linear_micro"))
+    first.join(last, Seq("touch_type"), "full_outer")
+      .join(linear, Seq("touch_type"), "full_outer")
+      .select(col("touch_type"),
+        coalesce(col("first_touch"), lit(0L)).as("first_touch"),
+        coalesce(col("last_touch"), lit(0L)).as("last_touch"),
+        coalesce(col("linear_micro"), lit(0L)).as("linear_micro"))
+      .orderBy(col("touch_type"))
+  }
+
+  val q82Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events),
+      |conv AS (
+      |  SELECT user_id, event_id AS conv_id, us AS cus
+      |  FROM ev WHERE event_type = 'purchase'),
+      |touch AS (
+      |  SELECT user_id, event_type AS touch_type, event_id AS touch_id, us AS tus
+      |  FROM ev WHERE event_type <> 'purchase'),
+      |joined AS (
+      |  SELECT conv_id, touch_type, touch_id, tus
+      |  FROM conv JOIN touch USING (user_id)
+      |  WHERE tus < cus OR (tus = cus AND touch_id < conv_id)),
+      |firsts AS (
+      |  SELECT touch_type, count(*) AS first_touch FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY conv_id
+      |      ORDER BY tus, touch_id) AS rn FROM joined)
+      |  WHERE rn = 1 GROUP BY 1),
+      |lasts AS (
+      |  SELECT touch_type, count(*) AS last_touch FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY conv_id
+      |      ORDER BY tus DESC, touch_id DESC) AS rn FROM joined)
+      |  WHERE rn = 1 GROUP BY 1),
+      |lin AS (
+      |  SELECT touch_type, cast(sum(1000000 // n) as bigint) AS linear_micro FROM (
+      |    SELECT touch_type, count(*) OVER (PARTITION BY conv_id) AS n FROM joined)
+      |  GROUP BY 1)
+      |SELECT touch_type,
+      |  coalesce(first_touch, 0) AS first_touch,
+      |  coalesce(last_touch, 0) AS last_touch,
+      |  coalesce(linear_micro, 0) AS linear_micro
+      |FROM firsts FULL JOIN lasts USING (touch_type) FULL JOIN lin USING (touch_type)
+      |ORDER BY touch_type""".stripMargin
+
   /** TIME-WEIGHTED average — the aggregate time-series stores treat as
     * primitive and plain AVG silently gets wrong on irregular samples:
     * a reading "holds" until the next one, so it weighs by its HOLD
@@ -755,6 +835,7 @@ object Analytics {
     GQuery("q63_posexplode", q63Posexplode, Some(q63Sql)),
     GQuery("q64_gap_fill", q64GapFill, Some(q64Sql)),
     GQuery("q81_time_weighted_avg", q81TimeWeightedAvg, Some(q81Sql)),
+    GQuery("q82_attribution", q82Attribution, Some(q82Sql)),
     GQuery("q65_zscore_anomaly", q65ZscoreAnomaly, Some(q65Sql)),
     GQuery("q49_salted_join", q49SaltedJoin, Some(q49Sql)),
     GQuery("q47_array_funcs", q47ArrayFuncs, Some(q47Sql)),
