@@ -149,7 +149,7 @@ object Dedup {
     * pair, then BOTH directions scored from the one count — the
     * asymmetry is free. Deterministic ⇒ fully oracle-checked. */
   def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir).cache()
+    val sh = shinglesIndexed(spark, dir)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.select(col("doc_id").as("a_id"), col("s"))
       .join(sh.select(col("doc_id").as("b_id"), col("s")), Seq("s"))
@@ -304,7 +304,7 @@ object Dedup {
     * strict subset of pairs sharing ANY shingle). */
   private[graft] def prefixFilterParts(
       spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
-    val sh = shingles(spark, dir).cache()
+    val sh = shinglesIndexed(spark, dir)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
@@ -373,6 +373,10 @@ object Dedup {
   def jaccardPairsIndexed(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"${dedupGraphRoot(spark, dir)}/pairs_exact")
       .orderBy(col("a_id"), col("b_id"))
+
+  /** The persisted shingle relation (doc_id, s). */
+  private def shinglesIndexed(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${dedupGraphRoot(spark, dir)}/shingles")
 
   def minhashLshIndexed(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"${dedupGraphRoot(spark, dir)}/pairs_minhash")
@@ -453,7 +457,7 @@ object Dedup {
     * relation: the probe side is the (small) eval shingle set, the
     * build side streams; output is linear in eval size. */
   def contamination(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir)
+    val sh = shinglesIndexed(spark, dir)
     val train = sh.filter(col("doc_id") % 2 === 0).select(col("s"))
     val eval_ = sh.filter(col("doc_id") % 2 === 1)
     eval_.join(train, Seq("s"), "left_semi")
@@ -710,12 +714,15 @@ object Dedup {
   // same tables live on the object store keyed by table version.
   // ------------------------------------------------------------------
 
-  /** The four artifact names under a dedup-graph root. */
-  val dedupArtifacts: Seq[String] = Seq("sigs", "pairs_exact", "pairs_minhash", "components")
+  /** The artifact names under a dedup-graph root. */
+  val dedupArtifacts: Seq[String] =
+    Seq("shingles", "sigs", "pairs_exact", "pairs_minhash", "components")
 
   /** Param fingerprint: shingle width, Jaccard threshold, minhash
-    * geometry — a changed knob must never reuse stale pairs. */
-  private def dedupParamsKey: String = s"sh3-j0.8-mh${mhHashes}x$mhBands"
+    * geometry — a changed knob must never reuse stale pairs. The `v2`
+    * marks the artifact-set revision (round 9 added `shingles`); a
+    * root published under the old set must not satisfy the new one. */
+  private def dedupParamsKey: String = s"sh3-j0.8-mh${mhHashes}x$mhBands-v2"
 
   /** Build every derived dedup relation under `root` (parquet):
     *  - `sigs`         (doc_id, h0..h15, n) — minhash signatures +
@@ -727,7 +734,12 @@ object Dedup {
     * One shingle scan feeds everything (localCheckpoint: the relation
     * is consumed by four downstream plans). */
   def buildDedupGraph(spark: SparkSession, dir: String, root: String): Unit = {
-    val sh = shingles(spark, dir).localCheckpoint(true)
+    // the tokenized shingle relation is itself an artifact: the
+    // inverted-index entries (prefix filter, containment,
+    // contamination) read it instead of re-running explode+distinct
+    // over the corpus per execution
+    shingles(spark, dir).write.parquet(s"$root/shingles")
+    val sh = spark.read.parquet(s"$root/shingles")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     minhashSigsOf(sh).write.parquet(s"$root/sigs")
     val sigs = spark.read.parquet(s"$root/sigs")

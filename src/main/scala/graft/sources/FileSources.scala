@@ -326,31 +326,44 @@ object FileSources {
     * a warehouse layout can buy. */
   // JVM-unique table names: the in-memory catalog forgets tables
   // across JVMs but their warehouse locations persist — reusing a
-  // fixed name would hit LOCATION_ALREADY_EXISTS on the next run
+  // fixed name would hit LOCATION_ALREADY_EXISTS on the next run.
+  // Names carry a dir hash so two scale factors in one JVM (specs vs
+  // bench) get independent tables.
   private val tblSuffix = java.util.UUID.randomUUID.toString.replace("-", "").take(8)
-  private def ordersTbl = s"graft_orders_b_$tblSuffix"
-  private def lineitemTbl = s"graft_lineitem_b_$tblSuffix"
+  private def dirTag(dir: String): String =
+    Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
+  private def ordersTbl(dir: String) = s"graft_orders_b_${tblSuffix}_${dirTag(dir)}"
+  private def lineitemTbl(dir: String) = s"graft_lineitem_b_${tblSuffix}_${dirTag(dir)}"
+
+  // write-once per (JVM, dir): the bucketed layout is the FIXTURE, the
+  // shuffle-free join is the entry — bench reps measure the join, not
+  // two repeated bucketed table writes (catalog state is per-JVM, so
+  // this memo cannot live in the cross-JVM artifact cache)
+  private val bucketedReady = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
 
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
-    t(spark, dir, "orders")
-      .write.mode(SaveMode.Overwrite)
-      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .saveAsTable(ordersTbl)
-    t(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
-      .write.mode(SaveMode.Overwrite)
-      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .saveAsTable(lineitemTbl)
-    // same leak shape as cboStats' graft_stats_* tables: the catalog
-    // entry dies with the JVM, the warehouse dir would not — register
-    // both for exit cleanup (deferred: bucketedJoinPlan reads them later)
-    Seq(ordersTbl, lineitemTbl).foreach { n =>
-      val meta = spark.sessionState.catalog
-        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(n))
-      graft.util.registerShutdownDelete(new java.io.File(meta.location).getAbsolutePath)
-    }
-    val o = spark.table(ordersTbl)
-    val li = spark.table(lineitemTbl)
+    bucketedReady.computeIfAbsent(dir, _ => {
+      t(spark, dir, "orders")
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(ordersTbl(dir))
+      t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(lineitemTbl(dir))
+      // same leak shape as cboStats' graft_stats_* tables: the catalog
+      // entry dies with the JVM, the warehouse dir would not — register
+      // both for exit cleanup (deferred: bucketedJoinPlan reads them later)
+      Seq(ordersTbl(dir), lineitemTbl(dir)).foreach { n =>
+        val meta = spark.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(n))
+        graft.util.registerShutdownDelete(new java.io.File(meta.location).getAbsolutePath)
+      }
+      true
+    })
+    val o = spark.table(ordersTbl(dir))
+    val li = spark.table(lineitemTbl(dir))
     li.join(o, li("l_orderkey") === o("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("qty"))
@@ -358,9 +371,9 @@ object FileSources {
   }
 
   /** The bare bucketed join (no agg) for the no-exchange plan spec. */
-  def bucketedJoinPlan(spark: SparkSession): DataFrame = {
-    val o = spark.table(ordersTbl)
-    val li = spark.table(lineitemTbl)
+  def bucketedJoinPlan(spark: SparkSession, dir: String): DataFrame = {
+    val o = spark.table(ordersTbl(dir))
+    val li = spark.table(lineitemTbl(dir))
     li.join(o, li("l_orderkey") === o("o_orderkey"))
   }
 

@@ -130,7 +130,7 @@ class ComponentSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try {
-      val plan = sources.FileSources.bucketedJoinPlan(spark)
+      val plan = sources.FileSources.bucketedJoinPlan(spark, sf)
         .queryExecution.executedPlan.toString
       assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
         s"expected a join in:\n$plan")
