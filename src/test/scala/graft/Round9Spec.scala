@@ -125,6 +125,43 @@ class Round9Spec extends AnyFunSuite {
       "plan never scans the persisted index root")
   }
 
+  test("BM25 retrieval is candidate-linear and scores are positive") {
+    val df = operators.TextAnalysis.bm25Topk(spark, sf)
+    val physical = df.queryExecution.executedPlan.toString
+    // retrieval must ride the inverted-index equi-join — a cartesian
+    // plan would be queries × corpus. (The 1-row stats broadcasts
+    // legitimately plan as BroadcastNestedLoopJoin — scalar joins,
+    // not corpus joins.)
+    assert(!physical.contains("CartesianProduct"),
+      s"BM25 plan has a cartesian product:\n${physical.take(2000)}")
+    assert(physical.contains("SortMergeJoin") || physical.contains("ShuffledHashJoin") ||
+      physical.contains("BroadcastHashJoin"),
+      s"BM25 plan has no equi-join for candidate generation:\n${physical.take(2000)}")
+    val rows = df.collect()
+    assert(rows.nonEmpty, "BM25 returned nothing")
+    rows.foreach { r =>
+      assert(r.getDouble(3) > 0, s"non-positive BM25 score: $r")
+      assert(r.getLong(2) != r.getLong(0), "query retrieved itself")
+    }
+    // per-query ranks are the dense prefix 1..k
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.sameElements(1L to rs.length),
+        s"query $q ranks not dense")
+    }
+  }
+
+  test("graph entries read edge tables from the artifact cache") {
+    // labelPropagation/kcore checkpoint per phase (lineage truncated),
+    // so assert on the entries whose final plan keeps the scan visible
+    for (df <- Seq(
+        operators.Graph.pageRank(spark, sf),
+        operators.Graph.triangles(spark, sf))) {
+      val physical = df.queryExecution.executedPlan.toString
+      assert(physical.contains("graft_artifact_cache"),
+        s"graph plan does not read the artifact cache:\n${physical.take(1500)}")
+    }
+  }
+
   test("sketch join-cardinality estimates land within 25% of exact") {
     val rows = operators.Warehouse.metaJoinEstimate(spark, sf).collect()
     assert(rows.length == 3, "expected one estimate per declared join")
