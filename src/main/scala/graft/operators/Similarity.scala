@@ -741,23 +741,33 @@ object Similarity {
   }
 
   def ivfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    ivfTopkFor(spark, dir, e.filter(col("vec_id") < 20))
+  }
+
+  /** IVF top-k for an ARBITRARY query relation (vec_id, v) — the
+    * serve-path core shared by the batch entry and the streaming
+    * serve loop (`stream_ann_serve` answers each query micro-batch
+    * through this against the same persisted index). */
+  def ivfTopkFor(spark: SparkSession, dir: String, queries: DataFrame): DataFrame = {
     import graft.functions.CosineSim.cosine
     val e = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     // read the PREBUILT index (codebook + postings) — training happens
-    // once per (dir, params) in [[buildIvfPqIndex]]; only the 20-query
-    // probe assignment is computed here (20 × k broadcast crossjoin)
+    // once per (dir, params) in [[buildIvfPqIndex]]; only the query
+    // probe assignment is computed here (queries × k broadcast crossjoin)
     val root = ivfPqIndexRoot(spark, dir)
     val cents = spark.read.parquet(s"$root/coarse_raw")
     val assign = spark.read.parquet(s"$root/assign_raw")
-    val qAssign = assignToBuckets(e.filter(col("vec_id") < 20), cents, ivfNProbe)
+    val qAssign = assignToBuckets(queries, cents, ivfNProbe)
       .select(col("vec_id").as("q_id"), col("cid"))
     val candidates = qAssign.join(assign, Seq("cid"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id")).distinct()
     val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     candidates
-      .join(e.select(col("vec_id").as("q_id"), col("v").as("vq")), Seq("q_id"))
+      .join(queries.select(col("vec_id").as("q_id"), col("v").as("vq")), Seq("q_id"))
       .join(e, Seq("vec_id"))
       .withColumn("cos", cosine(col("vq"), col("v")))
       .withColumn("rk", row_number().over(wTop).cast("long"))

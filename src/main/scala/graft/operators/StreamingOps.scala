@@ -1021,6 +1021,39 @@ object StreamingOps {
       | count(DISTINCT cast(user_id as varchar)) AS n_keys
       |FROM events GROUP BY 1 ORDER BY value""".stripMargin
 
+  /** ONLINE ANN SERVING — the missing half of the vector-index
+    * lifecycle (`sim_index_build` builds it, this serves it): queries
+    * ARRIVE AS A STREAM and every micro-batch is answered from the
+    * PERSISTED index via `foreachBatch` + [[Similarity.ivfTopkFor]] —
+    * the index is never retrained or rescanned per query, the probe
+    * assignment is batch-sized, and results append to the sink as
+    * they are produced. This is the production vector-serve loop
+    * (build offline, serve online) on Spark's own micro-batch
+    * machinery. Deterministic per-query answers ⇒ the converged
+    * output must equal the batch [[Similarity.ivfTopk]] row-for-row
+    * (spec-asserted); index-routed ⇒ rows-only driver check. */
+  def streamAnnServe(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
+    // ensure the index exists BEFORE the stream starts — the serve
+    // loop must never pay (or race on) a build
+    Similarity.ivfPqIndexRoot(spark, dir)
+    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    val queries = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      .filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val out = graft.util.scratchDir("ann_serve_out")
+    val q = queries.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          Similarity.ivfTopkFor(spark, dir, batch)
+            .write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", graft.util.scratchDir("ann_serve_cp"))
+      .start()
+    q.processAllAvailable(); q.stop()
+    spark.read.parquet(out).orderBy(col("q_id"), col("rk"))
+  }
+
   /** Streams through the custom DataSource V2 connector's
     * MicroBatchStream face (`sources/GraftRangeSource.scala`) — the
     * closest in-environment twin of `builder.stream(topic)`: the
@@ -1521,6 +1554,7 @@ object StreamingOps {
     GQuery("stream_funnel", streamFunnel, Some(Analytics.q74Sql)),
     GQuery("stream_cdc_apply", streamCdcApply, Some(streamCdcApplySql)),
     GQuery("stream_cdc_view", streamCdcView, Some(streamCdcViewSql)),
+    GQuery("stream_ann_serve", streamAnnServe, None),
     GQuery("stream_chained_stateful", streamChainedStateful, Some(streamChainedStatefulSql)),
     GQuery("stream_dsv2_source", streamDsv2Source, Some(streamDsv2SourceSql)),
     GQuery("stream_dsv2_sink", streamDsv2Sink, Some(streamDsv2SinkSql)),

@@ -162,6 +162,16 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("streaming ANN serve converges to the batch index answer") {
+    val served = operators.StreamingOps.streamAnnServe(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val batch = operators.Similarity.ivfTopk(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(served.nonEmpty, "serve loop produced nothing")
+    assert(served == batch,
+      s"served results diverge from batch: ${batch.diff(served).take(3)}")
+  }
+
   test("sketch join-cardinality estimates land within 25% of exact") {
     val rows = operators.Warehouse.metaJoinEstimate(spark, sf).collect()
     assert(rows.length == 3, "expected one estimate per declared join")
