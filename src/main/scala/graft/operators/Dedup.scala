@@ -220,8 +220,10 @@ object Dedup {
       .unionByName(newb.join(firstInBatch, Seq("norm"))
         .filter(col("doc_id") =!= col("first_id")).select(col("doc_id")))
       .distinct()
-    // near gate: inverted-index candidates between batch and corpus only
-    val sh = shingles(spark, dir).localCheckpoint(true)
+    // near gate: inverted-index candidates between batch and corpus
+    // only; the shingle relation comes from the persisted graph (at
+    // 100 TB this IS the maintained posting table the doc promises)
+    val sh = shinglesIndexed(spark, dir)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val candidates = sh.filter(isNew).select(col("doc_id").as("a_id"), col("s"))
       .join(sh.filter(!isNew).select(col("doc_id").as("b_id"), col("s")), Seq("s"))
@@ -939,7 +941,7 @@ object Dedup {
     * oracle (same blocked-verify plan expressed in DuckDB). */
   def fuzzyEditPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
-    val sh = shingles(spark, dir)
+    val sh = shinglesIndexed(spark, dir)
     val cand = sh.select(col("doc_id").as("a_id"), col("s"))
       .join(sh.select(col("doc_id").as("b_id"), col("s")), Seq("s"))
       .filter(col("a_id") < col("b_id"))
