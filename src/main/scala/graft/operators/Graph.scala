@@ -509,36 +509,41 @@ object Graph {
     trace.reduce(_ unionAll _).orderBy(col("round"))
   }
 
+  // MATERIALIZED CTEs are load-bearing: each round references its
+  // predecessor TWICE (the keep filter and the edge filter), so
+  // DuckDB's default CTE inlining re-executes the quadratic co-supply
+  // chain 2^rounds times — measured > 80 GB of temp spill at sf0.1;
+  // materialized, the whole oracle runs in ~14 s there.
   val kcorePeelSql: String = {
     val rounds = (1 to 3).map { r =>
-      s"""kp$r AS (SELECT src AS node FROM (
+      s"""kp$r AS MATERIALIZED (SELECT src AS node FROM (
          |  SELECT src, count(*) AS d FROM e${r - 1} GROUP BY 1)
          |  WHERE d >= (SELECT kv FROM kk)),
-         |e$r AS (SELECT e.src, e.dst FROM e${r - 1} e
+         |e$r AS MATERIALIZED (SELECT e.src, e.dst FROM e${r - 1} e
          |  JOIN kp$r a ON e.src = a.node
          |  JOIN kp$r b ON e.dst = b.node)""".stripMargin
     }.mkString(",\n")
     val out = (1 to 3).map { r =>
       s"SELECT CAST($r AS BIGINT) AS round, count(DISTINCT src) AS n_nodes, count(*) AS n_edges FROM e$r"
     }.mkString("\nUNION ALL\n")
-    s"""WITH pairs AS (
+    s"""WITH pairs AS MATERIALIZED (
        |  SELECT DISTINCT l_suppkey AS s, o_custkey AS c
        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
        |nsupp AS (SELECT count(DISTINCT s) AS ns FROM pairs),
-       |common AS (
+       |common AS MATERIALIZED (
        |  SELECT x.s AS a, y.s AS b, count(*) AS common
        |  FROM pairs x JOIN pairs y ON x.c = y.c AND x.s < y.s
        |  GROUP BY 1, 2),
-       |tk AS (
+       |tk AS MATERIALIZED (
        |  SELECT a, b FROM (
        |    SELECT a, b, row_number() OVER (ORDER BY common DESC, a, b) AS rk
        |    FROM common) r CROSS JOIN nsupp
        |  WHERE rk <= ns * 3),
-       |e0 AS (
+       |e0 AS MATERIALIZED (
        |  SELECT a AS src, b AS dst FROM tk
        |  UNION ALL
        |  SELECT b AS src, a AS dst FROM tk),
-       |kk AS (SELECT count(*) // count(DISTINCT src) + 1 AS kv FROM e0),
+       |kk AS MATERIALIZED (SELECT count(*) // count(DISTINCT src) + 1 AS kv FROM e0),
        |$rounds
        |$out
        |ORDER BY round""".stripMargin
