@@ -60,9 +60,27 @@ object Bench {
     // cwd-relative (the driver runs sbt from the repo root), and a
     // failed detail write must not lose the summary line below — the
     // whole bench run already happened
+    // entries whose fixture/index builds moved into the cross-JVM
+    // artifact cache in round 9 (built once per (fingerprint, params),
+    // read thereafter): their timings measure the READ path, with the
+    // build cost captured by the *_index_build entries — cross-round
+    // deltas against pre-r9 numbers are NOT engine-level speedups
+    val amortized = Seq(
+      "dedup_jaccard_pairs", "dedup_apply_minhash", "dedup_minhash_lsh",
+      "dedup_apply_components", "dedup_apply_neardup", "dedup_cluster_components",
+      "dedup_cluster_star", "dedup_fuzzy_edit", "dedup_semantic_clusters",
+      "sim_ivf_topk", "sim_ivfpq_topk", "sim_pq_topk", "sim_range_search",
+      "sim_filtered_topk", "sim_knn_join_ivf", "sim_index_add",
+      "stream_ann_serve", "stream_filtered_ann_serve",
+      "graph_pagerank", "graph_triangles", "graph_kcore_peel",
+      "graph_label_propagation", "graph_ppr", "graph_shortest_paths",
+      "graph_shortest_paths_frontier",
+      "src_zorder_layout", "q78_partition_evolution", "q57_aqe_skew_join",
+      "text_bpe_train", "text_bpe_tokens")
+      .filter(selected.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
-        s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries":${fullQs.mkString("{", ",", "}")},"sf":"$sfDir"}""".getBytes("UTF-8"))
+        s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries":${fullQs.mkString("{", ",", "}")},"amortized":$amortized,"sf":"$sfDir"}""".getBytes("UTF-8"))
     } catch {
       case e: Exception => System.err.println(s"[bench] detail write failed: $e")
     }

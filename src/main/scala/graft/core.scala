@@ -61,6 +61,34 @@ object util {
   def sqlDsum(x: String): String = s"round(cast(sum(cast(($x) as decimal(22,8))) as double), 4)"
   def sqlDavg(x: String): String = s"(${sqlDsum(x)} / count(*))"
 
+  /** Publish a Spark-computed table as an ORACLE SIDECAR: engine-
+    * specific values (hash functions, libm floats) dumped as parquet
+    * that the DuckDB oracle reads back via read_parquet, so every
+    * RELATIONAL semantic around them (selection, join, ranking,
+    * projection, ordering) stays hash-checked — the src_time_travel
+    * manifest discipline extended to value columns. A STABLE path,
+    * not a scratch dir: the driver's DuckDB pass runs after the
+    * Verify JVM exits. Overwritten per run, coalesced to one file
+    * (sidecars are oracle-sized, not data-sized). */
+  def oracleSidecar(name: String, df: DataFrame): Unit =
+    df.coalesce(1).write.mode("overwrite")
+      .parquet(s"${sys.props("java.io.tmpdir")}/graft_oracle_scratch/$name")
+
+  /** The read_parquet glob an oracle embeds for sidecar `name`. */
+  def oracleSidecarGlob(name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_oracle_scratch/$name/*.parquet"
+
+  /** Execute `df` NOW and return its ANSWER-SIZED result as a local
+    * relation — for scoped-conf entries whose plan must run while the
+    * confs hold (lazy execution would see the restored confs). Unlike
+    * `localCheckpoint(true)`, nothing stays pinned in block-manager
+    * memory after the rows are taken (VERDICT r9: a checkpointed RDD
+    * referenced by the returned frame lives until JVM exit, and a
+    * 3-rep bench accumulates one per rep). The collect is bounded by
+    * contract: callers pass final aggregates only. */
+  def materializeLocal(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.collectAsList(), df.schema)
+
   /** Recursively delete a directory tree (no-op on missing paths). */
   def deleteRecursively(f: java.io.File): Unit = {
     val kids = f.listFiles()
@@ -91,6 +119,9 @@ object util {
     * fingerprint and therefore a fresh artifact build; the production
     * analog is keying derived artifacts by table snapshot/version id. */
   def tableFingerprint(dir: String, name: String): String = {
+    require(new java.io.File(s"$dir/$name.parquet").exists,
+      s"tableFingerprint: no such table $dir/$name.parquet — a missing path " +
+      "must fail fast here, not alias every typo onto one constant cache key")
     def walk(f: java.io.File): Seq[java.io.File] = {
       val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
       if (kids.isEmpty) Seq(f) else kids.sortBy(_.getName).flatMap(walk)
@@ -114,6 +145,17 @@ object util {
 
   private val artifactRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Repo-wide artifact-cache FORMAT/CODE revision, folded into the
+    * cache base directory name. tableFingerprint keys artifacts by
+    * source DATA, but a cache entry is a function of (data, params,
+    * BUILD CODE) — without a code revision, editing a build closure
+    * silently serves stale pre-edit artifacts across JVMs (the round-9
+    * dedup "-v2" manual bump showed the hazard is real). BUMP THIS
+    * whenever any `artifactRoot` build closure changes behavior; all
+    * roots rebuild once under the new base and old bases age out. */
+  private val CacheRev = "r10"
+
+
   /** CROSS-JVM persistent artifact cache (trained indexes, candidate
     * graphs, materialized fixtures): returns the stable directory for
     * `key`, running `build(stagedPath)` exactly once per key across
@@ -129,8 +171,10 @@ object util {
     * fingerprint ([[tableFingerprint]]) and every build parameter. */
   def artifactRoot(key: String)(build: String => Unit): String =
     artifactRoots.computeIfAbsent(key, _ => {
-      val base = new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_artifact_cache")
+      val base = new java.io.File(
+        s"${sys.props("java.io.tmpdir")}/graft_artifact_cache_$CacheRev")
       base.mkdirs()
+      if (sweptOnce.compareAndSet(false, true)) sweepStaleStaging(base)
       val stable = new java.io.File(base, key)
       val manifest = new java.io.File(stable, "_MANIFEST")
       if (!manifest.isFile) {
@@ -143,6 +187,20 @@ object util {
       }
       stable.getPath
     })
+
+  /** Orphaned `.tmp-<uuid>` staging dirs leak when a building JVM is
+    * killed mid-build (the shutdown-delete hook never runs), so every
+    * cache-dir touch sweeps siblings that are stale by mtime — one
+    * hour is far beyond any real build, and a LIVE concurrent build's
+    * staging dir is minutes old at most, so the sweep can never eat
+    * an in-flight publish. Runs at most once per JVM. */
+  private val sweptOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private[graft] def sweepStaleStaging(base: java.io.File): Unit = {
+    val cutoff = System.currentTimeMillis - 60L * 60 * 1000
+    Option(base.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(".tmp-") && f.lastModified < cutoff)
+      .foreach(deleteRecursively)
+  }
 
   /** A unique temp-dir path under java.io.tmpdir, registered for
     * recursive deletion at JVM exit — entries that write scratch

@@ -14,16 +14,41 @@ import org.apache.spark.sql.expressions.Window
   */
 object Sampling {
 
+  /** Stable sidecar the oracle reads: the Spark-side xxhash64 of
+    * every orderkey, dumped once per entry run. xxhash64 itself is
+    * engine-specific (DuckDB's hash() is not bit-compatible), but the
+    * HASH TABLE is data the oracle can consume — the src_time_travel
+    * manifest discipline: Spark publishes the engine-specific part as
+    * rows, DuckDB replays all the RELATIONAL semantics (membership
+    * arithmetic, join, projection, ordering) against it. NOT a scratch
+    * dir — the driver's DuckDB pass runs after this JVM exits. */
+
   /** Deterministic ~5 % sample: keep rows whose key hash lands in
     * bucket 0 of 20. Membership never changes across runs/partitions;
     * at 100 TB this is a metadata-free sample that any job can
-    * recompute exactly. Hash fn is engine-specific → rows-only check;
-    * the spec asserts determinism and the sampled fraction. */
-  def hashSample(spark: SparkSession, dir: String): DataFrame =
+    * recompute exactly. Hash-green as of round 10 via the sidecar:
+    * the oracle joins the dumped (key, hash) table and replays the
+    * bucket filter, so row set, schema, and values are all compared —
+    * only the hash values themselves are taken from Spark (their
+    * determinism is spec-pinned separately). */
+  def hashSample(spark: SparkSession, dir: String): DataFrame = {
+    oracleSidecar("orders_keyhash", t(spark, dir, "orders")
+      .select(col("o_orderkey"), xxhash64(col("o_orderkey")).as("h")))
     t(spark, dir, "orders")
       .filter(pmod(xxhash64(col("o_orderkey")), lit(20)) === 0)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       .orderBy(col("o_orderkey"))
+  }
+
+  /** DuckDB replays membership from the dumped hash table; pmod ≡
+    * ((h % 20) + 20) % 20 on possibly-negative 64-bit hashes. */
+  val hashSampleSql: String =
+    s"""SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+       |FROM orders o
+       |JOIN read_parquet('${oracleSidecarGlob("orders_keyhash")}') h
+       |  ON h.o_orderkey = o.o_orderkey
+       |WHERE ((h.h % 20) + 20) % 20 = 0
+       |ORDER BY o.o_orderkey""".stripMargin
 
   /** Stratified sample: up to 25 documents per language, chosen by
     * hash order (deterministic, unbiased by doc_id order). Emitting
@@ -89,6 +114,13 @@ object Sampling {
       lit(4294967296.0)
     val pri = (-log(u) / col("n_chars") * lit(1e15)).cast("long")
     val docs = t(spark, dir, "documents")
+    // libm ln() is the only engine-specific term: publish the computed
+    // priorities as an oracle sidecar, and DuckDB replays the ENTIRE
+    // selection — bottom-50 by (pri, doc_id), join-back, ordering —
+    // against them (hash-green as of round 10; determinism, exact
+    // size, and heavy-doc bias stay spec-pinned)
+    oracleSidecar("documents_espri", docs.withColumn("pri", pri)
+      .select(col("doc_id"), col("pri")))
     docs
       .withColumn("pri", pri)
       .groupBy()
@@ -99,6 +131,16 @@ object Sampling {
       .select(col("sample_rank"), col("doc_id"), col("n_chars"))
       .orderBy(col("sample_rank"))
   }
+
+  val weightedSampleSql: String =
+    s"""WITH ranked AS (
+       |  SELECT doc_id, cast(row_number() OVER (ORDER BY pri, doc_id) as bigint)
+       |    AS sample_rank
+       |  FROM read_parquet('${oracleSidecarGlob("documents_espri")}'))
+       |SELECT r.sample_rank, r.doc_id, d.n_chars
+       |FROM ranked r JOIN documents d USING (doc_id)
+       |WHERE r.sample_rank <= 50
+       |ORDER BY r.sample_rank""".stripMargin
 
   /** Deterministic A/B experiment assignment — the traffic-split
     * primitive every ramp/holdout pipeline needs: the UNIT (user) maps
@@ -132,10 +174,10 @@ object Sampling {
        |FROM events GROUP BY 1, 2 ORDER BY arm, event_type""".stripMargin
 
   val all: Seq[GQuery] = Seq(
-    GQuery("sample_hash_deterministic", hashSample, None),
+    GQuery("sample_hash_deterministic", hashSample, Some(hashSampleSql)),
     GQuery("sample_ab_split", abSplit, Some(abSplitSql)),
     GQuery("sample_stratified", stratifiedSample, Some(stratifiedSampleSql)),
     GQuery("sample_reservoir_group", reservoirGroup, Some(reservoirGroupSql)),
-    GQuery("sample_weighted", weightedSample, None),
+    GQuery("sample_weighted", weightedSample, Some(weightedSampleSql)),
   )
 }

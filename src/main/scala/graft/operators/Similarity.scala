@@ -449,12 +449,18 @@ object Similarity {
     * score calibration between incommensurable scales, which is why
     * it beats score interpolation in practice. Queries are ids < 5 in
     * both spaces (documents ↔ embeddings share ids). Both rank lists
-    * are deterministic (score ties broken by id), the reciprocal
-    * terms are exact-integer double divisions summed in written
-    * order, so the fused ranking is FULLY oracle-checked — DuckDB
-    * replays BM25, brute-force cosine, and the FULL OUTER fusion
-    * join. At 100 TB each leg is its own indexed top-k (postings /
-    * ANN) and the fusion join is answer-sized: queries × ≤ 40 rows. */
+    * are deterministic (score ties broken by id), and the reciprocal
+    * terms are quantized to exact INTEGER nano-units by construction
+    * (1e12 div (60 + rank), truncating BIGINT division — bit-identical
+    * in Spark and DuckDB, and x ↦ 1e12/x is order-preserving on the
+    * 61..80 rank domain), summed as BIGINT, so the fused ranking is
+    * FULLY oracle-checked — DuckDB replays BM25, brute-force cosine,
+    * and the FULL OUTER fusion join. Decimal/double reciprocals are
+    * deliberately avoided: Spark promotes 1.0/(60+rt) under DECIMAL
+    * precision-scale rules while DuckDB computes DOUBLE, and the two
+    * can disagree in the 9th digit (the round-9 red row). At 100 TB
+    * each leg is its own indexed top-k (postings / ANN) and the
+    * fusion join is answer-sized: queries × ≤ 40 rows. */
   def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.CosineSim.cosine
     val wT = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("doc_id"))
@@ -473,13 +479,13 @@ object Similarity {
       .withColumn("rv", row_number().over(wV).cast("long"))
       .filter(col("rv") <= 20)
       .select(col("q_id"), col("doc_id"), col("rv"))
-    val wF = Window.partitionBy(col("q_id")).orderBy(col("rrf").desc, col("doc_id"))
+    val wF = Window.partitionBy(col("q_id")).orderBy(col("rrf_nano").desc, col("doc_id"))
     textRanks.join(vecRanks, Seq("q_id", "doc_id"), "full_outer")
-      .withColumn("rrf", expr(
-        "round(coalesce(1.0 / (60 + rt), 0.0) + coalesce(1.0 / (60 + rv), 0.0), 9)"))
+      .withColumn("rrf_nano", expr(
+        "coalesce(1000000000000L div (60 + rt), 0L) + coalesce(1000000000000L div (60 + rv), 0L)"))
       .withColumn("rk", row_number().over(wF).cast("long"))
       .filter(col("rk") <= 10)
-      .select(col("q_id"), col("rk"), col("doc_id"), col("rrf"))
+      .select(col("q_id"), col("rk"), col("doc_id"), col("rrf_nano"))
       .orderBy(col("q_id"), col("rk"))
   }
 
@@ -504,11 +510,11 @@ object Similarity {
        |fused AS (
        | SELECT coalesce(t.q_id, v.q_id) AS q_id,
        |  coalesce(t.doc_id, v.doc_id) AS doc_id,
-       |  round(coalesce(1.0 / (60 + rt), 0.0) + coalesce(1.0 / (60 + rv), 0.0), 9) AS rrf
+       |  coalesce(1000000000000 // (60 + rt), 0) + coalesce(1000000000000 // (60 + rv), 0) AS rrf_nano
        | FROM trank t FULL JOIN vrank v ON t.q_id = v.q_id AND t.doc_id = v.doc_id)
-       |SELECT q_id, rk, doc_id, rrf FROM (
+       |SELECT q_id, rk, doc_id, rrf_nano FROM (
        | SELECT *, cast(row_number() OVER (PARTITION BY q_id
-       |   ORDER BY rrf DESC, doc_id) as bigint) AS rk FROM fused)
+       |   ORDER BY rrf_nano DESC, doc_id) as bigint) AS rk FROM fused)
        |WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin
 
   /** MAX-INNER-PRODUCT top-k (MIPS) — the retrieval scoring most
@@ -696,6 +702,19 @@ object Similarity {
   val filteredNProbe: Int = 10
 
   def filteredTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    filteredTopkFor(spark, dir, e.filter(col("vec_id") < 20))
+  }
+
+  /** Filtered top-k for an ARBITRARY query relation (vec_id, v) — the
+    * serve-path core shared by the batch entry and the streaming
+    * filtered-serve loop (`stream_filtered_ann_serve` answers each
+    * query micro-batch through this against the same persisted index
+    * and the same pushed-down metadata predicate). The query side is
+    * joined AFTER candidate generation, so the postings∩filter
+    * intersection is computed once per batch, not per query. */
+  def filteredTopkFor(spark: SparkSession, dir: String, queries: DataFrame): DataFrame = {
     import graft.functions.CosineSim.cosine
     val root = ivfPqIndexRoot(spark, dir)
     val e = t(spark, dir, "embeddings")
@@ -707,14 +726,14 @@ object Similarity {
     val filteredAssign = assign
       .join(broadcast(keep.select(col("vec_id"))), Seq("vec_id"), "left_semi")
     val qAssign = assignToBuckets(
-        e.filter(col("vec_id") < 20).select(col("vec_id"), col("v")), cents, filteredNProbe)
+        queries.select(col("vec_id"), col("v")), cents, filteredNProbe)
       .select(col("vec_id").as("q_id"), col("cid"))
     val candidates = qAssign.join(filteredAssign, Seq("cid"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id")).distinct()
     val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     candidates
-      .join(e.select(col("vec_id").as("q_id"), col("v").as("vq")), Seq("q_id"))
+      .join(queries.select(col("vec_id").as("q_id"), col("v").as("vq")), Seq("q_id"))
       .join(keep, Seq("vec_id"))
       .withColumn("cos", round(cosine(col("vq"), col("v")), 6))
       .withColumn("rk", row_number().over(wTop).cast("long"))

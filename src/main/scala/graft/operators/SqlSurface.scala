@@ -256,14 +256,14 @@ object SqlSurface {
       val urgent = t(spark, dir, "orders")
         .filter(col("o_orderpriority") === "1-URGENT")
         .select(col("o_orderkey"), col("o_custkey"))
-      t(spark, dir, "lineitem")
+      // materialize inside the scoped confs so the executed plan IS
+      // the bloom-pruned one (lazy execution would see restored
+      // confs); answer-sized local rows, nothing stays pinned
+      graft.util.materializeLocal(t(spark, dir, "lineitem")
         .join(urgent, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"))
-        .orderBy(col("l_returnflag"))
-        // materialize inside the scoped confs so the executed plan IS
-        // the bloom-pruned one (lazy execution would see restored confs)
-        .localCheckpoint(true)
+        .orderBy(col("l_returnflag")))
     }
 
   val q56Sql: String =
@@ -336,13 +336,13 @@ object SqlSurface {
   def q57AqeSkewJoin(spark: SparkSession, dir: String): DataFrame = {
     val (lPath, rPath) = q57SkewData(spark, dir)
     withConfs(spark, q57Confs) {
-      q57Join(spark, lPath, rPath)
+      // materialize while the scoped confs hold; one-row local result
+      graft.util.materializeLocal(q57Join(spark, lPath, rPath)
         .agg(count(lit(1)).as("n_rows"),
           countDistinct(col("k")).as("n_keys"),
           max(col("payload")).as("max_payload"),
           max(col("attr")).as("max_attr"),
-          dsum(col("l_quantity")).as("qty"))
-        .localCheckpoint(true) // materialize while the scoped confs hold
+          dsum(col("l_quantity")).as("qty")))
     }
   }
 

@@ -1054,6 +1054,38 @@ object StreamingOps {
     spark.read.parquet(out).orderBy(col("q_id"), col("rk"))
   }
 
+  /** ONLINE FILTERED ANN SERVING — [[streamAnnServe]]'s loop composed
+    * with [[Similarity.filteredTopkFor]]'s postings∩predicate pruning:
+    * "vector search with a metadata filter, online", the query shape a
+    * production vector store serves most (filtered retrieval for RAG:
+    * cosine top-k among rows passing `label IN (2,5,7)`). The filter
+    * intersects the PERSISTED postings via broadcast semi-join once
+    * per micro-batch — never post-filtering a plain top-k (which
+    * collapses recall at selective predicates) and never rebuilding
+    * the index. Deterministic per-query answers ⇒ converged output
+    * must equal the batch [[Similarity.filteredTopk]] row-for-row
+    * (spec-asserted); index-routed ⇒ rows-only driver check. */
+  def streamFilteredAnnServe(spark: SparkSession, dir: String): DataFrame =
+    withStatePartitions(spark) {
+      Similarity.ivfPqIndexRoot(spark, dir) // build before the stream starts
+      val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+      val queries = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+        .filter(col("vec_id") < 20)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val out = graft.util.scratchDir("fann_serve_out")
+      val q = queries.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty)
+            Similarity.filteredTopkFor(spark, dir, batch)
+              .write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", graft.util.scratchDir("fann_serve_cp"))
+        .start()
+      q.processAllAvailable(); q.stop()
+      spark.read.parquet(out).orderBy(col("q_id"), col("rk"))
+    }
+
   /** Streams through the custom DataSource V2 connector's
     * MicroBatchStream face (`sources/GraftRangeSource.scala`) — the
     * closest in-environment twin of `builder.stream(topic)`: the
@@ -1555,6 +1587,7 @@ object StreamingOps {
     GQuery("stream_cdc_apply", streamCdcApply, Some(streamCdcApplySql)),
     GQuery("stream_cdc_view", streamCdcView, Some(streamCdcViewSql)),
     GQuery("stream_ann_serve", streamAnnServe, None),
+    GQuery("stream_filtered_ann_serve", streamFilteredAnnServe, None),
     GQuery("stream_chained_stateful", streamChainedStateful, Some(streamChainedStatefulSql)),
     GQuery("stream_dsv2_source", streamDsv2Source, Some(streamDsv2SourceSql)),
     GQuery("stream_dsv2_sink", streamDsv2Sink, Some(streamDsv2SinkSql)),

@@ -582,6 +582,42 @@ object Warehouse {
       | max(CASE WHEN r = (n-1)*9//10 + 1 THEN cents END) AS p90_cents
       |FROM rk GROUP BY scope ORDER BY scope""".stripMargin
 
+  /** Mergeable KLL quantile summary ([[graft.functions.Kll]]) beside
+    * the EXACT bottom-k sampler above: per-month sketches of
+    * o_totalprice cents, plus the ALL scope produced by MERGING the
+    * monthly sketches (never re-scanning the facts) — the rollup only
+    * a mergeable summary supports, and the reason a 100 TB quantile
+    * cube is one scan + kilobyte-sized merges instead of one global
+    * sort per cell. Emits per scope: n (exact — KLL tracks it), p50 /
+    * p90 / p99 estimates, and the retained-bytes size whose O(k)
+    * bound the spec pins. Compaction order varies with merge order ⇒
+    * approximation-equivalent, not bit-identical → rows-only; specs
+    * referee against exact order statistics (rank error ≤ 3/k·n),
+    * mergeability, and the size bound. */
+  def metaKllQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KllSketch._
+    val k = 200
+    val cents = t(spark, dir, "orders")
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("m"),
+        expr("cast(round(o_totalprice * 100, 0) as bigint)").cast("double").as("cents"))
+    val monthly = cents.groupBy(col("m"))
+      .agg(kllSketch(col("cents"), k).as("sk"))
+    val allScope = monthly
+      .agg(kllMerge(col("sk")).as("sk"))
+      .select(lit("ALL").as("m"), col("sk"))
+    monthly.unionByName(allScope)
+      .select(col("m").as("scope"),
+        kllCount(col("sk")).as("n"),
+        kllQuantiles(col("sk"), array(lit(0.5), lit(0.9), lit(0.99))).as("qs"),
+        length(col("sk")).cast("long").as("sketch_bytes"))
+      .select(col("scope"), col("n"),
+        element_at(col("qs"), 1).as("p50_cents"),
+        element_at(col("qs"), 2).as("p90_cents"),
+        element_at(col("qs"), 3).as("p99_cents"),
+        col("sketch_bytes"))
+      .orderBy(col("scope"))
+  }
+
   /** Data-quality expectations report (dbt-test/Deequ-style): each row
     * is one declared constraint over the star schema — key uniqueness,
     * non-null, referential integrity, accepted range — with its
@@ -646,6 +682,7 @@ object Warehouse {
     GQuery("meta_kmv_overlap", metaKmvOverlap, None),
     GQuery("meta_join_estimate", metaJoinEstimate, None),
     GQuery("meta_quantile_sketch", metaQuantileSketch, Some(metaQuantileSketchSql)),
+    GQuery("meta_kll_quantiles", metaKllQuantiles, None),
     GQuery("meta_expectations", metaExpectations, Some(metaExpectationsSql)),
   )
 }

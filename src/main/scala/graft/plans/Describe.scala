@@ -24,8 +24,13 @@ object Describe {
   private val opLine = """^[\s*+:-]*([A-Za-z][A-Za-z0-9 ]*?) \(\d+\)$""".r
 
   /** Physical-operator inventory of a query's plan as (op, n) rows.
-    * Plan node ids vary run to run; operator names do not — still,
-    * plans are engine-specific, so this is a rows-only entry. */
+    * Plan node ids vary run to run; operator names do not, and the
+    * flagship plan's SHAPE is a commitment, not an accident — so the
+    * entry is a GOLDEN-PLAN gate (round 10): the oracle replays the
+    * expected inventory as a literal table, and any structural
+    * regression (a lost map-side partial aggregate, an extra shuffle,
+    * a filter no longer pushed into one Scan) flips the row red in
+    * the driver's hash compare. */
   def topology(spark: SparkSession, dir: String, name: String): DataFrame = {
     import spark.implicits._
     describe(spark, dir, name).linesIterator
@@ -40,7 +45,23 @@ object Describe {
   def topologyQuery(spark: SparkSession, dir: String): DataFrame =
     topology(spark, dir, "q1_pricing_summary")
 
+  /** The committed flagship inventory: one parquet Scan (filter
+    * pushed, no second scan), partial+final HashAggregate (map-side
+    * combine on), exactly two Exchanges (agg shuffle + sort range
+    * exchange), one Sort, under one AQE root. SF-independent — the
+    * single-table agg plan does not change shape with data volume. */
+  val topologyOracleSql: String =
+    """SELECT * FROM (VALUES
+      | ('AdaptiveSparkPlan', cast(1 as bigint)),
+      | ('Exchange', cast(2 as bigint)),
+      | ('Filter', cast(1 as bigint)),
+      | ('HashAggregate', cast(2 as bigint)),
+      | ('Project', cast(1 as bigint)),
+      | ('Scan parquet', cast(1 as bigint)),
+      | ('Sort', cast(1 as bigint))) t(op, n)
+      |ORDER BY op""".stripMargin
+
   val all: Seq[graft.GQuery] = Seq(
-    graft.GQuery("meta_topology_describe", topologyQuery, None),
+    graft.GQuery("meta_topology_describe", topologyQuery, Some(topologyOracleSql)),
   )
 }

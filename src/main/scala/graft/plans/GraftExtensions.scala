@@ -136,6 +136,52 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2, "graft_kmv_intersect(a, b) takes exactly two arguments")
         graft.functions.KmvIntersectEstimate(exprs(0), exprs(1))
       }))
+    // SQL surface for the KLL quantile-sketch family:
+    //   SELECT graft_kll_quantiles(graft_kll(price, 200), array(0.5, 0.99)) FROM …
+    //   SELECT graft_kll_merge(sk) FROM sketch_table
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_kll"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.KllSketchAgg].getName, "graft_kll"),
+      (exprs: Seq[Expression]) => {
+        val kMsg = "graft_kll(value, k) — k must be an integral literal >= " +
+          s"${graft.functions.Kll.MinK} (e.g. graft_kll(price, 200))"
+        require(exprs.length == 2 && exprs(1).foldable, kMsg)
+        val k = exprs(1).eval() match {
+          case i: java.lang.Integer => i.longValue()
+          case l: java.lang.Long => l.longValue()
+          case s: java.lang.Short => s.longValue()
+          case b: java.lang.Byte => b.longValue()
+          case _ => throw new IllegalArgumentException(kMsg)
+        }
+        require(k >= graft.functions.Kll.MinK && k <= Int.MaxValue, kMsg)
+        graft.functions.KllSketchAgg(exprs(0), k.toInt)
+      }))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_kll_merge"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.KllMergeAgg].getName, "graft_kll_merge"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_kll_merge(sketch) takes exactly one argument")
+        graft.functions.KllMergeAgg(exprs(0))
+      }))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_kll_quantiles"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.KllQuantiles].getName, "graft_kll_quantiles"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          "graft_kll_quantiles(sketch, fractions) takes exactly two arguments")
+        graft.functions.KllQuantiles(exprs(0), exprs(1))
+      }))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_kll_count"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.KllCount].getName, "graft_kll_count"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_kll_count(sketch) takes exactly one argument")
+        graft.functions.KllCount(exprs(0))
+      }))
     // SQL surface for the count-min family:
     //   SELECT graft_cms_estimate(graft_cms(term), 'join') FROM …
     ext.injectFunction((

@@ -1,0 +1,221 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-10 pins: the KLL mergeable quantile sketch (error bound,
+  * mergeability, size bound — VERDICT r9 next #4), the streaming
+  * filtered-ANN serve loop (r9 #3), the integer nano-unit RRF fusion
+  * (r9 #1), and the artifact-cache hygiene fixes (ADVICE r9: fail-fast
+  * fingerprint, stale-staging sweep).
+  */
+class Round10Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  // deterministic shuffle of 1..n via the repo's Knuth multiplicative
+  // hash — adversarial enough for a quantile sketch (neither sorted
+  // nor random-seeded), reproducible across runs
+  private def shuffled(n: Int): Array[Double] =
+    (1 to n).sortBy(i => (i.toLong * 2654435761L) % 4294967296L)
+      .map(_.toDouble).toArray
+
+  /** True normalized rank (fraction strictly below) of v in 1..n. */
+  private def trueRank(v: Double, n: Int): Double = (v - 1.0) / n
+
+  test("kll quantile estimates meet the 3/k rank-error bound sequentially") {
+    val n = 20000
+    val k = 200
+    val buf = new functions.Kll.Buffer(k)
+    shuffled(n).foreach(buf.add)
+    assert(buf.n == n)
+    val eps = 3.0 / k
+    for (p <- Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)) {
+      val est = buf.quantile(p)
+      val err = math.abs(trueRank(est, n) - p)
+      assert(err <= eps, f"p=$p: est $est%.0f has rank err $err%.4f > $eps%.4f")
+    }
+    assert(buf.quantile(0.0) == 1.0 && buf.quantile(1.0) == n.toDouble,
+      "exact min/max must be served exactly")
+  }
+
+  test("kll sketches merge with the same error bound and a codec round-trip") {
+    val n = 20000
+    val k = 200
+    val vals = shuffled(n)
+    // 8 interleaved shards (each sees the full value range — the
+    // hard merge case), sketched independently, merged pairwise
+    // through serialize/deserialize so the codec is on the path
+    val shards = (0 until 8).map { s =>
+      val b = new functions.Kll.Buffer(k)
+      vals.indices.filter(_ % 8 == s).foreach(i => b.add(vals(i)))
+      b
+    }
+    val merged = shards.reduce { (a, b) =>
+      val m = functions.Kll.deserialize(functions.Kll.serialize(a))
+      m.mergeFrom(functions.Kll.deserialize(functions.Kll.serialize(b)))
+      m
+    }
+    assert(merged.n == n, s"merge lost counts: ${merged.n}")
+    val eps = 3.0 / k
+    for (p <- Seq(0.1, 0.5, 0.9, 0.99)) {
+      val err = math.abs(trueRank(merged.quantile(p), n) - p)
+      assert(err <= eps, f"merged p=$p rank err $err%.4f > $eps%.4f")
+    }
+  }
+
+  test("kll sketch size is O(k), independent of n") {
+    val k = 200
+    val buf = new functions.Kll.Buffer(k)
+    var i = 0
+    while (i < 200000) { buf.add(((i.toLong * 2654435761L) % 1000000L).toDouble); i += 1 }
+    val bytes = functions.Kll.serialize(buf)
+    // 3k + levels·straggler envelope, in bytes with headers: 8 KiB is
+    // ~5× the expected ~650 retained items — a real bound, not slack
+    assert(bytes.length <= 8192,
+      s"sketch grew with n: ${bytes.length} bytes for n=200k (k=$k)")
+  }
+
+  test("meta_kll_quantiles: ALL scope referees against exact order statistics") {
+    val rows = operators.Warehouse.metaKllQuantiles(spark, sf).collect()
+    val all = rows.find(_.getString(0) == "ALL").get
+    val cents = util.t(spark, sf, "orders")
+      .select(expr("cast(round(o_totalprice * 100, 0) as bigint)").as("c"))
+      .collect().map(_.getLong(0)).sorted
+    val n = cents.length
+    assert(all.getLong(1) == n, s"KLL n ${all.getLong(1)} != exact $n")
+    // months + ALL, every scope sketch bounded
+    assert(rows.length >= 3 && rows.forall(_.getLong(5) <= 8192))
+    for ((p, idx) <- Seq(0.5 -> 2, 0.9 -> 3, 0.99 -> 4)) {
+      val est = all.getDouble(idx)
+      val rank = cents.count(_ < est).toDouble / n
+      // ALL merges the monthly sketches — bound stays 3/k (k=200)
+      assert(math.abs(rank - p) <= 0.015 + 1.0 / n,
+        f"ALL p$p: est $est%.0f has rank $rank%.4f")
+    }
+  }
+
+  test("graft_kll SQL surface: sketch, merge, quantiles, count") {
+    util.t(spark, sf, "orders").createOrReplaceTempView("kll_orders")
+    try {
+      val row = spark.sql(
+        """WITH sk AS (SELECT o_orderstatus AS st,
+          |  graft_kll(o_totalprice, 200) AS sk
+          |  FROM kll_orders GROUP BY 1)
+          |SELECT graft_kll_count(graft_kll_merge(sk)) AS n,
+          |  graft_kll_quantiles(graft_kll_merge(sk), array(0.5)) AS q
+          |FROM sk""".stripMargin).collect().head
+      val n = util.t(spark, sf, "orders").count()
+      assert(row.getLong(0) == n, s"merged count ${row.getLong(0)} != $n")
+      val p50 = row.getSeq[Double](1).head
+      val exact = util.t(spark, sf, "orders")
+        .select(col("o_totalprice").cast("double")).collect().map(_.getDouble(0)).sorted
+      val rank = exact.count(_ < p50).toDouble / exact.length
+      assert(math.abs(rank - 0.5) <= 0.015, f"SQL p50 rank $rank%.4f off")
+      // analysis-time validation, not executor failure
+      intercept[Exception] { spark.sql("SELECT graft_kll(1.0, 2)").collect() }
+    } finally spark.catalog.dropTempView("kll_orders")
+  }
+
+  test("streaming filtered ANN serve converges to the batch filtered answer") {
+    val served = operators.StreamingOps.streamFilteredAnnServe(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val batch = operators.Similarity.filteredTopk(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(served.nonEmpty, "filtered serve loop produced nothing")
+    assert(served == batch,
+      s"served filtered results diverge from batch: ${batch.diff(served).take(3)}")
+  }
+
+  test("hybrid RRF scores are exact integers identical under reordered sums") {
+    val rows = operators.Similarity.hybridRrf(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nano = r.getLong(3)
+      // every score is a sum of ≤2 terms from the 21-value table
+      // {1e12 div 61 .. 1e12 div 80}: check membership
+      val terms = (61 to 80).map(1000000000000L / _).toSet
+      val ok = terms.contains(nano) ||
+        terms.exists(a => terms.contains(nano - a))
+      assert(ok, s"rrf_nano $nano is not a 1- or 2-term reciprocal sum")
+    }
+  }
+
+  test("exactly-once end-to-end: source → stateful dedup → V2 sink across a crash-replay restart") {
+    // ONE query wiring all three exactly-once legs together (r9 gap:
+    // the restart spec covered the source and the idempotent-commit
+    // spec the sink, separately): replayable DSv2 source + stateful
+    // dropDuplicates + epoch-idempotent V2 sink. The crash is real:
+    // after run 1 the newest commit marker is deleted, so the restart
+    // believes the last epoch never committed and REPLAYS it into the
+    // sink before draining the new data.
+    val base = util.scratchDir("e2e_exactly_once")
+    def runQuery(rows: Long, out: String, ckpt: String): Unit = {
+      val q = spark.readStream.format("graft.sources.GraftRangeSource")
+        .option("rows", rows.toString).option("slices", "4").option("batchRows", "2500")
+        .load()
+        // dupkey folds ids ≥ 7500 onto the FIRST batch's keys: batch 3
+        // survivors depend on state built before the crash, so a
+        // restart that loses dedup state leaks ids ≥ 7500 into the
+        // output; meanwhile the replayed epoch 1 carries 2500 real
+        // rows, so the idempotent-replace path is exercised non-vacuously
+        .withColumn("dupkey", col("id") % 7500)
+        .dropDuplicates("dupkey")
+        .writeStream.format("graft.sources.GraftTextSink")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+    }
+    def readOut(out: String): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      new java.io.File(out).listFiles().toSeq
+        .filter(f => f.getName.startsWith("part-"))
+        .flatMap(f => java.nio.file.Files.readAllLines(f.toPath).asScala)
+        .sorted
+    }
+    val (out1, ck1) = (s"$base/out1", s"$base/ck1")
+    runQuery(5000, out1, ck1) // epochs 0..1 drain ids [0, 5000)
+    // crash simulation: the JVM died after the sink wrote epoch 1 but
+    // before the commit marker landed
+    val commits = new java.io.File(s"$ck1/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.length >= 2, s"expected ≥2 committed epochs, got ${commits.length}")
+    val torn = commits.last
+    // the local-FS checkpoint writes a Hadoop checksum sibling; a
+    // stale .N.crc would fail the replay's commit rename
+    new java.io.File(torn.getParentFile, s".${torn.getName}.crc").delete()
+    assert(torn.delete(), "could not remove newest commit marker")
+    runQuery(10000, out1, ck1) // replays the torn epoch, then ids [5000, 10000)
+    // reference: one uninterrupted run over the same final table
+    val (out2, ck2) = (s"$base/out2", s"$base/ck2")
+    runQuery(10000, out2, ck2)
+    val (got, want) = (readOut(out1), readOut(out2))
+    assert(want.nonEmpty && want.length == 7500,
+      s"reference run wrong: ${want.length} rows (dedup broken?)")
+    assert(got == want,
+      s"restarted output diverges from single-run: ${got.length} vs ${want.length} rows; " +
+        s"first diff: ${got.diff(want).headOption.orElse(want.diff(got).headOption)}")
+  }
+
+  test("tableFingerprint fails fast on a missing table") {
+    val e = intercept[IllegalArgumentException] {
+      util.tableFingerprint(sf, "no_such_table")
+    }
+    assert(e.getMessage.contains("no such table"),
+      s"wrong failure mode: ${e.getMessage}")
+  }
+
+  test("stale .tmp staging dirs are swept; fresh and published roots survive") {
+    val base = new java.io.File(util.scratchDir("sweeptest"))
+    base.mkdirs()
+    val stale = new java.io.File(base, ".tmp-stale"); stale.mkdirs()
+    new java.io.File(stale, "junk").createNewFile()
+    stale.setLastModified(System.currentTimeMillis - 2L * 60 * 60 * 1000)
+    val fresh = new java.io.File(base, ".tmp-fresh"); fresh.mkdirs()
+    val published = new java.io.File(base, "some-key"); published.mkdirs()
+    util.sweepStaleStaging(base)
+    assert(!stale.exists, "stale staging dir not swept")
+    assert(fresh.exists, "IN-FLIGHT staging dir must never be swept")
+    assert(published.exists, "published root must never be swept")
+  }
+}
