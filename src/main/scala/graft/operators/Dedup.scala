@@ -1202,6 +1202,72 @@ object Dedup {
       |   AS n_dup_windows
       |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** BLOOM-PRUNED incremental exact gate — the shuffle-avoidance twin
+    * of `pipeline_incremental_ingest`'s exact stage. The corpus side
+    * aggregates its normalized-text fingerprints into a Bloom filter
+    * (`bloom_filter_agg`, Spark's native partial-aggregable sketch:
+    * map tasks OR their local bit arrays, so only filter-sized state
+    * shuffles); the batch side is filtered by the codegen
+    * `BloomFilterMightContain` predicate BEFORE any join — a batch doc
+    * the bloom rejects provably has no corpus match (no false
+    * negatives), so only might-contain candidates reach the exact
+    * semi-join. At 100 TB this is Spark's own runtime-filter mechanism
+    * (`q56_bloom_runtime_filter`) made EXPLICIT and app-controlled:
+    * the corpus scan happens once to build KB of bits, and the daily
+    * batch joins only its candidate slice. The driver-side value is
+    * the serialized filter itself (5 KB by construction — numBits is a
+    * parameter, never data-sized). False positives cost only wasted
+    * candidates; the exact refine on `norm` equality keeps the result
+    * EXACT ⇒ the DuckDB oracle is a plain semi-join, bloom-free. */
+  /** Column face of Spark's internal `BloomFilterAggregate` (it is in
+    * the runtime-filter framework, not the public SQL registry):
+    * partial-aggregable bloom build — map tasks OR their local bit
+    * arrays, only `numBits/8` bytes shuffle per task. */
+  def bloomAgg(value: org.apache.spark.sql.Column, items: Long, numBits: Long): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    graftbridge.column(new BloomFilterAggregate(
+      graftbridge.expression(value), Literal(items), Literal(numBits))
+      .toAggregateExpression())
+  }
+
+  def bloomIngest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    val base = t(spark, dir, "documents")
+      .withColumn("norm", regexp_replace(trim(lower(col("text"))), " +", " "))
+    val isNew = col("doc_id") % 10 === 0
+    val corpusNorms = base.filter(!isNew).select(col("norm"))
+    val batch = base.filter(isNew).select(col("doc_id"), col("norm"))
+    val bloomBits = corpusNorms
+      .agg(Dedup.bloomAgg(xxhash64(col("norm")), 5000L, 40960L).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val mightContain = graftbridge.column(BloomFilterMightContain(
+      Literal.create(bloomBits, org.apache.spark.sql.types.BinaryType),
+      graftbridge.expression(xxhash64(col("norm")))))
+    val candidates = batch.filter(mightContain)
+    val dupIds = candidates.join(corpusNorms.distinct(), Seq("norm"), "left_semi")
+      .select(col("doc_id"))
+    batch.select(col("doc_id"))
+      .join(dupIds.withColumn("hit", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("hit") === 1, "dup_exact").otherwise("ingest").as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The bloom is pruning-only: the oracle replays the exact gate. */
+  val bloomIngestSql: String =
+    """WITH base AS (SELECT doc_id,
+      |   regexp_replace(trim(lower(text)), ' +', ' ', 'g') AS norm
+      |  FROM documents),
+      | batch AS (SELECT * FROM base WHERE doc_id % 10 = 0),
+      | corpus AS (SELECT norm FROM base WHERE doc_id % 10 <> 0)
+      |SELECT b.doc_id,
+      | CASE WHEN EXISTS (SELECT 1 FROM corpus c WHERE c.norm = b.norm)
+      |      THEN 'dup_exact' ELSE 'ingest' END AS verdict
+      |FROM batch b ORDER BY b.doc_id""".stripMargin
+
   val all: Seq[GQuery] = Seq(
     GQuery("dedup_substring_spans", substringSpans, Some(substringSpansSql)),
     GQuery("pipeline_mix_epochs", mixEpochs, Some(mixEpochsSql)),
@@ -1222,6 +1288,7 @@ object Dedup {
     GQuery("dedup_index_build", dedupIndexBuild, None),
     GQuery("dedup_prefix_filter", prefixFilterPairs, Some(jaccardPairsSql)),
     GQuery("pipeline_incremental_ingest", incrementalIngest, Some(incrementalIngestSql)),
+    GQuery("dedup_bloom_ingest", bloomIngest, Some(bloomIngestSql)),
     GQuery("dedup_containment_pairs", containmentPairs, Some(containmentPairsSql)),
     GQuery("dedup_minhash_lsh", minhashLshIndexed, None),
     GQuery("dedup_simhash", simhashPairs, None),

@@ -173,8 +173,75 @@ object Sampling {
        | ${sqlDsum("value")} AS total_value
        |FROM events GROUP BY 1, 2 ORDER BY arm, event_type""".stripMargin
 
+  /** Embedding CORESET via farthest-point sampling (Gonzalez 1985
+    * 2-approx k-center): start from the smallest vec_id, then k−1
+    * times pick the point maximizing its distance to the chosen set —
+    * the diversity-maximizing subset a curation pipeline uses to cover
+    * an embedding space with a tiny budget (the complement of SemDeDup:
+    * instead of dropping near-dups, keep the spread). Distances are
+    * cosine distance `1 − round(cos, 6)` via the codegen [[CosineSim]]
+    * expression, so every value lives on the 1e-6 grid and the argmax
+    * (ties → smallest vec_id) is bit-deterministic in BOTH engines —
+    * the DuckDB oracle replays all k rounds as unrolled MATERIALIZED
+    * CTEs and must produce the identical (rank, id, distance) rows.
+    *
+    * Scale: each round is ONE full-scan max-reduce (no shuffle beyond
+    * a 1-row top-k) against the incrementally maintained min-distance
+    * column; k rounds total. At 100 TB you don't FPS raw rows — you
+    * FPS the IVF centroid table from `sim_index_build` (centroid-sized
+    * input, same code path); the k driver-side collects here are each
+    * exactly one row by construction. */
+  def coresetFps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 8
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val seed = e.orderBy(col("vec_id")).limit(1).collect().head
+    var picks = Vector((seed.getLong(0), 0.0))
+    var centerV: Seq[Double] = seed.getSeq[Double](1)
+    var scored = e.withColumn("md",
+      lit(1.0) - graft.functions.CosineSim.cosine(col("v"), typedLit(centerV)))
+    for (_ <- 2 to k) {
+      val top = scored.orderBy(col("md").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), col("md"), col("v")).collect().head
+      picks = picks :+ ((top.getLong(0), top.getDouble(1)))
+      centerV = top.getSeq[Double](2)
+      scored = scored.withColumn("md",
+        least(col("md"), lit(1.0) - graft.functions.CosineSim.cosine(col("v"), typedLit(centerV))))
+    }
+    picks.zipWithIndex
+      .map { case ((id, d), i) => (i + 1L, id, d) }
+      .toDF("rnk", "vec_id", "dist")
+      .orderBy(col("rnk"))
+  }
+
+  /** Unrolled FPS rounds; every d_i is referenced by both c_{i+1} and
+    * d_{i+1}, so each is MATERIALIZED (the k-core oracle lesson: a CTE
+    * referenced more than once must not be inlined twice). */
+  val coresetFpsSql: String = {
+    def cos(a: String, b: String) =
+      s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+    val rounds = (2 to 8).map { i =>
+      s"""c$i AS MATERIALIZED (SELECT vec_id, v, md FROM d${i - 1} ORDER BY md DESC, vec_id LIMIT 1),
+         | d$i AS MATERIALIZED (SELECT d.vec_id, d.v, least(d.md, 1 - ${cos("d.v", "c.v")}) AS md
+         |  FROM d${i - 1} d, c$i c)""".stripMargin
+    }.mkString(",\n ")
+    val unions = (2 to 8).map(i =>
+      s"UNION ALL SELECT cast($i as bigint), vec_id, md FROM c$i").mkString("\n ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       | c1 AS MATERIALIZED (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+       | d1 AS MATERIALIZED (SELECT e.vec_id, e.v AS v, 1 - ${cos("e.v", "c.v")} AS md
+       |  FROM e, c1 c),
+       | $rounds
+       |SELECT * FROM (
+       | SELECT cast(1 as bigint) AS rnk, vec_id, cast(0.0 as double) AS dist FROM c1
+       | $unions
+       |) ORDER BY rnk""".stripMargin
+  }
+
   val all: Seq[GQuery] = Seq(
     GQuery("sample_hash_deterministic", hashSample, Some(hashSampleSql)),
+    GQuery("sample_coreset_fps", coresetFps, Some(coresetFpsSql)),
     GQuery("sample_ab_split", abSplit, Some(abSplitSql)),
     GQuery("sample_stratified", stratifiedSample, Some(stratifiedSampleSql)),
     GQuery("sample_reservoir_group", reservoirGroup, Some(reservoirGroupSql)),

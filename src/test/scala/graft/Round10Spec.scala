@@ -218,4 +218,95 @@ class Round10Spec extends AnyFunSuite {
     assert(fresh.exists, "IN-FLIGHT staging dir must never be swept")
     assert(published.exists, "published root must never be swept")
   }
+
+  // ——— round-10 additions: FPS coreset, bloom-pruned ingest, lineage ———
+
+  /** Sequential in-JVM FPS referee replicating the entry's exact
+    * arithmetic (left-fold double dot, HALF_UP round to 6, maximin
+    * with ties to smallest id). */
+  private def fpsReferee(vecs: Seq[(Long, Array[Double])], k: Int): Seq[(Long, Double)] = {
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dot(a: Array[Double], b: Array[Double]) = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def dist(a: Array[Double], b: Array[Double]) =
+      1.0 - r6(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+    val sorted = vecs.sortBy(_._1)
+    var picks = Vector((sorted.head._1, 0.0))
+    var md = sorted.map { case (id, v) => (id, v, dist(v, sorted.head._2)) }
+    for (_ <- 2 to k) {
+      val best = md.minBy { case (id, _, d) => (-d, id) }
+      picks = picks :+ ((best._1, best._3))
+      md = md.map { case (id, v, d) => (id, v, math.min(d, dist(v, best._2))) }
+    }
+    picks
+  }
+
+  test("coreset FPS matches the sequential referee and distances are non-increasing") {
+    val got = SparkEntry.queries("sample_coreset_fps")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 8)
+    val vecs = util.t(spark, sf, "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>)")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    val want = fpsReferee(vecs, 8)
+    assert(got.map(g => (g._2, g._3)).toSeq == want,
+      s"got=${got.toSeq}\nwant=$want")
+    // maximin radius is monotone non-increasing after the seed
+    got.drop(1).sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3, s"FPS distance increased: $a -> $b")
+    }
+    assert(got.head._3 == 0.0 && got.head._2 == vecs.map(_._1).min)
+  }
+
+  test("bloom ingest equals the exact gate and the bloom actually prunes") {
+    val got = SparkEntry.queries("dedup_bloom_ingest")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val base = util.t(spark, sf, "documents")
+      .selectExpr("doc_id", "regexp_replace(trim(lower(text)), ' +', ' ') AS norm")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val corpus = base.filter(_._1 % 10 != 0).map(_._2).toSet
+    val want = base.filter(_._1 % 10 == 0).sortBy(_._1)
+      .map { case (id, n) => (id, if (corpus(n)) "dup_exact" else "ingest") }
+    assert(got.toSeq == want.toSeq)
+    // no false negatives by construction; on this data the filter must
+    // also genuinely prune (reject most non-dup batch docs)
+    import org.apache.spark.sql.graftbridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    val docs = util.t(spark, sf, "documents")
+      .withColumn("norm", regexp_replace(trim(lower(col("text"))), " +", " "))
+    val bits = docs.filter(col("doc_id") % 10 =!= 0)
+      .agg(operators.Dedup.bloomAgg(xxhash64(col("norm")), 5000L, 40960L))
+      .head().getAs[Array[Byte]](0)
+    val mc = graftbridge.column(BloomFilterMightContain(
+      Literal.create(bits, org.apache.spark.sql.types.BinaryType),
+      graftbridge.expression(xxhash64(col("norm")))))
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val passed = batch.filter(mc).count()
+    val dups = want.count(_._2 == "dup_exact").toLong
+    assert(passed >= dups, "bloom dropped a true duplicate (false negative!)")
+    assert(passed < batch.count(), s"bloom pruned nothing (passed=$passed)")
+  }
+
+  test("column lineage of the flagship matches the committed golden rows") {
+    val got = SparkEntry.queries("meta_column_lineage")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(got.length == 13, s"got ${got.length} rows: ${got.mkString(", ")}")
+    assert(got.take(2).toSeq == Seq(
+      (1L, "l_returnflag", "lineitem", "l_returnflag"),
+      (2L, "l_linestatus", "lineitem", "l_linestatus")))
+    assert(got.filter(_._2 == "sum_charge").map(_._4).toSeq ==
+      Seq("l_discount", "l_extendedprice", "l_tax"))
+    assert(got.find(_._2 == "count_order").get._3 == "(constant)")
+  }
+
+  test("column lineage traces a join query back to both source tables") {
+    val rows = plans.Describe.columnLineage(spark, sf, "q3_join_inner")
+      .collect().map(r => (r.getString(1), r.getString(2), r.getString(3)))
+    val tables = rows.map(_._2).toSet
+    assert(tables.size >= 2, s"join lineage should span tables, got $tables")
+    rows.foreach { case (_, tb, _) =>
+      assert(tb != "(source)", "leaf relation name not resolved") }
+  }
 }
