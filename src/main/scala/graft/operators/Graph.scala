@@ -208,7 +208,10 @@ object Graph {
     * lineage stays one phase deep. All-integer and deterministic ⇒
     * the DuckDB oracle replays all 6 unrolled phases and the entry is
     * FULLY hash-checked. Output: the community histogram. */
-  def labelPropagation(spark: SparkSession, dir: String): DataFrame = {
+  /** The converged (node, label) assignment of the 3-super-round
+    * two-phase LPA — shared by the histogram entry and the modularity
+    * scorer below. */
+  private def lpaLabels(spark: SparkSession, dir: String): DataFrame = {
     // HIGH-QUANTITY trade edges only (l_quantity >= 48, the top ~6 %):
     // the full bipartite trade graph is near-complete at every SF, so
     // LPA correctly — and uselessly — finds one community; community
@@ -234,15 +237,21 @@ object Graph {
         .localCheckpoint(true)
     }
     even.unionAll(odd)
+  }
+
+  def labelPropagation(spark: SparkSession, dir: String): DataFrame =
+    lpaLabels(spark, dir)
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_members"),
         min(col("node")).as("min_member"), max(col("node")).as("max_member"))
       .select(col("label").as("community"), col("n_members"),
         col("min_member"), col("max_member"))
       .orderBy(col("community"))
-  }
 
-  val labelPropagationSql: String = {
+  /** Shared CTE chain: backbone edges + the 6 unrolled LPA phases,
+    * ending in `final(node, label)` — reused verbatim by the LPA
+    * histogram oracle and the modularity oracle. */
+  private val lpaCtes: String = {
     val phases = (1 to 3).flatMap { i =>
       val prevEven = if (i == 1) "e0" else s"e${i - 1}"
       Seq(
@@ -263,18 +272,85 @@ object Graph {
            |    GROUP BY e.c, l.label)
            |  WHERE rn = 1)""".stripMargin)
     }.mkString(",\n")
-    s"""WITH edges AS (
+    s"""edges AS (
        |  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS c,
        |                  CAST(l_suppkey * 2 + 1 AS BIGINT) AS s
        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
        |  WHERE l_quantity >= 48),
        |e0 AS (SELECT DISTINCT c AS node, c AS label FROM edges),
        |$phases,
-       |final AS (SELECT node, label FROM e3 UNION ALL SELECT node, label FROM o3)
+       |final AS MATERIALIZED (SELECT node, label FROM e3 UNION ALL SELECT node, label FROM o3)""".stripMargin
+  }
+
+  val labelPropagationSql: String =
+    s"""WITH $lpaCtes
        |SELECT label AS community, count(*) AS n_members,
        |  min(node) AS min_member, max(node) AS max_member
        |FROM final GROUP BY label ORDER BY community""".stripMargin
+
+  /** Newman MODULARITY of the LPA communities — the quality metric
+    * that closes the community-mining loop (Newman & Girvan 2004,
+    * Phys. Rev. E 69): Q = Σ_c [ e_c/m − (d_c/2m)² ], where e_c =
+    * intra-community edges, d_c = community degree sum, m = |edges|.
+    * Computed in MICRO-UNITS with truncating integer division —
+    * `(e_c·10⁶) div m − (d_c²·10⁶) div (4m²)` — so both engines emit
+    * bit-identical BIGINTs (d_c ≤ 2m keeps d_c²·10⁶ < 2⁶³ at every
+    * SF) and the entry is fully hash-checked on top of the same
+    * 6-phase unrolled-LPA oracle as the histogram. All relational:
+    * two label joins on the edge list, a degree aggregation, one
+    * scalar cross-join for m — edge-linear, no per-community loops.
+    * At 100 TB the labels table is the persisted artifact and this is
+    * one pass over edges. */
+  def modularity(spark: SparkSession, dir: String): DataFrame = {
+    val ed = spark.read.parquet(s"${tradeGraphRoot(spark, dir)}/backbone")
+    val labels = lpaLabels(spark, dir).localCheckpoint(true)
+    val m = ed.agg(count(lit(1)).as("m"))
+    val deg = ed.select(col("c").as("node")).unionAll(ed.select(col("s").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val comm = labels.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+    val intra = ed
+      .join(labels.select(col("node").as("c"), col("label").as("lc")), "c")
+      .join(labels.select(col("node").as("s"), col("label").as("ls")), "s")
+      .filter(col("lc") === col("ls"))
+      .groupBy(col("lc").as("label")).agg(count(lit(1)).as("e_c"))
+    val degsum = labels.join(deg, "node")
+      .groupBy(col("label")).agg(sum(col("d")).as("d_c"))
+    comm
+      .join(intra, Seq("label"), "left")
+      .join(degsum, Seq("label"))
+      .crossJoin(broadcast(m))
+      .select(col("label").as("community"), col("n_members"),
+        coalesce(col("e_c"), lit(0L)).as("e_c"), col("d_c"), col("m"))
+      .withColumn("q_micro",
+        expr("(e_c * 1000000) div m - (d_c * d_c * 1000000) div (4 * m * m)"))
+      .select(col("community"), col("n_members"), col("e_c"), col("d_c"), col("q_micro"))
+      .orderBy(col("community"))
   }
+
+  val modularitySql: String =
+    s"""WITH $lpaCtes,
+       | m AS (SELECT cast(count(*) as bigint) AS m FROM edges),
+       | deg AS (SELECT node, cast(count(*) as bigint) AS d FROM (
+       |   SELECT c AS node FROM edges UNION ALL SELECT s AS node FROM edges)
+       |  GROUP BY node),
+       | comm AS (SELECT label, cast(count(*) as bigint) AS n_members
+       |  FROM final GROUP BY label),
+       | intra AS (SELECT lc.label, cast(count(*) as bigint) AS e_c
+       |  FROM edges e
+       |   JOIN final lc ON lc.node = e.c
+       |   JOIN final ls ON ls.node = e.s
+       |  WHERE lc.label = ls.label GROUP BY lc.label),
+       | degsum AS (SELECT f.label, cast(sum(d.d) as bigint) AS d_c
+       |  FROM final f JOIN deg d ON d.node = f.node GROUP BY f.label)
+       |SELECT c.label AS community, c.n_members,
+       | coalesce(i.e_c, 0) AS e_c, g.d_c,
+       | (coalesce(i.e_c, 0) * 1000000) // m.m
+       |   - (g.d_c * g.d_c * 1000000) // (4 * m.m * m.m) AS q_micro
+       |FROM comm c
+       | LEFT JOIN intra i ON i.label = c.label
+       | JOIN degsum g ON g.label = c.label
+       | CROSS JOIN m
+       |ORDER BY community""".stripMargin
 
   /** Triangle counting on a top-K co-supply projection: supplier
     * pairs are ranked by shared-customer count and the 3·|suppliers|
@@ -557,5 +633,6 @@ object Graph {
     GQuery("graph_shortest_paths_frontier", shortestPathsFrontier, Some(shortestPathsSql)),
     GQuery("graph_kcore_peel", kcorePeel, Some(kcorePeelSql)),
     GQuery("graph_label_propagation", labelPropagation, Some(labelPropagationSql)),
+    GQuery("graph_modularity", modularity, Some(modularitySql)),
   )
 }

@@ -813,6 +813,40 @@ object StreamingOps {
     }
   }
 
+  /** Streaming QUANTILES per event type — the KLL mergeable sketch
+    * (`meta_kll_quantiles`' native `TypedImperativeAggregate`) used
+    * directly as STREAMING AGGREGATION STATE: each micro-batch's
+    * partial sketches merge into the state-store buffer through the
+    * aggregate's own `merge`, so per-group state is O(k) bytes no
+    * matter how many events arrive — the percentile-latency /
+    * price-distribution monitor that cannot hold raw values at
+    * 100 TB. Complete mode re-emits the converged per-group sketch;
+    * the snapshot serves p50/p90/p99 from kilobytes. Compaction
+    * follows micro-batch merge order ⇒ rows-only; the spec referees
+    * the converged quantiles against exact per-group order statistics
+    * at the 3/k rank-error bound and replays a 4-chunk arrival to pin
+    * cross-batch state merging. */
+  def streamKllQuantiles(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
+    import graft.functions.KllSketch._
+    val name = uniq("kll_stream")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val evs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val q = evs.groupBy(col("event_type"))
+      .agg(kllSketch(col("value"), 200).as("sk"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name)
+      .select(col("event_type"), kllCount(col("sk")).as("n"),
+        kllQuantiles(col("sk"), array(lit(0.5), lit(0.9), lit(0.99))).as("qs"))
+      .select(col("event_type"), col("n"),
+        element_at(col("qs"), 1).as("p50"),
+        element_at(col("qs"), 2).as("p90"),
+        element_at(col("qs"), 3).as("p99"))
+      .orderBy(col("event_type"))
+  }
+
   /** One (band, band_key) posting of one document's MinHash signature. */
   case class BandedDoc(band: Int, band_key: Long, doc_id: Long)
 
@@ -1608,6 +1642,7 @@ object StreamingOps {
     GQuery("stream_session_counts", streamSessionCounts, Some(streamSessionCountsSql)),
     GQuery("stream_dedup_corpus", streamDedupCorpus, Some(streamDedupCorpusSql)),
     GQuery("stream_kmv_distinct", streamKmvDistinct, None),
+    GQuery("stream_kll_quantiles", streamKllQuantiles, None),
     GQuery("stream_neardup_minhash", streamNearDupMinhash, None),
     GQuery("stream_upsert_snapshot", streamUpsertSnapshot, Some(streamUpsertSnapshotSql)),
   )

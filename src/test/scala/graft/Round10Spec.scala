@@ -301,6 +301,53 @@ class Round10Spec extends AnyFunSuite {
     assert(got.find(_._2 == "count_order").get._3 == "(constant)")
   }
 
+  test("modularity: identities hold and q_micro replays exactly from (e_c, d_c, m)") {
+    val rows = SparkEntry.queries("graph_modularity")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val sumD = rows.map(_._4).sum
+    assert(sumD % 2 == 0, "handshake: community degree sums must total 2m")
+    val m = sumD / 2
+    assert(rows.map(_._3).sum <= m, "intra-edge total cannot exceed m")
+    rows.foreach { case (c, _, eC, dC, q) =>
+      val want = (eC * 1000000L) / m - (dC * dC * 1000000L) / (4L * m * m)
+      assert(q == want, s"community $c: q_micro $q != replayed $want")
+    }
+    // Q bounds: exactly 0 for the degenerate single-community cut
+    // (sf0.001's dense backbone), strictly positive once LPA finds
+    // real structure (sf0.01: 36 communities, Q ≈ 0.354)
+    val qTotal = rows.map(_._5).sum
+    assert(qTotal >= 0 && qTotal < 1000000L, s"Q_micro total $qTotal out of [0, 1e6)")
+    if (rows.length > 1)
+      assert(qTotal > 0, s"multi-community cut must have positive modularity")
+    // communities and sizes must agree with the LPA histogram entry
+    val hist = SparkEntry.queries("graph_label_propagation")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows.map(r => (r._1, r._2)).toMap == hist,
+      "modularity communities diverge from the LPA histogram")
+  }
+
+  test("streaming KLL: converged per-type quantiles meet the 3/k bound vs exact") {
+    val got = SparkEntry.queries("stream_kll_quantiles")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    val byType = util.t(spark, sf, "events")
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(got.map(_._1).toSet == byType.keySet)
+    val eps = 3.0 / 200
+    got.foreach { case (tpe, n, p50, p90, p99) =>
+      val vals = byType(tpe)
+      assert(n == vals.length, s"$tpe: sketch count $n != ${vals.length}")
+      for ((p, est) <- Seq(0.5 -> p50, 0.9 -> p90, 0.99 -> p99)) {
+        // normalized rank of the estimate among the exact values
+        val rank = vals.count(_ < est).toDouble / vals.length
+        assert(math.abs(rank - p) <= eps + 1.0 / vals.length,
+          s"$tpe p=$p: est $est at rank $rank exceeds ${eps} bound")
+      }
+    }
+  }
+
   test("column lineage traces a join query back to both source tables") {
     val rows = plans.Describe.columnLineage(spark, sf, "q3_join_inner")
       .collect().map(r => (r.getString(1), r.getString(2), r.getString(3)))
