@@ -347,7 +347,10 @@ object Dedup {
   }
 
   /** Banded candidates + exact verify over prepared signatures. */
-  private def minhashPairsOf(sh: DataFrame, sigs: DataFrame): DataFrame = {
+  /** LSH banding candidates from a signature relation — the ONLY
+    * engine-specific stage of the minhash path (xxhash64 minhashes +
+    * band keys); everything after it is the replayable exact verify. */
+  private def lshCandidatesOf(sigs: DataFrame): DataFrame = {
     // band keys via ONE posexplode pass (a union of per-band selects
     // would re-run the signature aggregation once per band — Spark
     // does not dedupe common subplans)
@@ -356,13 +359,15 @@ object Dedup {
       .as(Seq("band", "band_key")))
     val l = banded.select(col("doc_id").as("a_id"), col("band"), col("band_key"))
     val r = banded.select(col("doc_id").as("b_id"), col("band"), col("band_key"))
-    val candidates = l.join(r, Seq("band", "band_key"))
+    l.join(r, Seq("band", "band_key"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id")).distinct()
+  }
+
+  private def minhashPairsOf(sh: DataFrame, sigs: DataFrame): DataFrame =
     // per-candidate exact Jaccard via the shared verify core; |A| and
     // |B| come from the fused `n` in sigs — no second shingle scan
-    verifyPairs(sh, sigs.select(col("doc_id"), col("n")), candidates)
-  }
+    verifyPairs(sh, sigs.select(col("doc_id"), col("n")), lshCandidatesOf(sigs))
 
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir).cache()
@@ -380,9 +385,38 @@ object Dedup {
   private def shinglesIndexed(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"${dedupGraphRoot(spark, dir)}/shingles")
 
-  def minhashLshIndexed(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"${dedupGraphRoot(spark, dir)}/pairs_minhash")
+  /** Hash-green since round 10 via the CANDIDATE sidecar: the LSH
+    * banding candidates (recomputed from the persisted signatures —
+    * cheap, signature-table-sized) are dumped for the oracle, and
+    * DuckDB replays the whole exact-Jaccard VERIFY from raw text over
+    * them — intersection counts, J = i/(|A|+|B|−i), the τ ≥ 0.8 cut,
+    * emitted values and ordering. Only the banding (minhash geometry)
+    * stays Spark-side; its recall is spec-pinned separately. */
+  def minhashLshIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val root = dedupGraphRoot(spark, dir)
+    oracleSidecar("minhash_candidates",
+      lshCandidatesOf(spark.read.parquet(s"$root/sigs")))
+    spark.read.parquet(s"$root/pairs_minhash")
       .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val minhashLshSql: String =
+    s"""WITH $shinglesSqlCte,
+       | cand AS (SELECT a_id, b_id FROM read_parquet('${oracleSidecarGlob("minhash_candidates")}')),
+       | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       | inter AS (
+       |  SELECT c.a_id, c.b_id, count(*) AS i
+       |  FROM cand c
+       |   JOIN sh a ON a.doc_id = c.a_id
+       |   JOIN sh b ON b.doc_id = c.b_id AND b.s = a.s
+       |  GROUP BY 1, 2)
+       |SELECT inter.a_id, inter.b_id,
+       | round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+       |FROM inter
+       | JOIN sizes sa ON inter.a_id = sa.doc_id
+       | JOIN sizes sb ON inter.b_id = sb.doc_id
+       |WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.8
+       |ORDER BY a_id, b_id""".stripMargin
 
   /** SimHash near-dup detection: 64-bit signature from token hashes;
     * hamming-distance candidates via 4×16-bit chunk banding (pigeonhole:
@@ -401,6 +435,10 @@ object Dedup {
     val sim = agg.select(col("doc_id"),
       (0 until 64).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
         .reduce(_ + _).as("simhash"))
+    // hash-green since round 10: the 64-bit signatures (the only
+    // xxhash64-derived stage) go to a sidecar; DuckDB replays the
+    // 4×16-bit pigeonhole banding AND the bit_count(xor) ≤ 3 verify
+    oracleSidecar("simhash_sigs", sim)
     // one posexplode pass over the 4 chunk values (a per-chunk union
     // would recompute the 64-bit aggregation 4×); index cached for the
     // self-join — (doc_id, simhash, chunk, chunk_val) is 4 longs/doc
@@ -416,6 +454,18 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("hamming"))
       .orderBy(col("a_id"), col("b_id"))
   }
+
+  val simhashPairsSql: String =
+    s"""WITH sh AS (SELECT doc_id, simhash FROM read_parquet('${oracleSidecarGlob("simhash_sigs")}')),
+       | bands AS (SELECT doc_id, simhash, c, (simhash >> (c * 16)) & 65535 AS cv
+       |  FROM sh, (SELECT unnest(range(0, 4)) AS c) chunks),
+       | cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |   a.simhash AS sh_a, b.simhash AS sh_b
+       |  FROM bands a JOIN bands b
+       |   ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id)
+       |SELECT a_id, b_id, cast(bit_count(xor(sh_a, sh_b)) as bigint) AS hamming
+       |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+       |ORDER BY a_id, b_id""".stripMargin
 
   /** Embedding cosine near-dup pairs (cos >= 0.4), exact brute force —
     * ORACLE-ONLY ground truth for the ANN path in Similarity. The
@@ -540,9 +590,56 @@ object Dedup {
     * J≥0.8 is ≈0.9997, so survivors match the exact-based apply on
     * testdata exactly (spec-asserted); sketch-based → rows-only
     * driver check. */
-  def applyNearDupMinhash(spark: SparkSession, dir: String): DataFrame =
-    applyPairs(spark, dir,
-      spark.read.parquet(s"${dedupGraphRoot(spark, dir)}/pairs_minhash"))
+  def applyNearDupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val root = dedupGraphRoot(spark, dir)
+    // hash-green since round 10: same candidate-sidecar discipline as
+    // dedup_minhash_lsh — DuckDB replays verify + drop-set + survivor
+    // aggregation; only the banding stays Spark-side
+    oracleSidecar("minhash_candidates",
+      lshCandidatesOf(spark.read.parquet(s"$root/sigs")))
+    applyPairs(spark, dir, spark.read.parquet(s"$root/pairs_minhash"))
+  }
+
+  /** Same verify-replay oracle as `minhashLshSql`, over the STREAMED
+    * banding candidates sidecar (`stream_neardup_minhash`). */
+  val streamNearDupSql: String =
+    s"""WITH $shinglesSqlCte,
+       | cand AS (SELECT a_id, b_id FROM read_parquet('${oracleSidecarGlob("stream_minhash_candidates")}')),
+       | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       | inter AS (
+       |  SELECT c.a_id, c.b_id, count(*) AS i
+       |  FROM cand c
+       |   JOIN sh a ON a.doc_id = c.a_id
+       |   JOIN sh b ON b.doc_id = c.b_id AND b.s = a.s
+       |  GROUP BY 1, 2)
+       |SELECT inter.a_id, inter.b_id,
+       | round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+       |FROM inter
+       | JOIN sizes sa ON inter.a_id = sa.doc_id
+       | JOIN sizes sb ON inter.b_id = sb.doc_id
+       |WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.8
+       |ORDER BY a_id, b_id""".stripMargin
+
+  val applyNearDupMinhashSql: String =
+    s"""WITH $shinglesSqlCte,
+       | cand AS (SELECT a_id, b_id FROM read_parquet('${oracleSidecarGlob("minhash_candidates")}')),
+       | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       | inter AS (
+       |  SELECT c.a_id, c.b_id, count(*) AS i
+       |  FROM cand c
+       |   JOIN sh a ON a.doc_id = c.a_id
+       |   JOIN sh b ON b.doc_id = c.b_id AND b.s = a.s
+       |  GROUP BY 1, 2),
+       | pairs AS (
+       |  SELECT b_id FROM inter
+       |   JOIN sizes sa ON inter.a_id = sa.doc_id
+       |   JOIN sizes sb ON inter.b_id = sb.doc_id
+       |  WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.8)
+       |SELECT lang, count(*) AS n_kept,
+       | cast(sum(n_chars) as bigint) AS total_chars
+       |FROM documents
+       |WHERE doc_id NOT IN (SELECT b_id FROM pairs)
+       |GROUP BY lang ORDER BY lang""".stripMargin
 
   val applyNearDupSql: String =
     s"""WITH $shinglesSqlCte,
@@ -1052,6 +1149,11 @@ object Dedup {
     // store's codebook rather than retraining it per execution
     val cents = spark.read.parquet(
       s"${Similarity.ivfPqIndexRoot(spark, dir)}/coarse_raw")
+    // hash-green since round 10: with the shared centroid sidecar the
+    // oracle replays EVERYTHING — top-1 assignment, within-cluster
+    // pairing, the cos ≥ 0.4 cut, keep-first drops, and the audit
+    // aggregation; only the k-means training stays Spark-side
+    oracleSidecar("ivf_coarse", cents)
     val assign = Similarity.assignOne(e, cents)
     val m = assign.join(e, Seq("vec_id"))
     val a = m.select(col("cid"), col("vec_id").as("a_id"), col("v").as("va"))
@@ -1068,6 +1170,29 @@ object Dedup {
         sum(coalesce(col("is_dropped"), lit(0))).as("n_dropped"),
         (count(lit(1)) - sum(coalesce(col("is_dropped"), lit(0)))).as("n_survivors"))
       .orderBy(col("cid"))
+  }
+
+  val semanticDedupSql: String = {
+    def cos(a: String, b: String) =
+      s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+    s"""WITH cents AS (SELECT cid, cv FROM read_parquet('${oracleSidecarGlob("ivf_coarse")}')),
+       | e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       | escore AS (SELECT e.vec_id, c.cid, ${cos("e.v", "c.cv")} AS ac
+       |  FROM e, cents c),
+       | assign AS MATERIALIZED (SELECT vec_id, cid FROM (
+       |   SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |     ORDER BY ac DESC, cid) AS ark FROM escore)
+       |  WHERE ark = 1),
+       | m AS MATERIALIZED (SELECT a.vec_id, a.cid, e.v
+       |  FROM assign a JOIN e ON e.vec_id = a.vec_id),
+       | dropped AS (SELECT DISTINCT b.vec_id
+       |  FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE ${cos("a.v", "b.v")} >= 0.4)
+       |SELECT a.cid, cast(count(*) as bigint) AS n_members,
+       | cast(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_dropped,
+       | cast(count(*) - sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_survivors
+       |FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+       |GROUP BY a.cid ORDER BY a.cid""".stripMargin
   }
 
   /** Epoch data-mixture planning — the "20 % books / 80 % web" recipe
@@ -1271,7 +1396,7 @@ object Dedup {
   val all: Seq[GQuery] = Seq(
     GQuery("dedup_substring_spans", substringSpans, Some(substringSpansSql)),
     GQuery("pipeline_mix_epochs", mixEpochs, Some(mixEpochsSql)),
-    GQuery("dedup_semantic_clusters", semanticDedup, None),
+    GQuery("dedup_semantic_clusters", semanticDedup, Some(semanticDedupSql)),
     GQuery("dedup_passages", passageDedup, Some(passageDedupSql)),
     GQuery("dedup_fuzzy_edit", fuzzyEditPairs, Some(fuzzyEditPairsSql)),
     GQuery("pipeline_train_corpus", trainCorpus, Some(trainCorpusSql)),
@@ -1279,7 +1404,7 @@ object Dedup {
     GQuery("dedup_cluster_components", clusterComponents, Some(clusterComponentsSql)),
     GQuery("dedup_cluster_star", clusterComponentsStar, Some(clusterComponentsSql)),
     GQuery("dedup_apply_neardup", applyNearDup, Some(applyNearDupSql)),
-    GQuery("dedup_apply_minhash", applyNearDupMinhash, None),
+    GQuery("dedup_apply_minhash", applyNearDupMinhash, Some(applyNearDupMinhashSql)),
     GQuery("dedup_contamination", contamination, Some(contaminationSql)),
     GQuery("pipeline_clean_corpus", cleanCorpus, Some(cleanCorpusSql)),
     GQuery("dedup_exact", exactDedup, Some(exactDedupSql)),
@@ -1290,8 +1415,8 @@ object Dedup {
     GQuery("pipeline_incremental_ingest", incrementalIngest, Some(incrementalIngestSql)),
     GQuery("dedup_bloom_ingest", bloomIngest, Some(bloomIngestSql)),
     GQuery("dedup_containment_pairs", containmentPairs, Some(containmentPairsSql)),
-    GQuery("dedup_minhash_lsh", minhashLshIndexed, None),
-    GQuery("dedup_simhash", simhashPairs, None),
+    GQuery("dedup_minhash_lsh", minhashLshIndexed, Some(minhashLshSql)),
+    GQuery("dedup_simhash", simhashPairs, Some(simhashPairsSql)),
     GQuery("dedup_embedding_cosine", embeddingNearDup, Some(embeddingNearDupSql)),
   )
 }

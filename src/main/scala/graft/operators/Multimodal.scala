@@ -262,6 +262,10 @@ object Multimodal {
     val hashes = mediaTable(spark, dir)
       .filter(_.media_type != "audio")
       .mapPartitions(_.map(r => ImgHash(r.doc_id, dhashOf(r.payload)))).toDF()
+    // hash-green since round 10: the codec-derived dhash values (the
+    // only non-relational stage) go to a sidecar; DuckDB replays the
+    // 4×16-bit pigeonhole banding and the bit_count(xor) ≤ 3 verify
+    graft.util.oracleSidecar("dhash_sigs", hashes)
     val banded = hashes.select(col("doc_id"), col("dhash"), posexplode(array(
         (0 until 4).map(c => shiftright(col("dhash"), c * 16).bitwiseAND(0xFFFF)): _*))
       .as(Seq("chunk", "chunk_val"))).cache()
@@ -275,8 +279,20 @@ object Multimodal {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  val imageDhashPairsSql: String =
+    s"""WITH sh AS (SELECT doc_id, dhash FROM read_parquet('${graft.util.oracleSidecarGlob("dhash_sigs")}')),
+       | bands AS (SELECT doc_id, dhash, c, (dhash >> (c * 16)) & 65535 AS cv
+       |  FROM sh, (SELECT unnest(range(0, 4)) AS c) chunks),
+       | cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |   a.dhash AS ha, b.dhash AS hb
+       |  FROM bands a JOIN bands b
+       |   ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id)
+       |SELECT a_id, b_id, cast(bit_count(xor(ha, hb)) as bigint) AS hamming
+       |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+       |ORDER BY a_id, b_id""".stripMargin
+
   val all: Seq[GQuery] = Seq(
-    GQuery("mm_image_dhash_pairs", imageDhashPairs, None),
+    GQuery("mm_image_dhash_pairs", imageDhashPairs, Some(imageDhashPairsSql)),
     GQuery("mm_audio_frames", audioFrames, None),
     GQuery("mm_pack_struct", pack, Some(packSql)),
     GQuery("mm_shard_bybytes", shardByBytes, Some(shardByBytesSql)),

@@ -112,6 +112,11 @@ object Similarity {
     val candidates = a.join(b, Seq("tbl", "sig"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id")).distinct()
+    // hash-green since round 10 via the candidate sidecar (the
+    // dedup_minhash_lsh discipline): the hyperplane-bucket candidates
+    // — the only xxhash-derived stage — are dumped for the oracle,
+    // and DuckDB replays the exact-cosine verify, τ-cut, and ordering
+    oracleSidecar("lsh_candidates", candidates)
     // exact-cosine verification: rejoin the two vectors once per pair;
     // the cosine is the fused native codegen expression (CosineSim) —
     // on this stage (millions of candidate pairs) the HOF version's
@@ -123,6 +128,19 @@ object Similarity {
       .filter(col("cos") >= 0.4)
       .select(col("a_id"), col("b_id"), col("cos"))
       .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val annLshSql: String = {
+    def cos(a: String, b: String) =
+      s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+    s"""WITH cand AS (SELECT a_id, b_id FROM read_parquet('${oracleSidecarGlob("lsh_candidates")}')),
+       | e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+       |SELECT c.a_id, c.b_id, ${cos("ea.v", "eb.v")} AS cos
+       |FROM cand c
+       | JOIN e ea ON ea.vec_id = c.a_id
+       | JOIN e eb ON eb.vec_id = c.b_id
+       |WHERE ${cos("ea.v", "eb.v")} >= 0.4
+       |ORDER BY c.a_id, c.b_id""".stripMargin
   }
 
   /** Train a k-means codebook with DataFrame ops only — the coarse
@@ -643,6 +661,10 @@ object Similarity {
     val root = ivfPqIndexRoot(spark, dir)
     val cents = spark.read.parquet(s"$root/coarse_raw")
     val assign = spark.read.parquet(s"$root/assign_raw")
+    // hash-green via the sim_ivf_topk index-sidecar discipline: DuckDB
+    // replays probe assignment, candidate join, and the τ-cut
+    oracleSidecar("ivf_coarse", cents)
+    oracleSidecar("ivf_assign", assign)
     val qAssign = assignToBuckets(e.filter(col("vec_id") < 20), cents, ivfNProbe)
       .select(col("vec_id").as("q_id"), col("cid"))
     qAssign.join(assign, Seq("cid"))
@@ -654,6 +676,30 @@ object Similarity {
       .filter(col("cos") >= tau)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cos"))
       .orderBy(col("q_id"), col("neighbor_id"))
+  }
+
+  val rangeSearchSql: String = {
+    def cos(a: String, b: String) =
+      s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+    s"""WITH cents AS (SELECT cid, cv FROM read_parquet('${oracleSidecarGlob("ivf_coarse")}')),
+       | postings AS (SELECT vec_id, cid FROM read_parquet('${oracleSidecarGlob("ivf_assign")}')),
+       | q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS vq
+       |  FROM embeddings WHERE vec_id < 20),
+       | qscore AS (SELECT q.q_id, c.cid, ${cos("q.vq", "c.cv")} AS ac
+       |  FROM q, cents c),
+       | qa AS (SELECT q_id, cid FROM (
+       |   SELECT q_id, cid, row_number() OVER (PARTITION BY q_id
+       |     ORDER BY ac DESC, cid) AS ark FROM qscore)
+       |  WHERE ark <= $ivfNProbe),
+       | cand AS (SELECT DISTINCT qa.q_id, p.vec_id
+       |  FROM qa JOIN postings p USING (cid) WHERE p.vec_id <> qa.q_id)
+       |SELECT c.q_id, c.vec_id AS neighbor_id,
+       | ${cos("q.vq", "e.embedding::DOUBLE[]")} AS cos
+       |FROM cand c
+       | JOIN embeddings e ON e.vec_id = c.vec_id
+       | JOIN q ON q.q_id = c.q_id
+       |WHERE ${cos("q.vq", "e.embedding::DOUBLE[]")} >= 0.3
+       |ORDER BY c.q_id, neighbor_id""".stripMargin
   }
 
   /** Brute-force range-search truth for the recall spec. */
@@ -704,7 +750,42 @@ object Similarity {
   def filteredTopk(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val root = ivfPqIndexRoot(spark, dir)
+    // same index-sidecar discipline as sim_ivf_topk: the oracle
+    // replays probe ranking, postings∩predicate intersection, exact
+    // re-rank, and top-5 — only the trained index rows are Spark-side
+    oracleSidecar("ivf_coarse", spark.read.parquet(s"$root/coarse_raw"))
+    oracleSidecar("ivf_assign", spark.read.parquet(s"$root/assign_raw"))
     filteredTopkFor(spark, dir, e.filter(col("vec_id") < 20))
+  }
+
+  val filteredTopkSql: String = {
+    def cos(a: String, b: String) =
+      s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+    s"""WITH cents AS (SELECT cid, cv FROM read_parquet('${oracleSidecarGlob("ivf_coarse")}')),
+       | postings AS (SELECT vec_id, cid FROM read_parquet('${oracleSidecarGlob("ivf_assign")}')),
+       | keep AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |  WHERE label IN (${filterLabels.mkString(", ")})),
+       | fpost AS (SELECT p.vec_id, p.cid FROM postings p
+       |  WHERE EXISTS (SELECT 1 FROM keep k WHERE k.vec_id = p.vec_id)),
+       | q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS vq
+       |  FROM embeddings WHERE vec_id < 20),
+       | qscore AS (SELECT q.q_id, c.cid, ${cos("q.vq", "c.cv")} AS ac
+       |  FROM q, cents c),
+       | qa AS (SELECT q_id, cid FROM (
+       |   SELECT q_id, cid, row_number() OVER (PARTITION BY q_id
+       |     ORDER BY ac DESC, cid) AS ark FROM qscore)
+       |  WHERE ark <= $filteredNProbe),
+       | cand AS (SELECT DISTINCT qa.q_id, p.vec_id
+       |  FROM qa JOIN fpost p USING (cid) WHERE p.vec_id <> qa.q_id),
+       | scored AS (SELECT c.q_id, c.vec_id, ${cos("q.vq", "k.v")} AS cos
+       |  FROM cand c
+       |   JOIN keep k ON k.vec_id = c.vec_id
+       |   JOIN q ON q.q_id = c.q_id)
+       |SELECT q_id, rk, vec_id AS neighbor_id, cos FROM (
+       | SELECT *, cast(row_number() OVER (PARTITION BY q_id
+       |   ORDER BY cos DESC, vec_id) as bigint) AS rk FROM scored)
+       |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
   }
 
   /** Filtered top-k for an ARBITRARY query relation (vec_id, v) — the
@@ -759,10 +840,48 @@ object Similarity {
       .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cos"))
   }
 
+  /** Hash-green since round 10 via the index SIDECAR: the persisted
+    * (cid, cv) codebook and (vec_id, cid) postings — the only
+    * k-means-derived, engine-specific parts — are dumped for the
+    * oracle, and DuckDB replays the ENTIRE search relationally: probe
+    * assignment (top-6 centroids by rounded cosine, ties to smallest
+    * cid), candidate generation through the postings, exact re-rank,
+    * top-5 — so a broken probe rank, candidate join, or re-rank flips
+    * the driver hash even though the training stays Spark-side
+    * (training determinism is spec-pinned in `sim_index_build`). */
   def ivfTopk(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val root = ivfPqIndexRoot(spark, dir)
+    oracleSidecar("ivf_coarse", spark.read.parquet(s"$root/coarse_raw"))
+    oracleSidecar("ivf_assign", spark.read.parquet(s"$root/assign_raw"))
     ivfTopkFor(spark, dir, e.filter(col("vec_id") < 20))
+  }
+
+  val ivfTopkSql: String = {
+    def cos(a: String, b: String) =
+      s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+    s"""WITH cents AS (SELECT cid, cv FROM read_parquet('${oracleSidecarGlob("ivf_coarse")}')),
+       | postings AS (SELECT vec_id, cid FROM read_parquet('${oracleSidecarGlob("ivf_assign")}')),
+       | q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS vq
+       |  FROM embeddings WHERE vec_id < 20),
+       | qscore AS (SELECT q.q_id, c.cid, ${cos("q.vq", "c.cv")} AS ac
+       |  FROM q, cents c),
+       | qa AS (SELECT q_id, cid FROM (
+       |   SELECT q_id, cid, row_number() OVER (PARTITION BY q_id
+       |     ORDER BY ac DESC, cid) AS ark FROM qscore)
+       |  WHERE ark <= $ivfNProbe),
+       | cand AS (SELECT DISTINCT qa.q_id, p.vec_id
+       |  FROM qa JOIN postings p USING (cid) WHERE p.vec_id <> qa.q_id),
+       | scored AS (SELECT c.q_id, c.vec_id,
+       |   ${cos("q.vq", "e.embedding::DOUBLE[]")} AS cos
+       |  FROM cand c
+       |   JOIN embeddings e ON e.vec_id = c.vec_id
+       |   JOIN q ON q.q_id = c.q_id)
+       |SELECT q_id, rk, vec_id AS neighbor_id, cos FROM (
+       | SELECT *, cast(row_number() OVER (PARTITION BY q_id
+       |   ORDER BY cos DESC, vec_id) as bigint) AS rk FROM scored)
+       |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
   }
 
   /** IVF top-k for an ARBITRARY query relation (vec_id, v) — the
@@ -1051,6 +1170,30 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** Every stage of the int8 path is per-row IEEE arithmetic both
+    * engines implement identically (abs/max, x/scale, round-half-away
+    * to tinyint, dequantize multiply) and every EMITTED float passes
+    * the 1e-6 rounding grid — so the oracle replays the whole
+    * quantize→dequantize→fidelity pipeline from the raw table, no
+    * sidecar needed (hash-green since round 10). */
+  val quantizeInt8Sql: String =
+    s"""WITH e AS (
+       | SELECT vec_id, label, embedding::DOUBLE[] AS v,
+       |  greatest(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 1e-12) / 127.0 AS scale
+       | FROM embeddings),
+       | d AS (SELECT vec_id, label, v, scale,
+       |   list_transform(v, x -> cast(round(x / scale) as tinyint) * scale) AS dq
+       |  FROM e),
+       | m AS (SELECT label,
+       |   round(list_dot_product(v, dq) /
+       |     (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(dq, dq))), 6) AS cos_fid,
+       |   list_max(list_transform(range(1, len(v) + 1), i -> abs(v[i] - dq[i]))) / scale AS err
+       |  FROM d)
+       |SELECT label, cast(count(*) as bigint) AS n_vectors,
+       | round(min(cos_fid), 6) AS worst_cosine,
+       | round(max(err), 6) AS worst_err_over_scale
+       |FROM m GROUP BY label ORDER BY label""".stripMargin
+
   /** Exact k-NN JOIN (k = 3): EVERY vector joined to its 3 nearest
     * neighbors — the all-pairs similarity join behind corpus-wide
     * near-dup mining and RAG index QA, distinct from
@@ -1205,6 +1348,31 @@ object Similarity {
     * clustered real embeddings prune far harder at equal recall). */
   val knnJoinNProbe = 5
 
+  val knnJoinIvfSql: String = {
+    def cos(a: String, b: String) =
+      s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+    s"""WITH cents AS (SELECT cid, cv FROM read_parquet('${oracleSidecarGlob("ivf_coarse")}')),
+       | postings AS (SELECT vec_id, cid FROM read_parquet('${oracleSidecarGlob("ivf_assign")}')),
+       | q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS vq FROM embeddings),
+       | qscore AS (SELECT q.q_id, c.cid, ${cos("q.vq", "c.cv")} AS ac
+       |  FROM q, cents c),
+       | qa AS (SELECT q_id, cid FROM (
+       |   SELECT q_id, cid, row_number() OVER (PARTITION BY q_id
+       |     ORDER BY ac DESC, cid) AS ark FROM qscore)
+       |  WHERE ark <= $knnJoinNProbe),
+       | cand AS (SELECT DISTINCT qa.q_id, p.vec_id
+       |  FROM qa JOIN postings p USING (cid) WHERE p.vec_id <> qa.q_id),
+       | scored AS (SELECT c.q_id, c.vec_id,
+       |   ${cos("q.vq", "e.embedding::DOUBLE[]")} AS cos
+       |  FROM cand c
+       |   JOIN embeddings e ON e.vec_id = c.vec_id
+       |   JOIN q ON q.q_id = c.q_id)
+       |SELECT q_id, rk, vec_id AS neighbor_id, cos FROM (
+       | SELECT *, cast(row_number() OVER (PARTITION BY q_id
+       |   ORDER BY cos DESC, vec_id) as bigint) AS rk FROM scored)
+       |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+  }
+
   /** The k-NN JOIN at scale: both sides IVF-bucketed through ONE
     * trained codebook — every vector posts to its 2 nearest lists
     * (index side) and probes its 4 nearest (query side); candidate
@@ -1221,6 +1389,12 @@ object Similarity {
     val root = ivfPqIndexRoot(spark, dir)
     val cents = spark.read.parquet(s"$root/coarse_raw")
     val assign = spark.read.parquet(s"$root/assign_raw")
+    // hash-green since round 10 via the sim_ivf_topk index-sidecar
+    // discipline: DuckDB replays every-vector probe assignment, the
+    // candidate equi-join, exact re-rank, and top-3 — the integer
+    // priority mapping makes (pri asc, id) ≡ (cos desc, id) exactly
+    oracleSidecar("ivf_coarse", cents)
+    oracleSidecar("ivf_assign", assign)
     val qAssign = assignToBuckets(e, cents, knnJoinNProbe)
       .select(col("vec_id").as("q_id"), col("cid"))
     // candidate generation stays fully relational on COMPACT ids (the
@@ -1249,19 +1423,19 @@ object Similarity {
   val all: Seq[GQuery] = Seq(
     GQuery("sim_knn_join_exact", knnJoinExact, Some(knnJoinExactSql)),
     GQuery("sim_knn_join_blocked", knnJoinExactBlocked, Some(knnJoinExactSql)),
-    GQuery("sim_knn_join_ivf", knnJoinIvf, None),
-    GQuery("sim_quantize_int8", quantizeInt8, None),
+    GQuery("sim_knn_join_ivf", knnJoinIvf, Some(knnJoinIvfSql)),
+    GQuery("sim_quantize_int8", quantizeInt8, Some(quantizeInt8Sql)),
     GQuery("sim_topk_bruteforce", topkBruteForce, Some(topkBruteForceSql)),
     GQuery("sim_mips_topk", mipsTopk, Some(mipsTopkSql)),
     GQuery("sim_label_centroids", labelCentroids, Some(labelCentroidsSql)),
-    GQuery("sim_ann_lsh", annLsh, None),
-    GQuery("sim_ivf_topk", ivfTopk, None),
+    GQuery("sim_ann_lsh", annLsh, Some(annLshSql)),
+    GQuery("sim_ivf_topk", ivfTopk, Some(ivfTopkSql)),
     GQuery("sim_pq_topk", pqTopk, None),
     GQuery("sim_ivfpq_topk", ivfpqTopk, None),
     GQuery("sim_index_build", indexBuild, None),
     GQuery("sim_index_add", indexAdd, None),
-    GQuery("sim_range_search", rangeSearch, None),
-    GQuery("sim_filtered_topk", filteredTopk, None),
+    GQuery("sim_range_search", rangeSearch, Some(rangeSearchSql)),
+    GQuery("sim_filtered_topk", filteredTopk, Some(filteredTopkSql)),
     GQuery("sim_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     GQuery("sim_embedding_drift", embeddingDrift, Some(embeddingDriftSql)),
   )

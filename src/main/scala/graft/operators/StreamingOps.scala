@@ -991,7 +991,12 @@ object StreamingOps {
       q.processAllAvailable(); q.stop()
       // a pair can surface from several bands — distinct before the
       // exact-Jaccard verify shared with the batch LSH path
-      Dedup.verifyCandidates(spark, dir, spark.table(name).distinct())
+      val cand = spark.table(name).distinct()
+      // hash-green since round 10 (the dedup_minhash_lsh candidate-
+      // sidecar discipline): the streamed banding candidates go to a
+      // sidecar and DuckDB replays the exact-Jaccard verify from text
+      graft.util.oracleSidecar("stream_minhash_candidates", cand)
+      Dedup.verifyCandidates(spark, dir, cand)
     } finally {
       prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
     }
@@ -1069,7 +1074,12 @@ object StreamingOps {
   def streamAnnServe(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
     // ensure the index exists BEFORE the stream starts — the serve
     // loop must never pay (or race on) a build
-    Similarity.ivfPqIndexRoot(spark, dir)
+    val idxRoot = Similarity.ivfPqIndexRoot(spark, dir)
+    // converged output ≡ batch sim_ivf_topk row-for-row, so the entry
+    // SHARES that oracle (hash-green since round 10) — dump the same
+    // index sidecars the shared SQL replays the search from
+    graft.util.oracleSidecar("ivf_coarse", spark.read.parquet(s"$idxRoot/coarse_raw"))
+    graft.util.oracleSidecar("ivf_assign", spark.read.parquet(s"$idxRoot/assign_raw"))
     val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
     val queries = spark.readStream.schema(schema)
       .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
@@ -1101,7 +1111,10 @@ object StreamingOps {
     * (spec-asserted); index-routed ⇒ rows-only driver check. */
   def streamFilteredAnnServe(spark: SparkSession, dir: String): DataFrame =
     withStatePartitions(spark) {
-      Similarity.ivfPqIndexRoot(spark, dir) // build before the stream starts
+      val idxRoot = Similarity.ivfPqIndexRoot(spark, dir) // build before the stream starts
+      // shares sim_filtered_topk's index-sidecar oracle (round 10)
+      graft.util.oracleSidecar("ivf_coarse", spark.read.parquet(s"$idxRoot/coarse_raw"))
+      graft.util.oracleSidecar("ivf_assign", spark.read.parquet(s"$idxRoot/assign_raw"))
       val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
       val queries = spark.readStream.schema(schema)
         .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
@@ -1620,8 +1633,8 @@ object StreamingOps {
     GQuery("stream_funnel", streamFunnel, Some(Analytics.q74Sql)),
     GQuery("stream_cdc_apply", streamCdcApply, Some(streamCdcApplySql)),
     GQuery("stream_cdc_view", streamCdcView, Some(streamCdcViewSql)),
-    GQuery("stream_ann_serve", streamAnnServe, None),
-    GQuery("stream_filtered_ann_serve", streamFilteredAnnServe, None),
+    GQuery("stream_ann_serve", streamAnnServe, Some(Similarity.ivfTopkSql)),
+    GQuery("stream_filtered_ann_serve", streamFilteredAnnServe, Some(Similarity.filteredTopkSql)),
     GQuery("stream_chained_stateful", streamChainedStateful, Some(streamChainedStatefulSql)),
     GQuery("stream_dsv2_source", streamDsv2Source, Some(streamDsv2SourceSql)),
     GQuery("stream_dsv2_sink", streamDsv2Sink, Some(streamDsv2SinkSql)),
@@ -1643,7 +1656,7 @@ object StreamingOps {
     GQuery("stream_dedup_corpus", streamDedupCorpus, Some(streamDedupCorpusSql)),
     GQuery("stream_kmv_distinct", streamKmvDistinct, None),
     GQuery("stream_kll_quantiles", streamKllQuantiles, None),
-    GQuery("stream_neardup_minhash", streamNearDupMinhash, None),
+    GQuery("stream_neardup_minhash", streamNearDupMinhash, Some(Dedup.streamNearDupSql)),
     GQuery("stream_upsert_snapshot", streamUpsertSnapshot, Some(streamUpsertSnapshotSql)),
   )
 }

@@ -254,19 +254,34 @@ object TextAnalysis {
       |ORDER BY d.doc_id""".stripMargin
 
   /** Document fingerprint: winnowed rolling hash — min/max xxhash64
-    * over 4-token windows (content-defined, shift-invariant). Hash fn
-    * is engine-specific → rows-only check + ScalaTest determinism. */
-  def fingerprint(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
+    * over 4-token windows (content-defined, shift-invariant). The
+    * hash fn is engine-specific, but hash-green since round 10 via
+    * the sidecar discipline: the per-window hash TABLE is dumped once
+    * per run and DuckDB replays the whole relational remainder —
+    * grouping, min/max/count aggregation, ordering — against it (the
+    * `sample_hash_deterministic` pattern; hash determinism itself is
+    * spec-pinned). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val grams = t(spark, dir, "documents")
       .withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= 4)
       .withColumn("grams", expr(
         "transform(sequence(1, size(ws)-3), i -> xxhash64(concat_ws(' ', element_at(ws,i), element_at(ws,i+1), element_at(ws,i+2), element_at(ws,i+3))))"))
+    oracleSidecar("documents_gramhash",
+      grams.select(col("doc_id"), explode(col("grams")).as("h")))
+    grams
       .select(col("doc_id"),
         expr("aggregate(grams, 9223372036854775807L, (acc, h) -> least(acc, h))").as("fp_min"),
         expr("aggregate(grams, -9223372036854775808L, (acc, h) -> greatest(acc, h))").as("fp_max"),
         size(col("grams")).cast("long").as("n_grams"))
       .orderBy(col("doc_id"))
+  }
+
+  val fingerprintSql: String =
+    s"""SELECT doc_id, min(h) AS fp_min, max(h) AS fp_max,
+       | cast(count(*) as bigint) AS n_grams
+       |FROM read_parquet('${oracleSidecarGlob("documents_gramhash")}')
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** BPE-ish regex tokenization vs whitespace tokenization: runs of
     * letters, runs of digits, and single punctuation marks each count
@@ -1165,6 +1180,6 @@ object TextAnalysis {
     GQuery("text_tfidf_top_terms", tfidfTopTerms, Some(tfidfTopTermsSql)),
     GQuery("text_bm25_topk", bm25Topk, Some(bm25TopkSql)),
     GQuery("text_lang_id", langId, Some(langIdSql)),
-    GQuery("text_fingerprint", fingerprint, None),
+    GQuery("text_fingerprint", fingerprint, Some(fingerprintSql)),
   )
 }
