@@ -953,6 +953,43 @@ object Similarity {
     * IVF's nprobe), costing only shortlist × dim re-rank work. */
   val pqShortlist = 100
 
+  /** Shared DuckDB fragments for the PQ oracles. */
+  private def sqlCos(a: String, b: String): String =
+    s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+  private def sqlNorm(v: String): String =
+    s"list_transform($v, x -> x / greatest(sqrt(list_dot_product($v, $v)), 1e-12))"
+  /** Sequential left-fold L2² (list_reduce is left-associative, and
+    * 0 + a ≡ a in IEEE, so it matches Spark's aggregate-with-0-init
+    * fold bit-for-bit), quantized to integer micro-units. */
+  private def sqlL2u(a: String, b: String): String =
+    s"cast(round(list_reduce(list_transform(range(1, 9), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y) * 1000000) as bigint)"
+
+  val pqTopkSql: String =
+    s"""WITH cb AS (SELECT m, cid, cv FROM read_parquet('${oracleSidecarGlob("pq_codebook")}')),
+       | codes AS (SELECT vec_id, m, cid FROM read_parquet('${oracleSidecarGlob("pq_codes")}')),
+       | q AS (SELECT vec_id AS q_id, ${sqlNorm("embedding::DOUBLE[]")} AS nv
+       |  FROM embeddings WHERE vec_id < 20),
+       | qs AS (SELECT q_id, ms.m, list_slice(nv, ms.m * 8 + 1, ms.m * 8 + 8) AS sv
+       |  FROM q, (SELECT unnest(range(0, 8)) AS m) ms),
+       | dt AS (SELECT qs.q_id, qs.m, cb.cid, ${sqlL2u("qs.sv", "cb.cv")} AS d2u
+       |  FROM qs JOIN cb ON cb.m = qs.m),
+       | approx AS (SELECT dt.q_id, c.vec_id, cast(sum(dt.d2u) as bigint) AS adist
+       |  FROM codes c JOIN dt ON dt.m = c.m AND dt.cid = c.cid
+       |  WHERE c.vec_id <> dt.q_id GROUP BY 1, 2 HAVING count(*) = 8),
+       | short AS (SELECT q_id, vec_id FROM (
+       |   SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |     ORDER BY adist, vec_id) AS srk FROM approx)
+       |  WHERE srk <= $pqShortlist),
+       | scored AS (SELECT s.q_id, s.vec_id,
+       |   ${sqlCos("qe.embedding::DOUBLE[]", "e.embedding::DOUBLE[]")} AS cos
+       |  FROM short s
+       |   JOIN embeddings qe ON qe.vec_id = s.q_id
+       |   JOIN embeddings e ON e.vec_id = s.vec_id)
+       |SELECT q_id, rk, vec_id AS neighbor_id, cos FROM (
+       | SELECT *, cast(row_number() OVER (PARTITION BY q_id
+       |   ORDER BY cos DESC, vec_id) as bigint) AS rk FROM scored)
+       |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
   /** (m, cid, cv) per-subspace codebooks, trained on the
     * hash-sampled, L2-normalized, subspace-split corpus. */
   def trainPqCodebooks(spark: SparkSession, e: DataFrame,
@@ -1043,18 +1080,30 @@ object Similarity {
     val root = ivfPqIndexRoot(spark, dir)
     val cents = spark.read.parquet(s"$root/pq_norm")
     val codes = spark.read.parquet(s"$root/codes_pq")
+    // hash-green since round 10: the trained subspace codebook and the
+    // corpus byte codes go to sidecars; DuckDB replays normalization,
+    // the ADC table, the integer-unit sum, shortlist, and re-rank
+    oracleSidecar("pq_codebook", cents)
+    oracleSidecar("pq_codes", codes)
     def split(df: DataFrame) = splitSubspaces(df, pqM, sub)
-    // per-query ADC distance table: M×k entries per query — tiny, broadcast
+    // per-query ADC distance table: M×k entries per query — tiny,
+    // broadcast. Table entries are quantized to integer MICRO-UNITS
+    // (round(d2·10⁶) as long) so the per-candidate sum of M lookups is
+    // an order-free BIGINT — bit-identical under ANY aggregation order
+    // in any engine (the float sum depended on hash-agg arrival order;
+    // a 1e-6 table grid is far below the shortlist's discrimination
+    // needs, and real ADC implementations quantize tables anyway —
+    // FAISS serves uint8 lookup tables)
     val dtable = split(normalized(e.filter(col("vec_id") < 20)))
       .withColumnRenamed("vec_id", "q_id")
       .join(broadcast(cents), Seq("m"))
-      .withColumn("d2", l2sq(col("sv"), col("cv")))
-      .select(col("q_id"), col("m"), col("cid"), col("d2"))
+      .withColumn("d2u", round(l2sq(col("sv"), col("cv")) * 1e6, 0).cast("long"))
+      .select(col("q_id"), col("m"), col("cid"), col("d2u"))
     // ADC scan: codes ⋈ broadcast table on (m, cid), sum the M lookups
     val approx = codes.join(broadcast(dtable), Seq("m", "cid"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id"))
-      .agg(sum(col("d2")).as("adist"), count(lit(1)).as("nm"))
+      .agg(sum(col("d2u")).as("adist"), count(lit(1)).as("nm"))
       .filter(col("nm") === pqM) // every subspace must contribute
     val wShort = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))
     val shortlist = approx
@@ -1096,6 +1145,40 @@ object Similarity {
     * nprobe 10 → 0.78/0.83. Clustered real embeddings probe fewer. */
   val ivfpqNProbe = 10
 
+  val ivfpqTopkSql: String =
+    s"""WITH coarse AS (SELECT cid, cv FROM read_parquet('${oracleSidecarGlob("ivfpq_coarse")}')),
+       | cb AS (SELECT m, cid AS code, cv FROM read_parquet('${oracleSidecarGlob("ivfpq_codebook")}')),
+       | codes AS (SELECT vec_id, cid, m, code FROM read_parquet('${oracleSidecarGlob("ivfpq_codes")}')),
+       | q AS (SELECT vec_id AS q_id, ${sqlNorm("embedding::DOUBLE[]")} AS nv
+       |  FROM embeddings WHERE vec_id < 20),
+       | qsc AS (SELECT q.q_id, c.cid, q.nv, c.cv, ${sqlCos("q.nv", "c.cv")} AS ac
+       |  FROM q, coarse c),
+       | qr AS (SELECT q_id, cid,
+       |   list_transform(range(1, len(nv) + 1), i -> nv[i] - cv[i]) AS rv
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY ac DESC, cid) AS ark FROM qsc)
+       |  WHERE ark <= $ivfpqNProbe),
+       | qs AS (SELECT q_id, cid, ms.m, list_slice(rv, ms.m * 8 + 1, ms.m * 8 + 8) AS sv
+       |  FROM qr, (SELECT unnest(range(0, 8)) AS m) ms),
+       | dt AS (SELECT qs.q_id, qs.cid, qs.m, cb.code, ${sqlL2u("qs.sv", "cb.cv")} AS d2u
+       |  FROM qs JOIN cb ON cb.m = qs.m),
+       | approx AS (SELECT dt.q_id, c.vec_id, cast(sum(dt.d2u) as bigint) AS adist
+       |  FROM codes c JOIN dt ON dt.cid = c.cid AND dt.m = c.m AND dt.code = c.code
+       |  WHERE c.vec_id <> dt.q_id GROUP BY 1, 2 HAVING count(*) = 8),
+       | short AS (SELECT q_id, vec_id FROM (
+       |   SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |     ORDER BY adist, vec_id) AS srk FROM approx)
+       |  WHERE srk <= $pqShortlist),
+       | scored AS (SELECT s.q_id, s.vec_id,
+       |   ${sqlCos("qe.embedding::DOUBLE[]", "e.embedding::DOUBLE[]")} AS cos
+       |  FROM short s
+       |   JOIN embeddings qe ON qe.vec_id = s.q_id
+       |   JOIN embeddings e ON e.vec_id = s.vec_id)
+       |SELECT q_id, rk, vec_id AS neighbor_id, cos FROM (
+       | SELECT *, cast(row_number() OVER (PARTITION BY q_id
+       |   ORDER BY cos DESC, vec_id) as bigint) AS rk FROM scored)
+       |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
   def ivfpqTopk(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.CosineSim.cosine
     val sub = 64 / pqM
@@ -1109,6 +1192,12 @@ object Similarity {
     val coarse = spark.read.parquet(s"$root/coarse_norm")
     val pqc = spark.read.parquet(s"$root/pq_resid")
     val codes = spark.read.parquet(s"$root/codes_ivfpq")
+    // hash-green since round 10 (same discipline as pqTopk): router +
+    // residual codebook + corpus codes to sidecars, integer micro-unit
+    // ADC tables, full relational replay in DuckDB
+    oracleSidecar("ivfpq_coarse", coarse)
+    oracleSidecar("ivfpq_codebook", pqc)
+    oracleSidecar("ivfpq_codes", codes)
     // query side: nprobe residuals → per-(q, list) ADC distance tables
     val qResid = residualsAgainst(en.filter(col("vec_id") < 20), coarse, ivfpqNProbe)
       .withColumnRenamed("vec_id", "q_id")
@@ -1117,14 +1206,15 @@ object Similarity {
         s"transform(sequence(0, ${pqM - 1}), j -> slice(rv, j * $sub + 1, $sub))"))
         .as(Seq("m", "sv")))
       .join(broadcast(pqc.withColumnRenamed("cid", "code")), Seq("m"))
-      .withColumn("d2", l2sq(col("sv"), col("cv")))
-      .select(col("q_id"), col("cid"), col("m"), col("code"), col("d2"))
+      .withColumn("d2u", round(l2sq(col("sv"), col("cv")) * 1e6, 0).cast("long"))
+      .select(col("q_id"), col("cid"), col("m"), col("code"), col("d2u"))
     // ADC: a corpus vector participates only if its list was probed by
-    // the query — the join on (cid, m, code) IS the IVF pruning
+    // the query — the join on (cid, m, code) IS the IVF pruning; the
+    // micro-unit integer sum is order-free (see pqTopk)
     val approx = codes.join(broadcast(dtable), Seq("cid", "m", "code"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id"))
-      .agg(sum(col("d2")).as("adist"), count(lit(1)).as("nm"))
+      .agg(sum(col("d2u")).as("adist"), count(lit(1)).as("nm"))
       .filter(col("nm") === pqM)
     val wShort = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))
     val shortlist = approx
@@ -1430,8 +1520,8 @@ object Similarity {
     GQuery("sim_label_centroids", labelCentroids, Some(labelCentroidsSql)),
     GQuery("sim_ann_lsh", annLsh, Some(annLshSql)),
     GQuery("sim_ivf_topk", ivfTopk, Some(ivfTopkSql)),
-    GQuery("sim_pq_topk", pqTopk, None),
-    GQuery("sim_ivfpq_topk", ivfpqTopk, None),
+    GQuery("sim_pq_topk", pqTopk, Some(pqTopkSql)),
+    GQuery("sim_ivfpq_topk", ivfpqTopk, Some(ivfpqTopkSql)),
     GQuery("sim_index_build", indexBuild, None),
     GQuery("sim_index_add", indexAdd, None),
     GQuery("sim_range_search", rangeSearch, Some(rangeSearchSql)),
