@@ -813,6 +813,73 @@ object StreamingOps {
     }
   }
 
+  /** STREAMING POINT-IN-TIME ENRICHMENT — each purchase event is
+    * enriched with the SCD2 dimension version valid AT ITS EVENT TIME
+    * via the native as-of join (`plans.AsOfJoinExec`, the
+    * LogicalPlan→Strategy→SparkPlan extension q36b exercises in
+    * batch): the "join the fact to the dimension as it was" shape
+    * every warehouse ingest runs, online. The dimension (run-compressed
+    * user-state history, ties at one timestamp resolved to the LAST
+    * change by event_id) is built ONCE before the stream starts and
+    * each micro-batch as-of joins against it in foreachBatch —
+    * per-batch work is batch-sized, the dimension never rebuilds, and
+    * at 100 TB the dimension side is the maintained SCD2 TABLE while
+    * batches stay co-partitioned on the join key. Deterministic
+    * per-event answers ⇒ converged output hash-matches a DuckDB ASOF
+    * JOIN oracle over the same deduped dimension. */
+  def streamScd2Enrich(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
+    import org.apache.spark.sql.expressions.Window
+    val wLag = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wTie = Window.partitionBy(col("user_id"), col("ts")).orderBy(col("event_id").desc)
+    val dim = graft.util.t(spark, dir, "events")
+      .withColumn("prev", lag(col("event_type"), 1).over(wLag))
+      .filter(col("prev").isNull || col("event_type") =!= col("prev"))
+      .withColumn("rn", row_number().over(wTie)).filter(col("rn") === 1)
+      .select(col("user_id").as("d_user"), col("ts").as("valid_from"),
+        col("event_type").as("state"))
+      .localCheckpoint(true) // built once, before the stream starts
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val withTs =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    val purchases = withTs.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val out = graft.util.scratchDir("scd2_enrich_out")
+    val q = purchases.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.plans.AsOf.join(batch, dim, "user_id", "d_user", "ts", "valid_from")
+            .select(col("event_id"), col("user_id"), col("ts"),
+              col("valid_from"), col("state"))
+            .write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", graft.util.scratchDir("scd2_enrich_cp"))
+      .start()
+    q.processAllAvailable(); q.stop()
+    spark.read.parquet(out).orderBy(col("event_id"))
+  }
+
+  val streamScd2EnrichSql: String =
+    """WITH ordered AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      | changes AS (
+      |  SELECT user_id, ts, event_type,
+      |    row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+      |  FROM ordered WHERE prev IS NULL OR event_type <> prev),
+      | dim AS (SELECT user_id, ts AS valid_from, event_type AS state
+      |  FROM changes WHERE rn = 1),
+      | p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, date_trunc('microseconds', p.ts) AS ts,
+      | date_trunc('microseconds', d.valid_from) AS valid_from, d.state
+      |FROM p ASOF JOIN dim d
+      | ON p.user_id = d.user_id AND p.ts >= d.valid_from
+      |ORDER BY p.event_id""".stripMargin
+
   /** Streaming QUANTILES per event type — the KLL mergeable sketch
     * (`meta_kll_quantiles`' native `TypedImperativeAggregate`) used
     * directly as STREAMING AGGREGATION STATE: each micro-batch's
@@ -1656,6 +1723,7 @@ object StreamingOps {
     GQuery("stream_dedup_corpus", streamDedupCorpus, Some(streamDedupCorpusSql)),
     GQuery("stream_kmv_distinct", streamKmvDistinct, None),
     GQuery("stream_kll_quantiles", streamKllQuantiles, None),
+    GQuery("stream_scd2_enrich", streamScd2Enrich, Some(streamScd2EnrichSql)),
     GQuery("stream_neardup_minhash", streamNearDupMinhash, Some(Dedup.streamNearDupSql)),
     GQuery("stream_upsert_snapshot", streamUpsertSnapshot, Some(streamUpsertSnapshotSql)),
   )

@@ -348,6 +348,34 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  test("streaming SCD2 enrichment equals the batch as-of join and covers every purchase") {
+    val got = SparkEntry.queries("stream_scd2_enrich")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getTimestamp(3), r.getString(4)))
+    // batch twin: same deduped dimension, same native as-of join
+    val wLag = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wTie = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("ts")).orderBy(col("event_id").desc)
+    val ev = util.t(spark, sf, "events")
+    val dim = ev.withColumn("prev", lag(col("event_type"), 1).over(wLag))
+      .filter(col("prev").isNull || col("event_type") =!= col("prev"))
+      .withColumn("rn", row_number().over(wTie)).filter(col("rn") === 1)
+      .select(col("user_id").as("d_user"), col("ts").as("valid_from"),
+        col("event_type").as("state"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val want = plans.AsOf.join(purchases, dim, "user_id", "d_user", "ts", "valid_from")
+      .select(col("event_id"), col("user_id"), col("ts"), col("valid_from"), col("state"))
+      .orderBy(col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getTimestamp(3), r.getString(4)))
+    assert(got.toSeq == want.toSeq)
+    // every purchase has a state at its own event time (its run starts
+    // at or before it), so the inner as-of must be TOTAL
+    assert(got.length == purchases.count(), "an enriched purchase went missing")
+    got.foreach { case (_, _, ts, from, _) =>
+      assert(!from.after(ts), "dimension version newer than the event it enriches") }
+  }
+
   test("column lineage traces a join query back to both source tables") {
     val rows = plans.Describe.columnLineage(spark, sf, "q3_join_inner")
       .collect().map(r => (r.getString(1), r.getString(2), r.getString(3)))
