@@ -131,15 +131,13 @@ object Similarity {
   }
 
   val annLshSql: String = {
-    def cos(a: String, b: String) =
-      s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
     s"""WITH cand AS (SELECT a_id, b_id FROM read_parquet('${oracleSidecarGlob("lsh_candidates")}')),
        | e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-       |SELECT c.a_id, c.b_id, ${cos("ea.v", "eb.v")} AS cos
+       |SELECT c.a_id, c.b_id, ${sqlCos("ea.v", "eb.v")} AS cos
        |FROM cand c
        | JOIN e ea ON ea.vec_id = c.a_id
        | JOIN e eb ON eb.vec_id = c.b_id
-       |WHERE ${cos("ea.v", "eb.v")} >= 0.4
+       |WHERE ${sqlCos("ea.v", "eb.v")} >= 0.4
        |ORDER BY c.a_id, c.b_id""".stripMargin
   }
 
@@ -679,13 +677,11 @@ object Similarity {
   }
 
   val rangeSearchSql: String = {
-    def cos(a: String, b: String) =
-      s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
     s"""WITH cents AS (SELECT cid, cv FROM read_parquet('${oracleSidecarGlob("ivf_coarse")}')),
        | postings AS (SELECT vec_id, cid FROM read_parquet('${oracleSidecarGlob("ivf_assign")}')),
        | q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS vq
        |  FROM embeddings WHERE vec_id < 20),
-       | qscore AS (SELECT q.q_id, c.cid, ${cos("q.vq", "c.cv")} AS ac
+       | qscore AS (SELECT q.q_id, c.cid, ${sqlCos("q.vq", "c.cv")} AS ac
        |  FROM q, cents c),
        | qa AS (SELECT q_id, cid FROM (
        |   SELECT q_id, cid, row_number() OVER (PARTITION BY q_id
@@ -694,11 +690,11 @@ object Similarity {
        | cand AS (SELECT DISTINCT qa.q_id, p.vec_id
        |  FROM qa JOIN postings p USING (cid) WHERE p.vec_id <> qa.q_id)
        |SELECT c.q_id, c.vec_id AS neighbor_id,
-       | ${cos("q.vq", "e.embedding::DOUBLE[]")} AS cos
+       | ${sqlCos("q.vq", "e.embedding::DOUBLE[]")} AS cos
        |FROM cand c
        | JOIN embeddings e ON e.vec_id = c.vec_id
        | JOIN q ON q.q_id = c.q_id
-       |WHERE ${cos("q.vq", "e.embedding::DOUBLE[]")} >= 0.3
+       |WHERE ${sqlCos("q.vq", "e.embedding::DOUBLE[]")} >= 0.3
        |ORDER BY c.q_id, neighbor_id""".stripMargin
   }
 
@@ -760,8 +756,6 @@ object Similarity {
   }
 
   val filteredTopkSql: String = {
-    def cos(a: String, b: String) =
-      s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
     s"""WITH cents AS (SELECT cid, cv FROM read_parquet('${oracleSidecarGlob("ivf_coarse")}')),
        | postings AS (SELECT vec_id, cid FROM read_parquet('${oracleSidecarGlob("ivf_assign")}')),
        | keep AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -770,7 +764,7 @@ object Similarity {
        |  WHERE EXISTS (SELECT 1 FROM keep k WHERE k.vec_id = p.vec_id)),
        | q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS vq
        |  FROM embeddings WHERE vec_id < 20),
-       | qscore AS (SELECT q.q_id, c.cid, ${cos("q.vq", "c.cv")} AS ac
+       | qscore AS (SELECT q.q_id, c.cid, ${sqlCos("q.vq", "c.cv")} AS ac
        |  FROM q, cents c),
        | qa AS (SELECT q_id, cid FROM (
        |   SELECT q_id, cid, row_number() OVER (PARTITION BY q_id
@@ -778,7 +772,7 @@ object Similarity {
        |  WHERE ark <= $filteredNProbe),
        | cand AS (SELECT DISTINCT qa.q_id, p.vec_id
        |  FROM qa JOIN fpost p USING (cid) WHERE p.vec_id <> qa.q_id),
-       | scored AS (SELECT c.q_id, c.vec_id, ${cos("q.vq", "k.v")} AS cos
+       | scored AS (SELECT c.q_id, c.vec_id, ${sqlCos("q.vq", "k.v")} AS cos
        |  FROM cand c
        |   JOIN keep k ON k.vec_id = c.vec_id
        |   JOIN q ON q.q_id = c.q_id)
@@ -859,13 +853,11 @@ object Similarity {
   }
 
   val ivfTopkSql: String = {
-    def cos(a: String, b: String) =
-      s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
     s"""WITH cents AS (SELECT cid, cv FROM read_parquet('${oracleSidecarGlob("ivf_coarse")}')),
        | postings AS (SELECT vec_id, cid FROM read_parquet('${oracleSidecarGlob("ivf_assign")}')),
        | q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS vq
        |  FROM embeddings WHERE vec_id < 20),
-       | qscore AS (SELECT q.q_id, c.cid, ${cos("q.vq", "c.cv")} AS ac
+       | qscore AS (SELECT q.q_id, c.cid, ${sqlCos("q.vq", "c.cv")} AS ac
        |  FROM q, cents c),
        | qa AS (SELECT q_id, cid FROM (
        |   SELECT q_id, cid, row_number() OVER (PARTITION BY q_id
@@ -874,7 +866,7 @@ object Similarity {
        | cand AS (SELECT DISTINCT qa.q_id, p.vec_id
        |  FROM qa JOIN postings p USING (cid) WHERE p.vec_id <> qa.q_id),
        | scored AS (SELECT c.q_id, c.vec_id,
-       |   ${cos("q.vq", "e.embedding::DOUBLE[]")} AS cos
+       |   ${sqlCos("q.vq", "e.embedding::DOUBLE[]")} AS cos
        |  FROM cand c
        |   JOIN embeddings e ON e.vec_id = c.vec_id
        |   JOIN q ON q.q_id = c.q_id)
@@ -1439,12 +1431,10 @@ object Similarity {
   val knnJoinNProbe = 5
 
   val knnJoinIvfSql: String = {
-    def cos(a: String, b: String) =
-      s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
     s"""WITH cents AS (SELECT cid, cv FROM read_parquet('${oracleSidecarGlob("ivf_coarse")}')),
        | postings AS (SELECT vec_id, cid FROM read_parquet('${oracleSidecarGlob("ivf_assign")}')),
        | q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS vq FROM embeddings),
-       | qscore AS (SELECT q.q_id, c.cid, ${cos("q.vq", "c.cv")} AS ac
+       | qscore AS (SELECT q.q_id, c.cid, ${sqlCos("q.vq", "c.cv")} AS ac
        |  FROM q, cents c),
        | qa AS (SELECT q_id, cid FROM (
        |   SELECT q_id, cid, row_number() OVER (PARTITION BY q_id
@@ -1453,7 +1443,7 @@ object Similarity {
        | cand AS (SELECT DISTINCT qa.q_id, p.vec_id
        |  FROM qa JOIN postings p USING (cid) WHERE p.vec_id <> qa.q_id),
        | scored AS (SELECT c.q_id, c.vec_id,
-       |   ${cos("q.vq", "e.embedding::DOUBLE[]")} AS cos
+       |   ${sqlCos("q.vq", "e.embedding::DOUBLE[]")} AS cos
        |  FROM cand c
        |   JOIN embeddings e ON e.vec_id = c.vec_id
        |   JOIN q ON q.q_id = c.q_id)

@@ -348,6 +348,37 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  test("streaming KLL: state merges across micro-batches keep the rank bound") {
+    // 4-chunk arrival through a MemoryStream — each batch's partial
+    // sketches fold into the state-store buffer via the aggregate's
+    // own merge; the converged estimate must still meet 3/k
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    import functions.KllSketch._
+    val n = 8000
+    val vals = shuffled(n)
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Double]
+    val q = ms.toDF().toDF("value")
+      .groupBy().agg(kllSketch(col("value"), 200).as("sk"))
+      .writeStream.format("memory").queryName("kll_chunks")
+      .outputMode(OutputMode.Complete).start()
+    vals.grouped(n / 4).foreach { chunk =>
+      ms.addData(chunk.toIndexedSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val row = spark.table("kll_chunks")
+      .select(kllCount(col("sk")).as("n"),
+        kllQuantiles(col("sk"), array(lit(0.5), lit(0.99))).as("qs"))
+      .collect().head
+    assert(row.getLong(0) == n, "cross-batch state lost rows")
+    val qs = row.getSeq[Double](1)
+    for ((p, est) <- Seq(0.5 -> qs(0), 0.99 -> qs(1)))
+      assert(math.abs(trueRank(est, n) - p) <= 3.0 / 200,
+        s"p=$p: est $est rank err exceeds 3/k after 4-batch merge")
+  }
+
   test("streaming SCD2 enrichment equals the batch as-of join and covers every purchase") {
     val got = SparkEntry.queries("stream_scd2_enrich")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getTimestamp(3), r.getString(4)))
