@@ -825,8 +825,145 @@ object Analytics {
         .kmvSketch(col("user_id"), retentionSketchK).as("sk"))
   }
 
+  /** Skyline (Pareto frontier): parts no other part beats on BOTH
+    * price (lower-is-better) and size (higher-is-better), with at
+    * least one strict. The naive formulation is the quadratic
+    * NOT-EXISTS self-join (the oracle); the engine's plan is the
+    * sorted 2-D sweep — one sort by price, keep a row iff its size
+    * strictly exceeds the running max over all strictly-cheaper rows —
+    * O(n log n), a single exchange. Before the sort, a bucket
+    * pre-prune runs: per integer-dollar price bucket, max size; the
+    * strictly-lower-bucket running max (a ~100-row relation)
+    * broadcasts, and any row at-or-under that bound is provably
+    * dominated by some strictly cheaper row and never reaches the
+    * global sort. At 100 TB the prune is the pass that matters: the
+    * full scan reduces map-side to near the frontier size, so the
+    * sort exchange carries a sliver. Correctness of pruning: every
+    * pruned row has a strictly-cheaper dominator; chains of such
+    * dominators strictly decrease price, so they terminate at an
+    * UNdominated dominator, which is never pruned — the sweep over
+    * survivors therefore sees a dominator for every dominated
+    * survivor, and frontier rows are never pruned. Prices compared in
+    * exact integer cents in both engines. */
+  def q83Skyline(spark: SparkSession, dir: String): DataFrame = {
+    val p = t(spark, dir, "part")
+      .select(col("p_partkey"), col("p_size"),
+        round(col("p_retailprice") * 100).cast("long").as("price_cents"))
+    val withBk = p.withColumn("bk", (col("price_cents") / 100L).cast("long"))
+    val bounds = withBk.groupBy(col("bk")).agg(max(col("p_size")).as("bmax"))
+      .withColumn("lb", max(col("bmax")).over(
+        Window.orderBy(col("bk")).rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("bk"), col("lb"))
+    val pruned = withBk.join(broadcast(bounds), Seq("bk"))
+      .filter(col("lb").isNull || col("p_size") > col("lb"))
+    val grp = pruned.groupBy(col("price_cents")).agg(max(col("p_size")).as("gmax"))
+      .withColumn("prevmax", max(col("gmax")).over(
+        Window.orderBy(col("price_cents"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+    pruned.join(grp, Seq("price_cents"))
+      .filter((col("prevmax").isNull || col("p_size") > col("prevmax")) &&
+        col("gmax") <= col("p_size"))
+      .select(col("p_partkey"), col("price_cents"), col("p_size"))
+      .orderBy(col("price_cents"), col("p_partkey"))
+  }
+
+  val q83Sql: String =
+    """SELECT p_partkey,
+      | cast(round(p_retailprice * 100) as bigint) AS price_cents, p_size
+      |FROM part p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM part q
+      |  WHERE cast(round(q.p_retailprice * 100) as bigint)
+      |          <= cast(round(p.p_retailprice * 100) as bigint)
+      |    AND q.p_size >= p.p_size
+      |    AND (cast(round(q.p_retailprice * 100) as bigint)
+      |           < cast(round(p.p_retailprice * 100) as bigint)
+      |         OR q.p_size > p.p_size))
+      |ORDER BY price_cents, p_partkey""".stripMargin
+
+  /** Incremental view maintenance of a JOIN view by delta rules: with
+    * V = O ⋈ C aggregated per nation, and arriving deltas ΔO (new
+    * orders) and ΔC (late dimension rows),
+    * V_new = V_base ⊎ (ΔO⋈C) ⊎ (O⋈ΔC) ⊎ (ΔO⋈ΔC) — sum/count form a
+    * commutative monoid, so maintenance is a 4-way partial-aggregate
+    * merge and ONLY the delta sides are re-joined. This entry runs the
+    * delta plan (base/delta split carved deterministically from the
+    * tables); the oracle recomputes the view directly from scratch —
+    * equality IS the delta-rule proof. At 100 TB the base aggregate is
+    * a stored table and each micro-batch joins delta-sized inputs
+    * (q71_incremental_view is the aggregate-only sibling; this one
+    * maintains through a JOIN, where the naive recompute re-shuffles
+    * the full fact table every refresh). Money summed in exact cents. */
+  def q84IvmJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val c = t(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val oBase = o.filter(col("o_orderkey") % 7 =!= 0)
+    val oDelta = o.filter(col("o_orderkey") % 7 === 0)
+    val cBase = c.filter(col("c_custkey") % 11 =!= 0)
+    val cDelta = c.filter(col("c_custkey") % 11 === 0)
+    def part(of: DataFrame, cf: DataFrame): DataFrame =
+      of.join(cf, of("o_custkey") === cf("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("pn"), sum(col("cents")).as("pc"))
+    part(oBase, cBase).unionAll(part(oDelta, cBase))
+      .unionAll(part(oBase, cDelta)).unionAll(part(oDelta, cDelta))
+      .groupBy(col("c_nationkey"))
+      .agg(sum(col("pn")).cast("long").as("n_orders"),
+        sum(col("pc")).cast("long").as("revenue_cents"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val q84Sql: String =
+    """SELECT c_nationkey, cast(count(*) as bigint) AS n_orders,
+      | cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint)
+      |   AS revenue_cents
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  /** Gaps-and-islands: maximal runs of CONSECUTIVE active days per
+    * user via the classic day − row_number() grouping constant — two
+    * window/agg stages, both partitioned by user, so after the first
+    * exchange on user_id everything is partition-local (one shuffle
+    * total; the ordering inside each user is a partition-local sort).
+    * Top-100 by longest streak keeps the answer bounded. */
+  def q85Islands(spark: SparkSession, dir: String): DataFrame = {
+    val days = t(spark, dir, "events")
+      .select(col("user_id"),
+        (unix_micros(col("ts")) / 86400000000L).cast("long").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    days.withColumn("grp", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"), max(col("len")).cast("long").as("longest"),
+        sum(col("len")).cast("long").as("active_days"))
+      .orderBy(desc("longest"), desc("active_days"), col("user_id"))
+      .limit(100)
+  }
+
+  val q85Sql: String =
+    """WITH days AS (
+      | SELECT DISTINCT user_id, (epoch_ns(ts) // 1000) // 86400000000 AS day
+      | FROM events),
+      |isl AS (
+      | SELECT user_id,
+      |   day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      | FROM days),
+      |runs AS (
+      | SELECT user_id, grp, count(*) AS len FROM isl GROUP BY 1, 2)
+      |SELECT user_id, cast(count(*) as bigint) AS n_islands,
+      | cast(max(len) as bigint) AS longest,
+      | cast(sum(len) as bigint) AS active_days
+      |FROM runs GROUP BY user_id
+      |ORDER BY longest DESC, active_days DESC, user_id LIMIT 100""".stripMargin
+
   val all: Seq[GQuery] = Seq(
     GQuery("q74_funnel_steps", q74FunnelSteps, Some(q74Sql)),
+    GQuery("q83_skyline", q83Skyline, Some(q83Sql)),
+    GQuery("q84_ivm_join", q84IvmJoin, Some(q84Sql)),
+    GQuery("q85_islands", q85Islands, Some(q85Sql)),
     GQuery("q75_retention_cohorts", q75RetentionCohorts, Some(q75Sql)),
     GQuery("q75b_retention_sketch", q75bRetentionSketch, None),
     GQuery("q69_setops_all", q69SetopsAll, Some(q69Sql)),

@@ -1154,7 +1154,58 @@ object TextAnalysis {
       | array_to_string(list_slice(toks, start + 1, start + 64), ' ') AS chunk
       |FROM s ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** Top-`vocabEncodeSize` tokens by (freq desc, token asc) — the
+    * total order makes the cutoff deterministic. */
+  val vocabEncodeSize = 16
+
+  /** Vocabulary encode — the tokenize-to-ids step of a training
+    * pipeline: build a frequency-ranked vocab (id 1..V, most frequent
+    * first, ties lexicographic), then encode the corpus against it and
+    * report per-doc coverage (known/OOV counts) plus an exact integer
+    * checksum over the assigned ids. Plan shape: one token scan feeds
+    * the vocab aggregate (map-side partial, V rows out), the vocab
+    * BROADCASTS back onto the token stream (a 100k-term vocab is still
+    * kilobytes-per-executor at 100 TB — the dictionary never
+    * shuffles the corpus), and the per-doc rollup reuses the doc_id
+    * grouping. OOV tokens take id NULL → counted, excluded from the
+    * checksum — exactly what a sentencepiece-style byte-fallback would
+    * see as its fallback rate. */
+  def vocabEncode(spark: SparkSession, dir: String): DataFrame = {
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), col("w")).limit(vocabEncodeSize)
+      .withColumn("id",
+        row_number().over(Window.orderBy(desc("freq"), col("w"))))
+      .select(col("w"), col("id"))
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("id").isNotNull, 1L).otherwise(0L)).cast("long").as("n_known"),
+        sum(when(col("id").isNull, 1L).otherwise(0L)).cast("long").as("n_oov"),
+        coalesce(sum(col("id")), lit(0L)).cast("long").as("ids_sum"))
+      .orderBy(col("doc_id"))
+  }
+
+  val vocabEncodeSql: String =
+    s"""WITH toks AS (
+       | SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |vocab AS (
+       | SELECT w, count(*) AS freq FROM toks GROUP BY w
+       | ORDER BY freq DESC, w LIMIT $vocabEncodeSize),
+       |vid AS (SELECT w, row_number() OVER (ORDER BY freq DESC, w) AS id
+       |        FROM vocab)
+       |SELECT t.doc_id, cast(count(*) as bigint) AS n_tokens,
+       | cast(sum(CASE WHEN v.id IS NOT NULL THEN 1 ELSE 0 END) as bigint)
+       |   AS n_known,
+       | cast(sum(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) as bigint)
+       |   AS n_oov,
+       | cast(coalesce(sum(v.id), 0) as bigint) AS ids_sum
+       |FROM toks t LEFT JOIN vid v USING (w)
+       |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("text_vocab_encode", vocabEncode, Some(vocabEncodeSql)),
     GQuery("text_chunk_overlap", chunkOverlap, Some(chunkOverlapSql)),
     GQuery("text_inverted_index", invertedIndex, Some(invertedIndexSql)),
     GQuery("text_index_lookup", indexLookup, Some(indexLookupSql)),

@@ -407,6 +407,118 @@ class Round10Spec extends AnyFunSuite {
       assert(!from.after(ts), "dimension version newer than the event it enriches") }
   }
 
+  test("skyline: bucket prune is lossless vs the quadratic dominance referee") {
+    val rows = util.t(spark, sf, "part")
+      .selectExpr("p_partkey", "cast(round(p_retailprice * 100) as bigint) pc",
+        "p_size")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // in-JVM quadratic referee: exactly the dominance definition
+    val want = rows.filter { case (_, pc, sz) =>
+      !rows.exists { case (_, qc, qz) =>
+        qc <= pc && qz >= sz && (qc < pc || qz > sz) }
+    }.map(t => (t._1, t._2, t._3)).sortBy(t => (t._2, t._1))
+    val got = operators.Analytics.q83Skyline(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq == want.toSeq)
+    // cover property: every non-skyline row is dominated by a skyline row
+    val skySet = want.toSet
+    rows.filterNot(skySet).foreach { case (_, pc, sz) =>
+      assert(want.exists { case (_, qc, qz) =>
+        qc <= pc && qz >= sz && (qc < pc || qz > sz) },
+        "a dominated row has no dominating SKYLINE row — frontier incomplete")
+    }
+  }
+
+  test("ivm join: delta-rule maintenance equals the direct recompute") {
+    val direct = {
+      val o = util.t(spark, sf, "orders").selectExpr("o_custkey",
+        "cast(round(o_totalprice * 100) as bigint) cents")
+      val c = util.t(spark, sf, "customer").selectExpr("c_custkey", "c_nationkey")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("cents")).cast("long").as("revenue_cents"))
+        .orderBy(col("c_nationkey"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    }
+    val delta = operators.Analytics.q84IvmJoin(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(delta.toSeq == direct.toSeq,
+      "the 4-way partial-aggregate merge diverged from the full recompute")
+  }
+
+  test("entity resolution: (noun, brand) blocking is lossless vs all-pairs") {
+    val recs = util.t(spark, sf, "part")
+      .selectExpr("p_partkey", "split(p_name, ' ')[0] adj",
+        "split(p_name, ' ')[1] noun", "p_brand", "p_type", "p_size")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getString(4), r.getInt(5)))
+    def score(a: (Long, String, String, String, String, Int),
+              b: (Long, String, String, String, String, Int)): Int =
+      (if (a._3 == b._3) 300 else 0) + (if (a._2 == b._2) 200 else 0) +
+      (if (a._4 == b._4) 250 else 0) + (if (a._5 == b._5) 150 else 0) +
+      (if (math.abs(a._6 - b._6) <= 2) 100 else 0)
+    // all-pairs referee (no blocking at all)
+    val want = (for {
+      i <- recs.indices; j <- (i + 1) until recs.length
+      if score(recs(i), recs(j)) >= operators.Dedup.erMatchThreshold
+    } yield {
+      val (x, y) = (recs(i)._1, recs(j)._1)
+      (math.min(x, y), math.max(x, y))
+    }).toSet
+    // every referee match agrees on noun AND brand — the dominance
+    // bound the blocking key's losslessness proof rests on
+    want.foreach { case (x, y) =>
+      val a = recs.find(_._1 == x).get; val b = recs.find(_._1 == y).get
+      assert(a._3 == b._3 && a._4 == b._4,
+        "a match pair crossed a block — the bound argument is broken")
+    }
+    // and the entity report over blocked pairs covers exactly the
+    // referee graph's nodes
+    val matched = want.flatMap(p => Seq(p._1, p._2))
+    val report = operators.Dedup.entityResolution(spark, sf)
+      .agg(sum(col("n_members")).cast("long")).collect()(0).getLong(0)
+    assert(report == matched.size.toLong,
+      s"entity members $report != referee matched-node count ${matched.size}")
+  }
+
+  test("vocab encode: coverage partitions tokens; ids are a dense 1..V prefix") {
+    val rows = operators.TextAnalysis.vocabEncode(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, known, oov) =>
+      assert(known + oov == n, s"doc $id: known $known + oov $oov != $n") }
+    val corpusTokens = util.t(spark, sf, "documents")
+      .selectExpr("cast(sum(size(split(text, ' '))) as bigint)")
+      .collect()(0).getLong(0)
+    assert(rows.map(_._2).sum == corpusTokens,
+      "per-doc token counts must sum to the corpus total")
+  }
+
+  test("islands: streak lengths reconcile with per-user distinct active days") {
+    val got = operators.Analytics.q85Islands(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty && got.length <= 100)
+    got.foreach { case (u, nIsl, longest, days) =>
+      assert(longest <= days && nIsl <= days && days <= nIsl * longest,
+        s"user $u: islands $nIsl / longest $longest / days $days inconsistent") }
+    // referee one user end-to-end
+    val (u0, nIsl0, longest0, days0) = got.head
+    val ds = util.t(spark, sf, "events")
+      .filter(col("user_id") === u0)
+      .selectExpr("cast(unix_micros(ts) div 86400000000 as long) d")
+      .distinct().collect().map(_.getLong(0)).sorted
+    val runs = ds.foldLeft(List.empty[(Long, Long)]) { // (start, len)
+      case (acc, d) => acc match {
+        case (s, l) :: rest if d == s + l => (s, l + 1) :: rest
+        case _ => (d, 1L) :: acc
+      }
+    }
+    assert(runs.length.toLong == nIsl0 && runs.map(_._2).max == longest0 &&
+      ds.length.toLong == days0, s"user $u0 referee mismatch")
+  }
+
   test("column lineage traces a join query back to both source tables") {
     val rows = plans.Describe.columnLineage(spark, sf, "q3_join_inner")
       .collect().map(r => (r.getString(1), r.getString(2), r.getString(3)))
