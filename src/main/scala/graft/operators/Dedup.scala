@@ -1414,8 +1414,25 @@ object Dedup {
     * production discipline that keeps candidate generation
     * block-linear (never all-pairs) with zero recall loss. At 100 TB
     * the equi-join on the blocking key is an ordinary shuffle join;
-    * skewed blocks fall to AQE skew splitting like any hot key. */
-  def entityResolution(spark: SparkSession, dir: String): DataFrame = {
+    * skewed blocks fall to AQE skew splitting like any hot key.
+    *
+    * The blocking bound buys a second structural win: every edge lives
+    * INSIDE one block (both endpoints share the block key), so
+    * components can never span blocks and labeling needs NO global
+    * fixed-point — one shuffle on the block key, then an in-memory
+    * union-find per block ([[blockLocalLabels]]). The iterative star
+    * contraction remains the fallback for graphs whose components are
+    * unbounded (document near-dup), and the equivalence spec pins the
+    * two labelings to identical output. */
+  def entityResolution(spark: SparkSession, dir: String): DataFrame =
+    blockLocalLabels(spark, erMatchPairs(spark, dir))
+      .groupBy(col("root"))
+      .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_member"))
+      .select(col("root").as("entity"), col("n_members"), col("max_member"))
+      .orderBy(col("entity"))
+
+  /** Match edges with their block key — (blk, a_id, b_id). */
+  private[graft] def erMatchPairs(spark: SparkSession, dir: String): DataFrame = {
     val f = t(spark, dir, "part").select(
       col("p_partkey").as("id"),
       element_at(split(col("p_name"), " "), 1).as("adj"),
@@ -1425,7 +1442,7 @@ object Dedup {
       col("adj").as("a_adj"), col("p_type").as("a_type"), col("p_size").as("a_size"))
     val b = f.select(col("noun"), col("p_brand"), col("id").as("b_id"),
       col("adj").as("b_adj"), col("p_type").as("b_type"), col("p_size").as("b_size"))
-    val pairs = a.join(b, Seq("noun", "p_brand"))
+    a.join(b, Seq("noun", "p_brand"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("score",
         lit(550) +
@@ -1433,12 +1450,39 @@ object Dedup {
           when(col("a_type") === col("b_type"), 150).otherwise(0) +
           when(abs(col("a_size") - col("b_size")) <= 2, 100).otherwise(0))
       .filter(col("score") >= erMatchThreshold)
-      .select(col("a_id"), col("b_id"))
-    starLabels(pairs)
-      .groupBy(col("root"))
-      .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_member"))
-      .select(col("root").as("entity"), col("n_members"), col("max_member"))
-      .orderBy(col("entity"))
+      .select(concat_ws("|", col("noun"), col("p_brand")).as("blk"),
+        col("a_id"), col("b_id"))
+  }
+
+  /** Component labels for an edge set whose components are CONFINED to
+    * blocks (every edge carries the block key of both endpoints): one
+    * shuffle on blk, then union-find inside each block — no iteration,
+    * no checkpoints. Union-by-min keeps every tree root the minimum id
+    * of its tree (inductively: linking the larger root under the
+    * smaller preserves it), so the emitted root is the component min —
+    * identical semantics to [[starLabels]], at one-pass cost. State is
+    * block-sized, which the blocking design bounds. */
+  private[graft] def blockLocalLabels(spark: SparkSession, pairs: DataFrame): DataFrame = {
+    import spark.implicits._
+    pairs.select(col("blk"), col("a_id"), col("b_id")).as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (_, u, v) =>
+          parent.getOrElseUpdate(u, u); parent.getOrElseUpdate(v, v)
+          val ru = find(u); val rv = find(v)
+          if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+        }
+        parent.keys.toSeq.map(k => (k, find(k)))
+      }
+      .toDF("id", "root")
   }
 
   val entityResolutionSql: String =

@@ -239,7 +239,65 @@ object Sampling {
        |) ORDER BY rnk""".stripMargin
   }
 
+  /** Poisson(1) CDF thresholds in 2³²-units — P(X ≤ i) · 2³² for
+    * i = 0..6, draws capped at 7 (the cap binds with P ≈ 8·10⁻⁵).
+    * Fixed integer literals so both engines draw identically. */
+  val poissonCdf32: Seq[Long] = Seq(1580030168L, 3160060337L, 3950075421L,
+    4213413783L, 4279248373L, 4292415291L, 4294609777L)
+
+  /** Online (Poisson) bootstrap — uncertainty for a 100 TB aggregate
+    * in ONE pass: instead of materializing R resamples-with-replacement
+    * (each a full shuffle of the fact table), every row draws a
+    * per-replicate Poisson(1) multiplicity — the large-N limit of the
+    * multinomial resample — and the R replicate aggregates accumulate
+    * side by side (Chamandy et al., "Estimating Uncertainty for
+    * Massive Data Streams", 2012). The draw is a pure integer function
+    * of (event_id, replicate) — Knuth multiplicative mixing into 2³²
+    * space, multiplicity = #CDF thresholds at or below the hash — so
+    * membership is layout-independent and both engines replay it
+    * bit-for-bit: the whole entry is oracle-checked, no RNG anywhere.
+    * Plan shape: map-side R× expansion (R tiny), one R-group
+    * aggregate; the fact table is scanned once and never reshuffled.
+    * The replicate spread of mean_micro IS the standard-error
+    * estimate. */
+  def bootstrapPoisson(spark: SparkSession, dir: String): DataFrame = {
+    val reps = 5
+    val ev = t(spark, dir, "events")
+      .select(col("event_id"), round(col("value") * 100).cast("long").as("cents"))
+    val r = spark.range(reps).select(col("id").as("rep"))
+    val u32 = pmod(col("event_id") * lit(2654435761L) +
+      (col("rep") + 1) * lit(2246822519L), lit(4294967296L))
+    val k = poissonCdf32.map(t => when(u32 >= t, 1L).otherwise(0L))
+      .reduce(_ + _)
+    ev.crossJoin(r)
+      .select(col("rep"), k.as("k"), col("cents"))
+      .groupBy(col("rep"))
+      .agg(sum(col("k")).cast("long").as("n_drawn"),
+        sum(col("k") * col("cents")).cast("long").as("total_cents"))
+      .withColumn("mean_micro",
+        expr("(total_cents * 1000000) div n_drawn").cast("long"))
+      .orderBy(col("rep"))
+  }
+
+  val bootstrapPoissonSql: String = {
+    val kCase = poissonCdf32.map(t =>
+      s"CASE WHEN u32 >= $t THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH d AS (
+       | SELECT r.rep,
+       |  ((e.event_id * 2654435761 + (r.rep + 1) * 2246822519)
+       |     % 4294967296 + 4294967296) % 4294967296 AS u32,
+       |  cast(round(e.value * 100) as bigint) AS cents
+       | FROM events e
+       | CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4]) AS rep) r),
+       |k AS (SELECT rep, $kCase AS k, cents FROM d)
+       |SELECT rep, cast(sum(k) as bigint) AS n_drawn,
+       | cast(sum(k * cents) as bigint) AS total_cents,
+       | cast(sum(k * cents) * 1000000 // sum(k) as bigint) AS mean_micro
+       |FROM k GROUP BY rep ORDER BY rep""".stripMargin
+  }
+
   val all: Seq[GQuery] = Seq(
+    GQuery("sample_bootstrap_poisson", bootstrapPoisson, Some(bootstrapPoissonSql)),
     GQuery("sample_hash_deterministic", hashSample, Some(hashSampleSql)),
     GQuery("sample_coreset_fps", coresetFps, Some(coresetFpsSql)),
     GQuery("sample_ab_split", abSplit, Some(abSplitSql)),

@@ -483,6 +483,41 @@ class Round10Spec extends AnyFunSuite {
       s"entity members $report != referee matched-node count ${matched.size}")
   }
 
+  test("poisson bootstrap: replicates draw ~N rows and bracket the true mean") {
+    val ev = util.t(spark, sf, "events")
+      .selectExpr("cast(count(*) as long) n",
+        "cast(sum(cast(round(value * 100) as bigint)) as long) cents")
+      .collect()(0)
+    val (n, totalCents) = (ev.getLong(0), ev.getLong(1))
+    val trueMeanMicro = totalCents * 1000000L / n
+    val reps = operators.Sampling.bootstrapPoisson(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(reps.length == 5)
+    val tol = (6 * math.sqrt(n.toDouble)).toLong  // 6σ of a Poisson(N) total
+    reps.foreach { case (rep, drawn, _, meanMicro) =>
+      assert(math.abs(drawn - n) <= tol,
+        s"rep $rep drew $drawn of $n — outside the Poisson 6-sigma band")
+      // replicate means estimate the same population mean; at n≈6k a
+      // 5% relative band is ≈ 4x the expected bootstrap SE
+      assert(math.abs(meanMicro - trueMeanMicro).toDouble <=
+        0.05 * math.abs(trueMeanMicro).toDouble,
+        s"rep $rep mean $meanMicro vs true $trueMeanMicro")
+    }
+    // the draws must actually differ across replicates (no rep collapse)
+    assert(reps.map(_._2).distinct.length > 1, "replicates are identical")
+  }
+
+  test("block-local union-find labels equal the iterative star contraction") {
+    val pairs = operators.Dedup.erMatchPairs(spark, sf)
+    val local = operators.Dedup.blockLocalLabels(spark, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val star = operators.Dedup.starLabels(
+        pairs.select(col("a_id"), col("b_id")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(local.toSeq == star.toSeq,
+      "one-pass block-local labeling diverged from the global fixed-point")
+  }
+
   test("vocab encode: coverage partitions tokens; ids are a dense 1..V prefix") {
     val rows = operators.TextAnalysis.vocabEncode(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
