@@ -1204,7 +1204,71 @@ object TextAnalysis {
        |FROM toks t LEFT JOIN vid v USING (w)
        |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin
 
+  /** Kneser-Ney smoothed bigram language model, trained AS TABLES —
+    * the standard n-gram smoothing (Kneser & Ney 1995 / Chen &
+    * Goodman 1999) beside the add-k model `text_perplexity` carries:
+    * P(w2|w1) = max(c12 − D, 0)/c1 + D·N1+(w1·)/c1 · N1+(·w2)/T,
+    * where N1+(w1·) counts distinct continuations of w1, N1+(·w2)
+    * distinct histories of w2 (the "novel-context" count that makes KN
+    * beat raw frequency), and T is the distinct-bigram total. With the
+    * textbook discount D = 0.75 = 3/4 every term is RATIONAL, so the
+    * probability is computed entirely in integer micro-units —
+    * max(4·c12 − 3, 0)·10⁶ div (4·c1) plus the nested continuation
+    * term — and both engines agree bit-for-bit: a fully oracle-checked
+    * smoothed LM, no float anywhere. Training is three counting
+    * aggregates over the bigram relation (corpus-linear, one shuffle
+    * each, partial-aggregated); the emitted table is the top-50 by
+    * count — the model itself stays distributed, exactly how a 100 TB
+    * KenLM-style count pipeline materializes. */
+  def knBigramTable(spark: SparkSession, dir: String): DataFrame =
+    knBigramFull(spark, dir)
+      .orderBy(desc("c12"), col("w1"), col("w2"))
+      .limit(50)
+
+  /** The full (un-truncated) KN table — the spec sums P(·|w1) over it. */
+  private[graft] def knBigramFull(spark: SparkSession, dir: String): DataFrame = {
+    val bigrams = t(spark, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 2)
+      .withColumn("b", explode(expr(
+        "transform(sequence(1, size(ws)-1), i -> struct(element_at(ws,i) AS w1, element_at(ws,i+1) AS w2))")))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .localCheckpoint(true)
+    val c12 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val n1fwd = c12.groupBy(col("w1")).agg(count(lit(1)).as("n1_fwd"))
+    val n1bwd = c12.groupBy(col("w2")).agg(count(lit(1)).as("n1_bwd"))
+    val t12 = c12.agg(count(lit(1)).as("t"))
+    c12.join(c1, Seq("w1")).join(n1fwd, Seq("w1")).join(n1bwd, Seq("w2"))
+      .crossJoin(broadcast(t12))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        col("n1_fwd"), col("n1_bwd"),
+        (expr("(greatest(4 * c12 - 3, 0) * 1000000) div (4 * c1)") +
+          expr("((3 * n1_fwd * 1000000) div (4 * c1) * n1_bwd) div t"))
+          .cast("long").as("p_micro"))
+  }
+
+  val knBigramSql: String =
+    """WITH b AS (
+      | SELECT ws[i] AS w1, ws[i + 1] AS w2
+      | FROM (SELECT string_split(text, ' ') AS ws FROM documents
+      |       WHERE len(string_split(text, ' ')) >= 2),
+      |      unnest(range(1, len(ws))) AS u(i)),
+      |c12 AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY w1, w2),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY w1),
+      |n1f AS (SELECT w1, count(*) AS n1_fwd FROM c12 GROUP BY w1),
+      |n1b AS (SELECT w2, count(*) AS n1_bwd FROM c12 GROUP BY w2),
+      |t12 AS (SELECT count(*) AS t FROM c12)
+      |SELECT w1, w2, c12.c12, c1.c1, n1f.n1_fwd, n1b.n1_bwd,
+      | cast((greatest(4 * c12.c12 - 3, 0) * 1000000) // (4 * c1.c1)
+      |  + ((3 * n1f.n1_fwd * 1000000) // (4 * c1.c1) * n1b.n1_bwd) // t
+      |  as bigint) AS p_micro
+      |FROM c12 JOIN c1 USING (w1) JOIN n1f USING (w1) JOIN n1b USING (w2)
+      |CROSS JOIN t12
+      |ORDER BY c12.c12 DESC, w1, w2 LIMIT 50""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("text_kneser_ney", knBigramTable, Some(knBigramSql)),
     GQuery("text_vocab_encode", vocabEncode, Some(vocabEncodeSql)),
     GQuery("text_chunk_overlap", chunkOverlap, Some(chunkOverlapSql)),
     GQuery("text_inverted_index", invertedIndex, Some(invertedIndexSql)),

@@ -339,6 +339,69 @@ object Warehouse {
        |WHERE NOT (o_orderkey % 16 < 3 OR o_totalprice > 480000.0)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Winsorization (robust scaling / outlier clamping) with EXACT
+    * integer order-statistic cutoffs: per group, the p01/p99 fences
+    * are the cents values at integer ranks ⌈n/100⌉ and ⌈99n/100⌉ —
+    * value-at-rank is well-defined under ties whatever the tie order,
+    * and ceil is `(x + 99) div 100`, so the whole computation is
+    * integer arithmetic both engines replay bit-for-bit (no
+    * interpolated percentile float). Output per group: fences, clip
+    * counts each side, exact pre/post sums — the audit a feature
+    * pipeline wants before feeding a scale-sensitive model. The
+    * cutoff pass here is an in-group sort (row_number window); at
+    * 100 TB swap the fences to KLL/bottom-k sketch quantiles
+    * (`meta_kll_quantiles` / `meta_quantile_sketch`) and keep the
+    * clamp pass — the clamp itself is map-side against broadcast
+    * fences either way. */
+  def metaWinsorize(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("g"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val ranked = li.withColumn("rn",
+      row_number().over(Window.partitionBy(col("g")).orderBy(col("cents"))))
+    val counts = li.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val fences = ranked.join(counts, Seq("g"))
+      .filter(col("rn") === expr("(n + 99) div 100") ||
+        col("rn") === expr("(n * 99 + 99) div 100"))
+      .groupBy(col("g")).agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+    li.join(broadcast(fences), Seq("g"))
+      .select(col("g"), col("lo"), col("hi"), col("cents"),
+        greatest(col("lo"), least(col("hi"), col("cents"))).as("w"))
+      .groupBy(col("g"), col("lo"), col("hi"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col("cents") < col("lo"), 1L).otherwise(0L)).cast("long").as("n_clip_lo"),
+        sum(when(col("cents") > col("hi"), 1L).otherwise(0L)).cast("long").as("n_clip_hi"),
+        sum(col("cents")).cast("long").as("sum_raw"),
+        sum(col("w")).cast("long").as("sum_winsorized"))
+      .orderBy(col("g"))
+  }
+
+  val metaWinsorizeSql: String =
+    """WITH li AS (
+      | SELECT l_returnflag AS g,
+      |  cast(round(l_extendedprice * 100) as bigint) AS cents
+      | FROM lineitem),
+      |ranked AS (
+      | SELECT g, cents,
+      |  row_number() OVER (PARTITION BY g ORDER BY cents) AS rn
+      | FROM li),
+      |counts AS (SELECT g, count(*) AS n FROM li GROUP BY g),
+      |fences AS (
+      | SELECT r.g, min(r.cents) AS lo, max(r.cents) AS hi
+      | FROM ranked r JOIN counts c USING (g)
+      | WHERE r.rn = (c.n + 99) // 100 OR r.rn = (c.n * 99 + 99) // 100
+      | GROUP BY r.g)
+      |SELECT li.g, f.lo, f.hi, cast(count(*) as bigint) AS n,
+      | cast(sum(CASE WHEN li.cents < f.lo THEN 1 ELSE 0 END) as bigint)
+      |   AS n_clip_lo,
+      | cast(sum(CASE WHEN li.cents > f.hi THEN 1 ELSE 0 END) as bigint)
+      |   AS n_clip_hi,
+      | cast(sum(li.cents) as bigint) AS sum_raw,
+      | cast(sum(greatest(f.lo, least(f.hi, li.cents))) as bigint)
+      |   AS sum_winsorized
+      |FROM li JOIN fences f USING (g)
+      |GROUP BY li.g, f.lo, f.hi ORDER BY li.g""".stripMargin
+
   /** Sketch-partitioned distinct counting — the INCREMENTAL pattern
     * behind every 100 TB "unique users" dashboard: per-partition
     * (here per-month) HyperLogLog sketches are materialized ONCE as a
@@ -678,6 +741,7 @@ object Warehouse {
     GQuery("q76_time_travel_dv", q76TimeTravelDv, Some(q76Sql)),
     GQuery("q77_dv_compaction", q77DvCompaction, Some(q77Sql)),
     GQuery("q71_incremental_view", q71IncrementalView, Some(q71Sql)),
+    GQuery("meta_winsorize", metaWinsorize, Some(metaWinsorizeSql)),
     GQuery("meta_hll_sketches", metaHllSketches, None),
     GQuery("meta_kmv_overlap", metaKmvOverlap, None),
     GQuery("meta_join_estimate", metaJoinEstimate, None),

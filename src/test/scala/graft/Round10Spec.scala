@@ -483,6 +483,55 @@ class Round10Spec extends AnyFunSuite {
       s"entity members $report != referee matched-node count ${matched.size}")
   }
 
+  test("winsorize: fences, clip counts, and sums match the sorted referee") {
+    val byG = util.t(spark, sf, "lineitem")
+      .selectExpr("l_returnflag g", "cast(round(l_extendedprice * 100) as bigint) cents")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val got = operators.Warehouse.metaWinsorize(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(got.map(_._1).toSet == byG.keySet)
+    got.foreach { case (g, lo, hi, n, clipLo, clipHi, sumRaw, sumW) =>
+      val xs = byG(g)
+      val (iLo, iHi) = ((xs.length + 99) / 100, (xs.length * 99 + 99) / 100)
+      assert(lo == xs(iLo - 1) && hi == xs(iHi - 1), s"$g fences")
+      assert(n == xs.length && clipLo == xs.count(_ < lo) &&
+        clipHi == xs.count(_ > hi), s"$g counts")
+      assert(sumRaw == xs.sum &&
+        sumW == xs.map(c => math.max(lo, math.min(hi, c))).sum, s"$g sums")
+    }
+  }
+
+  test("kneser-ney: smoothed mass sums to one; micro table replays exactly") {
+    val rows = operators.TextAnalysis.knBigramFull(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    val tTypes = rows.length.toLong // table rows ARE the distinct bigrams
+    // per-row integer replay of the micro formula
+    rows.foreach { case (w1, w2, c12, c1, n1f, n1b, pMicro) =>
+      val want = math.max(4 * c12 - 3, 0L) * 1000000L / (4 * c1) +
+        (3 * n1f * 1000000L / (4 * c1)) * n1b / tTypes
+      assert(pMicro == want, s"($w1,$w2) micro mismatch")
+    }
+    // exact KN identity: observed mass + backoff mass over UNOBSERVED
+    // continuations = 1 (D = 0.75; Pcont normalized over bigram types)
+    val pcontAll = rows.groupBy(_._2).map { case (_, g) => g.head._6.toDouble / tTypes }.sum
+    assert(math.abs(pcontAll - 1.0) < 1e-9, "continuation distribution unnormalized")
+    rows.groupBy(_._1).foreach { case (w1, g) =>
+      val c1 = g.head._4.toDouble; val n1f = g.head._5.toDouble
+      val lambda = 0.75 * n1f / c1
+      val obs = g.map { case (_, _, c12, _, _, n1b, _) =>
+        math.max(c12 - 0.75, 0.0) / c1 + lambda * (n1b.toDouble / tTypes) }.sum
+      val obsCont = g.map(r => r._6.toDouble / tTypes).sum
+      val full = obs + lambda * (1.0 - obsCont)
+      assert(math.abs(full - 1.0) < 1e-9,
+        s"P(.|$w1) full-vocabulary mass is $full — KN normalization broken")
+    }
+  }
+
   test("poisson bootstrap: replicates draw ~N rows and bracket the true mean") {
     val ev = util.t(spark, sf, "events")
       .selectExpr("cast(count(*) as long) n",
