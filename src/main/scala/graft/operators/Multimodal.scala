@@ -291,7 +291,93 @@ object Multimodal {
        |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** Scene-cut threshold on consecutive-frame mean-luma deltas, in
+    * milli-luma units (8 luma levels). */
+  val sceneCutMilli = 8000L
+
+  /** Per-frame integer mean luma of every "video" payload — the codec
+    * half of [[sceneCuts]], exposed for the sidecar and the spec. The
+    * video container is a concatenation of P6 frames (one per 8-token
+    * chunk of the source text); the walker repeatedly decodes the
+    * frame at the cursor and advances by its exact encoded length — a
+    * genuine container walk (header parse + pixel-plane skip), the
+    * shape an MP4 demuxer has. Luma is all-integer: Rec.601 in
+    * thousandths, (299·ΣR + 587·ΣG + 114·ΣB) div pixels. */
+  private[graft] def videoFrameLumas(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(3)) === 2)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val payload = text.split(" ").grouped(8)
+          .flatMap(c => Ppm.encode(Ppm.synth(c.mkString(" ")))).toArray
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        var off = 0
+        var idx = 0L
+        while (off < payload.length) {
+          val img = Ppm.decode(
+            java.util.Arrays.copyOfRange(payload, off, payload.length))
+          var r = 0L; var g = 0L; var b = 0L
+          var i = 0
+          while (i < img.pixels.length) {
+            r += img.pixels(i) & 0xFF; g += img.pixels(i + 1) & 0xFF
+            b += img.pixels(i + 2) & 0xFF
+            i += 3
+          }
+          val lumaMilli =
+            (299L * r + 587L * g + 114L * b) / (img.width * img.height)
+          out += ((id, idx, lumaMilli))
+          off += s"P6\n${img.width} ${img.height}\n${img.maxVal}\n".length +
+            img.pixels.length
+          idx += 1
+        }
+        out
+      })
+      .toDF("doc_id", "frame_idx", "luma_milli")
+  }
+
+  /** Video scene segmentation: a cut wherever the mean-luma delta
+    * between consecutive frames exceeds [[sceneCutMilli]] — the
+    * classic histogram/intensity-difference detector, run as a lag
+    * window over the decoded frame table (one shuffle on doc_id, then
+    * partition-local). Only the per-frame lumas are codec output; the
+    * detection itself is relational, published as a sidecar, and
+    * DuckDB replays lag + threshold + rollup from it ⇒ hash-checked
+    * end to end. At 100 TB frames decode partition-local (the demux
+    * walk never shuffles pixel data) and the lag window moves only
+    * (doc_id, frame_idx, luma) rows. */
+  def sceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    val f = videoFrameLumas(spark, dir)
+    oracleSidecar("video_frame_lumas", f)
+    f.withColumn("delta", col("luma_milli") - lag(col("luma_milli"), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("frame_idx"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_frames"),
+        sum(when(abs(col("delta")) > sceneCutMilli, 1L).otherwise(0L))
+          .cast("long").as("n_cuts"),
+        coalesce(min(when(abs(col("delta")) > sceneCutMilli, col("frame_idx"))),
+          lit(-1L)).cast("long").as("first_cut"),
+        expr("sum(luma_milli) div count(1)").cast("long").as("mean_luma_milli"))
+      .orderBy(col("doc_id"))
+  }
+
+  val sceneCutsSql: String =
+    s"""WITH d AS (
+       | SELECT doc_id, frame_idx, luma_milli,
+       |  luma_milli - lag(luma_milli) OVER (PARTITION BY doc_id
+       |    ORDER BY frame_idx) AS delta
+       | FROM read_parquet('${oracleSidecarGlob("video_frame_lumas")}'))
+       |SELECT doc_id, cast(count(*) as bigint) AS n_frames,
+       | cast(sum(CASE WHEN abs(delta) > $sceneCutMilli THEN 1 ELSE 0 END)
+       |   as bigint) AS n_cuts,
+       | cast(coalesce(min(CASE WHEN abs(delta) > $sceneCutMilli
+       |   THEN frame_idx END), -1) as bigint) AS first_cut,
+       | cast(sum(luma_milli) // count(*) as bigint) AS mean_luma_milli
+       |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("mm_scene_cuts", sceneCuts, Some(sceneCutsSql)),
     GQuery("mm_image_dhash_pairs", imageDhashPairs, Some(imageDhashPairsSql)),
     GQuery("mm_audio_frames", audioFrames, None),
     GQuery("mm_pack_struct", pack, Some(packSql)),

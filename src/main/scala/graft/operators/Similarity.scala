@@ -1500,6 +1500,81 @@ object Similarity {
     finishTopK(e, scored, 3)
   }
 
+
+  /** Matryoshka truncate-then-rerank (Kusupati et al. NeurIPS'22) —
+    * the dimension-truncation cost knob of a production vector stack:
+    * stage 1 ranks the corpus under the FIRST-16-dims cosine (4× less
+    * vector IO/memory/FLOPs than the 64-dim full precision — at 100 TB
+    * this is the tier you can afford to scan or IVF-index), keeping a
+    * 20-candidate shortlist per query; stage 2 re-ranks ONLY the
+    * shortlist under the full-dimension cosine (shortlist-sized work).
+    * The emitted `hit` flag joins each served neighbor against the
+    * direct full-dimension top-5 — recall@5 of the cheap pipeline is
+    * sum(hit)/5 per query, measured inside the engine rather than
+    * asserted. Same 6-decimal cosine grid and (cos desc, id) total
+    * order as every other sim entry ⇒ fully oracle-checked. */
+  def matryoshkaRerank(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CosineSim.cosine
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("vt", slice(col("v"), 1, 16))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v").as("vq"), col("vt").as("vqt"))
+    val joined = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+    val cand = joined
+      .withColumn("cos_t", cosine(col("vqt"), col("vt")))
+      .withColumn("rkt", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos_t").desc, col("vec_id"))))
+      .filter(col("rkt") <= 20)
+    val served = cand
+      .withColumn("cos", cosine(col("vq"), col("v")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id")))
+        .cast("long"))
+      .filter(col("rk") <= 5)
+    val truth = joined
+      .withColumn("cosf", cosine(col("vq"), col("v")))
+      .withColumn("rkf", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cosf").desc, col("vec_id"))))
+      .filter(col("rkf") <= 5)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), lit(1L).as("hit"))
+    served.select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cos"))
+      .join(truth, Seq("q_id", "neighbor_id"), "left")
+      .withColumn("hit", coalesce(col("hit"), lit(0L)))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  val matryoshkaRerankSql: String = {
+    val full = "e.embedding::DOUBLE[]"
+    val fullQ = "q.embedding::DOUBLE[]"
+    val tr = s"list_slice($full, 1, 16)"
+    val trQ = s"list_slice($fullQ, 1, 16)"
+    s"""WITH pairs AS (
+       | SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+       |  ${sqlCos(trQ, tr)} AS cos_t, ${sqlCos(fullQ, full)} AS cos
+       | FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+       | WHERE q.vec_id < 20),
+       |cand AS (
+       | SELECT * FROM (
+       |  SELECT q_id, neighbor_id, cos, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos_t DESC, neighbor_id) AS rkt FROM pairs)
+       | WHERE rkt <= 20),
+       |served AS (
+       | SELECT * FROM (
+       |  SELECT q_id, neighbor_id, cos, cast(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, neighbor_id) as bigint) AS rk FROM cand)
+       | WHERE rk <= 5),
+       |truth AS (
+       | SELECT q_id, neighbor_id, 1 AS hit FROM (
+       |  SELECT q_id, neighbor_id, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, neighbor_id) AS rkf FROM pairs)
+       | WHERE rkf <= 5)
+       |SELECT s.q_id, s.rk, s.neighbor_id, s.cos,
+       | cast(coalesce(t.hit, 0) as bigint) AS hit
+       |FROM served s LEFT JOIN truth t USING (q_id, neighbor_id)
+       |ORDER BY s.q_id, s.rk""".stripMargin
+  }
+
   val all: Seq[GQuery] = Seq(
     GQuery("sim_knn_join_exact", knnJoinExact, Some(knnJoinExactSql)),
     GQuery("sim_knn_join_blocked", knnJoinExactBlocked, Some(knnJoinExactSql)),
@@ -1518,5 +1593,6 @@ object Similarity {
     GQuery("sim_filtered_topk", filteredTopk, Some(filteredTopkSql)),
     GQuery("sim_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     GQuery("sim_embedding_drift", embeddingDrift, Some(embeddingDriftSql)),
+    GQuery("sim_matryoshka_rerank", matryoshkaRerank, Some(matryoshkaRerankSql)),
   )
 }

@@ -112,6 +112,13 @@ class OperatorSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
   }
 
+  test("no oracle SQL is null or blank (a val declared after `all` is null)") {
+    SparkEntry.registry.foreach { gq =>
+      gq.oracle.foreach(sql => assert(sql != null && sql.trim.nonEmpty,
+        s"${gq.name}: null/blank oracle — declaration-order initialization bug"))
+    }
+  }
+
   test("registry names are unique (a duplicate would silently shadow a query)") {
     val names = SparkEntry.registry.map(_.name)
     val dupes = names.groupBy(identity).filter(_._2.size > 1).keys

@@ -483,6 +483,56 @@ class Round10Spec extends AnyFunSuite {
       s"entity members $report != referee matched-node count ${matched.size}")
   }
 
+  test("matryoshka rerank: serving invariants hold and recall beats chance") {
+    // USING-join column order: (q_id, neighbor_id, rk, cos, hit)
+    val rows = operators.Similarity.matryoshkaRerank(spark, sf)
+      .select(col("q_id"), col("rk"), col("cos"), col("hit"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size == 20 && byQ.values.forall(_.length == 5),
+      "each of the 20 queries must serve exactly 5 neighbors")
+    byQ.values.foreach { g =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._3).sliding(2).forall(p => p.head >= p.last),
+        "re-ranked cosine must be non-increasing in rank")
+    }
+    val recall = rows.map(_._4).sum.toDouble / rows.length
+    val corpus = util.t(spark, sf, "embeddings").count().toDouble
+    assert(recall >= 0.2, f"recall@5 $recall%.2f collapsed — shortlist broken")
+    assert(recall > 5.0 / corpus * 10,
+      "recall must beat the random-shortlist baseline by an order of magnitude")
+  }
+
+  test("scene cuts: container walk matches the direct per-chunk synth referee") {
+    val got = operators.Multimodal.sceneCuts(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got.nonEmpty)
+    // referee: NO container, no codec round-trip — lumas straight from
+    // the synthesized pixel planes; any walk/offset corruption diverges
+    val docs = util.t(spark, sf, "documents")
+      .filter(col("doc_id") % 3 === 2).select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.map { case (id, text) =>
+      val lumas = text.split(" ").grouped(8).map { c =>
+        val img = functions.Ppm.synth(c.mkString(" "))
+        var r = 0L; var g = 0L; var b = 0L
+        var i = 0
+        while (i < img.pixels.length) {
+          r += img.pixels(i) & 0xFF; g += img.pixels(i + 1) & 0xFF
+          b += img.pixels(i + 2) & 0xFF; i += 3
+        }
+        (299L * r + 587L * g + 114L * b) / (img.width * img.height)
+      }.toArray
+      val deltas = lumas.sliding(2).map(p => math.abs(p(1) - p(0))).toArray
+      val cutIdx = deltas.zipWithIndex.collect {
+        case (d, i) if d > operators.Multimodal.sceneCutMilli => i + 1L }
+      (id, lumas.length.toLong, cutIdx.length.toLong,
+        cutIdx.headOption.getOrElse(-1L), lumas.sum / lumas.length)
+    }.sortBy(_._1).toSeq
+    assert(got == want, "container walk diverged from direct synthesis")
+  }
+
   test("winsorize: fences, clip counts, and sums match the sorted referee") {
     val byG = util.t(spark, sf, "lineitem")
       .selectExpr("l_returnflag g", "cast(round(l_extendedprice * 100) as bigint) cents")
