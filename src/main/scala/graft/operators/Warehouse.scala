@@ -339,6 +339,52 @@ object Warehouse {
        |WHERE NOT (o_orderkey % 16 < 3 OR o_totalprice > 480000.0)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Transparent materialized-view rewrite, end to end: build (once,
+    * fingerprint-keyed) the per-status revenue matview, REGISTER it
+    * with [[graft.plans.MatviewRewrite]], then run the ORDINARY
+    * DataFrame aggregate over the raw orders table — the optimizer
+    * rule recognizes the canonical shape (semanticEquals on
+    * canonicalized aggregate expressions, not names) and substitutes a
+    * groups-sized view scan for the fact scan. The DuckDB oracle
+    * computes the aggregate DIRECTLY from orders, so a hash match
+    * proves the rewrite serves exactly what the fact scan would have;
+    * the plan spec asserts the physical scan reads the view path and
+    * not orders.parquet. Freshness: the view path is a function of the
+    * orders table's content fingerprint (a regenerated table can never
+    * hit a stale view). At 100 TB this is the dashboard query served
+    * from O(groups) bytes instead of a fact scan. */
+  def q87MvRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val mvPath = mvRoot(spark, dir) + "/status_revenue"
+    val factPath = s"file:$dir/orders.parquet"
+    graft.plans.MatviewRewrite.register(factPath, mvPath)
+    canonicalStatusRevenue(spark, dir)
+  }
+
+  /** The canonical per-status revenue aggregate — the QUERY side of
+    * the matview demo, built from the raw table every time; whether it
+    * scans fact or view is the optimizer's decision. */
+  private[graft] def canonicalStatusRevenue(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("revenue_cents"))
+      .orderBy(col("o_orderstatus"))
+
+  /** Build-once root for the matview (cross-JVM, atomic publish). The
+    * build computes the SAME canonical aggregate with the rewrite
+    * disabled for the fact path (nothing is registered for it yet
+    * while building a fresh root, so the build always scans fact). */
+  private def mvRoot(spark: SparkSession, dir: String): String =
+    artifactRoot(s"matview-${tableFingerprint(dir, "orders")}")(root =>
+      canonicalStatusRevenue(spark, dir)
+        .write.parquet(s"$root/status_revenue"))
+
+  val q87Sql: String =
+    """SELECT o_orderstatus, cast(count(*) as bigint) AS n_orders,
+      | cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint)
+      |   AS revenue_cents
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   /** Winsorization (robust scaling / outlier clamping) with EXACT
     * integer order-statistic cutoffs: per group, the p01/p99 fences
     * are the cents values at integer ranks ⌈n/100⌉ and ⌈99n/100⌉ —
@@ -742,6 +788,7 @@ object Warehouse {
     GQuery("q77_dv_compaction", q77DvCompaction, Some(q77Sql)),
     GQuery("q71_incremental_view", q71IncrementalView, Some(q71Sql)),
     GQuery("meta_winsorize", metaWinsorize, Some(metaWinsorizeSql)),
+    GQuery("q87_mv_rewrite", q87MvRewrite, Some(q87Sql)),
     GQuery("meta_hll_sketches", metaHllSketches, None),
     GQuery("meta_kmv_overlap", metaKmvOverlap, None),
     GQuery("meta_join_estimate", metaJoinEstimate, None),

@@ -26,6 +26,9 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => ReplaceHofCosine)
+    // transparent materialized-view rewrite (exact-match view catalog,
+    // fingerprint-fresh by construction) — see plans/MatviewRewrite.scala
+    ext.injectOptimizerRule(_ => MatviewRewrite)
     // automatic range-join binning (inequality-band join → equi-join
     // on a bin key) — see plans/AutoRangeJoin.scala. Injected as a
     // PRE-CBO rule (a Once batch), NOT an operator-optimization rule:

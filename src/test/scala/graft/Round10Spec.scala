@@ -483,6 +483,30 @@ class Round10Spec extends AnyFunSuite {
       s"entity members $report != referee matched-node count ${matched.size}")
   }
 
+  test("mv rewrite: plan reads the view; answer equals the fact scan; near-miss doesn't rewrite") {
+    val factPath = s"file:$sf/orders.parquet"
+    val served = operators.Warehouse.q87MvRewrite(spark, sf)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_artifact_cache") && !plan.contains("orders.parquet"),
+      "rewritten plan must scan the matview, never the fact table")
+    val got = served.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    plans.MatviewRewrite.unregister(factPath)
+    try {
+      val base = operators.Warehouse.canonicalStatusRevenue(spark, sf)
+      assert(base.queryExecution.executedPlan.toString.contains("orders.parquet"),
+        "with no view registered the same query must scan fact")
+      val want = base.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(got.toSeq == want.toSeq, "view answer diverged from fact answer")
+    } finally operators.Warehouse.q87MvRewrite(spark, sf) // re-register
+    // near-miss: same grouping, sum WITHOUT the round — must not match
+    val miss = util.t(spark, sf, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum((col("o_totalprice") * 100).cast("long")).as("revenue_cents"))
+    assert(miss.queryExecution.executedPlan.toString.contains("orders.parquet"),
+      "a semantically different aggregate silently read the view")
+  }
+
   test("matryoshka rerank: serving invariants hold and recall beats chance") {
     // USING-join column order: (q_id, neighbor_id, rk, cos, hit)
     val rows = operators.Similarity.matryoshkaRerank(spark, sf)
