@@ -355,10 +355,38 @@ object Warehouse {
     * from O(groups) bytes instead of a fact scan. */
   def q87MvRewrite(spark: SparkSession, dir: String): DataFrame = {
     val mvPath = mvRoot(spark, dir) + "/status_revenue"
-    val factPath = s"file:$dir/orders.parquet"
-    graft.plans.MatviewRewrite.register(factPath, mvPath)
+    graft.plans.MatviewRewrite.register(s"file:$dir/orders.parquet",
+      "o_orderstatus", graft.plans.MatviewRewrite.ViewDef(mvPath, exact = true))
     canonicalStatusRevenue(spark, dir)
   }
+
+  /** Roll-up (containment) rewrite — the view is grouped FINER than
+    * the query: a (status, priority) view answers the per-PRIORITY
+    * aggregate by re-aggregating its partials (count → sum of partial
+    * counts, sum → sum of partial sums — lossless, count/sum are
+    * commutative monoids over the disjoint finer groups). This is the
+    * standard view-containment extension over [[q87MvRewrite]]'s
+    * exact matching; one stored cube face serves every coarser
+    * grouping it contains. The re-aggregation input is VIEW-sized
+    * (|status|×|priority| rows), not fact-sized — at 100 TB the
+    * difference between a dashboard refresh and a fact scan. Oracle
+    * computes directly from orders, proving the roll-up exact. */
+  def q88MvRollup(spark: SparkSession, dir: String): DataFrame = {
+    val mvPath = mvRoot(spark, dir) + "/status_priority_revenue"
+    graft.plans.MatviewRewrite.register(s"file:$dir/orders.parquet",
+      "o_orderpriority", graft.plans.MatviewRewrite.ViewDef(mvPath, exact = false))
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("revenue_cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q88Sql: String =
+    """SELECT o_orderpriority, cast(count(*) as bigint) AS n_orders,
+      | cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint)
+      |   AS revenue_cents
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   /** The canonical per-status revenue aggregate — the QUERY side of
     * the matview demo, built from the raw table every time; whether it
@@ -370,14 +398,22 @@ object Warehouse {
         sum(round(col("o_totalprice") * 100).cast("long")).as("revenue_cents"))
       .orderBy(col("o_orderstatus"))
 
-  /** Build-once root for the matview (cross-JVM, atomic publish). The
-    * build computes the SAME canonical aggregate with the rewrite
-    * disabled for the fact path (nothing is registered for it yet
-    * while building a fresh root, so the build always scans fact). */
+  /** Build-once root for BOTH matviews (cross-JVM, atomic publish).
+    * The build computes the canonical aggregates while nothing is
+    * registered for a fresh root, so it always scans fact. The `2` in
+    * the key is this builder's revision — the closure gained the
+    * roll-up view, and a root published by the single-view closure
+    * must not satisfy it (the ADVICE r9 cache-key discipline). */
   private def mvRoot(spark: SparkSession, dir: String): String =
-    artifactRoot(s"matview-${tableFingerprint(dir, "orders")}")(root =>
+    artifactRoot(s"matview2-${tableFingerprint(dir, "orders")}") { root =>
       canonicalStatusRevenue(spark, dir)
-        .write.parquet(s"$root/status_revenue"))
+        .write.parquet(s"$root/status_revenue")
+      t(spark, dir, "orders")
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("revenue_cents"))
+        .write.parquet(s"$root/status_priority_revenue")
+    }
 
   val q87Sql: String =
     """SELECT o_orderstatus, cast(count(*) as bigint) AS n_orders,
@@ -789,6 +825,7 @@ object Warehouse {
     GQuery("q71_incremental_view", q71IncrementalView, Some(q71Sql)),
     GQuery("meta_winsorize", metaWinsorize, Some(metaWinsorizeSql)),
     GQuery("q87_mv_rewrite", q87MvRewrite, Some(q87Sql)),
+    GQuery("q88_mv_rollup", q88MvRollup, Some(q88Sql)),
     GQuery("meta_hll_sketches", metaHllSketches, None),
     GQuery("meta_kmv_overlap", metaKmvOverlap, None),
     GQuery("meta_join_estimate", metaJoinEstimate, None),

@@ -32,11 +32,23 @@ import org.apache.spark.sql.types.LongType
   */
 object MatviewRewrite extends Rule[LogicalPlan] {
 
-  /** fact-table root path → materialized-view parquet path. */
-  private val views = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** One catalog entry: the stored view's parquet path and the
+    * grouping column the view carries BEYOND the query grouping —
+    * empty for an exact-match view, non-empty for a roll-up view whose
+    * finer rows must be re-aggregated (count → sum of partial counts,
+    * sum → sum of partial sums; both lossless because count/sum are
+    * commutative monoids over disjoint finer groups). */
+  final case class ViewDef(mvPath: String, exact: Boolean)
 
-  def register(factPath: String, mvPath: String): Unit = { views.put(factPath, mvPath); () }
-  def unregister(factPath: String): Unit = { views.remove(factPath); () }
+  /** (fact-table root path, query grouping column) → view. */
+  private val views = new java.util.concurrent.ConcurrentHashMap[(String, String), ViewDef]()
+
+  def register(factPath: String, groupCol: String, v: ViewDef): Unit = {
+    views.put((factPath, groupCol), v); ()
+  }
+  def unregister(factPath: String, groupCol: String): Unit = {
+    views.remove((factPath, groupCol)); ()
+  }
 
   /** The registered view definition: GROUP BY o_orderstatus over
     * orders with count(*) and sum(cast(round(o_totalprice*100) as
@@ -66,16 +78,16 @@ object MatviewRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (views.isEmpty) plan
     else plan transform {
-      case agg @ Aggregate(Seq(g: AttributeReference), aggExprs, child, _)
-          if g.name == "o_orderstatus" =>
+      case agg @ Aggregate(Seq(g: AttributeReference), aggExprs, child, _) =>
         factScan(child) match {
-          case Some((path, attrs)) if views.containsKey(path) && attrs.contains("o_totalprice") =>
+          case Some((path, attrs))
+              if views.containsKey((path, g.name)) && attrs.contains("o_totalprice") =>
             val cents = centsTemplate(attrs("o_totalprice")).canonicalized
             // map every output of the Aggregate onto a view column, or
             // bail out (None anywhere → no rewrite)
             val mapped: Seq[Option[(NamedExpression, String)]] = aggExprs.map {
               case a: AttributeReference if a.exprId == g.exprId =>
-                Some((a, "o_orderstatus"))
+                Some((a, g.name))
               case al @ Alias(AggregateExpression(Count(Seq(Literal(1, _))), _, false, None, _), _) =>
                 Some((al, "n_orders"))
               case al @ Alias(AggregateExpression(Sum(e, _), _, false, None, _), _)
@@ -85,13 +97,30 @@ object MatviewRewrite extends Rule[LogicalPlan] {
             }
             if (mapped.exists(_.isEmpty)) agg
             else {
-              val mv = SparkSession.active.read.parquet(views.get(path))
+              val vdef = views.get((path, g.name))
+              val mv = SparkSession.active.read.parquet(vdef.mvPath)
                 .queryExecution.analyzed
               val byName = mv.output.map(a => a.name -> a).toMap
-              val projList = mapped.flatten.map { case (orig, mvCol) =>
-                Alias(byName(mvCol), orig.name)(exprId = orig.exprId)
+              if (vdef.exact) {
+                val projList = mapped.flatten.map { case (orig, mvCol) =>
+                  Alias(byName(mvCol), orig.name)(exprId = orig.exprId)
+                }
+                Project(projList, mv)
+              } else {
+                // roll-up: the view is grouped FINER than the query —
+                // re-aggregate its partials (count → sum(n), sum →
+                // sum(sum)); the query's grouping column must be one
+                // of the view's grouping columns
+                val gAttr = byName(g.name)
+                val aggList = mapped.flatten.map {
+                  case (orig, mvCol) if mvCol == g.name =>
+                    Alias(gAttr, orig.name)(exprId = orig.exprId)
+                  case (orig, mvCol) =>
+                    Alias(Sum(byName(mvCol)).toAggregateExpression(),
+                      orig.name)(exprId = orig.exprId)
+                }
+                Aggregate(Seq(gAttr), aggList, mv)
               }
-              Project(projList, mv)
             }
           case _ => agg
         }

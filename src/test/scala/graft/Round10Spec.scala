@@ -490,7 +490,7 @@ class Round10Spec extends AnyFunSuite {
     assert(plan.contains("graft_artifact_cache") && !plan.contains("orders.parquet"),
       "rewritten plan must scan the matview, never the fact table")
     val got = served.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    plans.MatviewRewrite.unregister(factPath)
+    plans.MatviewRewrite.unregister(factPath, "o_orderstatus")
     try {
       val base = operators.Warehouse.canonicalStatusRevenue(spark, sf)
       assert(base.queryExecution.executedPlan.toString.contains("orders.parquet"),
@@ -505,6 +505,25 @@ class Round10Spec extends AnyFunSuite {
         sum((col("o_totalprice") * 100).cast("long")).as("revenue_cents"))
     assert(miss.queryExecution.executedPlan.toString.contains("orders.parquet"),
       "a semantically different aggregate silently read the view")
+  }
+
+  test("mv rollup: a finer view answers the coarser grouping by re-aggregation") {
+    val factPath = s"file:$sf/orders.parquet"
+    val served = operators.Warehouse.q88MvRollup(spark, sf)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_artifact_cache") && !plan.contains("orders.parquet"),
+      "roll-up plan must re-aggregate the view, never scan fact")
+    val got = served.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    plans.MatviewRewrite.unregister(factPath, "o_orderpriority")
+    try {
+      val want = util.t(spark, sf, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(expr(
+          "cast(round(o_totalprice * 100) as long)")).as("c"))
+        .orderBy(col("o_orderpriority"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(got.toSeq == want.toSeq, "roll-up answer diverged from fact answer")
+    } finally operators.Warehouse.q88MvRollup(spark, sf)
   }
 
   test("matryoshka rerank: serving invariants hold and recall beats chance") {
