@@ -507,6 +507,29 @@ class Round10Spec extends AnyFunSuite {
       "a semantically different aggregate silently read the view")
   }
 
+  test("mv maintain: every intermediate version is the exact prefix aggregate") {
+    val (state, v) = operators.StreamingOps.mvMaintainRun(spark, sf)
+    assert(v == 5, s"expected 5 merged batches, got $v")
+    val orders = util.t(spark, sf, "orders")
+      .selectExpr("o_orderkey", "o_orderstatus",
+        "cast(round(o_totalprice * 100) as bigint) cents")
+    for (k <- 1 to 5) {
+      val got = spark.read.parquet(s"$state/v$k")
+        .selectExpr("o_orderstatus", "cast(n_orders as long) n",
+          "cast(revenue_cents as long) c")
+        .orderBy(col("o_orderstatus"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      // prefix truth: salts 0..k-1 of the keyspace, aggregated directly
+      val want = orders.filter(pmod(col("o_orderkey"), lit(5L)) < k)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+        .orderBy(col("o_orderstatus"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(got.toSeq == want.toSeq,
+        s"version $k diverged from the direct prefix aggregate")
+    }
+  }
+
   test("mv rollup: a finer view answers the coarser grouping by re-aggregation") {
     val factPath = s"file:$sf/orders.parquet"
     val served = operators.Warehouse.q88MvRollup(spark, sf)
