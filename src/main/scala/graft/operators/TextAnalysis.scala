@@ -1248,8 +1248,10 @@ object TextAnalysis {
           .cast("long").as("p_micro"))
   }
 
-  val knBigramSql: String =
-    """WITH b AS (
+  /** Shared CTE body producing the full KN table (w1, w2, counts,
+    * p_micro) — consumed by [[knBigramSql]] and [[lmDecodeSql]]. */
+  private val knSqlCte: String =
+    """b AS (
       | SELECT ws[i] AS w1, ws[i + 1] AS w2
       | FROM (SELECT string_split(text, ' ') AS ws FROM documents
       |       WHERE len(string_split(text, ' ')) >= 2),
@@ -1258,16 +1260,82 @@ object TextAnalysis {
       |c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY w1),
       |n1f AS (SELECT w1, count(*) AS n1_fwd FROM c12 GROUP BY w1),
       |n1b AS (SELECT w2, count(*) AS n1_bwd FROM c12 GROUP BY w2),
-      |t12 AS (SELECT count(*) AS t FROM c12)
-      |SELECT w1, w2, c12.c12, c1.c1, n1f.n1_fwd, n1b.n1_bwd,
-      | cast((greatest(4 * c12.c12 - 3, 0) * 1000000) // (4 * c1.c1)
-      |  + ((3 * n1f.n1_fwd * 1000000) // (4 * c1.c1) * n1b.n1_bwd) // t
-      |  as bigint) AS p_micro
-      |FROM c12 JOIN c1 USING (w1) JOIN n1f USING (w1) JOIN n1b USING (w2)
-      |CROSS JOIN t12
-      |ORDER BY c12.c12 DESC, w1, w2 LIMIT 50""".stripMargin
+      |t12 AS (SELECT count(*) AS t FROM c12),
+      |kn AS (
+      | SELECT w1, w2, c12.c12, c1.c1, n1f.n1_fwd, n1b.n1_bwd,
+      |  cast((greatest(4 * c12.c12 - 3, 0) * 1000000) // (4 * c1.c1)
+      |   + ((3 * n1f.n1_fwd * 1000000) // (4 * c1.c1) * n1b.n1_bwd) // t
+      |   as bigint) AS p_micro
+      | FROM c12 JOIN c1 USING (w1) JOIN n1f USING (w1) JOIN n1b USING (w2)
+      | CROSS JOIN t12)""".stripMargin
+
+  val knBigramSql: String =
+    s"""WITH $knSqlCte
+       |SELECT w1, w2, c12, c1, n1_fwd, n1_bwd, p_micro FROM kn
+       |ORDER BY c12 DESC, w1, w2 LIMIT 50""".stripMargin
+
+  /** Steps of greedy LM decoding in [[lmDecode]]. */
+  val lmDecodeSteps = 12
+
+  /** Greedy decoding FROM the trained Kneser-Ney table — generation as
+    * a relational argmax chain: seed with the corpus's most frequent
+    * token, then repeatedly take argmax_w2 P(w2|w1) (ties broken
+    * lexicographic) for [[lmDecodeSteps]] steps, stopping early at a
+    * dead end (a token never observed as a bigram head). Each step is
+    * a top-1 query against the DISTRIBUTED model table (the BPE-argmax
+    * discipline: driver sees one row per step, never the model) — at
+    * 100 TB the vocab²-bounded LM table stays sharded and generation
+    * costs steps × an index-backed top-1 lookup. The oracle replays
+    * the FULL chain: the same KN CTE plus one unrolled argmax CTE per
+    * step — deterministic integer micro-unit probabilities make greedy
+    * decoding an exactly-replayable query. */
+  def lmDecode(spark: SparkSession, dir: String): DataFrame = {
+    val kn = knBigramFull(spark, dir)
+      .select(col("w1"), col("w2"), col("p_micro")).localCheckpoint(true)
+    val seed = t(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .orderBy(desc("f"), col("w")).limit(1)
+      .collect()(0).getString(0)
+    val out = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]((0L, seed, 0L))
+    var cur: String = seed
+    var step = 1
+    while (cur != null && step <= lmDecodeSteps) {
+      val nxt = kn.filter(col("w1") === cur)
+        .orderBy(desc("p_micro"), col("w2")).limit(1).collect()
+      if (nxt.isEmpty) cur = null
+      else {
+        cur = nxt(0).getString(1)
+        out += ((step.toLong, cur, nxt(0).getLong(2)))
+        step += 1
+      }
+    }
+    import spark.implicits._
+    out.toSeq.toDF("step", "token", "p_micro").orderBy(col("step"))
+  }
+
+  val lmDecodeSql: String = {
+    val stepCtes = (1 to lmDecodeSteps).map(k =>
+      s"s$k AS (SELECT w2 AS w, p_micro FROM kn WHERE w1 = (SELECT w FROM s${k - 1}) ORDER BY p_micro DESC, w2 LIMIT 1)")
+      .mkString(",\n")
+    val stepSelects = (1 to lmDecodeSteps).map(k =>
+      s"SELECT cast($k as bigint) AS step, w AS token, p_micro FROM s$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $knSqlCte,
+       |s0 AS (
+       | SELECT w, cast(0 as bigint) AS p_micro FROM (
+       |  SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       | GROUP BY w ORDER BY count(*) DESC, w LIMIT 1),
+       |$stepCtes
+       |SELECT * FROM (
+       | SELECT cast(0 as bigint) AS step, w AS token, p_micro FROM s0
+       | UNION ALL
+       |$stepSelects
+       |) ORDER BY step""".stripMargin
+  }
 
   val all: Seq[GQuery] = Seq(
+    GQuery("text_lm_decode", lmDecode, Some(lmDecodeSql)),
     GQuery("text_kneser_ney", knBigramTable, Some(knBigramSql)),
     GQuery("text_vocab_encode", vocabEncode, Some(vocabEncodeSql)),
     GQuery("text_chunk_overlap", chunkOverlap, Some(chunkOverlapSql)),

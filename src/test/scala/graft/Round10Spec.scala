@@ -599,6 +599,29 @@ class Round10Spec extends AnyFunSuite {
     assert(got == want, "container walk diverged from direct synthesis")
   }
 
+  test("lm decode: the greedy chain replays from the collected model") {
+    val kn = operators.TextAnalysis.knBigramFull(spark, sf)
+      .select(col("w1"), col("w2"), col("p_micro"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val byHead = kn.groupBy(_._1)
+    val seed = util.t(spark, sf, "documents")
+      .selectExpr("explode(split(text, ' ')) w")
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .orderBy(desc("f"), col("w")).limit(1).collect()(0).getString(0)
+    val want = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]((0L, seed, 0L))
+    var cur = seed
+    var k = 1
+    while (k <= operators.TextAnalysis.lmDecodeSteps &&
+        byHead.contains(cur)) {
+      val best = byHead(cur).minBy(t => (-t._3, t._2))
+      want += ((k.toLong, best._2, best._3)); cur = best._2; k += 1
+    }
+    val got = operators.TextAnalysis.lmDecode(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == want.toSeq, "distributed greedy chain diverged from the referee")
+    assert(got.length >= 2, "decode must advance at least one step on this corpus")
+  }
+
   test("winsorize: fences, clip counts, and sums match the sorted referee") {
     val byG = util.t(spark, sf, "lineitem")
       .selectExpr("l_returnflag g", "cast(round(l_extendedprice * 100) as bigint) cents")
