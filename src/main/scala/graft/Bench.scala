@@ -80,7 +80,11 @@ object Bench {
       "graph_label_propagation", "graph_ppr", "graph_shortest_paths",
       "graph_shortest_paths_frontier",
       "src_zorder_layout", "q78_partition_evolution", "q57_aqe_skew_join",
-      "text_bpe_train", "text_bpe_tokens")
+      "text_bpe_train", "text_bpe_tokens",
+      // round 10: the matview entries read the fingerprint-keyed view
+      // after the first build — their timings measure rewrite + view
+      // scan, not the aggregate build
+      "q87_mv_rewrite", "q88_mv_rollup")
       .filter(selected.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
