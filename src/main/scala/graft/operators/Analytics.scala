@@ -959,7 +959,57 @@ object Analytics {
       |FROM runs GROUP BY user_id
       |ORDER BY longest DESC, active_days DESC, user_id LIMIT 100""".stripMargin
 
+  /** Market-basket association rules (A-Priori pair counting, Agrawal
+    * & Srikant VLDB'94): co-occurrence support, confidence, and lift
+    * for part pairs bought in the same order. The pair join is
+    * per-basket (equi-join on the order key then p_a < p_b), so work
+    * is Σ basket² — basket-bounded, never catalog² — and the only
+    * shuffles are the basket equi-join and the (pa, pb) count. All
+    * three metrics are exact integer micro-units (counts and integer
+    * division only), so the full rule table replays in DuckDB. At
+    * 100 TB the same plan holds with a basket-size cap and a PCY-style
+    * hash filter ahead of the pair count; the top-30 emit keeps the
+    * answer bounded under a total order. */
+  def q89MarketBasket(spark: SparkSession, dir: String): DataFrame = {
+    val items = t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .localCheckpoint(true) // feeds the totals, frequency, and pair scans
+    val totals = items.agg(countDistinct(col("o")).as("n"))
+    val freq = items.groupBy(col("p")).agg(count(lit(1)).as("cp"))
+    items.as("x").join(items.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("pa"), col("y.p").as("pb"))
+      .agg(count(lit(1)).as("cab"))
+      .join(freq.select(col("p").as("pa"), col("cp").as("ca")), Seq("pa"))
+      .join(freq.select(col("p").as("pb"), col("cp").as("cb")), Seq("pb"))
+      .crossJoin(broadcast(totals))
+      .select(col("pa"), col("pb"), col("cab"), col("ca"), col("cb"),
+        expr("(cab * 1000000) div n").cast("long").as("support_micro"),
+        expr("(cab * 1000000) div ca").cast("long").as("confidence_micro"),
+        expr("(cab * n * 1000000) div (ca * cb)").cast("long").as("lift_micro"))
+      .orderBy(desc("cab"), col("pa"), col("pb"))
+      .limit(30)
+  }
+
+  val q89Sql: String =
+    """WITH items AS (
+      | SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |tot AS (SELECT count(DISTINCT o) AS n FROM items),
+      |freq AS (SELECT p, count(*) AS cp FROM items GROUP BY p),
+      |pairs AS (
+      | SELECT x.p AS pa, y.p AS pb, count(*) AS cab
+      | FROM items x JOIN items y ON x.o = y.o AND x.p < y.p
+      | GROUP BY 1, 2)
+      |SELECT pa, pb, cab, fa.cp AS ca, fb.cp AS cb,
+      | cast((cab * 1000000) // n as bigint) AS support_micro,
+      | cast((cab * 1000000) // fa.cp as bigint) AS confidence_micro,
+      | cast((cab * n * 1000000) // (fa.cp * fb.cp) as bigint) AS lift_micro
+      |FROM pairs JOIN freq fa ON pa = fa.p JOIN freq fb ON pb = fb.p
+      |CROSS JOIN tot
+      |ORDER BY cab DESC, pa, pb LIMIT 30""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("q89_market_basket", q89MarketBasket, Some(q89Sql)),
     GQuery("q74_funnel_steps", q74FunnelSteps, Some(q74Sql)),
     GQuery("q83_skyline", q83Skyline, Some(q83Sql)),
     GQuery("q84_ivm_join", q84IvmJoin, Some(q84Sql)),

@@ -599,6 +599,35 @@ class Round10Spec extends AnyFunSuite {
     assert(got == want, "container walk diverged from direct synthesis")
   }
 
+  test("market basket: rule metrics replay from the in-JVM pair referee") {
+    val items = util.t(spark, sf, "lineitem")
+      .selectExpr("l_orderkey o", "l_partkey p").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = items.map(_._1).distinct.length.toLong
+    val cp = items.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val cab = items.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = operators.Analytics.q89MarketBasket(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(got.length == 30)
+    got.foreach { case (pa, pb, c, ca, cb, sup, conf, lift) =>
+      assert(cab((pa, pb)) == c && cp(pa) == ca && cp(pb) == cb,
+        s"counts for ($pa,$pb) diverge from the referee")
+      assert(sup == c * 1000000L / n && conf == c * 1000000L / ca &&
+        lift == c * n * 1000000L / (ca * cb),
+        s"metrics for ($pa,$pb) diverge from the integer formulas")
+      assert(conf <= 1000000L && c <= math.min(ca, cb),
+        "support/confidence bounds violated")
+    }
+    // the emitted 30 are THE top-30 by (cab desc, pa, pb)
+    val topRef = cab.toSeq.map { case ((a, b), c) => (c, a, b) }
+      .sortBy(t => (-t._1, t._2, t._3)).take(30).map(t => (t._2, t._3))
+    assert(got.map(t => (t._1, t._2)).toSeq == topRef)
+  }
+
   test("lm decode: the greedy chain replays from the collected model") {
     val kn = operators.TextAnalysis.knBigramFull(spark, sf)
       .select(col("w1"), col("w2"), col("p_micro"))
