@@ -376,7 +376,96 @@ object Multimodal {
        | cast(sum(luma_milli) // count(*) as bigint) AS mean_luma_milli
        |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** VAD energy threshold in integer mean-|sample| units: silence
+    * chunks (amplitude >> 8, mean ≈ 64) vs speech (mean ≈ 16384). */
+  val vadEnergyFloor = 1000L
+
+  /** Per-frame integer energies of every "audio" recording — the
+    * codec half of [[audioSegments]]. A recording is synthesized per
+    * 8-token chunk with deterministic speech/silence alternation
+    * (silence = amplitude >> 8, decided by the chunk hash's low bit),
+    * concatenated into ONE WAV, encoded, and decoded back through the
+    * real RIFF codec before framing — so the energies come off the
+    * same byte path a recorded file would. Energy is all-integer:
+    * Σ|sample| div frame length over 160-sample (20 ms @ 8 kHz)
+    * frames. */
+  private[graft] def audioFrameEnergies(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(3)) === 1)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val samples = text.split(" ").grouped(8).flatMap { cArr =>
+          val c = cArr.mkString(" ")
+          val a = Wav.synth(c)
+          if ((scala.util.hashing.MurmurHash3.stringHash(c) & 1) == 0)
+            a.samples.map(s => (s >> 8).toShort)
+          else a.samples
+        }.toArray
+        val audio = Wav.decode(Wav.encode(Wav.Audio(8000, samples)))
+        audio.samples.grouped(160).zipWithIndex.map { case (fr, i) =>
+          (id, i.toLong, fr.foldLeft(0L)((acc, s) => acc + math.abs(s.toInt)) / fr.length)
+        }
+      })
+      .toDF("doc_id", "frame_idx", "energy")
+  }
+
+  /** Voice-activity segmentation — the audio twin of [[sceneCuts]]:
+    * frames above [[vadEnergyFloor]] are speech, and maximal runs of
+    * consecutive speech frames become segments via the islands
+    * grouping constant (frame_idx − row_number over speech frames).
+    * Only the frame-energy table is codec output (sidecar); the
+    * thresholding and run-length rollup are relational and DuckDB
+    * replays them ⇒ hash-checked end to end. The speech-data pipeline
+    * shape: decode partition-local, segment bounds from a lag-free
+    * window, per-recording segment stats out. */
+  def audioSegments(spark: SparkSession, dir: String): DataFrame = {
+    val f = audioFrameEnergies(spark, dir)
+    oracleSidecar("audio_frame_energies", f)
+    val speech = f.filter(col("energy") > vadEnergyFloor)
+      .withColumn("grp", col("frame_idx") - row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("frame_idx"))))
+    val segs = speech.groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+    val tot = f.groupBy(col("doc_id")).agg(count(lit(1)).as("n_frames"))
+    tot.join(
+        segs.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_segments"), max(col("len")).as("longest"),
+            sum(col("len")).as("speech_frames")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_frames").cast("long").as("n_frames"),
+        coalesce(col("n_segments"), lit(0L)).cast("long").as("n_segments"),
+        coalesce(col("longest"), lit(0L)).cast("long").as("longest"),
+        coalesce(col("speech_frames"), lit(0L)).cast("long").as("speech_frames"))
+      .orderBy(col("doc_id"))
+  }
+
+  val audioSegmentsSql: String =
+    s"""WITH f AS (
+       | SELECT doc_id, frame_idx, energy
+       | FROM read_parquet('${oracleSidecarGlob("audio_frame_energies")}')),
+       |speech AS (
+       | SELECT doc_id, frame_idx,
+       |  frame_idx - row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY frame_idx) AS grp
+       | FROM f WHERE energy > $vadEnergyFloor),
+       |segs AS (
+       | SELECT doc_id, grp, count(*) AS len FROM speech GROUP BY 1, 2),
+       |per_doc AS (
+       | SELECT doc_id, count(*) AS n_segments, max(len) AS longest,
+       |  sum(len) AS speech_frames
+       | FROM segs GROUP BY doc_id),
+       |tot AS (SELECT doc_id, count(*) AS n_frames FROM f GROUP BY doc_id)
+       |SELECT t.doc_id, cast(t.n_frames as bigint) AS n_frames,
+       | cast(coalesce(p.n_segments, 0) as bigint) AS n_segments,
+       | cast(coalesce(p.longest, 0) as bigint) AS longest,
+       | cast(coalesce(p.speech_frames, 0) as bigint) AS speech_frames
+       |FROM tot t LEFT JOIN per_doc p USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("mm_audio_segments", audioSegments, Some(audioSegmentsSql)),
     GQuery("mm_scene_cuts", sceneCuts, Some(sceneCutsSql)),
     GQuery("mm_image_dhash_pairs", imageDhashPairs, Some(imageDhashPairsSql)),
     GQuery("mm_audio_frames", audioFrames, None),

@@ -569,6 +569,43 @@ class Round10Spec extends AnyFunSuite {
       "recall must beat the random-shortlist baseline by an order of magnitude")
   }
 
+  test("audio segments: VAD runs match the direct per-chunk synth referee") {
+    val got = operators.Multimodal.audioSegments(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got.nonEmpty)
+    // referee: no WAV container round-trip — energies straight from
+    // the synthesized sample stream
+    val docs = util.t(spark, sf, "documents")
+      .filter(col("doc_id") % 3 === 1).select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.map { case (id, text) =>
+      val samples = text.split(" ").grouped(8).flatMap { cArr =>
+        val c = cArr.mkString(" ")
+        val a = functions.Wav.synth(c)
+        if ((scala.util.hashing.MurmurHash3.stringHash(c) & 1) == 0)
+          a.samples.map(s => (s >> 8).toShort)
+        else a.samples
+      }.toArray
+      val energies = samples.grouped(160).map(fr =>
+        fr.foldLeft(0L)((acc, s) => acc + math.abs(s.toInt)) / fr.length).toArray
+      val active = energies.map(_ > operators.Multimodal.vadEnergyFloor)
+      var segs = List.empty[Long]
+      var run = 0L
+      active.foreach { a =>
+        if (a) run += 1
+        else if (run > 0) { segs ::= run; run = 0 }
+      }
+      if (run > 0) segs ::= run
+      (id, energies.length.toLong, segs.length.toLong,
+        if (segs.isEmpty) 0L else segs.max, segs.sum)
+    }.sortBy(_._1).toSeq
+    assert(got == want, "codec-path segmentation diverged from direct synthesis")
+    // the fixture must actually exercise both phases
+    assert(got.exists(_._3 > 0) && got.exists(t => t._5 < t._2),
+      "fixture degenerate: need both speech and silence present")
+  }
+
   test("scene cuts: container walk matches the direct per-chunk synth referee") {
     val got = operators.Multimodal.sceneCuts(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
