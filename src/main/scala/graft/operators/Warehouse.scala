@@ -484,6 +484,86 @@ object Warehouse {
       |FROM li JOIN fences f USING (g)
       |GROUP BY li.g, f.lo, f.hi ORDER BY li.g""".stripMargin
 
+  /** Distribution-drift monitor — the tabular sibling of
+    * `sim_embedding_drift`: per event type, the value histogram of the
+    * first time-epoch against the second (day-midpoint split), scored
+    * with the two-sample Pearson χ² in integer micro-units. Written in
+    * PROPORTION space so every intermediate fits a long: with
+    * per-epoch bin proportions p̂ₕ = oₕ·10⁶ div tₕ and pooled
+    * p = (oa+ob)·10⁶ div (ta+tb), the per-cell term
+    * tₕ·(p̂ₕ − p)² div (p + 1) equals χ²·10⁶ on the micro grid —
+    * the textbook (o − e)²/e without the raw count-cross-product
+    * (oa·T)² whose square overflows 64 bits beyond ~10⁵-row epochs;
+    * this form holds to ~10⁶-row epochs and per-cell Δ ≤ 2·10⁵
+    * (beyond that, promote the single multiply to decimal(38) in both
+    * engines). Calibrated: under no drift each cell contributes O(10⁶)
+    * (χ² ≈ O(1) per cell) independent of n, so the score is comparable
+    * across epoch sizes — the property the spec pins by shifting one
+    * half. One scan, one (type, bin) aggregate, one type rollup; fixed
+    * integer bin edges keep epochs comparable across runs. */
+  def metaDriftChi2(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"),
+        (unix_micros(col("ts")) / 86400000000L).cast("long").as("day"))
+    val bounds = ev.agg(max(col("cents")).as("maxc"),
+      expr("(min(day) + max(day) + 1) div 2").cast("long").as("cutoff"))
+    val binned = ev.crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        least(lit(9L), expr("(cents * 10) div (maxc + 1)")).as("bin"),
+        when(col("day") < col("cutoff"), 1L).otherwise(0L).as("in_a"))
+    val cells = binned.groupBy(col("event_type"), col("bin"))
+      .agg(sum(col("in_a")).as("oa"), sum(lit(1L) - col("in_a")).as("ob"))
+    val totals = cells.groupBy(col("event_type"))
+      .agg(sum(col("oa")).as("ta"), sum(col("ob")).as("tb"))
+    cells.join(totals, Seq("event_type"))
+      .select(col("event_type"), col("ta"), col("tb"),
+        expr("(oa * 1000000) div greatest(ta, 1)").as("pa"),
+        expr("(ob * 1000000) div greatest(tb, 1)").as("pb"),
+        expr("((oa + ob) * 1000000) div greatest(ta + tb, 1)").as("pp"))
+      .withColumn("term",
+        expr("(ta * (pa - pp) * (pa - pp)) div (pp + 1)") +
+          expr("(tb * (pb - pp) * (pb - pp)) div (pp + 1)"))
+      .groupBy(col("event_type"))
+      .agg(min(col("ta")).cast("long").as("n_epoch_a"),
+        min(col("tb")).cast("long").as("n_epoch_b"),
+        count(lit(1)).cast("long").as("n_bins"),
+        sum(col("term")).cast("long").as("drift_micro"))
+      .orderBy(col("event_type"))
+  }
+
+  val metaDriftChi2Sql: String =
+    """WITH ev AS (
+      | SELECT event_type, cast(round(value * 100) as bigint) AS cents,
+      |  (epoch_ns(ts) // 1000) // 86400000000 AS day
+      | FROM events),
+      |bounds AS (
+      | SELECT max(cents) AS maxc,
+      |  (min(day) + max(day) + 1) // 2 AS cutoff FROM ev),
+      |binned AS (
+      | SELECT event_type, least(9, (cents * 10) // (maxc + 1)) AS bin,
+      |  CASE WHEN day < cutoff THEN 1 ELSE 0 END AS in_a
+      | FROM ev CROSS JOIN bounds),
+      |cells AS (
+      | SELECT event_type, bin, sum(in_a) AS oa, sum(1 - in_a) AS ob
+      | FROM binned GROUP BY 1, 2),
+      |totals AS (
+      | SELECT event_type, sum(oa) AS ta, sum(ob) AS tb
+      | FROM cells GROUP BY 1),
+      |terms AS (
+      | SELECT c.event_type, t.ta, t.tb,
+      |  (c.oa * 1000000) // greatest(t.ta, 1) AS pa,
+      |  (c.ob * 1000000) // greatest(t.tb, 1) AS pb,
+      |  ((c.oa + c.ob) * 1000000) // greatest(t.ta + t.tb, 1) AS pp
+      | FROM cells c JOIN totals t USING (event_type))
+      |SELECT event_type, cast(min(ta) as bigint) AS n_epoch_a,
+      | cast(min(tb) as bigint) AS n_epoch_b,
+      | cast(count(*) as bigint) AS n_bins,
+      | cast(sum((ta * (pa - pp) * (pa - pp)) // (pp + 1)
+      |        + (tb * (pb - pp) * (pb - pp)) // (pp + 1))
+      |   as bigint) AS drift_micro
+      |FROM terms GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Sketch-partitioned distinct counting — the INCREMENTAL pattern
     * behind every 100 TB "unique users" dashboard: per-partition
     * (here per-month) HyperLogLog sketches are materialized ONCE as a
@@ -824,6 +904,7 @@ object Warehouse {
     GQuery("q77_dv_compaction", q77DvCompaction, Some(q77Sql)),
     GQuery("q71_incremental_view", q71IncrementalView, Some(q71Sql)),
     GQuery("meta_winsorize", metaWinsorize, Some(metaWinsorizeSql)),
+    GQuery("meta_drift_chi2", metaDriftChi2, Some(metaDriftChi2Sql)),
     GQuery("q87_mv_rewrite", q87MvRewrite, Some(q87Sql)),
     GQuery("q88_mv_rollup", q88MvRollup, Some(q88Sql)),
     GQuery("meta_hll_sketches", metaHllSketches, None),

@@ -636,6 +636,53 @@ class Round10Spec extends AnyFunSuite {
     assert(got == want, "container walk diverged from direct synthesis")
   }
 
+  test("drift chi2: null halves stay near df; a shifted half scores far above") {
+    val rows = operators.Warehouse.metaDriftChi2(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, na, nb, bins, drift) =>
+      assert(na > 0 && nb > 0 && bins >= 1 && drift >= 0,
+        s"$t: degenerate drift row")
+      // statistic bound: each term ≤ (pa−pb)²·1e6/(pa+pb) ≤ 1e6·max(pa,pb)
+      assert(drift <= 1000000L * 1000000L * bins, s"$t: drift out of bounds")
+    }
+    // referee the statistic's calibration in-JVM: same-distribution
+    // halves (event_id parity over one type) must score far below a
+    // deliberately shifted pair (values doubled in one half)
+    val cents = util.t(spark, sf, "events")
+      .filter(col("event_type") === rows.head._1)
+      .selectExpr("event_id", "cast(round(value * 100) as bigint) cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val maxc = cents.map(_._2).max
+    def hist(xs: Seq[Long]): Array[Long] = {
+      val h = new Array[Long](10)
+      xs.foreach(c => h(math.min(9L, c * 10 / (maxc + 1)).toInt) += 1)
+      h
+    }
+    def drift(a: Seq[Long], b: Seq[Long]): Long = {
+      val (ha, hb) = (hist(a), hist(b))
+      val (ta, tb) = (a.length.toLong, b.length.toLong)
+      (0 until 10).map { i =>
+        val pa = ha(i) * 1000000L / math.max(ta, 1L)
+        val pb = hb(i) * 1000000L / math.max(tb, 1L)
+        val pp = (ha(i) + hb(i)) * 1000000L / math.max(ta + tb, 1L)
+        ta * (pa - pp) * (pa - pp) / (pp + 1) +
+          tb * (pb - pp) * (pb - pp) / (pp + 1)
+      }.sum
+    }
+    val (evenH, oddH) = cents.partition(_._1 % 2 == 0)
+    val same = drift(evenH.map(_._2), oddH.map(_._2))
+    val shifted = drift(evenH.map(_._2),
+      oddH.map(t => math.min(maxc, t._2 + maxc / 4)))
+    // Pearson calibration: under no drift χ² ≈ df = 9, i.e. ~9e6 in
+    // micro units; a doubled half must blow far past both
+    assert(same < 50L * 1000000L,
+      s"same-distribution halves score $same — statistic uncalibrated")
+    assert(shifted > 4 * math.max(same, 1L) && shifted > 50L * 1000000L,
+      s"shifted drift $shifted not clearly above same-dist $same — statistic uninformative")
+  }
+
   test("market basket: rule metrics replay from the in-JVM pair referee") {
     val items = util.t(spark, sf, "lineitem")
       .selectExpr("l_orderkey o", "l_partkey p").distinct()
