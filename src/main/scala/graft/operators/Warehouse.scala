@@ -484,6 +484,79 @@ object Warehouse {
       |FROM li JOIN fences f USING (g)
       |GROUP BY li.g, f.lo, f.hi ORDER BY li.g""".stripMargin
 
+  /** Robust outlier detection by MEDIAN ABSOLUTE DEVIATION — the
+    * robust twin of `q65_zscore_anomaly` (whose mean/stddev an outlier
+    * itself corrupts; the median/MAD pair has a 50% breakdown point).
+    * Exact integer order statistics throughout: per event type, median
+    * = value at rank ⌈n/2⌉ of cents (the winsorize rank discipline),
+    * MAD = the same rank over |cents − median|, and the flag threshold
+    * is the textbook 3σ-equivalent 3·1.4826·MAD held as the integer
+    * product (3·14826·mad) div 10000 — no float anywhere, so counts
+    * and thresholds replay bit-for-bit in DuckDB. Two rank passes =
+    * two in-group sorts sharing the (type) partitioning; at 100 TB
+    * both medians come from KLL sketch quantiles and only the
+    * map-side flagging pass remains. */
+  def metaAnomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("event_type").as("g"),
+        round(col("value") * 100).cast("long").as("cents"))
+    def rankStat(df: DataFrame, valueCol: String): DataFrame = {
+      val w = Window.partitionBy(col("g")).orderBy(col(valueCol))
+      df.withColumn("rn", row_number().over(w))
+        .join(df.groupBy(col("g")).agg(count(lit(1)).as("n")), Seq("g"))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("g"), col(valueCol).as("stat"))
+    }
+    val med = rankStat(ev, "cents").withColumnRenamed("stat", "med")
+    val dev = ev.join(med, Seq("g"))
+      .withColumn("adev", abs(col("cents") - col("med")))
+    val mad = rankStat(dev.select(col("g"), col("adev")), "adev")
+      .withColumnRenamed("stat", "mad")
+    ev.join(broadcast(med), Seq("g")).join(broadcast(mad), Seq("g"))
+      .withColumn("thr", expr("(3 * 14826 * mad) div 10000"))
+      .groupBy(col("g"), col("med"), col("mad"), col("thr"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(abs(col("cents") - col("med")) > col("thr"), 1L)
+          .otherwise(0L)).cast("long").as("n_outliers"),
+        max(when(abs(col("cents") - col("med")) > col("thr"),
+          abs(col("cents") - col("med")))).cast("long").as("worst_adev"))
+      .select(col("g").as("event_type"), col("med"), col("mad"), col("thr"),
+        col("n"), col("n_outliers"),
+        coalesce(col("worst_adev"), lit(-1L)).as("worst_adev"))
+      .orderBy(col("event_type"))
+  }
+
+  val metaAnomalyMadSql: String =
+    """WITH ev AS (
+      | SELECT event_type AS g, cast(round(value * 100) as bigint) AS cents
+      | FROM events),
+      |counts AS (SELECT g, count(*) AS n FROM ev GROUP BY g),
+      |med AS (
+      | SELECT r.g, r.cents AS med FROM (
+      |  SELECT g, cents, row_number() OVER (PARTITION BY g ORDER BY cents)
+      |    AS rn FROM ev) r
+      | JOIN counts c USING (g) WHERE r.rn = (c.n + 1) // 2),
+      |dev AS (
+      | SELECT ev.g, abs(ev.cents - med.med) AS adev
+      | FROM ev JOIN med USING (g)),
+      |mad AS (
+      | SELECT r.g, r.adev AS mad FROM (
+      |  SELECT g, adev, row_number() OVER (PARTITION BY g ORDER BY adev)
+      |    AS rn FROM dev) r
+      | JOIN counts c USING (g) WHERE r.rn = (c.n + 1) // 2),
+      |flagged AS (
+      | SELECT ev.g, med.med, mad.mad,
+      |  (3 * 14826 * mad.mad) // 10000 AS thr,
+      |  abs(ev.cents - med.med) AS adev
+      | FROM ev JOIN med USING (g) JOIN mad USING (g))
+      |SELECT g AS event_type, med, mad, thr,
+      | cast(count(*) as bigint) AS n,
+      | cast(sum(CASE WHEN adev > thr THEN 1 ELSE 0 END) as bigint)
+      |   AS n_outliers,
+      | cast(coalesce(max(CASE WHEN adev > thr THEN adev END), -1) as bigint)
+      |   AS worst_adev
+      |FROM flagged GROUP BY g, med, mad, thr ORDER BY event_type""".stripMargin
+
   /** Distribution-drift monitor — the tabular sibling of
     * `sim_embedding_drift`: per event type, the value histogram of the
     * first time-epoch against the second (day-midpoint split), scored
@@ -905,6 +978,7 @@ object Warehouse {
     GQuery("q71_incremental_view", q71IncrementalView, Some(q71Sql)),
     GQuery("meta_winsorize", metaWinsorize, Some(metaWinsorizeSql)),
     GQuery("meta_drift_chi2", metaDriftChi2, Some(metaDriftChi2Sql)),
+    GQuery("meta_anomaly_mad", metaAnomalyMad, Some(metaAnomalyMadSql)),
     GQuery("q87_mv_rewrite", q87MvRewrite, Some(q87Sql)),
     GQuery("q88_mv_rollup", q88MvRollup, Some(q88Sql)),
     GQuery("meta_hll_sketches", metaHllSketches, None),

@@ -683,6 +683,32 @@ class Round10Spec extends AnyFunSuite {
       s"shifted drift $shifted not clearly above same-dist $same — statistic uninformative")
   }
 
+  test("mad anomaly: medians, MAD, and flags match the sorted referee; robust to a spike") {
+    val got = operators.Warehouse.metaAnomalyMad(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.nonEmpty)
+    val byG = util.t(spark, sf, "events")
+      .selectExpr("event_type g", "cast(round(value * 100) as bigint) cents")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def rankMid(xs: Seq[Long]): Long = xs.sorted.apply((xs.length + 1) / 2 - 1)
+    got.foreach { case (g, med, mad, thr, n, nOut, worst) =>
+      val xs = byG(g)
+      assert(med == rankMid(xs) && mad == rankMid(xs.map(c => math.abs(c - med))),
+        s"$g: order statistics diverge from the referee")
+      assert(thr == 3L * 14826L * mad / 10000L && n == xs.length.toLong)
+      assert(nOut == xs.count(c => math.abs(c - med) > thr).toLong, s"$g flags")
+      if (nOut > 0) assert(worst == xs.map(c => math.abs(c - med)).max)
+    }
+    // robustness: one absurd spike moves mean/stddev but NOT median/MAD
+    val xs = byG(got.head._1)
+    val spiked = xs :+ 1000000000L
+    assert(math.abs(rankMid(spiked) - rankMid(xs)) * 50 <=
+      math.max(math.abs(rankMid(xs)), 1L),
+      "median moved materially under a single spike — not robust")
+  }
+
   test("market basket: rule metrics replay from the in-JVM pair referee") {
     val items = util.t(spark, sf, "lineitem")
       .selectExpr("l_orderkey o", "l_partkey p").distinct()
