@@ -84,7 +84,7 @@ object Bench {
       // round 10: the matview entries read the fingerprint-keyed view
       // after the first build — their timings measure rewrite + view
       // scan, not the aggregate build
-      "q87_mv_rewrite", "q88_mv_rollup")
+      "q87_mv_rewrite", "q88_mv_rollup", "graph_link_predict")
       .filter(selected.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),

@@ -683,6 +683,33 @@ class Round10Spec extends AnyFunSuite {
       s"shifted drift $shifted not clearly above same-dist $same — statistic uninformative")
   }
 
+  test("link predict: scores replay from the in-JVM neighborhood referee") {
+    val got = operators.Graph.linkPredict(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty && got.length <= 30)
+    // referee graph from the raw baskets
+    val items = util.t(spark, sf, "lineitem")
+      .selectExpr("l_orderkey o", "l_partkey p").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val und = items.groupBy(_._1).values.flatMap { b =>
+      val ps = b.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).filter(_._2.size >= 2).keySet
+    val adj = (und.toSeq ++ und.toSeq.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    got.foreach { case (a, b, cn, jac, ra) =>
+      assert(!und((math.min(a, b), math.max(a, b))),
+        s"($a,$b) is an existing edge — candidates must be non-edges")
+      val common = adj(a).intersect(adj(b))
+      assert(cn == common.size.toLong, s"($a,$b) cn")
+      assert(jac == cn * 1000000L / (adj(a).size + adj(b).size - cn),
+        s"($a,$b) jaccard")
+      assert(ra == common.toSeq.map(z => 1000000L / adj(z).size).sum,
+        s"($a,$b) resource allocation")
+    }
+  }
+
   test("mad anomaly: medians, MAD, and flags match the sorted referee; robust to a spike") {
     val got = operators.Warehouse.metaAnomalyMad(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
