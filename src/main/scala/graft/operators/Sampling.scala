@@ -296,7 +296,45 @@ object Sampling {
        |FROM k GROUP BY rep ORDER BY rep""".stripMargin
   }
 
+  /** Deterministic k-fold cross-validation assignment — every event
+    * lands in exactly one of 5 folds by the Knuth multiplicative hash
+    * (layout/run/engine-independent, the `sample_ab_split` discipline
+    * extended from 2 arms to k folds), with the audit a CV harness
+    * needs before training: per-fold size and per-fold class balance
+    * (event_type share in integer micro-units). A skewed fold or a
+    * fold whose class mix diverges invalidates cross-validation —
+    * both are visible in this one table, and the integer arithmetic
+    * makes it fully oracle-checked. Assignment is map-side; the only
+    * shuffle is the (fold, class) count. */
+  def kfoldSplit(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("event_type"),
+        pmod(col("event_id") * lit(2654435761L), lit(4294967296L))
+          .mod(5).cast("long").as("fold"))
+    val foldTotals = ev.groupBy(col("fold")).agg(count(lit(1)).as("fn"))
+    ev.groupBy(col("fold"), col("event_type"))
+      .agg(count(lit(1)).as("cn"))
+      .join(foldTotals, Seq("fold"))
+      .select(col("fold"), col("event_type"), col("cn").cast("long").as("n"),
+        expr("(cn * 1000000) div fn").cast("long").as("share_micro"))
+      .orderBy(col("fold"), col("event_type"))
+  }
+
+  val kfoldSplitSql: String =
+    """WITH ev AS (
+      | SELECT event_type,
+      |  ((event_id * 2654435761) % 4294967296 + 4294967296)
+      |    % 4294967296 % 5 AS fold
+      | FROM events),
+      |ft AS (SELECT fold, count(*) AS fn FROM ev GROUP BY fold)
+      |SELECT ev.fold, event_type, cast(count(*) as bigint) AS n,
+      | cast((count(*) * 1000000) // ft.fn as bigint) AS share_micro
+      |FROM ev JOIN ft USING (fold)
+      |GROUP BY ev.fold, event_type, ft.fn
+      |ORDER BY fold, event_type""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("sample_kfold", kfoldSplit, Some(kfoldSplitSql)),
     GQuery("sample_bootstrap_poisson", bootstrapPoisson, Some(bootstrapPoissonSql)),
     GQuery("sample_hash_deterministic", hashSample, Some(hashSampleSql)),
     GQuery("sample_coreset_fps", coresetFps, Some(coresetFpsSql)),

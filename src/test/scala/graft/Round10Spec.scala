@@ -683,6 +683,28 @@ class Round10Spec extends AnyFunSuite {
       s"shifted drift $shifted not clearly above same-dist $same — statistic uninformative")
   }
 
+  test("kfold: folds partition events exactly; per-fold class mix is balanced") {
+    val rows = operators.Sampling.kfoldSplit(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val total = util.t(spark, sf, "events").count()
+    assert(rows.map(_._3).sum == total, "folds must partition the events exactly")
+    assert(rows.map(_._1).distinct.sorted.toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    // fold sizes within 20% of N/5 (hash-uniformity), class shares
+    // within 10 percentage points across folds (stratification sanity)
+    val sizes = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).values
+    sizes.foreach(s => assert(math.abs(s - total / 5).toDouble <= 0.2 * total / 5,
+      s"fold size $s far from ${total / 5}"))
+    rows.groupBy(_._2).values.foreach { g =>
+      val shares = g.map(_._4)
+      assert(shares.max - shares.min <= 100000L,
+        s"class ${g.head._2} share spread ${shares.max - shares.min} > 10pp")
+    }
+    // determinism: a second run is bit-identical
+    val again = operators.Sampling.kfoldSplit(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("link predict: scores replay from the in-JVM neighborhood referee") {
     val got = operators.Graph.linkPredict(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
