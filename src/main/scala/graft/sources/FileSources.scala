@@ -649,7 +649,97 @@ object FileSources {
        |FROM orders
        |ORDER BY version""".stripMargin
 
+  /** OPTIMISTIC-CONCURRENCY multi-writer commits — the missing piece
+    * of the repo's table-format story (manifests, time travel, DVs are
+    * all single-writer so far): the Delta/Iceberg protocol from first
+    * principles. Table state = dense version manifests
+    * `_versions/v<N>.json`; a commit (1) reads the current max
+    * version, (2) stages its data file, (3) attempts to PUBLISH the
+    * manifest as v(N+1) via the filesystem's create-new atomic CAS
+    * (`Files.createFile` fails iff the name exists), and (4) on losing
+    * the race re-reads the head and RETRIES at the next version —
+    * append-only commits never semantically conflict, so rebase is
+    * just renumbering. Eight committers race from a start latch; every
+    * one must land exactly once in a dense v1..v8 chain.
+    *
+    * The entry's output is the per-committer row count read BACK
+    * through the committed manifest chain, and the oracle recomputes
+    * the same counts straight from `orders` — equality IS the
+    * no-lost-update proof: a clobbered or skipped commit drops a chunk
+    * and the hash diverges. Retry/density mechanics are spec-pinned
+    * (retries observed under the latch race; versions dense; each data
+    * file referenced exactly once). */
+  def occCommit(spark: SparkSession, dir: String): DataFrame = {
+    val (root, _) = occRun(spark, dir)
+    occRead(spark, root)
+      .groupBy(col("committer"))
+      .agg(count(lit(1)).cast("long").as("n_rows"))
+      .orderBy(col("committer"))
+  }
+
+  /** Runs the 8-committer race; returns (table root, total retries). */
+  private[graft] def occRun(spark: SparkSession, dir: String): (String, Int) = {
+    val root = uniq("occ_table")
+    val vdir = new java.io.File(s"$root/_versions")
+    vdir.mkdirs()
+    val orders = graft.util.t(spark, dir, "orders")
+    // stage each committer's data file up front (sequential — the
+    // CONCURRENT part of the protocol is the manifest CAS, which is
+    // where multi-writer safety lives)
+    (0 until 8).foreach { i =>
+      orders.filter(col("o_orderkey") % 8 === i)
+        .select(col("o_orderkey"), lit(i.toLong).as("committer"))
+        .write.parquet(s"$root/data_$i")
+    }
+    val retries = new java.util.concurrent.atomic.AtomicInteger(0)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    def currentVersion(): Int = {
+      val vs = vdir.listFiles()
+      if (vs == null || vs.isEmpty) 0
+      else vs.map(_.getName.stripPrefix("v").stripSuffix(".json").toInt).max
+    }
+    val threads = (0 until 8).map { i =>
+      new Thread(() => {
+        start.await()
+        var committed = false
+        while (!committed) {
+          val next = currentVersion() + 1
+          try {
+            java.nio.file.Files.createFile( // atomic create-new = the CAS
+              java.nio.file.Paths.get(s"$root/_versions/v$next.json"))
+            java.nio.file.Files.writeString(
+              java.nio.file.Paths.get(s"$root/_versions/v$next.json"),
+              s"""{"version": $next, "add": "data_$i"}""")
+            committed = true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              retries.incrementAndGet() // lost the race — rebase, retry
+          }
+        }
+      })
+    }
+    threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+    (root, retries.get())
+  }
+
+  /** Reads the committed table: union of every manifest's data file. */
+  private[graft] def occRead(spark: SparkSession, root: String): DataFrame = {
+    val adds = new java.io.File(s"$root/_versions").listFiles()
+      .filter(f => f.getName.matches("v\\d+\\.json"))
+      .sortBy(_.getName.stripPrefix("v").stripSuffix(".json").toInt)
+      .map { f =>
+        val s = java.nio.file.Files.readString(f.toPath)
+        s.split("\"add\": \"")(1).split("\"")(0)
+      }
+    adds.map(a => spark.read.parquet(s"$root/$a")).reduce(_ unionAll _)
+  }
+
+  val occCommitSql: String =
+    """SELECT o_orderkey % 8 AS committer, cast(count(*) as bigint) AS n_rows
+      |FROM orders GROUP BY 1 ORDER BY committer""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("src_occ_commit", occCommit, Some(occCommitSql)),
     GQuery("src_time_travel", timeTravel, Some(timeTravelSql)),
     GQuery("src_codec_matrix", codecMatrix, Some(codecMatrixSql)),
     GQuery("src_manifest_pruning", manifestPruning, Some(manifestPruningSql)),

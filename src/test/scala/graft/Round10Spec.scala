@@ -683,6 +683,28 @@ class Round10Spec extends AnyFunSuite {
       s"shifted drift $shifted not clearly above same-dist $same — statistic uninformative")
   }
 
+  test("occ commit: dense version chain, each committer exactly once, races observed") {
+    val (root, retries) = sources.FileSources.occRun(spark, sf)
+    val vfiles = new java.io.File(s"$root/_versions").listFiles()
+      .filter(_.getName.matches("v\\d+\\.json"))
+      .map(_.getName.stripPrefix("v").stripSuffix(".json").toInt).sorted
+    assert(vfiles.toSeq == (1 to 8), s"version chain not dense: ${vfiles.toSeq}")
+    val adds = (1 to 8).map { v =>
+      val s = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$root/_versions/v$v.json"))
+      s.split("\"add\": \"")(1).split("\"")(0)
+    }
+    assert(adds.distinct.length == 8,
+      "a data file was referenced twice — a commit was clobbered")
+    // no lost updates: the read path returns every staged row
+    val n = sources.FileSources.occRead(spark, root).count()
+    assert(n == util.t(spark, sf, "orders").count())
+    // eight writers through one latch: at least one must have lost a
+    // CAS round (probabilistically certain; if this ever flakes the
+    // latch isn't racing and the test is vacuous anyway)
+    assert(retries >= 1, "no CAS conflict observed — the race never raced")
+  }
+
   test("kfold: folds partition events exactly; per-fold class mix is balanced") {
     val rows = operators.Sampling.kfoldSplit(spark, sf)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
