@@ -1008,7 +1008,198 @@ object Analytics {
       |CROSS JOIN tot
       |ORDER BY cab DESC, pa, pb LIMIT 30""".stripMargin
 
+  /** MATCH_RECOGNIZE-style sequence pattern detection, expressed as
+    * pure window algebra (Spark has no MATCH_RECOGNIZE; this is the
+    * standard rewrite): over each part's time-ordered price sequence,
+    * find V patterns — a strictly-falling run followed immediately by
+    * a strictly-rising run — and report per part how many V bottoms
+    * occur, the longest fall/rise runs, and the deepest drop in cents.
+    * Mechanics: price deltas → direction ∈ {-1,0,1} → direction-change
+    * islands (the q85 trick) → a bottom is the LAST row of a falling
+    * island whose next row rises; its drop is (island's entry peak −
+    * bottom), where the entry peak is max(lag(cents)) over the island
+    * (the island is strictly decreasing, so that max IS the price
+    * before the fall began). Everything is exact integer cents, so the
+    * whole pattern table replays in DuckDB. Plan shape: one scan, all
+    * windows share the (part, date) sort — Catalyst collapses them
+    * into one shuffle+sort per partition key; per-part sequences are
+    * bounded by part frequency, so at 100 TB this scales as the
+    * groupBy, with no cross-part traffic. */
+  def q90PatternMatch(spark: SparkSession, dir: String): DataFrame = {
+    val byPart = Window.partitionBy(col("p"))
+      .orderBy(col("d"), col("o"), col("ln"))
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_partkey").as("p"), col("l_shipdate").as("d"),
+        col("l_orderkey").as("o"), col("l_linenumber").as("ln"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val dirs = li
+      .withColumn("prev", lag(col("cents"), 1).over(byPart))
+      .withColumn("dirn", when(col("prev").isNull, lit(0))
+        .when(col("cents") > col("prev"), lit(1))
+        .when(col("cents") < col("prev"), lit(-1)).otherwise(lit(0)))
+      .withColumn("chg",
+        when(expr("coalesce(dirn <=> lag(dirn, 1) over " +
+          "(partition by p order by d, o, ln), false)"), lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("seg", sum(col("chg")).over(
+        byPart.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("nextDir", lead(col("dirn"), 1).over(byPart))
+    val bySeg = Window.partitionBy(col("p"), col("seg"))
+    val runs = dirs
+      .withColumn("runLen", count(lit(1)).over(bySeg))
+      .withColumn("peak", max(col("prev")).over(bySeg))
+      .withColumn("isBottom",
+        (col("dirn") === -1) && (col("nextDir") === 1))
+    runs.groupBy(col("p"))
+      .agg(
+        sum(when(col("isBottom"), 1L).otherwise(0L)).as("n_v"),
+        max(when(col("dirn") === -1, col("runLen"))).cast("long")
+          .as("max_fall_run"),
+        max(when(col("dirn") === 1, col("runLen"))).cast("long")
+          .as("max_rise_run"),
+        max(when(col("isBottom"), col("peak") - col("cents")))
+          .cast("long").as("deepest_drop_cents"))
+      .filter(col("n_v") >= 1)
+      .select(col("p").as("partkey"), col("n_v"), col("max_fall_run"),
+        col("max_rise_run"), col("deepest_drop_cents"))
+      .orderBy(col("partkey"))
+  }
+
+  val q90Sql: String =
+    """WITH li AS (
+      | SELECT l_partkey AS p, l_shipdate AS d, l_orderkey AS o,
+      |  l_linenumber AS ln,
+      |  cast(round(l_extendedprice * 100) as bigint) AS cents
+      | FROM lineitem),
+      |dirs AS (
+      | SELECT *,
+      |  lag(cents, 1) OVER w AS prev,
+      |  CASE WHEN lag(cents, 1) OVER w IS NULL THEN 0
+      |       WHEN cents > lag(cents, 1) OVER w THEN 1
+      |       WHEN cents < lag(cents, 1) OVER w THEN -1 ELSE 0 END AS dirn
+      | FROM li WINDOW w AS (PARTITION BY p ORDER BY d, o, ln)),
+      |dirs2 AS (
+      | SELECT *, lag(dirn, 1) OVER w AS prevDir,
+      |  lead(dirn, 1) OVER w AS nextDir
+      | FROM dirs WINDOW w AS (PARTITION BY p ORDER BY d, o, ln)),
+      |segs AS (
+      | SELECT *,
+      |  sum(CASE WHEN dirn IS NOT DISTINCT FROM prevDir THEN 0 ELSE 1 END)
+      |    OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+      | FROM dirs2 WINDOW w AS (PARTITION BY p ORDER BY d, o, ln)),
+      |runs AS (
+      | SELECT *,
+      |  count(*) OVER s AS runLen,
+      |  max(prev) OVER s AS peak,
+      |  (dirn = -1 AND nextDir = 1) AS isBottom
+      | FROM segs WINDOW s AS (PARTITION BY p, seg))
+      |SELECT p AS partkey,
+      | sum(CASE WHEN isBottom THEN 1 ELSE 0 END) AS n_v,
+      | cast(max(CASE WHEN dirn = -1 THEN runLen END) as bigint)
+      |   AS max_fall_run,
+      | cast(max(CASE WHEN dirn = 1 THEN runLen END) as bigint)
+      |   AS max_rise_run,
+      | cast(max(CASE WHEN isBottom THEN peak - cents END) as bigint)
+      |   AS deepest_drop_cents
+      |FROM runs GROUP BY p HAVING sum(CASE WHEN isBottom THEN 1 ELSE 0 END) >= 1
+      |ORDER BY partkey""".stripMargin
+
+  /** Pareto / ABC inventory classification — the classic warehouse
+    * 80/95 revenue-concentration cut: parts ranked by revenue, the
+    * heads whose RUNNING share stays ≤ 80 % are class A, ≤ 95 % B,
+    * the tail C. All comparisons happen in EXACT decimal space
+    * (`cum·100 ≤ total·80` on decimal(22,8) sums — no rounding, no
+    * float division anywhere), so the class boundary is bit-identical
+    * in both engines; only the final per-class revenue is rounded for
+    * display via the [[graft.util.dsum]] grid. Plan shape: one
+    * aggregate to part grain, then window math over the part table
+    * (catalog-sized, thousands of× smaller than the fact table) — at
+    * 100 TB the cumulative window runs over ~10⁵ parts regardless of
+    * fact volume. */
+  def q91ParetoAbc(spark: SparkSession, dir: String): DataFrame = {
+    val rev = t(spark, dir, "lineitem")
+      .groupBy(col("l_partkey").as("p"))
+      .agg(sum(expr("cast(l_extendedprice * (1 - l_discount) as decimal(22,8))"))
+        .as("revd"))
+    val total = rev.agg(sum(col("revd")).as("totd"))
+    val cumw = Window.orderBy(desc("revd"), col("p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.crossJoin(broadcast(total))
+      .withColumn("cum", sum(col("revd")).over(cumw))
+      .withColumn("abc_class",
+        when(col("cum") * 100 <= col("totd") * 80, lit("A"))
+          .when(col("cum") * 100 <= col("totd") * 95, lit("B"))
+          .otherwise(lit("C")))
+      .groupBy(col("abc_class"))
+      .agg(count(lit(1)).cast("long").as("n_parts"),
+        round(sum(col("revd")).cast("double"), 4).as("class_revenue"))
+      .orderBy(col("abc_class"))
+  }
+
+  val q91Sql: String =
+    """WITH rev AS (
+      | SELECT l_partkey AS p,
+      |  sum(cast(l_extendedprice * (1 - l_discount) as decimal(22,8))) AS revd
+      | FROM lineitem GROUP BY 1),
+      |tot AS (SELECT sum(revd) AS totd FROM rev),
+      |ranked AS (
+      | SELECT p, revd, totd,
+      |  sum(revd) OVER (ORDER BY revd DESC, p
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      | FROM rev CROSS JOIN tot)
+      |SELECT CASE WHEN cum * 100 <= totd * 80 THEN 'A'
+      |            WHEN cum * 100 <= totd * 95 THEN 'B'
+      |            ELSE 'C' END AS abc_class,
+      | cast(count(*) as bigint) AS n_parts,
+      | round(cast(sum(revd) as double), 4) AS class_revenue
+      |FROM ranked GROUP BY 1 ORDER BY abc_class""".stripMargin
+
+  /** Exponentially-weighted moving average with half-life 1 (α = ½)
+    * over each user's most recent 20 event values — the smoothing
+    * primitive behind rate monitors and feature-store "recent
+    * activity" columns. The geometric weights are EXACT powers of two,
+    * so every term is one integer shift + one integer division
+    * (`cents·10⁶ div 2^(j+1)` for the j-th most recent event) and the
+    * sum replays bit-identically in DuckDB — the same
+    * float-determinism discipline as text_bm25_topk's integer idf.
+    * Truncating the series at 20 terms loses < 2⁻²⁰ of the weight
+    * mass, far below the micro grid. Plan shape: one window rank per
+    * user + one aggregate — at 100 TB the per-user sequence scan is
+    * the unavoidable minimum and nothing leaves the user's partition
+    * until the final answer-sized rollup. */
+  def q92EwmaHalflife(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(desc("ts"), desc("event_id"))
+    t(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("rn", row_number().over(byUser))
+      .filter(col("rn") <= 20)
+      .withColumn("term",
+        expr("(cents * 1000000) div shiftleft(cast(2 as bigint), rn - 1)"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_used"),
+        sum(col("term")).cast("long").as("ewma_micro_cents"))
+      .orderBy(col("user_id"))
+  }
+
+  val q92Sql: String =
+    """WITH recent AS (
+      | SELECT user_id,
+      |  cast(round(value * 100) as bigint) AS cents,
+      |  row_number() OVER (PARTITION BY user_id
+      |    ORDER BY ts DESC, event_id DESC) AS rn
+      | FROM events)
+      |SELECT user_id, cast(count(*) as bigint) AS n_used,
+      | cast(sum((cents * 1000000) // (2::BIGINT << (rn - 1))) as bigint)
+      |   AS ewma_micro_cents
+      |FROM recent WHERE rn <= 20
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("q90_pattern_match", q90PatternMatch, Some(q90Sql)),
+    GQuery("q91_pareto_abc", q91ParetoAbc, Some(q91Sql)),
+    GQuery("q92_ewma_halflife", q92EwmaHalflife, Some(q92Sql)),
     GQuery("q89_market_basket", q89MarketBasket, Some(q89Sql)),
     GQuery("q74_funnel_steps", q74FunnelSteps, Some(q74Sql)),
     GQuery("q83_skyline", q83Skyline, Some(q83Sql)),

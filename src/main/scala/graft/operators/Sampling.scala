@@ -333,7 +333,70 @@ object Sampling {
       |GROUP BY ev.fold, event_type, ft.fn
       |ORDER BY fold, event_type""".stripMargin
 
+  /** Leakage-safe temporal train/val/test split with embargo gaps —
+    * the time-series discipline (de Prado's purged split) that a
+    * random split violates: boundaries are strict points in EVENT
+    * TIME (70 / 85 % order statistics of the (ts, event_id) total
+    * order), and an embargo of n/200 rows immediately AFTER each
+    * boundary is EXCLUDED so that windowed features computed near the
+    * cut cannot straddle it. Everything is exact integer rank
+    * arithmetic, and membership is oracle-checked via per-split
+    * bit_xor/sum of event ids, not just counts. Plan note: the global
+    * row_number here is the oracle-replayable form; at 100 TB the
+    * SAME math runs on rank-by-order-statistics — compute the k1/k2
+    * boundary TIMESTAMPS from a distributed sort (range partitioner)
+    * or quantile sketch and assign by comparison, no global window
+    * needed (the boundary ranks are what matter, not per-row ranks). */
+  def temporalSplit(spark: SparkSession, dir: String): DataFrame = {
+    val ordw = Window.orderBy(col("ts"), col("event_id"))
+    t(spark, dir, "events")
+      .select(col("event_id"), col("ts"),
+        (unix_micros(col("ts")) / 86400000000L).cast("long").as("day"))
+      .withColumn("rn", row_number().over(ordw).cast("long"))
+      .crossJoin(broadcast(t(spark, dir, "events")
+        .agg(count(lit(1)).as("n"),
+          greatest(expr("count(1) div 200"), lit(1L)).as("e"))))
+      .withColumn("k1", expr("(n * 70) div 100"))
+      .withColumn("k2", expr("(n * 85) div 100"))
+      .withColumn("split",
+        when(col("rn") <= col("k1"), lit("train"))
+          .when(col("rn") <= col("k1") + col("e"), lit("embargo"))
+          .when(col("rn") <= col("k2"), lit("val"))
+          .when(col("rn") <= col("k2") + col("e"), lit("embargo"))
+          .otherwise(lit("test")))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        min(col("day")).cast("long").as("min_day"),
+        max(col("day")).cast("long").as("max_day"),
+        expr("bit_xor(event_id)").cast("long").as("xor_ids"),
+        sum(col("event_id")).cast("long").as("sum_ids"))
+      .orderBy(col("split"))
+  }
+
+  val temporalSplitSql: String =
+    """WITH ev AS (
+      | SELECT event_id, (epoch_ns(ts) // 1000) // 86400000000 AS day,
+      |  row_number() OVER (ORDER BY ts, event_id) AS rn
+      | FROM events),
+      |tot AS (SELECT count(*) AS n,
+      |  greatest(count(*) // 200, 1) AS e FROM events),
+      |marked AS (
+      | SELECT ev.*, (n * 70) // 100 AS k1, (n * 85) // 100 AS k2, e
+      | FROM ev CROSS JOIN tot)
+      |SELECT CASE WHEN rn <= k1 THEN 'train'
+      |            WHEN rn <= k1 + e THEN 'embargo'
+      |            WHEN rn <= k2 THEN 'val'
+      |            WHEN rn <= k2 + e THEN 'embargo'
+      |            ELSE 'test' END AS split,
+      | cast(count(*) as bigint) AS n_rows,
+      | cast(min(day) as bigint) AS min_day,
+      | cast(max(day) as bigint) AS max_day,
+      | cast(bit_xor(event_id) as bigint) AS xor_ids,
+      | cast(sum(event_id) as bigint) AS sum_ids
+      |FROM marked GROUP BY 1 ORDER BY split""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("sample_temporal_split", temporalSplit, Some(temporalSplitSql)),
     GQuery("sample_kfold", kfoldSplit, Some(kfoldSplitSql)),
     GQuery("sample_bootstrap_poisson", bootstrapPoisson, Some(bootstrapPoissonSql)),
     GQuery("sample_hash_deterministic", hashSample, Some(hashSampleSql)),

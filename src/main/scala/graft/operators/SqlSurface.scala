@@ -518,7 +518,42 @@ object SqlSurface {
        | strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS max_ship
        |FROM lineitem""".stripMargin
 
+  /** PK–FK join elimination through the [[graft.plans.JoinElimination]]
+    * extension rule: the query is WRITTEN with the fact→dimension join
+    * every reporting view carries (`lineitem ⋈ orders ON l_orderkey =
+    * o_orderkey`) but consumes no orders column, and the optimizer —
+    * armed with the declared RELY constraint (o_orderkey unique,
+    * l_orderkey non-null and referentially intact, both true of this
+    * schema by construction and asserted by meta_expectations) —
+    * deletes the join entirely. The oracle executes the SQL WITH the
+    * join, so the hash match is the end-to-end proof the elimination
+    * preserved semantics; the plan-level proof (no Join node in the
+    * optimized plan, and a negative control where consuming
+    * o_totalprice keeps the join) is spec-pinned. At 100 TB this is
+    * the difference between a no-op and the largest shuffle in every
+    * view-mediated star query. The constraint registration is
+    * idempotent and scoped to THIS dir's orders path, so it cannot
+    * rewrite a join it was not declared for. */
+  def q93JoinElimination(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.JoinElimination.register(graft.plans.JoinElimination
+      .FkConstraint(s"$dir/orders.parquet", "o_orderkey", "l_orderkey"))
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q93Sql: String =
+    s"""SELECT l_returnflag, cast(count(*) as bigint) AS n,
+       | ${sqlDsum("l_extendedprice")} AS sum_price
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("q93_join_elimination", q93JoinElimination, Some(q93Sql)),
     GQuery("meta_observe_metrics", observeMetrics, Some(observeMetricsSql)),
     GQuery("q61_group_by_all", q61GroupByAll, Some(q61Sql)),
     GQuery("q73_agg_filter", q73AggFilter, Some(q73Sql)),

@@ -1334,7 +1334,69 @@ object TextAnalysis {
        |) ORDER BY step""".stripMargin
   }
 
+  /** PMI collocation mining (Church & Hanks, CL'90) — the classic
+    * "strongly associated word pairs" extraction feeding phrase
+    * detection and tokenizer vocab curation: adjacent-bigram counts
+    * against unigram marginals, ranked by pointwise mutual information.
+    * PMI = log(c_xy·N / (c_x·c_y)) is a MONOTONE transform of the
+    * lift ratio, so the ranking (and the reported score) uses exact
+    * integer lift micro-units — `c_xy·N·10⁶ div (c_x·c_y)` — and the
+    * whole top-50 replays bit-identically in DuckDB with no log in
+    * sight (fits int64: tokens ≲ 10⁸ × counts ≲ 10⁵ × 10⁶ needs the
+    * count cap the min-support filter provides; at web scale promote
+    * the one multiply to decimal(38)). The c_xy ≥ 5 support floor is
+    * the standard sparse-PMI guard. Plan shape: one explode pass
+    * feeds both the bigram and unigram aggregates, the marginal
+    * rejoin keys on single words (vocabulary-sized, broadcastable),
+    * and only the answer-sized top-50 crosses the final sort. */
+  def pmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+    val toks = docs.select(explode(col("ws")).as("w"))
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val total = toks.agg(count(lit(1)).as("n_tok"))
+    val pairs = docs.filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ws)-1), i -> named_struct(" +
+          "'w1', element_at(ws, i), 'w2', element_at(ws, i+1)))")).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= 5)
+    pairs
+      .join(broadcast(uni.select(col("w").as("w1"), col("cw").as("cx"))), Seq("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("cw").as("cy"))), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"),
+        col("cxy").cast("long").as("cxy"),
+        col("cx").cast("long").as("cx"),
+        col("cy").cast("long").as("cy"),
+        expr("(cxy * n_tok * 1000000) div (cx * cy)").cast("long")
+          .as("lift_micro"))
+      .orderBy(desc("lift_micro"), col("w1"), col("w2"))
+      .limit(50)
+  }
+
+  val pmiCollocationsSql: String =
+    """WITH docs AS (
+      | SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |toks AS (SELECT unnest(ws) AS w FROM docs),
+      |uni AS (SELECT w, count(*) AS cw FROM toks GROUP BY w),
+      |tot AS (SELECT count(*) AS n_tok FROM toks),
+      |pairs AS (
+      | SELECT w1, w2, count(*) AS cxy FROM (
+      |  SELECT unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+      |  FROM docs WHERE len(ws) >= 2)
+      | GROUP BY 1, 2 HAVING count(*) >= 5)
+      |SELECT w1, w2, cast(cxy as bigint) AS cxy,
+      | cast(ux.cw as bigint) AS cx, cast(uy.cw as bigint) AS cy,
+      | cast((cxy * n_tok * 1000000) // (ux.cw * uy.cw) as bigint)
+      |   AS lift_micro
+      |FROM pairs JOIN uni ux ON pairs.w1 = ux.w
+      | JOIN uni uy ON pairs.w2 = uy.w CROSS JOIN tot
+      |ORDER BY lift_micro DESC, w1, w2 LIMIT 50""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("text_pmi_collocations", pmiCollocations, Some(pmiCollocationsSql)),
     GQuery("text_lm_decode", lmDecode, Some(lmDecodeSql)),
     GQuery("text_kneser_ney", knBigramTable, Some(knBigramSql)),
     GQuery("text_vocab_encode", vocabEncode, Some(vocabEncodeSql)),

@@ -968,7 +968,168 @@ object Warehouse {
       |         (SELECT count(*) FROM events WHERE value IS NULL)
       |) ORDER BY check_name""".stripMargin
 
+  /** Two-sample Kolmogorov–Smirnov drift monitor — the ECDF sibling of
+    * [[metaDriftChi2]]: per event type, the supremum gap between the
+    * first and second time-epoch empirical CDFs of the value column.
+    * Where χ² needs binning (and is blind to within-bin shifts), KS
+    * compares the FULL distributions: D = max over observed values of
+    * |F̂ₐ(v) − F̂ᵦ(v)|, computed entirely in integer micro-units
+    * (cumulative counts are exact; each CDF step is `cum·10⁶ div t`),
+    * so the statistic replays bit-identically in DuckDB. Also reports
+    * WHERE the gap peaks (the smallest cents value attaining D) — the
+    * actionable half of a drift alert. Plan shape: one scan → one
+    * (type, value) aggregate → two cumulative windows sharing one sort
+    * → answer-sized rollup; per-type distinct-value sequences bound the
+    * window work, nothing is quadratic. */
+  def metaDriftKs(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"),
+        (unix_micros(col("ts")) / 86400000000L).cast("long").as("day"))
+    val bounds = ev.agg(
+      expr("(min(day) + max(day) + 1) div 2").cast("long").as("cutoff"))
+    val cells = ev.crossJoin(broadcast(bounds))
+      .withColumn("in_a", when(col("day") < col("cutoff"), 1L).otherwise(0L))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(sum(col("in_a")).as("ca"), sum(lit(1L) - col("in_a")).as("cb"))
+    val totals = cells.groupBy(col("event_type"))
+      .agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"))
+    val cumw = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val steps = cells.join(totals, Seq("event_type"))
+      .withColumn("cuma", sum(col("ca")).over(cumw))
+      .withColumn("cumb", sum(col("cb")).over(cumw))
+      .withColumn("d_micro", abs(
+        expr("(cuma * 1000000) div greatest(ta, 1)") -
+          expr("(cumb * 1000000) div greatest(tb, 1)")))
+    val pick = Window.partitionBy(col("event_type"))
+      .orderBy(desc("d_micro"), col("cents"))
+    steps.withColumn("rk", row_number().over(pick))
+      .filter(col("rk") === 1)
+      .select(col("event_type"),
+        col("ta").cast("long").as("n_epoch_a"),
+        col("tb").cast("long").as("n_epoch_b"),
+        col("d_micro").cast("long").as("ks_micro"),
+        col("cents").cast("long").as("ks_at_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  val metaDriftKsSql: String =
+    """WITH ev AS (
+      | SELECT event_type, cast(round(value * 100) as bigint) AS cents,
+      |  (epoch_ns(ts) // 1000) // 86400000000 AS day
+      | FROM events),
+      |bounds AS (SELECT (min(day) + max(day) + 1) // 2 AS cutoff FROM ev),
+      |cells AS (
+      | SELECT event_type, cents,
+      |  sum(CASE WHEN day < cutoff THEN 1 ELSE 0 END) AS ca,
+      |  sum(CASE WHEN day < cutoff THEN 0 ELSE 1 END) AS cb
+      | FROM ev CROSS JOIN bounds GROUP BY 1, 2),
+      |totals AS (
+      | SELECT event_type, sum(ca) AS ta, sum(cb) AS tb FROM cells GROUP BY 1),
+      |steps AS (
+      | SELECT c.event_type, c.cents, t.ta, t.tb,
+      |  abs((sum(c.ca) OVER w * 1000000) // greatest(t.ta, 1)
+      |    - (sum(c.cb) OVER w * 1000000) // greatest(t.tb, 1)) AS d_micro
+      | FROM cells c JOIN totals t USING (event_type)
+      | WINDOW w AS (PARTITION BY c.event_type ORDER BY c.cents
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |picked AS (
+      | SELECT *, row_number() OVER (PARTITION BY event_type
+      |   ORDER BY d_micro DESC, cents) AS rk FROM steps)
+      |SELECT event_type, cast(ta as bigint) AS n_epoch_a,
+      | cast(tb as bigint) AS n_epoch_b,
+      | cast(d_micro as bigint) AS ks_micro,
+      | cast(cents as bigint) AS ks_at_cents
+      |FROM picked WHERE rk = 1 ORDER BY event_type""".stripMargin
+
+  /** ROC AUC by rank-sum (Mann–Whitney U) — the standard
+    * label-separability score for a candidate feature, computed
+    * EXACTLY: AUC = P(score⁺ > score⁻) + ½·P(tie), and with grouped
+    * value counts 2U = Σ_v c⁺(v)·(2·Σ_{u<v} c⁻(u) + c⁻(v)) is pure
+    * integer arithmetic — no per-row ranks, no float midranks
+    * (doubling clears the ½-tie terms; the final `·10⁶ div 2n⁺n⁻`
+    * lands on the micro grid identically in both engines). Here:
+    * does the event value separate purchases from each other event
+    * type — one AUC row per negative class, 0.5·10⁶ ≈ "no signal".
+    * Plan shape: value-grouped counts (answer-sized per type), one
+    * cumulative window per negative class, answer-sized rollup —
+    * the n·log n sort-free form that scales to 100 TB because U
+    * consumes COUNTS, never row ranks. */
+  def metaAucRanksum(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val pos = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("cents")).agg(count(lit(1)).as("cp"))
+    val neg = ev.filter(col("event_type") =!= "purchase")
+      .groupBy(col("event_type").as("neg_type"), col("cents"))
+      .agg(count(lit(1)).as("cn"))
+    // every class needs EVERY positive value row (cp) plus its own
+    // negative rows (cn): fan positives across the class list, then
+    // union the negative-only values — mirrors the oracle SQL 1:1
+    val classes = neg.select(col("neg_type")).distinct()
+    val posFanned = pos.crossJoin(broadcast(classes))
+      .join(neg, Seq("neg_type", "cents"), "left")
+      .select(col("neg_type"), col("cents"), col("cp"),
+        coalesce(col("cn"), lit(0L)).as("cn"))
+    val negOnly = neg.join(pos, Seq("cents"), "left_anti")
+      .select(col("neg_type"), col("cents"), lit(0L).as("cp"), col("cn"))
+    val fanned = posFanned.unionByName(negOnly)
+      .groupBy(col("neg_type"), col("cents"))
+      .agg(sum(col("cp")).as("cp"), sum(col("cn")).as("cn"))
+    val below = Window.partitionBy(col("neg_type")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    fanned
+      .withColumn("negBelow",
+        coalesce(sum(col("cn")).over(below), lit(0L)))
+      .groupBy(col("neg_type"))
+      .agg(sum(col("cp")).cast("long").as("n_pos"),
+        sum(col("cn")).cast("long").as("n_neg"),
+        sum(col("cp") * (col("negBelow") * 2 + col("cn")))
+          .cast("long").as("u2"))
+      .withColumn("auc_micro",
+        expr("(u2 * 1000000) div (2 * n_pos * n_neg)").cast("long"))
+      .orderBy(col("neg_type"))
+  }
+
+  val metaAucRanksumSql: String =
+    """WITH ev AS (
+      | SELECT event_type, cast(round(value * 100) as bigint) AS cents
+      | FROM events),
+      |pos AS (SELECT cents, count(*) AS cp FROM ev
+      |        WHERE event_type = 'purchase' GROUP BY 1),
+      |neg AS (SELECT event_type AS neg_type, cents, count(*) AS cn FROM ev
+      |        WHERE event_type <> 'purchase' GROUP BY 1, 2),
+      |classes AS (SELECT DISTINCT neg_type FROM neg),
+      |fanned AS (
+      | SELECT c.neg_type, p.cents, p.cp, coalesce(n.cn, 0) AS cn
+      | FROM pos p CROSS JOIN classes c
+      | LEFT JOIN neg n ON n.neg_type = c.neg_type AND n.cents = p.cents
+      | UNION ALL
+      | SELECT n.neg_type, n.cents, 0 AS cp, n.cn
+      | FROM neg n WHERE NOT EXISTS
+      |   (SELECT 1 FROM pos p WHERE p.cents = n.cents)),
+      |grouped AS (
+      | SELECT neg_type, cents, sum(cp) AS cp, sum(cn) AS cn
+      | FROM fanned GROUP BY 1, 2),
+      |cum AS (
+      | SELECT *, coalesce(sum(cn) OVER (PARTITION BY neg_type
+      |   ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |   0) AS negBelow
+      | FROM grouped),
+      |rolled AS (
+      | SELECT neg_type, cast(sum(cp) as bigint) AS n_pos,
+      |  cast(sum(cn) as bigint) AS n_neg,
+      |  cast(sum(cp * (negBelow * 2 + cn)) as bigint) AS u2
+      | FROM cum GROUP BY 1)
+      |SELECT neg_type, n_pos, n_neg, u2,
+      | cast((u2 * 1000000) // (2 * n_pos * n_neg) as bigint) AS auc_micro
+      |FROM rolled ORDER BY neg_type""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("meta_drift_ks", metaDriftKs, Some(metaDriftKsSql)),
+    GQuery("meta_auc_ranksum", metaAucRanksum, Some(metaAucRanksumSql)),
     GQuery("q58_merge_upsert", q58MergeUpsert, Some(q58Sql)),
     GQuery("q59_scd2_dimension", q59Scd2Dimension, Some(q59Sql)),
     GQuery("q60_snapshot_diff", q60SnapshotDiff, Some(q60Sql)),

@@ -29,6 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // transparent materialized-view rewrite (exact-match view catalog,
     // fingerprint-fresh by construction) — see plans/MatviewRewrite.scala
     ext.injectOptimizerRule(_ => MatviewRewrite)
+    // declared-constraint PK–FK join elimination (RELY constraints) —
+    // inert until a constraint is registered; see plans/JoinElimination.scala
+    ext.injectOptimizerRule(_ => JoinElimination)
     // automatic range-join binning (inequality-band join → equi-join
     // on a bin key) — see plans/AutoRangeJoin.scala. Injected as a
     // PRE-CBO rule (a Once batch), NOT an operator-optimization rule:

@@ -1,0 +1,258 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-11 pins: in-JVM sequential referees for the new exact-integer
+  * analytics entries — MATCH_RECOGNIZE-style V patterns, Pareto/ABC,
+  * EWMA, KS drift, rank-sum AUC, PMI collocations, and the
+  * leakage-safe temporal split. Every referee recomputes the answer
+  * from raw rows with plain Scala arithmetic (no Spark, no SQL), so a
+  * pass means Spark and DuckDB agree with a THIRD independent
+  * implementation, not just with each other.
+  */
+class Round11Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("q90 pattern match: sequential V-pattern referee agrees row-for-row") {
+    val rows = util.t(spark, sf, "lineitem")
+      .select(col("l_partkey"), col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"), round(col("l_extendedprice") * 100).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getTimestamp(1).getTime, r.getLong(2),
+        r.getInt(3).toLong, r.getLong(4))))
+    val expect = rows.groupBy(_._1).flatMap { case (p, g) =>
+      val cents = g.map(_._2).sortBy(t => (t._1, t._2, t._3)).map(_._4)
+      // sequential scan: direction runs, bottoms, depths
+      val dirs = cents.indices.map { i =>
+        if (i == 0) 0
+        else if (cents(i) > cents(i - 1)) 1
+        else if (cents(i) < cents(i - 1)) -1 else 0
+      }
+      var nV = 0L; var maxFall = 0L; var maxRise = 0L; var deepest = 0L
+      var runLen = 0L; var runStartPeak = 0L
+      dirs.indices.foreach { i =>
+        if (i > 0 && dirs(i) == dirs(i - 1)) runLen += 1
+        else { runLen = 1; runStartPeak = if (i > 0) cents(i - 1) else 0L }
+        if (dirs(i) == -1 && runLen > maxFall) maxFall = runLen
+        if (dirs(i) == 1 && runLen > maxRise) maxRise = runLen
+        if (dirs(i) == -1 && i + 1 < dirs.length && dirs(i + 1) == 1) {
+          nV += 1
+          val drop = runStartPeak - cents(i)
+          if (drop > deepest) deepest = drop
+        }
+      }
+      if (nV >= 1) Some(p -> (nV, maxFall, maxRise, deepest)) else None
+    }
+    val got = SparkEntry.queries("q90_pattern_match")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got.keySet == expect.keySet,
+      s"part sets differ: +${got.keySet -- expect.keySet} -${expect.keySet -- got.keySet}")
+    expect.foreach { case (p, e) =>
+      assert(got(p) == e, s"part $p: got ${got(p)}, referee $e")
+    }
+  }
+
+  test("q91 pareto: sequential exact-decimal ABC referee agrees") {
+    val rev = util.t(spark, sf, "lineitem").collect()
+      .map(r => (r.getLong(1), // l_partkey
+        BigDecimal(r.getDouble(5) * (1 - r.getDouble(6)))
+          .setScale(8, BigDecimal.RoundingMode.HALF_UP)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val total = rev.values.sum
+    val ordered = rev.toSeq.sortBy { case (p, r) => (-r, p) }
+    var cum = BigDecimal(0)
+    val classed = ordered.map { case (p, r) =>
+      cum += r
+      val c = if (cum * 100 <= total * 80) "A"
+      else if (cum * 100 <= total * 95) "B" else "C"
+      (c, r)
+    }
+    val expect = classed.groupBy(_._1).view.mapValues { g =>
+      (g.size.toLong,
+        g.map(_._2).sum.setScale(4, BigDecimal.RoundingMode.HALF_UP))
+    }.toMap
+    val got = SparkEntry.queries("q91_pareto_abc")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(4, BigDecimal.RoundingMode.HALF_UP)))
+      .toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (c, e) =>
+      assert(got(c) == e, s"class $c: got ${got(c)}, referee $e")
+    }
+    // the defining Pareto property: class A really is the minimal head
+    // whose cumulative share covers ≤ 80 % — its share is ≤ 80 % and
+    // adding the first B part would push past it
+    val aRev = classed.filter(_._1 == "A").map(_._2).sum
+    val firstB = classed.find(_._1 == "B").map(_._2).getOrElse(BigDecimal(0))
+    assert(aRev * 100 <= total * 80, "A exceeds the 80% budget")
+    assert((aRev + firstB) * 100 > total * 80,
+      "A is not maximal: the next part still fits under 80%")
+  }
+
+  test("q92 ewma: sequential integer half-life referee agrees") {
+    val ev = util.t(spark, sf, "events").collect()
+      .map(r => (r.getLong(2), r.getTimestamp(1).getTime, r.getLong(0),
+        math.round(r.getDouble(4) * 100)))
+    val expect = ev.groupBy(_._1).map { case (u, g) =>
+      val recent = g.sortBy(t => (-t._2, -t._3)).take(20)
+      val ewma = recent.zipWithIndex.map { case ((_, _, _, c), j) =>
+        (c * 1000000L) / (2L << j)
+      }.sum
+      u -> (recent.size.toLong, ewma)
+    }
+    val got = SparkEntry.queries("q92_ewma_halflife")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expect, s"ewma mismatch: ${got.toSeq.diff(expect.toSeq).take(3)}")
+  }
+
+  test("meta_drift_ks: sequential ECDF referee agrees; D on the micro grid") {
+    val ev = util.t(spark, sf, "events").collect()
+      .map(r => (r.getString(3), math.round(r.getDouble(4) * 100),
+        r.getTimestamp(1).getTime / 86400000L))
+    val days = ev.map(_._3)
+    val cutoff = (days.min + days.max + 1) / 2
+    val expect = ev.groupBy(_._1).map { case (et, g) =>
+      val a = g.filter(_._3 < cutoff).map(_._2)
+      val b = g.filter(_._3 >= cutoff).map(_._2)
+      val vals = g.map(_._2).distinct.sorted
+      var best = (-1L, 0L)
+      vals.foreach { v =>
+        val d = math.abs(a.count(_ <= v) * 1000000L / math.max(a.size, 1) -
+          b.count(_ <= v) * 1000000L / math.max(b.size, 1))
+        if (d > best._1) best = (d, v)
+      }
+      et -> (a.size.toLong, b.size.toLong, best._1, best._2)
+    }
+    val got = SparkEntry.queries("meta_drift_ks")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got == expect, s"ks mismatch: got $got\nreferee $expect")
+    got.values.foreach { case (_, _, ks, _) =>
+      assert(ks >= 0 && ks <= 1000000, s"D=$ks off the [0,1e6] micro grid")
+    }
+  }
+
+  test("meta_auc_ranksum: quadratic pair-count referee agrees") {
+    val ev = util.t(spark, sf, "events").collect()
+      .map(r => (r.getString(3), math.round(r.getDouble(4) * 100)))
+    val pos = ev.filter(_._1 == "purchase").map(_._2)
+    val expect = ev.filter(_._1 != "purchase").groupBy(_._1).map {
+      case (nt, g) =>
+        val neg = g.map(_._2)
+        // the definition itself: count wins twice, ties once
+        val u2 = pos.iterator.map { p =>
+          2L * neg.count(_ < p) + neg.count(_ == p)
+        }.sum
+        nt -> (pos.size.toLong, neg.size.toLong, u2,
+          u2 * 1000000L / (2L * pos.size * neg.size))
+    }
+    val got = SparkEntry.queries("meta_auc_ranksum")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got == expect, s"auc mismatch: got $got\nreferee $expect")
+  }
+
+  test("text_pmi: sequential bigram referee confirms counts and top-50 order") {
+    val docs = util.t(spark, sf, "documents").collect()
+      .map(_.getString(1).split(" ", -1).toSeq)
+    val uni = docs.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nTok = docs.map(_.size).sum.toLong
+    val pairs = docs.filter(_.size >= 2)
+      .flatMap(ws => ws.sliding(2).map(s => (s(0), s(1))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= 5)
+    val scored = pairs.toSeq.map { case ((w1, w2), cxy) =>
+      (w1, w2, cxy, uni(w1), uni(w2),
+        cxy * nTok * 1000000L / (uni(w1) * uni(w2)))
+    }.sortBy(t => (-t._6, t._1, t._2)).take(50)
+    val got = SparkEntry.queries("text_pmi_collocations")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == scored,
+      s"pmi top-50 mismatch: first diff ${got.zip(scored).find(p => p._1 != p._2)}")
+  }
+
+  test("join elimination: declared PK-FK join vanishes from the plan; undeclared stays") {
+    import org.apache.spark.sql.functions._
+    val fact = util.t(spark, sf, "lineitem")
+    val dim = util.t(spark, sf, "orders")
+    def joins(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.size
+    // queryExecution memoizes the optimized plan, so every probe must
+    // BUILD A FRESH DataFrame — a frame planned before registration
+    // would keep its join forever
+    def joined() = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), util.dsum(col("l_extendedprice")).as("s"))
+      .orderBy(col("l_returnflag"))
+    // 1. without a declaration the rule is inert
+    assert(joins(joined()) == 1, "undeclared join must survive")
+    val baseline = joined().collect().toSeq
+    // 2. with the RELY constraint declared, the join is eliminated
+    val c = plans.JoinElimination.FkConstraint(
+      s"$sf/orders.parquet", "o_orderkey", "l_orderkey")
+    plans.JoinElimination.register(c)
+    try {
+      assert(joins(joined()) == 0, "declared PK-FK join must be eliminated")
+      assert(joined().collect().toSeq == baseline,
+        "elimination changed the answer")
+      // 3. negative control: consuming a real dimension column keeps
+      // the join — elimination is only legal when the dim side was
+      // pruned to its bare PK
+      val consuming = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(util.dsum(col("o_totalprice")).as("s"))
+      assert(joins(consuming) == 1, "join consuming o_totalprice must survive")
+      // 4. the projected-key case: selecting o_orderkey itself is
+      // served by the FK alias, join still gone, values identical
+      def keyOnly() = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderkey")).groupBy().agg(sum(col("o_orderkey")).as("s"))
+      plans.JoinElimination.unregister(c)
+      val want = keyOnly().collect().head.getLong(0)
+      plans.JoinElimination.register(c)
+      assert(joins(keyOnly()) == 0, "pk-projection join must be eliminated")
+      assert(keyOnly().collect().head.getLong(0) == want,
+        "pk values must be served by the FK alias")
+    } finally plans.JoinElimination.unregister(c)
+  }
+
+  test("temporal split: sequential referee agrees; no event-time leakage") {
+    val ev = util.t(spark, sf, "events").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime))
+      .sortBy(t => (t._2, t._1))
+    val n = ev.length.toLong
+    val e = math.max(n / 200, 1L)
+    val k1 = n * 70 / 100; val k2 = n * 85 / 100
+    val tagged = ev.zipWithIndex.map { case ((id, ts), i) =>
+      val rn = i + 1L
+      val split = if (rn <= k1) "train"
+      else if (rn <= k1 + e) "embargo"
+      else if (rn <= k2) "val"
+      else if (rn <= k2 + e) "embargo" else "test"
+      (split, id, ts)
+    }
+    val expect = tagged.groupBy(_._1).view.mapValues { g =>
+      (g.size.toLong, g.map(_._2).reduce(_ ^ _), g.map(_._2).sum)
+    }.toMap
+    val got = SparkEntry.queries("sample_temporal_split")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (s, x) =>
+      assert(got(s) == x, s"split $s: got ${got(s)}, referee $x")
+    }
+    // leakage check: every train event precedes every val event, and
+    // every val event precedes every test event, in (ts, id) order
+    def maxKey(s: String) = tagged.filter(_._1 == s).map(t => (t._3, t._2)).max
+    def minKey(s: String) = tagged.filter(_._1 == s).map(t => (t._3, t._2)).min
+    assert(Ordering[(Long, Long)].lt(maxKey("train"), minKey("val")))
+    assert(Ordering[(Long, Long)].lt(maxKey("val"), minKey("test")))
+    // the embargo really buffers both boundaries: 2e rows withheld
+    assert(expect("embargo")._1 == 2 * e, "embargo must withhold 2e rows")
+  }
+}
