@@ -464,7 +464,81 @@ object Multimodal {
        |FROM tot t LEFT JOIN per_doc p USING (doc_id)
        |ORDER BY t.doc_id""".stripMargin
 
+  /** Voiced / unvoiced / silence frame classification by zero-crossing
+    * rate + energy — the second classic short-time audio feature
+    * beside [[audioSegments]]' energy VAD: voiced speech is periodic
+    * (high energy, LOW crossing rate), fricatives are noise-like
+    * (HIGH crossing rate), silence is low energy. The per-frame ZCR
+    * (count of sign changes across the frame's samples — exact
+    * integers off the real RIFF codec round-trip) and energy land in
+    * an oracle sidecar, so the entire classification + per-doc rollup
+    * replays relationally in DuckDB; the codec/feature extraction is
+    * the only typed `mapPartitions` (binary decode — no Catalyst
+    * expression applies), per-row-group work at scan speed. */
+  private[graft] def audioFrameZcr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(3)) === 1)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val samples = text.split(" ").grouped(8).flatMap { cArr =>
+          val c = cArr.mkString(" ")
+          val a = Wav.synth(c)
+          if ((scala.util.hashing.MurmurHash3.stringHash(c) & 1) == 0)
+            a.samples.map(s => (s >> 8).toShort)
+          else a.samples
+        }.toArray
+        val audio = Wav.decode(Wav.encode(Wav.Audio(8000, samples)))
+        audio.samples.grouped(160).zipWithIndex.map { case (fr, i) =>
+          var zc = 0L
+          var j = 1
+          while (j < fr.length) {
+            if ((fr(j) >= 0) != (fr(j - 1) >= 0)) zc += 1
+            j += 1
+          }
+          (id, i.toLong, zc,
+            fr.foldLeft(0L)((acc, s) => acc + math.abs(s.toInt)) / fr.length)
+        }
+      })
+      .toDF("doc_id", "frame_idx", "zcr", "energy")
+  }
+
+  /** ZCR band separating periodic (voiced) from noise-like frames at
+    * 8 kHz / 20 ms: > 40 crossings ≈ > 2 kHz dominant energy. */
+  val zcrFricativeFloor = 40L
+
+  def audioZcr(spark: SparkSession, dir: String): DataFrame = {
+    val f = audioFrameZcr(spark, dir)
+    oracleSidecar("audio_frame_zcr", f)
+    f.withColumn("cls",
+        when(col("energy") <= vadEnergyFloor, lit("silence"))
+          .when(col("zcr") > zcrFricativeFloor, lit("unvoiced"))
+          .otherwise(lit("voiced")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_frames"),
+        sum(when(col("cls") === "voiced", 1L).otherwise(0L)).cast("long").as("n_voiced"),
+        sum(when(col("cls") === "unvoiced", 1L).otherwise(0L)).cast("long").as("n_unvoiced"),
+        sum(when(col("cls") === "silence", 1L).otherwise(0L)).cast("long").as("n_silence"),
+        max(col("zcr")).cast("long").as("max_zcr"))
+      .orderBy(col("doc_id"))
+  }
+
+  val audioZcrSql: String =
+    s"""WITH f AS (
+       | SELECT doc_id, frame_idx, zcr, energy,
+       |  CASE WHEN energy <= $vadEnergyFloor THEN 'silence'
+       |       WHEN zcr > $zcrFricativeFloor THEN 'unvoiced'
+       |       ELSE 'voiced' END AS cls
+       | FROM read_parquet('${oracleSidecarGlob("audio_frame_zcr")}'))
+       |SELECT doc_id, cast(count(*) as bigint) AS n_frames,
+       | cast(sum(CASE WHEN cls = 'voiced' THEN 1 ELSE 0 END) as bigint) AS n_voiced,
+       | cast(sum(CASE WHEN cls = 'unvoiced' THEN 1 ELSE 0 END) as bigint) AS n_unvoiced,
+       | cast(sum(CASE WHEN cls = 'silence' THEN 1 ELSE 0 END) as bigint) AS n_silence,
+       | cast(max(zcr) as bigint) AS max_zcr
+       |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("mm_audio_zcr", audioZcr, Some(audioZcrSql)),
     GQuery("mm_audio_segments", audioSegments, Some(audioSegmentsSql)),
     GQuery("mm_scene_cuts", sceneCuts, Some(sceneCutsSql)),
     GQuery("mm_image_dhash_pairs", imageDhashPairs, Some(imageDhashPairsSql)),

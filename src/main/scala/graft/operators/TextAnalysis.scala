@@ -1395,7 +1395,67 @@ object TextAnalysis {
       | JOIN uni uy ON pairs.w2 = uy.w CROSS JOIN tot
       |ORDER BY lift_micro DESC, w1, w2 LIMIT 50""".stripMargin
 
+  /** Flesch–Kincaid readability grading in exact integer micro-units —
+    * the classic complexity score every data-quality pipeline keeps
+    * beside [[qualityScore]]'s surface ratios: grade = 0.39·(words/
+    * sentence) + 11.8·(syllables/word) − 15.59. Syllables are the
+    * standard vowel-group heuristic (runs of [aeiouy] per word — the
+    * regex class is identical under Java and RE2 semantics, so both
+    * engines count the same); sentences are a FIXED 12-token
+    * segmentation because this corpus carries no punctuation (swap in
+    * `[.!?]+` splitting on real text — the arithmetic downstream is
+    * unchanged). Both ratios and the affine combination stay on the
+    * integer micro grid (`·10⁶ div`), so per-doc grades replay
+    * bit-identically in DuckDB. One explode pass, per-doc rollup,
+    * scan-speed at any scale. */
+  def readability(spark: SparkSession, dir: String): DataFrame = {
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("syl",
+        greatest(size(regexp_extract_all(col("w"), lit("[aeiouy]+"), lit(0))), lit(1)))
+    toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("syl")).as("n_syll"))
+      .withColumn("n_sentences", expr("(n_words + 11) div 12"))
+      .withColumn("wps_micro", expr("(n_words * 1000000) div n_sentences"))
+      .withColumn("spw_micro", expr("(n_syll * 1000000) div n_words"))
+      .withColumn("fk_micro",
+        expr("(39 * wps_micro) div 100 + (118 * spw_micro) div 10 - 15590000"))
+      .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
+        col("n_syll").cast("long").as("n_syll"),
+        col("n_sentences").cast("long").as("n_sentences"),
+        col("fk_micro").cast("long").as("fk_micro"),
+        when(col("fk_micro") <= 6000000, lit("easy"))
+          .when(col("fk_micro") <= 10000000, lit("medium"))
+          .otherwise(lit("hard")).as("band"))
+      .orderBy(col("doc_id"))
+  }
+
+  val readabilitySql: String =
+    """WITH toks AS (
+      | SELECT doc_id, greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1) AS syl
+      | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
+      |agg AS (
+      | SELECT doc_id, count(*) AS n_words, sum(syl) AS n_syll,
+      |  (count(*) + 11) // 12 AS n_sentences
+      | FROM toks GROUP BY doc_id),
+      |scored AS (
+      | SELECT *, (n_words * 1000000) // n_sentences AS wps_micro,
+      |  (n_syll * 1000000) // n_words AS spw_micro
+      | FROM agg)
+      |SELECT doc_id, cast(n_words as bigint) AS n_words,
+      | cast(n_syll as bigint) AS n_syll,
+      | cast(n_sentences as bigint) AS n_sentences,
+      | cast((39 * wps_micro) // 100 + (118 * spw_micro) // 10 - 15590000
+      |   as bigint) AS fk_micro,
+      | CASE WHEN (39 * wps_micro) // 100 + (118 * spw_micro) // 10 - 15590000
+      |        <= 6000000 THEN 'easy'
+      |      WHEN (39 * wps_micro) // 100 + (118 * spw_micro) // 10 - 15590000
+      |        <= 10000000 THEN 'medium'
+      |      ELSE 'hard' END AS band
+      |FROM scored ORDER BY doc_id""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("text_readability", readability, Some(readabilitySql)),
     GQuery("text_pmi_collocations", pmiCollocations, Some(pmiCollocationsSql)),
     GQuery("text_lm_decode", lmDecode, Some(lmDecodeSql)),
     GQuery("text_kneser_ney", knBigramTable, Some(knBigramSql)),

@@ -738,7 +738,218 @@ object FileSources {
     """SELECT o_orderkey % 8 AS committer, cast(count(*) as bigint) AS n_rows
       |FROM orders GROUP BY 1 ORDER BY committer""".stripMargin
 
+  // ---- branch refs over version manifests (Iceberg-style refs) ----
+
+  /** Reads `_refs/<name>` → the version it points at. */
+  private[graft] def readRef(root: String, name: String): Int =
+    java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/_refs/$name")).trim.toInt
+
+  /** Atomically points ref `name` at `version` (write-temp + ATOMIC_MOVE
+    * — readers never observe a torn ref; the manifest CAS in
+    * [[occRun]] already serializes writers). */
+  private[graft] def writeRef(root: String, name: String, version: Int): Unit = {
+    val dir = java.nio.file.Paths.get(s"$root/_refs")
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = dir.resolve(s".$name.tmp-${java.util.UUID.randomUUID}")
+    java.nio.file.Files.writeString(tmp, s"$version\n")
+    java.nio.file.Files.move(tmp, dir.resolve(name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  /** Commits `df` as data file `label` in a manifest that records its
+    * PARENT version (the Iceberg snapshot model: version ids allocate
+    * globally, but reachability is the parent chain — a commit whose
+    * branch ref is later dropped becomes an unreachable orphan, its
+    * data invisible to every reader without any delete). Version ids
+    * are allocated max+1 (single-writer here; multi-writer safety is
+    * [[occRun]]'s CAS on exactly this create). */
+  private[graft] def commitVersion(root: String, label: String, df: DataFrame,
+      parent: Int): Int = {
+    df.write.parquet(s"$root/$label")
+    val vdir = new java.io.File(s"$root/_versions")
+    vdir.mkdirs()
+    val vs = Option(vdir.listFiles()).getOrElse(Array.empty)
+      .map(_.getName.stripPrefix("v").stripSuffix(".json").toInt)
+    val next = (if (vs.isEmpty) 0 else vs.max) + 1
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/_versions/v$next.json"),
+      s"""{"version": $next, "parent": $parent, "add": "$label"}""")
+    next
+  }
+
+  private[graft] def parentOf(root: String, v: Int): Int =
+    java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/_versions/v$v.json"))
+      .split("\"parent\": ")(1).split("[,}]")(0).trim.toInt
+
+  /** version → its ancestor chain [version, parent, …] down to the
+    * first commit (parent 0 = empty table). */
+  private[graft] def ancestors(root: String, version: Int): List[Int] =
+    if (version == 0) Nil
+    else version :: ancestors(root, parentOf(root, version))
+
+  /** Snapshot AT `version`: union of the data files added along its
+    * parent chain — an orphaned commit (no ref reaches it) is simply
+    * never on anyone's chain, which is why a rejected WAP stage needs
+    * no cleanup to be invisible. */
+  private[graft] def snapshotAt(spark: SparkSession, root: String, version: Int): DataFrame =
+    ancestors(root, version).map { v =>
+      val add = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$root/_versions/v$v.json"))
+        .split("\"add\": \"")(1).split("\"")(0)
+      spark.read.parquet(s"$root/$add")
+    }.reduce(_ unionAll _)
+
+  /** Fast-forward merge `from` → `into`: legal iff `into`'s current
+    * version is an ANCESTOR of `from`'s head; the merge is one atomic
+    * ref move, no data rewrite. */
+  private[graft] def ffMerge(root: String, into: String, from: String): Unit = {
+    val target = readRef(root, from)
+    require(ancestors(root, target).contains(readRef(root, into)),
+      s"fast-forward only: $into@${readRef(root, into)} is not an ancestor of $from@$target")
+    writeRef(root, into, target)
+  }
+
+  /** BRANCHES AND TAGS over the version-manifest table format — the
+    * Iceberg/Nessie ref model from first principles: a branch is a
+    * named pointer into the (linear, CAS-serialized) version chain,
+    * branch writes advance only their own ref, and a fast-forward
+    * merge publishes a branch to main as ONE atomic pointer move with
+    * zero data movement. The entry runs the canonical ETL flow —
+    * branch `etl` forks main at v1, lands two commits (invisible to
+    * main readers: ISOLATION), then merges — and emits every
+    * (phase, ref) snapshot's row count + exact revenue; the oracle
+    * recomputes all of them straight from `orders` via the commit
+    * predicates, so the hash match proves both isolation (main@before
+    * sees only v1) and publication (main@after ≡ etl head). At 100 TB
+    * this is how blue/green table deploys work: writers stage
+    * arbitrarily large commits on a branch while readers stay pinned,
+    * and the cutover is metadata-only. */
+  def branchMerge(spark: SparkSession, dir: String): DataFrame = {
+    val root = uniq("branch_table")
+    val orders = graft.util.t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    writeRef(root, "main", commitVersion(root, "data_0",
+      orders.filter(col("o_orderkey") % 3 === 0), parent = 0))
+    writeRef(root, "etl", readRef(root, "main")) // fork at main's head
+    writeRef(root, "etl", commitVersion(root, "data_1",
+      orders.filter(col("o_orderkey") % 3 === 1), parent = readRef(root, "etl")))
+    writeRef(root, "etl", commitVersion(root, "data_2",
+      orders.filter(col("o_orderkey") % 3 === 2), parent = readRef(root, "etl")))
+    def snap(phase: String, ref: String): DataFrame =
+      snapshotAt(spark, root, readRef(root, ref))
+        .groupBy().agg(count(lit(1)).cast("long").as("n_rows"),
+          dsum(col("o_totalprice")).as("revenue"))
+        .select(lit(phase).as("phase"), lit(ref).as("ref"),
+          col("n_rows"), col("revenue"))
+    val before = snap("before", "main").unionAll(snap("before", "etl"))
+    val beforeRows = materializeLocal(before) // snapshot BEFORE the ref moves
+    ffMerge(root, "main", "etl")
+    beforeRows.unionAll(snap("after", "main"))
+      .orderBy(col("phase"), col("ref"))
+  }
+
+  val branchMergeSql: String =
+    s"""SELECT * FROM (
+       | SELECT 'before' AS phase, 'main' AS ref, cast(count(*) as bigint) AS n_rows,
+       |  ${sqlDsum("o_totalprice")} AS revenue
+       | FROM orders WHERE o_orderkey % 3 = 0
+       | UNION ALL
+       | SELECT 'before', 'etl', cast(count(*) as bigint), ${sqlDsum("o_totalprice")}
+       | FROM orders
+       | UNION ALL
+       | SELECT 'after', 'main', cast(count(*) as bigint), ${sqlDsum("o_totalprice")}
+       | FROM orders
+       |) ORDER BY phase, ref""".stripMargin
+
+  /** WRITE–AUDIT–PUBLISH — the production ingestion gate (Netflix's
+    * Iceberg WAP pattern) composed from this file's refs + the
+    * expectations discipline of `meta_expectations`: every ingest
+    * lands on an `audit` branch, the CANDIDATE snapshot (main ⊎
+    * staged commit) is audited against declared data contracts, and
+    * only a clean audit fast-forwards main; a failed audit drops the
+    * branch ref and main never sees the bad rows. The entry stages a
+    * deliberately poisoned batch (negated prices on keys ≡ 1 mod 100)
+    * that the audit REJECTS, then the clean batch that PUBLISHES, and
+    * emits the full audit ledger plus the final main row count — all
+    * recomputed by the oracle from `orders`, so the hash match proves
+    * the reject really kept every poisoned row out and the publish
+    * really landed every clean one. The audits themselves are
+    * answer-sized aggregates over the candidate snapshot (scan-speed
+    * at any scale); the reject/publish are metadata-only ref ops. */
+  def wapPublish(spark: SparkSession, dir: String): DataFrame = {
+    val root = uniq("wap_table")
+    val orders = graft.util.t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    writeRef(root, "main", commitVersion(root, "base",
+      orders.filter(col("o_orderkey") % 2 === 0), parent = 0))
+    val odd = orders.filter(col("o_orderkey") % 2 === 1)
+    def audit(attempt: Int, staged: DataFrame): DataFrame = {
+      // candidate = what main WOULD become if this commit published
+      val candidate = snapshotAt(spark, root, readRef(root, "main"))
+        .unionAll(staged)
+      materializeLocal(candidate.groupBy().agg(
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("neg"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("nul"))
+        .select(explode(array(
+          struct(lit("no_nonpositive_price").as("check_name"), col("neg").as("violations")),
+          struct(lit("no_null_key").as("check_name"), col("nul").as("violations")))).as("c"))
+        .select(lit(attempt.toLong).as("attempt"), col("c.check_name"),
+          col("c.violations").cast("long").as("violations")))
+    }
+    // attempt 1: poisoned batch — audit must reject, main must not move
+    val poisoned = odd.withColumn("o_totalprice",
+      when(col("o_orderkey") % 100 === 1, -col("o_totalprice"))
+        .otherwise(col("o_totalprice")))
+    val vPoisoned = commitVersion(root, "stage_poisoned", poisoned,
+      parent = readRef(root, "main"))
+    writeRef(root, "audit", vPoisoned)
+    val ledger1 = audit(1, poisoned)
+    if (ledger1.filter(col("violations") > 0).count() > 0)
+      writeRef(root, "audit", readRef(root, "main")) // reject: reset the branch
+    // attempt 2: clean batch, branched from main again — the rejected
+    // commit is now an orphan off every ref's parent chain
+    val vClean = commitVersion(root, "stage_clean", odd,
+      parent = readRef(root, "main"))
+    writeRef(root, "audit", vClean)
+    val ledger2 = audit(2, odd)
+    if (ledger2.filter(col("violations") > 0).count() == 0)
+      ffMerge(root, "main", "audit") // publish: one atomic ref move
+    val published = readRef(root, "main") == vClean
+    val finalCount = materializeLocal(
+      snapshotAt(spark, root, readRef(root, "main"))
+        .groupBy().agg(count(lit(1)).as("n"))
+        .select(lit(3L).as("attempt"), lit("main_row_count").as("check_name"),
+          col("n").cast("long").as("violations"), lit(true).as("published")))
+    ledger1.withColumn("published", lit(false))
+      .unionAll(ledger2.withColumn("published", lit(published)))
+      .unionAll(finalCount)
+      .orderBy(col("attempt"), col("check_name"))
+  }
+
+  val wapPublishSql: String =
+    """SELECT * FROM (
+      | SELECT cast(1 as bigint) AS attempt, 'no_nonpositive_price' AS check_name,
+      |  cast((SELECT count(*) FROM orders
+      |        WHERE o_orderkey % 2 = 1 AND o_orderkey % 100 = 1) as bigint)
+      |    AS violations, false AS published
+      | UNION ALL
+      | SELECT 1, 'no_null_key', 0, false
+      | UNION ALL
+      | SELECT 2, 'no_nonpositive_price', 0, true
+      | UNION ALL
+      | SELECT 2, 'no_null_key', 0, true
+      | UNION ALL
+      | SELECT 3, 'main_row_count',
+      |  cast((SELECT count(*) FROM orders) as bigint), true
+      |) ORDER BY attempt, check_name""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("src_branch_merge", branchMerge, Some(branchMergeSql)),
+    GQuery("src_wap_publish", wapPublish, Some(wapPublishSql)),
     GQuery("src_occ_commit", occCommit, Some(occCommitSql)),
     GQuery("src_time_travel", timeTravel, Some(timeTravelSql)),
     GQuery("src_codec_matrix", codecMatrix, Some(codecMatrixSql)),

@@ -221,6 +221,115 @@ class Round11Spec extends AnyFunSuite {
     } finally plans.JoinElimination.unregister(c)
   }
 
+  test("branch refs: isolation, orphan unreachability, ff-only merges") {
+    import sources.FileSources._
+    import spark.implicits._
+    val root = util.scratchDir("branch_spec")
+    def df(ids: Int*) = ids.toSeq.toDF("id")
+    // main: v1(1,2); etl forks, commits v2(3); main is isolated
+    writeRef(root, "main", commitVersion(root, "a", df(1, 2), parent = 0))
+    writeRef(root, "etl", readRef(root, "main"))
+    writeRef(root, "etl", commitVersion(root, "b", df(3), parent = readRef(root, "etl")))
+    def ids(ref: String): Set[Int] =
+      snapshotAt(spark, root, readRef(root, ref)).collect().map(_.getInt(0)).toSet
+    assert(ids("main") == Set(1, 2), "main must not see unmerged branch commits")
+    assert(ids("etl") == Set(1, 2, 3))
+    // a second branch diverges: hotfix commits v3 off v1 — now etl's
+    // head is NOT fast-forwardable onto hotfix and vice versa
+    writeRef(root, "hotfix", readRef(root, "main"))
+    writeRef(root, "hotfix", commitVersion(root, "c", df(9), parent = readRef(root, "hotfix")))
+    intercept[IllegalArgumentException] {
+      ffMerge(root, "hotfix", "etl") // hotfix@3 not an ancestor of etl@2
+    }
+    // ff merge etl → main: pointer move only, content adopts the branch
+    ffMerge(root, "main", "etl")
+    assert(ids("main") == Set(1, 2, 3))
+    // drop hotfix: its commit becomes an orphan — on no ref's chain
+    writeRef(root, "hotfix", readRef(root, "main"))
+    val reachable = ancestors(root, readRef(root, "main")) ++
+      ancestors(root, readRef(root, "etl")) ++ ancestors(root, readRef(root, "hotfix"))
+    val all = new java.io.File(s"$root/_versions").listFiles()
+      .map(_.getName.stripPrefix("v").stripSuffix(".json").toInt).toSet
+    assert((all -- reachable.toSet) == Set(3),
+      "the dropped branch's commit must be exactly the orphan set")
+    assert(!ids("main").contains(9) && !ids("etl").contains(9),
+      "no reader can reach the orphaned commit's data")
+  }
+
+  test("audio zcr: plain-Scala feature referee agrees; classes partition frames") {
+    // third implementation: same synth chain, sequential ZCR/energy +
+    // classification, NO Spark and NO sidecar on the path
+    val docs = util.t(spark, sf, "documents")
+      .filter(col("doc_id") % 3 === 1).select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val expect = docs.map { case (id, text) =>
+      val samples = text.split(" ").grouped(8).flatMap { cArr =>
+        val c = cArr.mkString(" ")
+        val a = functions.Wav.synth(c)
+        if ((scala.util.hashing.MurmurHash3.stringHash(c) & 1) == 0)
+          a.samples.map(s => (s >> 8).toShort)
+        else a.samples
+      }.toArray
+      val frames = samples.grouped(160).toSeq
+      val feats = frames.map { fr =>
+        val zc = fr.indices.drop(1).count(j => (fr(j) >= 0) != (fr(j - 1) >= 0)).toLong
+        val en = fr.map(s => math.abs(s.toInt).toLong).sum / fr.length
+        (zc, en)
+      }
+      val cls = feats.map { case (zc, en) =>
+        if (en <= operators.Multimodal.vadEnergyFloor) "silence"
+        else if (zc > operators.Multimodal.zcrFricativeFloor) "unvoiced"
+        else "voiced"
+      }
+      id -> (feats.size.toLong, cls.count(_ == "voiced").toLong,
+        cls.count(_ == "unvoiced").toLong, cls.count(_ == "silence").toLong,
+        feats.map(_._1).max)
+    }.toMap
+    val got = SparkEntry.queries("mm_audio_zcr")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(got == expect, s"zcr mismatch: ${got.toSeq.diff(expect.toSeq).take(2)}")
+    got.values.foreach { case (n, v, u, s, _) =>
+      assert(v + u + s == n, "classes must partition the frames")
+    }
+  }
+
+  test("readability: sequential FK-grade referee agrees on every doc") {
+    val docs = util.t(spark, sf, "documents").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expect = docs.map { case (id, text) =>
+      val ws = text.split(" ", -1)
+      val syl = ws.map(w =>
+        math.max("[aeiouy]+".r.findAllIn(w).size, 1).toLong).sum
+      val nw = ws.length.toLong
+      val ns = (nw + 11) / 12
+      val wps = nw * 1000000L / ns
+      val spw = syl * 1000000L / nw
+      val fk = 39 * wps / 100 + 118 * spw / 10 - 15590000L
+      val band = if (fk <= 6000000L) "easy"
+      else if (fk <= 10000000L) "medium" else "hard"
+      id -> (nw, syl, ns, fk, band)
+    }.toMap
+    val got = SparkEntry.queries("text_readability")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).toMap
+    assert(got == expect, s"fk mismatch: ${got.toSeq.diff(expect.toSeq).take(3)}")
+  }
+
+  test("wap: poisoned stage is rejected, clean stage publishes, main is whole") {
+    val rows = SparkEntry.queries("src_wap_publish")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    val byKey = rows.map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(byKey((1L, "no_nonpositive_price"))._1 > 0,
+      "the poisoned batch must actually violate the contract")
+    assert(rows.filter(_._1 == 1L).forall(!_._4), "attempt 1 must not publish")
+    assert(rows.filter(_._1 == 2L).forall(r => r._3 == 0 && r._4),
+      "the clean batch must audit clean and publish")
+    val total = util.t(spark, sf, "orders").count()
+    assert(byKey((3L, "main_row_count"))._1 == total,
+      "published main must hold every order exactly once — no poison, no loss")
+  }
+
   test("temporal split: sequential referee agrees; no event-time leakage") {
     val ev = util.t(spark, sf, "events").collect()
       .map(r => (r.getLong(0), r.getTimestamp(1).getTime))
