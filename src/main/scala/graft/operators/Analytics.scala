@@ -1196,7 +1196,125 @@ object Analytics {
       |FROM recent WHERE rn <= 20
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Rolling 7-day distinct actives (the "WAU" curve) — the windowed
+    * COUNT DISTINCT no SQL window frame can express (DISTINCT is not
+    * legal inside a window): rewritten as the contribution fan-out,
+    * the standard warehouse technique. Each (type, user, active-day)
+    * fact contributes to the 7 trailing report days [day, day+6];
+    * de-duplicating contributions per (type, user, report-day) and
+    * counting gives exactly |distinct users active in (d−6..d]|.
+    * Work is 7× the distinct-activity table (bounded fan-out — never
+    * the n² self-join of the naive interval formulation), all exact
+    * integer, fully replayed in DuckDB. At 100 TB the fan-out factor
+    * equals the window length in days — the known, budgeted cost of
+    * exact rolling actives; beyond ~90-day windows switch to the
+    * mergeable-HLL partials of meta_hll_sketches. */
+  def q94RollingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val active = t(spark, dir, "events")
+      .select(col("event_type"), col("user_id"),
+        (unix_micros(col("ts")) / 86400000000L).cast("long").as("day"))
+      .distinct()
+    val bounds = active.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    active
+      .withColumn("report_day", explode(sequence(col("day"), col("day") + 6)))
+      .select(col("event_type"), col("user_id"), col("report_day")).distinct()
+      .crossJoin(broadcast(bounds))
+      .filter(col("report_day") <= col("hi"))
+      .groupBy(col("event_type"), col("report_day"))
+      .agg(count(lit(1)).cast("long").as("wau"))
+      .orderBy(col("event_type"), col("report_day"))
+  }
+
+  val q94Sql: String =
+    """WITH active AS (
+      | SELECT DISTINCT event_type, user_id,
+      |  (epoch_ns(ts) // 1000) // 86400000000 AS day
+      | FROM events),
+      |bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM active),
+      |contrib AS (
+      | SELECT DISTINCT event_type, user_id,
+      |  unnest(generate_series(day, day + 6)) AS report_day
+      | FROM active)
+      |SELECT event_type, report_day, cast(count(*) as bigint) AS wau
+      |FROM contrib CROSS JOIN bounds
+      |WHERE report_day <= hi
+      |GROUP BY event_type, report_day
+      |ORDER BY event_type, report_day""".stripMargin
+
+  /** Bitemporal point-in-time query — SCD2 tracks one time axis; a
+    * bitemporal table tracks two: BUSINESS time (when the fact was
+    * true) and TRANSACTION time (when the warehouse learned it), and
+    * the defining query is "as known at T, what was true during V".
+    * The fact versions here are the original orders (tx 0) overlaid
+    * by deterministic corrections (tx 1: priority-1 orders repriced
+    * ×2 in exact cents); the as-known-at reconstruction takes, per
+    * order, the LATEST version with tx_time ≤ T (one row_number over
+    * the key — the same latest-per-key shape as kt_latest_per_key,
+    * which is why a streaming upsert table IS the transaction-time
+    * axis), then aggregates the first half of business time. Both
+    * reconstructions replay in DuckDB; at 100 TB the version overlay
+    * is a key-partitioned window over only the CHANGED keys'
+    * versions, never a fact rewrite. */
+  def q95Bitemporal(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        (unix_micros(col("o_orderdate")) / 86400000000L).cast("long").as("bday"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val v0 = orders.withColumn("tx", lit(0L))
+    val v1 = orders.filter(col("o_orderkey") % 10 === 3)
+      .withColumn("cents", col("cents") * 2).withColumn("tx", lit(1L))
+    val versions = v0.unionByName(v1)
+    val bounds = orders.agg(
+      expr("(min(bday) + max(bday) + 1) div 2").cast("long").as("cut"))
+    def asKnownAt(t: Long): DataFrame = {
+      val w = Window.partitionBy(col("o_orderkey"))
+        .orderBy(desc("tx"))
+      versions.filter(col("tx") <= t)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .crossJoin(broadcast(bounds))
+        .filter(col("bday") < col("cut"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+          sum(col("cents")).cast("long").as("cents"))
+        .select(lit(t).as("known_at_tx"), col("o_orderpriority"),
+          col("n_orders"), col("cents"))
+    }
+    asKnownAt(0L).unionAll(asKnownAt(1L))
+      .orderBy(col("known_at_tx"), col("o_orderpriority"))
+  }
+
+  val q95Sql: String =
+    """WITH o AS (
+      | SELECT o_orderkey, o_orderpriority,
+      |  (epoch_ns(o_orderdate) // 1000) // 86400000000 AS bday,
+      |  cast(round(o_totalprice * 100) as bigint) AS cents
+      | FROM orders),
+      |bounds AS (SELECT (min(bday) + max(bday) + 1) // 2 AS cut FROM o),
+      |versions AS (
+      | SELECT *, 0 AS tx FROM o
+      | UNION ALL
+      | SELECT o_orderkey, o_orderpriority, bday, cents * 2, 1
+      | FROM o WHERE o_orderkey % 10 = 3),
+      |known AS (
+      | SELECT t.t AS known_at_tx, v.* FROM (VALUES (0), (1)) t(t)
+      | JOIN versions v ON v.tx <= t.t),
+      |latest AS (
+      | SELECT * FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY known_at_tx, o_orderkey
+      |    ORDER BY tx DESC) AS rk FROM known)
+      | WHERE rk = 1)
+      |SELECT cast(known_at_tx as bigint) AS known_at_tx, o_orderpriority,
+      | cast(count(*) as bigint) AS n_orders,
+      | cast(sum(cents) as bigint) AS cents
+      |FROM latest CROSS JOIN bounds
+      |WHERE bday < cut
+      |GROUP BY known_at_tx, o_orderpriority
+      |ORDER BY known_at_tx, o_orderpriority""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("q94_rolling_distinct", q94RollingDistinct, Some(q94Sql)),
+    GQuery("q95_bitemporal", q95Bitemporal, Some(q95Sql)),
     GQuery("q90_pattern_match", q90PatternMatch, Some(q90Sql)),
     GQuery("q91_pareto_abc", q91ParetoAbc, Some(q91Sql)),
     GQuery("q92_ewma_halflife", q92EwmaHalflife, Some(q92Sql)),

@@ -395,7 +395,66 @@ object Sampling {
       | cast(sum(event_id) as bigint) AS sum_ids
       |FROM marked GROUP BY 1 ORDER BY split""".stripMargin
 
+  /** Deterministic negative sampling for implicit-feedback training —
+    * the ranking-loss data op (word2vec/BPR and every recommender):
+    * per customer, draw candidate items from the engine-neutral Knuth
+    * multiplicative hash stream (the sample_kfold generator, seeded by
+    * (customer, draw index)), REJECT any observed positive via one
+    * anti-join against the purchase pairs, keep the first 5 surviving
+    * draws in stream order. Fully deterministic, bit-identical in both
+    * engines (integer hash, no RNG), and candidate-linear: 20 draws ×
+    * customers scored in one hash join — never a customers×items
+    * cross product. At 100 TB the same plan holds with the positives
+    * side bucketed on customer; collision-free k-out-of-n sampling
+    * follows from drawing a few more candidates than k (spec asserts
+    * every customer fills its 5). */
+  def negativeSampling(spark: SparkSession, dir: String): DataFrame = {
+    val pos = t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("item"))
+      .distinct()
+    val nItems = t(spark, dir, "part")
+      .agg(max(col("p_partkey")).as("n_items"))
+    val draws = t(spark, dir, "customer")
+      .select(col("c_custkey").as("cust"))
+      .crossJoin(broadcast(nItems))
+      .withColumn("j", explode(sequence(lit(0L), lit(19L))))
+      .withColumn("item",
+        expr("1 + ((cust * 2654435761 + j * 40503) % 4294967296 + 4294967296) " +
+          "% 4294967296 % n_items"))
+    val keepw = Window.partitionBy(col("cust")).orderBy(col("j"))
+    draws.join(pos, Seq("cust", "item"), "left_anti")
+      .withColumn("rk", row_number().over(keepw))
+      .filter(col("rk") <= 5)
+      .select(col("cust"), col("rk").cast("long").as("rk"),
+        col("item").cast("long").as("neg_item"))
+      .orderBy(col("cust"), col("rk"))
+  }
+
+  val negativeSamplingSql: String =
+    """WITH pos AS (
+      | SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS item
+      | FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      |ni AS (SELECT max(p_partkey) AS n_items FROM part),
+      |draws AS (
+      | SELECT c.c_custkey AS cust, j,
+      |  1 + ((c.c_custkey * 2654435761 + j * 40503) % 4294967296
+      |    + 4294967296) % 4294967296 % n_items AS item
+      | FROM customer c CROSS JOIN ni
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 19)) AS j)),
+      |survivors AS (
+      | SELECT d.cust, d.j, d.item FROM draws d
+      | WHERE NOT EXISTS (SELECT 1 FROM pos p
+      |   WHERE p.cust = d.cust AND p.item = d.item)),
+      |ranked AS (
+      | SELECT *, row_number() OVER (PARTITION BY cust ORDER BY j) AS rk
+      | FROM survivors)
+      |SELECT cust, cast(rk as bigint) AS rk, cast(item as bigint) AS neg_item
+      |FROM ranked WHERE rk <= 5 ORDER BY cust, rk""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("sample_negative", negativeSampling, Some(negativeSamplingSql)),
     GQuery("sample_temporal_split", temporalSplit, Some(temporalSplitSql)),
     GQuery("sample_kfold", kfoldSplit, Some(kfoldSplitSql)),
     GQuery("sample_bootstrap_poisson", bootstrapPoisson, Some(bootstrapPoissonSql)),

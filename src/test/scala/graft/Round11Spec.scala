@@ -330,6 +330,77 @@ class Round11Spec extends AnyFunSuite {
       "published main must hold every order exactly once — no poison, no loss")
   }
 
+  test("q94 rolling distinct: sequential 7-day WAU referee agrees") {
+    val active = util.t(spark, sf, "events").collect()
+      .map(r => (r.getString(3), r.getLong(2), r.getTimestamp(1).getTime / 86400000L))
+      .distinct
+    val hi = active.map(_._3).max
+    val expect = active.groupBy(_._1).toSeq.flatMap { case (et, g) =>
+      val byUser = g.map(t => (t._2, t._3)).toSeq
+      val days = g.map(_._3).flatMap(d => d to math.min(d + 6, hi)).distinct.toSeq
+      days.map { d =>
+        val wau = byUser.filter { case (_, ad) => ad >= d - 6 && ad <= d }
+          .map(_._1).distinct.size.toLong
+        (et, d) -> wau
+      }
+    }.filter(_._2 > 0).toMap
+    val got = SparkEntry.queries("q94_rolling_distinct")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expect, s"wau mismatch: ${got.toSeq.diff(expect.toSeq).take(3)}")
+  }
+
+  test("q95 bitemporal: sequential as-known-at referee agrees at both tx times") {
+    val o = util.t(spark, sf, "orders").collect()
+      .map(r => (r.getLong(0), r.getString(5),
+        r.getTimestamp(4).getTime / 86400000L,
+        math.round(r.getDouble(3) * 100)))
+    val cut = (o.map(_._3).min + o.map(_._3).max + 1) / 2
+    def asKnown(tx: Long) = o
+      .map { case (k, pr, bd, c) =>
+        (k, pr, bd, if (tx >= 1 && k % 10 == 3) c * 2 else c)
+      }
+      .filter(_._3 < cut)
+      .groupBy(_._2).view.mapValues(g => (g.size.toLong, g.map(_._4).sum)).toMap
+    val got = SparkEntry.queries("q95_bitemporal")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    Seq(0L, 1L).foreach { tx =>
+      val e = asKnown(tx)
+      e.foreach { case (pr, x) =>
+        assert(got((tx, pr)) == x, s"tx=$tx pr=$pr: got ${got((tx, pr))}, referee $x")
+      }
+    }
+    // the two reconstructions must actually differ (corrections bite)
+    assert(got.filter(_._1._1 == 0L).values.toSeq.sortBy(_._1) !=
+      got.filter(_._1._1 == 1L).values.toSeq.sortBy(_._1))
+  }
+
+  test("sample_negative: hash-draw referee agrees; no positives; all filled") {
+    val pos = {
+      val ok = util.t(spark, sf, "orders").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      util.t(spark, sf, "lineitem").collect()
+        .flatMap(r => ok.get(r.getLong(0)).map(c => (c, r.getLong(1)))).toSet
+    }
+    val nItems = util.t(spark, sf, "part").collect().map(_.getLong(0)).max
+    val custs = util.t(spark, sf, "customer").collect().map(_.getLong(0))
+    val expect = custs.flatMap { c =>
+      (0L to 19L).map { j =>
+        (j, 1 + (((c * 2654435761L + j * 40503L) % 4294967296L + 4294967296L)
+          % 4294967296L) % nItems)
+      }.filter { case (_, it) => !pos((c, it)) }
+        .sortBy(_._1).take(5).zipWithIndex
+        .map { case ((_, it), i) => (c, i + 1L, it) }
+    }.toSeq
+    val got = SparkEntry.queries("sample_negative")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect, s"negatives mismatch: ${got.diff(expect).take(3)}")
+    assert(got.groupBy(_._1).forall(_._2.size == 5),
+      "every customer must fill its 5 negatives from 20 draws")
+    assert(got.forall { case (c, _, it) => !pos((c, it)) },
+      "a sampled negative must never be an observed positive")
+  }
+
   test("temporal split: sequential referee agrees; no event-time leakage") {
     val ev = util.t(spark, sf, "events").collect()
       .map(r => (r.getLong(0), r.getTimestamp(1).getTime))
