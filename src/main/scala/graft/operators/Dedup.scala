@@ -941,6 +941,58 @@ object Dedup {
        |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> root)
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Curriculum ordering — schedule the corpus easy→hard for
+    * curriculum training (Bengio et al., ICML'09): every document is
+    * scored by the exact-integer Flesch–Kincaid grade
+    * ([[TextAnalysis.readability]] — this entry CONSUMES that
+    * operator, the pipeline-composition discipline of
+    * [[trainCorpus]]), ranked under the total order (fk_micro,
+    * doc_id), and cut into 4 equal-rank phases. The report carries
+    * each phase's doc count, grade span, and token budget; the spec
+    * pins the defining invariant — phase grade spans never overlap
+    * (max_fk of phase p ≤ min_fk of phase p+1). Rank-based cuts (not
+    * value-based) keep phase sizes balanced whatever the grade
+    * distribution; at 100 TB the global rank comes from the same
+    * order statistics as sample_temporal_split's boundaries. */
+  def curriculum(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.readability(spark, dir)
+      .select(col("doc_id"), col("n_words"), col("fk_micro"))
+    val w = Window.orderBy(col("fk_micro"), col("doc_id"))
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(scored.agg(count(lit(1)).as("n"))))
+      .withColumn("phase", expr("((rk - 1) * 4) div n"))
+      .groupBy(col("phase"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        min(col("fk_micro")).cast("long").as("min_fk"),
+        max(col("fk_micro")).cast("long").as("max_fk"),
+        sum(col("n_words")).cast("long").as("sum_words"))
+      .orderBy(col("phase"))
+  }
+
+  val curriculumSql: String =
+    """WITH toks AS (
+      | SELECT doc_id, greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1) AS syl
+      | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
+      |agg AS (
+      | SELECT doc_id, count(*) AS n_words, sum(syl) AS n_syll,
+      |  (count(*) + 11) // 12 AS n_sentences
+      | FROM toks GROUP BY doc_id),
+      |scored AS (
+      | SELECT doc_id, n_words,
+      |  (39 * ((n_words * 1000000) // n_sentences)) // 100
+      |   + (118 * ((n_syll * 1000000) // n_words)) // 10 - 15590000 AS fk_micro
+      | FROM agg),
+      |ranked AS (
+      | SELECT *, row_number() OVER (ORDER BY fk_micro, doc_id) AS rk,
+      |  (SELECT count(*) FROM scored) AS n
+      | FROM scored)
+      |SELECT ((rk - 1) * 4) // n AS phase, cast(count(*) as bigint) AS n_docs,
+      | cast(min(fk_micro) as bigint) AS min_fk,
+      | cast(max(fk_micro) as bigint) AS max_fk,
+      | cast(sum(n_words) as bigint) AS sum_words
+      |FROM ranked GROUP BY 1 ORDER BY phase""".stripMargin
+
   /** The CAPSTONE composition — the end-to-end training-corpus build,
     * every stage one of this engine's declared operators, chained the
     * way a real pipeline runs them:
@@ -1519,6 +1571,7 @@ object Dedup {
     GQuery("dedup_passages", passageDedup, Some(passageDedupSql)),
     GQuery("dedup_fuzzy_edit", fuzzyEditPairs, Some(fuzzyEditPairsSql)),
     GQuery("pipeline_train_corpus", trainCorpus, Some(trainCorpusSql)),
+    GQuery("pipeline_curriculum", curriculum, Some(curriculumSql)),
     GQuery("dedup_apply_components", applyComponents, Some(applyComponentsSql)),
     GQuery("dedup_cluster_components", clusterComponents, Some(clusterComponentsSql)),
     GQuery("dedup_cluster_star", clusterComponentsStar, Some(clusterComponentsSql)),

@@ -1127,7 +1127,111 @@ object Warehouse {
       | cast((u2 * 1000000) // (2 * n_pos * n_neg) as bigint) AS auc_micro
       |FROM rolled ORDER BY neg_type""".stripMargin
 
+  /** Benford first-digit audit — the classic fabricated-data detector
+    * for multi-scale positive amounts: the observed share of each
+    * leading significant digit against Benford's log₁₀(1+1/d) law.
+    * The expected shares are FIXED integer micro constants (301030,
+    * 176091, … — log never evaluates at query time), observed shares
+    * are exact `count·10⁶ div n`, and the per-digit deviation and
+    * total-variation rollup are integer sums, so the whole audit
+    * replays bit-identically in DuckDB. One scan + one 9-group
+    * aggregate: scan-speed at any scale. The synthetic prices are
+    * roughly uniform-by-scale, so deviations here are LARGE — the
+    * audit's job is the measurement, and the spec pins calibration on
+    * a constructed Benford-distributed column instead. */
+  val benfordMicro: Seq[(Int, Long)] = Seq(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  def metaBenford(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exp = benfordMicro.toDF("digit", "exp_micro")
+    val digits = t(spark, dir, "orders")
+      .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .filter(col("cents") > 0)
+      .select(substring(col("cents").cast("string"), 1, 1).cast("int").as("digit"))
+    val n = digits.agg(count(lit(1)).as("n"))
+    broadcast(exp)
+      .join(digits.groupBy(col("digit")).agg(count(lit(1)).as("c")), Seq("digit"), "left")
+      .crossJoin(broadcast(n))
+      .select(col("digit"),
+        coalesce(col("c"), lit(0L)).cast("long").as("n_obs"),
+        expr("(coalesce(c, 0) * 1000000) div n").cast("long").as("obs_micro"),
+        col("exp_micro").cast("long").as("exp_micro"))
+      .withColumn("dev_micro", abs(col("obs_micro") - col("exp_micro")))
+      .orderBy(col("digit"))
+  }
+
+  val metaBenfordSql: String = {
+    val expRows = benfordMicro
+      .map { case (d, m) => s"($d, ${m}::BIGINT)" }.mkString(", ")
+    s"""WITH exp(digit, exp_micro) AS (VALUES $expRows),
+       |digits AS (
+       | SELECT cast(substr(cast(cents as varchar), 1, 1) as int) AS digit
+       | FROM (SELECT cast(round(o_totalprice * 100) as bigint) AS cents
+       |       FROM orders) WHERE cents > 0),
+       |obs AS (SELECT digit, count(*) AS c FROM digits GROUP BY digit),
+       |tot AS (SELECT count(*) AS n FROM digits)
+       |SELECT e.digit, cast(coalesce(o.c, 0) as bigint) AS n_obs,
+       | cast((coalesce(o.c, 0) * 1000000) // n as bigint) AS obs_micro,
+       | cast(e.exp_micro as bigint) AS exp_micro,
+       | cast(abs((coalesce(o.c, 0) * 1000000) // n - e.exp_micro) as bigint)
+       |   AS dev_micro
+       |FROM exp e LEFT JOIN obs o ON e.digit = o.digit CROSS JOIN tot
+       |ORDER BY e.digit""".stripMargin
+  }
+
+  /** Cross-table reconciliation — the daily warehouse audit that
+    * catches partial loads and double-applied CDC: the order header's
+    * total against the sum of its line items, classified per order
+    * (header_higher / lines_higher / missing_lines — this synthetic
+    * schema has no exact-equality invariant, so the report measures
+    * the discrepancy rather than asserting zero) and rolled up with
+    * exact integer diff magnitudes. One outer join on the key, one
+    * class rollup; at 100 TB both sides bucket on the order key and
+    * the report stays answer-sized. */
+  def metaReconcile(spark: SparkSession, dir: String): DataFrame = {
+    val hdr = t(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("hdr_cents"))
+    val lines = t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("line_cents"))
+    hdr.join(lines, col("o_orderkey") === col("l_orderkey"), "left")
+      .withColumn("cls",
+        when(col("line_cents").isNull, lit("missing_lines"))
+          .when(col("hdr_cents") > col("line_cents"), lit("header_higher"))
+          .when(col("hdr_cents") < col("line_cents"), lit("lines_higher"))
+          .otherwise(lit("equal")))
+      .groupBy(col("cls"))
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+        sum(abs(col("hdr_cents") - coalesce(col("line_cents"), lit(0L))))
+          .cast("long").as("abs_diff_cents"))
+      .orderBy(col("cls"))
+  }
+
+  val metaReconcileSql: String =
+    """WITH hdr AS (
+      | SELECT o_orderkey, cast(round(o_totalprice * 100) as bigint) AS hdr_cents
+      | FROM orders),
+      |lines AS (
+      | SELECT l_orderkey,
+      |  sum(cast(round(l_extendedprice * 100) as bigint)) AS line_cents
+      | FROM lineitem GROUP BY 1),
+      |classed AS (
+      | SELECT CASE WHEN line_cents IS NULL THEN 'missing_lines'
+      |             WHEN hdr_cents > line_cents THEN 'header_higher'
+      |             WHEN hdr_cents < line_cents THEN 'lines_higher'
+      |             ELSE 'equal' END AS cls,
+      |  abs(hdr_cents - coalesce(line_cents, 0)) AS adiff
+      | FROM hdr LEFT JOIN lines ON o_orderkey = l_orderkey)
+      |SELECT cls, cast(count(*) as bigint) AS n_orders,
+      | cast(sum(adiff) as bigint) AS abs_diff_cents
+      |FROM classed GROUP BY cls ORDER BY cls""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("meta_benford", metaBenford, Some(metaBenfordSql)),
+    GQuery("meta_reconcile", metaReconcile, Some(metaReconcileSql)),
     GQuery("meta_drift_ks", metaDriftKs, Some(metaDriftKsSql)),
     GQuery("meta_auc_ranksum", metaAucRanksum, Some(metaAucRanksumSql)),
     GQuery("q58_merge_upsert", q58MergeUpsert, Some(q58Sql)),

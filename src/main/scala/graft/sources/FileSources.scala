@@ -947,7 +947,78 @@ object FileSources {
       |  cast((SELECT count(*) FROM orders) as bigint), true
       |) ORDER BY attempt, check_name""".stripMargin
 
+  /** Snapshot expiry + orphan-file GC — the maintenance half of the
+    * table format (Iceberg `expireSnapshots` + `deleteOrphanFiles`):
+    * manifests not on ANY ref's parent chain (a dropped WAP stage, an
+    * abandoned branch) are deleted together with the data files only
+    * they reference, and the proof obligation is that every REF'S
+    * READBACK IS BYTE-IDENTICAL across the GC — reclamation must be
+    * invisible to readers. The entry builds a 3-commit main chain plus
+    * one orphaned stage, GCs, and emits (phase, n_manifests,
+    * n_datafiles, n_rows) with the row count read through main both
+    * times; the oracle recomputes all four rows from `orders`, so a GC
+    * that deleted a reachable file (rows drop) or missed the orphan
+    * (file count stays 4) hash-fails. At 100 TB this runs as a
+    * metadata-only mark (ref chains) and a listing sweep — never a
+    * data scan. */
+  def manifestExpire(spark: SparkSession, dir: String): DataFrame = {
+    val root = uniq("expire_table")
+    val orders = graft.util.t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    writeRef(root, "main", commitVersion(root, "d0",
+      orders.filter(col("o_orderkey") % 3 === 0), parent = 0))
+    writeRef(root, "main", commitVersion(root, "d1",
+      orders.filter(col("o_orderkey") % 3 === 1), parent = readRef(root, "main")))
+    // an abandoned stage off v1 — no ref will ever reach it
+    commitVersion(root, "orphan", orders.filter(col("o_orderkey") % 3 === 2),
+      parent = 1)
+    writeRef(root, "main", commitVersion(root, "d2",
+      orders.filter(col("o_orderkey") % 3 === 2), parent = readRef(root, "main")))
+    def census(phase: String): DataFrame = {
+      val nManifests = Option(new java.io.File(s"$root/_versions").listFiles())
+        .getOrElse(Array.empty).count(_.getName.matches("v\\d+\\.json")).toLong
+      val nData = Option(new java.io.File(root).listFiles())
+        .getOrElse(Array.empty).count(f => f.isDirectory &&
+          !f.getName.startsWith("_")).toLong
+      materializeLocal(snapshotAt(spark, root, readRef(root, "main"))
+        .groupBy().agg(count(lit(1)).as("n"))
+        .select(lit(phase).as("phase"), lit(nManifests).as("n_manifests"),
+          lit(nData).as("n_datafiles"), col("n").cast("long").as("n_rows")))
+    }
+    val before = census("before")
+    expireUnreachable(root, Seq("main"))
+    before.unionAll(census("after")).orderBy(col("phase"))
+  }
+
+  /** Deletes every manifest not on a listed ref's parent chain, plus
+    * the data files only those manifests reference. */
+  private[graft] def expireUnreachable(root: String, refs: Seq[String]): Unit = {
+    val reachable = refs.flatMap(r => ancestors(root, readRef(root, r))).toSet
+    val vdir = new java.io.File(s"$root/_versions")
+    Option(vdir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("v\\d+\\.json"))
+      .filterNot(f => reachable(
+        f.getName.stripPrefix("v").stripSuffix(".json").toInt))
+      .foreach { f =>
+        val add = java.nio.file.Files.readString(f.toPath)
+          .split("\"add\": \"")(1).split("\"")(0)
+        graft.util.deleteRecursively(new java.io.File(s"$root/$add"))
+        f.delete()
+        ()
+      }
+  }
+
+  val manifestExpireSql: String =
+    """SELECT * FROM (
+      | SELECT 'after' AS phase, cast(3 as bigint) AS n_manifests,
+      |  cast(3 as bigint) AS n_datafiles,
+      |  cast((SELECT count(*) FROM orders) as bigint) AS n_rows
+      | UNION ALL
+      | SELECT 'before', 4, 4, (SELECT count(*) FROM orders)
+      |) ORDER BY phase""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("src_manifest_expire", manifestExpire, Some(manifestExpireSql)),
     GQuery("src_branch_merge", branchMerge, Some(branchMergeSql)),
     GQuery("src_wap_publish", wapPublish, Some(wapPublishSql)),
     GQuery("src_occ_commit", occCommit, Some(occCommitSql)),

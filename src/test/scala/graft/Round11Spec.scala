@@ -401,6 +401,86 @@ class Round11Spec extends AnyFunSuite {
       "a sampled negative must never be an observed positive")
   }
 
+  test("benford: law constants sum to exactly 1e6; sequential referee agrees") {
+    assert(operators.Warehouse.benfordMicro.map(_._2).sum == 1000000L,
+      "the micro-unit Benford probabilities must partition the grid exactly")
+    val cents = util.t(spark, sf, "orders").collect()
+      .map(r => math.round(r.getDouble(3) * 100)).filter(_ > 0)
+    val n = cents.length.toLong
+    val obs = cents.map(_.toString.head.asDigit)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expect = operators.Warehouse.benfordMicro.map { case (d, em) =>
+      val c = obs.getOrElse(d, 0L)
+      val om = c * 1000000L / n
+      d -> (c, om, em, math.abs(om - em))
+    }.toMap
+    val got = SparkEntry.queries("meta_benford")(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got == expect, s"benford mismatch: ${got.toSeq.diff(expect.toSeq)}")
+  }
+
+  test("reconcile: classes partition the orders; sequential referee agrees") {
+    val hdr = util.t(spark, sf, "orders").collect()
+      .map(r => r.getLong(0) -> math.round(r.getDouble(3) * 100)).toMap
+    val lines = util.t(spark, sf, "lineitem").collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(5) * 100)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val expect = hdr.toSeq.map { case (k, hc) =>
+      lines.get(k) match {
+        case None => ("missing_lines", hc)
+        case Some(lc) if hc > lc => ("header_higher", hc - lc)
+        case Some(lc) if hc < lc => ("lines_higher", lc - hc)
+        case Some(_) => ("equal", 0L)
+      }
+    }.groupBy(_._1).view
+      .mapValues(g => (g.size.toLong, g.map(_._2).sum)).toMap
+    val got = SparkEntry.queries("meta_reconcile")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expect, s"reconcile mismatch: got $got\nreferee $expect")
+    assert(got.values.map(_._1).sum == hdr.size.toLong,
+      "classes must partition the order set")
+  }
+
+  test("manifest expiry: readback byte-identical across GC; orphan physically gone") {
+    import sources.FileSources._
+    import spark.implicits._
+    val root = util.scratchDir("expire_spec")
+    def df(ids: Int*) = ids.toSeq.toDF("id")
+    writeRef(root, "main", commitVersion(root, "a", df(1, 2), parent = 0))
+    writeRef(root, "main", commitVersion(root, "b", df(3), parent = readRef(root, "main")))
+    commitVersion(root, "stale", df(99), parent = 1) // never reffed
+    def readback: Seq[Int] =
+      snapshotAt(spark, root, readRef(root, "main")).collect()
+        .map(_.getInt(0)).toSeq.sorted
+    val before = readback
+    expireUnreachable(root, Seq("main"))
+    assert(readback == before, "GC must be invisible to readers")
+    assert(!new java.io.File(s"$root/stale").exists,
+      "the orphan's data file must be physically reclaimed")
+    assert(new java.io.File(s"$root/a").exists && new java.io.File(s"$root/b").exists,
+      "reachable data files must survive")
+    val manifests = new java.io.File(s"$root/_versions").listFiles()
+      .map(_.getName).toSet
+    assert(manifests == Set("v1.json", "v2.json"),
+      s"only the reachable chain's manifests may remain: $manifests")
+  }
+
+  test("curriculum: phases balanced, grade spans non-overlapping, corpus covered") {
+    val got = SparkEntry.queries("pipeline_curriculum")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    val sizes = got.map(_._2)
+    assert(sizes.max - sizes.min <= 1, s"rank cuts must balance phases: ${sizes.toSeq}")
+    assert(sizes.sum == util.t(spark, sf, "documents").count(),
+      "phases must cover the corpus exactly")
+    got.sliding(2).foreach { case Array(p, q) =>
+      assert(p._4 <= q._3,
+        s"phase ${p._1} max_fk ${p._4} must not exceed phase ${q._1} min_fk ${q._3}")
+    }
+  }
+
   test("temporal split: sequential referee agrees; no event-time leakage") {
     val ev = util.t(spark, sf, "events").collect()
       .map(r => (r.getLong(0), r.getTimestamp(1).getTime))
