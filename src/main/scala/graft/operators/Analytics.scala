@@ -1312,7 +1312,138 @@ object Analytics {
       |GROUP BY known_at_tx, o_orderpriority
       |ORDER BY known_at_tx, o_orderpriority""".stripMargin
 
+  /** Decile lift / gains table — the campaign-targeting report: rank
+    * customers by a model score (here account balance as the stand-in
+    * ranking signal), cut into 10 equal deciles (`ntile` under the
+    * deterministic (score desc, key) total order — identical tie
+    * handling in both engines), and per decile report the response
+    * rate (placed ≥ 1 urgent-priority order), its lift over the base
+    * rate, and cumulative gains — all exact integer micro-units. The
+    * standard readout for "is the top of the ranking worth
+    * targeting"; at 100 TB the rank cut comes from order statistics
+    * exactly like the other rank-based entries, and everything after
+    * the per-customer flag join is decile-sized. */
+  def q96DecileLift(spark: SparkSession, dir: String): DataFrame = {
+    val resp = t(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c_custkey")).distinct()
+      .withColumn("responded", lit(1L))
+    val scored = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"))
+      .join(resp, Seq("c_custkey"), "left")
+      .withColumn("responded", coalesce(col("responded"), lit(0L)))
+      .withColumn("decile",
+        ntile(10).over(Window.orderBy(desc("c_acctbal"), col("c_custkey")))
+          .cast("long"))
+    val base = scored.agg(sum(col("responded")).as("tot_resp"),
+      count(lit(1)).as("tot_n"))
+    val cumw = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), sum(col("responded")).as("resp"))
+      .crossJoin(broadcast(base))
+      .withColumn("rate_micro", expr("(resp * 1000000) div n"))
+      .withColumn("lift_micro",
+        expr("(resp * tot_n * 1000000) div (n * tot_resp)"))
+      .withColumn("cum_gain_micro",
+        expr("(sum(resp) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED " +
+          "PRECEDING AND CURRENT ROW) * 1000000) div tot_resp"))
+      .select(col("decile"), col("n").cast("long").as("n"),
+        col("resp").cast("long").as("resp"),
+        col("rate_micro").cast("long").as("rate_micro"),
+        col("lift_micro").cast("long").as("lift_micro"),
+        col("cum_gain_micro").cast("long").as("cum_gain_micro"))
+      .orderBy(col("decile"))
+  }
+
+  val q96Sql: String =
+    """WITH resp AS (
+      | SELECT DISTINCT o_custkey AS c_custkey, 1 AS responded
+      | FROM orders WHERE o_orderpriority = '1-URGENT'),
+      |scored AS (
+      | SELECT c.c_custkey, coalesce(r.responded, 0) AS responded,
+      |  ntile(10) OVER (ORDER BY c.c_acctbal DESC, c.c_custkey) AS decile
+      | FROM customer c LEFT JOIN resp r USING (c_custkey)),
+      |base AS (SELECT sum(responded) AS tot_resp, count(*) AS tot_n FROM scored),
+      |dec AS (
+      | SELECT decile, count(*) AS n, sum(responded) AS resp
+      | FROM scored GROUP BY decile)
+      |SELECT cast(decile as bigint) AS decile, cast(n as bigint) AS n,
+      | cast(resp as bigint) AS resp,
+      | cast((resp * 1000000) // n as bigint) AS rate_micro,
+      | cast((resp * tot_n * 1000000) // (n * tot_resp) as bigint) AS lift_micro,
+      | cast((sum(resp) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+      |   AND CURRENT ROW) * 1000000) // tot_resp as bigint) AS cum_gain_micro
+      |FROM dec CROSS JOIN base ORDER BY decile""".stripMargin
+
+  /** RFM segmentation — the canonical customer-base taxonomy:
+    * per buyer, Recency (last order day), Frequency (order count),
+    * Monetary (exact cents), each cut into quintile scores 1–5 under
+    * deterministic total orders (most recent / most frequent / biggest
+    * spender = 5), then the rule-based segment labels every CRM ships.
+    * Quintiles are `ntile` with (value, key) tie-breaks — identical in
+    * both engines — and the report (customers + revenue per segment)
+    * is exact integer. One orders aggregate to buyer grain, three
+    * windows over the buyer table (customer-sized, not fact-sized),
+    * answer-sized rollup. */
+  def q97RfmSegmentation(spark: SparkSession, dir: String): DataFrame = {
+    val rfm = t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(max((unix_micros(col("o_orderdate")) / 86400000000L).cast("long"))
+        .as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .withColumn("r", ntile(5).over(
+        Window.orderBy(col("last_day"), col("o_custkey"))).cast("long"))
+      .withColumn("f", ntile(5).over(
+        Window.orderBy(col("freq"), col("o_custkey"))).cast("long"))
+      .withColumn("m", ntile(5).over(
+        Window.orderBy(col("cents"), col("o_custkey"))).cast("long"))
+    rfm.withColumn("segment",
+        when(col("r") >= 4 && col("f") >= 4 && col("m") >= 4, lit("champion"))
+          .when(col("f") >= 4, lit("loyal"))
+          .when(col("m") >= 4, lit("big_spender"))
+          .when(col("r") <= 2 && col("f") >= 3, lit("at_risk"))
+          .when(col("r") === 1, lit("lost"))
+          .otherwise(lit("regular")))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).cast("long").as("n_customers"),
+        sum(col("cents")).cast("long").as("revenue_cents"),
+        avg(col("r")).cast("double").as("avg_r"),
+        avg(col("f")).cast("double").as("avg_f"))
+      .orderBy(col("segment"))
+  }
+
+  val q97Sql: String =
+    """WITH rfm AS (
+      | SELECT o_custkey,
+      |  max((epoch_ns(o_orderdate) // 1000) // 86400000000) AS last_day,
+      |  count(*) AS freq,
+      |  sum(cast(round(o_totalprice * 100) as bigint)) AS cents
+      | FROM orders GROUP BY 1),
+      |scored AS (
+      | SELECT *,
+      |  ntile(5) OVER (ORDER BY last_day, o_custkey) AS r,
+      |  ntile(5) OVER (ORDER BY freq, o_custkey) AS f,
+      |  ntile(5) OVER (ORDER BY cents, o_custkey) AS m
+      | FROM rfm),
+      |labeled AS (
+      | SELECT *, CASE
+      |   WHEN r >= 4 AND f >= 4 AND m >= 4 THEN 'champion'
+      |   WHEN f >= 4 THEN 'loyal'
+      |   WHEN m >= 4 THEN 'big_spender'
+      |   WHEN r <= 2 AND f >= 3 THEN 'at_risk'
+      |   WHEN r = 1 THEN 'lost'
+      |   ELSE 'regular' END AS segment
+      | FROM scored)
+      |SELECT segment, cast(count(*) as bigint) AS n_customers,
+      | cast(sum(cents) as bigint) AS revenue_cents,
+      | cast(avg(r) as double) AS avg_r, cast(avg(f) as double) AS avg_f
+      |FROM labeled GROUP BY segment ORDER BY segment""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("q96_decile_lift", q96DecileLift, Some(q96Sql)),
+    GQuery("q97_rfm_segmentation", q97RfmSegmentation, Some(q97Sql)),
     GQuery("q94_rolling_distinct", q94RollingDistinct, Some(q94Sql)),
     GQuery("q95_bitemporal", q95Bitemporal, Some(q95Sql)),
     GQuery("q90_pattern_match", q90PatternMatch, Some(q90Sql)),

@@ -1762,7 +1762,100 @@ object StreamingOps {
           + when(col("r.p_us") =!= 0L, 1L).otherwise(0L)).as("depth"))
       .orderBy(col("user_id"))
 
+  /** STREAMING write–audit–publish — the src_wap_publish gate run
+    * per MICRO-BATCH, which is how a production ingest actually uses
+    * WAP: each arriving batch is staged, audited against the data
+    * contract (no negative amounts), and either PUBLISHED into
+    * the main table or routed whole to QUARANTINE (the dead-letter
+    * half — a contaminated batch must neither poison main nor vanish).
+    * The source delivers six deterministic chunks (event_id mod 6;
+    * chunks 1 and 4 arrive price-negated — an upstream sign bug), one
+    * micro-batch each via MemoryStream + per-chunk drain (the no-Kafka
+    * topic stand-in, same as streamPunctuateSnapshot's feed). The
+    * entry emits the per-batch ledger (decision, rows, staged cents)
+    * — entirely recomputable by the oracle from `events` and the mod-6
+    * predicate, so the hash proves batch-exact routing: nothing
+    * dropped, nothing double-published, quarantine holds exactly the
+    * poisoned batches. At 100 TB each stage is one object-store
+    * write and the audit an answer-sized aggregate; the ledger is the
+    * ops surface. */
+  def streamWapIngest(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val base = graft.util.scratchDir("wap_stream")
+    val rows = graft.util.t(spark, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, String, Long)].collect()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Long)]
+    val ledger = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
+    val q = ms.toDS().toDF("event_id", "event_type", "cents")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val staged = s"$base/stage_$id"
+        batch.write.mode("overwrite").parquet(staged)
+        val s = spark.read.parquet(staged)
+        // contract: no NEGATIVE amounts (zero-cent rows are legal —
+        // sf0.1 carries a handful of sub-cent values, and a contract
+        // stricter than the real invariant would quarantine clean
+        // batches)
+        val Array(agg) = s.agg(count(lit(1)), sum(col("cents")),
+          sum(when(col("cents") < 0, 1L).otherwise(0L))).collect()
+        val (n, cents, viol) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+        val decision = if (viol > 0) "quarantined" else "published"
+        val target = s"$base/$decision/part_$id"
+        s.write.mode("overwrite").parquet(target)
+        ledger.synchronized { ledger += ((id, decision, n, cents)); () }
+      }
+      .start()
+    // one chunk per micro-batch: add, drain, repeat — chunk k is
+    // exactly batch k, so the ledger keys deterministically
+    (0 until 6).foreach { k =>
+      val chunk = rows.filter(t => t._1 % 6 == k)
+        .map { case (id, et, c) => if (k % 3 == 1) (id, et, -c) else (id, et, c) }
+      ms.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val ledgerDf = ledger.toSeq.toDF("batch", "decision", "n_rows", "staged_cents")
+    // the published table must hold exactly the clean chunks: fold its
+    // own recount into the result so the oracle cross-checks storage,
+    // not just the ledger bookkeeping
+    val mainCount = spark.read.parquet(s"$base/published/part_*")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+      .select(lit(-1L).as("batch"), lit("main_total").as("decision"),
+        col("n").cast("long").as("n_rows"),
+        col("c").cast("long").as("staged_cents"))
+    ledgerDf.unionByName(graft.util.materializeLocal(mainCount))
+      .orderBy(col("batch"))
+  }
+
+  val streamWapIngestSql: String =
+    """WITH ev AS (
+      | SELECT event_id % 6 AS chunk,
+      |  cast(round(value * 100) as bigint) AS cents
+      | FROM events),
+      |per_chunk AS (
+      | SELECT chunk,
+      |  CASE WHEN chunk % 3 = 1 THEN 'quarantined' ELSE 'published' END
+      |    AS decision,
+      |  count(*) AS n_rows,
+      |  sum(CASE WHEN chunk % 3 = 1 THEN -cents ELSE cents END) AS staged_cents
+      | FROM ev GROUP BY 1)
+      |SELECT * FROM (
+      | SELECT cast(chunk as bigint) AS batch, decision,
+      |  cast(n_rows as bigint) AS n_rows,
+      |  cast(staged_cents as bigint) AS staged_cents
+      | FROM per_chunk
+      | UNION ALL
+      | SELECT -1, 'main_total',
+      |  cast(sum(n_rows) as bigint), cast(sum(staged_cents) as bigint)
+      | FROM per_chunk WHERE decision = 'published'
+      |) ORDER BY batch""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("stream_wap_ingest", streamWapIngest, Some(streamWapIngestSql)),
     GQuery("stream_funnel", streamFunnel, Some(Analytics.q74Sql)),
     GQuery("stream_cdc_apply", streamCdcApply, Some(streamCdcApplySql)),
     GQuery("stream_cdc_view", streamCdcView, Some(streamCdcViewSql)),

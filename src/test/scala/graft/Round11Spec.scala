@@ -481,6 +481,98 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("q96 decile lift: sequential referee agrees; gains reach exactly 1e6") {
+    val urgent = util.t(spark, sf, "orders").collect()
+      .filter(_.getString(5) == "1-URGENT").map(_.getLong(1)).toSet
+    val custs = util.t(spark, sf, "customer").collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+      .sortBy { case (k, bal) => (-bal, k) }
+    val n = custs.length
+    // SQL ntile: first (n mod 10) buckets get ceil(n/10) rows
+    val big = n % 10; val base = n / 10
+    val deciles = custs.zipWithIndex.map { case ((k, _), i) =>
+      val d = if (i < big * (base + 1)) i / (base + 1)
+      else big + (i - big * (base + 1)) / base
+      (d + 1L, if (urgent(k)) 1L else 0L)
+    }
+    val totResp = deciles.map(_._2).sum
+    val expect = deciles.groupBy(_._1).toSeq.sortBy(_._1).map { case (d, g) =>
+      (d, g.length.toLong, g.map(_._2).sum)
+    }
+    var cum = 0L
+    val full = expect.map { case (d, nn, resp) =>
+      cum += resp
+      (d, nn, resp, resp * 1000000L / nn,
+        resp * n * 1000000L / (nn * totResp), cum * 1000000L / totResp)
+    }
+    val got = SparkEntry.queries("q96_decile_lift")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == full, s"lift mismatch: ${got.diff(full).take(3)}")
+    assert(got.last._6 == 1000000L, "cumulative gains must close at exactly 1e6")
+  }
+
+  test("q97 rfm: sequential ntile referee agrees; segments partition buyers") {
+    val orders = util.t(spark, sf, "orders").collect()
+      .map(r => (r.getLong(1), r.getTimestamp(4).getTime / 86400000L,
+        math.round(r.getDouble(3) * 100)))
+    val rfm = orders.groupBy(_._1).map { case (c, g) =>
+      (c, g.map(_._2).max, g.size.toLong, g.map(_._3).sum)
+    }.toSeq
+    def ntile5(keyed: Seq[(Long, Long)]): Map[Long, Long] = {
+      // keyed = (sortValue, cust) ascending; SQL ntile bucket sizes
+      val sorted = keyed.sortBy(identity)
+      val n = sorted.length; val big = n % 5; val base = n / 5
+      sorted.zipWithIndex.map { case ((_, c), i) =>
+        val b = if (i < big * (base + 1)) i / (base + 1)
+        else big + (i - big * (base + 1)) / base
+        c -> (b + 1L)
+      }.toMap
+    }
+    val r = ntile5(rfm.map(t => (t._2, t._1)))
+    val f = ntile5(rfm.map(t => (t._3, t._1)))
+    val m = ntile5(rfm.map(t => (t._4, t._1)))
+    val expect = rfm.map { case (c, _, _, cents) =>
+      val (rs, fs, ms) = (r(c), f(c), m(c))
+      val seg = if (rs >= 4 && fs >= 4 && ms >= 4) "champion"
+      else if (fs >= 4) "loyal"
+      else if (ms >= 4) "big_spender"
+      else if (rs <= 2 && fs >= 3) "at_risk"
+      else if (rs == 1) "lost" else "regular"
+      (seg, cents, rs, fs)
+    }.groupBy(_._1).view.mapValues { g =>
+      (g.size.toLong, g.map(_._2).sum,
+        g.map(_._3).sum.toDouble / g.size, g.map(_._4).sum.toDouble / g.size)
+    }.toMap
+    val got = SparkEntry.queries("q97_rfm_segmentation")(spark, sf).collect()
+      .map(rr => rr.getString(0) -> (rr.getLong(1), rr.getLong(2),
+        rr.getDouble(3), rr.getDouble(4))).toMap
+    assert(got.keySet == expect.keySet, s"segments: got ${got.keySet}")
+    expect.foreach { case (s, e) =>
+      assert(got(s)._1 == e._1 && got(s)._2 == e._2, s"segment $s: ${got(s)} vs $e")
+      assert(math.abs(got(s)._3 - e._3) < 1e-9 && math.abs(got(s)._4 - e._4) < 1e-9)
+    }
+    assert(got.values.map(_._1).sum == rfm.size.toLong,
+      "segments must partition the buyer set")
+  }
+
+  test("stream wap: poisoned batches quarantined exactly; main total balances") {
+    val rows = SparkEntry.queries("stream_wap_ingest")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val ledger = rows.filter(_._1 >= 0)
+    assert(ledger.map(_._1).toSeq == (0L to 5L), "one ledger row per batch")
+    val quarantined = ledger.filter(_._2 == "quarantined").map(_._1).toSet
+    assert(quarantined == Set(1L, 4L),
+      s"exactly the sign-bugged chunks must quarantine: $quarantined")
+    ledger.filter(_._2 == "quarantined").foreach { case (b, _, _, cents) =>
+      assert(cents < 0, s"batch $b staged cents must carry the sign bug")
+    }
+    val mainRow = rows.find(_._1 == -1L).get
+    val pub = ledger.filter(_._2 == "published")
+    assert(mainRow._3 == pub.map(_._3).sum && mainRow._4 == pub.map(_._4).sum,
+      "the storage recount must balance the published ledger rows")
+  }
+
   test("temporal split: sequential referee agrees; no event-time leakage") {
     val ev = util.t(spark, sf, "events").collect()
       .map(r => (r.getLong(0), r.getTimestamp(1).getTime))
