@@ -98,8 +98,45 @@ object Udfs {
       | count(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** EXACT mergeable distinct counting through the native bitmap
+    * aggregate ([[BitmapAgg]]/[[BitmapUnionAgg]]/[[BitmapCount]], SQL
+    * surface `graft_bitmap*`): per-month customer bitmaps materialize
+    * once, each month's exact distinct reads off its bitmap, and the
+    * ALL row is the bitmap UNION — the incremental dashboard pattern
+    * of meta_hll_sketches but EXACT, so unlike every estimator in the
+    * sketch matrix this one is fully DuckDB-oracle-checked against
+    * COUNT(DISTINCT). The union row also proves mergeability
+    * end-to-end: a lost or double-merged word would shift the exact
+    * count and hash-fail. At 100 TB the monthly bitmap table is
+    * ~n_distinct/8 bytes per partition and rollups never rescan
+    * facts. */
+  def udafBitmapDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = t(spark, dir, "orders")
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_custkey"))
+      .groupBy(col("month"))
+      .agg(expr("graft_bitmap(o_custkey)").as("bm"))
+      .localCheckpoint(true) // the materialized bitmap table
+    monthly
+      .select(col("month"), expr("graft_bitmap_count(bm)").as("n_distinct"))
+      .unionByName(monthly.agg(
+        expr("graft_bitmap_count(graft_bitmap_union(bm))").as("n_distinct"))
+        .select(lit("ALL").as("month"), col("n_distinct")))
+      .orderBy(col("month"))
+  }
+
+  val udafBitmapDistinctSql: String =
+    """SELECT * FROM (
+      | SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |  cast(count(DISTINCT o_custkey) as bigint) AS n_distinct
+      | FROM orders GROUP BY 1
+      | UNION ALL
+      | SELECT 'ALL', cast(count(DISTINCT o_custkey) as bigint) FROM orders
+      |) ORDER BY month""".stripMargin
+
   val all: Seq[GQuery] = Seq(
     GQuery("udf_cosine_pairs", udfCosinePairs, Some(udfCosinePairsSql)),
     GQuery("udaf_weighted_avg", udafWeightedAvg, Some(udafWeightedAvgSql)),
+    GQuery("udaf_bitmap_distinct", udafBitmapDistinct, Some(udafBitmapDistinctSql)),
   )
 }

@@ -706,7 +706,84 @@ object Graph {
       |FROM cand c JOIN deg da ON da.pa = c.a JOIN deg db ON db.pa = c.b
       |ORDER BY cn DESC, ra_micro DESC, a, b LIMIT 30""".stripMargin
 
+  /** Deterministic random walks — the node2vec/DeepWalk sampling pass
+    * that turns a graph into embedding training sequences, made
+    * REPLAYABLE: the next hop from node u at step s of walk w is the
+    * `hash(w, s) mod deg(u)`-th neighbor under the sorted-neighbor
+    * order, with the engine-neutral Knuth multiplicative hash (the
+    * sample_kfold generator) instead of an RNG — so the full walk
+    * corpus is bit-identical across engines, runs, AND partitionings,
+    * and the DuckDB oracle replays every hop. Mechanics: one window
+    * pass ranks each adjacency list (nbr_rank), each of the 4 steps is
+    * one equi-join on (node, chosen rank) — walk-linear, no per-node
+    * iteration, the exact shape that scales: at 100 TB walks shard by
+    * walk_id and each superstep is one shuffle. 50 walks × 4 steps
+    * from the smallest customer nodes. */
+  def randomWalks(spark: SparkSession, dir: String): DataFrame = {
+    val sym = spark.read.parquet(s"${tradeGraphRoot(spark, dir)}/sym")
+    val ranked = sym
+      .withColumn("nbr_rank", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("dst"))).cast("long") - 1)
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val starts = sym.select(col("src")).distinct()
+      .filter(col("src") % 2 === 0)
+      .orderBy(col("src")).limit(50)
+      .withColumn("walk_id",
+        row_number().over(Window.orderBy(col("src"))).cast("long"))
+      .select(col("walk_id"), col("src").as("node"))
+    var pos = starts.withColumn("step", lit(0L))
+    var out = pos
+    for (s <- 1 to 4) {
+      val withIdx = pos.join(deg, col("node") === col("src")).drop("src")
+        .withColumn("idx",
+          expr(s"((walk_id * 2654435761 + $s * 40503) % 4294967296 " +
+            "+ 4294967296) % 4294967296 % d"))
+      pos = withIdx
+        .join(ranked, col("node") === col("src") && col("idx") === col("nbr_rank"))
+        .select(col("walk_id"), col("dst").as("node"), lit(s.toLong).as("step"))
+      out = out.unionByName(pos)
+    }
+    out.orderBy(col("walk_id"), col("step"))
+  }
+
+  val randomWalksSql: String = {
+    val steps = (1 to 4).map { s =>
+      s"""p$s AS (
+         | SELECT p.walk_id, r.dst AS node
+         | FROM p${s - 1} p
+         | JOIN deg ON deg.src = p.node
+         | JOIN ranked r ON r.src = p.node AND r.nbr_rank =
+         |  ((p.walk_id * 2654435761 + $s * 40503) % 4294967296
+         |    + 4294967296) % 4294967296 % deg.d)""".stripMargin
+    }.mkString(",\n")
+    val emits = (0 to 4).map(s =>
+      s"SELECT walk_id, cast($s as bigint) AS step, node FROM p$s")
+      .mkString("\n UNION ALL\n ")
+    s"""WITH pairs AS (
+       | SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS c,
+       |                 CAST(l_suppkey * 2 + 1 AS BIGINT) AS s
+       | FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |sym AS (
+       | SELECT c AS src, s AS dst FROM pairs
+       | UNION ALL SELECT s, c FROM pairs),
+       |ranked AS (
+       | SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst)
+       |   - 1 AS nbr_rank FROM sym),
+       |deg AS (SELECT src, count(*) AS d FROM sym GROUP BY src),
+       |starts AS (
+       | SELECT src FROM (SELECT DISTINCT src FROM sym WHERE src % 2 = 0)
+       | ORDER BY src LIMIT 50),
+       |p0 AS (
+       | SELECT cast(row_number() OVER (ORDER BY src) as bigint) AS walk_id,
+       |  src AS node FROM starts),
+       |$steps
+       |SELECT * FROM (
+       | $emits
+       |) ORDER BY walk_id, step""".stripMargin
+  }
+
   val all: Seq[GQuery] = Seq(
+    GQuery("graph_random_walks", randomWalks, Some(randomWalksSql)),
     GQuery("graph_link_predict", linkPredict, Some(linkPredictSql)),
     GQuery("graph_pagerank", pageRank, Some(pageRankSql)),
     GQuery("graph_ppr", personalizedPageRank, Some(personalizedPageRankSql)),

@@ -1854,7 +1854,71 @@ object StreamingOps {
       | FROM per_chunk WHERE decision = 'published'
       |) ORDER BY batch""".stripMargin
 
+  /** Batch-backfill + streaming-tail handoff — the lambda→kappa seam
+    * every migration crosses: history is served by a BATCH backfill
+    * (events before the median day), the live tail by the STREAMING
+    * pipeline, and the two OVERLAP at the seam (the stream replays
+    * from before the cutoff — at-least-once delivery across the
+    * handoff, the realistic failure mode). The unified view must
+    * therefore de-duplicate by event id with batch preferred, and the
+    * proof is the oracle: per-type counts + exact cents of the merged
+    * view hash-match a straight scan of ALL events — one row lost at
+    * the seam or one double-counted replay and the hash diverges. The
+    * streaming half really streams (file source → foreachBatch →
+    * parquet tail table); the merge is one anti-join, which at 100 TB
+    * runs key-bucketed on the id. */
+  def streamBackfillMerge(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
+    val base = graft.util.scratchDir("backfill")
+    val ev = graft.util.t(spark, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"),
+        (unix_micros(col("ts")) / 86400000000L).cast("long").as("day"))
+    val Array(cut) = ev.agg(expr("(min(day) + max(day) + 1) div 2"))
+      .collect().map(_.getLong(0))
+    ev.filter(col("day") < cut).write.parquet(s"$base/backfill")
+    // the stream tail: replays from ONE DAY BEFORE the cutoff — the
+    // deliberate seam overlap the merge must absorb
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val withTs =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    val q = withTs
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"),
+        (unix_micros(col("ts")) / 86400000000L).cast("long").as("day"))
+      .filter(col("day") >= cut - 1)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$base/tail_$id")
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    val backfill = spark.read.parquet(s"$base/backfill")
+    val tail = spark.read.parquet(s"$base/tail_*")
+    val merged = backfill.unionByName(
+      tail.join(backfill.select(col("event_id")), Seq("event_id"), "left_anti"))
+    merged.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("cents")).cast("long").as("sum_cents"),
+        min(col("day")).cast("long").as("min_day"),
+        max(col("day")).cast("long").as("max_day"))
+      .orderBy(col("event_type"))
+  }
+
+  /** The merged view must equal a straight scan of all events. */
+  val streamBackfillMergeSql: String =
+    """SELECT event_type, cast(count(*) as bigint) AS n,
+      | cast(sum(cast(round(value * 100) as bigint)) as bigint) AS sum_cents,
+      | cast(min((epoch_ns(ts) // 1000) // 86400000000) as bigint) AS min_day,
+      | cast(max((epoch_ns(ts) // 1000) // 86400000000) as bigint) AS max_day
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("stream_backfill_merge", streamBackfillMerge, Some(streamBackfillMergeSql)),
     GQuery("stream_wap_ingest", streamWapIngest, Some(streamWapIngestSql)),
     GQuery("stream_funnel", streamFunnel, Some(Analytics.q74Sql)),
     GQuery("stream_cdc_apply", streamCdcApply, Some(streamCdcApplySql)),

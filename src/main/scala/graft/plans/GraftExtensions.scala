@@ -188,6 +188,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 1, "graft_kll_count(sketch) takes exactly one argument")
         graft.functions.KllCount(exprs(0))
       }))
+    // SQL surface for the EXACT bitmap-distinct family (the mergeable
+    // exact twin of the HLL/KMV estimators):
+    //   SELECT graft_bitmap_count(graft_bitmap(user_id)) FROM …
+    //   SELECT graft_bitmap_count(graft_bitmap_union(bm)) FROM monthly
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bitmap"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.BitmapAgg].getName, "graft_bitmap"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_bitmap(key) takes exactly one argument")
+        graft.functions.BitmapAgg(exprs(0))
+      }))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bitmap_union"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.BitmapUnionAgg].getName, "graft_bitmap_union"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_bitmap_union(bitmap) takes exactly one argument")
+        graft.functions.BitmapUnionAgg(exprs(0))
+      }))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bitmap_count"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.BitmapCount].getName, "graft_bitmap_count"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_bitmap_count(bitmap) takes exactly one argument")
+        graft.functions.BitmapCount(exprs(0))
+      }))
     // SQL surface for the count-min family:
     //   SELECT graft_cms_estimate(graft_cms(term), 'join') FROM …
     ext.injectFunction((

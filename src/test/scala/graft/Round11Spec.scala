@@ -573,6 +573,82 @@ class Round11Spec extends AnyFunSuite {
       "the storage recount must balance the published ledger rows")
   }
 
+  test("bitmap distinct: buffer exact vs set referee; merge + codec stable") {
+    val b = new functions.Bitmap.Buffer
+    val ref = scala.collection.mutable.Set.empty[Long]
+    // adversarial stream: clustered runs, repeats, word-boundary hits
+    val vals = (0 until 5000).map(i =>
+      ((i.toLong * 2654435761L) % 4294967296L) % 10000L) ++
+      Seq(0L, 63L, 64L, 127L, 128L, 0L, 64L)
+    vals.foreach { v => b.add(v); ref += v }
+    assert(b.cardinality == ref.size.toLong, "bitmap must be exact")
+    // split-merge across interleaved shards == sequential
+    val shards = (0 until 4).map { s =>
+      val sb = new functions.Bitmap.Buffer
+      vals.indices.filter(_ % 4 == s).foreach(i => sb.add(vals(i)))
+      sb
+    }
+    val merged = shards.reduce { (x, y) =>
+      val m = functions.Bitmap.deserialize(functions.Bitmap.serialize(x))
+      m.mergeFrom(functions.Bitmap.deserialize(functions.Bitmap.serialize(y)))
+      m
+    }
+    assert(merged.cardinality == ref.size.toLong, "merge must lose nothing")
+    assert(functions.Bitmap.serialize(merged).toSeq ==
+      functions.Bitmap.serialize(b).toSeq,
+      "serialized form must be canonical regardless of build order")
+    intercept[IllegalArgumentException] { b.add(-1L) }
+  }
+
+  test("graph random walks: sequential hop referee agrees; every hop is an edge") {
+    val edges = {
+      val ok = util.t(spark, sf, "orders").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      util.t(spark, sf, "lineitem").collect()
+        .flatMap(r => ok.get(r.getLong(0)).map(c => (c * 2, r.getLong(2) * 2 + 1)))
+        .distinct
+    }
+    val adj = (edges ++ edges.map(_.swap)).distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    val starts = adj.keys.filter(_ % 2 == 0).toSeq.sorted.take(50)
+    val expectRows = starts.zipWithIndex.flatMap { case (start, i) =>
+      val w = i + 1L
+      var node = start
+      Seq((w, 0L, node)) ++ (1 to 4).map { s =>
+        val nbrs = adj(node)
+        val idx = (((w * 2654435761L + s * 40503L) % 4294967296L + 4294967296L)
+          % 4294967296L % nbrs.size).toInt
+        node = nbrs(idx)
+        (w, s.toLong, node)
+      }
+    }
+    val got = SparkEntry.queries("graph_random_walks")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(1))).toSeq
+    assert(got == expectRows, s"walk mismatch: ${got.diff(expectRows).take(3)}")
+    // structural validity: consecutive positions are genuine edges
+    got.groupBy(_._1).values.foreach { walk =>
+      walk.sortBy(_._2).sliding(2).foreach { case Seq(a, b) =>
+        assert(adj(a._3).contains(b._3), s"hop ${a._3}->${b._3} is not an edge")
+      }
+    }
+  }
+
+  test("backfill merge: the seam overlap is real, so the anti-join dedup is load-bearing") {
+    val days = util.t(spark, sf, "events").collect()
+      .map(_.getTimestamp(1).getTime / 86400000L)
+    val cut = (days.min + days.max + 1) / 2
+    assert(days.exists(_ == cut - 1),
+      "the seam day must exist — otherwise the overlap replay tests nothing")
+    // and the merged view must reproduce the full-table truth (the
+    // oracle hash also proves this; here it guards refactors at spec
+    // speed)
+    val got = SparkEntry.queries("stream_backfill_merge")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = util.t(spark, sf, "events").collect()
+      .groupBy(_.getString(3)).view.mapValues(_.size.toLong).toMap
+    assert(got == want, s"merge mismatch: $got vs $want")
+  }
+
   test("temporal split: sequential referee agrees; no event-time leakage") {
     val ev = util.t(spark, sf, "events").collect()
       .map(r => (r.getLong(0), r.getTimestamp(1).getTime))
