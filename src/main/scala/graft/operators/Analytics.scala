@@ -1441,7 +1441,136 @@ object Analytics {
       | cast(avg(r) as double) AS avg_r, cast(avg(f) as double) AS avg_f
       |FROM labeled GROUP BY segment ORDER BY segment""".stripMargin
 
+  /** Top-down proportional allocation with LARGEST-REMAINDER rounding
+    * — the finance/planning disaggregation primitive (spread an order
+    * header's total across its lines by quantity share) done the only
+    * way that audits clean: base share = `(T·qᵢ) div Q` in exact
+    * cents, then the `T − Σ base` leftover cents go one each to the
+    * lines with the largest division remainders. The tie-break must
+    * be chosen with care: this synthetic lineitem does NOT have
+    * unique (order, linenumber) pairs, so ranking needs enough
+    * columns — (rem, linenumber, partkey, suppkey, returnflag) —
+    * that any residual tie is between rows of the SAME output group,
+    * making the grouped sums deterministic even where individual row
+    * ranks are interchangeable. Per-order allocations sum to the
+    * header EXACTLY — no
+    * float pennies, ever (the spec pins Σ alloc ≡ T for every order).
+    * One per-order window for the remainder ranks, answer-sized
+    * rollup; at 100 TB the window is per-order-bounded like every
+    * basket computation. */
+  def q98Allocation(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_returnflag"),
+        round(col("l_quantity")).cast("long").as("q"))
+    val hdr = t(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("tc"))
+    val byOrder = Window.partitionBy(col("l_orderkey"))
+    val remRank = Window.partitionBy(col("l_orderkey"))
+      .orderBy(desc("rem"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_returnflag"))
+    li.join(hdr, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("bigQ", sum(col("q")).over(byOrder))
+      .withColumn("base", expr("(tc * q) div bigQ"))
+      .withColumn("rem", expr("(tc * q) % bigQ"))
+      .withColumn("leftover", col("tc") - sum(col("base")).over(byOrder))
+      .withColumn("rk", row_number().over(remRank))
+      .withColumn("alloc",
+        col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("long").as("n_lines"),
+        sum(col("alloc")).cast("long").as("alloc_cents"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q98Sql: String =
+    """WITH li AS (
+      | SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_returnflag,
+      |  cast(round(l_quantity) as bigint) AS q
+      | FROM lineitem),
+      |hdr AS (
+      | SELECT o_orderkey, cast(round(o_totalprice * 100) as bigint) AS tc
+      | FROM orders),
+      |shares AS (
+      | SELECT li.*, tc,
+      |  sum(q) OVER (PARTITION BY l_orderkey) AS bigQ
+      | FROM li JOIN hdr ON l_orderkey = o_orderkey),
+      |based AS (
+      | SELECT *, (tc * q) // bigQ AS base, (tc * q) % bigQ AS rem
+      | FROM shares),
+      |ranked AS (
+      | SELECT *,
+      |  tc - sum(base) OVER (PARTITION BY l_orderkey) AS leftover,
+      |  row_number() OVER (PARTITION BY l_orderkey
+      |    ORDER BY rem DESC, l_linenumber, l_partkey, l_suppkey,
+      |      l_returnflag) AS rk
+      | FROM based)
+      |SELECT l_returnflag, cast(count(*) as bigint) AS n_lines,
+      | cast(sum(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END) as bigint)
+      |   AS alloc_cents
+      |FROM ranked GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Interval-union coverage (sweep line) — total covered time from
+    * OVERLAPPING intervals, the uptime/SLA computation a naive
+    * sum-of-durations double-counts: per user, each event opens an
+    * interval [ts, ts + value·10 ms]; sorting by start and comparing
+    * each start against the running max of prior ends splits the
+    * timeline into maximal covered islands (`start > max_prior_end` ⇒
+    * new island — the q85 gaps-and-islands trick lifted to
+    * intervals), and coverage = Σ (island_max_end − island_min_start)
+    * in exact micros. One per-user sort, two windows sharing it;
+    * per-user interval counts bound the work at any scale. */
+  def q99IntervalCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val iv = t(spark, dir, "events")
+      .select(col("user_id"),
+        unix_micros(col("ts")).as("s"),
+        (unix_micros(col("ts")) +
+          round(col("value") * 100).cast("long") * 10000L).as("e"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("s"), col("e"))
+    val islands = iv
+      .withColumn("maxPrior",
+        max(col("e")).over(byUser.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("newIsland",
+        when(col("maxPrior").isNull || col("s") > col("maxPrior"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("newIsland")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    islands.groupBy(col("user_id"), col("island"))
+      .agg(min(col("s")).as("is"), max(col("e")).as("ie"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_islands"),
+        sum(col("ie") - col("is")).cast("long").as("covered_micros"))
+      .orderBy(col("user_id"))
+  }
+
+  val q99Sql: String =
+    """WITH iv AS (
+      | SELECT user_id, epoch_ns(ts) // 1000 AS s,
+      |  epoch_ns(ts) // 1000
+      |    + cast(round(value * 100) as bigint) * 10000 AS e
+      | FROM events),
+      |marked AS (
+      | SELECT *,
+      |  max(e) OVER (PARTITION BY user_id ORDER BY s, e
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxPrior
+      | FROM iv),
+      |islanded AS (
+      | SELECT *,
+      |  sum(CASE WHEN maxPrior IS NULL OR s > maxPrior THEN 1 ELSE 0 END)
+      |   OVER (PARTITION BY user_id ORDER BY s, e
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      | FROM marked),
+      |spans AS (
+      | SELECT user_id, island, min(s) AS i_s, max(e) AS i_e
+      | FROM islanded GROUP BY 1, 2)
+      |SELECT user_id, cast(count(*) as bigint) AS n_islands,
+      | cast(sum(i_e - i_s) as bigint) AS covered_micros
+      |FROM spans GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("q98_allocation", q98Allocation, Some(q98Sql)),
+    GQuery("q99_interval_coverage", q99IntervalCoverage, Some(q99Sql)),
     GQuery("q96_decile_lift", q96DecileLift, Some(q96Sql)),
     GQuery("q97_rfm_segmentation", q97RfmSegmentation, Some(q97Sql)),
     GQuery("q94_rolling_distinct", q94RollingDistinct, Some(q94Sql)),

@@ -800,7 +800,9 @@ object FileSources {
       val add = java.nio.file.Files.readString(
         java.nio.file.Paths.get(s"$root/_versions/v$v.json"))
         .split("\"add\": \"")(1).split("\"")(0)
-      spark.read.parquet(s"$root/$add")
+      // absolute adds are CROSS-TABLE references — how a zero-copy
+      // clone points at the source table's files without copying them
+      spark.read.parquet(if (add.startsWith("/")) add else s"$root/$add")
     }.reduce(_ unionAll _)
 
   /** Fast-forward merge `from` → `into`: legal iff `into`'s current
@@ -1017,7 +1019,77 @@ object FileSources {
       | SELECT 'before', 4, 4, (SELECT count(*) FROM orders)
       |) ORDER BY phase""".stripMargin
 
+  /** ZERO-COPY table clone (Delta SHALLOW CLONE / Iceberg snapshot
+    * ref-ing across tables): the clone is a NEW table root whose
+    * manifests reference the source's data files by ABSOLUTE path —
+    * no bytes move, clone time is manifest-sized — and the two tables
+    * evolve independently afterwards: an append lands only in the
+    * clone's chain, and the source readback is untouched (both facts
+    * hash-proven: the oracle recomputes every (table, phase) count
+    * from `orders` predicates). The production use is test/dev
+    * environments and blue/green experiments over petabyte tables at
+    * metadata cost; the GC contract composes — [[expireUnreachable]]
+    * on the source must NOT reclaim files a clone references, which
+    * is why real formats track cross-table references before
+    * deleting (spec-pinned here by reading the clone after a source
+    * GC). */
+  def cloneTable(spark: SparkSession, dir: String): DataFrame = {
+    val src = uniq("clone_src")
+    val dst = uniq("clone_dst")
+    val orders = graft.util.t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    writeRef(src, "main", commitVersion(src, "d0",
+      orders.filter(col("o_orderkey") % 3 === 0), parent = 0))
+    writeRef(src, "main", commitVersion(src, "d1",
+      orders.filter(col("o_orderkey") % 3 === 1), parent = readRef(src, "main")))
+    shallowClone(src, dst)
+    // diverge: append to the CLONE only
+    writeRef(dst, "main", commitVersion(dst, "d2",
+      orders.filter(col("o_orderkey") % 3 === 2), parent = readRef(dst, "main")))
+    def snap(table: String, root: String, phase: String): DataFrame =
+      materializeLocal(snapshotAt(spark, root, readRef(root, "main"))
+        .groupBy().agg(count(lit(1)).as("n"))
+        .select(lit(table).as("tbl"), lit(phase).as("phase"),
+          col("n").cast("long").as("n_rows")))
+    snap("src", src, "after_clone_append")
+      .unionAll(snap("clone", dst, "after_clone_append"))
+      .orderBy(col("tbl"))
+  }
+
+  /** Copies the source's reachable manifest chain into a new root,
+    * rewriting each data-file reference to an absolute path into the
+    * source — the zero-copy half; the new root's version ids restart
+    * dense from 1. */
+  private[graft] def shallowClone(srcRoot: String, dstRoot: String): Unit = {
+    val chain = ancestors(srcRoot, readRef(srcRoot, "main")).reverse
+    var parent = 0
+    chain.foreach { v =>
+      val add = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$srcRoot/_versions/v$v.json"))
+        .split("\"add\": \"")(1).split("\"")(0)
+      val abs = if (add.startsWith("/")) add else s"$srcRoot/$add"
+      val vdir = new java.io.File(s"$dstRoot/_versions")
+      vdir.mkdirs()
+      val next = parent + 1
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dstRoot/_versions/v$next.json"),
+        s"""{"version": $next, "parent": $parent, "add": "$abs"}""")
+      parent = next
+    }
+    writeRef(dstRoot, "main", parent)
+  }
+
+  val cloneTableSql: String =
+    """SELECT * FROM (
+      | SELECT 'clone' AS tbl, 'after_clone_append' AS phase,
+      |  cast((SELECT count(*) FROM orders) as bigint) AS n_rows
+      | UNION ALL
+      | SELECT 'src', 'after_clone_append',
+      |  cast((SELECT count(*) FROM orders WHERE o_orderkey % 3 <> 2) as bigint)
+      |) ORDER BY tbl""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("src_clone_table", cloneTable, Some(cloneTableSql)),
     GQuery("src_manifest_expire", manifestExpire, Some(manifestExpireSql)),
     GQuery("src_branch_merge", branchMerge, Some(branchMergeSql)),
     GQuery("src_wap_publish", wapPublish, Some(wapPublishSql)),

@@ -649,6 +649,84 @@ class Round11Spec extends AnyFunSuite {
     assert(got == want, s"merge mismatch: $got vs $want")
   }
 
+  test("q98 allocation: every order's allocations sum to its header exactly") {
+    val hdr = util.t(spark, sf, "orders").collect()
+      .map(r => r.getLong(0) -> math.round(r.getDouble(3) * 100)).toMap
+    val lines = util.t(spark, sf, "lineitem").collect()
+      .map(r => (r.getLong(0), r.getInt(3).toLong, r.getLong(1), r.getLong(2),
+        r.getString(8), math.round(r.getDouble(4))))
+    val alloc = lines.groupBy(_._1).toSeq.flatMap { case (ok, g) =>
+      val tc = hdr(ok)
+      val bigQ = g.map(_._6).sum
+      val based = g.map { case (_, ln, pk, sk, rf, q) =>
+        (ln, pk, sk, rf, tc * q / bigQ, tc * q % bigQ)
+      }
+      val leftover = tc - based.map(_._5).sum
+      val ranked = based.sortBy { case (ln, pk, sk, rf, _, rem) =>
+        (-rem, ln, pk, sk, rf)
+      }.zipWithIndex
+      val rows = ranked.map { case ((_, _, _, rf, base, _), i) =>
+        (rf, base + (if (i < leftover) 1L else 0L))
+      }
+      assert(rows.map(_._2).sum == tc,
+        s"order $ok: allocations ${rows.map(_._2).sum} != header $tc")
+      rows
+    }
+    val expect = alloc.groupBy(_._1).view
+      .mapValues(g => (g.size.toLong, g.map(_._2).sum)).toMap
+    val got = SparkEntry.queries("q98_allocation")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expect, s"allocation mismatch: $got vs $expect")
+  }
+
+  test("q99 interval coverage: sequential union referee agrees per user") {
+    val iv = util.t(spark, sf, "events").collect()
+      .map { r =>
+        val s = r.getTimestamp(1).getTime * 1000L
+        (r.getLong(2), s, s + math.round(r.getDouble(4) * 100) * 10000L)
+      }
+    val expect = iv.groupBy(_._1).map { case (u, g) =>
+      val sorted = g.map(t => (t._2, t._3)).sortBy(identity)
+      var islands = 0L; var covered = 0L
+      var curS = Long.MinValue; var curE = Long.MinValue
+      sorted.foreach { case (s, e) =>
+        if (islands == 0 || s > curE) {
+          if (islands > 0) covered += curE - curS
+          islands += 1; curS = s; curE = e
+        } else if (e > curE) curE = e
+      }
+      covered += curE - curS
+      u -> (islands, covered)
+    }
+    val got = SparkEntry.queries("q99_interval_coverage")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expect, s"coverage mismatch: ${got.toSeq.diff(expect.toSeq).take(3)}")
+  }
+
+  test("clone: zero-copy, divergence isolated, survives a source GC") {
+    import sources.FileSources._
+    import spark.implicits._
+    val src = util.scratchDir("clone_spec_src")
+    val dst = util.scratchDir("clone_spec_dst")
+    def df(ids: Int*) = ids.toSeq.toDF("id")
+    writeRef(src, "main", commitVersion(src, "a", df(1, 2), parent = 0))
+    writeRef(src, "main", commitVersion(src, "b", df(3), parent = readRef(src, "main")))
+    shallowClone(src, dst)
+    def ids(root: String): Set[Int] =
+      snapshotAt(spark, root, readRef(root, "main")).collect().map(_.getInt(0)).toSet
+    assert(ids(dst) == Set(1, 2, 3), "clone must see the source's content")
+    assert(!new java.io.File(s"$dst/a").exists,
+      "zero-copy: no data files may exist under the clone root")
+    // divergence: append to the clone, source unchanged
+    writeRef(dst, "main", commitVersion(dst, "c", df(9), parent = readRef(dst, "main")))
+    assert(ids(dst) == Set(1, 2, 3, 9) && ids(src) == Set(1, 2, 3),
+      "clone appends must not leak into the source")
+    // a GC of the source's own refs must not break the clone (all src
+    // manifests are main-reachable, so nothing is reclaimed)
+    expireUnreachable(src, Seq("main"))
+    assert(ids(dst) == Set(1, 2, 3, 9), "clone must survive a source GC")
+  }
+
   test("temporal split: sequential referee agrees; no event-time leakage") {
     val ev = util.t(spark, sf, "events").collect()
       .map(r => (r.getLong(0), r.getTimestamp(1).getTime))
