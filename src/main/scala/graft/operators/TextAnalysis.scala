@@ -1454,7 +1454,57 @@ object TextAnalysis {
       |      ELSE 'hard' END AS band
       |FROM scored ORDER BY doc_id""".stripMargin
 
+  /** Feature hashing (the "hashing trick", Weinberger et al.,
+    * ICML'09) — fixed-width bag-of-words features with no vocabulary
+    * coordination: token → bucket `xxhash64 mod 128`, so a new shard
+    * needs no vocab merge, the curse of the explicit `text_vocab_
+    * encode` path at fleet scale. The hash is engine-specific, so the
+    * token→bucket MAP rides the oracle sidecar (the text_fingerprint
+    * discipline) and every relational consequence — per-doc nnz, L1
+    * mass, argmax bucket, and the corpus collision profile the
+    * 128-way width implies — is hash-checked in DuckDB. One explode +
+    * one broadcast map join + per-doc aggregate: scan-speed, no
+    * vocab shuffle anywhere. */
+  def hashingTrick(spark: SparkSession, dir: String): DataFrame = {
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val vocabMap = toks.select(col("w")).distinct()
+      .withColumn("bucket", pmod(xxhash64(col("w")), lit(128L)))
+    oracleSidecar("hashing_vocab", vocabMap)
+    val perBucket = toks.join(broadcast(vocabMap), Seq("w"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    perBucket.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("nnz"),
+        sum(col("c")).cast("long").as("l1"),
+        max_by(col("bucket"), struct(col("c"), -col("bucket")))
+          .cast("long").as("top_bucket"),
+        max(col("c")).cast("long").as("top_count"))
+      .orderBy(col("doc_id"))
+  }
+
+  val hashingTrickSql: String =
+    s"""WITH vocab AS (
+       | SELECT w, bucket FROM read_parquet('${oracleSidecarGlob("hashing_vocab")}')),
+       |toks AS (
+       | SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |per_bucket AS (
+       | SELECT doc_id, bucket, count(*) AS c
+       | FROM toks JOIN vocab USING (w) GROUP BY 1, 2),
+       |ranked AS (
+       | SELECT *, row_number() OVER (PARTITION BY doc_id
+       |   ORDER BY c DESC, bucket) AS rn FROM per_bucket),
+       |agg AS (
+       | SELECT doc_id, cast(count(*) as bigint) AS nnz,
+       |  cast(sum(c) as bigint) AS l1, cast(max(c) as bigint) AS top_count
+       | FROM per_bucket GROUP BY doc_id)
+       |SELECT a.doc_id, a.nnz, a.l1, cast(r.bucket as bigint) AS top_bucket,
+       | a.top_count
+       |FROM agg a JOIN ranked r ON a.doc_id = r.doc_id AND r.rn = 1
+       |ORDER BY a.doc_id""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("text_hashing_trick", hashingTrick, Some(hashingTrickSql)),
     GQuery("text_readability", readability, Some(readabilitySql)),
     GQuery("text_pmi_collocations", pmiCollocations, Some(pmiCollocationsSql)),
     GQuery("text_lm_decode", lmDecode, Some(lmDecodeSql)),

@@ -1229,7 +1229,107 @@ object Warehouse {
       | cast(sum(adiff) as bigint) AS abs_diff_cents
       |FROM classed GROUP BY cls ORDER BY cls""".stripMargin
 
+  /** k-anonymity audit (Sweeney, 2002) — the privacy gate a
+    * training-data release runs before shipping user-derived tables:
+    * group by the quasi-identifier tuple (market segment × nation ×
+    * $1000 balance bucket) and measure how small the smallest
+    * equivalence classes are. A record in a group of size < k is
+    * re-identifiable; the report carries, per segment, the group
+    * count, the minimum class size, and how many records would need
+    * suppression/generalization to reach k = 5 — all exact integer
+    * counts, fully replayed in DuckDB. One aggregate at QI grain +
+    * one rollup; at 100 TB this is scan-speed and the QI grain table
+    * is the thing you'd iterate on (coarser buckets) until the
+    * suppression share is acceptable. */
+  def metaKAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val qi = t(spark, dir, "customer")
+      .select(col("c_mktsegment").as("seg"), col("c_nationkey").as("nat"),
+        expr("cast(round(c_acctbal * 100) as bigint) div 100000").as("balb"))
+      .groupBy(col("seg"), col("nat"), col("balb"))
+      .agg(count(lit(1)).as("k"))
+    qi.groupBy(col("seg"))
+      .agg(count(lit(1)).cast("long").as("n_groups"),
+        min(col("k")).cast("long").as("min_k"),
+        sum(when(col("k") < 5, 1L).otherwise(0L)).cast("long").as("n_small_groups"),
+        sum(when(col("k") < 5, col("k")).otherwise(0L)).cast("long").as("n_suppressed"),
+        sum(col("k")).cast("long").as("n_records"))
+      .orderBy(col("seg"))
+  }
+
+  val metaKAnonymitySql: String =
+    """WITH qi AS (
+      | SELECT c_mktsegment AS seg, c_nationkey AS nat,
+      |  cast(round(c_acctbal * 100) as bigint) // 100000 AS balb,
+      |  count(*) AS k
+      | FROM customer GROUP BY 1, 2, 3)
+      |SELECT seg, cast(count(*) as bigint) AS n_groups,
+      | cast(min(k) as bigint) AS min_k,
+      | cast(sum(CASE WHEN k < 5 THEN 1 ELSE 0 END) as bigint) AS n_small_groups,
+      | cast(sum(CASE WHEN k < 5 THEN k ELSE 0 END) as bigint) AS n_suppressed,
+      | cast(sum(k) as bigint) AS n_records
+      |FROM qi GROUP BY seg ORDER BY seg""".stripMargin
+
+  /** Semi-additive rollup with carry-forward — the balance-style
+    * measure that sums across ACCOUNTS but takes LAST over TIME: each
+    * user's running "balance" is their latest event value, and the
+    * daily total must carry every user's last-known balance forward
+    * through days they were silent. The standard relational shape:
+    * per-user last-update-per-day (one latest-per-key window), each
+    * update exploded across its validity range [day, next update) —
+    * bounded by the calendar, never user² — then one sum per day.
+    * Exact cents; DuckDB replays via lead() + generate_series. At
+    * 100 TB the fan-out is |calendar| per user worst case, the
+    * documented cost of exact carry-forward (the alternative is the
+    * as-of join at query time — q36's operator). */
+  def metaSemiAdditive(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"),
+        (unix_micros(col("ts")) / 86400000000L).cast("long").as("day"),
+        col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val lastPerDay = ev
+      .groupBy(col("user_id"), col("day"))
+      .agg(max_by(col("cents"), struct(col("ts"), col("event_id"))).as("bal"))
+    val maxDay = ev.agg(max(col("day")).as("hi"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    lastPerDay
+      .withColumn("nextDay", lead(col("day"), 1).over(byUser))
+      .crossJoin(broadcast(maxDay))
+      .withColumn("validTo",
+        coalesce(col("nextDay") - 1, col("hi")))
+      .withColumn("d", explode(sequence(col("day"), col("validTo"))))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).cast("long").as("n_users_known"),
+        sum(col("bal")).cast("long").as("total_balance_cents"))
+      .orderBy(col("d"))
+  }
+
+  val metaSemiAdditiveSql: String =
+    """WITH ev AS (
+      | SELECT user_id, (epoch_ns(ts) // 1000) // 86400000000 AS day,
+      |  ts, event_id, cast(round(value * 100) as bigint) AS cents
+      | FROM events),
+      |last_per_day AS (
+      | SELECT user_id, day, cents AS bal FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id, day
+      |    ORDER BY ts DESC, event_id DESC) AS rn FROM ev)
+      | WHERE rn = 1),
+      |hi AS (SELECT max(day) AS hi FROM ev),
+      |ranged AS (
+      | SELECT user_id, day, bal,
+      |  coalesce(lead(day, 1) OVER (PARTITION BY user_id ORDER BY day) - 1,
+      |   hi) AS validTo
+      | FROM last_per_day CROSS JOIN hi),
+      |filled AS (
+      | SELECT user_id, bal, unnest(generate_series(day, validTo)) AS d
+      | FROM ranged)
+      |SELECT d, cast(count(*) as bigint) AS n_users_known,
+      | cast(sum(bal) as bigint) AS total_balance_cents
+      |FROM filled GROUP BY d ORDER BY d""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("meta_k_anonymity", metaKAnonymity, Some(metaKAnonymitySql)),
+    GQuery("meta_semi_additive", metaSemiAdditive, Some(metaSemiAdditiveSql)),
     GQuery("meta_benford", metaBenford, Some(metaBenfordSql)),
     GQuery("meta_reconcile", metaReconcile, Some(metaReconcileSql)),
     GQuery("meta_drift_ks", metaDriftKs, Some(metaDriftKsSql)),

@@ -727,6 +727,74 @@ class Round11Spec extends AnyFunSuite {
     assert(ids(dst) == Set(1, 2, 3, 9), "clone must survive a source GC")
   }
 
+  test("k-anonymity: sequential referee agrees; records partition exactly") {
+    val cust = util.t(spark, sf, "customer").collect()
+      .map(r => (r.getString(4), r.getInt(2).toLong,
+        math.round(r.getDouble(3) * 100) / 100000L))
+    val expect = cust.groupBy(identity).toSeq
+      .map { case ((seg, _, _), g) => (seg, g.size.toLong) }
+      .groupBy(_._1).view.mapValues { ks =>
+        val sizes = ks.map(_._2)
+        (sizes.size.toLong, sizes.min,
+          sizes.count(_ < 5).toLong, sizes.filter(_ < 5).sum, sizes.sum)
+      }.toMap
+    val got = SparkEntry.queries("meta_k_anonymity")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(got == expect, s"k-anon mismatch: $got vs $expect")
+    assert(got.values.map(_._5).sum == cust.length.toLong,
+      "QI groups must partition the customer records")
+  }
+
+  test("semi-additive: sequential carry-forward referee agrees") {
+    val ev = util.t(spark, sf, "events").collect()
+      .map(r => (r.getLong(2), r.getTimestamp(1).getTime / 86400000L,
+        r.getTimestamp(1).getTime, r.getLong(0),
+        math.round(r.getDouble(4) * 100)))
+    val hi = ev.map(_._2).max
+    val expect = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    ev.groupBy(_._1).foreach { case (_, g) =>
+      val lastPerDay = g.groupBy(_._2).view.mapValues(
+        _.maxBy(t => (t._3, t._4))._5).toSeq.sortBy(_._1)
+      lastPerDay.zipWithIndex.foreach { case ((day, bal), i) =>
+        val to = if (i + 1 < lastPerDay.size) lastPerDay(i + 1)._1 - 1 else hi
+        (day to to).foreach { d =>
+          val (n, s) = expect.getOrElse(d, (0L, 0L))
+          expect(d) = (n + 1, s + bal)
+        }
+      }
+    }
+    val got = SparkEntry.queries("meta_semi_additive")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expect.toMap,
+      s"carry-forward mismatch: ${got.toSeq.diff(expect.toSeq).take(3)}")
+    val nUsers = ev.map(_._1).distinct.length.toLong
+    assert(got(hi)._1 == nUsers,
+      "on the final day every user's balance must be known")
+  }
+
+  test("hashing trick: features replay from the sidecar map; width respected") {
+    // run the ENTRY first so the sidecar on disk is this SF's map
+    val got = SparkEntry.queries("text_hashing_trick")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    // the sidecar map IS the published artifact — read it back and
+    // recompute every doc's features sequentially from raw text
+    val vocab = spark.read.parquet(
+      util.oracleSidecarGlob("hashing_vocab").stripSuffix("/*.parquet"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vocab.values.forall(b => b >= 0 && b < 128), "bucket width is 128")
+    val docs = util.t(spark, sf, "documents").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expect = docs.map { case (id, text) =>
+      val counts = text.split(" ", -1).toSeq.map(vocab)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val (topB, topC) = counts.toSeq.maxBy { case (b, c) => (c, -b) }
+      id -> (counts.size.toLong, counts.values.sum, topB, topC)
+    }.toMap
+    assert(got == expect, s"feature mismatch: ${got.toSeq.diff(expect.toSeq).take(3)}")
+  }
+
   test("temporal split: sequential referee agrees; no event-time leakage") {
     val ev = util.t(spark, sf, "events").collect()
       .map(r => (r.getLong(0), r.getTimestamp(1).getTime))
