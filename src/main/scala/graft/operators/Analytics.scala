@@ -1568,7 +1568,77 @@ object Analytics {
       | cast(sum(i_e - i_s) as bigint) AS covered_micros
       |FROM spans GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Rolling OLS trend slope — the windowed least-squares primitive
+    * behind trend alerts ("price rising over the last 8 observations
+    * of this part"): with x = the per-part observation index and
+    * y = price cents, slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) over a
+    * trailing ROWS window. Every moment is an exact integer window
+    * sum, the division lands once on the micro grid, and the report
+    * (per part: steepest rise, steepest fall, window count) replays
+    * bit-identically in DuckDB. Five window sums share ONE sort —
+    * Catalyst evaluates them in a single Window operator — and
+    * per-part sequences bound the work. */
+  def q100RollingSlope(spark: SparkSession, dir: String): DataFrame = {
+    val byPart = Window.partitionBy(col("p"))
+      .orderBy(col("d"), col("o"), col("ln"))
+    val trail = byPart.rowsBetween(-7, Window.currentRow)
+    t(spark, dir, "lineitem")
+      .select(col("l_partkey").as("p"), col("l_shipdate").as("d"),
+        col("l_orderkey").as("o"), col("l_linenumber").as("ln"),
+        round(col("l_extendedprice") * 100).cast("long").as("y"))
+      .withColumn("x", row_number().over(byPart).cast("long"))
+      .withColumn("n", count(lit(1)).over(trail))
+      .withColumn("sx", sum(col("x")).over(trail))
+      .withColumn("sy", sum(col("y")).over(trail))
+      .withColumn("sxy", sum(col("x") * col("y")).over(trail))
+      .withColumn("sxx", sum(col("x") * col("x")).over(trail))
+      // the numerator is SIGNED and Spark `div` truncates toward zero
+      // while DuckDB `//` floors — divide magnitudes and reapply the
+      // sign so both engines truncate identically
+      .withColumn("num", expr("(n * sxy - sx * sy) * 1000000"))
+      .withColumn("den", expr("n * sxx - sx * sx"))
+      .withColumn("slope_micro",
+        when(col("n") >= 2,
+          when(col("num") >= 0, expr("num div den"))
+            .otherwise(-expr("(-num) div den"))))
+      .filter(col("slope_micro").isNotNull)
+      .groupBy(col("p"))
+      .agg(count(lit(1)).cast("long").as("n_windows"),
+        max(col("slope_micro")).cast("long").as("max_rise_micro"),
+        min(col("slope_micro")).cast("long").as("max_fall_micro"))
+      .orderBy(col("p"))
+      .select(col("p").as("partkey"), col("n_windows"),
+        col("max_rise_micro"), col("max_fall_micro"))
+  }
+
+  val q100Sql: String =
+    """WITH li AS (
+      | SELECT l_partkey AS p, l_shipdate AS d, l_orderkey AS o,
+      |  l_linenumber AS ln,
+      |  cast(round(l_extendedprice * 100) as bigint) AS y
+      | FROM lineitem),
+      |xed AS (
+      | SELECT *, cast(row_number() OVER w as bigint) AS x
+      | FROM li WINDOW w AS (PARTITION BY p ORDER BY d, o, ln)),
+      |moments AS (
+      | SELECT p, count(*) OVER t AS n,
+      |  sum(x) OVER t AS sx, sum(y) OVER t AS sy,
+      |  sum(x * y) OVER t AS sxy, sum(x * x) OVER t AS sxx
+      | FROM xed WINDOW t AS (PARTITION BY p ORDER BY d, o, ln
+      |   ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)),
+      |slopes AS (
+      | SELECT p, CASE WHEN (n * sxy - sx * sy) >= 0
+      |   THEN ((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx)
+      |   ELSE -((-(n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx))
+      |  END AS slope_micro
+      | FROM moments WHERE n >= 2)
+      |SELECT p AS partkey, cast(count(*) as bigint) AS n_windows,
+      | cast(max(slope_micro) as bigint) AS max_rise_micro,
+      | cast(min(slope_micro) as bigint) AS max_fall_micro
+      |FROM slopes GROUP BY p ORDER BY partkey""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("q100_rolling_slope", q100RollingSlope, Some(q100Sql)),
     GQuery("q98_allocation", q98Allocation, Some(q98Sql)),
     GQuery("q99_interval_coverage", q99IntervalCoverage, Some(q99Sql)),
     GQuery("q96_decile_lift", q96DecileLift, Some(q96Sql)),

@@ -782,8 +782,48 @@ object Graph {
        |) ORDER BY walk_id, step""".stripMargin
   }
 
+  /** Skip-gram training pairs from the walk corpus — the second half
+    * of the node2vec/DeepWalk data prep ([[randomWalks]] is the
+    * first): within each walk, every (center, context) node pair at
+    * step distance 1 or 2 becomes a training example, weighted by
+    * co-occurrence count. Pure composition: the walk table self-joins
+    * on walk_id with a step-band predicate (walk-length-bounded,
+    * never corpus²), and because the walks are deterministic the
+    * entire pair table — counts, distances, total order — replays in
+    * DuckDB. Top-30 emit keeps the answer bounded; at scale the full
+    * pair table IS the training set and ships to the embedding
+    * trainer partitioned by center. */
+  def walkPairs(spark: SparkSession, dir: String): DataFrame = {
+    val w = randomWalks(spark, dir)
+      .select(col("walk_id"), col("step"), col("node"))
+    val a = w.select(col("walk_id"), col("step").as("s1"), col("node").as("center"))
+    val b = w.select(col("walk_id"), col("step").as("s2"), col("node").as("context"))
+    a.join(b, Seq("walk_id"))
+      .withColumn("dist", abs(col("s1") - col("s2")))
+      .filter(col("dist") >= 1 && col("dist") <= 2)
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        min(col("dist")).cast("long").as("min_dist"))
+      .orderBy(desc("n"), col("center"), col("context"))
+      .limit(30)
+  }
+
+  val walkPairsSql: String =
+    s"""WITH walks AS (
+       | SELECT * FROM ($randomWalksSql)),
+       |pairs AS (
+       | SELECT a.node AS center, b.node AS context,
+       |  abs(a.step - b.step) AS dist
+       | FROM walks a JOIN walks b ON a.walk_id = b.walk_id
+       | WHERE abs(a.step - b.step) BETWEEN 1 AND 2)
+       |SELECT center, context, cast(count(*) as bigint) AS n,
+       | cast(min(dist) as bigint) AS min_dist
+       |FROM pairs GROUP BY 1, 2
+       |ORDER BY n DESC, center, context LIMIT 30""".stripMargin
+
   val all: Seq[GQuery] = Seq(
     GQuery("graph_random_walks", randomWalks, Some(randomWalksSql)),
+    GQuery("pipeline_walk_pairs", walkPairs, Some(walkPairsSql)),
     GQuery("graph_link_predict", linkPredict, Some(linkPredictSql)),
     GQuery("graph_pagerank", pageRank, Some(pageRankSql)),
     GQuery("graph_ppr", personalizedPageRank, Some(personalizedPageRankSql)),

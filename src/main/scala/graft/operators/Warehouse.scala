@@ -1327,7 +1327,47 @@ object Warehouse {
       | cast(sum(bal) as bigint) AS total_balance_cents
       |FROM filled GROUP BY d ORDER BY d""".stripMargin
 
+  /** Equi-depth histogram — the CBO statistics object behind range
+    * selectivity estimation (Spark's own ANALYZE ... FOR COLUMNS
+    * builds one; here it is a first-class queryable table): 8 buckets
+    * over order-total cents with boundaries at EXACT order statistics
+    * (`ntile` under the (cents, key) total order), per bucket the
+    * span, row count, and exact distinct count. Depth balance is the
+    * defining property (bucket sizes differ by ≤ 1 — spec-pinned),
+    * which is what makes range estimates robust to skew where
+    * equi-WIDTH histograms collapse. One sort-equivalent window + one
+    * aggregate; at 100 TB the boundaries come from a quantile sketch
+    * and the same table shape serves the optimizer. */
+  def metaHistogramEquidepth(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .withColumn("bucket", ntile(8).over(
+        Window.orderBy(col("cents"), col("o_orderkey"))).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(min(col("cents")).cast("long").as("lo"),
+        max(col("cents")).cast("long").as("hi"),
+        count(lit(1)).cast("long").as("n_rows"),
+        countDistinct(col("cents")).cast("long").as("n_distinct"))
+      .orderBy(col("bucket"))
+  }
+
+  val metaHistogramEquidepthSql: String =
+    """WITH c AS (
+      | SELECT o_orderkey, cast(round(o_totalprice * 100) as bigint) AS cents
+      | FROM orders),
+      |b AS (
+      | SELECT cents, ntile(8) OVER (ORDER BY cents, o_orderkey) AS bucket
+      | FROM c)
+      |SELECT cast(bucket as bigint) AS bucket,
+      | cast(min(cents) as bigint) AS lo, cast(max(cents) as bigint) AS hi,
+      | cast(count(*) as bigint) AS n_rows,
+      | cast(count(DISTINCT cents) as bigint) AS n_distinct
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("meta_histogram_equidepth", metaHistogramEquidepth,
+      Some(metaHistogramEquidepthSql)),
     GQuery("meta_k_anonymity", metaKAnonymity, Some(metaKAnonymitySql)),
     GQuery("meta_semi_additive", metaSemiAdditive, Some(metaSemiAdditiveSql)),
     GQuery("meta_benford", metaBenford, Some(metaBenfordSql)),

@@ -795,6 +795,74 @@ class Round11Spec extends AnyFunSuite {
     assert(got == expect, s"feature mismatch: ${got.toSeq.diff(expect.toSeq).take(3)}")
   }
 
+  test("equi-depth histogram: depth balanced, spans ordered, referee agrees") {
+    val cents = util.t(spark, sf, "orders").collect()
+      .map(r => (math.round(r.getDouble(3) * 100), r.getLong(0)))
+      .sortBy(identity)
+    val n = cents.length; val big = n % 8; val base = n / 8
+    val expect = cents.zipWithIndex.map { case ((c, _), i) =>
+      val b = if (i < big * (base + 1)) i / (base + 1)
+      else big + (i - big * (base + 1)) / base
+      (b + 1L, c)
+    }.groupBy(_._1).view.mapValues { g =>
+      val cs = g.map(_._2)
+      (cs.min, cs.max, cs.size.toLong, cs.distinct.size.toLong)
+    }.toMap
+    val got = SparkEntry.queries("meta_histogram_equidepth")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got == expect, s"histogram mismatch: $got vs $expect")
+    val sizes = got.values.map(_._3)
+    assert(sizes.max - sizes.min <= 1, "equi-depth buckets must balance")
+    (1L to 7L).foreach { b =>
+      assert(got(b)._2 <= got(b + 1)._1, s"bucket $b span overlaps ${b + 1}")
+    }
+  }
+
+  test("q100 rolling slope: sequential signed-trunc referee agrees") {
+    val rows = util.t(spark, sf, "lineitem").collect()
+      .map(r => (r.getLong(1), (r.getTimestamp(10).getTime, r.getLong(0),
+        r.getInt(3).toLong, math.round(r.getDouble(5) * 100))))
+    val expect = rows.groupBy(_._1).toSeq.flatMap { case (p, g) =>
+      val ys = g.map(_._2).sortBy(t => (t._1, t._2, t._3)).map(_._4)
+      val slopes = ys.indices.flatMap { i =>
+        val lo = math.max(0, i - 7)
+        val xs = (lo to i).map(j => (j + 1).toLong) // row_number is 1-based
+        val win = (lo to i).map(ys)
+        val n = xs.size.toLong
+        if (n < 2) None
+        else {
+          val sx = xs.sum; val sy = win.sum
+          val sxy = xs.zip(win).map { case (x, y) => x * y }.sum
+          val sxx = xs.map(x => x * x).sum
+          val num = (n * sxy - sx * sy) * 1000000L
+          val den = n * sxx - sx * sx
+          Some(if (num >= 0) num / den else -((-num) / den))
+        }
+      }
+      if (slopes.isEmpty) None
+      else Some(p -> (slopes.size.toLong, slopes.max, slopes.min))
+    }.toMap
+    val got = SparkEntry.queries("q100_rolling_slope")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expect, s"slope mismatch: ${got.toSeq.diff(expect.toSeq).take(3)}")
+  }
+
+  test("walk pairs: recomputed from the walk table; bounded to the band") {
+    val walks = SparkEntry.queries("graph_random_walks")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(1))) // walk, step, node
+    val expect = walks.flatMap { case (w, s1, c) =>
+      walks.filter(t => t._1 == w && math.abs(t._2 - s1) >= 1 &&
+        math.abs(t._2 - s1) <= 2)
+        .map(t => ((c, t._3), math.abs(t._2 - s1)))
+    }.groupBy(_._1).toSeq
+      .map { case ((c, x), g) => (c, x, g.size.toLong, g.map(_._2).min) }
+      .sortBy { case (c, x, nn, _) => (-nn, c, x) }.take(30)
+    val got = SparkEntry.queries("pipeline_walk_pairs")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect, s"pair mismatch: ${got.diff(expect).take(3)}")
+  }
+
   test("temporal split: sequential referee agrees; no event-time leakage") {
     val ev = util.t(spark, sf, "events").collect()
       .map(r => (r.getLong(0), r.getTimestamp(1).getTime))
