@@ -453,7 +453,44 @@ object Sampling {
       |SELECT cust, cast(rk as bigint) AS rk, cast(item as bigint) AS neg_item
       |FROM ranked WHERE rk <= 5 ORDER BY cust, rk""".stripMargin
 
+  /** Grouped holdout split (GroupKFold discipline) — the split that
+    * prevents ENTITY leakage where [[temporalSplit]] prevents
+    * temporal leakage: every event of a user lands in the same fold,
+    * assigned by the engine-neutral Knuth hash of the USER id (80/20),
+    * so correlated rows of one entity can never straddle the
+    * train/eval boundary. The audit columns make the guarantee
+    * relational: per split, the row count, the distinct-user count,
+    * and membership checksums — and the defining invariant (user sets
+    * disjoint across splits) is spec-pinned. Pure per-row hash +
+    * answer-sized rollup: scan-speed at any scale, no coordination. */
+  def groupHoldout(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"))
+      .withColumn("split",
+        when(expr("((user_id * 2654435761) % 4294967296 + 4294967296) " +
+          "% 4294967296 % 5") < 4, lit("train")).otherwise(lit("holdout")))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        countDistinct(col("user_id")).cast("long").as("n_users"),
+        expr("bit_xor(event_id)").cast("long").as("xor_ids"),
+        sum(col("user_id")).cast("long").as("sum_uids"))
+      .orderBy(col("split"))
+  }
+
+  val groupHoldoutSql: String =
+    """WITH ev AS (
+      | SELECT event_id, user_id,
+      |  CASE WHEN ((user_id * 2654435761) % 4294967296 + 4294967296)
+      |    % 4294967296 % 5 < 4 THEN 'train' ELSE 'holdout' END AS split
+      | FROM events)
+      |SELECT split, cast(count(*) as bigint) AS n_rows,
+      | cast(count(DISTINCT user_id) as bigint) AS n_users,
+      | cast(bit_xor(event_id) as bigint) AS xor_ids,
+      | cast(sum(user_id) as bigint) AS sum_uids
+      |FROM ev GROUP BY split ORDER BY split""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("sample_group_holdout", groupHoldout, Some(groupHoldoutSql)),
     GQuery("sample_negative", negativeSampling, Some(negativeSamplingSql)),
     GQuery("sample_temporal_split", temporalSplit, Some(temporalSplitSql)),
     GQuery("sample_kfold", kfoldSplit, Some(kfoldSplitSql)),

@@ -1365,7 +1365,62 @@ object Warehouse {
       | cast(count(DISTINCT cents) as bigint) AS n_distinct
       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** Gini concentration index — the scalar companion to
+    * [[Analytics.q91ParetoAbc]]'s cuts: how concentrated is revenue
+    * across parts, as the exact mean-difference form
+    * G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over ascending-sorted part
+    * revenues (rank i from one window, every moment an exact integer
+    * sum, one magnitude-safe division onto the micro grid — the
+    * numerator is provably ≥ 0 for ascending ranks, but the guard
+    * matches q100's discipline anyway). Reported per market segment
+    * via the customer→orders→parts path so segments are comparable;
+    * 0 = perfectly even, → 10⁶ = one part takes everything. Part-
+    * grain windows, answer-sized output. */
+  def metaGini(spark: SparkSession, dir: String): DataFrame = {
+    val rev = t(spark, dir, "orders")
+      .join(t(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(t(spark, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("c_mktsegment").as("seg"), col("l_partkey").as("p"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("x"))
+    val bySeg = Window.partitionBy(col("seg")).orderBy(col("x"), col("p"))
+    rev.withColumn("i", row_number().over(bySeg).cast("long"))
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("i") * col("x")).as("six"))
+      .select(col("seg"), col("n").cast("long").as("n_parts"),
+        col("sx").cast("long").as("revenue_cents"),
+        // the ×10⁶ would overflow int64 at sf0.1 moment magnitudes —
+        // promote exactly that multiply to decimal(38,0); `div` on
+        // decimals is the same integral truncation (≡ floor here, the
+        // numerator is ≥ 0 for ascending ranks) as DuckDB's hugeint //
+        expr("(cast(2 * six - (n + 1) * sx as decimal(38,0)) * 1000000) " +
+          "div cast(n * sx as decimal(38,0))")
+          .cast("long").as("gini_micro"))
+      .orderBy(col("seg"))
+  }
+
+  val metaGiniSql: String =
+    """WITH rev AS (
+      | SELECT c.c_mktsegment AS seg, l.l_partkey AS p,
+      |  sum(cast(round(l.l_extendedprice * 100) as bigint)) AS x
+      | FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      | GROUP BY 1, 2),
+      |ranked AS (
+      | SELECT *, cast(row_number() OVER (PARTITION BY seg ORDER BY x, p)
+      |   as bigint) AS i
+      | FROM rev)
+      |SELECT seg, cast(count(*) as bigint) AS n_parts,
+      | cast(sum(x) as bigint) AS revenue_cents,
+      | cast(((2 * sum(i * x) - (count(*) + 1) * sum(x)) * 1000000)
+      |   // (count(*) * sum(x)) as bigint) AS gini_micro
+      |FROM ranked GROUP BY seg ORDER BY seg""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("meta_gini", metaGini, Some(metaGiniSql)),
     GQuery("meta_histogram_equidepth", metaHistogramEquidepth,
       Some(metaHistogramEquidepthSql)),
     GQuery("meta_k_anonymity", metaKAnonymity, Some(metaKAnonymitySql)),

@@ -863,6 +863,63 @@ class Round11Spec extends AnyFunSuite {
     assert(got == expect, s"pair mismatch: ${got.diff(expect).take(3)}")
   }
 
+  test("gini: BigInt referee agrees; index on [0, 1e6); even split scores 0") {
+    val custSeg = util.t(spark, sf, "customer").collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    val orderCust = util.t(spark, sf, "orders").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rev = util.t(spark, sf, "lineitem").collect()
+      .flatMap { r =>
+        orderCust.get(r.getLong(0)).map { c =>
+          ((custSeg(c), r.getLong(1)), math.round(r.getDouble(5) * 100))
+        }
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    def gini(xs: Seq[Long]): (Long, Long, Long) = {
+      val sorted = xs.sorted
+      val n = BigInt(sorted.size)
+      val sx = sorted.map(BigInt(_)).sum
+      val six = sorted.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+      ((BigInt(2) * six - (n + 1) * sx) * 1000000 / (n * sx)).toLong match {
+        case g => (sorted.size.toLong, sx.toLong, g)
+      }
+    }
+    val expect = rev.toSeq.groupBy(_._1._1).view
+      .mapValues(g => gini(g.map(_._2))).toMap
+    val got = SparkEntry.queries("meta_gini")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == expect, s"gini mismatch: $got vs $expect")
+    got.values.foreach { case (_, _, g) =>
+      assert(g >= 0 && g < 1000000, s"gini $g off the unit micro grid")
+    }
+    // formula sanity on constructed inputs: perfect equality → 0,
+    // total concentration → (n-1)/n
+    assert(gini(Seq(5L, 5L, 5L, 5L))._3 == 0L)
+    assert(gini(Seq(0L, 0L, 0L, 12L))._3 == 750000L)
+  }
+
+  test("group holdout: user sets disjoint and partition the population") {
+    val ev = util.t(spark, sf, "events").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    def fold(u: Long): String =
+      if (((u * 2654435761L) % 4294967296L + 4294967296L) % 4294967296L % 5 < 4)
+        "train" else "holdout"
+    val expect = ev.groupBy(t => fold(t._2)).view.mapValues { g =>
+      (g.size.toLong, g.map(_._2).distinct.size.toLong,
+        g.map(_._1).reduce(_ ^ _), g.map(_._2).sum)
+    }.toMap
+    val got = SparkEntry.queries("sample_group_holdout")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got == expect, s"holdout mismatch: $got vs $expect")
+    val trainUsers = ev.filter(t => fold(t._2) == "train").map(_._2).toSet
+    val holdUsers = ev.filter(t => fold(t._2) == "holdout").map(_._2).toSet
+    assert(trainUsers.intersect(holdUsers).isEmpty,
+      "a user must never straddle the split")
+    assert(trainUsers.size + holdUsers.size == ev.map(_._2).distinct.length,
+      "splits must partition the user population")
+  }
+
   test("temporal split: sequential referee agrees; no event-time leakage") {
     val ev = util.t(spark, sf, "events").collect()
       .map(r => (r.getLong(0), r.getTimestamp(1).getTime))
