@@ -84,7 +84,10 @@ object Bench {
       // round 10: the matview entries read the fingerprint-keyed view
       // after the first build — their timings measure rewrite + view
       // scan, not the aggregate build
-      "q87_mv_rewrite", "q88_mv_rollup", "graph_link_predict")
+      "q87_mv_rewrite", "q88_mv_rollup", "graph_link_predict",
+      // round 11: walks (and their pair extraction) read the cached
+      // trade-graph edge artifacts
+      "graph_random_walks", "pipeline_walk_pairs")
       .filter(selected.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
