@@ -1637,7 +1637,126 @@ object Analytics {
       | cast(min(slope_micro) as bigint) AS max_fall_micro
       |FROM slopes GROUP BY p ORDER BY partkey""".stripMargin
 
+  /** Cohort LTV curves — q75's retention triangle upgraded from
+    * presence to VALUE: users cohorted by first-activity week, and
+    * per (cohort, age-in-weeks) the active-user count, the week's
+    * purchase revenue, and the RUNNING cumulative revenue — the
+    * curve whose flattening point sets payback windows. Cohorting is
+    * one min-aggregate, the triangle one (cohort, age) aggregate, the
+    * cumulative one ordered window per cohort — all exact cents. At
+    * 100 TB the cohort map is user-grain (broadcastable against the
+    * fact stream) and the triangle is answer-sized. */
+  def q101CohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        (unix_micros(col("ts")) / 86400000000L / 7L).cast("long").as("week"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val cohorts = ev.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort"))
+    val cells = ev.join(cohorts, Seq("user_id"))
+      .withColumn("age", col("week") - col("cohort"))
+      .groupBy(col("cohort"), col("age"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        sum(when(col("event_type") === "purchase", col("cents"))
+          .otherwise(0L)).as("rev"))
+    val cum = Window.partitionBy(col("cohort")).orderBy(col("age"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_rev", sum(col("rev")).over(cum))
+      .select(col("cohort"), col("age"),
+        col("n_users").cast("long").as("n_users"),
+        col("rev").cast("long").as("rev_cents"),
+        col("cum_rev").cast("long").as("cum_rev_cents"))
+      .orderBy(col("cohort"), col("age"))
+  }
+
+  val q101Sql: String =
+    """WITH ev AS (
+      | SELECT user_id, event_type,
+      |  (epoch_ns(ts) // 1000) // 86400000000 // 7 AS week,
+      |  cast(round(value * 100) as bigint) AS cents
+      | FROM events),
+      |cohorts AS (SELECT user_id, min(week) AS cohort FROM ev GROUP BY 1),
+      |cells AS (
+      | SELECT c.cohort, e.week - c.cohort AS age,
+      |  count(DISTINCT e.user_id) AS n_users,
+      |  sum(CASE WHEN e.event_type = 'purchase' THEN e.cents ELSE 0 END) AS rev
+      | FROM ev e JOIN cohorts c USING (user_id)
+      | GROUP BY 1, 2)
+      |SELECT cohort, age, cast(n_users as bigint) AS n_users,
+      | cast(rev as bigint) AS rev_cents,
+      | cast(sum(rev) OVER (PARTITION BY cohort ORDER BY age
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint)
+      |   AS cum_rev_cents
+      |FROM cells ORDER BY cohort, age""".stripMargin
+
+  /** Funnel time-to-convert — q74 counts who reaches each step; this
+    * measures HOW LONG the step takes: per user, the latency from
+    * first `view` to the first `purchase` AFTER it, summarized as
+    * exact order-statistic percentiles (value at ceil(p·n) in the
+    * ascending latency order — a rank pick, no interpolation, so the
+    * percentile replays bit-identically). Two min-aggregates, one
+    * join, one rank window over the converters (population-sized,
+    * answer-bounded output). The conversion-latency distribution is
+    * the metric funnels get wrong when they only count. */
+  def q102TimeToConvert(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("m"))
+    val firstView = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("m")).as("v"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .join(firstView, Seq("user_id"))
+      .filter(col("m") >= col("v"))
+      .groupBy(col("user_id"), col("v")).agg(min(col("m")).as("p"))
+      .withColumn("lat", col("p") - col("v"))
+    val ranked = conv
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("lat"), col("user_id"))).cast("long"))
+    val n = ranked.agg(count(lit(1)).as("n"))
+    val viewed = firstView.agg(count(lit(1)).as("n_viewed"))
+    ranked.crossJoin(broadcast(n)).crossJoin(broadcast(viewed))
+      .withColumn("p50rk", expr("(n * 50 + 99) div 100"))
+      .withColumn("p90rk", expr("(n * 90 + 99) div 100"))
+      .groupBy(col("n_viewed"), col("n"))
+      .agg(max(when(col("rk") === col("p50rk"), col("lat"))).as("p50_micros"),
+        max(when(col("rk") === col("p90rk"), col("lat"))).as("p90_micros"),
+        max(col("lat")).as("max_micros"))
+      .select(col("n_viewed").cast("long").as("n_viewed"),
+        col("n").cast("long").as("n_converted"),
+        col("p50_micros").cast("long").as("p50_micros"),
+        col("p90_micros").cast("long").as("p90_micros"),
+        col("max_micros").cast("long").as("max_micros"))
+  }
+
+  val q102Sql: String =
+    """WITH ev AS (
+      | SELECT user_id, event_type, epoch_ns(ts) // 1000 AS m FROM events),
+      |fv AS (SELECT user_id, min(m) AS v FROM ev
+      |       WHERE event_type = 'view' GROUP BY 1),
+      |conv AS (
+      | SELECT e.user_id, fv.v, min(e.m) AS p
+      | FROM ev e JOIN fv USING (user_id)
+      | WHERE e.event_type = 'purchase' AND e.m >= fv.v
+      | GROUP BY 1, 2),
+      |ranked AS (
+      | SELECT p - v AS lat,
+      |  row_number() OVER (ORDER BY p - v, user_id) AS rk
+      | FROM conv),
+      |n AS (SELECT count(*) AS n FROM ranked),
+      |viewed AS (SELECT count(*) AS n_viewed FROM fv)
+      |SELECT cast(n_viewed as bigint) AS n_viewed,
+      | cast(n as bigint) AS n_converted,
+      | cast(max(CASE WHEN rk = (n * 50 + 99) // 100 THEN lat END) as bigint)
+      |   AS p50_micros,
+      | cast(max(CASE WHEN rk = (n * 90 + 99) // 100 THEN lat END) as bigint)
+      |   AS p90_micros,
+      | cast(max(lat) as bigint) AS max_micros
+      |FROM ranked CROSS JOIN n CROSS JOIN viewed
+      |GROUP BY n_viewed, n""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("q101_cohort_ltv", q101CohortLtv, Some(q101Sql)),
+    GQuery("q102_time_to_convert", q102TimeToConvert, Some(q102Sql)),
     GQuery("q100_rolling_slope", q100RollingSlope, Some(q100Sql)),
     GQuery("q98_allocation", q98Allocation, Some(q98Sql)),
     GQuery("q99_interval_coverage", q99IntervalCoverage, Some(q99Sql)),

@@ -15,6 +15,11 @@ class Round11Spec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = TestSpark.sf
 
+  /** Exact epoch micros — `getTime` alone truncates to millis, and the
+    * events table carries real sub-millisecond precision. */
+  private def micros(ts: java.sql.Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+
   test("q90 pattern match: sequential V-pattern referee agrees row-for-row") {
     val rows = util.t(spark, sf, "lineitem")
       .select(col("l_partkey"), col("l_shipdate"), col("l_orderkey"),
@@ -94,7 +99,7 @@ class Round11Spec extends AnyFunSuite {
 
   test("q92 ewma: sequential integer half-life referee agrees") {
     val ev = util.t(spark, sf, "events").collect()
-      .map(r => (r.getLong(2), r.getTimestamp(1).getTime, r.getLong(0),
+      .map(r => (r.getLong(2), micros(r.getTimestamp(1)), r.getLong(0),
         math.round(r.getDouble(4) * 100)))
     val expect = ev.groupBy(_._1).map { case (u, g) =>
       val recent = g.sortBy(t => (-t._2, -t._3)).take(20)
@@ -682,7 +687,7 @@ class Round11Spec extends AnyFunSuite {
   test("q99 interval coverage: sequential union referee agrees per user") {
     val iv = util.t(spark, sf, "events").collect()
       .map { r =>
-        val s = r.getTimestamp(1).getTime * 1000L
+        val s = micros(r.getTimestamp(1))
         (r.getLong(2), s, s + math.round(r.getDouble(4) * 100) * 10000L)
       }
     val expect = iv.groupBy(_._1).map { case (u, g) =>
@@ -749,7 +754,7 @@ class Round11Spec extends AnyFunSuite {
   test("semi-additive: sequential carry-forward referee agrees") {
     val ev = util.t(spark, sf, "events").collect()
       .map(r => (r.getLong(2), r.getTimestamp(1).getTime / 86400000L,
-        r.getTimestamp(1).getTime, r.getLong(0),
+        micros(r.getTimestamp(1)), r.getLong(0),
         math.round(r.getDouble(4) * 100)))
     val hi = ev.map(_._2).max
     val expect = scala.collection.mutable.Map.empty[Long, (Long, Long)]
@@ -920,9 +925,59 @@ class Round11Spec extends AnyFunSuite {
       "splits must partition the user population")
   }
 
+  test("q101 cohort ltv: sequential triangle referee agrees; curve is cumulative") {
+    val ev = util.t(spark, sf, "events").collect()
+      .map(r => (r.getLong(2), r.getString(3),
+        r.getTimestamp(1).getTime / 86400000L / 7L,
+        math.round(r.getDouble(4) * 100)))
+    val cohort = ev.groupBy(_._1).view.mapValues(_.map(_._3).min).toMap
+    val cells = ev.map { case (u, et, w, c) =>
+      ((cohort(u), w - cohort(u)), (u, if (et == "purchase") c else 0L))
+    }.groupBy(_._1).view.mapValues { g =>
+      (g.map(_._2._1).distinct.size.toLong, g.map(_._2._2).sum)
+    }.toMap
+    val expect = cells.keys.groupBy(_._1).flatMap { case (co, ks) =>
+      var cum = 0L
+      ks.toSeq.sortBy(_._2).map { k =>
+        cum += cells(k)._2
+        k -> (cells(k)._1, cells(k)._2, cum)
+      }
+    }
+    val got = SparkEntry.queries("q101_cohort_ltv")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got == expect, s"ltv mismatch: ${got.toSeq.diff(expect.toSeq).take(3)}")
+    // every user appears in their cohort's age-0 cell
+    val age0 = got.filter(_._1._2 == 0L).values.map(_._1).sum
+    assert(age0 == cohort.size.toLong, "age-0 cells must cover every user")
+  }
+
+  test("q102 time-to-convert: rank-pick percentile referee agrees") {
+    val ev = util.t(spark, sf, "events").collect()
+      .map(r => (r.getLong(2), r.getString(3), micros(r.getTimestamp(1))))
+    val firstView = ev.filter(_._2 == "view").groupBy(_._1).view
+      .mapValues(_.map(_._3).min).toMap
+    val lats = ev.filter(_._2 == "purchase")
+      .flatMap { case (u, _, m) =>
+        firstView.get(u).filter(m >= _).map(v => (u, m, v))
+      }
+      .groupBy(_._1).map { case (u, g) =>
+        (g.map(_._2).min - g.head._3, u)
+      }.toSeq.sorted.map(_._1)
+    val n = lats.size
+    def pick(p: Int) = lats((n * p + 99) / 100 - 1)
+    val Array(row) = SparkEntry.queries("q102_time_to_convert")(spark, sf).collect()
+    assert(row.getLong(0) == firstView.size.toLong)
+    assert(row.getLong(1) == n.toLong)
+    assert(row.getLong(2) == pick(50) && row.getLong(3) == pick(90))
+    assert(row.getLong(4) == lats.max)
+    assert(row.getLong(2) <= row.getLong(3) && row.getLong(3) <= row.getLong(4),
+      "percentiles must be monotone")
+  }
+
   test("temporal split: sequential referee agrees; no event-time leakage") {
     val ev = util.t(spark, sf, "events").collect()
-      .map(r => (r.getLong(0), r.getTimestamp(1).getTime))
+      .map(r => (r.getLong(0), micros(r.getTimestamp(1))))
       .sortBy(t => (t._2, t._1))
     val n = ev.length.toLong
     val e = math.max(n / 200, 1L)
