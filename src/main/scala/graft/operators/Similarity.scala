@@ -1575,7 +1575,62 @@ object Similarity {
        |ORDER BY s.q_id, s.rk""".stripMargin
   }
 
+  /** k-NN classification eval — the leave-one-out quality readout for
+    * an embedding space: every vector's label predicted by MAJORITY
+    * VOTE of its 3 exact nearest neighbors ([[knnJoinExact]] output,
+    * self excluded; vote ties broken toward the smallest label id),
+    * scored per true class. Pure composition over the kNN join —
+    * answer-sized vote/score stages — and fully deterministic
+    * (cosines on the round-6 grid, neighbor ties by id), so the
+    * whole confusion readout replays in DuckDB off the same SQL
+    * skeleton. The per-class accuracy table is what tells you WHICH
+    * labels the space confuses, not just how much. */
+  def knnClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val labels = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("lbl"))
+    val knn = knnJoinExact(spark, dir)
+    val votes = knn
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("lbl").as("nlbl")), Seq("neighbor_id"))
+      .groupBy(col("q_id"), col("nlbl"))
+      .agg(count(lit(1)).as("c"))
+    val pickw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(desc("c"), col("nlbl"))
+    val pred = votes
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(pickw))
+      .filter(col("rk") === 1)
+      .select(col("q_id").as("vec_id"), col("nlbl").as("pred"))
+    pred.join(labels, Seq("vec_id"))
+      .groupBy(col("lbl").as("true_label"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col("pred") === col("lbl"), 1L).otherwise(0L))
+          .cast("long").as("n_correct"))
+      .withColumn("acc_micro", expr("(n_correct * 1000000) div n").cast("long"))
+      .orderBy(col("true_label"))
+  }
+
+  val knnClassifierSql: String =
+    s"""WITH knn AS ($knnJoinExactSql),
+       |lab AS (SELECT vec_id, cast(label as bigint) AS lbl FROM embeddings),
+       |votes AS (
+       | SELECT k.q_id, l.lbl AS nlbl, count(*) AS c
+       | FROM knn k JOIN lab l ON l.vec_id = k.neighbor_id
+       | GROUP BY 1, 2),
+       |pred AS (
+       | SELECT q_id AS vec_id, nlbl AS pred FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY c DESC, nlbl) AS rk FROM votes)
+       | WHERE rk = 1)
+       |SELECT l.lbl AS true_label, cast(count(*) as bigint) AS n,
+       | cast(sum(CASE WHEN p.pred = l.lbl THEN 1 ELSE 0 END) as bigint)
+       |   AS n_correct,
+       | cast((sum(CASE WHEN p.pred = l.lbl THEN 1 ELSE 0 END) * 1000000)
+       |   // count(*) as bigint) AS acc_micro
+       |FROM pred p JOIN lab l USING (vec_id)
+       |GROUP BY l.lbl ORDER BY true_label""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("sim_knn_classifier", knnClassifier, Some(knnClassifierSql)),
     GQuery("sim_knn_join_exact", knnJoinExact, Some(knnJoinExactSql)),
     GQuery("sim_knn_join_blocked", knnJoinExactBlocked, Some(knnJoinExactSql)),
     GQuery("sim_knn_join_ivf", knnJoinIvf, Some(knnJoinIvfSql)),

@@ -1503,7 +1503,88 @@ object TextAnalysis {
        |FROM agg a JOIN ranked r ON a.doc_id = r.doc_id AND r.rn = 1
        |ORDER BY a.doc_id""".stripMargin
 
+  /** RAKE keyword extraction (Rose et al., 2010) — unsupervised
+    * multi-word keyword mining: the corpus' 20 most frequent tokens
+    * act as the delimiter set (a DATA-DERIVED stopword list — no
+    * external lexicon), token runs between delimiters become
+    * candidate phrases (kept at 2–4 words), each word scores
+    * deg/freq over the phrase corpus (deg = Σ length of phrases it
+    * appears in — co-occurrence reach; freq = occurrences), and a
+    * phrase scores the sum of its word scores. All ratios are integer
+    * micro divisions, phrase assembly is position-ordered string
+    * aggregation, and the top-25 ranking replays bit-identically in
+    * DuckDB. Plan: one positional explode, delimiter islands via one
+    * cumulative window, word stats on the phrase-token table
+    * (vocabulary-sized rejoin), answer-sized top-k. */
+  def rakeKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "pos", "w")
+    val stops = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("w")).limit(20).select(col("w"))
+      .withColumn("isStop", lit(1))
+    val marked = toks.join(broadcast(stops), Seq("w"), "left")
+      .withColumn("seg", sum(coalesce(col("isStop"), lit(0))).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("isStop").isNull)
+    val phrases = marked.groupBy(col("doc_id"), col("seg"))
+      .agg(count(lit(1)).as("len"),
+        concat_ws(" ", expr("transform(sort_array(collect_list(" +
+          "struct(pos, w))), x -> x.w)")).as("phrase"))
+      .filter(col("len") >= 2 && col("len") <= 4)
+    val phraseToks = marked.join(
+      phrases.select(col("doc_id"), col("seg"), col("len"), col("phrase")),
+      Seq("doc_id", "seg"))
+    val wstats = phraseToks.groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+      .withColumn("wscore", expr("(deg * 1000000) div freq"))
+    phraseToks.join(broadcast(wstats.select(col("w"), col("wscore"))), Seq("w"))
+      .groupBy(col("doc_id"), col("seg"), col("phrase"))
+      .agg(sum(col("wscore")).as("pscore"))
+      .groupBy(col("phrase"))
+      .agg(count(lit(1)).cast("long").as("n_occurrences"),
+        max(col("pscore")).cast("long").as("score_micro"))
+      .orderBy(desc("score_micro"), col("phrase"))
+      .limit(25)
+  }
+
+  val rakeKeywordsSql: String =
+    """WITH toks AS (
+      | SELECT doc_id, unnest(range(len(ws))) AS pos, unnest(ws) AS w
+      | FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+      |stops AS (
+      | SELECT w FROM (SELECT w, count(*) AS cnt FROM toks GROUP BY w)
+      | ORDER BY cnt DESC, w LIMIT 20),
+      |marked AS (
+      | SELECT t.doc_id, t.pos, t.w, s.w IS NOT NULL AS isStop,
+      |  sum(CASE WHEN s.w IS NOT NULL THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY t.doc_id ORDER BY t.pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+      | FROM toks t LEFT JOIN stops s ON t.w = s.w),
+      |content AS (SELECT * FROM marked WHERE NOT isStop),
+      |phrases AS (
+      | SELECT doc_id, seg, count(*) AS len,
+      |  string_agg(w, ' ' ORDER BY pos) AS phrase
+      | FROM content GROUP BY 1, 2
+      | HAVING count(*) BETWEEN 2 AND 4),
+      |ptoks AS (
+      | SELECT c.w, p.doc_id, p.seg, p.len, p.phrase
+      | FROM content c JOIN phrases p USING (doc_id, seg)),
+      |wstats AS (
+      | SELECT w, (sum(len) * 1000000) // count(*) AS wscore
+      | FROM ptoks GROUP BY w),
+      |scored AS (
+      | SELECT pt.doc_id, pt.seg, pt.phrase, sum(ws.wscore) AS pscore
+      | FROM ptoks pt JOIN wstats ws USING (w)
+      | GROUP BY 1, 2, 3)
+      |SELECT phrase, cast(count(*) as bigint) AS n_occurrences,
+      | cast(max(pscore) as bigint) AS score_micro
+      |FROM scored GROUP BY phrase
+      |ORDER BY score_micro DESC, phrase LIMIT 25""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("text_rake_keywords", rakeKeywords, Some(rakeKeywordsSql)),
     GQuery("text_hashing_trick", hashingTrick, Some(hashingTrickSql)),
     GQuery("text_readability", readability, Some(readabilitySql)),
     GQuery("text_pmi_collocations", pmiCollocations, Some(pmiCollocationsSql)),

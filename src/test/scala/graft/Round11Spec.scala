@@ -975,6 +975,57 @@ class Round11Spec extends AnyFunSuite {
       "percentiles must be monotone")
   }
 
+  test("knn classifier: vote referee over the knn table agrees; classes covered") {
+    val labels = util.t(spark, sf, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getInt(2).toLong).toMap
+    val knn = SparkEntry.queries("sim_knn_join_exact")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val pred = knn.groupBy(_._1).map { case (q, g) =>
+      val votes = g.map(t => labels(t._2)).groupBy(identity).view
+        .mapValues(_.size).toSeq
+      q -> votes.maxBy { case (l, c) => (c, -l) }._1
+    }
+    val expect = pred.toSeq.map { case (q, p) => (labels(q), p == labels(q)) }
+      .groupBy(_._1).view.mapValues { g =>
+        val correct = g.count(_._2).toLong
+        (g.size.toLong, correct, correct * 1000000L / g.size)
+      }.toMap
+    val got = SparkEntry.queries("sim_knn_classifier")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expect, s"classifier mismatch: $got vs $expect")
+    assert(got.values.map(_._1).sum == labels.size.toLong,
+      "every vector must be classified exactly once")
+  }
+
+  test("rake: full sequential pipeline referee reproduces the top-25") {
+    val docs = util.t(spark, sf, "documents").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    val stops = docs.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.size).toSeq
+      .sortBy { case (w, c) => (-c, w) }.take(20).map(_._1).toSet
+    // delimiter islands → candidate phrases of 2..4 words
+    val phrases = docs.flatMap { case (_, ws) =>
+      val segs = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer.empty[String])
+      ws.foreach { w =>
+        if (stops(w)) segs += scala.collection.mutable.ArrayBuffer.empty[String]
+        else segs.last += w
+      }
+      segs.filter(s => s.size >= 2 && s.size <= 4).map(_.toSeq)
+    }
+    val freq = phrases.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val deg = phrases.flatMap(p => p.map(w => (w, p.size.toLong)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val wscore = freq.keys.map(w => w -> deg(w) * 1000000L / freq(w)).toMap
+    val expect = phrases.map(p => (p.mkString(" "), p.map(wscore).sum))
+      .groupBy(_._1).toSeq
+      .map { case (ph, g) => (ph, g.size.toLong, g.map(_._2).max) }
+      .sortBy { case (ph, _, s) => (-s, ph) }.take(25)
+    val got = SparkEntry.queries("text_rake_keywords")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect, s"rake mismatch: ${got.diff(expect).take(3)}")
+  }
+
   test("temporal split: sequential referee agrees; no event-time leakage") {
     val ev = util.t(spark, sf, "events").collect()
       .map(r => (r.getLong(0), micros(r.getTimestamp(1))))
