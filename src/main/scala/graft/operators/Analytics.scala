@@ -1754,7 +1754,160 @@ object Analytics {
       |FROM ranked CROSS JOIN n CROSS JOIN viewed
       |GROUP BY n_viewed, n""".stripMargin
 
+  /** ABC×XYZ inventory matrix — the two-axis planning taxonomy: ABC
+    * from revenue concentration (the q91 cumulative cuts) crossed
+    * with XYZ from demand VARIABILITY, where CV² is computed as the
+    * exact integer ratio (W·Σq² − (Σq)²)·10⁶ div (Σq)² over
+    * ZERO-FILLED weekly demand (silent weeks count — skipping them
+    * is the classic XYZ mistake that labels sporadic parts steady).
+    * X ≤ 0.25 (CV ≤ ½), Y ≤ 1.0, else Z, all on the micro grid. One
+    * (part, week) aggregate, the week fan-out bounded by the
+    * calendar, two part-grain windows, a 3×3 answer. */
+  def q103AbcXyz(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_partkey").as("p"),
+        (unix_micros(col("l_shipdate")) / 86400000000L / 7L).cast("long").as("wk"),
+        round(col("l_quantity")).cast("long").as("q"),
+        expr("cast(l_extendedprice * (1 - l_discount) as decimal(22,8))").as("revd"))
+    val span = li.agg(min(col("wk")).as("lo"), max(col("wk")).as("hi"))
+    val weekly = li.groupBy(col("p"), col("wk")).agg(sum(col("q")).as("qw"))
+    // zero-fill: every part × every calendar week in span
+    val grid = weekly.select(col("p")).distinct()
+      .crossJoin(broadcast(span))
+      .withColumn("wk", explode(sequence(col("lo"), col("hi"))))
+      .join(weekly, Seq("p", "wk"), "left")
+      .withColumn("qw", coalesce(col("qw"), lit(0L)))
+    val xyz = grid.groupBy(col("p"))
+      .agg(count(lit(1)).as("w"), sum(col("qw")).as("sq"),
+        sum(col("qw") * col("qw")).as("sqq"))
+      .withColumn("cv2_micro",
+        expr("((w * sqq - sq * sq) * 1000000) div (sq * sq)"))
+      .withColumn("xyz",
+        when(col("cv2_micro") <= 250000, lit("X"))
+          .when(col("cv2_micro") <= 1000000, lit("Y")).otherwise(lit("Z")))
+      .select(col("p"), col("xyz"))
+    val rev = li.groupBy(col("p")).agg(sum(col("revd")).as("revd"))
+    val total = rev.agg(sum(col("revd")).as("totd"))
+    val cumw = Window.orderBy(desc("revd"), col("p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val abc = rev.crossJoin(broadcast(total))
+      .withColumn("cum", sum(col("revd")).over(cumw))
+      .withColumn("abc",
+        when(col("cum") * 100 <= col("totd") * 80, lit("A"))
+          .when(col("cum") * 100 <= col("totd") * 95, lit("B"))
+          .otherwise(lit("C")))
+      .select(col("p"), col("abc"), col("revd"))
+    abc.join(xyz, Seq("p"))
+      .groupBy(col("abc"), col("xyz"))
+      .agg(count(lit(1)).cast("long").as("n_parts"),
+        round(sum(col("revd")).cast("double"), 4).as("revenue"))
+      .orderBy(col("abc"), col("xyz"))
+  }
+
+  val q103Sql: String =
+    """WITH li AS (
+      | SELECT l_partkey AS p,
+      |  (epoch_ns(l_shipdate) // 1000) // 86400000000 // 7 AS wk,
+      |  cast(round(l_quantity) as bigint) AS q,
+      |  cast(l_extendedprice * (1 - l_discount) as decimal(22,8)) AS revd
+      | FROM lineitem),
+      |span AS (SELECT min(wk) AS lo, max(wk) AS hi FROM li),
+      |weekly AS (SELECT p, wk, sum(q) AS qw FROM li GROUP BY 1, 2),
+      |grid AS (
+      | SELECT pp.p, gs.wk, coalesce(w.qw, 0) AS qw
+      | FROM (SELECT DISTINCT p FROM weekly) pp
+      | CROSS JOIN span
+      | CROSS JOIN LATERAL (SELECT unnest(generate_series(lo, hi)) AS wk) gs
+      | LEFT JOIN weekly w ON w.p = pp.p AND w.wk = gs.wk),
+      |xyz AS (
+      | SELECT p, CASE
+      |   WHEN ((count(*) * sum(qw * qw) - sum(qw) * sum(qw)) * 1000000)
+      |     // (sum(qw) * sum(qw)) <= 250000 THEN 'X'
+      |   WHEN ((count(*) * sum(qw * qw) - sum(qw) * sum(qw)) * 1000000)
+      |     // (sum(qw) * sum(qw)) <= 1000000 THEN 'Y'
+      |   ELSE 'Z' END AS xyz
+      | FROM grid GROUP BY p),
+      |rev AS (SELECT p, sum(revd) AS revd FROM li GROUP BY 1),
+      |tot AS (SELECT sum(revd) AS totd FROM rev),
+      |abc AS (
+      | SELECT p, CASE WHEN cum * 100 <= totd * 80 THEN 'A'
+      |   WHEN cum * 100 <= totd * 95 THEN 'B' ELSE 'C' END AS abc, revd
+      | FROM (SELECT p, revd, totd, sum(revd) OVER (ORDER BY revd DESC, p
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM rev CROSS JOIN tot))
+      |SELECT abc, xyz, cast(count(*) as bigint) AS n_parts,
+      | round(cast(sum(revd) as double), 4) AS revenue
+      |FROM abc JOIN xyz USING (p)
+      |GROUP BY 1, 2 ORDER BY abc, xyz""".stripMargin
+
+  /** Time-window funnel (the ClickHouse `windowFunnel` semantic) —
+    * q74 counts stage reach over all time; this requires each stage
+    * within 7 DAYS of the previous one: the first `view`, the first
+    * `click` at or after it within the window, the first `purchase`
+    * at or after THAT click within the window — earliest-chain
+    * semantics, so a user's stage depth is well-defined. Three
+    * min-aggregates chained through two window-banded joins (each
+    * per-user, answer-sized); exact micros throughout. The output is
+    * the stage ladder with integer conversion shares. */
+  def q104WindowFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val win = 7L * 86400000000L
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("m"))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("m")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, Seq("user_id"))
+      .filter(col("m") >= col("t1") && col("m") <= col("t1") + win)
+      .groupBy(col("user_id"), col("t1")).agg(min(col("m")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id"))
+      .filter(col("m") >= col("t2") && col("m") <= col("t2") + win)
+      .groupBy(col("user_id")).agg(min(col("m")).as("t3"))
+    val n1 = s1.count(); val n2 = s2.count(); val n3 = s3.count()
+    import ev.sparkSession.implicits._
+    Seq(
+      (1L, "view", n1, 1000000L),
+      (2L, "click_within_7d", n2, if (n1 > 0) n2 * 1000000L / n1 else 0L),
+      (3L, "purchase_within_7d", n3, if (n2 > 0) n3 * 1000000L / n2 else 0L))
+      .toDF("stage", "name", "n_users", "conv_micro")
+      .orderBy(col("stage"))
+  }
+
+  val q104Sql: String =
+    """WITH ev AS (
+      | SELECT user_id, event_type, epoch_ns(ts) // 1000 AS m FROM events),
+      |s1 AS (SELECT user_id, min(m) AS t1 FROM ev
+      |       WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (
+      | SELECT e.user_id, s1.t1, min(e.m) AS t2
+      | FROM ev e JOIN s1 USING (user_id)
+      | WHERE e.event_type = 'click' AND e.m >= s1.t1
+      |   AND e.m <= s1.t1 + 7 * 86400000000
+      | GROUP BY 1, 2),
+      |s3 AS (
+      | SELECT e.user_id, min(e.m) AS t3
+      | FROM ev e JOIN s2 USING (user_id)
+      | WHERE e.event_type = 'purchase' AND e.m >= s2.t2
+      |   AND e.m <= s2.t2 + 7 * 86400000000
+      | GROUP BY 1),
+      |n AS (SELECT (SELECT count(*) FROM s1) AS n1,
+      |             (SELECT count(*) FROM s2) AS n2,
+      |             (SELECT count(*) FROM s3) AS n3)
+      |SELECT * FROM (
+      | SELECT cast(1 as bigint) AS stage, 'view' AS name,
+      |  cast(n1 as bigint) AS n_users, cast(1000000 as bigint) AS conv_micro
+      | FROM n
+      | UNION ALL
+      | SELECT 2, 'click_within_7d', n2,
+      |  CASE WHEN n1 > 0 THEN (n2 * 1000000) // n1 ELSE 0 END FROM n
+      | UNION ALL
+      | SELECT 3, 'purchase_within_7d', n3,
+      |  CASE WHEN n2 > 0 THEN (n3 * 1000000) // n2 ELSE 0 END FROM n
+      |) ORDER BY stage""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("q103_abc_xyz", q103AbcXyz, Some(q103Sql)),
+    GQuery("q104_window_funnel", q104WindowFunnel, Some(q104Sql)),
     GQuery("q101_cohort_ltv", q101CohortLtv, Some(q101Sql)),
     GQuery("q102_time_to_convert", q102TimeToConvert, Some(q102Sql)),
     GQuery("q100_rolling_slope", q100RollingSlope, Some(q100Sql)),

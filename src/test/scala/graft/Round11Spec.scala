@@ -1026,6 +1026,66 @@ class Round11Spec extends AnyFunSuite {
     assert(got == expect, s"rake mismatch: ${got.diff(expect).take(3)}")
   }
 
+  test("abc-xyz: sequential zero-filled CV referee agrees; cells partition parts") {
+    val li = util.t(spark, sf, "lineitem").collect()
+      .map(r => (r.getLong(1), r.getTimestamp(10).getTime / 86400000L / 7L,
+        math.round(r.getDouble(4)),
+        BigDecimal(r.getDouble(5) * (1 - r.getDouble(6)))
+          .setScale(8, BigDecimal.RoundingMode.HALF_UP)))
+    val lo = li.map(_._2).min; val hi = li.map(_._2).max
+    val xyz = li.groupBy(_._1).view.mapValues { g =>
+      val weekly = g.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+      val qs = (lo to hi).map(w => weekly.getOrElse(w, 0L))
+      val w = qs.size.toLong; val sq = qs.sum; val sqq = qs.map(q => q * q).sum
+      val cv2 = (w * sqq - sq * sq) * 1000000L / (sq * sq)
+      if (cv2 <= 250000) "X" else if (cv2 <= 1000000) "Y" else "Z"
+    }.toMap
+    val rev = li.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    val total = rev.values.sum
+    var cum = BigDecimal(0)
+    val abc = rev.toSeq.sortBy { case (p, r) => (-r, p) }.map { case (p, r) =>
+      cum += r
+      p -> (if (cum * 100 <= total * 80) "A"
+      else if (cum * 100 <= total * 95) "B" else "C")
+    }.toMap
+    val expect = rev.keys.toSeq.map(p => ((abc(p), xyz(p)), rev(p)))
+      .groupBy(_._1).view.mapValues { g =>
+        (g.size.toLong,
+          g.map(_._2).sum.setScale(4, BigDecimal.RoundingMode.HALF_UP))
+      }.toMap
+    val got = SparkEntry.queries("q103_abc_xyz")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2),
+        BigDecimal(r.getDouble(3)).setScale(4, BigDecimal.RoundingMode.HALF_UP)))
+      .toMap
+    assert(got == expect, s"abc-xyz mismatch: ${got.toSeq.diff(expect.toSeq).take(3)}")
+    assert(got.values.map(_._1).sum == rev.size.toLong,
+      "the matrix must partition the part catalog")
+  }
+
+  test("window funnel: sequential earliest-chain referee agrees; ladder monotone") {
+    val win = 7L * 86400000000L
+    val ev = util.t(spark, sf, "events").collect()
+      .map(r => (r.getLong(2), r.getString(3), micros(r.getTimestamp(1))))
+    val t1 = ev.filter(_._2 == "view").groupBy(_._1).view
+      .mapValues(_.map(_._3).min).toMap
+    val t2 = ev.filter(_._2 == "click").flatMap { case (u, _, m) =>
+      t1.get(u).filter(t => m >= t && m <= t + win).map(_ => (u, m))
+    }.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val t3 = ev.filter(_._2 == "purchase").flatMap { case (u, _, m) =>
+      t2.get(u).filter(t => m >= t && m <= t + win).map(_ => (u, m))
+    }.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val got = SparkEntry.queries("q104_window_funnel")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(1L)._2 == t1.size.toLong && got(2L)._2 == t2.size.toLong &&
+      got(3L)._2 == t3.size.toLong,
+      s"stage counts mismatch: $got vs ${(t1.size, t2.size, t3.size)}")
+    assert(got(2L)._3 == t2.size.toLong * 1000000L / t1.size)
+    assert(got(3L)._3 == t3.size.toLong * 1000000L / t2.size)
+    assert(got(1L)._2 >= got(2L)._2 && got(2L)._2 >= got(3L)._2,
+      "a stage can never out-count its predecessor")
+  }
+
   test("temporal split: sequential referee agrees; no event-time leakage") {
     val ev = util.t(spark, sf, "events").collect()
       .map(r => (r.getLong(0), micros(r.getTimestamp(1))))
