@@ -1905,7 +1905,86 @@ object Analytics {
       |  CASE WHEN n2 > 0 THEN (n3 * 1000000) // n2 ELSE 0 END FROM n
       |) ORDER BY stage""".stripMargin
 
+  /** Growth accounting — the canonical active-user decomposition
+    * every growth team lives by: each (week, user) activity cell is
+    * exactly one of NEW (first-ever week), RETAINED (also active the
+    * previous week), or RESURRECTED (active before, silent last
+    * week); CHURNED counts last week's actives who went silent (the
+    * negative flow). The identity actives(w) = new + retained +
+    * resurrected — and actives(w−1) = retained(w) + churned(w) — is
+    * what makes the decomposition an ACCOUNTING (both spec-pinned).
+    * One distinct-activity table, one first-week aggregate, one
+    * self-join on (user, week−1) and one on (user, week+1): all
+    * key-partitioned, exact counts. */
+  def q105GrowthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val act = t(spark, dir, "events")
+      .select(col("user_id"),
+        (unix_micros(col("ts")) / 86400000000L / 7L).cast("long").as("wk"))
+      .distinct()
+    val first = act.groupBy(col("user_id")).agg(min(col("wk")).as("fw"))
+    val prev = act.select(col("user_id"), (col("wk") + 1).as("wk"),
+      lit(1).as("wasPrev"))
+    val classed = act.join(first, Seq("user_id"))
+      .join(prev, Seq("user_id", "wk"), "left")
+      .withColumn("cls",
+        when(col("wk") === col("fw"), lit("new"))
+          .when(col("wasPrev").isNotNull, lit("retained"))
+          .otherwise(lit("resurrected")))
+      .groupBy(col("wk"))
+      .agg(count(lit(1)).as("actives"),
+        sum(when(col("cls") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("cls") === "retained", 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("cls") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"))
+    val next = act.select(col("user_id"), col("wk"), lit(1).as("a"))
+    val churn = act.select(col("user_id"), (col("wk") + 1).as("wk"))
+      .join(next, Seq("user_id", "wk"), "left_anti")
+      .groupBy(col("wk")).agg(count(lit(1)).as("n_churned"))
+    classed.join(churn, Seq("wk"), "left")
+      .select(col("wk").cast("long").as("week"),
+        col("actives").cast("long").as("actives"),
+        col("n_new").cast("long").as("n_new"),
+        col("n_retained").cast("long").as("n_retained"),
+        col("n_resurrected").cast("long").as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).cast("long").as("n_churned"))
+      .orderBy(col("week"))
+  }
+
+  val q105Sql: String =
+    """WITH act AS (
+      | SELECT DISTINCT user_id,
+      |  (epoch_ns(ts) // 1000) // 86400000000 // 7 AS wk
+      | FROM events),
+      |first AS (SELECT user_id, min(wk) AS fw FROM act GROUP BY 1),
+      |classed AS (
+      | SELECT a.wk,
+      |  CASE WHEN a.wk = f.fw THEN 'new'
+      |       WHEN p.user_id IS NOT NULL THEN 'retained'
+      |       ELSE 'resurrected' END AS cls
+      | FROM act a JOIN first f USING (user_id)
+      | LEFT JOIN act p ON p.user_id = a.user_id AND p.wk = a.wk - 1),
+      |weekly AS (
+      | SELECT wk, count(*) AS actives,
+      |  sum(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS n_new,
+      |  sum(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS n_retained,
+      |  sum(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END) AS n_resurrected
+      | FROM classed GROUP BY wk),
+      |churn AS (
+      | SELECT a.wk + 1 AS wk, count(*) AS n_churned
+      | FROM act a
+      | WHERE NOT EXISTS (SELECT 1 FROM act n
+      |   WHERE n.user_id = a.user_id AND n.wk = a.wk + 1)
+      | GROUP BY 1)
+      |SELECT cast(w.wk as bigint) AS week,
+      | cast(actives as bigint) AS actives,
+      | cast(n_new as bigint) AS n_new,
+      | cast(n_retained as bigint) AS n_retained,
+      | cast(n_resurrected as bigint) AS n_resurrected,
+      | cast(coalesce(c.n_churned, 0) as bigint) AS n_churned
+      |FROM weekly w LEFT JOIN churn c USING (wk)
+      |ORDER BY week""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("q105_growth_accounting", q105GrowthAccounting, Some(q105Sql)),
     GQuery("q103_abc_xyz", q103AbcXyz, Some(q103Sql)),
     GQuery("q104_window_funnel", q104WindowFunnel, Some(q104Sql)),
     GQuery("q101_cohort_ltv", q101CohortLtv, Some(q101Sql)),

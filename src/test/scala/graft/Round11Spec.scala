@@ -1086,6 +1086,38 @@ class Round11Spec extends AnyFunSuite {
       "a stage can never out-count its predecessor")
   }
 
+  test("growth accounting: referee agrees; the two flow identities hold") {
+    val act = util.t(spark, sf, "events").collect()
+      .map(r => (r.getLong(2), r.getTimestamp(1).getTime / 86400000L / 7L))
+      .distinct
+    val first = act.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val actSet = act.toSet
+    val expect = act.groupBy(_._2).map { case (w, g) =>
+      val cls = g.map { case (u, _) =>
+        if (w == first(u)) "new"
+        else if (actSet((u, w - 1))) "retained" else "resurrected"
+      }
+      val churned = act.filter(_._2 == w - 1).count(t => !actSet((t._1, w)))
+      w -> (g.size.toLong, cls.count(_ == "new").toLong,
+        cls.count(_ == "retained").toLong, cls.count(_ == "resurrected").toLong,
+        churned.toLong)
+    }
+    val got = SparkEntry.queries("q105_growth_accounting")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(got == expect, s"growth mismatch: ${got.toSeq.diff(expect.toSeq).take(3)}")
+    // the accounting identities that make this a decomposition, not a
+    // dashboard: actives = new + retained + resurrected, and last
+    // week's actives = this week's retained + churned
+    got.foreach { case (w, (a, nw, rt, rs, ch)) =>
+      assert(a == nw + rt + rs, s"week $w: actives must decompose exactly")
+      expect.get(w - 1).foreach { case (prevA, _, _, _, _) =>
+        assert(prevA == rt + ch,
+          s"week $w: last week's actives must flow into retained+churned")
+      }
+    }
+  }
+
   test("temporal split: sequential referee agrees; no event-time leakage") {
     val ev = util.t(spark, sf, "events").collect()
       .map(r => (r.getLong(0), micros(r.getTimestamp(1))))
