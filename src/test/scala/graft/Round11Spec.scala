@@ -1118,6 +1118,73 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("mutual nn: reciprocity referee over the knn table; hubs filtered") {
+    val knn = SparkEntry.queries("sim_knn_join_exact")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(1), r.getDouble(3)))
+    val top = knn.map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+    val expect = knn.flatMap { case (a, b, rab, cos) =>
+      top.get((b, a)).filter(_ => a < b).map { case (rba, _) =>
+        (a, b, cos, rab, rba)
+      }
+    }.sortBy(t => (t._1, t._2)).toSeq
+    val got = SparkEntry.queries("sim_mutual_nn")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expect, s"mutual-nn mismatch: ${got.diff(expect).take(3)}")
+    assert(got.nonEmpty, "the synthetic space must produce mutual pairs")
+    // reciprocity is the definition: every emitted pair appears in
+    // BOTH top-3 lists
+    got.foreach { case (a, b, _, _, _) =>
+      assert(top.contains((a, b)) && top.contains((b, a)),
+        s"pair ($a,$b) is not reciprocal")
+    }
+  }
+
+  test("dormancy: sequential gap/streak referee agrees") {
+    val days = util.t(spark, sf, "events").collect()
+      .map(r => (r.getLong(2), r.getTimestamp(1).getTime / 86400000L))
+      .distinct
+    val expect = days.groupBy(_._1).view.mapValues { g =>
+      val ds = g.map(_._2).sorted
+      val gaps = ds.sliding(2).collect { case Array(x, y) => y - x }.toSeq
+      var streak = 1L; var best = 1L
+      ds.sliding(2).foreach { case Array(x, y) =>
+        if (y == x + 1) { streak += 1; best = math.max(best, streak) }
+        else streak = 1
+      }
+      (ds.size.toLong, if (gaps.isEmpty) 0L else gaps.max, best)
+    }.toMap
+    val got = SparkEntry.queries("q106_dormancy")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expect, s"dormancy mismatch: ${got.toSeq.diff(expect.toSeq).take(3)}")
+  }
+
+  test("textrank: sequential integer-superstep referee reproduces the top-20") {
+    val docs = util.t(spark, sf, "documents").collect()
+      .map(_.getString(1).split(" ", -1).toSeq)
+    val pairs = docs.flatMap { ws =>
+      ws.sliding(2).map(s => (s(0), s(1))).toSeq ++
+        ws.sliding(3).collect { case Seq(x, _, z) => (x, z) }.toSeq
+    }.filter(t => t._1 != t._2)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= 3)
+    val sym = (pairs.toSeq ++ pairs.toSeq.map { case ((a, b), c) => ((b, a), c) })
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val strength = sym.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    var r = strength.keys.map(_ -> 1000000L).toMap
+    (1 to 5).foreach { _ =>
+      val contribs = sym.toSeq.map { case ((src, dst), w) =>
+        dst -> (r(src) * w / strength(src))
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      r = contribs.map { case (n, s) => n -> (150000L + 85L * s / 100L) }
+    }
+    val expect = r.toSeq.sortBy { case (w, s) => (-s, w) }.take(20)
+    val got = SparkEntry.queries("text_textrank_keywords")(spark, sf).collect()
+      .map(rr => (rr.getString(0), rr.getLong(1))).toSeq
+    assert(got == expect, s"textrank mismatch: ${got.diff(expect).take(3)}")
+  }
+
   test("temporal split: sequential referee agrees; no event-time leakage") {
     val ev = util.t(spark, sf, "events").collect()
       .map(r => (r.getLong(0), micros(r.getTimestamp(1))))
