@@ -2032,7 +2032,59 @@ object Analytics {
       |FROM marked m JOIN streaks s USING (user_id)
       |GROUP BY m.user_id ORDER BY m.user_id""".stripMargin
 
+  /** Sequential pattern mining (the 2-sequence core of GSP/SPADE) —
+    * which behavior ORDERS are common, not just which co-occur: for
+    * every ordered event-type pair (a ⇒ b, a ≠ b), the number of
+    * users whose FIRST a precedes their first b, with support over
+    * the user base and confidence over a's adopters — both exact
+    * integer micro shares. First-occurrence semantics make the count
+    * well-defined and the whole 20-row pattern table replays in
+    * DuckDB. One per-(user, type) min-aggregate, one self-join on
+    * the user (type-count bounded, ~25 rows per user), answer-sized
+    * rollup — the shape that scales to arbitrary event volumes
+    * because everything after the first-occurrence table is
+    * user-type-grain. */
+  def q107SeqPatterns(spark: SparkSession, dir: String): DataFrame = {
+    val firsts = t(spark, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(unix_micros(col("ts"))).as("m"))
+    val nUsers = firsts.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_users"))
+    val aSide = firsts.select(col("user_id"), col("event_type").as("a"),
+      col("m").as("ma"))
+    val aCounts = aSide.groupBy(col("a")).agg(count(lit(1)).as("na"))
+    val bSide = firsts.select(col("user_id"), col("event_type").as("b"),
+      col("m").as("mb"))
+    aSide.join(bSide, Seq("user_id"))
+      .filter(col("a") =!= col("b") && col("ma") < col("mb"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_seq"))
+      .join(aCounts, Seq("a"))
+      .crossJoin(broadcast(nUsers))
+      .select(col("a"), col("b"), col("n_seq").cast("long").as("n_seq"),
+        expr("(n_seq * 1000000) div n_users").cast("long").as("support_micro"),
+        expr("(n_seq * 1000000) div na").cast("long").as("confidence_micro"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  val q107Sql: String =
+    """WITH firsts AS (
+      | SELECT user_id, event_type, min(epoch_ns(ts) // 1000) AS m
+      | FROM events GROUP BY 1, 2),
+      |nu AS (SELECT count(DISTINCT user_id) AS n_users FROM firsts),
+      |ac AS (SELECT event_type AS a, count(*) AS na FROM firsts GROUP BY 1),
+      |seqs AS (
+      | SELECT x.event_type AS a, y.event_type AS b, count(*) AS n_seq
+      | FROM firsts x JOIN firsts y ON x.user_id = y.user_id
+      | WHERE x.event_type <> y.event_type AND x.m < y.m
+      | GROUP BY 1, 2)
+      |SELECT a, b, cast(n_seq as bigint) AS n_seq,
+      | cast((n_seq * 1000000) // n_users as bigint) AS support_micro,
+      | cast((n_seq * 1000000) // na as bigint) AS confidence_micro
+      |FROM seqs JOIN ac USING (a) CROSS JOIN nu
+      |ORDER BY a, b""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("q107_seq_patterns", q107SeqPatterns, Some(q107Sql)),
     GQuery("q106_dormancy", q106Dormancy, Some(q106Sql)),
     GQuery("q105_growth_accounting", q105GrowthAccounting, Some(q105Sql)),
     GQuery("q103_abc_xyz", q103AbcXyz, Some(q103Sql)),

@@ -1088,7 +1088,52 @@ object FileSources {
       |  cast((SELECT count(*) FROM orders WHERE o_orderkey % 3 <> 2) as bigint)
       |) ORDER BY tbl""".stripMargin
 
+  /** DYNAMIC partition overwrite — the Spark-native idempotent-ETL
+    * primitive (`partitionOverwriteMode=dynamic`): an INSERT OVERWRITE
+    * replaces ONLY the partitions present in the incoming batch,
+    * leaving every other partition byte-identical — static mode (the
+    * default) would silently TRUNCATE the whole table, the classic
+    * first-week-of-production data-loss story. The entry writes
+    * orders partitioned by priority, overwrites exactly two
+    * priorities with a deterministic price restatement (+1 cent), and
+    * reads the table back: restated partitions carry the bump,
+    * untouched partitions prove isolation, and the DuckDB oracle
+    * recomputes both from `orders` — a lost partition or a full
+    * truncate hash-fails immediately. Scoped conf, restored after. */
+  def overwriteDynamic(spark: SparkSession, dir: String): DataFrame = {
+    val out = uniq("dynover")
+    val orders = graft.util.t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    orders.write.partitionBy("o_orderpriority").parquet(out)
+    val restate = orders
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .withColumn("cents", col("cents") + 1)
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try restate.write.mode("overwrite")
+      .partitionBy("o_orderpriority").parquet(out)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    spark.read.parquet(out)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+        sum(col("cents")).cast("long").as("sum_cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val overwriteDynamicSql: String =
+    """SELECT o_orderpriority, cast(count(*) as bigint) AS n_orders,
+      | cast(sum(cast(round(o_totalprice * 100) as bigint)
+      |   + CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |     THEN 1 ELSE 0 END) as bigint) AS sum_cents
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("src_overwrite_dynamic", overwriteDynamic, Some(overwriteDynamicSql)),
     GQuery("src_clone_table", cloneTable, Some(cloneTableSql)),
     GQuery("src_manifest_expire", manifestExpire, Some(manifestExpireSql)),
     GQuery("src_branch_merge", branchMerge, Some(branchMergeSql)),

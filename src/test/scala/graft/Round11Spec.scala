@@ -1185,6 +1185,52 @@ class Round11Spec extends AnyFunSuite {
     assert(got == expect, s"textrank mismatch: ${got.diff(expect).take(3)}")
   }
 
+  test("dynamic overwrite: only the restated partitions change") {
+    val got = SparkEntry.queries("src_overwrite_dynamic")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val base = util.t(spark, sf, "orders").collect()
+      .map(r => (r.getString(5), math.round(r.getDouble(3) * 100)))
+      .groupBy(_._1).view
+      .mapValues(g => (g.size.toLong, g.map(_._2).sum)).toMap
+    base.foreach { case (pr, (n, cents)) =>
+      val bump = if (pr == "1-URGENT" || pr == "2-HIGH") n else 0L
+      assert(got(pr) == (n, cents + bump),
+        s"partition $pr: got ${got(pr)}, want ${(n, cents + bump)} — " +
+          "restated partitions bump by one cent per row, others must not move")
+    }
+    assert(got.keySet == base.keySet,
+      "dynamic mode must never truncate untouched partitions")
+  }
+
+  test("seq patterns: sequential first-occurrence referee agrees") {
+    val firsts = util.t(spark, sf, "events").collect()
+      .map(r => ((r.getLong(2), r.getString(3)), micros(r.getTimestamp(1))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val nUsers = firsts.keys.map(_._1).toSeq.distinct.size.toLong
+    val na = firsts.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val byUser = firsts.toSeq.map { case ((u, t), m) => (u, t, m) }.groupBy(_._1)
+    val expect = byUser.values.flatMap { g =>
+      for {
+        (_, a, ma) <- g; (_, b, mb) <- g
+        if a != b && ma < mb
+      } yield (a, b)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((a, b), n) =>
+        (a, b) -> (n, n * 1000000L / nUsers, n * 1000000L / na(a))
+      }.toMap
+    val got = SparkEntry.queries("q107_seq_patterns")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got == expect, s"seq mismatch: ${got.toSeq.diff(expect.toSeq).take(3)}")
+    // antisymmetry of strict first-occurrence order: a⇒b and b⇒a
+    // counts can never share a user, so their sum ≤ users having both
+    got.keys.filter { case (a, b) => a < b }.foreach { case (a, b) =>
+      val both = byUser.values.count(g =>
+        g.exists(_._2 == a) && g.exists(_._2 == b)).toLong
+      assert(got((a, b))._1 + got.getOrElse((b, a), (0L, 0L, 0L))._1 <= both)
+    }
+  }
+
   test("temporal split: sequential referee agrees; no event-time leakage") {
     val ev = util.t(spark, sf, "events").collect()
       .map(r => (r.getLong(0), micros(r.getTimestamp(1))))
