@@ -2083,8 +2083,116 @@ object Analytics {
       |FROM seqs JOIN ac USING (a) CROSS JOIN nu
       |ORDER BY a, b""".stripMargin
 
+  /** Period-over-period growth table — the WoW readout every revenue
+    * dashboard leads with: weekly order revenue in exact cents, the
+    * previous week alongside (one lag), and the SIGNED growth rate in
+    * micro-units — divided magnitude-first (the q100 discipline) so
+    * Spark's truncate-toward-zero and DuckDB's floor agree on
+    * negative weeks. One weekly aggregate + one lag window over the
+    * answer-sized week table. */
+  def q108PopGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = t(spark, dir, "orders")
+      .groupBy((unix_micros(col("o_orderdate")) / 86400000000L / 7L)
+        .cast("long").as("week"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"))
+    val w = Window.orderBy(col("week"))
+    weekly
+      .withColumn("prev", lag(col("rev"), 1).over(w))
+      .withColumn("delta", col("rev") - col("prev"))
+      .withColumn("growth_micro",
+        when(col("prev").isNull, lit(null))
+          .when(col("delta") >= 0, expr("(delta * 1000000) div prev"))
+          .otherwise(-expr("((-delta) * 1000000) div prev")))
+      .select(col("week"), col("rev").cast("long").as("rev_cents"),
+        col("prev").cast("long").as("prev_cents"),
+        col("growth_micro").cast("long").as("growth_micro"))
+      .orderBy(col("week"))
+  }
+
+  val q108Sql: String =
+    """WITH weekly AS (
+      | SELECT (epoch_ns(o_orderdate) // 1000) // 86400000000 // 7 AS week,
+      |  sum(cast(round(o_totalprice * 100) as bigint)) AS rev
+      | FROM orders GROUP BY 1),
+      |lagged AS (
+      | SELECT week, rev, lag(rev, 1) OVER (ORDER BY week) AS prev
+      | FROM weekly)
+      |SELECT week, cast(rev as bigint) AS rev_cents,
+      | cast(prev as bigint) AS prev_cents,
+      | cast(CASE WHEN prev IS NULL THEN NULL
+      |   WHEN rev - prev >= 0 THEN ((rev - prev) * 1000000) // prev
+      |   ELSE -((prev - rev) * 1000000) // prev END as bigint) AS growth_micro
+      |FROM lagged ORDER BY week""".stripMargin
+
+  /** Single changepoint detection — the offline split-score form of
+    * CUSUM: per event type, over the day-ordered daily value totals,
+    * find the split maximizing the between-segment separation
+    * `n_l·n_r·(μ_l − μ_r)² div n` — the two-segment least-squares
+    * objective, computed for EVERY candidate split in one pass from
+    * prefix sums (two shared-sort windows), all exact integers (means
+    * as positive truncated cents, the squared difference safe in
+    * int64 at these magnitudes). Reports where each type's level
+    * shifted and how hard. At 100 TB the per-type series are
+    * calendar-bounded; nothing is quadratic. */
+  def metaChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "events")
+      .groupBy(col("event_type"),
+        (unix_micros(col("ts")) / 86400000000L).cast("long").as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val cumw = byType.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = daily
+      .withColumn("t", row_number().over(byType).cast("long"))
+      .withColumn("sl", sum(col("cents")).over(cumw))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))))
+      .withColumn("stot", sum(col("cents")).over(
+        Window.partitionBy(col("event_type"))))
+      .filter(col("t") < col("n"))
+      .withColumn("d",
+        expr("sl div t") - expr("(stot - sl) div (n - t)"))
+      .withColumn("score", expr("(t * (n - t) * d * d) div n"))
+    val pick = Window.partitionBy(col("event_type"))
+      .orderBy(desc("score"), col("day"))
+    scored.withColumn("rk", row_number().over(pick))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("day").cast("long").as("split_day"),
+        col("score").cast("long").as("score"),
+        expr("sl div t").cast("long").as("mean_left_cents"),
+        expr("(stot - sl) div (n - t)").cast("long").as("mean_right_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  val metaChangepointSql: String =
+    """WITH daily AS (
+      | SELECT event_type, (epoch_ns(ts) // 1000) // 86400000000 AS day,
+      |  sum(cast(round(value * 100) as bigint)) AS cents
+      | FROM events GROUP BY 1, 2),
+      |pre AS (
+      | SELECT *, cast(row_number() OVER w as bigint) AS t,
+      |  sum(cents) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+      |    AND CURRENT ROW) AS sl,
+      |  count(*) OVER (PARTITION BY event_type) AS n,
+      |  sum(cents) OVER (PARTITION BY event_type) AS stot
+      | FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+      |scored AS (
+      | SELECT *, (sl // t) - ((stot - sl) // (n - t)) AS d
+      | FROM pre WHERE t < n),
+      |picked AS (
+      | SELECT *, (t * (n - t) * d * d) // n AS score,
+      |  row_number() OVER (PARTITION BY event_type
+      |    ORDER BY (t * (n - t) * d * d) // n DESC, day) AS rk
+      | FROM scored)
+      |SELECT event_type, cast(day as bigint) AS split_day,
+      | cast(score as bigint) AS score,
+      | cast(sl // t as bigint) AS mean_left_cents,
+      | cast((stot - sl) // (n - t) as bigint) AS mean_right_cents
+      |FROM picked WHERE rk = 1 ORDER BY event_type""".stripMargin
+
   val all: Seq[GQuery] = Seq(
     GQuery("q107_seq_patterns", q107SeqPatterns, Some(q107Sql)),
+    GQuery("q108_pop_growth", q108PopGrowth, Some(q108Sql)),
+    GQuery("meta_changepoint", metaChangepoint, Some(metaChangepointSql)),
     GQuery("q106_dormancy", q106Dormancy, Some(q106Sql)),
     GQuery("q105_growth_accounting", q105GrowthAccounting, Some(q105Sql)),
     GQuery("q103_abc_xyz", q103AbcXyz, Some(q103Sql)),

@@ -1231,6 +1231,55 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("pop growth: signed-trunc referee agrees; reconstruction identity holds") {
+    val weekly = util.t(spark, sf, "orders").collect()
+      .map(r => (r.getTimestamp(4).getTime / 86400000L / 7L,
+        math.round(r.getDouble(3) * 100)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val weeks = weekly.keys.toSeq.sorted
+    val expect = weeks.zipWithIndex.map { case (w, i) =>
+      val rev = weekly(w)
+      val prev = if (i == 0) None else Some(weekly(weeks(i - 1)))
+      val growth = prev.map { p =>
+        val d = rev - p
+        if (d >= 0) d * 1000000L / p else -((-d) * 1000000L / p)
+      }
+      w -> (rev, prev, growth)
+    }.toMap
+    val got = SparkEntry.queries("q108_pop_growth")(spark, sf).collect()
+      .map { r =>
+        r.getLong(0) -> (r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))
+      }.toMap
+    assert(got == expect, s"growth mismatch: ${got.toSeq.diff(expect.toSeq).take(3)}")
+  }
+
+  test("changepoint: exhaustive split referee agrees; split maximizes the score") {
+    val daily = util.t(spark, sf, "events").collect()
+      .map(r => ((r.getString(3), r.getTimestamp(1).getTime / 86400000L),
+        math.round(r.getDouble(4) * 100)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val expect = daily.keys.toSeq.groupBy(_._1).map { case (et, ks) =>
+      val series = ks.map(_._2).sorted.map(d => (d, daily((et, d))))
+      val n = series.size.toLong
+      val stot = series.map(_._2).sum
+      var sl = 0L
+      val scoredSplits = series.dropRight(1).zipWithIndex.map { case ((d, c), i) =>
+        sl += c
+        val t = i + 1L
+        val diff = sl / t - (stot - sl) / (n - t)
+        (d, t * (n - t) * diff * diff / n, sl / t, (stot - sl) / (n - t))
+      }
+      val best = scoredSplits.maxBy { case (d, s, _, _) => (s, -d) }
+      et -> (best._1, best._2, best._3, best._4)
+    }
+    val got = SparkEntry.queries("meta_changepoint")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got == expect, s"changepoint mismatch: $got vs $expect")
+  }
+
   test("temporal split: sequential referee agrees; no event-time leakage") {
     val ev = util.t(spark, sf, "events").collect()
       .map(r => (r.getLong(0), micros(r.getTimestamp(1))))
