@@ -2189,7 +2189,112 @@ object Analytics {
       | cast((stot - sl) // (n - t) as bigint) AS mean_right_cents
       |FROM picked WHERE rk = 1 ORDER BY event_type""".stripMargin
 
+  /** Exact WEIGHTED median — the order statistic that respects row
+    * importance (here: price cents weighted by quantity — "the price
+    * at which half the UNITS moved", not half the line items): sort
+    * by value within each group, take the first row whose cumulative
+    * weight reaches half the total (lower weighted median — a pure
+    * rank pick, no interpolation, bit-identical in both engines).
+    * One sort-sharing window pair per group; per-group sequences
+    * bound the work. Spark has no weighted percentile built-in —
+    * this is the standard relational form. */
+  def q109WeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("g"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        round(col("l_quantity")).cast("long").as("w"))
+    val byG = Window.partitionBy(col("g")).orderBy(col("cents"))
+    val cumw = byG.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    li.withColumn("cw", sum(col("w")).over(cumw))
+      .withColumn("tw", sum(col("w")).over(Window.partitionBy(col("g"))))
+      .filter(col("cw") * 2 >= col("tw"))
+      .groupBy(col("g"))
+      .agg(min(col("cents")).cast("long").as("wmedian_cents"),
+        min(col("tw")).cast("long").as("total_weight"))
+      .orderBy(col("g"))
+      .select(col("g").as("l_returnflag"), col("wmedian_cents"),
+        col("total_weight"))
+  }
+
+  val q109Sql: String =
+    """WITH li AS (
+      | SELECT l_returnflag AS g,
+      |  cast(round(l_extendedprice * 100) as bigint) AS cents,
+      |  cast(round(l_quantity) as bigint) AS w
+      | FROM lineitem),
+      |cum AS (
+      | SELECT *, sum(w) OVER (PARTITION BY g ORDER BY cents
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+      |  sum(w) OVER (PARTITION BY g) AS tw
+      | FROM li)
+      |SELECT g AS l_returnflag,
+      | cast(min(cents) as bigint) AS wmedian_cents,
+      | cast(min(tw) as bigint) AS total_weight
+      |FROM cum WHERE cw * 2 >= tw
+      |GROUP BY g ORDER BY l_returnflag""".stripMargin
+
+  /** Tukey IQR outlier fences — the boxplot rule beside the
+    * median/MAD robust twin (meta_anomaly_mad): exact rank-pick
+    * quartiles (value at ceil(n/4), ceil(3n/4) — no interpolation),
+    * fences at quartile ± 1.5·IQR computed in integer half-cents
+    * (×2 clears the 1.5 without touching floats), and per-type
+    * outlier counts on both tails. One sort-sharing rank window per
+    * type + answer-sized rollup. */
+  def metaOutlierIqr(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val byT = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+    val ranked = ev
+      .withColumn("rk", row_number().over(byT).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    val quarts = ranked
+      .withColumn("q1v", when(col("rk") === expr("(n + 3) div 4"), col("cents")))
+      .withColumn("q3v", when(col("rk") === expr("(3 * n + 3) div 4"), col("cents")))
+      .groupBy(col("event_type"))
+      .agg(max(col("q1v")).as("q1"), max(col("q3v")).as("q3"))
+      // half-cent units: lo2 = 2·q1 − 3·(q3−q1), hi2 = 2·q3 + 3·(q3−q1)
+      .withColumn("lo2", expr("2 * q1 - 3 * (q3 - q1)"))
+      .withColumn("hi2", expr("2 * q3 + 3 * (q3 - q1)"))
+    ev.join(quarts, Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        min(col("q1")).cast("long").as("q1_cents"),
+        min(col("q3")).cast("long").as("q3_cents"),
+        sum(when(col("cents") * 2 < col("lo2"), 1L).otherwise(0L))
+          .cast("long").as("n_low_outliers"),
+        sum(when(col("cents") * 2 > col("hi2"), 1L).otherwise(0L))
+          .cast("long").as("n_high_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  val metaOutlierIqrSql: String =
+    """WITH ev AS (
+      | SELECT event_type, cast(round(value * 100) as bigint) AS cents
+      | FROM events),
+      |ranked AS (
+      | SELECT *, cast(row_number() OVER (PARTITION BY event_type
+      |   ORDER BY cents) as bigint) AS rk,
+      |  count(*) OVER (PARTITION BY event_type) AS n
+      | FROM ev),
+      |quarts AS (
+      | SELECT event_type,
+      |  max(CASE WHEN rk = (n + 3) // 4 THEN cents END) AS q1,
+      |  max(CASE WHEN rk = (3 * n + 3) // 4 THEN cents END) AS q3
+      | FROM ranked GROUP BY event_type)
+      |SELECT e.event_type, cast(count(*) as bigint) AS n,
+      | cast(min(q1) as bigint) AS q1_cents,
+      | cast(min(q3) as bigint) AS q3_cents,
+      | cast(sum(CASE WHEN e.cents * 2 < 2 * q1 - 3 * (q3 - q1)
+      |   THEN 1 ELSE 0 END) as bigint) AS n_low_outliers,
+      | cast(sum(CASE WHEN e.cents * 2 > 2 * q3 + 3 * (q3 - q1)
+      |   THEN 1 ELSE 0 END) as bigint) AS n_high_outliers
+      |FROM ev e JOIN quarts q USING (event_type)
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("q109_weighted_median", q109WeightedMedian, Some(q109Sql)),
+    GQuery("meta_outlier_iqr", metaOutlierIqr, Some(metaOutlierIqrSql)),
     GQuery("q107_seq_patterns", q107SeqPatterns, Some(q107Sql)),
     GQuery("q108_pop_growth", q108PopGrowth, Some(q108Sql)),
     GQuery("meta_changepoint", metaChangepoint, Some(metaChangepointSql)),

@@ -1280,6 +1280,50 @@ class Round11Spec extends AnyFunSuite {
     assert(got == expect, s"changepoint mismatch: $got vs $expect")
   }
 
+  test("weighted median: sequential cumulative-weight referee agrees") {
+    val li = util.t(spark, sf, "lineitem").collect()
+      .map(r => (r.getString(8), math.round(r.getDouble(5) * 100),
+        math.round(r.getDouble(4))))
+    val expect = li.groupBy(_._1).view.mapValues { g =>
+      val sorted = g.map(t => (t._2, t._3)).sortBy(_._1)
+      val tw = sorted.map(_._2).sum
+      var cw = 0L
+      val med = sorted.find { case (_, w) => cw += w; cw * 2 >= tw }.get._1
+      (med, tw)
+    }.toMap
+    val got = SparkEntry.queries("q109_weighted_median")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expect, s"wmedian mismatch: $got vs $expect")
+    // the defining property: units below the weighted median never
+    // exceed half the total weight
+    li.groupBy(_._1).foreach { case (g, rows) =>
+      val below = rows.filter(_._2 < got(g)._1).map(_._3).sum
+      assert(below * 2 < got(g)._2 ||
+        rows.count(_._2 == got(g)._1) > 0 && below * 2 <= got(g)._2,
+        s"group $g: weight below median exceeds half")
+    }
+  }
+
+  test("iqr fences: rank-pick quartile referee agrees; fences bracket the IQR") {
+    val ev = util.t(spark, sf, "events").collect()
+      .map(r => (r.getString(3), math.round(r.getDouble(4) * 100)))
+    val expect = ev.groupBy(_._1).view.mapValues { g =>
+      val s = g.map(_._2).sorted
+      val n = s.length.toLong
+      val q1 = s(((n + 3) / 4 - 1).toInt)
+      val q3 = s(((3 * n + 3) / 4 - 1).toInt)
+      val lo2 = 2 * q1 - 3 * (q3 - q1); val hi2 = 2 * q3 + 3 * (q3 - q1)
+      (n, q1, q3, s.count(_ * 2 < lo2).toLong, s.count(_ * 2 > hi2).toLong)
+    }.toMap
+    val got = SparkEntry.queries("meta_outlier_iqr")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(got == expect, s"iqr mismatch: $got vs $expect")
+    got.values.foreach { case (_, q1, q3, _, _) =>
+      assert(q1 <= q3, "quartiles must be ordered")
+    }
+  }
+
   test("temporal split: sequential referee agrees; no event-time leakage") {
     val ev = util.t(spark, sf, "events").collect()
       .map(r => (r.getLong(0), micros(r.getTimestamp(1))))
