@@ -2292,7 +2292,58 @@ object Analytics {
       |FROM ev e JOIN quarts q USING (event_type)
       |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
 
+  /** Decile migration matrix — how customers MOVE between value
+    * tiers: revenue deciles computed independently in each half of
+    * the order history (date-midpoint split), joined per customer
+    * active in both, counted per (decile-then, decile-now) cell. The
+    * diagonal is stability, below it growth, above it decay — the
+    * churn-risk targeting surface. Deterministic ntile cuts
+    * ((revenue desc, key) total orders), exact cents, two
+    * customer-grain windows, answer-sized matrix. */
+  def q110DecileMigration(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select(col("o_custkey").as("c"),
+        (unix_micros(col("o_orderdate")) / 86400000000L).cast("long").as("day"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val cut = o.agg(expr("(min(day) + max(day) + 1) div 2").as("cut"))
+    val halves = o.crossJoin(broadcast(cut))
+      .withColumn("half", when(col("day") < col("cut"), 1).otherwise(2))
+      .groupBy(col("half"), col("c")).agg(sum(col("cents")).as("rev"))
+    def deciles(h: Int) = halves.filter(col("half") === h)
+      .withColumn("d", ntile(10).over(
+        Window.orderBy(desc("rev"), col("c"))).cast("long"))
+      .select(col("c"), col("d"))
+    deciles(1).withColumnRenamed("d", "decile_then")
+      .join(deciles(2).withColumnRenamed("d", "decile_now"), Seq("c"))
+      .groupBy(col("decile_then"), col("decile_now"))
+      .agg(count(lit(1)).cast("long").as("n_customers"))
+      .orderBy(col("decile_then"), col("decile_now"))
+  }
+
+  val q110Sql: String =
+    """WITH o AS (
+      | SELECT o_custkey AS c,
+      |  (epoch_ns(o_orderdate) // 1000) // 86400000000 AS day,
+      |  cast(round(o_totalprice * 100) as bigint) AS cents
+      | FROM orders),
+      |cut AS (SELECT (min(day) + max(day) + 1) // 2 AS cut FROM o),
+      |halves AS (
+      | SELECT CASE WHEN day < cut THEN 1 ELSE 2 END AS half, c,
+      |  sum(cents) AS rev
+      | FROM o CROSS JOIN cut GROUP BY 1, 2),
+      |d1 AS (
+      | SELECT c, cast(ntile(10) OVER (ORDER BY rev DESC, c) as bigint) AS d
+      | FROM halves WHERE half = 1),
+      |d2 AS (
+      | SELECT c, cast(ntile(10) OVER (ORDER BY rev DESC, c) as bigint) AS d
+      | FROM halves WHERE half = 2)
+      |SELECT d1.d AS decile_then, d2.d AS decile_now,
+      | cast(count(*) as bigint) AS n_customers
+      |FROM d1 JOIN d2 USING (c)
+      |GROUP BY 1, 2 ORDER BY decile_then, decile_now""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("q110_decile_migration", q110DecileMigration, Some(q110Sql)),
     GQuery("q109_weighted_median", q109WeightedMedian, Some(q109Sql)),
     GQuery("meta_outlier_iqr", metaOutlierIqr, Some(metaOutlierIqrSql)),
     GQuery("q107_seq_patterns", q107SeqPatterns, Some(q107Sql)),

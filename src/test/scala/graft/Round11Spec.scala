@@ -1324,6 +1324,34 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("decile migration: sequential ntile referee agrees; matrix covers both-active") {
+    val o = util.t(spark, sf, "orders").collect()
+      .map(r => (r.getLong(1), r.getTimestamp(4).getTime / 86400000L,
+        math.round(r.getDouble(3) * 100)))
+    val cut = (o.map(_._2).min + o.map(_._2).max + 1) / 2
+    def deciles(rows: Seq[(Long, Long)]): Map[Long, Long] = {
+      val sorted = rows.sortBy { case (c, r) => (-r, c) }
+      val n = sorted.size; val big = n % 10; val base = n / 10
+      sorted.zipWithIndex.map { case ((c, _), i) =>
+        val d = if (i < big * (base + 1)) i / (base + 1)
+        else big + (i - big * (base + 1)) / base
+        c -> (d + 1L)
+      }.toMap
+    }
+    val h1 = deciles(o.filter(_._2 < cut).groupBy(_._1).view
+      .mapValues(_.map(_._3).sum).toSeq)
+    val h2 = deciles(o.filter(_._2 >= cut).groupBy(_._1).view
+      .mapValues(_.map(_._3).sum).toSeq)
+    val expect = h1.keys.toSeq.filter(h2.contains)
+      .map(c => (h1(c), h2(c)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = SparkEntry.queries("q110_decile_migration")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expect, s"migration mismatch: ${got.toSeq.diff(expect.toSeq).take(3)}")
+    assert(got.values.sum == h1.keySet.intersect(h2.keySet).size.toLong,
+      "the matrix must cover exactly the both-halves-active customers")
+  }
+
   test("temporal split: sequential referee agrees; no event-time leakage") {
     val ev = util.t(spark, sf, "events").collect()
       .map(r => (r.getLong(0), micros(r.getTimestamp(1))))
