@@ -1094,7 +1094,7 @@ object Analytics {
       |  (dirn = -1 AND nextDir = 1) AS isBottom
       | FROM segs WINDOW s AS (PARTITION BY p, seg))
       |SELECT p AS partkey,
-      | sum(CASE WHEN isBottom THEN 1 ELSE 0 END) AS n_v,
+      | cast(sum(CASE WHEN isBottom THEN 1 ELSE 0 END) as bigint) AS n_v,
       | cast(max(CASE WHEN dirn = -1 THEN runLen END) as bigint)
       |   AS max_fall_run,
       | cast(max(CASE WHEN dirn = 1 THEN runLen END) as bigint)

@@ -19,6 +19,45 @@ def norm(df):
     df = df[sorted(df.columns)]
     return df
 
+def kind(series):
+    """Coarse type kind for driver-hash-faithful dtype comparison.
+
+    The driver's hash is type-sensitive: an int128 (DuckDB HUGEINT from an
+    uncast sum()) vs Spark's int64 hashes differently even when every cell
+    value is equal. Map dtypes to coarse kinds and fail on kind mismatch.
+    """
+    dt = series.dtype
+    k = dt.kind  # i,u,f,b,O,M,m,...
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k in ("M", "m"):
+        return "datetime"
+    if k == "O":
+        # inspect first non-null element
+        for v in series:
+            if v is None:
+                continue
+            try:
+                if pd.isna(v):
+                    continue
+            except (TypeError, ValueError):
+                pass
+            if isinstance(v, bool):
+                return "bool"
+            if isinstance(v, int):
+                return "int"
+            if isinstance(v, float):
+                return "float"
+            if isinstance(v, str):
+                return "str"
+            return type(v).__name__
+        return "empty"
+    return str(dt)
+
 def cmp_cell(a, b):
     if a is None and b is None:
         return True, 0.0
@@ -61,6 +100,17 @@ def main():
             continue
         if len(want) != len(got):
             results[name] = f"ROWS: oracle={len(want)} spark={len(got)}"
+            continue
+        tbad = None
+        for c in want.columns:
+            kw, kg = kind(want[c]), kind(got[c])
+            if "empty" in (kw, kg):
+                continue
+            if kw != kg:
+                tbad = f"DTYPE .{c}: oracle={kw}({want[c].dtype}) spark={kg}({got[c].dtype})"
+                break
+        if tbad:
+            results[name] = tbad
             continue
         bad = None
         maxd = 0.0
