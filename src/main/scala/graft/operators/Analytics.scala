@@ -850,16 +850,20 @@ object Analytics {
       .select(col("p_partkey"), col("p_size"),
         round(col("p_retailprice") * 100).cast("long").as("price_cents"))
     val withBk = p.withColumn("bk", (col("price_cents") / 100L).cast("long"))
-    val bounds = withBk.groupBy(col("bk")).agg(max(col("p_size")).as("bmax"))
-      .withColumn("lb", max(col("bmax")).over(
-        Window.orderBy(col("bk")).rowsBetween(Window.unboundedPreceding, -1)))
+    // prefix maxes via DistRank.withPrefix — these frames are domain-
+    // bounded (≤ ~1.2k buckets / ≤ ~120k distinct cent prices) but the
+    // partition-less window still serializes them through one task;
+    // the distributed prefix keeps the sweep parallel at any domain.
+    val bounds = DistRank.withPrefix(
+        withBk.groupBy(col("bk")).agg(max(col("p_size")).as("bmax")),
+        Seq(col("bk")), col("bmax"), "max", "lb", inclusive = false)
       .select(col("bk"), col("lb"))
     val pruned = withBk.join(broadcast(bounds), Seq("bk"))
       .filter(col("lb").isNull || col("p_size") > col("lb"))
-    val grp = pruned.groupBy(col("price_cents")).agg(max(col("p_size")).as("gmax"))
-      .withColumn("prevmax", max(col("gmax")).over(
-        Window.orderBy(col("price_cents"))
-          .rowsBetween(Window.unboundedPreceding, -1)))
+    val grp = DistRank.withPrefix(
+      pruned.groupBy(col("price_cents")).agg(max(col("p_size")).as("gmax")),
+      Seq(col("price_cents")), col("gmax"), "max", "prevmax",
+      inclusive = false)
     pruned.join(grp, Seq("price_cents"))
       .filter((col("prevmax").isNull || col("p_size") > col("prevmax")) &&
         col("gmax") <= col("p_size"))
@@ -1122,10 +1126,11 @@ object Analytics {
       .agg(sum(expr("cast(l_extendedprice * (1 - l_discount) as decimal(22,8))"))
         .as("revd"))
     val total = rev.agg(sum(col("revd")).as("totd"))
-    val cumw = Window.orderBy(desc("revd"), col("p"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    rev.crossJoin(broadcast(total))
-      .withColumn("cum", sum(col("revd")).over(cumw))
+    // cumulative revenue via the distributed prefix sum — no
+    // partition-less window even over the catalog-sized part dimension
+    DistRank.withPrefix(rev.crossJoin(broadcast(total)),
+        Seq(desc("revd"), col("p")), col("revd"), "sum", "cum",
+        inclusive = true)
       .withColumn("abc_class",
         when(col("cum") * 100 <= col("totd") * 80, lit("A"))
           .when(col("cum") * 100 <= col("totd") * 95, lit("B"))
@@ -1328,26 +1333,25 @@ object Analytics {
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_custkey").as("c_custkey")).distinct()
       .withColumn("responded", lit(1L))
-    val scored = t(spark, dir, "customer")
-      .select(col("c_custkey"), col("c_acctbal"))
-      .join(resp, Seq("c_custkey"), "left")
-      .withColumn("responded", coalesce(col("responded"), lit(0L)))
-      .withColumn("decile",
-        ntile(10).over(Window.orderBy(desc("c_acctbal"), col("c_custkey")))
-          .cast("long"))
+    val scored = DistRank.withNtile(
+      t(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"))
+        .join(resp, Seq("c_custkey"), "left")
+        .withColumn("responded", coalesce(col("responded"), lit(0L))),
+      Seq(desc("c_acctbal"), col("c_custkey")), 10, "decile")
     val base = scored.agg(sum(col("responded")).as("tot_resp"),
       count(lit(1)).as("tot_n"))
-    val cumw = Window.orderBy(col("decile"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    scored.groupBy(col("decile"))
-      .agg(count(lit(1)).as("n"), sum(col("responded")).as("resp"))
-      .crossJoin(broadcast(base))
+    DistRank.withPrefix(
+        scored.groupBy(col("decile"))
+          .agg(count(lit(1)).as("n"), sum(col("responded")).as("resp"))
+          .crossJoin(broadcast(base)),
+        Seq(col("decile")), col("resp"), "sum", "cum_resp",
+        inclusive = true)
       .withColumn("rate_micro", expr("(resp * 1000000) div n"))
       .withColumn("lift_micro",
         expr("(resp * tot_n * 1000000) div (n * tot_resp)"))
       .withColumn("cum_gain_micro",
-        expr("(sum(resp) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED " +
-          "PRECEDING AND CURRENT ROW) * 1000000) div tot_resp"))
+        expr("(cum_resp * 1000000) div tot_resp"))
       .select(col("decile"), col("n").cast("long").as("n"),
         col("resp").cast("long").as("resp"),
         col("rate_micro").cast("long").as("rate_micro"),
@@ -1387,18 +1391,21 @@ object Analytics {
     * windows over the buyer table (customer-sized, not fact-sized),
     * answer-sized rollup. */
   def q97RfmSegmentation(spark: SparkSession, dir: String): DataFrame = {
-    val rfm = t(spark, dir, "orders")
+    val buyers = t(spark, dir, "orders")
       .groupBy(col("o_custkey"))
       .agg(max((unix_micros(col("o_orderdate")) / 86400000000L).cast("long"))
         .as("last_day"),
         count(lit(1)).as("freq"),
         sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
-      .withColumn("r", ntile(5).over(
-        Window.orderBy(col("last_day"), col("o_custkey"))).cast("long"))
-      .withColumn("f", ntile(5).over(
-        Window.orderBy(col("freq"), col("o_custkey"))).cast("long"))
-      .withColumn("m", ntile(5).over(
-        Window.orderBy(col("cents"), col("o_custkey"))).cast("long"))
+    // three buyer-sized quintile assignments, each via the distributed
+    // ntile (three range shuffles of the buyer table, zero
+    // single-partition windows)
+    val rfm = DistRank.withNtile(
+      DistRank.withNtile(
+        DistRank.withNtile(buyers,
+          Seq(col("last_day"), col("o_custkey")), 5, "r"),
+        Seq(col("freq"), col("o_custkey")), 5, "f"),
+      Seq(col("cents"), col("o_custkey")), 5, "m")
     rfm.withColumn("segment",
         when(col("r") >= 4 && col("f") >= 4 && col("m") >= 4, lit("champion"))
           .when(col("f") >= 4, lit("loyal"))
@@ -1709,9 +1716,8 @@ object Analytics {
       .filter(col("m") >= col("v"))
       .groupBy(col("user_id"), col("v")).agg(min(col("m")).as("p"))
       .withColumn("lat", col("p") - col("v"))
-    val ranked = conv
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("lat"), col("user_id"))).cast("long"))
+    val ranked = DistRank.withRowNumber(conv,
+      Seq(col("lat"), col("user_id")), "rk")
     val n = ranked.agg(count(lit(1)).as("n"))
     val viewed = firstView.agg(count(lit(1)).as("n_viewed"))
     ranked.crossJoin(broadcast(n)).crossJoin(broadcast(viewed))
@@ -1788,10 +1794,9 @@ object Analytics {
       .select(col("p"), col("xyz"))
     val rev = li.groupBy(col("p")).agg(sum(col("revd")).as("revd"))
     val total = rev.agg(sum(col("revd")).as("totd"))
-    val cumw = Window.orderBy(desc("revd"), col("p"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val abc = rev.crossJoin(broadcast(total))
-      .withColumn("cum", sum(col("revd")).over(cumw))
+    val abc = DistRank.withPrefix(rev.crossJoin(broadcast(total)),
+        Seq(desc("revd"), col("p")), col("revd"), "sum", "cum",
+        inclusive = true)
       .withColumn("abc",
         when(col("cum") * 100 <= col("totd") * 80, lit("A"))
           .when(col("cum") * 100 <= col("totd") * 95, lit("B"))
@@ -2095,9 +2100,12 @@ object Analytics {
       .groupBy((unix_micros(col("o_orderdate")) / 86400000000L / 7L)
         .cast("long").as("week"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"))
-    val w = Window.orderBy(col("week"))
-    weekly
-      .withColumn("prev", lag(col("rev"), 1).over(w))
+    // lag(1) as a rank self-join on the answer-sized week table —
+    // keeps even this bounded frame off the single-partition window
+    val rn = DistRank.withRowNumber(weekly, Seq(col("week")), "rn")
+    rn.join(broadcast(rn.select(col("rn").as("rnp"), col("rev").as("prev"))),
+        col("rn") === col("rnp") + 1, "left")
+      .drop("rnp", "rn")
       .withColumn("delta", col("rev") - col("prev"))
       .withColumn("growth_micro",
         when(col("prev").isNull, lit(null))
@@ -2309,9 +2317,9 @@ object Analytics {
     val halves = o.crossJoin(broadcast(cut))
       .withColumn("half", when(col("day") < col("cut"), 1).otherwise(2))
       .groupBy(col("half"), col("c")).agg(sum(col("cents")).as("rev"))
-    def deciles(h: Int) = halves.filter(col("half") === h)
-      .withColumn("d", ntile(10).over(
-        Window.orderBy(desc("rev"), col("c"))).cast("long"))
+    def deciles(h: Int) = DistRank.withNtile(
+        halves.filter(col("half") === h),
+        Seq(desc("rev"), col("c")), 10, "d")
       .select(col("c"), col("d"))
     deciles(1).withColumnRenamed("d", "decile_then")
       .join(deciles(2).withColumnRenamed("d", "decile_now"), Seq("c"))

@@ -952,14 +952,14 @@ object Dedup {
     * pins the defining invariant — phase grade spans never overlap
     * (max_fk of phase p ≤ min_fk of phase p+1). Rank-based cuts (not
     * value-based) keep phase sizes balanced whatever the grade
-    * distribution; at 100 TB the global rank comes from the same
-    * order statistics as sample_temporal_split's boundaries. */
+    * distribution; ranks come from DistRank.withRowNumber (range
+    * partitioner + per-partition offsets — no single-partition
+    * window), the same order statistics as sample_temporal_split. */
   def curriculum(spark: SparkSession, dir: String): DataFrame = {
     val scored = TextAnalysis.readability(spark, dir)
       .select(col("doc_id"), col("n_words"), col("fk_micro"))
-    val w = Window.orderBy(col("fk_micro"), col("doc_id"))
-    scored
-      .withColumn("rk", row_number().over(w).cast("long"))
+    DistRank.withRowNumber(scored,
+        Seq(col("fk_micro"), col("doc_id")), "rk")
       .crossJoin(broadcast(scored.agg(count(lit(1)).as("n"))))
       .withColumn("phase", expr("((rk - 1) * 4) div n"))
       .groupBy(col("phase"))

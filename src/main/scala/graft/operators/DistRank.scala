@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Distributed global ordering primitives — row_number / ntile / prefix
   * aggregates over a TOTAL order without ever funnelling the table
@@ -11,127 +12,157 @@ import org.apache.spark.sql.functions._
   * data to a single partition` and serializes the whole input through
   * one task — correct at sf0.1, fatal at 100 TB).
   *
-  * Scheme (the classic range-partitioned rank):
-  *   1. `repartitionByRange(parts, sortCols)` — Spark's RangePartitioner
-  *      samples boundaries and sends equal keys to the same partition,
-  *      so the concatenation of partitions IS the global order.
-  *   2. `sortWithinPartitions(sortCols)` then
-  *      `monotonically_increasing_id()` — Spark documents the id as
-  *      (partitionId << 33) + consecutive record counter, and the
-  *      nondeterministic projection cannot be reordered below the sort,
-  *      so ids follow the sorted order within every partition.
-  *   3. A P-row aggregate (min(id), count) per partition, then a
-  *      triangular self-join over the P rows computes each partition's
-  *      carry-in offset (rows in all preceding partitions). P = `parts`,
-  *      so this stage is CONSTANT-sized regardless of table size.
-  *   4. Broadcast-join the offsets back: rank = id - min(id) + 1 + off.
+  * Scheme (the classic range-partitioned two-pass rank):
+  *   1. `repartitionByRange(parts, sortCols).sortWithinPartitions` —
+  *      RangePartitioner keeps equal keys in one partition, so the
+  *      concatenation of partitions IS the global order.
+  *   2. `.rdd` pins ONE physical execution: the partitioner (and its
+  *      sampled boundaries) is constructed exactly once, and every job
+  *      over the RDD reuses the same shuffle files. This is the load-
+  *      bearing choice: expressing the two passes as two DataFrame
+  *      branches re-plans the range exchange per branch with
+  *      independently SAMPLED boundaries (observed: 4 separate
+  *      `Exchange rangepartitioning` nodes), so per-partition counts
+  *      can disagree with the partitioning that assigned the rows —
+  *      off-by-a-few ranks that vary run to run.
+  *   3. Pass 1: per-partition counts (or partial aggregates) — P longs
+  *      collected to the driver, prefix-combined there. Constant-sized
+  *      whatever the table size.
+  *   4. Pass 2: mapPartitionsWithIndex assigns rank/bucket/prefix from
+  *      the broadcast carry-ins; the map side is NOT re-executed (the
+  *      DAG scheduler reuses the stage-1 shuffle output).
   *
-  * One full-data shuffle total (the range exchange is shared between the
-  * stats branch and the output branch and deduped by ReusedExchange);
-  * the offsets never leave constant size. Because RangePartitioner keeps
-  * equal keys together, ranks are IDENTICAL to `row_number() OVER
-  * (ORDER BY sortCols)` whenever sortCols is a total order (every entry
-  * routed through here uses tie-broken deterministic keys), so the
-  * DuckDB oracles are unchanged.
+  * Ranks are IDENTICAL to `row_number() OVER (ORDER BY sortCols)`
+  * whenever sortCols is a total order (every entry routed through here
+  * uses tie-broken deterministic keys), so the DuckDB oracles are
+  * unchanged.
   */
 object DistRank {
-  private val PID = "__graft_pid"
-  private val MID = "__graft_mid"
-  private val LOCAL = "__graft_local"
-  private val OFF = "__graft_off"
-  private val MN = "__graft_mn"
-  private val CNT = "__graft_cnt"
-  private val TOT = "__graft_total"
 
-  /** df range-sorted with partition id + monotonic id columns. */
-  private def ranged(df: DataFrame, sortCols: Seq[Column], parts: Int): DataFrame =
-    df.repartitionByRange(parts, sortCols: _*)
+  /** One pinned execution of the range-sorted input. */
+  private def sortedRdd(df: DataFrame, sortCols: Seq[Column],
+      parts: Int): (RDD[Row], StructType) = {
+    val sorted = df.repartitionByRange(parts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
-      .withColumn(MID, monotonically_increasing_id())
-      .withColumn(PID, spark_partition_id())
+    (sorted.rdd, sorted.schema)
+  }
 
-  /** Per-partition (min id, count) + exclusive prefix-sum offset + total
-    * row count — P rows, computed with a triangular self-join (P² pairs
-    * of P = `parts` rows, constant-sized) instead of a global window so
-    * the utility itself never emits the single-partition warning. */
-  private def offsets(r: DataFrame): DataFrame = {
-    val stats = r.groupBy(col(PID)).agg(
-      min(col(MID)).as(MN), count(lit(1)).as(CNT))
-    val offs = stats.as("a")
-      .join(stats.as("b"), col(s"b.$PID") < col(s"a.$PID"), "left_outer")
-      .groupBy(col(s"a.$PID").as(PID), col(s"a.$MN").as(MN),
-        col(s"a.$CNT").as(CNT))
-      .agg(coalesce(sum(col(s"b.$CNT")), lit(0L)).as(OFF))
-    val total = stats.agg(sum(col(CNT)).as(TOT))
-    offs.crossJoin(broadcast(total))
+  /** Per-partition row counts — pass 1 (P longs to the driver). */
+  private def partCounts(rdd: RDD[Row]): Array[Long] = {
+    val counted = rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .collect()
+    val out = Array.fill(rdd.getNumPartitions)(0L)
+    counted.foreach { case (i, n) => out(i) = n }
+    out
   }
 
   /** Appends `name` = global 1-based row_number ordered by sortCols. */
   def withRowNumber(df: DataFrame, sortCols: Seq[Column], name: String,
-      parts: Int = 32): DataFrame = {
-    val r = ranged(df, sortCols, parts)
-    r.join(broadcast(offsets(r)), Seq(PID))
-      .withColumn(name, col(MID) - col(MN) + lit(1L) + col(OFF))
-      .drop(PID, MID, MN, CNT, OFF, TOT)
-  }
+      parts: Int = 32): DataFrame =
+    withRankBased(df, sortCols, name, parts)((rk, _) => rk)
 
   /** Appends `name` = ntile(n) over (order by sortCols), long-typed.
     * Standard SQL ntile (Spark and DuckDB agree): with N rows, q = N/n,
-    * r = N%n, the first r buckets hold q+1 rows, the rest q. */
+    * r = N%n, the first r buckets hold q+1 rows, the rest q — all
+    * integer arithmetic, exact at any N. */
   def withNtile(df: DataFrame, sortCols: Seq[Column], n: Int, name: String,
-      parts: Int = 32): DataFrame = {
-    val r = ranged(df, sortCols, parts)
-    val RN = "__graft_rn"; val Q = "__graft_q"; val RM = "__graft_rm"
-    // all-integer bucket math (`div`, not `/` — Divide on longs is a
-    // DOUBLE division whose floor can be off-by-one once N outgrows the
-    // 53-bit mantissa headroom; `div` stays exact at any N)
-    r.join(broadcast(offsets(r)), Seq(PID))
-      .withColumn(RN, col(MID) - col(MN) + lit(1L) + col(OFF))
-      .withColumn(Q, expr(s"$TOT div ${n}L"))
-      .withColumn(RM, col(TOT) % lit(n.toLong))
-      .withColumn(name, expr(
-        s"""CASE WHEN $RN <= $RM * ($Q + 1L)
-           |  THEN ($RN - 1L) div ($Q + 1L) + 1L
-           |  ELSE $RM + ($RN - $RM * ($Q + 1L) - 1L) div greatest($Q, 1L) + 1L
-           |END""".stripMargin).cast("long"))
-      .drop(PID, MID, MN, CNT, OFF, TOT, RN, Q, RM)
+      parts: Int = 32): DataFrame =
+    withRankBased(df, sortCols, name, parts) { (rk, total) =>
+      val q = total / n
+      val r = total % n
+      if (rk <= r * (q + 1)) (rk - 1) / (q + 1) + 1
+      else r + (rk - r * (q + 1) - 1) / math.max(q, 1L) + 1
+    }
+
+  private def withRankBased(df: DataFrame, sortCols: Seq[Column],
+      name: String, parts: Int)(value: (Long, Long) => Long): DataFrame = {
+    val (rdd, schema) = sortedRdd(df, sortCols, parts)
+    val counts = partCounts(rdd)
+    val offs = counts.scanLeft(0L)(_ + _) // offs(i) = rows before part i
+    val total = offs.last
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var rk = offs(i)
+      it.map { r =>
+        rk += 1
+        Row.fromSeq(r.toSeq :+ value(rk, total))
+      }
+    }
+    df.sparkSession.createDataFrame(out,
+      StructType(schema.fields :+ StructField(name, LongType, nullable = false)))
   }
 
   /** Appends `name` = prefix aggregate (`op` ∈ sum|max|min) of `value`
     * over the global sortCols order — `inclusive=false` gives the
-    * `ROWS UNBOUNDED PRECEDING AND -1` frame (null for the global first
-    * rows, matching the window semantics). Two-level: a parallel
-    * per-partition window (partitioned by pid — P-way parallel, never
-    * single-partition) plus a constant-sized triangular carry-in of the
-    * per-partition totals. Costs one extra full shuffle (hash by pid)
-    * versus withRowNumber; still never funnels to one task. */
+    * `ROWS UNBOUNDED PRECEDING AND -1` frame (null for the global
+    * first rows, matching the window semantics; nulls in `value` are
+    * skipped like the window aggregates skip them). Pass 1 reduces
+    * each partition to ONE partial aggregate (P values to the driver,
+    * prefix-combined there); pass 2 runs the partition-local running
+    * aggregate seeded with its carry-in. */
   def withPrefix(df: DataFrame, sortCols: Seq[Column], value: Column,
       op: String, name: String, inclusive: Boolean = true,
       parts: Int = 32): DataFrame = {
     val V = "__graft_val"
-    val r = ranged(df.withColumn(V, value), sortCols, parts).drop(MID)
-    val w = Window.partitionBy(col(PID)).orderBy(sortCols: _*)
-      .rowsBetween(Window.unboundedPreceding, if (inclusive) 0 else -1)
-    def aggOf(c: Column): Column = op match {
-      case "sum" => sum(c)
-      case "max" => max(c)
-      case "min" => min(c)
+    // integral inputs accumulate in long (Spark's sum(int) contract);
+    // decimals keep their scale with Spark's +10 precision headroom
+    val prepared = df.withColumn(V, value)
+    val vType0 = prepared.schema(V).dataType
+    val (vCast, outType): (Column, DataType) = (op, vType0) match {
+      case (_, ByteType | ShortType | IntegerType) =>
+        (col(V).cast(LongType), LongType)
+      case ("sum", d: DecimalType) =>
+        (col(V), DecimalType(math.min(38, d.precision + 10), d.scale))
+      case _ => (col(V), vType0)
+    }
+    val (rdd, schema) = sortedRdd(prepared.withColumn(V, vCast),
+      sortCols, parts)
+    val vIdx = schema.fieldIndex(V)
+    val comb: (Any, Any) => Any = op match {
+      case "sum" => {
+        case (a: Long, b: Long) => a + b
+        case (a: Double, b: Double) => a + b
+        case (a: java.math.BigDecimal, b: java.math.BigDecimal) => a.add(b)
+        case (a, b) => throw new IllegalArgumentException(s"sum($a,$b)")
+      }
+      case "max" | "min" => {
+        val keepFirst: (Int => Boolean) =
+          if (op == "max") (_ >= 0) else (_ <= 0)
+        (a: Any, b: Any) => (a, b) match {
+          case (x: Long, y: Long) => if (keepFirst(x.compareTo(y))) x else y
+          case (x: Double, y: Double) =>
+            if (keepFirst(x.compareTo(y))) x else y
+          case (x: java.math.BigDecimal, y: java.math.BigDecimal) =>
+            if (keepFirst(x.compareTo(y))) x else y
+          case (x: String, y: String) =>
+            if (keepFirst(x.compareTo(y))) x else y
+          case (x, y) => throw new IllegalArgumentException(s"$op($x,$y)")
+        }
+      }
       case other => throw new IllegalArgumentException(other)
     }
-    val local = r.withColumn(LOCAL, aggOf(col(V)).over(w))
-    val totals = r.groupBy(col(PID)).agg(aggOf(col(V)).as(CNT))
-    val carry = totals.as("a")
-      .join(totals.as("b"), col(s"b.$PID") < col(s"a.$PID"), "left_outer")
-      .groupBy(col(s"a.$PID").as(PID))
-      .agg(aggOf(col(s"b.$CNT")).as(OFF))
-    val combined = op match {
-      case "sum" => when(col(OFF).isNull && col(LOCAL).isNull, lit(null))
-        .otherwise(coalesce(col(OFF), lit(0)) + coalesce(col(LOCAL), lit(0)))
-      case "max" => greatest(col(OFF), col(LOCAL))
-      case "min" => least(col(OFF), col(LOCAL))
+    def merge(acc: Any, v: Any): Any =
+      if (v == null) acc else if (acc == null) v else comb(acc, v)
+    // pass 1: one partial aggregate per partition
+    val partials = rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        Iterator((i, it.foldLeft(null: Any)((acc, r) => merge(acc, r.get(vIdx)))))
+      }.collect()
+    val byPart = Array.fill[Any](rdd.getNumPartitions)(null)
+    partials.foreach { case (i, v) => byPart(i) = v }
+    val carries = byPart.scanLeft(null: Any)(merge).dropRight(1)
+    // pass 2: seeded running aggregate (map stage reused via shuffle)
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var acc: Any = carries(i)
+      it.map { r =>
+        val withRow = merge(acc, r.get(vIdx))
+        val v = if (inclusive) withRow else acc
+        acc = withRow
+        Row.fromSeq(r.toSeq.patch(vIdx, Nil, 1) :+ v)
+      }
     }
-    local.join(broadcast(carry), Seq(PID))
-      .withColumn(name, combined)
-      .drop(PID, V, LOCAL, OFF)
+    val outFields = schema.fields.patch(vIdx, Nil, 1) :+
+      StructField(name, outType, nullable = true)
+    df.sparkSession.createDataFrame(out, StructType(outFields))
   }
 }

@@ -725,11 +725,11 @@ object Graph {
       .withColumn("nbr_rank", row_number().over(
         Window.partitionBy(col("src")).orderBy(col("dst"))).cast("long") - 1)
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    val starts = sym.select(col("src")).distinct()
-      .filter(col("src") % 2 === 0)
-      .orderBy(col("src")).limit(50)
-      .withColumn("walk_id",
-        row_number().over(Window.orderBy(col("src"))).cast("long"))
+    val starts = DistRank.withRowNumber(
+        sym.select(col("src")).distinct()
+          .filter(col("src") % 2 === 0)
+          .orderBy(col("src")).limit(50),
+        Seq(col("src")), "walk_id")
       .select(col("walk_id"), col("src").as("node"))
     var pos = starts.withColumn("step", lit(0L))
     var out = pos

@@ -355,14 +355,15 @@ object Relational {
       |FROM lineitem WHERE l_suppkey <= 3
       |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin
 
-  /** ntile decile assignment over account balance. */
-  def q17Ntile(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-    t(spark, dir, "customer")
-      .select(col("c_custkey"), col("c_acctbal"),
-        ntile(10).over(w).cast("long").as("decile"))
+  /** ntile decile assignment over account balance — via the range-
+    * partitioned DistRank.withNtile, not a global `ntile() OVER (ORDER
+    * BY ...)`: the partition-less window funnels the whole customer
+    * table through a single task at scale. */
+  def q17Ntile(spark: SparkSession, dir: String): DataFrame =
+    DistRank.withNtile(
+        t(spark, dir, "customer").select(col("c_custkey"), col("c_acctbal")),
+        Seq(col("c_acctbal"), col("c_custkey")), 10, "decile")
       .orderBy(col("c_custkey"))
-  }
 
   val q17Sql: String =
     """SELECT c_custkey, c_acctbal,

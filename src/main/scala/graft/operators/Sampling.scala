@@ -341,18 +341,16 @@ object Sampling {
     * boundary is EXCLUDED so that windowed features computed near the
     * cut cannot straddle it. Everything is exact integer rank
     * arithmetic, and membership is oracle-checked via per-split
-    * bit_xor/sum of event ids, not just counts. Plan note: the global
-    * row_number here is the oracle-replayable form; at 100 TB the
-    * SAME math runs on rank-by-order-statistics — compute the k1/k2
-    * boundary TIMESTAMPS from a distributed sort (range partitioner)
-    * or quantile sketch and assign by comparison, no global window
-    * needed (the boundary ranks are what matter, not per-row ranks). */
+    * bit_xor/sum of event ids, not just counts. Ranks come from
+    * DistRank.withRowNumber (range partitioner + per-partition
+    * offsets) — the whole events table never funnels through a
+    * single-partition window. */
   def temporalSplit(spark: SparkSession, dir: String): DataFrame = {
-    val ordw = Window.orderBy(col("ts"), col("event_id"))
-    t(spark, dir, "events")
-      .select(col("event_id"), col("ts"),
-        (unix_micros(col("ts")) / 86400000000L).cast("long").as("day"))
-      .withColumn("rn", row_number().over(ordw).cast("long"))
+    DistRank.withRowNumber(
+        t(spark, dir, "events")
+          .select(col("event_id"), col("ts"),
+            (unix_micros(col("ts")) / 86400000000L).cast("long").as("day")),
+        Seq(col("ts"), col("event_id")), "rn")
       .crossJoin(broadcast(t(spark, dir, "events")
         .agg(count(lit(1)).as("n"),
           greatest(expr("count(1) div 200"), lit(1L)).as("e"))))

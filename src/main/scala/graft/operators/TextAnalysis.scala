@@ -709,14 +709,12 @@ object TextAnalysis {
     * decimal(18,6) (inputs are already 6-decimal-rounded), so both
     * engines agree bit-for-bit. Composes the trained-as-tables LM of
     * `text_perplexity`; the oracle nests that entry's full SQL as a
-    * CTE — one pipeline, two engines. Scale note: the global ntile is
-    * a single-partition sort HERE; at 100 TB CCNet computes the two
-    * tertile CUTOFFS on a sample and broadcasts them — same output,
-    * no global sort. */
+    * CTE — one pipeline, two engines. The tertile cut runs through
+    * DistRank.withNtile (range partitioner + per-partition offsets) —
+    * no single-partition sort at any corpus size. */
   def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
     val ppl = perplexity(spark, dir)
-    val w = Window.orderBy(col("avg_nll"), col("doc_id"))
-    ppl.withColumn("t", ntile(3).over(w))
+    DistRank.withNtile(ppl, Seq(col("avg_nll"), col("doc_id")), 3, "t")
       .withColumn("bucket",
         when(col("t") === 1, "head").when(col("t") === 2, "middle").otherwise("tail"))
       .groupBy(col("bucket"))
@@ -1173,10 +1171,11 @@ object TextAnalysis {
   def vocabEncode(spark: SparkSession, dir: String): DataFrame = {
     val toks = t(spark, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .orderBy(desc("freq"), col("w")).limit(vocabEncodeSize)
-      .withColumn("id",
-        row_number().over(Window.orderBy(desc("freq"), col("w"))))
+    val vocab = DistRank.withRowNumber(
+        toks.groupBy(col("w")).agg(count(lit(1)).as("freq"))
+          .orderBy(desc("freq"), col("w")).limit(vocabEncodeSize),
+        Seq(desc("freq"), col("w")), "id")
+      .withColumn("id", col("id").cast("int"))
       .select(col("w"), col("id"))
     toks.join(broadcast(vocab), Seq("w"), "left")
       .groupBy(col("doc_id"))

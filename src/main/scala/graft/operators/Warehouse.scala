@@ -1339,11 +1339,11 @@ object Warehouse {
     * aggregate; at 100 TB the boundaries come from a quantile sketch
     * and the same table shape serves the optimizer. */
   def metaHistogramEquidepth(spark: SparkSession, dir: String): DataFrame = {
-    t(spark, dir, "orders")
-      .select(col("o_orderkey"),
-        round(col("o_totalprice") * 100).cast("long").as("cents"))
-      .withColumn("bucket", ntile(8).over(
-        Window.orderBy(col("cents"), col("o_orderkey"))).cast("long"))
+    DistRank.withNtile(
+        t(spark, dir, "orders")
+          .select(col("o_orderkey"),
+            round(col("o_totalprice") * 100).cast("long").as("cents")),
+        Seq(col("cents"), col("o_orderkey")), 8, "bucket")
       .groupBy(col("bucket"))
       .agg(min(col("cents")).cast("long").as("lo"),
         max(col("cents")).cast("long").as("hi"),

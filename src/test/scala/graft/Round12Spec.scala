@@ -70,6 +70,28 @@ class Round12Spec extends AnyFunSuite {
     assert(gotMax.except(wantMax).isEmpty && wantMax.except(gotMax).isEmpty)
   }
 
+  test("registry-wide: no batch entry plans a partition-less Window " +
+      "over its input") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // streaming entries drive MemoryStream micro-batches at build time
+    // (minutes of wall-clock) and their stateful ops are keyed, never
+    // global — the batch surface is where the global-window family lived
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_.startsWith("stream_"))
+    val offenders = names.flatMap { n =>
+      try {
+        val df = SparkEntry.queries(n)(spark, sf)
+        df.queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => n
+        }.headOption
+      } catch { case e: Throwable =>
+        fail(s"entry $n failed to build at $sf: $e")
+      }
+    }
+    assert(offenders.isEmpty,
+      s"entries planning a global single-partition Window: $offenders")
+  }
+
   test("DistRank plans carry no partition-less WindowExec") {
     val sortCols = Seq(col("c_acctbal"), col("c_custkey"))
     import org.apache.spark.sql.execution.window.WindowExec
