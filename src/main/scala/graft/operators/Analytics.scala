@@ -2137,11 +2137,16 @@ object Analytics {
     * find the split maximizing the between-segment separation
     * `n_l·n_r·(μ_l − μ_r)² div n` — the two-segment least-squares
     * objective, computed for EVERY candidate split in one pass from
-    * prefix sums (two shared-sort windows), all exact integers (means
-    * as positive truncated cents, the squared difference safe in
-    * int64 at these magnitudes). Reports where each type's level
-    * shifted and how hard. At 100 TB the per-type series are
-    * calendar-bounded; nothing is quadratic. */
+    * prefix sums (two shared-sort windows), all exact integers.
+    * Division discipline: Spark `div` truncates toward zero while
+    * DuckDB `//` floors, so the oracle spells every mean as
+    * sign-split magnitude division (the q100 pattern) — the engines
+    * then agree even if a day's value total goes negative. Overflow:
+    * `t·(n−t)·d²` needs |d| < √(2⁶³/(n²/4)) — with calendar-bounded n
+    * (≤ ~3.6k days) that is ~$16k of daily-mean shift in cents,
+    * spec-asserted against the data (Round12Spec). Reports where each
+    * type's level shifted and how hard. At 100 TB the per-type series
+    * are calendar-bounded; nothing is quadratic. */
   def metaChangepoint(spark: SparkSession, dir: String): DataFrame = {
     val daily = t(spark, dir, "events")
       .groupBy(col("event_type"),
@@ -2184,7 +2189,10 @@ object Analytics {
       |  sum(cents) OVER (PARTITION BY event_type) AS stot
       | FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
       |scored AS (
-      | SELECT *, (sl // t) - ((stot - sl) // (n - t)) AS d
+      | SELECT *,
+      |  (CASE WHEN sl >= 0 THEN sl // t ELSE -((-sl) // t) END)
+      |   - (CASE WHEN stot - sl >= 0 THEN (stot - sl) // (n - t)
+      |           ELSE -((sl - stot) // (n - t)) END) AS d
       | FROM pre WHERE t < n),
       |picked AS (
       | SELECT *, (t * (n - t) * d * d) // n AS score,
@@ -2193,8 +2201,10 @@ object Analytics {
       | FROM scored)
       |SELECT event_type, cast(day as bigint) AS split_day,
       | cast(score as bigint) AS score,
-      | cast(sl // t as bigint) AS mean_left_cents,
-      | cast((stot - sl) // (n - t) as bigint) AS mean_right_cents
+      | cast(CASE WHEN sl >= 0 THEN sl // t ELSE -((-sl) // t) END
+      |   as bigint) AS mean_left_cents,
+      | cast(CASE WHEN stot - sl >= 0 THEN (stot - sl) // (n - t)
+      |   ELSE -((sl - stot) // (n - t)) END as bigint) AS mean_right_cents
       |FROM picked WHERE rk = 1 ORDER BY event_type""".stripMargin
 
   /** Exact WEIGHTED median — the order statistic that respects row

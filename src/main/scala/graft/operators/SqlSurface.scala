@@ -536,7 +536,8 @@ object SqlSurface {
     * rewrite a join it was not declared for. */
   def q93JoinElimination(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.JoinElimination.register(graft.plans.JoinElimination
-      .FkConstraint(s"$dir/orders.parquet", "o_orderkey", "l_orderkey"))
+      .FkConstraint(s"$dir/orders.parquet", "o_orderkey",
+        s"$dir/lineitem.parquet", "l_orderkey"))
     t(spark, dir, "lineitem")
       .join(t(spark, dir, "orders"),
         col("l_orderkey") === col("o_orderkey"))

@@ -1297,6 +1297,63 @@ object StreamingOps {
        |FROM (SELECT range AS id FROM range(0, 10000))
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Compacted-changelog replay — the upsert-from-compacted-log path a
+    * Kafka user hits FIRST (the reference broker runs
+    * `cleanup.policy=compact`, docker-compose.yaml:31-32): a topic the
+    * broker has already cleaned (only the latest record per key
+    * survives; offsets keep their original positions, so the offset
+    * space has HOLES and some triggers deliver nothing) is replayed
+    * from earliest through the DSv2 micro-batch face
+    * (`GraftRangeSource` with `compactedKeys` — offsets paced in raw
+    * space, survivors-only partitions) into [[KStreams.KStreamDS.toTable]]'s
+    * latest-per-key state. Records whose surviving entry is a
+    * TOMBSTONE (null payload — the delete marker compaction retains
+    * for `delete.retention.ms`) flow through the table layer and are
+    * retracted by the snapshot read side. The converged table is
+    * exactly `max(offset) per key` minus tombstoned keys — DuckDB
+    * replays it from range(). Only `id` is projected, so V2 column
+    * pruning keeps the other generators dark (spec-asserted). At
+    * 100 TB the survivor set is the topic's key cardinality —
+    * answer-sized, maintained by the broker's cleaner, never a raw-log
+    * scan. */
+  def streamCompactedReplay(spark: SparkSession, dir: String): DataFrame =
+    withStatePartitions(spark) {
+      import spark.implicits._
+      val name = uniq("compacted")
+      val records = spark.readStream.format("graft.sources.GraftRangeSource")
+        .option("rows", "20000").option("slices", "4")
+        .option("batchRows", "2500").option("compactedKeys", "101")
+        .load()
+        .select(
+          concat(lit("k"),
+            (((col("id") * 2654435761L) % 1000003L) % 101).cast("string")).as("key"),
+          // the deserializer's view: payload at offset id, null = tombstone
+          when(col("id") % 11 === 5, lit(null).cast("string"))
+            .otherwise(concat(lit("lbl"), (col("id") % 5).cast("string"),
+              lit("@"), col("id").cast("string"))).as("value"),
+          // event time = offset (a compacted log's records keep their
+          // append timestamps; monotone in offset), so latest-by-ts in
+          // the table layer IS latest-by-offset
+          timestamp_micros(col("id")).as("ts"))
+        .as[KStreams.Record]
+      val q = KStreams.KStreamDS(records).toTable.toMemory(name)
+      q.processAllAvailable(); q.stop()
+      KStreams.snapshot(spark, name)
+        .select(col("key"), col("value"),
+          unix_micros(col("ts")).as("last_offset"))
+        .orderBy(col("key"))
+    }
+
+  val streamCompactedReplaySql: String =
+    """WITH log AS (
+      | SELECT range AS id, ((range * 2654435761) % 1000003) % 101 AS k
+      | FROM range(0, 20000)),
+      |surv AS (SELECT k, max(id) AS id FROM log GROUP BY k)
+      |SELECT 'k' || cast(k as varchar) AS key,
+      | 'lbl' || cast(id % 5 as varchar) || '@' || cast(id as varchar) AS value,
+      | cast(id as bigint) AS last_offset
+      |FROM surv WHERE id % 11 <> 5 ORDER BY key""".stripMargin
+
   final case class TopkSnap(key: String, total: Long, types: Seq[String], counts: Seq[Long])
 
   /** State-v2 processor on MAP state — the per-key sub-keyed state
@@ -1783,7 +1840,13 @@ object StreamingOps {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
     val base = graft.util.scratchDir("wap_stream")
+    // deterministic 1/35 sample, the streamPunctuateSnapshot feed
+    // discipline: the MemoryStream driver-side collect stays bounded
+    // at any bench SF instead of growing with the events table. 35 is
+    // coprime to the mod-6 chunking, so every chunk stays populated
+    // (a mod-20 sample would leave chunks 1/3/5 empty).
     val rows = graft.util.t(spark, dir, "events")
+      .filter(col("event_id") % 35 === 0)
       .select(col("event_id"), col("event_type"),
         round(col("value") * 100).cast("long").as("cents"))
       .as[(Long, String, Long)].collect()
@@ -1800,8 +1863,12 @@ object StreamingOps {
         // sf0.1 carries a handful of sub-cent values, and a contract
         // stricter than the real invariant would quarantine clean
         // batches)
-        val Array(agg) = s.agg(count(lit(1)), sum(col("cents")),
-          sum(when(col("cents") < 0, 1L).otherwise(0L))).collect()
+        // coalesce: sum() over an empty staged chunk is NULL — an
+        // empty batch must ledger as (0, 0, published), not NPE
+        val Array(agg) = s.agg(count(lit(1)),
+          coalesce(sum(col("cents")), lit(0L)),
+          coalesce(sum(when(col("cents") < 0, 1L).otherwise(0L)), lit(0L)))
+          .collect()
         val (n, cents, viol) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
         val decision = if (viol > 0) "quarantined" else "published"
         val target = s"$base/$decision/part_$id"
@@ -1834,14 +1901,19 @@ object StreamingOps {
   val streamWapIngestSql: String =
     """WITH ev AS (
       | SELECT event_id % 6 AS chunk,
-      |  cast(round(value * 100) as bigint) AS cents
-      | FROM events),
+      |  CASE WHEN (event_id % 6) % 3 = 1
+      |       THEN -cast(round(value * 100) as bigint)
+      |       ELSE cast(round(value * 100) as bigint) END AS cents
+      | FROM events WHERE event_id % 35 = 0),
       |per_chunk AS (
       | SELECT chunk,
-      |  CASE WHEN chunk % 3 = 1 THEN 'quarantined' ELSE 'published' END
-      |    AS decision,
+      |  -- decision replays the ENGINE's contract (any negative cent
+      |  -- quarantines), not the injection site: a poisoned chunk whose
+      |  -- rows all round to zero cents is legitimately clean
+      |  CASE WHEN sum(CASE WHEN cents < 0 THEN 1 ELSE 0 END) > 0
+      |       THEN 'quarantined' ELSE 'published' END AS decision,
       |  count(*) AS n_rows,
-      |  sum(CASE WHEN chunk % 3 = 1 THEN -cents ELSE cents END) AS staged_cents
+      |  sum(cents) AS staged_cents
       | FROM ev GROUP BY 1)
       |SELECT * FROM (
       | SELECT cast(chunk as bigint) AS batch, decision,
@@ -1927,6 +1999,7 @@ object StreamingOps {
     GQuery("stream_filtered_ann_serve", streamFilteredAnnServe, Some(Similarity.filteredTopkSql)),
     GQuery("stream_chained_stateful", streamChainedStateful, Some(streamChainedStatefulSql)),
     GQuery("stream_dsv2_source", streamDsv2Source, Some(streamDsv2SourceSql)),
+    GQuery("stream_compacted_replay", streamCompactedReplay, Some(streamCompactedReplaySql)),
     GQuery("stream_dsv2_sink", streamDsv2Sink, Some(streamDsv2SinkSql)),
     GQuery("stream_user_topk", streamUserTopk, Some(streamUserTopkSql)),
     GQuery("stream_foreach_batch", streamForeachBatch, Some(streamForeachBatchSql)),

@@ -36,10 +36,17 @@ import scala.jdk.CollectionConverters._
   */
 object JoinElimination extends Rule[LogicalPlan] {
 
-  /** One declared RELY constraint: FK column `fkCol` (non-null,
+  /** One declared RELY constraint: FK column `fkCol` of the fact table
+    * stored at a path ending in `factPathSuffix` (non-null,
     * referentially intact) targets unique PK `pkCol` of the dimension
-    * stored at a path ending in `dimPathSuffix`. */
-  final case class FkConstraint(dimPathSuffix: String, pkCol: String, fkCol: String)
+    * stored at a path ending in `dimPathSuffix`. The constraint binds
+    * COLUMNS OF TABLES, not column names: the rule verifies the FK
+    * attribute resolves — through value-preserving operators only —
+    * to a scan of the declared fact path, so a derived or unrelated
+    * column that merely shares the FK's NAME never triggers
+    * elimination (it could violate the declared integrity). */
+  final case class FkConstraint(dimPathSuffix: String, pkCol: String,
+      factPathSuffix: String, fkCol: String)
 
   private val constraints =
     java.util.concurrent.ConcurrentHashMap.newKeySet[FkConstraint]()
@@ -89,6 +96,49 @@ object JoinElimination extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
+  /** Fact-side provenance: the scan path `fk` faithfully descends
+    * from, traversing only operators that cannot introduce values the
+    * scan never produced — pass-through projections (an Alias mints a
+    * new exprId, so a DERIVED column fails the exprId match), filters,
+    * row-preserving-or-subsetting joins on the fk's side, grouping
+    * keys, sort/limit. Union, Window, Generate, Expand, and
+    * null-extending join sides all stop the walk: they can emit fk
+    * values that violate the declared referential integrity. */
+  private def faithfulScanPath(plan: LogicalPlan, fk: Attribute): Option[String] =
+    plan match {
+      case lr: LogicalRelation if lr.outputSet.contains(fk) =>
+        lr.relation match {
+          case fs: HadoopFsRelation =>
+            fs.location.rootPaths.headOption.map(_.toString)
+          case _ => None
+        }
+      case p: Project if p.projectList.exists {
+          case a: AttributeReference => a.exprId == fk.exprId
+          case _ => false
+        } => faithfulScanPath(p.child, fk)
+      case f: Filter => faithfulScanPath(f.child, fk)
+      case j: Join =>
+        import org.apache.spark.sql.catalyst.plans._
+        val fromLeft = j.left.outputSet.contains(fk)
+        val side = if (fromLeft) j.left else j.right
+        val preserved = j.joinType match {
+          case Inner | Cross => true
+          case LeftOuter | LeftSemi | LeftAnti => fromLeft
+          case RightOuter => !fromLeft
+          case _ => false // full outer etc. null-extend both sides
+        }
+        if (preserved) faithfulScanPath(side, fk) else None
+      case a: Aggregate if a.groupingExpressions.exists {
+          case ar: AttributeReference => ar.exprId == fk.exprId
+          case _ => false
+        } => faithfulScanPath(a.child, fk)
+      case s: Sort => faithfulScanPath(s.child, fk)
+      case l: GlobalLimit => faithfulScanPath(l.child, fk)
+      case l: LocalLimit => faithfulScanPath(l.child, fk)
+      case r: RepartitionOperation => faithfulScanPath(r.child, fk)
+      case _ => None
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (constraints.isEmpty) plan
     else plan transform {
@@ -103,7 +153,9 @@ object JoinElimination extends Rule[LogicalPlan] {
               else if (b.exprId == pk.exprId) (b, a)
               else (null, null)
             if (pkAttr != null && fkAttr.name == c.fkCol &&
-              left.outputSet.contains(fkAttr)) {
+              left.outputSet.contains(fkAttr) &&
+              faithfulScanPath(left, fkAttr)
+                .exists(_.endsWith(c.factPathSuffix))) {
               // join output is left.output ++ [pk]; pk ≡ fk under the
               // equi-condition, so alias the FK onto the PK's exprId
               Project(left.output :+

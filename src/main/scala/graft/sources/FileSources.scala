@@ -993,21 +993,33 @@ object FileSources {
   }
 
   /** Deletes every manifest not on a listed ref's parent chain, plus
-    * the data files only those manifests reference. */
+    * the data files ONLY those manifests reference. Mark-then-sweep:
+    * the adds of every reachable manifest are collected first and a
+    * shared add (time travel / branch fan-out can legally reference
+    * one data dir from several manifests) survives as long as ANY
+    * reachable manifest points at it. Absolute-path adds are
+    * cross-table references ([[shallowClone]] writes them) — another
+    * table's GC never owns those bytes, so they are skipped
+    * unconditionally (the clone's own expiry reclaims them when ITS
+    * chain drops them). */
   private[graft] def expireUnreachable(root: String, refs: Seq[String]): Unit = {
     val reachable = refs.flatMap(r => ancestors(root, readRef(root, r))).toSet
     val vdir = new java.io.File(s"$root/_versions")
-    Option(vdir.listFiles()).getOrElse(Array.empty)
+    def addOf(f: java.io.File): String =
+      java.nio.file.Files.readString(f.toPath)
+        .split("\"add\": \"")(1).split("\"")(0)
+    val (kept, expired) = Option(vdir.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.matches("v\\d+\\.json"))
-      .filterNot(f => reachable(
+      .partition(f => reachable(
         f.getName.stripPrefix("v").stripSuffix(".json").toInt))
-      .foreach { f =>
-        val add = java.nio.file.Files.readString(f.toPath)
-          .split("\"add\": \"")(1).split("\"")(0)
+    val keptAdds = kept.map(addOf).toSet
+    expired.foreach { f =>
+      val add = addOf(f)
+      if (!add.startsWith("/") && !keptAdds(add))
         graft.util.deleteRecursively(new java.io.File(s"$root/$add"))
-        f.delete()
-        ()
-      }
+      f.delete()
+      ()
+    }
   }
 
   val manifestExpireSql: String =

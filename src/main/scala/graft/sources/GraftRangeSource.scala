@@ -44,7 +44,8 @@ class GraftRangeSource extends TableProvider {
     new GraftRangeTable(
       properties.getOrDefault("rows", "1000").toLong,
       properties.getOrDefault("slices", "8").toInt,
-      properties.getOrDefault("batchRows", "1000").toLong)
+      properties.getOrDefault("batchRows", "1000").toLong,
+      properties.getOrDefault("compactedKeys", "0").toInt)
 }
 
 object GraftRangeSource {
@@ -58,20 +59,58 @@ object GraftRangeSource {
   def bucketOf(id: Long): Long = id % 16
   def labelOf(id: Long): String = "lbl" + (id % 5)
   def valueOf(id: Long): Double = ((id * 2654435761L) % 1000L).toDouble / 10.0
+
+  /** Compacted-log mode (`compactedKeys=K`, K>0): the served offsets
+    * are what a log-compacted Kafka topic retains — per record key,
+    * only the LATEST offset survives; earlier offsets for the key are
+    * holes in the offset space (a compacted topic's offsets are NOT
+    * contiguous — the consumer must tolerate gaps, which is exactly
+    * what this mode forces downstream code to handle). The record key
+    * is a scattered pure function of the offset so the survivor set is
+    * non-trivial — NOTE the double mod: `(id·A) mod K` alone is cyclic
+    * with period K (it degenerates to "the last K offsets survive",
+    * i.e. no compaction holes at all; the spec asserts holes exist),
+    * so the product is first folded through a large prime. DuckDB
+    * replays it as `max(id) GROUP BY key` over `range(rows)`. Models
+    * the reference broker's `cleanup.policy=compact`
+    * (docker-compose.yaml:31-32). */
+  def keyOf(id: Long, k: Int): Long = ((id * 2654435761L) % 1000003L) % k
+
+  /** Offsets surviving compaction of the [0, rows) log over K keys —
+    * max offset per key, ascending. Computed by a BACKWARD
+    * coupon-collector scan: walking down from rows-1, the first
+    * occurrence of each key IS its max offset, and with a ~uniform key
+    * function all K keys are seen in O(K·lnK) expected steps — the
+    * survivor set is answer-sized (≤K) and its computation is
+    * scale-independent of the log length (a real broker maintains this
+    * index during cleaning; a 100 TB log never gets scanned here). */
+  def survivors(rows: Long, k: Int): Array[Long] = {
+    val seen = new java.util.HashSet[Long]()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var id = rows - 1
+    while (id >= 0 && seen.size < k) {
+      if (seen.add(keyOf(id, k))) out += id
+      id -= 1
+    }
+    out.sortInPlace().toArray
+  }
 }
 
-class GraftRangeTable(rows: Long, slices: Int, batchRows: Long)
+class GraftRangeTable(rows: Long, slices: Int, batchRows: Long, compacted: Int = 0)
   extends Table with SupportsRead {
-  override def name(): String = s"graft_range($rows)"
+  override def name(): String =
+    if (compacted > 0) s"graft_range($rows, compacted=$compacted)"
+    else s"graft_range($rows)"
   override def schema(): StructType = GraftRangeSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftRangeScanBuilder(rows, slices, batchRows)
+    new GraftRangeScanBuilder(rows, slices, batchRows, compacted)
 }
 
-class GraftRangeScanBuilder(rows: Long, slices: Int, batchRows: Long = 1000L)
+class GraftRangeScanBuilder(rows: Long, slices: Int, batchRows: Long = 1000L,
+    compacted: Int = 0)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var requiredSchema: StructType = GraftRangeSource.schema
@@ -122,12 +161,13 @@ class GraftRangeScanBuilder(rows: Long, slices: Int, batchRows: Long = 1000L)
     requiredSchema = required
 
   override def build(): Scan =
-    new GraftRangeScan(rows, slices, batchRows, requiredSchema, lo, math.min(hi, rows), pushed.length)
+    new GraftRangeScan(rows, slices, batchRows, requiredSchema, lo,
+      math.min(hi, rows), pushed.length, compacted)
 }
 
 class GraftRangeScan(
     rows: Long, slices: Int, batchRows: Long, required: StructType,
-    lo: Long, hi: Long, nPushed: Int) extends Scan with Batch {
+    lo: Long, hi: Long, nPushed: Int, compacted: Int = 0) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -145,7 +185,7 @@ class GraftRangeScan(
     * outside the bounds. */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftRangeMicroBatchStream(rows, slices, batchRows, required, lo, hi)
+    new GraftRangeMicroBatchStream(rows, slices, batchRows, required, lo, hi, compacted)
 
   // one slice = one InputPartition = one task; slices whose id range
   // is disjoint with the pushed [lo, hi) bound are never planned
@@ -159,17 +199,31 @@ class GraftRangeScan(
       .filter { case (s, e) => s < e }
 
   override def planInputPartitions(): Array[InputPartition] =
-    keptSlices.map { case (s, e) => GraftRangePartition(s, e) }.toArray
+    if (compacted > 0) {
+      // compacted batch face: survivors within the pushed [lo, hi)
+      // bound, chunked across `slices` tasks (the set is ≤compacted
+      // offsets — answer-sized, never the raw log)
+      val surv = GraftRangeSource.survivors(rows, compacted)
+        .filter(id => id >= lo && id < hi)
+      if (surv.isEmpty) Array.empty
+      else surv.grouped(math.max(1, (surv.length + slices - 1) / slices))
+        .map(ids => GraftRangeListPartition(ids): InputPartition).toArray
+    } else keptSlices.map { case (s, e) => GraftRangePartition(s, e): InputPartition }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftRangeReaderFactory(required)
 
   override def description(): String =
     s"GraftRangeScan(rows=$rows, slices=${keptSlices.size}/${allSlices.size} kept, " +
-      s"pushedFilters=$nPushed, columns=${required.fieldNames.mkString(",")})"
+      s"pushedFilters=$nPushed, columns=${required.fieldNames.mkString(",")}" +
+      (if (compacted > 0) s", compacted=$compacted" else "") + ")"
 }
 
 case class GraftRangePartition(start: Long, end: Long) extends InputPartition
+
+/** Explicit-offset partition: a compacted log's surviving offsets are
+  * non-contiguous, so a (start, end) range cannot describe them. */
+case class GraftRangeListPartition(ids: Array[Long]) extends InputPartition
 
 case class GraftRangeOffset(n: Long)
   extends org.apache.spark.sql.connector.read.streaming.Offset {
@@ -178,7 +232,7 @@ case class GraftRangeOffset(n: Long)
 
 class GraftRangeMicroBatchStream(
     rows: Long, slices: Int, batchRows: Long, required: StructType,
-    lo: Long = 0L, hi: Long = Long.MaxValue)
+    lo: Long = 0L, hi: Long = Long.MaxValue, compacted: Int = 0)
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
@@ -215,14 +269,26 @@ class GraftRangeMicroBatchStream(
     val s = start.asInstanceOf[GraftRangeOffset].n
     val e = end.asInstanceOf[GraftRangeOffset].n
     if (s >= e) Array.empty
-    else {
+    else if (compacted > 0) {
+      // compacted streaming face: offsets still advance over the RAW
+      // [0, rows) space (a compacted topic's offsets keep their
+      // original positions), but a micro-batch delivers only the
+      // offsets that survived cleaning — so some triggers carry holes
+      // and some are legitimately EMPTY, the gap-tolerance a real
+      // compacted-topic consumer must have
+      val surv = GraftRangeSource.survivors(rows, compacted)
+        .filter(id => id >= s && id < e && id >= lo && id < hi)
+      if (surv.isEmpty) Array.empty
+      else surv.grouped(math.max(1, (surv.length + slices - 1) / slices))
+        .map(ids => GraftRangeListPartition(ids): InputPartition).toArray
+    } else {
       val per = math.max(1L, (e - s + slices - 1) / slices)
       (s until e by per)
         .map(b => (b, math.min(e, b + per)))
         // enforce the pushed id bounds the batch face promised (no residual)
         .map { case (ps, pe) => (math.max(ps, lo), math.min(pe, hi)) }
         .filter { case (ps, pe) => ps < pe }
-        .map { case (ps, pe) => GraftRangePartition(ps, pe) }
+        .map { case (ps, pe) => GraftRangePartition(ps, pe): InputPartition }
         .toArray
     }
   }
@@ -232,21 +298,32 @@ class GraftRangeMicroBatchStream(
 }
 
 class GraftRangeReaderFactory(required: StructType) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[GraftRangePartition]
-    new PartitionReader[InternalRow] {
-      private var id = p.start - 1
-      // column pruning is real: only the projected generators run
-      private val gens: Array[Long => Any] = required.fieldNames.map {
-        case "id" => (i: Long) => i
-        case "bucket" => (i: Long) => GraftRangeSource.bucketOf(i)
-        case "label" => (i: Long) => UTF8String.fromString(GraftRangeSource.labelOf(i))
-        case "value" => (i: Long) => GraftRangeSource.valueOf(i)
-        case other => sys.error(s"unknown column $other")
-      }
-      override def next(): Boolean = { id += 1; id < p.end }
-      override def get(): InternalRow = InternalRow.fromSeq(gens.map(_(id)).toSeq)
-      override def close(): Unit = ()
-    }
+  // column pruning is real: only the projected generators run
+  private def gens: Array[Long => Any] = required.fieldNames.map {
+    case "id" => (i: Long) => i
+    case "bucket" => (i: Long) => GraftRangeSource.bucketOf(i)
+    case "label" => (i: Long) => UTF8String.fromString(GraftRangeSource.labelOf(i))
+    case "value" => (i: Long) => GraftRangeSource.valueOf(i)
+    case other => sys.error(s"unknown column $other")
   }
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case p: GraftRangePartition =>
+        new PartitionReader[InternalRow] {
+          private var id = p.start - 1
+          private val g = gens
+          override def next(): Boolean = { id += 1; id < p.end }
+          override def get(): InternalRow = InternalRow.fromSeq(g.map(_(id)).toSeq)
+          override def close(): Unit = ()
+        }
+      case p: GraftRangeListPartition =>
+        new PartitionReader[InternalRow] {
+          private var i = -1
+          private val g = gens
+          override def next(): Boolean = { i += 1; i < p.ids.length }
+          override def get(): InternalRow = InternalRow.fromSeq(g.map(_(p.ids(i))).toSeq)
+          override def close(): Unit = ()
+        }
+    }
 }

@@ -200,7 +200,8 @@ class Round11Spec extends AnyFunSuite {
     val baseline = joined().collect().toSeq
     // 2. with the RELY constraint declared, the join is eliminated
     val c = plans.JoinElimination.FkConstraint(
-      s"$sf/orders.parquet", "o_orderkey", "l_orderkey")
+      s"$sf/orders.parquet", "o_orderkey",
+      s"$sf/lineitem.parquet", "l_orderkey")
     plans.JoinElimination.register(c)
     try {
       assert(joins(joined()) == 0, "declared PK-FK join must be eliminated")

@@ -92,6 +92,163 @@ class Round12Spec extends AnyFunSuite {
       s"entries planning a global single-partition Window: $offenders")
   }
 
+  test("expireUnreachable is mark-then-sweep: shared and cross-table " +
+      "adds survive, orphan-only adds are reclaimed") {
+    import graft.sources.FileSources._
+    import java.nio.file.{Files, Paths}
+    val root = graft.util.scratchDir("gc_guard")
+    val other = graft.util.scratchDir("gc_other")
+    val nation = util.t(spark, sf, "nation").select(col("n_nationkey"))
+    // main chain: v1 (d0) — reachable
+    writeRef(root, "main", commitVersion(root, "d0", nation, parent = 0))
+    // orphan v2 SHARING v1's data dir (time-travel-style shared add)
+    Files.writeString(Paths.get(s"$root/_versions/v2.json"),
+      """{"version": 2, "parent": 0, "add": "d0"}""")
+    // orphan v3 with an ABSOLUTE add into another table (clone-style)
+    nation.write.parquet(s"$other/dx")
+    Files.writeString(Paths.get(s"$root/_versions/v3.json"),
+      s"""{"version": 3, "parent": 0, "add": "$other/dx"}""")
+    // orphan v4 with its own private data dir — the one true garbage
+    commitVersion(root, "d_orphan", nation, parent = 0)
+    val before = snapshotAt(spark, root, readRef(root, "main")).count()
+
+    expireUnreachable(root, Seq("main"))
+
+    assert(new java.io.File(s"$root/d0").exists(),
+      "shared add deleted although a reachable manifest references it")
+    assert(new java.io.File(s"$other/dx").exists(),
+      "cross-table absolute add deleted by a foreign table's GC")
+    assert(!new java.io.File(s"$root/d_orphan").exists(),
+      "orphan-only add not reclaimed")
+    assert(!new java.io.File(s"$root/_versions/v2.json").exists() &&
+      !new java.io.File(s"$root/_versions/v3.json").exists(),
+      "expired manifests not removed")
+    assert(snapshotAt(spark, root, readRef(root, "main")).count() === before,
+      "reachable readback changed across GC")
+  }
+
+  test("join elimination requires fact-scan provenance, not a column name") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    def joins(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect { case j: LJoin => j }.size
+    val dim = util.t(spark, sf, "orders")
+    val c = plans.JoinElimination.FkConstraint(
+      s"$sf/orders.parquet", "o_orderkey",
+      s"$sf/lineitem.parquet", "l_orderkey")
+    plans.JoinElimination.register(c)
+    try {
+      // genuine FK column from the declared fact scan → eliminated
+      val genuine = util.t(spark, sf, "lineitem")
+        .join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      assert(joins(genuine) == 0, "declared PK-FK join must be eliminated")
+      // a DERIVED column that merely shares the FK name → join survives
+      // (its values can violate the declared referential integrity)
+      val derived = util.t(spark, sf, "lineitem")
+        .select((col("l_orderkey") * 100).as("l_orderkey"),
+          col("l_returnflag"))
+        .join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      assert(joins(derived) == 1, "derived fk-named column must keep its join")
+      // same name sourced from a DIFFERENT table → join survives
+      val foreign = util.t(spark, sf, "customer")
+        .select(col("c_custkey").as("l_orderkey"), col("c_mktsegment"))
+        .join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      assert(joins(foreign) == 1, "foreign-table column must keep its join")
+    } finally plans.JoinElimination.unregister(c)
+  }
+
+  test("metaChangepoint score arithmetic cannot overflow int64 on events") {
+    // score = t*(n-t)*d*d div n; sufficient bound: (n^2/4)*(2*maxAbs)^2
+    // < 2^63 where maxAbs = max |daily cents total| (|mean| <= maxAbs,
+    // |d| <= 2*maxAbs). Asserted at every SF the driver verifies.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
+      val daily = util.t(spark, dir, "events")
+        .groupBy(col("event_type"),
+          (unix_micros(col("ts")) / 86400000000L).cast("long").as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      val row = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), max(abs(col("cents"))).as("m"))
+        .agg(max(col("n")).as("n"), max(col("m")).as("m")).head()
+      val n = BigInt(row.getLong(0)); val m = BigInt(row.getLong(1))
+      assert(n * n / 4 * (2 * m) * (2 * m) < BigInt(Long.MaxValue),
+        s"$dir: n=$n maxAbsCents=$m would overflow the split score")
+    }
+  }
+
+  test("compacted-log source: batch face serves exactly max-offset-per-key " +
+      "with offset holes; streaming face converges to the same set") {
+    val surv = sources.GraftRangeSource.survivors(20000L, 101)
+    // structural truth of the survivor set: one offset per key, each
+    // the key's max over the raw log
+    assert(surv.length == 101)
+    assert(surv.map(id => sources.GraftRangeSource.keyOf(id, 101)).distinct.length == 101)
+    // offsets are non-contiguous — compaction leaves holes
+    assert(surv.sliding(2).exists { case Array(a, b) => b - a > 1 })
+    val batch = spark.read.format("graft.sources.GraftRangeSource")
+      .option("rows", "20000").option("slices", "4").option("compactedKeys", "101")
+      .load().select(col("id")).collect().map(_.getLong(0)).sorted
+    assert(batch.sameElements(surv), "batch face != survivor set")
+    // brute-force referee: max id per key over the raw range
+    val brute = (0L until 20000L).groupBy(id => sources.GraftRangeSource.keyOf(id, 101))
+      .values.map(_.max).toArray.sorted
+    assert(surv.sameElements(brute), "survivors != brute-force max-per-key")
+  }
+
+  test("compacted-log replay restarts from the committed offset and " +
+      "converges to latest-per-key of the grown log") {
+    val base = s"${sys.props("java.io.tmpdir")}/graft_compact_restart_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val ckpt = s"$base/ckpt"
+    val out = s"$base/out"
+    def run(rows: Long): Unit = {
+      val q = spark.readStream.format("graft.sources.GraftRangeSource")
+        .option("rows", rows.toString).option("slices", "4")
+        .option("batchRows", "2500").option("compactedKeys", "101")
+        .load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out)
+        }.start()
+      q.processAllAvailable(); q.stop()
+    }
+    run(10000)  // consumer reads the topic as compacted at t0
+    run(20000)  // restart: log grew, cleaner re-ran, offsets advance from 10000
+    val got = spark.read.parquet(out).select(col("id"))
+      .collect().map(_.getLong(0)).sorted
+    // delivered = survivors of the t0 view + survivors of the grown view
+    // that sit past the committed offset (nothing replayed, nothing lost)
+    val want = (sources.GraftRangeSource.survivors(10000L, 101) ++
+      sources.GraftRangeSource.survivors(20000L, 101).filter(_ >= 10000L)).sorted
+    assert(got.sameElements(want),
+      s"restart delivered ${got.length} offsets, expected ${want.length}")
+    // and the CONSUMER's latest-per-key over everything delivered equals
+    // latest-per-key of the final log — superseded t0 survivors are
+    // overwritten, exactly the upsert guarantee the table layer gives
+    val latestDelivered = got.groupBy(id => sources.GraftRangeSource.keyOf(id, 101))
+      .values.map(_.max).toArray.sorted
+    assert(latestDelivered.sameElements(sources.GraftRangeSource.survivors(20000L, 101)))
+  }
+
+  test("stream_compacted_replay matches its oracle and prunes to the id column") {
+    val got = SparkEntry.queries("stream_compacted_replay")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // sequential referee: latest-per-key over the raw log, tombstones dropped
+    val want = (0L until 20000L).groupBy(id => sources.GraftRangeSource.keyOf(id, 101))
+      .values.map(_.max).filter(_ % 11 != 5)
+      .map(id => (s"k${sources.GraftRangeSource.keyOf(id, 101)}",
+        s"lbl${id % 5}@$id", id))
+      .toArray.sortBy(_._1)
+    assert(got.sameElements(want))
+    // V2 column pruning: the batch twin of the projection reads only `id`
+    val desc = spark.read.format("graft.sources.GraftRangeSource")
+      .option("rows", "20000").option("compactedKeys", "101").load()
+      .select(col("id")).queryExecution.executedPlan.toString
+    assert(desc.contains("columns=id") && desc.contains("compacted=101"), desc)
+  }
+
   test("DistRank plans carry no partition-less WindowExec") {
     val sortCols = Seq(col("c_acctbal"), col("c_custkey"))
     import org.apache.spark.sql.execution.window.WindowExec
