@@ -198,6 +198,137 @@ object Analytics {
        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** One strategy variant of the q111 join, hint applied to the dim
+    * side — public so the spec can assert each hint actually selected
+    * its physical join (Broadcast/SortMerge/ShuffledHash). */
+  def q111Joined(spark: SparkSession, dir: String, hint: String): DataFrame = {
+    val n = t(spark, dir, "nation").hint(hint)
+    t(spark, dir, "customer")
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(expr("cast(round(c_acctbal * 100) as bigint)")).as("bal_cents"))
+  }
+
+  /** Join-STRATEGY matrix — the full planner-control surface q44
+    * samples one point of: the identical customer⋈nation aggregate
+    * executed under BROADCAST (dim fits in memory — the 100 TB default
+    * for true dims), MERGE (both sides facts: sort-merge on the equi
+    * key, spillable), and SHUFFLE_HASH (mid-size build side where
+    * sorting is wasted work). Results are strategy-independent — THE
+    * correctness property hint surfaces must preserve — so the oracle
+    * replays one join three times under the labels; the spec asserts
+    * each variant's executed plan carries the requested physical
+    * operator (hints change plans, never answers). */
+  def q111JoinStrategies(spark: SparkSession, dir: String): DataFrame =
+    Seq("broadcast", "merge", "shuffle_hash")
+      .map(h => q111Joined(spark, dir, h).withColumn("strategy", lit(h)))
+      .reduce(_ unionByName _)
+      .orderBy(col("strategy"), col("n_name"))
+
+  val q111Sql: String =
+    """WITH agg AS (
+      | SELECT n_name, count(*) AS n_cust,
+      |  cast(sum(cast(round(c_acctbal * 100) as bigint)) as bigint) AS bal_cents
+      | FROM customer JOIN nation ON c_nationkey = n_nationkey
+      | GROUP BY n_name)
+      |SELECT n_name, n_cust, bal_cents, strategy
+      |FROM agg CROSS JOIN (VALUES ('broadcast'), ('merge'), ('shuffle_hash')) s(strategy)
+      |ORDER BY strategy, n_name""".stripMargin
+
+  /** NOT IN three-valued-logic matrix — the SQL-semantics trap every
+    * engine must honor: `x NOT IN (subquery)` is an ANTI join only
+    * while the subquery is null-free; one NULL in the set makes every
+    * comparison UNKNOWN and the predicate selects ZERO rows, while the
+    * NOT EXISTS spelling stays null-safe. Three variants over the same
+    * customers-without-urgent-orders question: a null-free NOT IN
+    * (Spark plans a null-aware anti join), the same subquery with one
+    * key NULLed via nullif (must return 0), and NOT EXISTS (the
+    * null-safe twin — must equal the clean NOT IN). The subquery is
+    * dim-bounded, so the null-aware anti join's broadcast is the
+    * correct 100 TB plan. */
+  def q112NotInNulls(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("q112_customer")
+    t(spark, dir, "orders").createOrReplaceTempView("q112_orders")
+    spark.sql(
+      """WITH urgent AS (
+        | SELECT o_custkey FROM q112_orders WHERE o_orderpriority = '1-URGENT'),
+        |poisoned AS (
+        | SELECT nullif(o_custkey, (SELECT min(o_custkey) FROM urgent)) AS o_custkey
+        | FROM urgent)
+        |SELECT 'not_exists' AS variant, count(*) AS n_cust,
+        |  coalesce(sum(c_custkey), 0) AS sum_keys
+        |FROM q112_customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM urgent u WHERE u.o_custkey = c.c_custkey)
+        |UNION ALL
+        |SELECT 'not_in_clean', count(*), coalesce(sum(c_custkey), 0)
+        |FROM q112_customer WHERE c_custkey NOT IN (SELECT o_custkey FROM urgent)
+        |UNION ALL
+        |SELECT 'not_in_nullable', count(*), coalesce(sum(c_custkey), 0)
+        |FROM q112_customer WHERE c_custkey NOT IN (SELECT o_custkey FROM poisoned)
+        |ORDER BY variant""".stripMargin)
+  }
+
+  val q112Sql: String =
+    """WITH urgent AS (
+      | SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+      |poisoned AS (
+      | SELECT nullif(o_custkey, (SELECT min(o_custkey) FROM urgent)) AS o_custkey
+      | FROM urgent)
+      |SELECT 'not_exists' AS variant, cast(count(*) as bigint) AS n_cust,
+      | cast(coalesce(sum(c_custkey), 0) as bigint) AS sum_keys
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM urgent u WHERE u.o_custkey = c.c_custkey)
+      |UNION ALL
+      |SELECT 'not_in_clean', cast(count(*) as bigint),
+      | cast(coalesce(sum(c_custkey), 0) as bigint)
+      |FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM urgent)
+      |UNION ALL
+      |SELECT 'not_in_nullable', cast(count(*) as bigint),
+      | cast(coalesce(sum(c_custkey), 0) as bigint)
+      |FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM poisoned)
+      |ORDER BY variant""".stripMargin
+
+  /** Relational DIVISION (the "for all" query Codd's algebra names ÷):
+    * customers whose order history covers EVERY priority class present
+    * in the fact table, reported per market segment. The classic
+    * scalable plan — no division operator exists in any engine — is
+    * distinct(custkey, priority) → per-customer coverage count →
+    * compare against the (broadcast scalar) total class count: two
+    * key-partitioned aggregations and one broadcast, never a
+    * cross/anti cascade. Coverage counting survives 100 TB because the
+    * distinct pre-aggregation collapses the fact table to
+    * |customers|·|classes| before anything else runs. */
+  def q113Division(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val nClasses = orders.agg(
+      countDistinct(col("o_orderpriority")).as("n_classes"))
+    val coverage = orders
+      .select(col("o_custkey"), col("o_orderpriority")).distinct()
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_cov"))
+      .crossJoin(broadcast(nClasses))
+      .filter(col("n_cov") === col("n_classes"))
+    t(spark, dir, "customer")
+      .join(coverage, col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).cast("long").as("n_full_coverage"),
+        sum(col("c_custkey")).cast("long").as("sum_keys"))
+      .orderBy(col("seg"))
+  }
+
+  val q113Sql: String =
+    """WITH cov AS (
+      | SELECT o_custkey, count(*) AS n_cov
+      | FROM (SELECT DISTINCT o_custkey, o_orderpriority FROM orders)
+      | GROUP BY o_custkey),
+      |full_cov AS (
+      | SELECT o_custkey FROM cov
+      | WHERE n_cov = (SELECT count(DISTINCT o_orderpriority) FROM orders))
+      |SELECT c_mktsegment AS seg, cast(count(*) as bigint) AS n_full_coverage,
+      | cast(sum(c_custkey) as bigint) AS sum_keys
+      |FROM customer JOIN full_cov ON c_custkey = o_custkey
+      |GROUP BY 1 ORDER BY seg""".stripMargin
+
   /** SQL surface: chained CTEs + a LATERAL VIEW explode (the UDTF
     * position) over the pure-SQL entry point. */
   def q45SqlCte(spark: SparkSession, dir: String): DataFrame = {
@@ -2402,6 +2533,9 @@ object Analytics {
     GQuery("q47_array_funcs", q47ArrayFuncs, Some(q47Sql)),
     GQuery("q48_struct_json", q48StructJson, Some(q48Sql)),
     GQuery("q44_join_hint_smj", q44JoinHintSmj, Some(q44Sql)),
+    GQuery("q111_join_strategies", q111JoinStrategies, Some(q111Sql)),
+    GQuery("q112_not_in_nulls", q112NotInNulls, Some(q112Sql)),
+    GQuery("q113_division", q113Division, Some(q113Sql)),
     GQuery("q45_sql_cte", q45SqlCte, Some(q45Sql)),
     GQuery("q46_approx_percentile", q46ApproxPercentile, None),
     GQuery("q37_percentiles", q37Percentiles, Some(q37Sql)),

@@ -69,6 +69,54 @@ object Sampling {
     """SELECT lang, least(25, count(*)) AS n_sampled
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Temperature-scaled mixture sampling — the α-sampling that
+    * multilingual/multi-domain pretraining uses to keep head strata
+    * from drowning tail strata (Conneau et al., XLM-R, §3.1: sample
+    * stratum l with p_l ∝ n_l^α; α=1/2 here): per-language allocation
+    * score = ⌊√n_l⌋ (exact in double far beyond any corpus size), a
+    * 200-doc budget split by floor allocation `budget·score div Σscore`
+    * capped at the stratum size, and the WHICH-docs choice made by the
+    * Knuth multiplicative priority `(doc_id·2654435761) mod 2³²` — a
+    * pure row function both engines compute identically, so membership
+    * (not just counts) is oracle-checked. Per-stratum window sort is
+    * the clarity shape; at 100 TB swap in the
+    * [[graft.functions.BottomKByPriority]] partial aggregate with
+    * k = max target (≤ k·|strata| rows ever shuffle). */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("lang"), col("doc_id"))
+    val alloc = docs.groupBy(col("lang")).agg(count(lit(1)).as("stratum_n"))
+      .withColumn("score", floor(sqrt(col("stratum_n"))).cast("long"))
+      .crossJoin(broadcast(docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .agg(sum(floor(sqrt(col("n"))).cast("long")).as("tot"))))
+      .withColumn("target", least(col("stratum_n"), expr("200 * score div tot")))
+      .select(col("lang"), col("stratum_n"), col("score"), col("target"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(pmod(col("doc_id") * 2654435761L, lit(4294967296L)), col("doc_id"))
+    docs.withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(alloc), Seq("lang"))
+      .filter(col("rk") <= col("target"))
+      .select(col("lang"), col("rk"), col("doc_id"),
+        col("stratum_n"), col("target"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  val temperatureMixSql: String =
+    """WITH counts AS (
+      | SELECT lang, count(*) AS stratum_n,
+      |  cast(floor(sqrt(count(*))) as bigint) AS score
+      | FROM documents GROUP BY lang),
+      |alloc AS (
+      | SELECT lang, stratum_n, score,
+      |  least(stratum_n, 200 * score // (SELECT sum(score) FROM counts)) AS target
+      | FROM counts),
+      |ranked AS (
+      | SELECT lang, doc_id, cast(row_number() OVER (PARTITION BY lang
+      |   ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) as bigint) AS rk
+      | FROM documents)
+      |SELECT r.lang, r.rk, r.doc_id, a.stratum_n, cast(a.target as bigint) AS target
+      |FROM ranked r JOIN alloc a USING (lang)
+      |WHERE r.rk <= a.target ORDER BY r.lang, r.rk""".stripMargin
+
   /** Bounded per-group sample via the native
     * [[graft.functions.BottomKByPriority]] aggregate: the 10 documents
     * per language with the smallest deterministic priority
@@ -393,6 +441,56 @@ object Sampling {
       | cast(sum(event_id) as bigint) AS sum_ids
       |FROM marked GROUP BY 1 ORDER BY split""".stripMargin
 
+  /** Walk-forward (expanding-window) cross-validation — the
+    * time-series CV scheme that never trains on the future: fold i of
+    * 4 trains on the chronologically first n·i/8 events and tests on
+    * the next n/8 (so train windows expand 1/8 → 4/8 while each test
+    * window stays one slice wide). Chronological ranks come from
+    * [[DistRank.withRowNumber]] (range partition + prefix-sum offsets
+    * — no single-partition window), fold membership from one
+    * explode(sequence) so the table is scanned ONCE for all folds, and
+    * boundaries are integer n·i div 8 — exact in both engines. Output
+    * per (fold, role): counts, day span, and xor/sum id digests so the
+    * oracle checks MEMBERSHIP, not just sizes. */
+  def walkForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("event_id"), col("ts"),
+        (unix_micros(col("ts")) / 86400000000L).cast("long").as("day"))
+    DistRank.withRowNumber(ev, Seq(col("ts"), col("event_id")), "rn")
+      .crossJoin(broadcast(ev.agg(count(lit(1)).as("n"))))
+      .withColumn("fold", explode(expr("sequence(1L, 4L)")))
+      .filter(col("rn") <= expr("n * (fold + 1) div 8"))
+      .withColumn("role",
+        when(col("rn") <= expr("n * fold div 8"), lit("train")).otherwise(lit("test")))
+      .groupBy(col("fold"), col("role"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        min(col("day")).cast("long").as("min_day"),
+        max(col("day")).cast("long").as("max_day"),
+        expr("bit_xor(event_id)").cast("long").as("xor_ids"),
+        sum(col("event_id")).cast("long").as("sum_ids"))
+      .orderBy(col("fold"), col("role"))
+  }
+
+  val walkForwardSql: String =
+    """WITH ev AS (
+      | SELECT event_id, (epoch_ns(ts) // 1000) // 86400000000 AS day,
+      |  row_number() OVER (ORDER BY ts, event_id) AS rn
+      | FROM events),
+      |tot AS (SELECT count(*) AS n FROM events),
+      |folds AS (SELECT range AS fold FROM range(1, 5)),
+      |m AS (
+      | SELECT ev.*, fold, (n * fold) // 8 AS k1, (n * (fold + 1)) // 8 AS k2
+      | FROM ev CROSS JOIN tot CROSS JOIN folds)
+      |SELECT cast(fold as bigint) AS fold,
+      | CASE WHEN rn <= k1 THEN 'train' ELSE 'test' END AS role,
+      | cast(count(*) as bigint) AS n_rows,
+      | cast(min(day) as bigint) AS min_day,
+      | cast(max(day) as bigint) AS max_day,
+      | cast(bit_xor(event_id) as bigint) AS xor_ids,
+      | cast(sum(event_id) as bigint) AS sum_ids
+      |FROM m WHERE rn <= k2
+      |GROUP BY 1, 2 ORDER BY fold, role""".stripMargin
+
   /** Deterministic negative sampling for implicit-feedback training —
     * the ranking-loss data op (word2vec/BPR and every recommender):
     * per customer, draw candidate items from the engine-neutral Knuth
@@ -497,6 +595,8 @@ object Sampling {
     GQuery("sample_coreset_fps", coresetFps, Some(coresetFpsSql)),
     GQuery("sample_ab_split", abSplit, Some(abSplitSql)),
     GQuery("sample_stratified", stratifiedSample, Some(stratifiedSampleSql)),
+    GQuery("sample_temperature_mix", temperatureMix, Some(temperatureMixSql)),
+    GQuery("sample_walk_forward", walkForward, Some(walkForwardSql)),
     GQuery("sample_reservoir_group", reservoirGroup, Some(reservoirGroupSql)),
     GQuery("sample_weighted", weightedSample, Some(weightedSampleSql)),
   )

@@ -649,6 +649,55 @@ object TextAnalysis {
       |FROM grams gr LEFT JOIN boiler b ON gr.g = b.g
       |GROUP BY gr.doc_id ORDER BY gr.doc_id""".stripMargin
 
+  /** Corpus-order n-gram NOVELTY — the marginal-contribution measure
+    * behind dedup-curve analyses (Lee et al. "Deduplicating Training
+    * Data Makes Language Models Better", ACL'22, §4 measures how much
+    * each additional shard adds): in ingestion order (doc_id), a doc's
+    * trigram is novel iff NO earlier doc contains it, and the doc's
+    * novelty = novel / distinct trigrams (basis points, exact
+    * integers). A shard of near-copies scores ~0 and can be dropped
+    * before tokenization. The plan is the scalable shape: distinct
+    * (doc, gram) pairs → first-occurrence doc per gram (one
+    * aggregation, gram-keyed) → join back gram-keyed (co-partitioned
+    * with the aggregation's exchange) → per-doc counts. Corpus-linear,
+    * every shuffle keyed on the gram hash; nothing is pairwise. At
+    * 100 TB the gram table is the dominant term — the same footprint
+    * the MinHash pipeline already carries. */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val grams = t(spark, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws)-2), i -> concat_ws(' ', element_at(ws,i), element_at(ws,i+1), element_at(ws,i+2)))"
+      )).as("g"))
+      .distinct()
+    val first = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        // integer div: both operands nonnegative, so Spark div (trunc)
+        // and DuckDB // (floor) agree
+        expr("n_novel * 10000 div n_grams").cast("long").as("novelty_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val ngramNoveltySql: String =
+    """WITH grams AS (
+      | SELECT DISTINCT doc_id, g FROM (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+      |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      |  WHERE len(ws) >= 3)),
+      |first AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g)
+      |SELECT gr.doc_id, cast(count(*) as bigint) AS n_grams,
+      | cast(sum(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END) as bigint) AS n_novel,
+      | cast((sum(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END) * 10000)
+      |   // count(*) as bigint) AS novelty_bp
+      |FROM grams gr JOIN first f USING (g)
+      |GROUP BY gr.doc_id ORDER BY gr.doc_id""".stripMargin
+
   /** Unicode cleanup — the canonical first pass over crawled text:
     * NFC-normalize (via the native codegen expression
     * [[graft.functions.NfcNormalize]] — Spark has no built-in), map
@@ -1681,6 +1730,7 @@ object TextAnalysis {
     GQuery("text_ccnet_buckets", ccnetBuckets, Some(ccnetBucketsSql)),
     GQuery("text_unicode_clean", unicodeClean, Some(unicodeCleanSql)),
     GQuery("text_boilerplate_ngrams", boilerplateNgrams, Some(boilerplateNgramsSql)),
+    GQuery("text_ngram_novelty", ngramNovelty, Some(ngramNoveltySql)),
     GQuery("text_perplexity", perplexity, Some(perplexitySql)),
     GQuery("text_dsir_weights", dsirWeights, Some(dsirWeightsSql)),
     GQuery("text_heavy_hitters", heavyHitters, Some(heavyHittersSql)),

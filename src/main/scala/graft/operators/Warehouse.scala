@@ -1269,6 +1269,91 @@ object Warehouse {
       | cast(sum(k) as bigint) AS n_records
       |FROM qi GROUP BY seg ORDER BY seg""".stripMargin
 
+  /** ℓ-diversity audit (Machanavajjhala et al., ICDE'06) — the
+    * k-anonymity follow-up every privacy review asks for next:
+    * k-anonymity bounds GROUP SIZE but a group where every member
+    * shares one sensitive value still leaks it (the homogeneity
+    * attack). Same quasi-identifier grid as [[metaKAnonymity]]
+    * (nation × balance-band), sensitive attribute = market segment;
+    * per QI group ℓ = distinct sensitive values, reported per nation:
+    * min ℓ, weak groups (ℓ < 3 — distinct-ℓ-diversity at ℓ=3), and the
+    * records exposed in them. Two answer-bounded aggregations (QI grid
+    * ≤ |nations|·|bands|), map-side partial, no join: scan-speed at
+    * 100 TB. */
+  def metaLDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val groups = t(spark, dir, "customer")
+      .select(col("c_nationkey").as("nat"),
+        expr("cast(round(c_acctbal * 100) as bigint) div 100000").as("balb"),
+        col("c_mktsegment").as("sens"))
+      .groupBy(col("nat"), col("balb"))
+      .agg(count(lit(1)).as("k"), countDistinct(col("sens")).as("l"))
+    groups.groupBy(col("nat"))
+      .agg(count(lit(1)).cast("long").as("n_groups"),
+        min(col("l")).cast("long").as("min_l"),
+        sum(when(col("l") < 3, 1L).otherwise(0L)).cast("long").as("n_weak_groups"),
+        sum(when(col("l") < 3, col("k")).otherwise(0L)).cast("long").as("n_exposed"),
+        sum(col("k")).cast("long").as("n_records"))
+      .orderBy(col("nat"))
+  }
+
+  val metaLDiversitySql: String =
+    """WITH g AS (
+      | SELECT c_nationkey AS nat,
+      |  cast(round(c_acctbal * 100) as bigint) // 100000 AS balb,
+      |  count(*) AS k, count(DISTINCT c_mktsegment) AS l
+      | FROM customer GROUP BY 1, 2)
+      |SELECT nat, cast(count(*) as bigint) AS n_groups,
+      | cast(min(l) as bigint) AS min_l,
+      | cast(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) as bigint) AS n_weak_groups,
+      | cast(sum(CASE WHEN l < 3 THEN k ELSE 0 END) as bigint) AS n_exposed,
+      | cast(sum(k) as bigint) AS n_records
+      |FROM g GROUP BY nat ORDER BY nat""".stripMargin
+
+  /** Join-key SKEW audit — the report a 100 TB operator reads before
+    * choosing salt factors / AQE skew thresholds: for each candidate
+    * join/shuffle key, row count, exact NDV, the hottest key's
+    * frequency, its share of the table (basis points), and the
+    * max/avg frequency ratio ×100 (the number AQE's skewedJoin
+    * heuristic thresholds on). One count-per-key aggregation per key —
+    * the shuffle is on the audited key itself, so the audit costs
+    * exactly one pass of the join it derisks; the second aggregate is
+    * answer-bounded. All-integer output (counts and floor ratios of
+    * counts), so the oracle is exact. */
+  def metaSkewAudit(spark: SparkSession, dir: String): DataFrame = {
+    def keyStats(table: String, key: String): DataFrame =
+      t(spark, dir, table)
+        .select(col(key).cast("long").as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("f"))
+        .agg(sum(col("f")).as("n_rows"), count(lit(1)).as("ndv"),
+          max(col("f")).as("max_freq"))
+        .select(lit(s"$table.$key").as("key_name"),
+          col("n_rows").cast("long"), col("ndv").cast("long"),
+          col("max_freq").cast("long"),
+          expr("max_freq * 10000 div n_rows").cast("long").as("top1_bp"),
+          // max/avg ×100 = max_freq·ndv·100/n; counts are nonnegative so
+          // Spark div (trunc) and DuckDB // (floor) agree
+          expr("max_freq * ndv * 100 div n_rows").cast("long").as("skew_x100"))
+    Seq("lineitem" -> "l_orderkey", "lineitem" -> "l_partkey",
+        "orders" -> "o_custkey", "events" -> "user_id")
+      .map { case (tb, k) => keyStats(tb, k) }
+      .reduce(_ unionByName _)
+      .orderBy(col("key_name"))
+  }
+
+  val metaSkewAuditSql: String = {
+    def one(table: String, key: String): String =
+      s"""SELECT '$table.$key' AS key_name,
+         | cast(sum(f) as bigint) AS n_rows, cast(count(*) as bigint) AS ndv,
+         | cast(max(f) as bigint) AS max_freq,
+         | cast(max(f) * 10000 // sum(f) as bigint) AS top1_bp,
+         | cast(max(f) * count(*) * 100 // sum(f) as bigint) AS skew_x100
+         |FROM (SELECT $key AS k, count(*) AS f FROM $table GROUP BY 1)""".stripMargin
+    Seq("lineitem" -> "l_orderkey", "lineitem" -> "l_partkey",
+        "orders" -> "o_custkey", "events" -> "user_id")
+      .map { case (tb, k) => one(tb, k) }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY key_name")
+  }
+
   /** Semi-additive rollup with carry-forward — the balance-style
     * measure that sums across ACCOUNTS but takes LAST over TIME: each
     * user's running "balance" is their latest event value, and the
@@ -1424,6 +1509,8 @@ object Warehouse {
     GQuery("meta_histogram_equidepth", metaHistogramEquidepth,
       Some(metaHistogramEquidepthSql)),
     GQuery("meta_k_anonymity", metaKAnonymity, Some(metaKAnonymitySql)),
+    GQuery("meta_l_diversity", metaLDiversity, Some(metaLDiversitySql)),
+    GQuery("meta_skew_audit", metaSkewAudit, Some(metaSkewAuditSql)),
     GQuery("meta_semi_additive", metaSemiAdditive, Some(metaSemiAdditiveSql)),
     GQuery("meta_benford", metaBenford, Some(metaBenfordSql)),
     GQuery("meta_reconcile", metaReconcile, Some(metaReconcileSql)),

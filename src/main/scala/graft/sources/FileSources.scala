@@ -192,6 +192,40 @@ object FileSources {
        |FROM (SELECT range AS id FROM range(25000, 50000))
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Batch face of the connector's COMPACTED-LOG mode
+    * (`GraftRangeSource` `compactedKeys` — the reference broker's
+    * `cleanup.policy=compact` view, docker-compose.yaml:31-32): the
+    * scan serves only max-offset-per-key survivors of the raw log, and
+    * a pushed id-range predicate composes with the survivor set — the
+    * offset bound prunes survivors BEFORE partition planning (the V2
+    * analogue of seeking a compacted topic from an offset), leaving no
+    * residual filter. Only id/bucket/label are projected, so the value
+    * generator never runs (column pruning through the compacted
+    * reader). DuckDB replays survivors as max(id) GROUP BY key over
+    * range(). */
+  def compactedScan(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft.sources.GraftRangeSource")
+      .option("rows", "100000").option("slices", "8")
+      .option("compactedKeys", "257").load()
+      .filter(col("id") >= 40000)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("bucket")).as("bsum"),
+        min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+      .orderBy(col("label"))
+
+  val compactedScanSql: String =
+    """WITH log AS (
+      | SELECT range AS id, ((range * 2654435761) % 1000003) % 257 AS k
+      | FROM range(0, 100000)),
+      |surv AS (SELECT max(id) AS id FROM log GROUP BY k)
+      |SELECT 'lbl' || (id % 5) AS label, count(*) AS n,
+      | cast(sum(id % 16) as bigint) AS bsum,
+      | min(id) AS min_id, max(id) AS max_id
+      |FROM surv WHERE id >= 40000
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Round-trips the connector's WRITE half (`GraftTextSink` — the V2
     * transactional commit protocol: executors stage `_tmp_*` files and
     * report them in commit messages; the driver's `BatchWrite.commit`
@@ -1164,6 +1198,7 @@ object FileSources {
     GQuery("src_orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql)),
     GQuery("src_zorder_layout", zorderLayout, None),
     GQuery("src_dsv2_source", dsv2Source, Some(dsv2SourceSql)),
+    GQuery("src_compacted_scan", compactedScan, Some(compactedScanSql)),
     GQuery("src_dsv2_sink", dsv2Sink, Some(dsv2SinkSql)),
     GQuery("src_partitioned_pruning", partitionedPruning, Some(partitionedPruningSql)),
     GQuery("q78_partition_evolution", partitionEvolution, Some(partitionEvolutionSql)),

@@ -249,6 +249,192 @@ class Round12Spec extends AnyFunSuite {
     assert(desc.contains("columns=id") && desc.contains("compacted=101"), desc)
   }
 
+  test("ngram novelty: sequential first-occurrence referee agrees; " +
+      "the first doc is fully novel") {
+    val got = SparkEntry.queries("text_ngram_novelty")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // sequential referee: walk docs in id order with a running gram set
+    val docs = util.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    docs.foreach { case (id, text) =>
+      val ws = text.split(" ", -1)
+      if (ws.length >= 3) {
+        val grams = ws.sliding(3).map(_.mkString(" ")).toSet
+        val novel = grams.count(!seen(_)).toLong
+        seen ++= grams
+        val (n, nv, bp) = got(id)
+        assert(n == grams.size && nv == novel && bp == novel * 10000 / grams.size,
+          s"doc $id: got ($n,$nv,$bp) want (${grams.size},$novel)")
+      } else assert(!got.contains(id))
+    }
+    val firstId = docs.head._1
+    assert(got(firstId)._3 == 10000L, "earliest doc must be 100% novel")
+  }
+
+  test("l-diversity: brute-force referee agrees; weak groups bounded by k-anonymity") {
+    val got = SparkEntry.queries("meta_l_diversity")(spark, sf)
+      .collect().map(r => r.getAs[Number](0).longValue ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val rows = util.t(spark, sf, "customer")
+      .select(col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      .collect().map(r => (r.getAs[Number](0).longValue,
+        math.round(r.getDouble(1) * 100) / 100000, r.getString(2)))
+    val byGroup = rows.groupBy(t => (t._1, t._2))
+    val perNat = byGroup.toSeq.map { case ((nat, _), g) =>
+      (nat, g.length.toLong, g.map(_._3).distinct.length.toLong)
+    }.groupBy(_._1)
+    perNat.foreach { case (nat, gs) =>
+      val (nGroups, minL, weak, exposed, nRec) = got(nat)
+      assert(nGroups == gs.length && minL == gs.map(_._3).min &&
+        weak == gs.count(_._3 < 3) &&
+        exposed == gs.filter(_._3 < 3).map(_._2).sum &&
+        nRec == gs.map(_._2).sum, s"nation $nat mismatch")
+    }
+    assert(got.keySet == perNat.keySet)
+  }
+
+  test("temperature mix: targets follow sqrt allocation within budget; " +
+      "membership is bottom-target by Knuth priority") {
+    val sel = SparkEntry.queries("sample_temperature_mix")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val byLang = sel.groupBy(_._1)
+    // per stratum: selected count == target, and target = min(n, floor share)
+    val counts = util.t(spark, sf, "documents").groupBy(col("lang"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tot = counts.values.map(n => math.sqrt(n.toDouble).floor.toLong).sum
+    var budgetUsed = 0L
+    byLang.foreach { case (lang, rows) =>
+      val n = counts(lang)
+      val target = math.min(n, 200 * math.sqrt(n.toDouble).floor.toLong / tot)
+      assert(rows.length == target, s"$lang: ${rows.length} != $target")
+      assert(rows.forall(_._4 == n) && rows.forall(_._5 == target))
+      budgetUsed += target
+      // membership: exactly the target docs with smallest priority
+      val all = util.t(spark, sf, "documents").filter(col("lang") === lang)
+        .select(col("doc_id")).collect().map(_.getLong(0))
+      val want = all.sortBy(id => ((id * 2654435761L) % 4294967296L, id))
+        .take(target.toInt).toSet
+      assert(rows.map(_._3).toSet == want, s"$lang membership mismatch")
+    }
+    assert(budgetUsed <= 200, "floor allocation must never exceed the budget")
+  }
+
+  test("join strategy matrix: each hint selects its physical join; answers equal") {
+    // toString of the (possibly AQE-wrapped) executed plan carries the
+    // chosen physical join — same matching discipline as the q44 spec
+    def plan(hint: String) =
+      operators.Analytics.q111Joined(spark, sf, hint)
+        .queryExecution.executedPlan.toString
+    assert(plan("broadcast").contains("BroadcastHashJoin"), plan("broadcast"))
+    assert(plan("merge").contains("SortMergeJoin"), plan("merge"))
+    assert(plan("shuffle_hash").contains("ShuffledHashJoin"), plan("shuffle_hash"))
+    val out = SparkEntry.queries("q111_join_strategies")(spark, sf).collect()
+    val bySt = out.groupBy(_.getString(3))
+      .view.mapValues(_.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq).toMap
+    assert(bySt.keySet == Set("broadcast", "merge", "shuffle_hash"))
+    assert(bySt("broadcast") == bySt("merge") && bySt("merge") == bySt("shuffle_hash"),
+      "hints must never change answers")
+  }
+
+  test("compacted batch scan composes pushdown with the survivor set") {
+    val df = spark.read.format("graft.sources.GraftRangeSource")
+      .option("rows", "100000").option("slices", "8")
+      .option("compactedKeys", "257").load()
+      .filter(col("id") >= 40000).select(col("id"))
+    val desc = df.queryExecution.executedPlan.toString
+    assert(desc.contains("pushedFilters=1") && desc.contains("compacted=257"), desc)
+    val got = df.collect().map(_.getLong(0)).sorted
+    val want = sources.GraftRangeSource.survivors(100000L, 257).filter(_ >= 40000L)
+    assert(got.sameElements(want))
+  }
+
+  test("skew audit: brute-force frequency referee agrees on orders.o_custkey; " +
+      "invariants hold for every key") {
+    val got = SparkEntry.queries("meta_skew_audit")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got.keySet == Set("lineitem.l_orderkey", "lineitem.l_partkey",
+      "orders.o_custkey", "events.user_id"))
+    got.foreach { case (k, (n, ndv, maxF, top1, skew)) =>
+      assert(ndv <= n && maxF >= 1 && maxF <= n, s"$k basic bounds")
+      assert(top1 == maxF * 10000 / n && top1 <= 10000, s"$k top1_bp")
+      // max >= avg, so max/avg >= 1 → the x100 ratio floors to >= 100
+      assert(skew == maxF * ndv * 100 / n && skew >= 100, s"$k skew_x100")
+    }
+    val freqs = util.t(spark, sf, "orders").select(col("o_custkey")).collect()
+      .map(_.getAs[Number](0).longValue).groupBy(identity).map(_._2.length.toLong)
+    val (n, ndv, maxF, _, _) = got("orders.o_custkey")
+    assert(n == freqs.sum && ndv == freqs.size && maxF == freqs.max)
+  }
+
+  test("NOT IN three-valued logic: one NULL empties the set; NOT EXISTS is the " +
+      "null-safe twin of the clean NOT IN") {
+    val got = SparkEntry.queries("q112_not_in_nulls")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("not_in_nullable") == (0L, 0L),
+      "a NULL in the NOT IN subquery must select zero rows")
+    assert(got("not_exists") == got("not_in_clean"),
+      "null-free NOT IN must equal NOT EXISTS")
+    // brute-force referee
+    val urgent = util.t(spark, sf, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).collect().map(_.getLong(0)).toSet
+    val free = util.t(spark, sf, "customer").select(col("c_custkey")).collect()
+      .map(_.getLong(0)).filterNot(urgent)
+    assert(got("not_exists") == (free.length.toLong, free.sum))
+  }
+
+  test("relational division: per-segment full-coverage customers match the " +
+      "brute-force for-all referee") {
+    val got = SparkEntry.queries("q113_division")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val orders = util.t(spark, sf, "orders")
+      .select(col("o_custkey"), col("o_orderpriority")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val all = orders.map(_._2).toSet
+    val covered = orders.groupBy(_._1).collect {
+      case (ck, rows) if rows.map(_._2).toSet == all => ck
+    }.toSet
+    val bySeg = util.t(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_mktsegment")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(t => covered(t._1)).groupBy(_._2)
+    assert(got.keySet == bySeg.keySet)
+    bySeg.foreach { case (seg, cs) =>
+      assert(got(seg) == (cs.length.toLong, cs.map(_._1).sum), s"segment $seg")
+    }
+  }
+
+  test("walk-forward CV: expanding trains, fixed-width tests, no future " +
+      "leakage; train(i+1) digest = train(i) xor test(i)") {
+    val rows = SparkEntry.queries("sample_walk_forward")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val n = util.t(spark, sf, "events").count()
+    (1L to 4L).foreach { i =>
+      val (trN, _, trMax, trXor, trSum) = rows((i, "train"))
+      val (teN, teMin, _, teXor, teSum) = rows((i, "test"))
+      assert(trN == n * i / 8, s"fold $i train size")
+      assert(teN == n * (i + 1) / 8 - n * i / 8, s"fold $i test size")
+      assert(trMax <= teMin, s"fold $i leaks future days into train")
+      if (i < 4) {
+        val (nextN, _, _, nextXor, nextSum) = rows((i + 1, "train"))
+        assert(nextN == trN + teN && nextXor == (trXor ^ teXor) &&
+          nextSum == trSum + teSum, s"fold ${i + 1} train != train+test of fold $i")
+      }
+    }
+    // DistRank path: the ranking must not funnel through one partition
+    import org.apache.spark.sql.execution.window.WindowExec
+    val bad = SparkEntry.queries("sample_walk_forward")(spark, sf)
+      .queryExecution.executedPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+    assert(bad.isEmpty, "walk-forward must use DistRank, not a global window")
+  }
+
   test("DistRank plans carry no partition-less WindowExec") {
     val sortCols = Seq(col("c_acctbal"), col("c_custkey"))
     import org.apache.spark.sql.execution.window.WindowExec
