@@ -821,7 +821,50 @@ object Graph {
        |FROM pairs GROUP BY 1, 2
        |ORDER BY n DESC, center, context LIMIT 30""".stripMargin
 
+  /** Degree DISTRIBUTION audit over the trade graph — the first plot
+    * any graph pipeline publishes (is it scale-free? where's the hub
+    * tail the partitioner must plan for?): per node side (customer /
+    * supplier) and log₂ degree bucket, node counts and degree spans.
+    * The bucket is the BINARY LENGTH of the degree — ⌊log₂ d⌋+1 via
+    * `length(bin(d))`, pure integer string-length in both engines, no
+    * float log at bucket boundaries. Reads the memoized symmetric edge
+    * table (built once per table fingerprint); one degree aggregation
+    * keyed on the node + one answer-bounded histogram rollup — the
+    * same cost as the degree pass every other graph entry already
+    * pays. */
+  def degreeHistogram(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${tradeGraphRoot(spark, dir)}/sym")
+      .groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .select(when(col("src") % 2 === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("side"),
+        length(bin(col("d"))).cast("long").as("bucket"), col("d"))
+      .groupBy(col("side"), col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_nodes"),
+        min(col("d")).cast("long").as("min_deg"),
+        max(col("d")).cast("long").as("max_deg"),
+        sum(col("d")).cast("long").as("sum_deg"))
+      .orderBy(col("side"), col("bucket"))
+
+  val degreeHistogramSql: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS c,
+      |                  CAST(l_suppkey * 2 + 1 AS BIGINT) AS s
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |edges0 AS (
+      |  SELECT c AS src, s AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT s AS src, c AS dst FROM pairs),
+      |deg AS (SELECT src, count(*) AS d FROM edges0 GROUP BY src)
+      |SELECT CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END AS side,
+      | cast(length(bin(d)) as bigint) AS bucket,
+      | cast(count(*) as bigint) AS n_nodes,
+      | cast(min(d) as bigint) AS min_deg,
+      | cast(max(d) as bigint) AS max_deg,
+      | cast(sum(d) as bigint) AS sum_deg
+      |FROM deg GROUP BY 1, 2 ORDER BY side, bucket""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("graph_degree_histogram", degreeHistogram, Some(degreeHistogramSql)),
     GQuery("graph_random_walks", randomWalks, Some(randomWalksSql)),
     GQuery("pipeline_walk_pairs", walkPairs, Some(walkPairsSql)),
     GQuery("graph_link_predict", linkPredict, Some(linkPredictSql)),

@@ -1354,6 +1354,57 @@ object Warehouse {
       .mkString("", "\nUNION ALL\n", "\nORDER BY key_name")
   }
 
+  /** Hash-partition BALANCE audit — [[metaSkewAudit]]'s sibling one
+    * level down: skew tells you the hottest KEY; this simulates the
+    * actual 32-way hash partitioning a shuffle would produce and
+    * reports how the ROWS land (partitions used, min/max partition
+    * size, max/ideal ratio ×100 — >200 means some task does 2× the
+    * average work). The hash is the Knuth multiplicative scheme
+    * `(k·2654435761) mod 2³² mod 32` — pure integer arithmetic both
+    * engines share (Spark's murmur3 `hash()` is engine-private, so an
+    * oracle-checkable audit must pick a portable hash; the LAYOUT
+    * conclusions transfer). Three audited keys show the spectrum:
+    * high-cardinality uniform (l_orderkey), a 7-value key that leaves
+    * 25 of 32 partitions EMPTY (l_linenumber — the classic
+    * partition-by-low-cardinality mistake), and o_custkey. Cost: one
+    * count-per-partition agg per key; the summary is 32 rows. */
+  def metaPartitionBalance(spark: SparkSession, dir: String): DataFrame = {
+    def audit(table: String, key: String): DataFrame =
+      t(spark, dir, table)
+        .select(expr(s"(($key * 2654435761L) % 4294967296L) % 32").as("p"))
+        .groupBy(col("p")).agg(count(lit(1)).as("rows_p"))
+        .agg(count(lit(1)).as("parts_used"), sum(col("rows_p")).as("rows_total"),
+          min(col("rows_p")).as("min_rows"), max(col("rows_p")).as("max_rows"))
+        .select(lit(s"$table.$key").as("key_name"),
+          col("parts_used").cast("long"), col("rows_total").cast("long"),
+          col("min_rows").cast("long"), col("max_rows").cast("long"),
+          // max over the 32-way IDEAL (rows/32); counts nonnegative so
+          // trunc div == floor div
+          expr("max_rows * 32 * 100 div rows_total").cast("long")
+            .as("imbalance_x100"))
+    Seq("lineitem" -> "l_orderkey", "lineitem" -> "l_linenumber",
+        "orders" -> "o_custkey")
+      .map { case (tb, k) => audit(tb, k) }
+      .reduce(_ unionByName _)
+      .orderBy(col("key_name"))
+  }
+
+  val metaPartitionBalanceSql: String = {
+    def one(table: String, key: String): String =
+      s"""SELECT '$table.$key' AS key_name,
+         | cast(count(*) as bigint) AS parts_used,
+         | cast(sum(rows_p) as bigint) AS rows_total,
+         | cast(min(rows_p) as bigint) AS min_rows,
+         | cast(max(rows_p) as bigint) AS max_rows,
+         | cast(max(rows_p) * 32 * 100 // sum(rows_p) as bigint) AS imbalance_x100
+         |FROM (SELECT (($key * 2654435761) % 4294967296) % 32 AS p, count(*) AS rows_p
+         |      FROM $table GROUP BY 1)""".stripMargin
+    Seq("lineitem" -> "l_orderkey", "lineitem" -> "l_linenumber",
+        "orders" -> "o_custkey")
+      .map { case (tb, k) => one(tb, k) }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY key_name")
+  }
+
   /** Semi-additive rollup with carry-forward — the balance-style
     * measure that sums across ACCOUNTS but takes LAST over TIME: each
     * user's running "balance" is their latest event value, and the
@@ -1511,6 +1562,8 @@ object Warehouse {
     GQuery("meta_k_anonymity", metaKAnonymity, Some(metaKAnonymitySql)),
     GQuery("meta_l_diversity", metaLDiversity, Some(metaLDiversitySql)),
     GQuery("meta_skew_audit", metaSkewAudit, Some(metaSkewAuditSql)),
+    GQuery("meta_partition_balance", metaPartitionBalance,
+      Some(metaPartitionBalanceSql)),
     GQuery("meta_semi_additive", metaSemiAdditive, Some(metaSemiAdditiveSql)),
     GQuery("meta_benford", metaBenford, Some(metaBenfordSql)),
     GQuery("meta_reconcile", metaReconcile, Some(metaReconcileSql)),

@@ -435,6 +435,51 @@ class Round12Spec extends AnyFunSuite {
     assert(bad.isEmpty, "walk-forward must use DistRank, not a global window")
   }
 
+  test("degree histogram: buckets are exact binary lengths; in-JVM degree " +
+      "referee agrees") {
+    val got = SparkEntry.queries("graph_degree_histogram")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    got.foreach { case ((side, b), (n, mn, mx, sm)) =>
+      assert(mn >= (1L << (b - 1).toInt) && mx < (1L << b.toInt),
+        s"($side,$b): [$mn,$mx] outside the bucket's binary-length range")
+      assert(n >= 1 && sm >= mn * n && sm <= mx * n)
+    }
+    // referee: recompute degrees from the raw tables
+    val pairs = util.t(spark, sf, "orders")
+      .join(util.t(spark, sf, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).cast("long"), (col("l_suppkey") * 2 + 1).cast("long"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val deg = (pairs.map(_._1) ++ pairs.map(_._2)).groupBy(identity)
+      .map { case (node, xs) => node -> xs.length.toLong }
+    val want = deg.groupBy { case (node, d) =>
+      (if (node % 2 == 0) "customer" else "supplier", 64L - java.lang.Long.numberOfLeadingZeros(d))
+    }.map { case (k, m) => k -> (m.size.toLong, m.values.min, m.values.max, m.values.sum) }
+    assert(got == want)
+  }
+
+  test("partition balance: low-cardinality key strands partitions; " +
+      "in-JVM hash referee agrees on o_custkey") {
+    val got = SparkEntry.queries("meta_partition_balance")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    got.foreach { case (k, (used, total, mn, mx, imb)) =>
+      assert(used >= 1 && used <= 32 && mn >= 1 && mx <= total, s"$k bounds")
+      assert(imb == mx * 32 * 100 / total && imb >= 100, s"$k imbalance law")
+    }
+    // l_linenumber has ~7 distinct values → at most 7 of 32 partitions used
+    assert(got("lineitem.l_linenumber")._1 <= 7,
+      "a 7-value key cannot fill more than 7 partitions")
+    assert(got("lineitem.l_linenumber")._5 > got("lineitem.l_orderkey")._5,
+      "low-cardinality partitioning must look worse than the uniform key")
+    def knuth32(k: Long): Long = ((k * 2654435761L) % 4294967296L) % 32
+    val parts = util.t(spark, sf, "orders").select(col("o_custkey")).collect()
+      .map(r => knuth32(r.getLong(0))).groupBy(identity).map(_._2.length.toLong)
+    assert(got("orders.o_custkey") ==
+      (parts.size.toLong, parts.sum, parts.min, parts.max,
+        parts.max * 32 * 100 / parts.sum))
+  }
+
   test("DistRank plans carry no partition-less WindowExec") {
     val sortCols = Seq(col("c_acctbal"), col("c_custkey"))
     import org.apache.spark.sql.execution.window.WindowExec
