@@ -736,6 +736,76 @@ object Relational {
       .orderBy(col("click_id"))
   }
 
+  /** As-of DIRECTION matrix — the full pandas-merge_asof / QuestDB
+    * surface on the native operator: every click matched to its
+    * nearest same-user purchase BACKWARD (greatest p_ts ≤ click),
+    * FORWARD (smallest p_ts ≥ click), and NEAREST (closer of the two,
+    * ties to backward). All three run [[graft.plans.AsOfJoinExec]]'s
+    * one-pass merge over co-partitioned sorted children with O(1)
+    * buffered state — forward holds NO buffer (the match is the
+    * un-consumed same-key head), nearest peeks that head against the
+    * backward buffer. Per direction: matches, matched purchase cents,
+    * and total |click−purchase| microseconds. DuckDB replays backward
+    * and forward as native ASOF JOINs (≥ / ≤) and derives nearest by
+    * full-outer-joining the two per-click results. */
+  def q114AsofDirections(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("p_value"))
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        round(col("p_value") * 100).cast("long").as("p_cents"))
+    def one(d: String): DataFrame =
+      graft.plans.AsOf.join(clicks, purchases, "user_id", "p_user", "click_ts", "p_ts", d)
+        .select(lit(d).as("direction"), col("p_cents"),
+          abs(unix_micros(col("click_ts")) - unix_micros(col("p_ts"))).as("delta_us"))
+    Seq("backward", "forward", "nearest").map(one).reduce(_ unionByName _)
+      .groupBy(col("direction"))
+      .agg(count(lit(1)).cast("long").as("n_matched"),
+        sum(col("p_cents")).cast("long").as("sum_cents"),
+        sum(col("delta_us")).cast("long").as("sum_abs_delta_us"))
+      .orderBy(col("direction"))
+  }
+
+  val q114Sql: String =
+    """WITH clicks AS (
+      | SELECT event_id AS click_id, user_id, ts AS click_ts
+      | FROM events WHERE event_type = 'click'),
+      |purch AS (
+      | SELECT user_id AS p_user, ts AS p_ts,
+      |  cast(round(max(value) * 100) as bigint) AS p_cents
+      | FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |bwd AS (
+      | SELECT c.click_id, p.p_cents,
+      |  abs(date_diff('microsecond', p.p_ts, c.click_ts)) AS delta_us
+      | FROM clicks c ASOF JOIN purch p
+      |  ON c.user_id = p.p_user AND c.click_ts >= p.p_ts),
+      |fwd AS (
+      | SELECT c.click_id, p.p_cents,
+      |  abs(date_diff('microsecond', p.p_ts, c.click_ts)) AS delta_us
+      | FROM clicks c ASOF JOIN purch p
+      |  ON c.user_id = p.p_user AND c.click_ts <= p.p_ts),
+      |near AS (
+      | SELECT CASE WHEN b.click_id IS NOT NULL
+      |              AND (f.click_id IS NULL OR b.delta_us <= f.delta_us)
+      |         THEN b.p_cents ELSE f.p_cents END AS p_cents,
+      |        CASE WHEN b.click_id IS NOT NULL
+      |              AND (f.click_id IS NULL OR b.delta_us <= f.delta_us)
+      |         THEN b.delta_us ELSE f.delta_us END AS delta_us
+      | FROM bwd b FULL JOIN fwd f ON b.click_id = f.click_id)
+      |SELECT 'backward' AS direction, cast(count(*) as bigint) AS n_matched,
+      | cast(sum(p_cents) as bigint) AS sum_cents,
+      | cast(sum(delta_us) as bigint) AS sum_abs_delta_us FROM bwd
+      |UNION ALL
+      |SELECT 'forward', cast(count(*) as bigint), cast(sum(p_cents) as bigint),
+      | cast(sum(delta_us) as bigint) FROM fwd
+      |UNION ALL
+      |SELECT 'nearest', cast(count(*) as bigint), cast(sum(p_cents) as bigint),
+      | cast(sum(delta_us) as bigint) FROM near
+      |ORDER BY direction""".stripMargin
+
   /** The q50 scenario written NAIVELY — a bare inequality band join
     * with no equi key — and rewritten to the binned equi-join by the
     * ENGINE ([[graft.plans.AutoRangeJoin]], registered via
@@ -883,6 +953,7 @@ object Relational {
     GQuery("q35_theta_join", q35ThetaJoin, Some(q35Sql)),
     GQuery("q36_asof_join", q36AsofJoin, Some(q36Sql)),
     GQuery("q36b_asof_native", q36bAsofNative, Some(q36Sql)),
+    GQuery("q114_asof_directions", q114AsofDirections, Some(q114Sql)),
     GQuery("q50_interval_join_binned", q50IntervalJoinBinned, Some(q50Sql)),
     GQuery("q68_range_join_auto", q68AutoRangeJoin, Some(q68Sql)),
   )

@@ -35,12 +35,14 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTs: Expression, rightTs: Expression) extends BinaryNode {
+    leftTs: Expression, rightTs: Expression,
+    direction: String = "backward") extends BinaryNode {
   // the exec's merge loop reads keys/timestamps as raw longs — reject
   // other types at plan construction, not with a ClassCastException
   // mid-job (the DataFrame builder checks too, but the plan can be
   // constructed directly, e.g. by a future SQL surface)
   AsOfJoinPlan.validate(Seq(leftKey, rightKey, leftTs, rightTs))
+  AsOfJoinPlan.validateDirection(direction)
   override def output: Seq[Attribute] = left.output ++ right.output
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
@@ -48,6 +50,7 @@ case class AsOfJoinPlan(
 }
 
 object AsOfJoinPlan {
+  val Directions: Set[String] = Set("backward", "forward", "nearest")
   /** Long/timestamp only (both are long-backed internally). Skips
     * unresolved expressions — those fail analysis on their own. */
   def validate(exprs: Seq[Expression]): Unit =
@@ -55,14 +58,17 @@ object AsOfJoinPlan {
       require(e.dataType == LongType || e.dataType == TimestampType,
         s"as-of join: key/ts expression '${e.sql}' must be long or timestamp, got ${e.dataType}")
     }
+  def validateDirection(d: String): Unit =
+    require(Directions.contains(d),
+      s"as-of join: direction must be one of ${Directions.mkString("/")}, got '$d'")
 }
 
 /** Planner strategy mapping the logical node to the exec — registered
   * via `injectPlannerStrategy` in [[GraftExtensions]]. */
 object AsOfStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, dir) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, dir) :: Nil
     case _ => Nil
   }
 }
@@ -70,10 +76,12 @@ object AsOfStrategy extends SparkStrategy {
 case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTs: Expression, rightTs: Expression)
+    leftTs: Expression, rightTs: Expression,
+    direction: String = "backward")
   extends SparkPlan with BinaryExecNode {
 
   AsOfJoinPlan.validate(Seq(leftKey, rightKey, leftTs, rightTs))
+  AsOfJoinPlan.validateDirection(direction)
 
   override def output: Seq[Attribute] = left.output ++ right.output
 
@@ -100,14 +108,21 @@ case class AsOfJoinExec(
       val joined = new JoinedRow
       val resultProj = UnsafeProjection.create(lOut ++ rOut, lOut ++ rOut)
 
+      val dirForward = direction == "forward"
+      val dirNearest = direction == "nearest"
+
       new Iterator[InternalRow] {
         // the one buffered right row: latest (key, ts) seen with ts ≤
-        // the current left ts — the O(1) state of the merge
+        // the current left ts — the O(1) state of the merge. FORWARD
+        // needs no buffer at all (the match is the first not-yet-
+        // consumed same-key row with ts ≥ left ts); NEAREST keeps the
+        // backward buffer AND peeks the forward row, still O(1).
         private var rCur: InternalRow = _
         private var rCurKey = 0L; private var rCurTs = 0L
         private var rValid = false
         private var lastRow: InternalRow = _
-        private var lastKey = 0L; private var lastValid = false
+        private var lastKey = 0L; private var lastTs = 0L
+        private var lastValid = false
         private var pending: InternalRow = _
 
         private def advanceRight(): Unit = {
@@ -131,15 +146,40 @@ case class AsOfJoinExec(
             val kAny = lKeyE.eval(l); val tAny = lTsE.eval(l)
             if (kAny != null && tAny != null) {
               val k = kAny.asInstanceOf[Long]; val t = tAny.asInstanceOf[Long]
-              // consume right rows that can never match a later left row
-              // (left keys/ts only grow); remember the latest same-key one.
-              // copy(): the child iterator reuses its row buffer
-              while (rValid && (rCurKey < k || (rCurKey == k && rCurTs <= t))) {
-                if (rCurKey == k) { lastRow = rCur.copy(); lastKey = k; lastValid = true }
-                advanceRight()
+              if (dirForward) {
+                // drop right rows strictly before the left ts (no later
+                // left row — keys/ts only grow — can want them); the
+                // surviving same-key head IS the forward match. rCur is
+                // projected before any further advance, so the child's
+                // reused buffer is still live — no copy needed.
+                while (rValid && (rCurKey < k || (rCurKey == k && rCurTs < t)))
+                  advanceRight()
+                if (rValid && rCurKey == k)
+                  pending = resultProj(joined(l, rCur))
+              } else {
+                // consume right rows that can never match a later left row
+                // (left keys/ts only grow); remember the latest same-key one.
+                // copy(): the child iterator reuses its row buffer
+                while (rValid && (rCurKey < k || (rCurKey == k && rCurTs <= t))) {
+                  if (rCurKey == k) {
+                    lastRow = rCur.copy(); lastKey = k; lastTs = rCurTs
+                    lastValid = true
+                  }
+                  advanceRight()
+                }
+                val backOk = lastValid && lastKey == k
+                if (!dirNearest) {
+                  if (backOk) pending = resultProj(joined(l, lastRow))
+                } else {
+                  // NEAREST: the un-consumed same-key head (ts > t) is
+                  // the forward candidate; closer wins, ties → backward
+                  val fwdOk = rValid && rCurKey == k
+                  if (backOk && (!fwdOk || t - lastTs <= rCurTs - t))
+                    pending = resultProj(joined(l, lastRow))
+                  else if (fwdOk)
+                    pending = resultProj(joined(l, rCur))
+                }
               }
-              if (lastValid && lastKey == k)
-                pending = resultProj(joined(l, lastRow))
             }
           }
         }
@@ -172,9 +212,16 @@ object AsOf {
     * left.lTs >= right.rTs` (inner). Key and timestamp columns must be
     * long/timestamp typed; right column names must not collide with
     * left ones (the right side gets fresh expression ids here, but the
-    * OUTPUT carries both sides' columns and is addressed by name). */
+    * OUTPUT carries both sides' columns and is addressed by name).
+    *
+    * `direction` is the pandas merge_asof / QuestDB surface:
+    * "backward" (default — greatest right ts ≤ left ts), "forward"
+    * (smallest right ts ≥ left ts), "nearest" (closer of the two,
+    * ties to backward). All three run the same one-pass merge over
+    * co-partitioned sorted children with O(1) buffered state. */
   def join(left: DataFrame, right: DataFrame,
-      lKey: String, rKey: String, lTs: String, rTs: String): DataFrame = {
+      lKey: String, rKey: String, lTs: String, rTs: String,
+      direction: String = "backward"): DataFrame = {
     val lPlan = left.queryExecution.analyzed
     // fresh exprIds: left and right may derive from the same source
     // (self-join), which would otherwise duplicate attribute ids
@@ -196,6 +243,7 @@ object AsOf {
     graftbridge.ofRows(left.sparkSession, AsOfJoinPlan(
       lPlan, rPlan,
       checkTyped(attr(lPlan.output, lKey)), checkTyped(attr(rPlan.output, rKey)),
-      checkTyped(attr(lPlan.output, lTs)), checkTyped(attr(rPlan.output, rTs))))
+      checkTyped(attr(lPlan.output, lTs)), checkTyped(attr(rPlan.output, rTs)),
+      direction))
   }
 }

@@ -480,6 +480,39 @@ class Round12Spec extends AnyFunSuite {
         parts.max * 32 * 100 / parts.sum))
   }
 
+  test("as-of directions: brute-force referee on a tricky frame (ties, " +
+      "one-sided matches, nulls); matrix laws hold") {
+    import spark.implicits._
+    // key 1: backward+forward both exist, equidistant at t=20 (tie→backward)
+    // key 2: only forward matches exist for t=5; only backward for t=99
+    // key 3: no right rows at all; null key/ts rows must never match
+    val left = Seq((1L, 10L), (1L, 20L), (1L, 25L), (2L, 5L), (2L, 99L), (3L, 7L))
+      .toDF("k", "t")
+      .unionByName(Seq((Option.empty[Long], Option(1L)),
+        (Option(1L), Option.empty[Long])).toDF("k", "t"))
+    val right = Seq((1L, 15L, "a"), (1L, 25L, "b"), (2L, 50L, "c"), (2L, 60L, "d"))
+      .toDF("rk", "rt", "tag")
+    def run(d: String) = plans.AsOf.join(left, right, "k", "rk", "t", "rt", d)
+      .select(col("k"), col("t"), col("rt"), col("tag")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3))).toMap
+    val bwd = run("backward"); val fwd = run("forward"); val near = run("nearest")
+    assert(bwd == Map((1L, 20L) -> (15L, "a"), (1L, 25L) -> (25L, "b"),
+      (2L, 99L) -> (60L, "d")))
+    assert(fwd == Map((1L, 10L) -> (15L, "a"), (1L, 20L) -> (25L, "b"),
+      (1L, 25L) -> (25L, "b"), (2L, 5L) -> (50L, "c")))
+    assert(near == Map((1L, 10L) -> (15L, "a"), (1L, 20L) -> (15L, "a"), // tie→backward
+      (1L, 25L) -> (25L, "b"), (2L, 5L) -> (50L, "c"), (2L, 99L) -> (60L, "d")))
+    intercept[IllegalArgumentException] {
+      plans.AsOf.join(left, right, "k", "rk", "t", "rt", "sideways")
+    }
+    // matrix laws on the real entry: nearest matches exactly the union
+    val got = SparkEntry.queries("q114_asof_directions")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // nearest matches exactly the clicks either one-sided variant matches
+    assert(got("nearest") >= math.max(got("backward"), got("forward")))
+    assert(got("nearest") <= got("backward") + got("forward"))
+  }
+
   test("DistRank plans carry no partition-less WindowExec") {
     val sortCols = Seq(col("c_acctbal"), col("c_custkey"))
     import org.apache.spark.sql.execution.window.WindowExec
