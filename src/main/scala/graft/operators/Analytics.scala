@@ -2491,7 +2491,56 @@ object Analytics {
       |FROM d1 JOIN d2 USING (c)
       |GROUP BY 1, 2 ORDER BY decile_then, decile_now""".stripMargin
 
+  /** HYPOTHETICAL-SET aggregates — SQL:2003's `rank(v) WITHIN GROUP`
+    * family ("what rank would a 5 000.00 balance take in each
+    * segment?"), which Spark has no built-in for and the naive
+    * implementation computes by SORTING the whole table. The identity
+    * that makes it scale: every hypothetical-set function is a
+    * COUNTING aggregate over the hypothetical insert —
+    * `rank(v) = 1 + |{x > v}|` (desc), `dense_rank(v) = 1 +
+    * |distinct x > v|`, `percent_rank(v) = |{x < v}| / n`,
+    * `cume_dist(v) = (|{x ≤ v}| + 1) / (n + 1)` (the inserted row is
+    * its own peer — PostgreSQL/SQL:2003 semantics) — so one
+    * map-side-partial aggregation over the scan answers all of them
+    * with NO sort, NO window, and an answer bounded by |groups|. The
+    * only two-phase piece is the distinct count for dense_rank
+    * (key-bounded by segment). Ratios are reported in integer basis
+    * points (floor division) to stay engine-exact. */
+  def q116HypotheticalRank(spark: SparkSession, dir: String): DataFrame = {
+    val v = 500000L // hypothetical 5 000.00 balance, in cents
+    t(spark, dir, "customer")
+      .select(col("c_mktsegment").as("segment"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n"),
+        (sum(when(col("cents") > v, 1L).otherwise(0L)) + 1L).as("rank_desc"),
+        (countDistinct(when(col("cents") > v, col("cents"))) + 1L)
+          .cast("long").as("dense_rank_desc"),
+        expr(s"(sum(CASE WHEN cents <= ${v}L THEN 1 ELSE 0 END) + 1) * 10000 " +
+          "div (count(*) + 1)").as("cume_dist_bp"),
+        expr(s"sum(CASE WHEN cents < ${v}L THEN 1 ELSE 0 END) * 10000 " +
+          "div count(*)").as("percent_rank_asc_bp"))
+      .orderBy(col("segment"))
+  }
+
+  val q116Sql: String =
+    """WITH c AS (
+      | SELECT c_mktsegment AS segment,
+      |  cast(round(c_acctbal * 100) as bigint) AS cents
+      | FROM customer)
+      |SELECT segment, cast(count(*) as bigint) AS n,
+      | cast(sum(CASE WHEN cents > 500000 THEN 1 ELSE 0 END) + 1 as bigint)
+      |   AS rank_desc,
+      | cast(count(DISTINCT CASE WHEN cents > 500000 THEN cents END) + 1 as bigint)
+      |   AS dense_rank_desc,
+      | cast((sum(CASE WHEN cents <= 500000 THEN 1 ELSE 0 END) + 1) * 10000
+      |   // (count(*) + 1) as bigint) AS cume_dist_bp,
+      | cast(sum(CASE WHEN cents < 500000 THEN 1 ELSE 0 END) * 10000
+      |   // count(*) as bigint) AS percent_rank_asc_bp
+      |FROM c GROUP BY segment ORDER BY segment""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("q116_hypothetical_rank", q116HypotheticalRank, Some(q116Sql)),
     GQuery("q110_decile_migration", q110DecileMigration, Some(q110Sql)),
     GQuery("q109_weighted_median", q109WeightedMedian, Some(q109Sql)),
     GQuery("meta_outlier_iqr", metaOutlierIqr, Some(metaOutlierIqrSql)),

@@ -863,7 +863,97 @@ object Graph {
       | cast(sum(d) as bigint) AS sum_deg
       |FROM deg GROUP BY 1, 2 ORDER BY side, bucket""".stripMargin
 
+  /** EGO-NETWORK SAMPLING — the GraphSAGE/GNN minibatch primitive
+    * (Hamilton et al., NeurIPS'17 §3.1: fixed fan-out neighbor
+    * sampling per hop): for each seed node, keep ≤ 3 deterministic
+    * neighbors, then ≤ 3 of each of theirs — a 2-hop ego net of ≤ 12
+    * nodes per seed regardless of real degree, which is what makes
+    * GNN training tractable on power-law graphs (a hub's full 2-hop
+    * ball is the graph). Design mirrors production samplers: the
+    * ≤ 3-per-node adjacency sample is computed ONCE for all nodes
+    * (per-src keyed window over the memoized edge table — edge-linear,
+    * never per-seed) and both hops reuse it, so a node shared by many
+    * seeds is sampled identically everywhere. The pick is the Knuth
+    * priority `((src·7919 + dst)·2654435761) mod 2³²` — pure integer
+    * row function (|node| ≤ 3·10⁵ keeps the product < 2⁶³), so BOTH
+    * hops' exact membership is oracle-replayed, reported as
+    * count + bit_xor/sum digests per seed. Seeds: nodes ≡ 0 (mod 40)
+    * (customer nodes with custkey ≡ 0 mod 20, deterministic ~5 %).
+    * Hop-2 drops the seed itself and hop-1 repeats (per-seed anti
+    * join on the ≤ 9-row frontier). Scale: everything after the one
+    * adjacency-sample window is equi-keyed joins over ≤ 3·|seeds| and
+    * ≤ 9·|seeds| rows — frontier-bounded, not graph-bounded. */
+  def egoSample(spark: SparkSession, dir: String): DataFrame = {
+    val sym = spark.read.parquet(s"${tradeGraphRoot(spark, dir)}/sym")
+    val sampled = sym
+      .withColumn("pri", pmod((col("src") * 7919L + col("dst")) * 2654435761L,
+        lit(4294967296L)))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("pri"), col("dst"))))
+      .filter(col("rk") <= 3)
+      .select(col("src"), col("dst"))
+    val hop1 = sampled.filter(pmod(col("src"), lit(40)) === 0)
+      .select(col("src").as("seed"), col("dst").as("h1"))
+    val hop2 = hop1
+      .join(sampled.select(col("src").as("h1"), col("dst").as("h2")), Seq("h1"))
+      .filter(col("h2") =!= col("seed"))
+      .select(col("seed"), col("h2")).distinct()
+      .join(hop1.select(col("seed"), col("h1").as("h2")), Seq("seed", "h2"), "left_anti")
+    val a1 = hop1.groupBy(col("seed"))
+      .agg(count(lit(1)).as("n_h1"),
+        expr("bit_xor(h1)").cast("long").as("xor_h1"),
+        sum(col("h1")).as("sum_h1"))
+    val a2 = hop2.groupBy(col("seed"))
+      .agg(count(lit(1)).as("n_h2"),
+        expr("bit_xor(h2)").cast("long").as("xor_h2"),
+        sum(col("h2")).as("sum_h2"))
+    a1.join(a2, Seq("seed"), "left")
+      .select(col("seed"), col("n_h1"), col("xor_h1"), col("sum_h1"),
+        coalesce(col("n_h2"), lit(0L)).as("n_h2"),
+        coalesce(col("xor_h2"), lit(0L)).as("xor_h2"),
+        coalesce(col("sum_h2"), lit(0L)).as("sum_h2"))
+      .orderBy(col("seed"))
+  }
+
+  val egoSampleSql: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS c,
+      |                  CAST(l_suppkey * 2 + 1 AS BIGINT) AS s
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |edges AS (
+      |  SELECT c AS src, s AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT s AS src, c AS dst FROM pairs),
+      |sampled AS (
+      |  SELECT src, dst FROM (
+      |    SELECT src, dst, row_number() OVER (PARTITION BY src
+      |      ORDER BY ((src * 7919 + dst) * 2654435761) % 4294967296, dst) AS rk
+      |    FROM edges) WHERE rk <= 3),
+      |hop1 AS (
+      |  SELECT src AS seed, dst AS h1 FROM sampled WHERE src % 40 = 0),
+      |hop2 AS (
+      |  SELECT DISTINCT a.seed, b.dst AS h2
+      |  FROM hop1 a JOIN sampled b ON b.src = a.h1
+      |  WHERE b.dst <> a.seed
+      |    AND NOT EXISTS (SELECT 1 FROM hop1 x
+      |                    WHERE x.seed = a.seed AND x.h1 = b.dst)),
+      |a1 AS (
+      |  SELECT seed, cast(count(*) as bigint) AS n_h1,
+      |   cast(bit_xor(h1) as bigint) AS xor_h1, cast(sum(h1) as bigint) AS sum_h1
+      |  FROM hop1 GROUP BY seed),
+      |a2 AS (
+      |  SELECT seed, cast(count(*) as bigint) AS n_h2,
+      |   cast(bit_xor(h2) as bigint) AS xor_h2, cast(sum(h2) as bigint) AS sum_h2
+      |  FROM hop2 GROUP BY seed)
+      |SELECT a1.seed, a1.n_h1, a1.xor_h1, a1.sum_h1,
+      | cast(coalesce(a2.n_h2, 0) as bigint) AS n_h2,
+      | cast(coalesce(a2.xor_h2, 0) as bigint) AS xor_h2,
+      | cast(coalesce(a2.sum_h2, 0) as bigint) AS sum_h2
+      |FROM a1 LEFT JOIN a2 USING (seed)
+      |ORDER BY a1.seed""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("graph_ego_sample", egoSample, Some(egoSampleSql)),
     GQuery("graph_degree_histogram", degreeHistogram, Some(degreeHistogramSql)),
     GQuery("graph_random_walks", randomWalks, Some(randomWalksSql)),
     GQuery("pipeline_walk_pairs", walkPairs, Some(walkPairsSql)),

@@ -806,6 +806,80 @@ object Relational {
       | cast(sum(delta_us) as bigint) FROM near
       |ORDER BY direction""".stripMargin
 
+  /** As-of join with a TOLERANCE bound — the last knob of the pandas
+    * merge_asof surface after direction ([[q114AsofDirections]]): a
+    * backward match only counts if the purchase happened within 2 days
+    * of the click; staler matches are reported as beyond-tolerance and
+    * a click with no same-user prior purchase at all as unmatched.
+    * Tolerance is a PER-MATCH predicate, so it composes as a plain
+    * filter on the native as-of output — the O(1)-state merge itself
+    * never changes, and no second pass or re-join is needed. Grouped
+    * by click month: total clicks, matched, within-tolerance, matched
+    * cents within tolerance. Scale: the as-of does the heavy lifting
+    * (one shuffle per side on user_id); the month rollup is map-side
+    * partial over as-of output and answer-bounded. DuckDB replays the
+    * backward as-of natively and derives the same CASE buckets. */
+  def q115AsofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val tolUs = 2L * 24 * 3600 * 1000000 // 2 days in microseconds
+    val ev = t(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("p_value"))
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        round(col("p_value") * 100).cast("long").as("p_cents"))
+    val matched = graft.plans.AsOf
+      .join(clicks, purchases, "user_id", "p_user", "click_ts", "p_ts", "backward")
+      .withColumn("delta_us", unix_micros(col("click_ts")) - unix_micros(col("p_ts")))
+      .groupBy(date_trunc("MONTH", col("click_ts")).as("month"))
+      .agg(count(lit(1)).cast("long").as("n_matched"),
+        sum(when(col("delta_us") <= tolUs, 1L).otherwise(0L)).cast("long")
+          .as("n_within_tol"),
+        coalesce(sum(when(col("delta_us") <= tolUs, col("p_cents"))), lit(0L))
+          .cast("long").as("cents_within_tol"))
+    clicks
+      .groupBy(date_trunc("MONTH", col("click_ts")).as("month"))
+      .agg(count(lit(1)).cast("long").as("n_clicks"))
+      .join(matched, Seq("month"), "left")
+      .select(col("month"), col("n_clicks"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        coalesce(col("n_within_tol"), lit(0L)).as("n_within_tol"),
+        coalesce(col("cents_within_tol"), lit(0L)).as("cents_within_tol"))
+      .orderBy(col("month"))
+  }
+
+  val q115Sql: String =
+    """WITH clicks AS (
+      | SELECT event_id AS click_id, user_id, ts AS click_ts
+      | FROM events WHERE event_type = 'click'),
+      |purch AS (
+      | SELECT user_id AS p_user, ts AS p_ts,
+      |  cast(round(max(value) * 100) as bigint) AS p_cents
+      | FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |bwd AS (
+      | SELECT date_trunc('month', c.click_ts) AS month,
+      |  date_diff('microsecond', p.p_ts, c.click_ts) AS delta_us, p.p_cents
+      | FROM clicks c ASOF JOIN purch p
+      |  ON c.user_id = p.p_user AND c.click_ts >= p.p_ts),
+      |m AS (
+      | SELECT month, cast(count(*) as bigint) AS n_matched,
+      |  cast(sum(CASE WHEN delta_us <= 172800000000 THEN 1 ELSE 0 END) as bigint)
+      |    AS n_within_tol,
+      |  cast(coalesce(sum(CASE WHEN delta_us <= 172800000000
+      |    THEN p_cents END), 0) as bigint) AS cents_within_tol
+      | FROM bwd GROUP BY month),
+      |c AS (
+      | SELECT date_trunc('month', click_ts) AS month,
+      |  cast(count(*) as bigint) AS n_clicks
+      | FROM clicks GROUP BY 1)
+      |SELECT c.month, c.n_clicks,
+      | cast(coalesce(m.n_matched, 0) as bigint) AS n_matched,
+      | cast(coalesce(m.n_within_tol, 0) as bigint) AS n_within_tol,
+      | cast(coalesce(m.cents_within_tol, 0) as bigint) AS cents_within_tol
+      |FROM c LEFT JOIN m USING (month)
+      |ORDER BY c.month""".stripMargin
+
   /** The q50 scenario written NAIVELY — a bare inequality band join
     * with no equi key — and rewritten to the binned equi-join by the
     * ENGINE ([[graft.plans.AutoRangeJoin]], registered via
@@ -954,6 +1028,7 @@ object Relational {
     GQuery("q36_asof_join", q36AsofJoin, Some(q36Sql)),
     GQuery("q36b_asof_native", q36bAsofNative, Some(q36Sql)),
     GQuery("q114_asof_directions", q114AsofDirections, Some(q114Sql)),
+    GQuery("q115_asof_tolerance", q115AsofTolerance, Some(q115Sql)),
     GQuery("q50_interval_join_binned", q50IntervalJoinBinned, Some(q50Sql)),
     GQuery("q68_range_join_auto", q68AutoRangeJoin, Some(q68Sql)),
   )

@@ -585,7 +585,81 @@ object Sampling {
       | cast(sum(user_id) as bigint) AS sum_uids
       |FROM ev GROUP BY split ORDER BY split""".stripMargin
 
+  /** NEYMAN OPTIMAL ALLOCATION — the survey-sampling answer to "how
+    * many samples per stratum": allocate ∝ N_h·S_h (stratum size ×
+    * stratum spread), so volatile strata get more budget than uniform
+    * ones at equal size (Neyman 1934; vs. the proportional split of
+    * [[stratifiedSample]] and the α-temperature split of
+    * [[temperatureMix]] — this completes the allocation-policy
+    * matrix). All arithmetic is engine-neutral: spread is measured on
+    * x = ⌊acctbal/10⌋ (tens of currency units, LongType), and
+    * N_h·S_h = √(N_h²·Var) = √(N_h·Σx² − (Σx)²) — a square root of a
+    * PURE INTEGER. With |x| ≤ 10³ the radicand is ≤ n_h²·10⁶
+    * (< 2⁵³ through sf1's ~3·10⁴-customer strata), exactly
+    * representable in double, and IEEE-754 sqrt is correctly rounded,
+    * so ⌊√·⌋ is bit-identical in both engines. A 300-customer budget
+    * splits by floor allocation `300·score div Σscore` capped at the
+    * stratum size; WHICH customers is decided by the Knuth
+    * multiplicative priority `(c_custkey·2654435761) mod 2³²`, a pure
+    * row function — membership, not just counts, is oracle-checked.
+    * Scale: one map-side-partial moment aggregation (n, Σx, Σx² per
+    * stratum — 5 rows), allocation math on the driver-free broadcast
+    * scalar, and the per-stratum pick is the keyed-window clarity
+    * shape with [[graft.functions.BottomKByPriority]] as the ledgered
+    * 100 TB swap-in (≤ budget·|strata| rows would ever shuffle). */
+  def neymanAllocation(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+      .select(col("c_mktsegment").as("segment"), col("c_custkey"),
+        floor(col("c_acctbal") / 10).cast("long").as("x"))
+    val moments = cust.groupBy(col("segment"))
+      .agg(count(lit(1)).as("stratum_n"),
+        sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"))
+      .withColumn("score",
+        floor(sqrt((col("stratum_n") * col("sxx") - col("sx") * col("sx"))
+          .cast("double"))).cast("long"))
+    val alloc = moments
+      .crossJoin(broadcast(moments.agg(sum(col("score")).as("tot"))))
+      .withColumn("target", least(col("stratum_n"), expr("300 * score div tot")))
+      .select(col("segment"), col("stratum_n"), col("score"), col("target"))
+    val w = Window.partitionBy(col("segment"))
+      .orderBy(pmod(col("c_custkey") * 2654435761L, lit(4294967296L)), col("c_custkey"))
+    cust.withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(alloc), Seq("segment"))
+      .filter(col("rk") <= col("target"))
+      .select(col("segment"), col("rk"), col("c_custkey"),
+        col("stratum_n"), col("score"), col("target"))
+      .orderBy(col("segment"), col("rk"))
+  }
+
+  val neymanAllocationSql: String =
+    """WITH cust AS (
+      | SELECT c_mktsegment AS segment, c_custkey,
+      |  cast(floor(c_acctbal / 10) as bigint) AS x
+      | FROM customer),
+      |moments AS (
+      | SELECT segment, count(*) AS stratum_n,
+      |  cast(sum(x) as bigint) AS sx, cast(sum(x * x) as bigint) AS sxx
+      | FROM cust GROUP BY segment),
+      |scored AS (
+      | SELECT segment, stratum_n,
+      |  cast(floor(sqrt(cast(stratum_n * sxx - sx * sx as double))) as bigint)
+      |    AS score
+      | FROM moments),
+      |alloc AS (
+      | SELECT segment, stratum_n, score,
+      |  least(stratum_n, 300 * score // (SELECT sum(score) FROM scored)) AS target
+      | FROM scored),
+      |ranked AS (
+      | SELECT segment, c_custkey, cast(row_number() OVER (PARTITION BY segment
+      |   ORDER BY (c_custkey * 2654435761) % 4294967296, c_custkey) as bigint) AS rk
+      | FROM cust)
+      |SELECT r.segment, r.rk, r.c_custkey, a.stratum_n, a.score,
+      | cast(a.target as bigint) AS target
+      |FROM ranked r JOIN alloc a USING (segment)
+      |WHERE r.rk <= a.target ORDER BY r.segment, r.rk""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("sample_neyman", neymanAllocation, Some(neymanAllocationSql)),
     GQuery("sample_group_holdout", groupHoldout, Some(groupHoldoutSql)),
     GQuery("sample_negative", negativeSampling, Some(negativeSamplingSql)),
     GQuery("sample_temporal_split", temporalSplit, Some(temporalSplitSql)),

@@ -1710,7 +1710,58 @@ object TextAnalysis {
        |FROM r5 ORDER BY r DESC, node LIMIT 20""".stripMargin
   }
 
+  /** VOCABULARY / ZIPF statistics per language — the corpus-health
+    * report a tokenizer or LM team reads before training: token and
+    * type counts, hapax & dis legomena (frequency-1 and -2 types —
+    * Zipf's long tail; hapax share predicts OOV rate and is the
+    * Good–Turing mass estimate for unseen types), type–token ratio
+    * (lexical diversity), and the head's weight (top-1 type share).
+    * Ratios in integer basis points (floor division) — engine-exact.
+    * Scale: one (lang, token) frequency aggregation — map-side
+    * partial, so the shuffle carries per-partition partial counts,
+    * not tokens — then a per-lang rollup of the (already small)
+    * frequency table. Nothing is sorted; the max-frequency head falls
+    * out of the same rollup. Tokenizer = the whitespace split every
+    * text_* entry shares, so DuckDB replays it verbatim. */
+  def zipfStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("f"))
+      .groupBy(col("lang"))
+      .agg(sum(col("f")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("f") === 1, 1L).otherwise(0L)).as("hapax"),
+        sum(when(col("f") === 2, 1L).otherwise(0L)).as("dis"),
+        max(col("f")).as("top1_f"))
+      .select(col("lang"), col("n_tokens"), col("n_types"),
+        col("hapax"), col("dis"),
+        expr("n_types * 10000 div n_tokens").as("ttr_bp"),
+        expr("hapax * 10000 div n_types").as("hapax_share_bp"),
+        expr("top1_f * 10000 div n_tokens").as("top1_share_bp"))
+      .orderBy(col("lang"))
+
+  val zipfStatsSql: String =
+    """WITH freq AS (
+      | SELECT lang, tok, count(*) AS f
+      | FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+      |       FROM documents)
+      | GROUP BY lang, tok),
+      |roll AS (
+      | SELECT lang, cast(sum(f) as bigint) AS n_tokens,
+      |  cast(count(*) as bigint) AS n_types,
+      |  cast(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) as bigint) AS hapax,
+      |  cast(sum(CASE WHEN f = 2 THEN 1 ELSE 0 END) as bigint) AS dis,
+      |  cast(max(f) as bigint) AS top1_f
+      | FROM freq GROUP BY lang)
+      |SELECT lang, n_tokens, n_types, hapax, dis,
+      | n_types * 10000 // n_tokens AS ttr_bp,
+      | hapax * 10000 // n_types AS hapax_share_bp,
+      | top1_f * 10000 // n_tokens AS top1_share_bp
+      |FROM roll ORDER BY lang""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("text_zipf_stats", zipfStats, Some(zipfStatsSql)),
     GQuery("text_textrank_keywords", textrankKeywords, Some(textrankKeywordsSql)),
     GQuery("text_rake_keywords", rakeKeywords, Some(rakeKeywordsSql)),
     GQuery("text_hashing_trick", hashingTrick, Some(hashingTrickSql)),

@@ -513,6 +513,102 @@ class Round12Spec extends AnyFunSuite {
     assert(got("nearest") <= got("backward") + got("forward"))
   }
 
+  test("as-of tolerance: bucket laws hold and totals reconcile with the " +
+      "direction matrix's backward row") {
+    val rows = SparkEntry.queries("q115_asof_tolerance")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (nClicks, nMatched, nWithin) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nWithin <= nMatched && nMatched <= nClicks)
+      if (nWithin == 0) assert(r.getLong(4) == 0L) // no cents without matches
+    }
+    val backward = SparkEntry.queries("q114_asof_directions")(spark, sf)
+      .filter(col("direction") === "backward").collect()(0).getLong(1)
+    assert(rows.map(_.getLong(2)).sum == backward,
+      "per-month matched must sum to the direction matrix's backward count")
+  }
+
+  test("hypothetical rank: counting identities equal a literal sort-based " +
+      "referee per segment") {
+    val got = SparkEntry.queries("q116_hypothetical_rank")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val v = 500000L
+    val bySeg = customer.select(col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    for ((seg, cents) <- bySeg) {
+      val (n, rankDesc, denseDesc, cumeBp, pctBp) = got(seg)
+      assert(n == cents.size)
+      // referee: insert v into the sorted multiset and read its rank off
+      val above = cents.count(_ > v)
+      assert(rankDesc == above + 1)
+      assert(denseDesc == cents.filter(_ > v).distinct.size + 1)
+      // hypothetical-insert semantics: v is its own peer (n+1 rows)
+      assert(cumeBp == (cents.count(_ <= v) + 1) * 10000L / (n + 1))
+      assert(pctBp == cents.count(_ < v) * 10000L / n)
+    }
+  }
+
+  test("zipf stats: referee recount for one language; tail/head laws hold " +
+      "for all") {
+    val rows = SparkEntry.queries("text_zipf_stats")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (tok, typ, hapax, dis) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(typ <= tok && hapax + dis <= typ)
+      assert(r.getLong(5) == typ * 10000 / tok)   // ttr_bp
+      assert(r.getLong(6) == hapax * 10000 / typ) // hapax_share_bp
+    }
+    val lang = rows.head.getString(0)
+    val freq = util.t(spark, sf, "documents").filter(col("lang") === lang)
+      .select(col("text")).collect().iterator
+      .flatMap(_.getString(0).split(" ", -1))
+      .foldLeft(Map.empty[String, Long]) { (m, w) => m.updated(w, m.getOrElse(w, 0L) + 1) }
+    val r0 = rows.head
+    assert(r0.getLong(1) == freq.values.sum && r0.getLong(2) == freq.size)
+    assert(r0.getLong(3) == freq.values.count(_ == 1))
+    assert(r0.getLong(7) == freq.values.max * 10000 / freq.values.sum)
+  }
+
+  test("ego sample: fan-out bounds, seed residue, and a full in-JVM " +
+      "2-hop referee from the sampled adjacency") {
+    val rows = SparkEntry.queries("graph_ego_sample")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getLong(0) % 40 == 0, "seed residue")
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= 3, "hop-1 fan-out")
+      assert(r.getLong(4) <= 9, "hop-2 fan-out")
+    }
+    // referee: rebuild the <=3-per-node sampled adjacency in the JVM
+    // from the raw tables and replay both hops for every seed
+    val o = util.t(spark, sf, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val li = util.t(spark, sf, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).cast("long").as("c"),
+        (col("l_suppkey") * 2 + 1).cast("long").as("s"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = pairs.flatMap { case (c, s) => Seq((c, s), (s, c)) }
+    def pri(src: Long, dst: Long): Long =
+      java.lang.Math.floorMod((src * 7919L + dst) * 2654435761L, 4294967296L)
+    val sampled = edges.groupBy(_._1).map { case (src, es) =>
+      src -> es.map(_._2).distinct.sortBy(d => (pri(src, d), d)).take(3).toSeq
+    }
+    val seeds = sampled.keys.filter(_ % 40 == 0)
+    val want = seeds.map { seed =>
+      val h1 = sampled(seed)
+      val h2 = h1.flatMap(m => sampled.getOrElse(m, Seq.empty[Long]))
+        .distinct.filterNot(x => x == seed || h1.contains(x))
+      seed -> (h1.size.toLong, h1.fold(0L)(_ ^ _), h1.sum,
+        h2.size.toLong, h2.fold(0L)(_ ^ _), h2.sum)
+    }.toMap
+    val gotMap = rows.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(gotMap == want)
+  }
+
   test("DistRank plans carry no partition-less WindowExec") {
     val sortCols = Seq(col("c_acctbal"), col("c_custkey"))
     import org.apache.spark.sql.execution.window.WindowExec
