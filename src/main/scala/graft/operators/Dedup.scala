@@ -1563,7 +1563,66 @@ object Dedup {
        |SELECT root AS entity, count(*) AS n_members, max(id) AS max_member
        |FROM comp GROUP BY root ORDER BY entity""".stripMargin
 
+  /** DATASET CARD — the per-source summary a corpus release ships
+    * with (Gebru et al. "Datasheets for Datasets", and what HF dataset
+    * cards tabulate): document/language/token/char counts, short-doc
+    * share, and the dominant language with its share, one row per
+    * source. All ratios in integer basis points; the dominant
+    * language is picked by (count DESC, lang ASC) — an explicit
+    * total order, because `arg_max`-style tie-breaks are
+    * engine-unspecified. Scale: one scan feeding two aggregations —
+    * the card rollup (map-side partial, |sources| rows) and the
+    * (source, lang) count whose per-source top-1 is a keyed window
+    * over |sources|·|langs| rows. Nothing data-sized leaves the
+    * scan. */
+  def dataCard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("source"), col("lang"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+    val card = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("toks")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        expr("sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) * 10000 " +
+          "div count(*)").as("short_share_bp"))
+    val top = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("cnt").desc, col("lang"))))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("lang").as("top_lang"), col("cnt").as("top_lang_docs"))
+    card.join(top, Seq("source"))
+      .withColumn("top_lang_share_bp", expr("top_lang_docs * 10000 div n_docs"))
+      .orderBy(col("source"))
+  }
+
+  val dataCardSql: String =
+    """WITH docs AS (
+      | SELECT source, lang, n_chars,
+      |  cast(len(string_split(text, ' ')) as bigint) AS toks
+      | FROM documents),
+      |card AS (
+      | SELECT source, cast(count(*) as bigint) AS n_docs,
+      |  cast(count(DISTINCT lang) as bigint) AS n_langs,
+      |  cast(sum(toks) as bigint) AS total_tokens,
+      |  cast(sum(n_chars) as bigint) AS total_chars,
+      |  cast(sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) * 10000
+      |    // count(*) as bigint) AS short_share_bp
+      | FROM docs GROUP BY source),
+      |top AS (
+      | SELECT source, lang AS top_lang, cnt AS top_lang_docs FROM (
+      |  SELECT source, lang, cast(count(*) as bigint) AS cnt,
+      |   row_number() OVER (PARTITION BY source
+      |     ORDER BY count(*) DESC, lang) AS rk
+      |  FROM docs GROUP BY source, lang) WHERE rk = 1)
+      |SELECT c.*, t.top_lang, t.top_lang_docs,
+      | t.top_lang_docs * 10000 // c.n_docs AS top_lang_share_bp
+      |FROM card c JOIN top t USING (source)
+      |ORDER BY c.source""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("pipeline_data_card", dataCard, Some(dataCardSql)),
     GQuery("dedup_entity_resolution", entityResolution, Some(entityResolutionSql)),
     GQuery("dedup_substring_spans", substringSpans, Some(substringSpansSql)),
     GQuery("pipeline_mix_epochs", mixEpochs, Some(mixEpochsSql)),

@@ -876,6 +876,71 @@ object Similarity {
        |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
   }
 
+  /** ANN RECALL EVALUATION as a first-class operator — the metric a
+    * production vector store monitors continuously (recall@k of the
+    * approximate index against exact ground truth; FAISS/ANN-benchmarks
+    * methodology): per query, |IVF top-5 ∩ exact top-5| / 5. Both
+    * sides already exist as entries ([[ivfTopk]] / [[topkBruteForce]]);
+    * the eval is their MEMBERSHIP intersection — an equi-join on
+    * (q_id, neighbor_id) over k·|queries| rows, so the eval costs
+    * nothing beyond the searches themselves. At 100 TB the exact side
+    * runs on a fixed query panel (here: the 20-query panel every sim_*
+    * entry shares), not the corpus — ground truth is panel-sized by
+    * design. Fully hash-green: DuckDB replays the IVF search through
+    * the index sidecars (the [[ivfTopkSql]] discipline) AND the exact
+    * top-5 relationally, then the same intersection. */
+  def recallEval(spark: SparkSession, dir: String): DataFrame = {
+    val approx = ivfTopk(spark, dir) // dumps ivf_coarse/ivf_assign sidecars
+      .select(col("q_id"), col("neighbor_id"))
+    val exact = topkBruteForce(spark, dir)
+      .select(col("q_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("q_id", "neighbor_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+    exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr("coalesce(n_hits, 0L) * 10000 div n_exact").as("recall_bp"))
+      .orderBy(col("q_id"))
+  }
+
+  val recallEvalSql: String =
+    s"""WITH cents AS (SELECT cid, cv FROM read_parquet('${oracleSidecarGlob("ivf_coarse")}')),
+       | postings AS (SELECT vec_id, cid FROM read_parquet('${oracleSidecarGlob("ivf_assign")}')),
+       | q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS vq
+       |  FROM embeddings WHERE vec_id < 20),
+       | qscore AS (SELECT q.q_id, c.cid, ${sqlCos("q.vq", "c.cv")} AS ac
+       |  FROM q, cents c),
+       | qa AS (SELECT q_id, cid FROM (
+       |   SELECT q_id, cid, row_number() OVER (PARTITION BY q_id
+       |     ORDER BY ac DESC, cid) AS ark FROM qscore)
+       |  WHERE ark <= $ivfNProbe),
+       | cand AS (SELECT DISTINCT qa.q_id, p.vec_id
+       |  FROM qa JOIN postings p USING (cid) WHERE p.vec_id <> qa.q_id),
+       | scored AS (SELECT c.q_id, c.vec_id,
+       |   ${sqlCos("q.vq", "e.embedding::DOUBLE[]")} AS cos
+       |  FROM cand c
+       |   JOIN embeddings e ON e.vec_id = c.vec_id
+       |   JOIN q ON q.q_id = c.q_id),
+       | ivf AS (SELECT q_id, vec_id AS neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, vec_id) AS rk FROM scored) WHERE rk <= 5),
+       | ex AS (SELECT q_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, neighbor_id) AS rk FROM (
+       |   SELECT qq.q_id, e.vec_id AS neighbor_id,
+       |    ${sqlCos("qq.vq", "e.embedding::DOUBLE[]")} AS cos
+       |   FROM q qq JOIN embeddings e ON e.vec_id <> qq.q_id))
+       |  WHERE rk <= 5),
+       | hits AS (SELECT ex.q_id, count(*) AS n
+       |  FROM ex JOIN ivf USING (q_id, neighbor_id) GROUP BY ex.q_id)
+       |SELECT e.q_id, cast(count(*) as bigint) AS n_exact,
+       | cast(coalesce(any_value(h.n), 0) as bigint) AS n_hits,
+       | cast(coalesce(any_value(h.n), 0) * 10000 // count(*) as bigint)
+       |   AS recall_bp
+       |FROM ex e LEFT JOIN hits h ON h.q_id = e.q_id
+       |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
+
   /** IVF top-k for an ARBITRARY query relation (vec_id, v) — the
     * serve-path core shared by the batch entry and the streaming
     * serve loop (`stream_ann_serve` answers each query micro-batch
@@ -1694,6 +1759,7 @@ object Similarity {
     GQuery("sim_label_centroids", labelCentroids, Some(labelCentroidsSql)),
     GQuery("sim_ann_lsh", annLsh, Some(annLshSql)),
     GQuery("sim_ivf_topk", ivfTopk, Some(ivfTopkSql)),
+    GQuery("sim_recall_eval", recallEval, Some(recallEvalSql)),
     GQuery("sim_pq_topk", pqTopk, Some(pqTopkSql)),
     GQuery("sim_ivfpq_topk", ivfpqTopk, Some(ivfpqTopkSql)),
     GQuery("sim_index_build", indexBuild, None),

@@ -609,6 +609,46 @@ class Round12Spec extends AnyFunSuite {
     assert(gotMap == want)
   }
 
+  test("recall eval: intersection referee from the two underlying entries; " +
+      "panel recall meets the IVF target") {
+    val rows = SparkEntry.queries("sim_recall_eval")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    def sets(name: String) = SparkEntry.queries(name)(spark, sf)
+      .select(col("q_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = sets("sim_topk_bruteforce"); val approx = sets("sim_ivf_topk")
+    for (r <- rows) {
+      val q = r.getLong(0)
+      assert(r.getLong(1) == exact.count(_._1 == q))
+      assert(r.getLong(2) == (exact & approx).count(_._1 == q))
+      assert(r.getLong(3) == r.getLong(2) * 10000 / r.getLong(1))
+    }
+    // same floor the sim_ivf_topk recall spec pins: >= 0.8 over the panel
+    val mean = rows.map(_.getLong(3)).sum / rows.length
+    assert(mean >= 8000, s"panel mean recall $mean bp < 8000")
+  }
+
+  test("data card: full per-source referee over the collected corpus") {
+    val rows = SparkEntry.queries("pipeline_data_card")(spark, sf).collect()
+    val docs = util.t(spark, sf, "documents")
+      .select(col("source"), col("lang"), col("n_chars"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getString(3).split(" ", -1).length.toLong))
+    assert(rows.map(_.getString(0)).toSet == docs.map(_._1).toSet)
+    for (r <- rows) {
+      val d = docs.filter(_._1 == r.getString(0))
+      assert(r.getLong(1) == d.length)
+      assert(r.getLong(2) == d.map(_._2).distinct.length)
+      assert(r.getLong(3) == d.map(_._4).sum)
+      assert(r.getLong(4) == d.map(_._3).sum)
+      assert(r.getLong(5) == d.count(_._3 < 200) * 10000L / d.length)
+      val byLang = d.groupBy(_._2).view.mapValues(_.length.toLong).toSeq
+      val (topLang, topN) = byLang.sortBy { case (l, n) => (-n, l) }.head
+      assert(r.getString(6) == topLang && r.getLong(7) == topN)
+      assert(r.getLong(8) == topN * 10000L / d.length)
+    }
+  }
+
   test("DistRank plans carry no partition-less WindowExec") {
     val sortCols = Seq(col("c_acctbal"), col("c_custkey"))
     import org.apache.spark.sql.execution.window.WindowExec
