@@ -2539,7 +2539,70 @@ object Analytics {
       |   // count(*) as bigint) AS percent_rank_asc_bp
       |FROM c GROUP BY segment ORDER BY segment""".stripMargin
 
+  /** SPEARMAN rank correlation — "does account balance predict
+    * spend?" asked the robust way (monotone association on ranks, no
+    * normality assumption; the audit twin of Pearson that survives
+    * outliers and skew): ρ = 1 − 6·Σd² / (n·(n²−1)) with d = the gap
+    * between a customer's two GLOBAL ranks. Both rankings are
+    * tie-free by construction (tie-break on custkey), so the classic
+    * formula is exact and all-integer — ρ reported in basis points by
+    * floor division, bit-identical in both engines (Σd² ≤ n³/3
+    * keeps 60000·Σd² inside int64 through n ≈ 5·10⁵ customers;
+    * beyond that the numerator moves to decimal(38), ledgered). The
+    * SCALE point: each global ranking runs through
+    * [[graft.operators.DistRank]] — range partition, prefix-sum
+    * offsets, partition-local rank — so correlating two rankings of a
+    * 100 TB table never funnels it through one task, the exact
+    * single-partition-window trap this round removed everywhere
+    * else. The spend side is one map-side-partial aggregation of
+    * orders; the join of the two rank tables is key-to-key. */
+  def q117Spearman(spark: SparkSession, dir: String): DataFrame = {
+    val bal = t(spark, dir, "customer")
+      .select(col("c_custkey"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+    val spend = t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("sp"))
+    val joined = bal.join(spend, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("bal_cents"),
+        coalesce(col("sp"), lit(0L)).as("spend_cents"))
+    val r1 = graft.operators.DistRank.withRowNumber(
+      joined, Seq(col("bal_cents"), col("c_custkey")), "r_bal")
+      .select(col("c_custkey"), col("r_bal"))
+    val r2 = graft.operators.DistRank.withRowNumber(
+      joined, Seq(col("spend_cents"), col("c_custkey")), "r_spend")
+      .select(col("c_custkey").as("k2"), col("r_spend"))
+    r1.join(r2, col("c_custkey") === col("k2"))
+      .select(((col("r_bal") - col("r_spend")) *
+        (col("r_bal") - col("r_spend"))).as("d2"))
+      .agg(count(lit(1)).as("n"), sum(col("d2")).as("sum_d2"))
+      .select(col("n"), col("sum_d2"),
+        expr("10000 - (60000 * sum_d2) div (n * (n * n - 1))").as("rho_bp"))
+  }
+
+  val q117Sql: String =
+    """WITH joined AS (
+      | SELECT c_custkey,
+      |  cast(round(c_acctbal * 100) as bigint) AS bal_cents,
+      |  cast(coalesce(sp, 0) as bigint) AS spend_cents
+      | FROM customer LEFT JOIN (
+      |  SELECT o_custkey, sum(cast(round(o_totalprice * 100) as bigint)) AS sp
+      |  FROM orders GROUP BY o_custkey) o ON o_custkey = c_custkey),
+      |ranked AS (
+      | SELECT c_custkey,
+      |  cast(row_number() OVER (ORDER BY bal_cents, c_custkey) as bigint)
+      |    AS r_bal,
+      |  cast(row_number() OVER (ORDER BY spend_cents, c_custkey) as bigint)
+      |    AS r_spend
+      | FROM joined)
+      |SELECT cast(count(*) as bigint) AS n,
+      | cast(sum((r_bal - r_spend) * (r_bal - r_spend)) as bigint) AS sum_d2,
+      | cast(10000 - (60000 * sum((r_bal - r_spend) * (r_bal - r_spend)))
+      |   // (count(*) * (count(*) * count(*) - 1)) as bigint) AS rho_bp
+      |FROM ranked""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("q117_spearman", q117Spearman, Some(q117Sql)),
     GQuery("q116_hypothetical_rank", q116HypotheticalRank, Some(q116Sql)),
     GQuery("q110_decile_migration", q110DecileMigration, Some(q110Sql)),
     GQuery("q109_weighted_median", q109WeightedMedian, Some(q109Sql)),

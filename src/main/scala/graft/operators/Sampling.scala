@@ -658,7 +658,45 @@ object Sampling {
       |FROM ranked r JOIN alloc a USING (segment)
       |WHERE r.rk <= a.target ORDER BY r.segment, r.rk""".stripMargin
 
+  /** SYSTEMATIC sampling — every 20th element of a deterministic
+    * permutation (take rank ≡ 7 mod 20 over the Knuth-priority order
+    * of o_orderkey): the classic equal-probability design whose
+    * stride guarantees exact 5 % coverage of every contiguous
+    * priority range, unlike Bernoulli hash sampling whose per-bucket
+    * counts fluctuate ([[hashSample]] is the Bernoulli twin). Ordering
+    * by a hash-derived priority is what makes the systematic design
+    * safe — the textbook failure mode (periodicity in the frame
+    * aligning with the stride) cannot survive a pseudo-random
+    * permutation. The global rank comes from
+    * [[graft.operators.DistRank]] (range partition → prefix-sum
+    * offsets → partition-local rank), NOT a global window — no
+    * single-partition WindowExec at any scale; membership is a pure
+    * function of the data so the oracle replays it exactly. */
+  def systematicSample(spark: SparkSession, dir: String): DataFrame = {
+    val pop = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .withColumn("pri", pmod(col("o_orderkey") * 2654435761L, lit(4294967296L)))
+    graft.operators.DistRank
+      .withRowNumber(pop, Seq(col("pri"), col("o_orderkey")), "rk")
+      .filter(pmod(col("rk"), lit(20)) === 7)
+      .select(col("rk"), col("o_orderkey"), col("o_custkey"), col("cents"))
+      .orderBy(col("rk"))
+  }
+
+  val systematicSampleSql: String =
+    """WITH ranked AS (
+      | SELECT o_orderkey, o_custkey,
+      |  cast(round(o_totalprice * 100) as bigint) AS cents,
+      |  cast(row_number() OVER (
+      |   ORDER BY (o_orderkey * 2654435761) % 4294967296, o_orderkey) as bigint)
+      |   AS rk
+      | FROM orders)
+      |SELECT rk, o_orderkey, o_custkey, cents FROM ranked
+      |WHERE rk % 20 = 7 ORDER BY rk""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("sample_systematic", systematicSample, Some(systematicSampleSql)),
     GQuery("sample_neyman", neymanAllocation, Some(neymanAllocationSql)),
     GQuery("sample_group_holdout", groupHoldout, Some(groupHoldoutSql)),
     GQuery("sample_negative", negativeSampling, Some(negativeSamplingSql)),

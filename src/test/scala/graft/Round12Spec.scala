@@ -649,6 +649,44 @@ class Round12Spec extends AnyFunSuite {
     }
   }
 
+  test("systematic sample: exact stride over the priority permutation; " +
+      "no partition-less WindowExec in the plan") {
+    val df = SparkEntry.queries("sample_systematic")(spark, sf)
+    import org.apache.spark.sql.execution.window.WindowExec
+    val bad = df.queryExecution.executedPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, s"single-partition WindowExec: $bad")
+    val rks = df.select(col("rk")).collect().map(_.getLong(0)).sorted
+    val n = util.t(spark, sf, "orders").count()
+    assert(rks.head == 7 && rks.forall(_ % 20 == 7))
+    assert(rks.sliding(2).forall(p => p.length < 2 || p(1) - p(0) == 20),
+      "stride must be exactly 20 — systematic, not Bernoulli")
+    assert(rks.length == (n - 7) / 20 + 1) // ranks 7, 27, …, ≤ n
+  }
+
+  test("spearman: in-JVM referee on the exact classic formula") {
+    val r = SparkEntry.queries("q117_spearman")(spark, sf).collect()(0)
+    val bal = customer.select(col("c_custkey"),
+        round(col("c_acctbal") * 100).cast("long").as("b")).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val spend = util.t(spark, sf, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("s")).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val keys = bal.keys.toSeq.sorted
+    def ranks(v: Long => Long): Map[Long, Long] =
+      keys.sortBy(k => (v(k), k)).zipWithIndex
+        .map { case (k, i) => k -> (i + 1L) }.toMap
+    val r1 = ranks(bal); val r2 = ranks(k => spend.getOrElse(k, 0L))
+    val n = keys.length.toLong
+    val sumD2 = keys.map(k => { val d = r1(k) - r2(k); d * d }).sum
+    assert(r.getLong(0) == n && r.getLong(1) == sumD2)
+    assert(r.getLong(2) == 10000 - (60000 * sumD2) / (n * (n * n - 1)))
+    // synthetic balances and spend are independent: ρ ≈ 0, never strong
+    assert(math.abs(r.getLong(2)) < 2000, s"|rho_bp|=${r.getLong(2)}")
+  }
+
   test("DistRank plans carry no partition-less WindowExec") {
     val sortCols = Seq(col("c_acctbal"), col("c_custkey"))
     import org.apache.spark.sql.execution.window.WindowExec
