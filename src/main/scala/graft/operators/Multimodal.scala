@@ -464,6 +464,50 @@ object Multimodal {
        |FROM tot t LEFT JOIN per_doc p USING (doc_id)
        |ORDER BY t.doc_id""".stripMargin
 
+  /** SILENCE TRIM — the sox/ffmpeg `silenceremove` shape every ASR
+    * pipeline runs before training: per clip, the first and last
+    * frame above the VAD energy floor bound the kept region; leading
+    * and trailing silence outside it is dropped. Where
+    * [[audioSegments]] needs the islands window (interior runs), trim
+    * boundaries are just per-key CONDITIONAL MIN/MAX — one map-side-
+    * partial aggregation, no window at all, answer-bounded at one row
+    * per clip. Fully-silent clips keep 0 frames (boundaries −1). Only
+    * the frame-energy table is codec output (sidecar); the
+    * thresholding and boundary arithmetic replay relationally in
+    * DuckDB ⇒ hash-checked end to end. */
+  def silenceTrim(spark: SparkSession, dir: String): DataFrame = {
+    val f = audioFrameEnergies(spark, dir)
+    oracleSidecar("audio_frame_energies_trim", f)
+    f.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        min(when(col("energy") > vadEnergyFloor, col("frame_idx"))).as("fv"),
+        max(when(col("energy") > vadEnergyFloor, col("frame_idx"))).as("lv"))
+      .select(col("doc_id"), col("n_frames"),
+        coalesce(col("fv"), lit(-1L)).as("first_voiced"),
+        coalesce(col("lv"), lit(-1L)).as("last_voiced"),
+        coalesce(col("lv") - col("fv") + 1, lit(0L)).as("kept_frames"),
+        expr("(n_frames - coalesce(lv - fv + 1, 0L)) * 10000 div n_frames")
+          .as("trim_share_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val silenceTrimSql: String =
+    s"""WITH f AS (
+       | SELECT doc_id, frame_idx, energy
+       | FROM read_parquet('${oracleSidecarGlob("audio_frame_energies_trim")}')),
+       |b AS (
+       | SELECT doc_id, cast(count(*) as bigint) AS n_frames,
+       |  min(CASE WHEN energy > $vadEnergyFloor THEN frame_idx END) AS fv,
+       |  max(CASE WHEN energy > $vadEnergyFloor THEN frame_idx END) AS lv
+       | FROM f GROUP BY doc_id)
+       |SELECT doc_id, n_frames,
+       | cast(coalesce(fv, -1) as bigint) AS first_voiced,
+       | cast(coalesce(lv, -1) as bigint) AS last_voiced,
+       | cast(coalesce(lv - fv + 1, 0) as bigint) AS kept_frames,
+       | cast((n_frames - coalesce(lv - fv + 1, 0)) * 10000
+       |   // n_frames as bigint) AS trim_share_bp
+       |FROM b ORDER BY doc_id""".stripMargin
+
   /** Voiced / unvoiced / silence frame classification by zero-crossing
     * rate + energy — the second classic short-time audio feature
     * beside [[audioSegments]]' energy VAD: voiced speech is periodic
@@ -538,6 +582,7 @@ object Multimodal {
        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val all: Seq[GQuery] = Seq(
+    GQuery("mm_silence_trim", silenceTrim, Some(silenceTrimSql)),
     GQuery("mm_audio_zcr", audioZcr, Some(audioZcrSql)),
     GQuery("mm_audio_segments", audioSegments, Some(audioSegmentsSql)),
     GQuery("mm_scene_cuts", sceneCuts, Some(sceneCutsSql)),

@@ -687,6 +687,28 @@ class Round12Spec extends AnyFunSuite {
     assert(math.abs(r.getLong(2)) < 2000, s"|rho_bp|=${r.getLong(2)}")
   }
 
+  test("silence trim: boundary laws and consistency with the VAD segments") {
+    val trim = SparkEntry.queries("mm_silence_trim")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(trim.nonEmpty)
+    for ((_, (n, fv, lv, kept, bp)) <- trim) {
+      assert(kept <= n && kept >= 0)
+      if (kept == 0) assert(fv == -1 && lv == -1)
+      else { assert(0 <= fv && fv <= lv && lv < n); assert(kept == lv - fv + 1) }
+      assert(bp == (n - kept) * 10000 / n)
+    }
+    // the trim region must cover every speech run the VAD found
+    val segs = SparkEntry.queries("mm_audio_segments")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(4))).toMap
+    assert(trim.keySet == segs.keySet)
+    for ((id, (nSegs, speechFrames)) <- segs) {
+      val kept = trim(id)._4
+      assert(kept >= speechFrames, s"doc $id trim window lost speech")
+      assert((kept == 0) == (nSegs == 0))
+    }
+  }
+
   test("DistRank plans carry no partition-less WindowExec") {
     val sortCols = Seq(col("c_acctbal"), col("c_custkey"))
     import org.apache.spark.sql.execution.window.WindowExec
