@@ -418,6 +418,76 @@ object Dedup {
        |WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.8
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** LSH TUNING MATRIX — the (bands, rows) trade-off every MinHash
+    * deployment has to pick (Leskovec/Rajaraman/Ullman MMDS §3.4: the
+    * s-curve P(candidate | J) = 1 − (1 − J^r)^b steepens with r and
+    * shifts left with b), measured EMPIRICALLY on this corpus: the
+    * same 16 persisted minhashes re-banded three ways — 16×1 (high
+    * recall, candidate-heavy), 8×2 (the production config of
+    * [[minhashLshIndexed]]), 4×4 (high precision, recall-risky) —
+    * with per-config candidate count, verified count (exact J ≥ 0.8
+    * among candidates), and precision in basis points. This is the
+    * tuning loop run before committing a banding to a 100 TB corpus,
+    * and it costs only |sigs|·b band keys per config — the signature
+    * table is NEVER rebuilt, shingles are scanned only by the
+    * candidate-linear verify. Hash-green: each config's banding
+    * candidates (the sole engine-specific stage) land in their own
+    * sidecar; DuckDB replays every verify and the rollup. */
+  def lshTuning(spark: SparkSession, dir: String): DataFrame = {
+    val root = dedupGraphRoot(spark, dir)
+    val sigs = spark.read.parquet(s"$root/sigs")
+    val sh = shinglesIndexed(spark, dir)
+    val sizes = sigs.select(col("doc_id"), col("n"))
+    val configs = Seq(("b16_r1", 16, 1), ("b4_r4", 4, 4), ("b8_r2", 8, 2))
+    configs.map { case (label, b, r) =>
+      val banded = sigs.select(col("doc_id"), posexplode(array(
+          (0 until b).map(i =>
+            xxhash64((0 until r).map(j => col(s"h${i * r + j}")): _*)): _*))
+        .as(Seq("band", "band_key")))
+      val l = banded.select(col("doc_id").as("a_id"), col("band"), col("band_key"))
+      val rr = banded.select(col("doc_id").as("b_id"), col("band"), col("band_key"))
+      val cand = l.join(rr, Seq("band", "band_key"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id")).distinct()
+      oracleSidecar(s"lsh_tuning_$label", cand)
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(verifyPairs(sh, sizes, cand)
+          .agg(count(lit(1)).as("n_verified")))
+        .select(lit(label).as("config"), col("n_candidates"), col("n_verified"),
+          expr("n_verified * 10000 div greatest(n_candidates, 1L)")
+            .as("precision_bp"))
+    }.reduce(_ unionByName _).orderBy(col("config"))
+  }
+
+  val lshTuningSql: String = {
+    val per = Seq("b16_r1", "b4_r4", "b8_r2").map { label =>
+      s"""row_$label AS (
+         | SELECT '$label' AS config,
+         |  cast((SELECT count(*)
+         |        FROM read_parquet('${oracleSidecarGlob(s"lsh_tuning_$label")}')) as bigint)
+         |    AS n_candidates,
+         |  cast((SELECT count(*) FROM (
+         |   SELECT c.a_id, c.b_id, count(*) AS i
+         |   FROM read_parquet('${oracleSidecarGlob(s"lsh_tuning_$label")}') c
+         |    JOIN sh a ON a.doc_id = c.a_id
+         |    JOIN sh b ON b.doc_id = c.b_id AND b.s = a.s
+         |   GROUP BY 1, 2) iv
+         |   JOIN sizes sa ON iv.a_id = sa.doc_id
+         |   JOIN sizes sb ON iv.b_id = sb.doc_id
+         |   WHERE round(iv.i * 1.0 / (sa.n + sb.n - iv.i), 6) >= 0.8)
+         |  as bigint) AS n_verified)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $shinglesSqlCte,
+       | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |$per
+       |SELECT config, n_candidates, n_verified,
+       | n_verified * 10000 // greatest(n_candidates, 1) AS precision_bp
+       |FROM (SELECT * FROM row_b16_r1 UNION ALL
+       |      SELECT * FROM row_b4_r4 UNION ALL
+       |      SELECT * FROM row_b8_r2)
+       |ORDER BY config""".stripMargin
+  }
+
   /** SimHash near-dup detection: 64-bit signature from token hashes;
     * hamming-distance candidates via 4×16-bit chunk banding (pigeonhole:
     * hamming ≤ 3 ⇒ at least one of 4 chunks identical), verified with
@@ -1647,6 +1717,7 @@ object Dedup {
     GQuery("dedup_bloom_ingest", bloomIngest, Some(bloomIngestSql)),
     GQuery("dedup_containment_pairs", containmentPairs, Some(containmentPairsSql)),
     GQuery("dedup_minhash_lsh", minhashLshIndexed, Some(minhashLshSql)),
+    GQuery("dedup_lsh_tuning", lshTuning, Some(lshTuningSql)),
     GQuery("dedup_simhash", simhashPairs, Some(simhashPairsSql)),
     GQuery("dedup_embedding_cosine", embeddingNearDup, Some(embeddingNearDupSql)),
   )

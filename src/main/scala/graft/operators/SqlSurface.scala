@@ -553,7 +553,40 @@ object SqlSurface {
        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** SQL SESSION VARIABLES (SQL:2016 / Spark 4 DECLARE VARIABLE) —
+    * the parameterized-report surface: thresholds declared once at
+    * session level, referenced by name in queries, re-SET between
+    * runs without rebuilding SQL strings (the injection-safe
+    * alternative to string interpolation). The variable resolves at
+    * ANALYSIS time to a literal, so the plan is identical to the
+    * hand-inlined constant — fully foldable, pushdown-eligible, zero
+    * runtime cost; the oracle replays with the inlined literals.
+    * DECLARE OR REPLACE + SET exercises both the default and the
+    * reassignment path. */
+  def q118SqlVariables(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders_var")
+    spark.sql("DECLARE OR REPLACE VARIABLE price_floor DOUBLE DEFAULT 100000.0")
+    spark.sql("DECLARE OR REPLACE VARIABLE status_of_interest STRING DEFAULT 'O'")
+    spark.sql("SET VARIABLE price_floor = 150000.0")
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS n_big,
+        | cast(sum(CASE WHEN o_orderstatus = status_of_interest
+        |   THEN 1 ELSE 0 END) as bigint) AS n_open,
+        | cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint) AS cents
+        |FROM orders_var WHERE o_totalprice > price_floor
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  val q118Sql: String =
+    """SELECT o_orderpriority, count(*) AS n_big,
+      | cast(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) as bigint)
+      |   AS n_open,
+      | cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint) AS cents
+      |FROM orders WHERE o_totalprice > 150000.0
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("q118_sql_variables", q118SqlVariables, Some(q118Sql)),
     GQuery("q93_join_elimination", q93JoinElimination, Some(q93Sql)),
     GQuery("meta_observe_metrics", observeMetrics, Some(observeMetricsSql)),
     GQuery("q61_group_by_all", q61GroupByAll, Some(q61Sql)),

@@ -709,6 +709,48 @@ class Round12Spec extends AnyFunSuite {
     }
   }
 
+  test("lsh tuning: banding containment laws hold and the production " +
+      "config reconciles with dedup_minhash_lsh") {
+    val rows = SparkEntry.queries("dedup_lsh_tuning")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet == Set("b16_r1", "b8_r2", "b4_r4"))
+    // sharing an r-row band implies sharing every sub-band of a finer
+    // config ⇒ candidate sets are nested: b4_r4 ⊆ b8_r2 ⊆ b16_r1
+    assert(rows("b4_r4")._1 <= rows("b8_r2")._1)
+    assert(rows("b8_r2")._1 <= rows("b16_r1")._1)
+    assert(rows("b4_r4")._2 <= rows("b8_r2")._2)
+    assert(rows("b8_r2")._2 <= rows("b16_r1")._2)
+    for ((_, (c, v, p)) <- rows) {
+      assert(v <= c)
+      assert(p == v * 10000 / math.max(c, 1L))
+    }
+    // the 8×2 row IS the production banding: its verified count must
+    // equal the pair relation dedup_minhash_lsh serves
+    val prod = SparkEntry.queries("dedup_minhash_lsh")(spark, sf).count()
+    assert(rows("b8_r2")._2 == prod)
+  }
+
+  test("sql variables: resolved variable equals the inlined literal; " +
+      "re-SET takes effect") {
+    val got = SparkEntry.queries("q118_sql_variables")(spark, sf)
+    val want = spark.sql(
+      """SELECT o_orderpriority, count(*) AS n_big,
+        | cast(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) as bigint)
+        |   AS n_open,
+        | cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint) AS cents
+        |FROM orders_var WHERE o_totalprice > 150000.0
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    assert(got.collect().toSeq == want.collect().toSeq)
+    // the SET must have overridden the 100000 default: a lower floor
+    // strictly widens the selection on this data
+    spark.sql("SET VARIABLE price_floor = 100000.0")
+    val wider = spark.sql(
+      "SELECT count(*) FROM orders_var WHERE o_totalprice > price_floor")
+      .collect()(0).getLong(0)
+    val n150 = got.agg(sum(col("n_big"))).collect()(0).getLong(0)
+    assert(wider > n150)
+  }
+
   test("DistRank plans carry no partition-less WindowExec") {
     val sortCols = Seq(col("c_acctbal"), col("c_custkey"))
     import org.apache.spark.sql.execution.window.WindowExec
