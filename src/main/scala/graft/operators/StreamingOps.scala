@@ -1586,6 +1586,109 @@ object StreamingOps {
       col("event_id").cast("long").as("event_id"))
   }
 
+  /** Prequential z-score input row / anomaly row / per-type state. */
+  case class ZIn(event_type: String, event_id: Long, cents: Long)
+  case class ZOut(event_id: Long, event_type: String, n_prior: Long)
+  case class ZStats(n: Long, s1: Long, s2: Long)
+
+  /** ONLINE ANOMALY DETECTION, prequential — each event is scored
+    * against the statistics of the events BEFORE it (test-then-train,
+    * Dawid's prequential protocol; the ingest-QA gate run online
+    * instead of q65's retrospective batch pass): per event_type the
+    * state is the exact integer moment triple (n, Σcents, Σcents²),
+    * and an arrival is flagged when n ≥ 30 and (x−μ)² > 9σ² — tested
+    * ALL-INTEGER as (x·n − s1)²·(n−1) > 9·n·(n·s2 − s1²) (BigInt in
+    * the fold, HUGEINT in the oracle), so there is no float anywhere
+    * and the flag set is bit-deterministic. Rows are folded in
+    * event_id order (sorted within each micro-batch; state carries
+    * across batches), so any chunking that respects id order
+    * converges to the same output — the DuckDB oracle replays the
+    * whole protocol with running-sum windows over the
+    * `ROWS UNBOUNDED PRECEDING AND 1 PRECEDING` frame, keyed by
+    * event_type (never global). State is 3 longs per event type
+    * regardless of stream length — the bounded-state property that
+    * makes this viable on an unbounded 100 TB ingest. */
+  final class ZscoreProcessor extends StatefulProcessor[String, ZIn, ZOut] {
+    @transient private var st: ValueState[ZStats] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[ZStats]("zstats",
+        Encoders.product[ZStats], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[ZIn],
+        timerValues: TimerValues): Iterator[ZOut] = {
+      val cur = Option(st.get()).getOrElse(ZStats(0L, 0L, 0L))
+      var n = cur.n; var s1 = cur.s1; var s2 = cur.s2
+      val out = scala.collection.mutable.ArrayBuffer.empty[ZOut]
+      rows.toArray.sortBy(_.event_id).foreach { r =>
+        if (n >= 30) {
+          val lhs = (BigInt(r.cents) * n - s1).pow(2) * (n - 1)
+          val rhs = BigInt(9) * n * (BigInt(n) * s2 - BigInt(s1).pow(2))
+          if (lhs > rhs) out += ZOut(r.event_id, key, n)
+        }
+        n += 1; s1 += r.cents; s2 += r.cents * r.cents
+      }
+      st.update(ZStats(n, s1, s2))
+      out.iterator
+    }
+  }
+
+  /** The events table as a prequential scoring stream (event_id is
+    * the arrival order). Shared with the arrival-split spec. */
+  private[graft] def zscoreInput(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .select(col("event_type"), col("event_id").cast("long").as("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+  }
+
+  /** Run the prequential scorer over any ZIn stream to convergence. */
+  private[graft] def runZscore(spark: SparkSession, src: Dataset[ZIn]): DataFrame = {
+    import spark.implicits._
+    val name = uniq("zscore")
+    val q = src.groupByKey(_.event_type)
+      .transformWithState(new ZscoreProcessor, TimeMode.None(), OutputMode.Append())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name)
+      .select(col("event_id"), col("event_type"), col("n_prior"))
+      .orderBy(col("event_id"))
+  }
+
+  def streamZscoreAnomaly(spark: SparkSession, dir: String): DataFrame =
+    withStatePartitions(spark) {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        import spark.implicits._
+        runZscore(spark, zscoreInput(spark, dir).as[ZIn])
+      } finally {
+        prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+      }
+    }
+
+  val streamZscoreAnomalySql: String =
+    """WITH e AS (
+      | SELECT event_id, event_type,
+      |  cast(round(value * 100) as bigint) AS cents
+      | FROM events),
+      |w AS (
+      | SELECT event_id, event_type, cents,
+      |  count(*) OVER win AS n,
+      |  coalesce(sum(cents) OVER win, 0) AS s1,
+      |  coalesce(sum(cents * cents) OVER win, 0) AS s2
+      | FROM e WINDOW win AS (PARTITION BY event_type ORDER BY event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT event_id, event_type, cast(n as bigint) AS n_prior FROM w
+      |WHERE n >= 30
+      | AND cast(cents * n - s1 as hugeint) * (cents * n - s1) * (n - 1)
+      |   > 9 * cast(n as hugeint) * (cast(n as hugeint) * s2
+      |       - cast(s1 as hugeint) * s1)
+      |ORDER BY event_id""".stripMargin
+
   def streamCdcApply(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
@@ -1994,6 +2097,7 @@ object StreamingOps {
     GQuery("stream_wap_ingest", streamWapIngest, Some(streamWapIngestSql)),
     GQuery("stream_funnel", streamFunnel, Some(Analytics.q74Sql)),
     GQuery("stream_cdc_apply", streamCdcApply, Some(streamCdcApplySql)),
+    GQuery("stream_zscore_anomaly", streamZscoreAnomaly, Some(streamZscoreAnomalySql)),
     GQuery("stream_cdc_view", streamCdcView, Some(streamCdcViewSql)),
     GQuery("stream_ann_serve", streamAnnServe, Some(Similarity.ivfTopkSql)),
     GQuery("stream_filtered_ann_serve", streamFilteredAnnServe, Some(Similarity.filteredTopkSql)),

@@ -751,6 +751,58 @@ class Round12Spec extends AnyFunSuite {
     assert(wider > n150)
   }
 
+  test("stream zscore: prequential protocol converges across arrival " +
+      "splits and matches an in-JVM referee") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val pKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevP = spark.conf.getOption(pKey)
+    spark.conf.set(pKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rows = util.t(spark, sf, "events")
+        .select(col("event_type"), col("event_id").cast("long"),
+          round(col("value") * 100).cast("long"))
+        .collect()
+        .map(r => operators.StreamingOps.ZIn(r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_.event_id)
+      implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      // 3-chunk arrival in id order — state must carry across batches
+      val ms = MemoryStream[operators.StreamingOps.ZIn]
+      val name = s"zsplit_${System.nanoTime}"
+      val q = ms.toDS().groupByKey(_.event_type)
+        .transformWithState(new operators.StreamingOps.ZscoreProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+      rows.grouped(math.max(rows.length / 3, 1)).foreach { c =>
+        ms.addData(c.toIndexedSeq); q.processAllAvailable()
+      }
+      q.stop()
+      val split = spark.table(name).select(col("event_id"), col("n_prior"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      // referee: the same prequential fold, sequentially in the JVM
+      val stats = scala.collection.mutable.Map.empty[String, (Long, BigInt, BigInt)]
+      val want = rows.flatMap { r =>
+        val (n, s1, s2) = stats.getOrElse(r.event_type, (0L, BigInt(0), BigInt(0)))
+        val flag = n >= 30 &&
+          (BigInt(r.cents) * n - s1).pow(2) * (n - 1) > 9 * n * (BigInt(n) * s2 - s1.pow(2))
+        stats(r.event_type) = (n + 1, s1 + r.cents, s2 + BigInt(r.cents) * r.cents)
+        if (flag) Some((r.event_id, n)) else None
+      }.sorted
+      assert(split.toSeq == want.toSeq)
+      assert(want.nonEmpty, "fixture should contain at least one anomaly")
+      // the entry (single-batch file read) must agree with the split run
+      val entry = SparkEntry.queries("stream_zscore_anomaly")(spark, sf)
+        .select(col("event_id"), col("n_prior"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(entry.toSeq == want.toSeq)
+    } finally {
+      prevP match { case Some(v) => spark.conf.set(pKey, v); case None => spark.conf.unset(pKey) }
+    }
+  }
+
   test("DistRank plans carry no partition-less WindowExec") {
     val sortCols = Seq(col("c_acctbal"), col("c_custkey"))
     import org.apache.spark.sql.execution.window.WindowExec
