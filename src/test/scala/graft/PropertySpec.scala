@@ -131,4 +131,59 @@ class PropertySpec extends AnyFunSuite {
       assert(streamed == batch)
     }
   }
+
+  // ---- native as-of join: all 3 directions equal brute force ---------
+  /** Random frames with small key/ts domains to force collisions,
+    * duplicates, null keys/timestamps, and one-sided keys. */
+  val asofGen: Gen[(List[(Option[Long], Option[Long])], List[(Long, Long, Long)])] = for {
+    nl <- Gen.choose(0, 40)
+    nr <- Gen.choose(0, 40)
+    l <- Gen.listOfN(nl, for {
+      k <- Gen.option(Gen.choose(0L, 4L))
+      t <- Gen.option(Gen.choose(0L, 30L))
+    } yield (k, t))
+    r <- Gen.listOfN(nr, for {
+      k <- Gen.choose(0L, 4L)
+      t <- Gen.choose(0L, 30L)
+      v <- Gen.choose(0L, 999L)
+    } yield (k, t, v))
+    // distinct (key, ts) on the right: as-of is only well-defined per
+    // unique right timestamp (the builder's documented precondition)
+  } yield (l, r.groupBy(x => (x._1, x._2)).map(_._2.head).toList)
+
+  test("as-of join: backward/forward/nearest equal brute force on random frames") {
+    import spark.implicits._
+    forAllN(asofGen, 12) { case (lRows, rRows) =>
+      val left = lRows.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, t) }.toDF("lid", "k", "t")
+      val right = rRows.toDF("rk", "rt", "rv")
+      def brute(dir: String): Map[Long, (Long, Long)] =
+        lRows.zipWithIndex.flatMap { case ((kOpt, tOpt), i) =>
+          for {
+            k <- kOpt; t <- tOpt
+            cand = rRows.filter(_._1 == k)
+            pick <- dir match {
+              case "backward" => cand.filter(_._2 <= t)
+                .sortBy(r => (-r._2, -r._3)).headOption
+              case "forward" => cand.filter(_._2 >= t)
+                .sortBy(r => (r._2, r._3)).headOption
+              case "nearest" =>
+                val b = cand.filter(_._2 <= t).sortBy(r => (-r._2, -r._3)).headOption
+                val f = cand.filter(_._2 > t).sortBy(r => (r._2, r._3)).headOption
+                (b, f) match {
+                  case (Some(bb), Some(ff)) =>
+                    if (t - bb._2 <= ff._2 - t) Some(bb) else Some(ff)
+                  case (x, y) => x.orElse(y)
+                }
+            }
+          } yield i.toLong -> (pick._2, pick._3)
+        }.toMap
+      for (dir <- Seq("backward", "forward", "nearest")) {
+        val got = plans.AsOf.join(left, right, "k", "rk", "t", "rt", dir)
+          .select(col("lid"), col("rt"), col("rv")).collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+        assert(got == brute(dir), s"direction=$dir left=$lRows right=$rRows")
+      }
+    }
+  }
 }
