@@ -2577,7 +2577,12 @@ object Analytics {
         (col("r_bal") - col("r_spend"))).as("d2"))
       .agg(count(lit(1)).as("n"), sum(col("d2")).as("sum_d2"))
       .select(col("n"), col("sum_d2"),
-        expr("10000 - (60000 * sum_d2) div (n * (n * n - 1))").as("rho_bp"))
+        // greatest(…, 1): rank correlation is undefined at n = 1 (the
+        // formula's denominator is 0); the guard returns the vacuous
+        // ρ = 1 there instead of diverging the engines (DuckDB //
+        // raises on 0, Spark div returns null)
+        expr("10000 - (60000 * sum_d2) div greatest(n * (n * n - 1), 1L)")
+          .as("rho_bp"))
   }
 
   val q117Sql: String =
@@ -2598,7 +2603,8 @@ object Analytics {
       |SELECT cast(count(*) as bigint) AS n,
       | cast(sum((r_bal - r_spend) * (r_bal - r_spend)) as bigint) AS sum_d2,
       | cast(10000 - (60000 * sum((r_bal - r_spend) * (r_bal - r_spend)))
-      |   // (count(*) * (count(*) * count(*) - 1)) as bigint) AS rho_bp
+      |   // greatest(count(*) * (count(*) * count(*) - 1), 1) as bigint)
+      |   AS rho_bp
       |FROM ranked""".stripMargin
 
   val all: Seq[GQuery] = Seq(

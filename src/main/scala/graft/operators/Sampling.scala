@@ -619,7 +619,12 @@ object Sampling {
           .cast("double"))).cast("long"))
     val alloc = moments
       .crossJoin(broadcast(moments.agg(sum(col("score")).as("tot"))))
-      .withColumn("target", least(col("stratum_n"), expr("300 * score div tot")))
+      // greatest(tot, 1): a degenerate corpus where every stratum is
+      // constant (all scores 0) must yield an empty sample, not a
+      // division error — DuckDB's // raises on 0 where Spark's div
+      // returns null, so the guard also keeps the engines aligned
+      .withColumn("target",
+        least(col("stratum_n"), expr("300 * score div greatest(tot, 1L)")))
       .select(col("segment"), col("stratum_n"), col("score"), col("target"))
     val w = Window.partitionBy(col("segment"))
       .orderBy(pmod(col("c_custkey") * 2654435761L, lit(4294967296L)), col("c_custkey"))
@@ -647,7 +652,8 @@ object Sampling {
       | FROM moments),
       |alloc AS (
       | SELECT segment, stratum_n, score,
-      |  least(stratum_n, 300 * score // (SELECT sum(score) FROM scored)) AS target
+      |  least(stratum_n, 300 * score // greatest((SELECT sum(score) FROM scored), 1))
+      |    AS target
       | FROM scored),
       |ranked AS (
       | SELECT segment, c_custkey, cast(row_number() OVER (PARTITION BY segment
