@@ -952,7 +952,84 @@ object Graph {
       |FROM a1 LEFT JOIN a2 USING (seed)
       |ORDER BY a1.seed""".stripMargin
 
+  /** HITS hubs & authorities (Kleinberg JACM'99) — the OTHER classic
+    * link-analysis fixpoint beside PageRank, and the naturally
+    * BIPARTITE one: on the directed customer→supplier trade graph,
+    * hub score measures a customer by the authority of the suppliers
+    * it buys from, authority measures a supplier by the hubs that buy
+    * from it — the mutual-reinforcement pair PageRank's single score
+    * can't express. Three I-then-O rounds, each superstep one
+    * edge ⋈ score join + a dst-keyed sum (edge-linear, the Pregel
+    * shape shared with [[pageRank]]); after each half-step scores are
+    * rescaled to max = 10⁶ by integer floor division against the
+    * broadcast scalar max — the normalization HITS needs for
+    * convergence, made engine-exact (no float L2 norm; max-norm is
+    * the standard alternative and keeps every value ≤ 10⁶, so the
+    * next sum is ≤ deg·10⁶ — overflow-free through any degree <
+    * 9·10¹²). The oracle unrolls the identical rounds as CTEs with
+    * scalar-subquery maxima. Top-10 per side by (score desc, node). */
+  def hits(spark: SparkSession, dir: String): DataFrame = {
+    val edges = spark.read.parquet(s"${tradeGraphRoot(spark, dir)}/sym")
+      .filter(pmod(col("src"), lit(2)) === 0) // directed: customer → supplier
+    def rescale(df: DataFrame): DataFrame = {
+      val m = df.agg(max(col("s")).as("m"))
+      df.crossJoin(broadcast(m))
+        .select(col("node"), expr("s * 1000000L div greatest(m, 1L)").as("s"))
+    }
+    var hub = edges.select(col("src").as("node")).distinct()
+      .withColumn("s", lit(1000000L))
+    var auth: DataFrame = null
+    for (_ <- 1 to 3) {
+      auth = rescale(edges.join(hub, col("src") === col("node"))
+        .groupBy(col("dst")).agg(sum(col("s")).as("s"))
+        .select(col("dst").as("node"), col("s")))
+      hub = rescale(edges.join(auth, col("dst") === col("node"))
+        .groupBy(col("src")).agg(sum(col("s")).as("s"))
+        .select(col("src").as("node"), col("s")))
+    }
+    def top(df: DataFrame, side: String): DataFrame =
+      df.orderBy(col("s").desc, col("node")).limit(10)
+        .select(lit(side).as("side"), col("node"), col("s").as("score"))
+    top(hub, "hub").unionByName(top(auth, "authority"))
+      .orderBy(col("side"), col("score").desc, col("node"))
+  }
+
+  val hitsSql: String = {
+    val rounds = (1 to 3).map { i =>
+      // each half-step consumes the NORMALIZED previous scores (h0 is
+      // already at max = 10⁶) — joining the raw sums instead would be
+      // scale-invariant up to flooring, i.e. off by one on some cells
+      val hPrev = if (i == 1) "h0" else s"h${i - 1}n"
+      s"""a$i AS (
+         |  SELECT e.dst AS node, SUM(h.s) AS s
+         |  FROM edges e JOIN $hPrev h ON h.node = e.src GROUP BY e.dst),
+         |a${i}n AS (
+         |  SELECT node, CAST(s * 1000000 // greatest((SELECT max(s) FROM a$i), 1) AS BIGINT) AS s
+         |  FROM a$i),
+         |h$i AS (
+         |  SELECT e.src AS node, SUM(a.s) AS s
+         |  FROM edges e JOIN a${i}n a ON a.node = e.dst GROUP BY e.src),
+         |h${i}n AS (
+         |  SELECT node, CAST(s * 1000000 // greatest((SELECT max(s) FROM h$i), 1) AS BIGINT) AS s
+         |  FROM h$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS c,
+       |                  CAST(l_suppkey * 2 + 1 AS BIGINT) AS s
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |edges AS (SELECT c AS src, s AS dst FROM pairs),
+       |h0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS s FROM edges),
+       |$rounds,
+       |th AS (SELECT 'hub' AS side, node, s AS score FROM h3n
+       |       ORDER BY s DESC, node LIMIT 10),
+       |ta AS (SELECT 'authority' AS side, node, s AS score FROM a3n
+       |       ORDER BY s DESC, node LIMIT 10)
+       |SELECT * FROM (SELECT * FROM th UNION ALL SELECT * FROM ta)
+       |ORDER BY side, score DESC, node""".stripMargin
+  }
+
   val all: Seq[GQuery] = Seq(
+    GQuery("graph_hits", hits, Some(hitsSql)),
     GQuery("graph_ego_sample", egoSample, Some(egoSampleSql)),
     GQuery("graph_degree_histogram", degreeHistogram, Some(degreeHistogramSql)),
     GQuery("graph_random_walks", randomWalks, Some(randomWalksSql)),

@@ -803,6 +803,41 @@ class Round12Spec extends AnyFunSuite {
     }
   }
 
+  test("HITS: full in-JVM integer-recurrence referee; bipartite sides " +
+      "and normalization hold") {
+    val rows = SparkEntry.queries("graph_hits")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.count(_._1 == "hub") == 10 && rows.count(_._1 == "authority") == 10)
+    for ((side, node, score) <- rows) {
+      assert(score >= 0 && score <= 1000000)
+      assert(if (side == "hub") node % 2 == 0 else node % 2 == 1,
+        "hubs are customers (even), authorities suppliers (odd)")
+    }
+    assert(rows.filter(_._1 == "hub").map(_._3).max == 1000000)
+    assert(rows.filter(_._1 == "authority").map(_._3).max == 1000000)
+    // referee: the exact integer recurrence, sequential
+    val pairs = util.t(spark, sf, "orders")
+      .join(util.t(spark, sf, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).cast("long"), (col("l_suppkey") * 2 + 1).cast("long"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val out = pairs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val inn = pairs.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    var h = out.keys.map(_ -> 1000000L).toMap
+    var a = Map.empty[Long, Long]
+    for (_ <- 1 to 3) {
+      val ar = inn.map { case (s, cs) => s -> cs.map(h.getOrElse(_, 0L)).sum }
+      val ma = math.max(ar.values.max, 1L)
+      a = ar.map { case (k, v) => k -> v * 1000000L / ma }
+      val hr = out.map { case (c, ss) => c -> ss.map(a.getOrElse(_, 0L)).sum }
+      val mh = math.max(hr.values.max, 1L)
+      h = hr.map { case (k, v) => k -> v * 1000000L / mh }
+    }
+    def top10(m: Map[Long, Long]) =
+      m.toSeq.sortBy { case (n, s) => (-s, n) }.take(10)
+    assert(rows.filter(_._1 == "hub").map(r => (r._2, r._3)).toSeq == top10(h))
+    assert(rows.filter(_._1 == "authority").map(r => (r._2, r._3)).toSeq == top10(a))
+  }
+
   test("DistRank plans carry no partition-less WindowExec") {
     val sortCols = Seq(col("c_acctbal"), col("c_custkey"))
     import org.apache.spark.sql.execution.window.WindowExec
