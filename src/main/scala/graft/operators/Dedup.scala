@@ -936,8 +936,12 @@ object Dedup {
       .reduce(_ unionAll _).orderBy(col("artifact"))
   }
 
-  val clusterComponentsSql: String =
-    s"""WITH RECURSIVE $shinglesSqlCte,
+  /** The exact-Jaccard near-dup component labels (id, root) as a
+    * recursive-CTE chain — shared by every oracle that consumes the
+    * persisted component table (`dedup_cluster_components`,
+    * `sample_dedup_split`). Callers prefix `WITH RECURSIVE`. */
+  private[operators] val componentsSqlCtes: String =
+    s"""$shinglesSqlCte,
        | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        | inter AS (
        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
@@ -956,7 +960,10 @@ object Dedup {
        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
        | comp AS (
        |  SELECT src AS id, least(src, min(dst)) AS root
-       |  FROM reach GROUP BY src)
+       |  FROM reach GROUP BY src)""".stripMargin
+
+  val clusterComponentsSql: String =
+    s"""WITH RECURSIVE $componentsSqlCtes
        |SELECT root AS component, count(*) AS n_members,
        | max(id) AS max_member
        |FROM comp GROUP BY root ORDER BY component""".stripMargin

@@ -701,7 +701,57 @@ object Sampling {
       |SELECT rk, o_orderkey, o_custkey, cents FROM ranked
       |WHERE rk % 20 = 7 ORDER BY rk""".stripMargin
 
+  /** DEDUP-AWARE train/test split — the leakage fix
+    * `dedup_contamination` only DETECTS: near-duplicate documents
+    * must land on the SAME side of a split, or the test set scores
+    * memorization (Lee et al. ACL'22 measure this exact inflation).
+    * The split key is therefore the near-dup COMPONENT root (from
+    * the persisted dedup graph; singletons key by their own id), and
+    * the side is the engine-neutral Knuth hash of that key — so two
+    * docs with J ≥ 0.8 share a root and can NEVER straddle the
+    * boundary, by construction rather than by post-hoc filtering.
+    * Output: per side, doc/char counts and xor/sum id digests —
+    * membership, not just counts, is oracle-checked (DuckDB rebuilds
+    * the components with a recursive CTE and replays the split
+    * arithmetic). Scale: one left join of documents against the
+    * node-sized component labels + an answer-bounded rollup; the
+    * component build amortizes in the cross-JVM dedup-graph
+    * artifact. */
+  def dedupAwareSplit(spark: SparkSession, dir: String): DataFrame = {
+    val comp = spark.read
+      .parquet(s"${graft.operators.Dedup.dedupGraphRoot(spark, dir)}/components")
+      .select(col("id").as("doc_id"), col("root"))
+    t(spark, dir, "documents")
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("k", coalesce(col("root"), col("doc_id")))
+      .withColumn("side",
+        when(pmod(pmod(col("k") * 2654435761L, lit(4294967296L)), lit(10)) < 8,
+          "train").otherwise("test"))
+      .groupBy(col("side"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("bit_xor(doc_id)").cast("long").as("xor_ids"),
+        sum(col("doc_id")).as("sum_ids"),
+        sum(col("n_chars")).cast("long").as("total_chars"))
+      .orderBy(col("side"))
+  }
+
+  val dedupAwareSplitSql: String = {
+    import graft.operators.Dedup.componentsSqlCtes
+    s"""WITH RECURSIVE $componentsSqlCtes,
+       |keyed AS (
+       | SELECT d.doc_id, d.n_chars, coalesce(c.root, d.doc_id) AS k
+       | FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+       |SELECT CASE WHEN ((k * 2654435761) % 4294967296) % 10 < 8
+       |         THEN 'train' ELSE 'test' END AS side,
+       | cast(count(*) as bigint) AS n_docs,
+       | cast(bit_xor(doc_id) as bigint) AS xor_ids,
+       | cast(sum(doc_id) as bigint) AS sum_ids,
+       | cast(sum(n_chars) as bigint) AS total_chars
+       |FROM keyed GROUP BY 1 ORDER BY side""".stripMargin
+  }
+
   val all: Seq[GQuery] = Seq(
+    GQuery("sample_dedup_split", dedupAwareSplit, Some(dedupAwareSplitSql)),
     GQuery("sample_systematic", systematicSample, Some(systematicSampleSql)),
     GQuery("sample_neyman", neymanAllocation, Some(neymanAllocationSql)),
     GQuery("sample_group_holdout", groupHoldout, Some(groupHoldoutSql)),

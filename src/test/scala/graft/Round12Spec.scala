@@ -838,6 +838,35 @@ class Round12Spec extends AnyFunSuite {
     assert(rows.filter(_._1 == "authority").map(r => (r._2, r._3)).toSeq == top10(a))
   }
 
+  test("dedup-aware split: no near-dup pair straddles the boundary; " +
+      "sides partition the corpus") {
+    val rows = SparkEntry.queries("sample_dedup_split")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nDocs = util.t(spark, sf, "documents").count()
+    assert(rows.values.sum == nDocs, "sides must partition the corpus")
+    assert(rows.keySet == Set("train", "test"))
+    // every exact-Jaccard pair must land on one side
+    def side(k: Long): String =
+      if (java.lang.Math.floorMod(java.lang.Math.floorMod(
+        k * 2654435761L, 4294967296L), 10L) < 8) "train" else "test"
+    val comp = spark.read
+      .parquet(s"${operators.Dedup.dedupGraphRoot(spark, sf)}/components")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap // id -> root
+    val pairs = spark.read
+      .parquet(s"${operators.Dedup.dedupGraphRoot(spark, sf)}/pairs_exact")
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture must contain near-dup pairs")
+    for ((a, b) <- pairs) {
+      val sa = side(comp.getOrElse(a, a)); val sb = side(comp.getOrElse(b, b))
+      assert(sa == sb, s"pair ($a,$b) straddles $sa/$sb")
+    }
+    // the naive doc-keyed split WOULD straddle at least one pair on
+    // this fixture — i.e. the component key is doing real work
+    assert(pairs.exists { case (a, b) => side(a) != side(b) },
+      "fixture should demonstrate the leakage the component key prevents")
+  }
+
   test("DistRank plans carry no partition-less WindowExec") {
     val sortCols = Seq(col("c_acctbal"), col("c_custkey"))
     import org.apache.spark.sql.execution.window.WindowExec
