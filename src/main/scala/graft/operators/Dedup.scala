@@ -1522,6 +1522,85 @@ object Dedup {
       |      THEN 'dup_exact' ELSE 'ingest' END AS verdict
       |FROM batch b ORDER BY b.doc_id""".stripMargin
 
+  /** BLOOM FALSE-POSITIVE-RATE AUDIT — the "measured, not assumed"
+    * twin of [[bloomIngest]] (and the sizing loop run before
+    * committing a runtime-filter budget): the SAME corpus fingerprint
+    * set built into three filters a decade apart in size (4 Kb / 40 Kb
+    * / 400 Kb for ~450 items), each applied to the same batch, with
+    * the empirical FPR read off against exact membership. Two laws
+    * made measurable: blooms never false-negative (every true member
+    * is bloom-positive — spec-asserted per config), and FPR falls
+    * roughly a decade per decade of bits. The bloom verdicts are the
+    * only engine-specific stage (Spark's xxhash-based
+    * BloomFilterAggregate) → one (doc_id, pos) sidecar per config;
+    * DuckDB computes exact membership relationally and replays every
+    * rollup. Scale: the filters are KB-sized driver values by
+    * construction; the batch is scanned once per config with a
+    * codegen might-contain predicate — no join until the exact
+    * refine. */
+  def bloomFppAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    val base = t(spark, dir, "documents")
+      .withColumn("norm", regexp_replace(trim(lower(col("text"))), " +", " "))
+    val isNew = col("doc_id") % 10 === 0
+    val corpusNorms = base.filter(!isNew).select(col("norm"))
+    val batch = base.filter(isNew).select(col("doc_id"), col("norm"))
+    val members = batch.join(corpusNorms.distinct(), Seq("norm"), "left_semi")
+      .select(col("doc_id")).withColumn("is_member", lit(1L))
+    Seq(("m4k", 4096L), ("m40k", 40960L), ("m400k", 409600L)).map { case (label, bits) =>
+      val bloomBits = corpusNorms
+        .agg(Dedup.bloomAgg(xxhash64(col("norm")), 5000L, bits).as("bf"))
+        .head().getAs[Array[Byte]](0)
+      val mightContain = graftbridge.column(BloomFilterMightContain(
+        Literal.create(bloomBits, org.apache.spark.sql.types.BinaryType),
+        graftbridge.expression(xxhash64(col("norm")))))
+      val verdicts = batch
+        .select(col("doc_id"), when(mightContain, 1L).otherwise(0L).as("pos"))
+      oracleSidecar(s"bloom_verdicts_$label", verdicts)
+      verdicts.join(members, Seq("doc_id"), "left")
+        .agg(count(lit(1)).as("n_batch"),
+          coalesce(sum(col("is_member")), lit(0L)).as("n_members"),
+          sum(col("pos")).as("n_pos"),
+          sum(when(col("pos") === 1 && col("is_member").isNull, 1L).otherwise(0L))
+            .as("n_false_pos"))
+        .select(lit(label).as("config"), col("n_batch"), col("n_members"),
+          col("n_pos"), col("n_false_pos"),
+          expr("n_false_pos * 10000 div greatest(n_batch - n_members, 1L)")
+            .as("fpp_bp"))
+    }.reduce(_ unionByName _).orderBy(col("config"))
+  }
+
+  val bloomFppAuditSql: String = {
+    val per = Seq("m4k", "m40k", "m400k").map { label =>
+      s"""row_$label AS (
+         | SELECT '$label' AS config,
+         |  cast(count(*) as bigint) AS n_batch,
+         |  cast(sum(m.is_member) as bigint) AS n_members,
+         |  cast(sum(v.pos) as bigint) AS n_pos,
+         |  cast(sum(CASE WHEN v.pos = 1 AND m.is_member = 0 THEN 1 ELSE 0 END)
+         |    as bigint) AS n_false_pos
+         | FROM read_parquet('${oracleSidecarGlob(s"bloom_verdicts_$label")}') v
+         |  JOIN memb m ON m.doc_id = v.doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (SELECT doc_id,
+       |   regexp_replace(trim(lower(text)), ' +', ' ', 'g') AS norm
+       |  FROM documents),
+       | batch AS (SELECT * FROM base WHERE doc_id % 10 = 0),
+       | corpus AS (SELECT norm FROM base WHERE doc_id % 10 <> 0),
+       | memb AS (
+       |  SELECT b.doc_id,
+       |   CASE WHEN EXISTS (SELECT 1 FROM corpus c WHERE c.norm = b.norm)
+       |        THEN 1 ELSE 0 END AS is_member
+       |  FROM batch b),
+       |$per
+       |SELECT config, n_batch, n_members, n_pos, n_false_pos,
+       | n_false_pos * 10000 // greatest(n_batch - n_members, 1) AS fpp_bp
+       |FROM (SELECT * FROM row_m4k UNION ALL SELECT * FROM row_m40k
+       |      UNION ALL SELECT * FROM row_m400k)
+       |ORDER BY config""".stripMargin
+  }
+
   /** Minimum weighted field-agreement score for an entity match, in
     * milli-units (see [[entityResolution]]). */
   val erMatchThreshold = 800
@@ -1722,6 +1801,7 @@ object Dedup {
     GQuery("dedup_prefix_filter", prefixFilterPairs, Some(jaccardPairsSql)),
     GQuery("pipeline_incremental_ingest", incrementalIngest, Some(incrementalIngestSql)),
     GQuery("dedup_bloom_ingest", bloomIngest, Some(bloomIngestSql)),
+    GQuery("meta_bloom_fpp", bloomFppAudit, Some(bloomFppAuditSql)),
     GQuery("dedup_containment_pairs", containmentPairs, Some(containmentPairsSql)),
     GQuery("dedup_minhash_lsh", minhashLshIndexed, Some(minhashLshSql)),
     GQuery("dedup_lsh_tuning", lshTuning, Some(lshTuningSql)),

@@ -867,6 +867,35 @@ class Round12Spec extends AnyFunSuite {
       "fixture should demonstrate the leakage the component key prevents")
   }
 
+  test("bloom FPP audit: monotone in bits, never false-negative " +
+      "(synthetic membership check)") {
+    val rows = SparkEntry.queries("meta_bloom_fpp")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(rows.keySet == Set("m4k", "m40k", "m400k"))
+    for ((_, (nb, nm, np, nfp, bp)) <- rows) {
+      assert(np >= nm, "a bloom must never reject a true member")
+      assert(nfp == np - nm || nfp <= np)
+      assert(bp == nfp * 10000 / math.max(nb - nm, 1L))
+    }
+    assert(rows("m400k")._5 <= rows("m40k")._5 &&
+      rows("m40k")._5 <= rows("m4k")._5, "FPR must not rise with more bits")
+    // the fixture has no cross-set members, so prove no-false-negative
+    // non-vacuously on a synthetic set through the same aggregate
+    import org.apache.spark.sql.graftbridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import spark.implicits._
+    val items = (1L to 400L).map(i => s"member_$i")
+    val bits = items.toDF("norm")
+      .agg(operators.Dedup.bloomAgg(xxhash64(col("norm")), 5000L, 4096L).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val mc = graftbridge.column(BloomFilterMightContain(
+      Literal.create(bits, org.apache.spark.sql.types.BinaryType),
+      graftbridge.expression(xxhash64(col("norm")))))
+    val rejected = items.toDF("norm").filter(!mc).count()
+    assert(rejected == 0, s"$rejected true members bloom-rejected")
+  }
+
   test("DistRank plans carry no partition-less WindowExec") {
     val sortCols = Seq(col("c_acctbal"), col("c_custkey"))
     import org.apache.spark.sql.execution.window.WindowExec
