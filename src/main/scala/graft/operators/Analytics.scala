@@ -2607,7 +2607,80 @@ object Analytics {
       |   AS rho_bp
       |FROM ranked""".stripMargin
 
+  /** WALD–WOLFOWITZ RUNS TEST — "is the ingest sequence actually
+    * random, or autocorrelated?" (the data-quality question behind
+    * batch-vs-shuffled training order, sensor stuck-values, and
+    * sorted-by-accident ingests): per event_type, each value in
+    * event_id order is classed above/below the type's integer mean
+    * (ties → above, documented), maximal same-class runs are counted
+    * with the lag-based islands trick, and the observed run count is
+    * compared to the null expectation E[R] = 1 + 2ab/(a+b) — too few
+    * runs ⇒ clumping/trend, too many ⇒ alternation. Everything is
+    * integer: the mean is a floor division, E[R] is carried in
+    * milli-units, and the observed/expected ratio in basis points
+    * (runs·10⁷ div E_milli — products ≤ 2·10¹³ at any plausible
+    * per-type count). All windows are KEYED by event_type (lag + the
+    * run rollup) — nothing global; one scan, answer bounded by
+    * |event types|. */
+  def metaRunsTest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val means = ev.groupBy(col("event_type"))
+      .agg(expr("sum(cents) div count(*)").as("mu"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+    val signed = ev.join(broadcast(means), Seq("event_type"))
+      .withColumn("above", (col("cents") >= col("mu")).cast("long"))
+      .withColumn("flip",
+        when(lag(col("above"), 1).over(w).isNull, 1L)
+          .when(lag(col("above"), 1).over(w) =!= col("above"), 1L)
+          .otherwise(0L))
+    signed.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("above")).as("n_above"),
+        (count(lit(1)) - sum(col("above"))).as("n_below"),
+        sum(col("flip")).as("n_runs"))
+      .withColumn("expected_milli",
+        expr("1000 + (2000 * n_above * n_below) div greatest(n_above + n_below, 1L)"))
+      .withColumn("obs_vs_exp_bp",
+        expr("n_runs * 10000000 div greatest(expected_milli, 1L)"))
+      .orderBy(col("event_type"))
+  }
+
+  val metaRunsTestSql: String =
+    """WITH ev AS (
+      | SELECT event_type, event_id,
+      |  cast(round(value * 100) as bigint) AS cents
+      | FROM events),
+      |means AS (
+      | SELECT event_type, sum(cents) // count(*) AS mu
+      | FROM ev GROUP BY event_type),
+      |signed AS (
+      | SELECT e.event_type, e.event_id,
+      |  CASE WHEN e.cents >= m.mu THEN 1 ELSE 0 END AS above
+      | FROM ev e JOIN means m USING (event_type)),
+      |flips AS (
+      | SELECT event_type, above,
+      |  CASE WHEN lag(above) OVER (PARTITION BY event_type
+      |         ORDER BY event_id) IS DISTINCT FROM above
+      |       THEN 1 ELSE 0 END AS flip
+      | FROM signed),
+      |agg AS (
+      | SELECT event_type, cast(count(*) as bigint) AS n,
+      |  cast(sum(above) as bigint) AS n_above,
+      |  cast(count(*) - sum(above) as bigint) AS n_below,
+      |  cast(sum(flip) as bigint) AS n_runs
+      | FROM flips GROUP BY event_type)
+      |SELECT event_type, n, n_above, n_below, n_runs,
+      | cast(1000 + (2000 * n_above * n_below)
+      |   // greatest(n_above + n_below, 1) as bigint) AS expected_milli,
+      | cast(n_runs * 10000000
+      |   // greatest(1000 + (2000 * n_above * n_below)
+      |     // greatest(n_above + n_below, 1), 1) as bigint) AS obs_vs_exp_bp
+      |FROM agg ORDER BY event_type""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("meta_runs_test", metaRunsTest, Some(metaRunsTestSql)),
     GQuery("q117_spearman", q117Spearman, Some(q117Sql)),
     GQuery("q116_hypothetical_rank", q116HypotheticalRank, Some(q116Sql)),
     GQuery("q110_decile_migration", q110DecileMigration, Some(q110Sql)),

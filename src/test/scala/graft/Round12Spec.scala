@@ -896,6 +896,30 @@ class Round12Spec extends AnyFunSuite {
     assert(rejected == 0, s"$rejected true members bloom-rejected")
   }
 
+  test("runs test: sequential referee for one type; random fixture sits " +
+      "near the null expectation") {
+    val rows = SparkEntry.queries("meta_runs_test")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (n, na, nb, runs) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(na + nb == n && runs >= 1 && runs <= n)
+      assert(r.getLong(5) == 1000 + 2000 * na * nb / math.max(na + nb, 1L))
+      // synthetic values are i.i.d. ⇒ observed ≈ expected runs
+      assert(r.getLong(6) > 8500 && r.getLong(6) < 11500,
+        s"${r.getString(0)}: obs/exp ${r.getLong(6)} bp implausible for random data")
+    }
+    // referee: literal sequential run count for the first type
+    val tpe = rows.head.getString(0)
+    val seq = util.t(spark, sf, "events").filter(col("event_type") === tpe)
+      .select(col("event_id"), round(col("value") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).map(_._2)
+    val mu = seq.sum / seq.length
+    val signs = seq.map(_ >= mu)
+    val runs = 1 + signs.sliding(2).count(p => p.length == 2 && p(0) != p(1))
+    assert(rows.head.getLong(4) == runs)
+    assert(rows.head.getLong(2) == signs.count(identity))
+  }
+
   test("DistRank plans carry no partition-less WindowExec") {
     val sortCols = Seq(col("c_acctbal"), col("c_custkey"))
     import org.apache.spark.sql.execution.window.WindowExec
