@@ -464,6 +464,70 @@ object Multimodal {
        |FROM tot t LEFT JOIN per_doc p USING (doc_id)
        |ORDER BY t.doc_id""".stripMargin
 
+  /** PATCH TILING — the ViT/patch-embedding preprocessing shape: each
+    * image decodes once (partition-local, the only codec stage) into a
+    * 2×2 quadrant grid of tiles whose mean luma is computed in EXACT
+    * integer milli-units (299R+587G+114B per pixel, floor-divided by
+    * the tile's pixel count), and the per-image report is the tile
+    * CONTRAST (max−min tile luma) — the flat-vs-structured signal a
+    * vision-data pipeline filters on (a zero-contrast image carries no
+    * patch information). The (doc_id, tile, luma) table is the codec
+    * sidecar; thresholding and the contrast rollup replay relationally
+    * in DuckDB ⇒ hash-checked end to end. Scale: decode is
+    * partition-local mapPartitions over payload bytes; everything
+    * after is an answer-bounded keyed aggregation (4 rows per image). */
+  case class TileLuma(doc_id: Long, tile_row: Int, tile_col: Int, luma_milli: Long)
+
+  private[graft] def imageTileLumas(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .filter(_.media_type != "audio") // PPM payloads: image + video
+      .mapPartitions(_.flatMap { r =>
+        val img = Ppm.decode(r.payload)
+        val (w, h) = (img.width, img.height)
+        for (tr <- 0 to 1; tc <- 0 to 1) yield {
+          val (x0, x1) = (tc * w / 2, if (tc == 0) w / 2 else w)
+          val (y0, y1) = (tr * h / 2, if (tr == 0) h / 2 else h)
+          var sum = 0L; var n = 0L
+          for (y <- y0 until y1; x <- x0 until x1) {
+            val p = (y * w + x) * 3
+            val rr = img.pixels(p) & 0xff
+            val gg = img.pixels(p + 1) & 0xff
+            val bb = img.pixels(p + 2) & 0xff
+            sum += 299L * rr + 587L * gg + 114L * bb
+            n += 1
+          }
+          TileLuma(r.doc_id, tr, tc, if (n == 0) 0L else sum / n)
+        }
+      }).toDF()
+  }
+
+  def imageTiles(spark: SparkSession, dir: String): DataFrame = {
+    val tiles = imageTileLumas(spark, dir)
+    oracleSidecar("image_tile_lumas", tiles)
+    tiles.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tiles"),
+        min(col("luma_milli")).as("min_luma"),
+        max(col("luma_milli")).as("max_luma"))
+      .select(col("doc_id"), col("n_tiles"),
+        col("min_luma"), col("max_luma"),
+        (col("max_luma") - col("min_luma")).as("contrast_milli"),
+        (col("max_luma") - col("min_luma") >= 10000L).cast("long").as("structured"))
+      .orderBy(col("doc_id"))
+  }
+
+  val imageTilesSql: String =
+    s"""WITH t AS (
+       | SELECT doc_id, tile_row, tile_col, luma_milli
+       | FROM read_parquet('${oracleSidecarGlob("image_tile_lumas")}'))
+       |SELECT doc_id, cast(count(*) as bigint) AS n_tiles,
+       | cast(min(luma_milli) as bigint) AS min_luma,
+       | cast(max(luma_milli) as bigint) AS max_luma,
+       | cast(max(luma_milli) - min(luma_milli) as bigint) AS contrast_milli,
+       | cast(CASE WHEN max(luma_milli) - min(luma_milli) >= 10000
+       |      THEN 1 ELSE 0 END as bigint) AS structured
+       |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** SILENCE TRIM — the sox/ffmpeg `silenceremove` shape every ASR
     * pipeline runs before training: per clip, the first and last
     * frame above the VAD energy floor bound the kept region; leading
@@ -582,6 +646,7 @@ object Multimodal {
        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val all: Seq[GQuery] = Seq(
+    GQuery("mm_image_tiles", imageTiles, Some(imageTilesSql)),
     GQuery("mm_silence_trim", silenceTrim, Some(silenceTrimSql)),
     GQuery("mm_audio_zcr", audioZcr, Some(audioZcrSql)),
     GQuery("mm_audio_segments", audioSegments, Some(audioSegmentsSql)),

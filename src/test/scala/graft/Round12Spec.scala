@@ -920,6 +920,41 @@ class Round12Spec extends AnyFunSuite {
     assert(rows.head.getLong(2) == signs.count(identity))
   }
 
+  test("image tiles: quadrant referee decodes one image in the JVM; " +
+      "tile partition covers every pixel") {
+    val rows = SparkEntry.queries("mm_image_tiles")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getLong(1) == 4, "2x2 grid")
+      assert(r.getLong(2) <= r.getLong(3))
+      assert(r.getLong(4) == r.getLong(3) - r.getLong(2))
+      assert(r.getLong(2) >= 0 && r.getLong(3) <= 255000L)
+    }
+    // referee: decode the first image doc and recompute all 4 tiles
+    val docId = rows.head.getLong(0)
+    val doc = util.t(spark, sf, "documents")
+      .filter(col("doc_id") === docId).select(col("text")).collect()(0).getString(0)
+    val img = functions.Ppm.decode(functions.Ppm.encode(functions.Ppm.synth(doc)))
+    val lumas = for (tr <- 0 to 1; tc <- 0 to 1) yield {
+      val (x0, x1) = (tc * img.width / 2, if (tc == 0) img.width / 2 else img.width)
+      val (y0, y1) = (tr * img.height / 2, if (tr == 0) img.height / 2 else img.height)
+      val px = for (y <- y0 until y1; x <- x0 until x1) yield {
+        val p = (y * img.width + x) * 3
+        299L * (img.pixels(p) & 0xff) + 587L * (img.pixels(p + 1) & 0xff) +
+          114L * (img.pixels(p + 2) & 0xff)
+      }
+      px.sum / px.length
+    }
+    // tiles partition the image exactly (no pixel lost or doubled)
+    val area = (for (tr <- 0 to 1; tc <- 0 to 1) yield {
+      val w = (if (tc == 0) img.width / 2 else img.width) - tc * img.width / 2
+      val h = (if (tr == 0) img.height / 2 else img.height) - tr * img.height / 2
+      w * h
+    }).sum
+    assert(area == img.width * img.height)
+    assert(rows.head.getLong(2) == lumas.min && rows.head.getLong(3) == lumas.max)
+  }
+
   test("DistRank plans carry no partition-less WindowExec") {
     val sortCols = Seq(col("c_acctbal"), col("c_custkey"))
     import org.apache.spark.sql.execution.window.WindowExec
