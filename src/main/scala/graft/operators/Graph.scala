@@ -1028,7 +1028,62 @@ object Graph {
        |ORDER BY side, score DESC, node""".stripMargin
   }
 
+  /** DEGREE ASSORTATIVITY (Newman PRL'02) — do high-degree customers
+    * trade with high-degree suppliers, or is the graph
+    * DISassortative (hubs serving the periphery, the typical
+    * commerce/web shape)? Pearson correlation of (src-degree,
+    * dst-degree) over the directed edges. The moments (n, Σx, Σy,
+    * Σx², Σy², Σxy) accumulate EXACTLY as decimal(38,0) — partition-
+    * order independent, bit-identical on any cluster — and only the
+    * final quotient drops to double through the SAME expression tree
+    * the oracle mirrors (the q65 discipline: exact integers in, one
+    * IEEE division + sqrt out, round(…, 4)). Scale: degree annotation
+    * is two node-sized broadcast joins onto the edge scan; the moment
+    * aggregation is map-side partial; answer is one row. */
+  def assortativity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val edges = spark.read.parquet(s"${tradeGraphRoot(spark, dir)}/sym")
+      .filter(pmod(col("src"), lit(2)) === 0)
+    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("x"))
+    val inDeg = edges.groupBy(col("dst")).agg(count(lit(1)).as("y"))
+    def d(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+    val m = edges
+      .join(broadcast(outDeg), Seq("src")).join(broadcast(inDeg), Seq("dst"))
+      .agg(count(lit(1)).as("n"),
+        sum(d(col("x"))).as("sx"), sum(d(col("y"))).as("sy"),
+        sum(d(col("x") * col("x"))).as("sxx"),
+        sum(d(col("y") * col("y"))).as("syy"),
+        sum(d(col("x") * col("y"))).as("sxy"))
+    m.select(col("n").as("n_edges"),
+      round(
+        (d(col("n")) * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((d(col("n")) * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (d(col("n")) * col("syy") - col("sy") * col("sy")).cast("double")),
+        4).as("r_assort"))
+  }
+
+  val assortativitySql: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS c,
+      |                  CAST(l_suppkey * 2 + 1 AS BIGINT) AS s
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |edges AS (SELECT c AS src, s AS dst FROM pairs),
+      |xd AS (SELECT src, count(*) AS x FROM edges GROUP BY src),
+      |yd AS (SELECT dst, count(*) AS y FROM edges GROUP BY dst),
+      |m AS (
+      | SELECT cast(count(*) as bigint) AS n,
+      |  sum(cast(x as hugeint)) AS sx, sum(cast(y as hugeint)) AS sy,
+      |  sum(cast(x as hugeint) * x) AS sxx, sum(cast(y as hugeint) * y) AS syy,
+      |  sum(cast(x as hugeint) * y) AS sxy
+      | FROM edges e JOIN xd USING (src) JOIN yd USING (dst))
+      |SELECT n AS n_edges,
+      | round(cast(n * sxy - sx * sy as double) /
+      |   sqrt(cast(n * sxx - sx * sx as double) *
+      |        cast(n * syy - sy * sy as double)), 4) AS r_assort
+      |FROM m""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("graph_assortativity", assortativity, Some(assortativitySql)),
     GQuery("graph_hits", hits, Some(hitsSql)),
     GQuery("graph_ego_sample", egoSample, Some(egoSampleSql)),
     GQuery("graph_degree_histogram", degreeHistogram, Some(degreeHistogramSql)),

@@ -955,6 +955,27 @@ class Round12Spec extends AnyFunSuite {
     assert(rows.head.getLong(2) == lumas.min && rows.head.getLong(3) == lumas.max)
   }
 
+  test("assortativity: in-JVM Pearson referee over the edge degrees") {
+    val r = SparkEntry.queries("graph_assortativity")(spark, sf).collect()(0)
+    assert(r.getDouble(1) >= -1.0001 && r.getDouble(1) <= 1.0001)
+    val pairs = util.t(spark, sf, "orders")
+      .join(util.t(spark, sf, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).cast("long"), (col("l_suppkey") * 2 + 1).cast("long"))
+      .distinct().collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(r.getLong(0) == pairs.length)
+    val xd = pairs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val yd = pairs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = BigInt(pairs.length)
+    var (sx, sy, sxx, syy, sxy) = (BigInt(0), BigInt(0), BigInt(0), BigInt(0), BigInt(0))
+    for ((c, s) <- pairs) {
+      val x = BigInt(xd(c)); val y = BigInt(yd(s))
+      sx += x; sy += y; sxx += x * x; syy += y * y; sxy += x * y
+    }
+    val want = (n * sxy - sx * sy).toDouble /
+      math.sqrt((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble)
+    assert(math.abs(r.getDouble(1) - want) < 5e-4)
+  }
+
   test("DistRank plans carry no partition-less WindowExec") {
     val sortCols = Seq(col("c_acctbal"), col("c_custkey"))
     import org.apache.spark.sql.execution.window.WindowExec
