@@ -2679,7 +2679,78 @@ object Analytics {
       |     // greatest(n_above + n_below, 1), 1) as bigint) AS obs_vs_exp_bp
       |FROM agg ORDER BY event_type""".stripMargin
 
+  /** EXACT 1-WASSERSTEIN (earth-mover) drift distance between the
+    * click and purchase value distributions — the drift measure that
+    * reports HOW FAR apart the distributions are in value units,
+    * where `meta_drift_ks` only reports the max CDF gap:
+    * W₁ = ∫|F_A − F_B| = Σᵢ (vᵢ₊₁ − vᵢ)·|F_A(vᵢ) − F_B(vᵢ)| over the
+    * merged sorted values. Everything up to the last division is
+    * EXACT: the CDF numerators are running counts from TWO
+    * [[DistRank.withPrefix]] passes over the merged value order
+    * (range partition + prefix carries — no single-partition window
+    * for a 100 TB merge), the gap comes from a rank self-join on
+    * rn+1 (keyed, never a global lead()), and each term
+    * (gap)·|cumA·n_B − cumB·n_A| accumulates in decimal(38,0). Only
+    * the final normalization by n_A·n_B drops to double through the
+    * mirrored expression tree (q65 discipline, round 4) — W₁ in
+    * cents. */
+  def metaWasserstein(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val ev = t(spark, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"),
+        (col("event_type") === "click").cast("long").as("is_a"),
+        (col("event_type") === "purchase").cast("long").as("is_b"))
+    val sortCols = Seq(col("cents"), col("event_id"))
+    val withA = DistRank.withPrefix(ev, sortCols, col("is_a"), "sum", "cum_a")
+    val withB = DistRank.withPrefix(withA, sortCols, col("is_b"), "sum", "cum_b")
+    val ranked = DistRank.withRowNumber(withB, sortCols, "rn")
+      .select(col("rn"), col("cents"), col("cum_a"), col("cum_b"))
+    val nexts = ranked.select((col("rn") - 1).as("rn"), col("cents").as("next_cents"))
+    val d38 = DecimalType(38, 0)
+    val counts = ev.agg(sum(col("is_a")).as("na"), sum(col("is_b")).as("nb"))
+    // inner join: the max-rank row has no successor — its gap is 0 by
+    // definition (F_A = F_B = 1 beyond the last value)
+    ranked.join(nexts, Seq("rn"))
+      .crossJoin(broadcast(counts))
+      .select(((col("next_cents") - col("cents")).cast(d38) *
+        abs(col("cum_a").cast(d38) * col("nb") - col("cum_b").cast(d38) * col("na")))
+        .as("term"), col("na"), col("nb"))
+      .groupBy(col("na"), col("nb"))
+      .agg(sum(col("term")).as("tot"))
+      .select(col("na").as("n_click"), col("nb").as("n_purchase"),
+        round(col("tot").cast("double") /
+          (col("na").cast("double") * col("nb").cast("double")), 4)
+          .as("w1_cents"))
+  }
+
+  val metaWassersteinSql: String =
+    """WITH ev AS (
+      | SELECT event_id, cast(round(value * 100) as bigint) AS cents,
+      |  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a,
+      |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_b
+      | FROM events WHERE event_type IN ('click', 'purchase')),
+      |ranked AS (
+      | SELECT cents,
+      |  sum(is_a) OVER w AS cum_a, sum(is_b) OVER w AS cum_b,
+      |  row_number() OVER (ORDER BY cents, event_id) AS rn
+      | FROM ev WINDOW w AS (ORDER BY cents, event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |terms AS (
+      | SELECT cast(n.cents - r.cents as hugeint) *
+      |   abs(cast(r.cum_a as hugeint) * (SELECT sum(is_b) FROM ev)
+      |     - cast(r.cum_b as hugeint) * (SELECT sum(is_a) FROM ev)) AS term
+      | FROM ranked r JOIN ranked n ON n.rn = r.rn + 1)
+      |SELECT cast((SELECT sum(is_a) FROM ev) as bigint) AS n_click,
+      | cast((SELECT sum(is_b) FROM ev) as bigint) AS n_purchase,
+      | round(cast(sum(term) as double) /
+      |  (cast((SELECT sum(is_a) FROM ev) as double) *
+      |   cast((SELECT sum(is_b) FROM ev) as double)), 4) AS w1_cents
+      |FROM terms""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("meta_wasserstein", metaWasserstein, Some(metaWassersteinSql)),
     GQuery("meta_runs_test", metaRunsTest, Some(metaRunsTestSql)),
     GQuery("q117_spearman", q117Spearman, Some(q117Sql)),
     GQuery("q116_hypothetical_rank", q116HypotheticalRank, Some(q116Sql)),

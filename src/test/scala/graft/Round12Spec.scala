@@ -976,6 +976,35 @@ class Round12Spec extends AnyFunSuite {
     assert(math.abs(r.getDouble(1) - want) < 5e-4)
   }
 
+  test("wasserstein: sequential referee over the merged order; plan " +
+      "carries no partition-less WindowExec") {
+    val df = SparkEntry.queries("meta_wasserstein")(spark, sf)
+    import org.apache.spark.sql.execution.window.WindowExec
+    val bad = df.queryExecution.executedPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, s"single-partition WindowExec: $bad")
+    val r = df.collect()(0)
+    val ev = util.t(spark, sf, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), round(col("value") * 100).cast("long"),
+        col("event_type")).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2)))
+      .sortBy(x => (x._2, x._1))
+    val na = ev.count(_._3 == "click").toLong
+    val nb = ev.count(_._3 == "purchase").toLong
+    assert(r.getLong(0) == na && r.getLong(1) == nb)
+    var (ca, cb) = (0L, 0L); var tot = BigInt(0)
+    for (i <- ev.indices) {
+      if (ev(i)._3 == "click") ca += 1 else cb += 1
+      if (i + 1 < ev.length)
+        tot += BigInt(ev(i + 1)._2 - ev(i)._2) * (BigInt(ca) * nb - BigInt(cb) * na).abs
+    }
+    val want = tot.toDouble / (na.toDouble * nb.toDouble)
+    assert(math.abs(r.getDouble(2) - want) < 1e-3, s"got ${r.getDouble(2)} want $want")
+    assert(r.getDouble(2) > 0, "click and purchase distributions differ")
+  }
+
   test("DistRank plans carry no partition-less WindowExec") {
     val sortCols = Seq(col("c_acctbal"), col("c_custkey"))
     import org.apache.spark.sql.execution.window.WindowExec
