@@ -1760,7 +1760,56 @@ object TextAnalysis {
       | top1_f * 10000 // n_tokens AS top1_share_bp
       |FROM roll ORDER BY lang""".stripMargin
 
+  /** TERM BURSTINESS (Church & Gale 1995) — the variance-to-mean
+    * ratio of a term's per-document counts: function words arrive
+    * ~Poisson (VMR ≈ 1), content words are BURSTY (a doc that
+    * mentions a topic mentions it repeatedly, VMR ≫ 1) — the signal
+    * behind tf saturation in BM25 and stop-word lists learned from
+    * data rather than curated. For the 20 highest-df terms
+    * (deterministic pick: df desc, term asc): VMR in milli-units as
+    * `(n·Σx² − (Σx)²)·1000 div (n·Σx)` — all integer (n = corpus
+    * docs, x = per-doc count incl. zeros; the zero docs enter through
+    * n, never materialized). Scale: one (term, doc) count aggregation
+    * (map-side partial), a 20-row broadcast of the chosen terms, and
+    * an answer-bounded moment rollup — the zeros trick keeps the
+    * plan |postings|-sized, never |terms|×|docs|. */
+  def burstiness(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val nDocs = docs.count() // corpus-constant; one job, answer-sized
+    val counts = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("x"))
+    val top = counts.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok")).limit(20)
+    counts.join(broadcast(top), Seq("tok"))
+      .groupBy(col("tok"), col("df"))
+      .agg(sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("tok"), col("df"), col("sx").as("tf"),
+        expr(s"(${nDocs}L * sxx - sx * sx) * 1000 div (${nDocs}L * sx)")
+          .as("vmr_milli"))
+      .orderBy(col("df").desc, col("tok"))
+  }
+
+  val burstinessSql: String =
+    """WITH counts AS (
+      | SELECT tok, doc_id, count(*) AS x
+      | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |       FROM documents)
+      | GROUP BY tok, doc_id),
+      |top AS (
+      | SELECT tok, count(*) AS df FROM counts GROUP BY tok
+      | ORDER BY df DESC, tok LIMIT 20),
+      |n AS (SELECT count(*) AS nd FROM documents)
+      |SELECT c.tok, cast(t.df as bigint) AS df,
+      | cast(sum(c.x) as bigint) AS tf,
+      | cast((n.nd * sum(c.x * c.x) - sum(c.x) * sum(c.x)) * 1000
+      |   // (n.nd * sum(c.x)) as bigint) AS vmr_milli
+      |FROM counts c JOIN top t USING (tok) CROSS JOIN n
+      |GROUP BY c.tok, t.df, n.nd
+      |ORDER BY df DESC, c.tok""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("text_burstiness", burstiness, Some(burstinessSql)),
     GQuery("text_zipf_stats", zipfStats, Some(zipfStatsSql)),
     GQuery("text_textrank_keywords", textrankKeywords, Some(textrankKeywordsSql)),
     GQuery("text_rake_keywords", rakeKeywords, Some(rakeKeywordsSql)),

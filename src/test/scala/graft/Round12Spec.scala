@@ -1005,6 +1005,24 @@ class Round12Spec extends AnyFunSuite {
     assert(r.getDouble(2) > 0, "click and purchase distributions differ")
   }
 
+  test("burstiness: JVM referee for the top term; VMR laws hold") {
+    val rows = SparkEntry.queries("text_burstiness")(spark, sf).collect()
+    assert(rows.length == 20)
+    for (r <- rows) {
+      assert(r.getLong(2) >= r.getLong(1), "tf >= df")
+      assert(r.getLong(3) >= 0)
+    }
+    val tok = rows.head.getString(0)
+    val perDoc = util.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(d => d.getString(1).split(" ", -1).count(_ == tok).toLong)
+    val n = perDoc.length.toLong
+    val sx = perDoc.sum; val sxx = perDoc.map(x => x * x).sum
+    assert(rows.head.getLong(1) == perDoc.count(_ > 0))
+    assert(rows.head.getLong(2) == sx)
+    assert(rows.head.getLong(3) == (n * sxx - sx * sx) * 1000 / (n * sx))
+  }
+
   test("DistRank plans carry no partition-less WindowExec") {
     val sortCols = Seq(col("c_acctbal"), col("c_custkey"))
     import org.apache.spark.sql.execution.window.WindowExec
