@@ -446,6 +446,81 @@ object FileSources {
        | AND o_orderdate < TIMESTAMP '1998-01-01'
        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** FILE-SKIPPING EFFECTIVENESS AUDIT — the number a table-layout
+    * decision is actually judged by: for the SAME orders data written
+    * range-clustered on o_orderdate vs hash-scattered, how many of
+    * the 8 files can a quarterly date-range probe SKIP on min/max
+    * stats alone? (Clustered layouts skip ~¾; scattered layouts skip
+    * ~0 because every file's span covers the whole year range — the
+    * measured form of the argument `src_range_partitioned` and
+    * z-order make structurally.) The per-file spans are engine
+    * placement (range-partitioner sampling) → they land in the
+    * sidecar as (layout, min_us, max_us) rows, and DuckDB replays the
+    * probe-overlap rollup — the same discipline every layout entry
+    * uses. Scale: spans come from one `input_file_name()` aggregation
+    * per layout (metadata-sized, 8 rows); the audit itself is an
+    * 8×4-row cross join. */
+  def skippingAudit(spark: SparkSession, dir: String): DataFrame = {
+    val clustered = uniq("skip_clustered"); val scattered = uniq("skip_scattered")
+    val orders = t(spark, dir, "orders")
+    orders.repartitionByRange(8, col("o_orderdate"))
+      .sortWithinPartitions(col("o_orderdate"))
+      .write.mode(SaveMode.Overwrite).parquet(clustered)
+    orders.repartition(8, col("o_orderkey"))
+      .write.mode(SaveMode.Overwrite).parquet(scattered)
+    def spans(path: String, label: String) = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(unix_micros(col("o_orderdate"))).as("min_us"),
+        max(unix_micros(col("o_orderdate"))).as("max_us"))
+      .select(lit(label).as("layout"), col("min_us"), col("max_us"))
+    val allSpans = spans(clustered, "clustered")
+      .unionByName(spans(scattered, "scattered"))
+    oracleSidecar("file_spans", allSpans)
+    val probes = (1 to 4).map { q =>
+      val lo = f"1997-${3 * q - 2}%02d-01"
+      val hi = if (q == 4) "1998-01-01" else f"1997-${3 * q + 1}%02d-01"
+      (q.toLong, lo, hi)
+    }.toList
+    val probeDf = spark.createDataFrame(probes).toDF("quarter", "lo", "hi")
+      .select(col("quarter"),
+        unix_micros(col("lo").cast("timestamp")).as("lo_us"),
+        unix_micros(col("hi").cast("timestamp")).as("hi_us"))
+    allSpans.crossJoin(broadcast(probeDf))
+      .groupBy(col("layout"), col("quarter"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("max_us") >= col("lo_us") && col("min_us") < col("hi_us"), 1L)
+          .otherwise(0L)).as("n_must_read"))
+      .select(col("layout"), col("quarter"), col("n_files"),
+        col("n_must_read"),
+        (col("n_files") - col("n_must_read")).as("n_skippable"),
+        expr("(n_files - n_must_read) * 10000 div n_files").as("skip_bp"))
+      .orderBy(col("layout"), col("quarter"))
+  }
+
+  val skippingAuditSql: String =
+    s"""WITH spans AS (
+       | SELECT layout, min_us, max_us
+       | FROM read_parquet('${graft.util.oracleSidecarGlob("file_spans")}')),
+       |probes AS (
+       | SELECT q AS quarter,
+       |  epoch_us(cast(lo as timestamp)) AS lo_us,
+       |  epoch_us(cast(hi as timestamp)) AS hi_us
+       | FROM (VALUES (1, '1997-01-01', '1997-04-01'),
+       |              (2, '1997-04-01', '1997-07-01'),
+       |              (3, '1997-07-01', '1997-10-01'),
+       |              (4, '1997-10-01', '1998-01-01')) v(q, lo, hi))
+       |SELECT s.layout, cast(p.quarter as bigint) AS quarter,
+       | cast(count(*) as bigint) AS n_files,
+       | cast(sum(CASE WHEN s.max_us >= p.lo_us AND s.min_us < p.hi_us
+       |   THEN 1 ELSE 0 END) as bigint) AS n_must_read,
+       | cast(count(*) - sum(CASE WHEN s.max_us >= p.lo_us AND s.min_us < p.hi_us
+       |   THEN 1 ELSE 0 END) as bigint) AS n_skippable,
+       | cast((count(*) - sum(CASE WHEN s.max_us >= p.lo_us AND s.min_us < p.hi_us
+       |   THEN 1 ELSE 0 END)) * 10000 // count(*) as bigint) AS skip_bp
+       |FROM spans s CROSS JOIN probes p
+       |GROUP BY s.layout, p.quarter
+       |ORDER BY s.layout, quarter""".stripMargin
+
   /** Schema evolution — the append-only table whose writer gained a
     * column mid-stream: half the rows land with 2 columns, half with
     * 3, and `mergeSchema` reconciles the footers on read (old rows
@@ -1192,6 +1267,7 @@ object FileSources {
     GQuery("src_schema_merge", schemaMerge, Some(schemaMergeSql)),
     GQuery("src_corrupt_records", corruptRecords, Some(corruptRecordsSql)),
     GQuery("src_range_partitioned", rangePartitionedWrite, Some(rangePartitionedWriteSql)),
+    GQuery("meta_skipping_audit", skippingAudit, Some(skippingAuditSql)),
     GQuery("src_json_roundtrip", jsonRoundtrip, Some(jsonRoundtripSql)),
     GQuery("src_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),
     GQuery("src_avro_roundtrip", avroRoundtrip, Some(avroRoundtripSql)),

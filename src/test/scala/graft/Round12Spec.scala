@@ -1023,6 +1023,22 @@ class Round12Spec extends AnyFunSuite {
     assert(rows.head.getLong(3) == (n * sxx - sx * sx) * 1000 / (n * sx))
   }
 
+  test("skipping audit: clustered layout skips most files, scattered " +
+      "skips none; every probe keeps at least one file") {
+    val rows = SparkEntry.queries("meta_skipping_audit")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.length == 8)
+    for ((layout, _, nf, mustRead, skip, bp) <- rows) {
+      assert(nf == 8 && mustRead >= 1 && mustRead + skip == nf)
+      assert(bp == skip * 10000 / nf)
+      if (layout == "scattered")
+        assert(skip == 0, "hash layout spans the full year in every file")
+      else
+        assert(bp >= 5000, s"clustered quarter should skip at least half, got $bp")
+    }
+  }
+
   test("DistRank plans carry no partition-less WindowExec") {
     val sortCols = Seq(col("c_acctbal"), col("c_custkey"))
     import org.apache.spark.sql.execution.window.WindowExec
