@@ -2749,7 +2749,62 @@ object Analytics {
       |   cast((SELECT sum(is_b) FROM ev) as double)), 4) AS w1_cents
       |FROM terms""".stripMargin
 
+  /** ONE-WAY ANOVA — "do the segment means actually differ, or is
+    * the spread noise?" (Fisher's F): between-group vs within-group
+    * variance of account balances across market segments. The
+    * sufficient statistics (per group: n_g, S_g, SS_g in cents) are
+    * EXACT integer aggregates — map-side partial, |groups| rows — and
+    * the F statistic derives from them in double through an
+    * expression tree the oracle mirrors term for term (the q65
+    * discipline: exact integers in, IEEE arithmetic out, round 4).
+    * SSB = Σ S_g²/n_g − S²/n, SSW = ΣSS − Σ S_g²/n_g,
+    * F = (SSB/(k−1)) / (SSW/(n−k)). One scan, answer one row; no
+    * second pass for the within-group deviations (the moment identity
+    * does that algebraically). */
+  def q122Anova(spark: SparkSession, dir: String): DataFrame = {
+    // x in whole dollars (⌊acctbal⌋, the sample_neyman unit discipline):
+    // S_g² ≤ 9·10¹⁶ through sf1's ~3·10⁴-customer segments keeps every
+    // per-group term inside int64, and the floor-divided Σ S_g²/n_g is
+    // a DETERMINISTIC integer — a float sum over groups would be
+    // partition-order dependent. The ≤1-unit-per-group floor loss is
+    // the declared statistic's definition, mirrored in the oracle.
+    val g = t(spark, dir, "customer")
+      .select(col("c_mktsegment").as("seg"),
+        floor(col("c_acctbal")).cast("long").as("x"))
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("ng"), sum(col("x")).as("sg"),
+        sum(col("x") * col("x")).as("ssg"))
+    g.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+        sum(col("sg")).as("s"), sum(col("ssg")).as("ss"),
+        sum(expr("sg * sg div ng")).as("sb"))
+      .select(col("k"), col("n"),
+        round(
+          ((col("sb") - expr("s * s div n")).cast("double") /
+            (col("k") - 1).cast("double")) /
+            ((col("ss") - col("sb")).cast("double") /
+              (col("n") - col("k")).cast("double")),
+          4).as("f_stat"))
+  }
+
+  val q122Sql: String =
+    """WITH g AS (
+      | SELECT c_mktsegment AS seg, count(*) AS ng,
+      |  sum(cast(floor(c_acctbal) as bigint)) AS sg,
+      |  sum(cast(floor(c_acctbal) as bigint)
+      |    * cast(floor(c_acctbal) as bigint)) AS ssg
+      | FROM customer GROUP BY c_mktsegment),
+      |m AS (
+      | SELECT cast(count(*) as bigint) AS k, cast(sum(ng) as bigint) AS n,
+      |  cast(sum(sg) as bigint) AS s, cast(sum(ssg) as bigint) AS ss,
+      |  cast(sum(sg * sg // ng) as bigint) AS sb
+      | FROM g)
+      |SELECT k, n,
+      | round((cast(sb - s * s // n as double) / cast(k - 1 as double)) /
+      |   (cast(ss - sb as double) / cast(n - k as double)), 4) AS f_stat
+      |FROM m""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("q122_anova", q122Anova, Some(q122Sql)),
     GQuery("meta_wasserstein", metaWasserstein, Some(metaWassersteinSql)),
     GQuery("meta_runs_test", metaRunsTest, Some(metaRunsTestSql)),
     GQuery("q117_spearman", q117Spearman, Some(q117Sql)),

@@ -1039,6 +1039,24 @@ class Round12Spec extends AnyFunSuite {
     }
   }
 
+  test("anova: in-JVM referee on the exact moment formulation") {
+    val r = SparkEntry.queries("q122_anova")(spark, sf).collect()(0)
+    val xs = customer.select(col("c_mktsegment"),
+        floor(col("c_acctbal")).cast("long")).collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    val groups = xs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val k = groups.size.toLong; val n = xs.length.toLong
+    val s = xs.map(_._2).sum; val ss = xs.map(x => x._2 * x._2).sum
+    val sb = groups.values.map(g => { val sg = g.sum; sg * sg / g.length }).sum
+    val want = ((sb - s * s / n).toDouble / (k - 1)) /
+      ((ss - sb).toDouble / (n - k))
+    assert(r.getLong(0) == k && r.getLong(1) == n)
+    assert(math.abs(r.getDouble(2) - want) < 1e-3)
+    // segments are drawn from one distribution: F should sit near 1,
+    // far below any rejection threshold
+    assert(r.getDouble(2) > 0 && r.getDouble(2) < 3)
+  }
+
   test("DistRank plans carry no partition-less WindowExec") {
     val sortCols = Seq(col("c_acctbal"), col("c_custkey"))
     import org.apache.spark.sql.execution.window.WindowExec
