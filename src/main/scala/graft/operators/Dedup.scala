@@ -488,6 +488,74 @@ object Dedup {
        |ORDER BY config""".stripMargin
   }
 
+  /** LSH RECALL CURVE — the recall half of the s-curve
+    * [[lshTuning]] measures from the precision side: against exact
+    * ground truth at Jaccard thresholds 0.5…0.9, what fraction of
+    * truly-similar pairs does the production 8×2 banding surface as
+    * candidates? Theory says recall ≈ 1−(1−τ^r)^b — near-total at
+    * τ ≥ 0.8 (the banding's design point), decaying toward τ = 0.5 —
+    * and this entry MEASURES it: the all-pairs-sharing-a-shingle
+    * intersection relation (the exact-Jaccard ground-truth path,
+    * shingle-keyed, never corpus²) is computed ONCE with its J value,
+    * candidates flag in by an id-keyed left join, and one
+    * answer-bounded rollup per threshold reads recall off. The
+    * banding candidates are the only engine-specific stage → same
+    * sidecar discipline as [[minhashLshIndexed]]. */
+  def recallCurve(spark: SparkSession, dir: String): DataFrame = {
+    val root = dedupGraphRoot(spark, dir)
+    val cand = lshCandidatesOf(spark.read.parquet(s"$root/sigs"))
+    oracleSidecar("recall_curve_candidates", cand)
+    val sh = shinglesIndexed(spark, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("doc_id").as("a_id"), col("s"))
+      .join(sh.select(col("doc_id").as("b_id"), col("s")), Seq("s"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("i"))
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
+      // exact J in basis points: i·10000 div (|A|+|B|−i) — pure integer
+      .withColumn("j_bp", expr("i * 10000 div (na + nb - i)"))
+      .join(cand.withColumn("is_cand", lit(1L)), Seq("a_id", "b_id"), "left")
+    Seq(5000L, 6000L, 7000L, 8000L, 9000L).map { tau =>
+      inter.filter(col("j_bp") >= tau)
+        .agg(count(lit(1)).as("n_truth"),
+          coalesce(sum(col("is_cand")), lit(0L)).as("n_found"))
+        .select(lit(tau).as("tau_bp"), col("n_truth"), col("n_found"),
+          expr("n_found * 10000 div greatest(n_truth, 1L)").as("recall_bp"))
+    }.reduce(_ unionByName _).orderBy(col("tau_bp"))
+  }
+
+  val recallCurveSql: String = {
+    val per = Seq(5000, 6000, 7000, 8000, 9000).map { tau =>
+      s"""row_$tau AS (
+         | SELECT cast($tau as bigint) AS tau_bp,
+         |  cast(count(*) as bigint) AS n_truth,
+         |  cast(coalesce(sum(is_cand), 0) as bigint) AS n_found
+         | FROM inter WHERE j_bp >= $tau)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $shinglesSqlCte,
+       | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       | cand AS (SELECT a_id, b_id, 1 AS is_cand
+       |  FROM read_parquet('${oracleSidecarGlob("recall_curve_candidates")}')),
+       | inter AS (
+       |  SELECT iv.a_id, iv.b_id,
+       |   iv.i * 10000 // (sa.n + sb.n - iv.i) AS j_bp, c.is_cand
+       |  FROM (
+       |   SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+       |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |   GROUP BY 1, 2) iv
+       |   JOIN sizes sa ON iv.a_id = sa.doc_id
+       |   JOIN sizes sb ON iv.b_id = sb.doc_id
+       |   LEFT JOIN cand c ON c.a_id = iv.a_id AND c.b_id = iv.b_id),
+       |$per
+       |SELECT tau_bp, n_truth, n_found,
+       | n_found * 10000 // greatest(n_truth, 1) AS recall_bp
+       |FROM (SELECT * FROM row_5000 UNION ALL SELECT * FROM row_6000
+       |      UNION ALL SELECT * FROM row_7000 UNION ALL SELECT * FROM row_8000
+       |      UNION ALL SELECT * FROM row_9000)
+       |ORDER BY tau_bp""".stripMargin
+  }
+
   /** SimHash near-dup detection: 64-bit signature from token hashes;
     * hamming-distance candidates via 4×16-bit chunk banding (pigeonhole:
     * hamming ≤ 3 ⇒ at least one of 4 chunks identical), verified with
@@ -1805,6 +1873,7 @@ object Dedup {
     GQuery("dedup_containment_pairs", containmentPairs, Some(containmentPairsSql)),
     GQuery("dedup_minhash_lsh", minhashLshIndexed, Some(minhashLshSql)),
     GQuery("dedup_lsh_tuning", lshTuning, Some(lshTuningSql)),
+    GQuery("dedup_recall_curve", recallCurve, Some(recallCurveSql)),
     GQuery("dedup_simhash", simhashPairs, Some(simhashPairsSql)),
     GQuery("dedup_embedding_cosine", embeddingNearDup, Some(embeddingNearDupSql)),
   )

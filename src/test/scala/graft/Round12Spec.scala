@@ -1057,6 +1057,26 @@ class Round12Spec extends AnyFunSuite {
     assert(r.getDouble(2) > 0 && r.getDouble(2) < 3)
   }
 
+  test("recall curve: monotone truth counts, candidate containment, and " +
+      "the design-point recall floor") {
+    val rows = SparkEntry.queries("dedup_recall_curve")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq(5000L, 6000L, 7000L, 8000L, 9000L))
+    for ((_, truth, found, bp) <- rows) {
+      assert(found <= truth)
+      assert(bp == found * 10000 / math.max(truth, 1L))
+    }
+    // truth shrinks (or holds) as tau rises
+    assert(rows.map(_._2).sliding(2).forall(p => p.length < 2 || p(1) <= p(0)))
+    // at the banding's design point the recall spec is >= 0.8 — the
+    // same floor the minhash spec pins (fixture reads 1.0: its
+    // shingle-sharing pairs are all >= 0.9 similar, so the curve is
+    // flat here; the thresholds below 0.8 exist for corpora with
+    // mid-similarity mass)
+    val at8000 = rows.find(_._1 == 8000L).get
+    assert(at8000._4 >= 8000, s"recall at design point ${at8000._4}")
+  }
+
   test("DistRank plans carry no partition-less WindowExec") {
     val sortCols = Seq(col("c_acctbal"), col("c_custkey"))
     import org.apache.spark.sql.execution.window.WindowExec
