@@ -73,6 +73,63 @@ object Relational {
       |WHERE p_size >= 10 AND p_retailprice IS NOT NULL
       |ORDER BY p_partkey""".stripMargin
 
+  /** PER-GROUP OLS — slope and intercept of extendedprice on quantity
+    * within each return flag, from exact integer sufficient
+    * statistics (n, Σx, Σy, Σxy, Σx² with price in cents, quantity in
+    * units — all map-side-partial longs; Σxy ≤ n·50·10⁷ stays inside
+    * int64 through any SF that fits a cluster) and ONE mirrored
+    * double expression at the end (the q65 discipline):
+    * slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²),
+    * intercept = (Σy − slope·Σx)/n. The per-group regression every
+    * BI layer ships, with none of the float-reassociation
+    * nondeterminism a naive avg-based formulation has. */
+  def q124GroupOls(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("x"),
+        round(col("l_extendedprice") * 100).cast("long").as("y"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("l_returnflag"), col("n"),
+        round((col("n").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          (col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")), 4)
+          .as("slope_cents_per_unit"),
+        round((col("sy").cast("double") -
+          ((col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            (col("n").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double"))) *
+            col("sx").cast("double")) / col("n").cast("double"), 4)
+          .as("intercept_cents"))
+      .orderBy(col("l_returnflag"))
+
+  val q124Sql: String =
+    """WITH m AS (
+      | SELECT l_returnflag, cast(count(*) as bigint) AS n,
+      |  cast(sum(cast(l_quantity as bigint)) as bigint) AS sx,
+      |  cast(sum(cast(round(l_extendedprice * 100) as bigint)) as bigint) AS sy,
+      |  cast(sum(cast(l_quantity as bigint)
+      |    * cast(round(l_extendedprice * 100) as bigint)) as bigint) AS sxy,
+      |  cast(sum(cast(l_quantity as bigint) * cast(l_quantity as bigint))
+      |    as bigint) AS sxx
+      | FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      | round((cast(n as double) * cast(sxy as double)
+      |    - cast(sx as double) * cast(sy as double)) /
+      |   (cast(n as double) * cast(sxx as double)
+      |    - cast(sx as double) * cast(sx as double)), 4)
+      |   AS slope_cents_per_unit,
+      | round((cast(sy as double)
+      |   - ((cast(n as double) * cast(sxy as double)
+      |       - cast(sx as double) * cast(sy as double)) /
+      |      (cast(n as double) * cast(sxx as double)
+      |       - cast(sx as double) * cast(sx as double)))
+      |     * cast(sx as double)) / cast(n as double), 4) AS intercept_cents
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
   // ---- joins --------------------------------------------------------
   /** Inner equi-join orders⋈customer; revenue per market segment.
     * customer is small → Catalyst broadcasts it under AQE; at 100 TB
@@ -1029,6 +1086,7 @@ object Relational {
     GQuery("q36b_asof_native", q36bAsofNative, Some(q36Sql)),
     GQuery("q114_asof_directions", q114AsofDirections, Some(q114Sql)),
     GQuery("q115_asof_tolerance", q115AsofTolerance, Some(q115Sql)),
+    GQuery("q124_group_ols", q124GroupOls, Some(q124Sql)),
     GQuery("q50_interval_join_binned", q50IntervalJoinBinned, Some(q50Sql)),
     GQuery("q68_range_join_auto", q68AutoRangeJoin, Some(q68Sql)),
   )

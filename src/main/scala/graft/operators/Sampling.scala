@@ -750,7 +750,51 @@ object Sampling {
        |FROM keyed GROUP BY 1 ORDER BY side""".stripMargin
   }
 
+  /** EPOCH RESHUFFLING — training loops need a DIFFERENT document
+    * order every epoch without materializing a permutation (shuffling
+    * 100 TB between epochs is a non-starter): order = the Knuth
+    * priority of (doc_id, epoch), a pure row function any reader can
+    * recompute, so epoch e's order exists nowhere on disk yet is
+    * identical on every worker. The entry proves the contract on the
+    * first 5 docs of 3 epochs — and fetches them through the
+    * [[graft.functions.BottomKByPriority]] partial aggregate, so the
+    * shuffle carries k·|epochs| pairs, never a per-epoch global sort
+    * (the window-sort formulation would funnel the corpus through one
+    * task per epoch). The epoch offset is added BEFORE the Knuth
+    * multiplication — added after, it would be a constant shift of
+    * every priority, which preserves the order almost everywhere and
+    * gives three near-identical "shuffles" (the spec's
+    * distinct-permutation law caught exactly that in the first
+    * draft). (doc_id + 3·16777259)·2654435761 < 2⁶³ with room. */
+  def epochShuffle(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), explode(expr("sequence(1, 3)")).as("epoch"))
+      .withColumn("pri", pmod(
+        (col("doc_id") + col("epoch") * 16777259L) * 2654435761L,
+        lit(4294967296L)))
+      .groupBy(col("epoch"))
+      .agg(graft.functions.BottomKByPriority.bottomK(col("pri"), col("doc_id"), 5)
+        .as("ids"))
+      .select(col("epoch").cast("long").as("epoch"),
+        posexplode(col("ids")).as(Seq("rank0", "doc_id")))
+      .select(col("epoch"), (col("rank0") + 1).cast("long").as("rank"), col("doc_id"))
+      .orderBy(col("epoch"), col("rank"))
+
+  val epochShuffleSql: String =
+    """WITH e AS (
+      | SELECT doc_id, unnest(range(1, 4)) AS epoch FROM documents),
+      |ranked AS (
+      | SELECT epoch, doc_id,
+      |  cast(row_number() OVER (PARTITION BY epoch
+      |   ORDER BY ((doc_id + epoch * 16777259) * 2654435761) % 4294967296, doc_id)
+      |   as bigint) AS rank
+      | FROM e)
+      |SELECT cast(epoch as bigint) AS epoch, rank, doc_id
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY epoch, rank""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("pipeline_epoch_shuffle", epochShuffle, Some(epochShuffleSql)),
     GQuery("sample_dedup_split", dedupAwareSplit, Some(dedupAwareSplitSql)),
     GQuery("sample_systematic", systematicSample, Some(systematicSampleSql)),
     GQuery("sample_neyman", neymanAllocation, Some(neymanAllocationSql)),

@@ -1077,6 +1077,46 @@ class Round12Spec extends AnyFunSuite {
     assert(at8000._4 >= 8000, s"recall at design point ${at8000._4}")
   }
 
+  test("epoch shuffle: permutations differ across epochs and replay the " +
+      "pure priority function") {
+    val rows = SparkEntry.queries("pipeline_epoch_shuffle")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byEpoch = rows.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(byEpoch.keySet == Set(1L, 2L, 3L) && byEpoch.values.forall(_.size == 5))
+    // different epochs yield different leading permutations
+    assert(byEpoch.values.toSeq.distinct.size == 3)
+    // referee: recompute epoch 2's first five from the pure function
+    val ids = util.t(spark, sf, "documents").select(col("doc_id"))
+      .collect().map(_.getLong(0))
+    def pri(id: Long, e: Long) =
+      java.lang.Math.floorMod((id + e * 16777259L) * 2654435761L, 4294967296L)
+    val want = ids.sortBy(id => (pri(id, 2L), id)).take(5).toSeq
+    assert(byEpoch(2L) == want)
+  }
+
+  test("group OLS: in-JVM least-squares referee per return flag") {
+    val rows = SparkEntry.queries("q124_group_ols")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val li = util.t(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("long"),
+        round(col("l_extendedprice") * 100).cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    for (r <- rows) {
+      val g = li.filter(_._1 == r.getString(0))
+      val n = g.length.toLong
+      val sx = g.map(_._2).sum; val sy = g.map(_._3).sum
+      val sxy = g.map(x => x._2 * x._3).sum; val sxx = g.map(x => x._2 * x._2).sum
+      val slope = (n.toDouble * sxy - sx.toDouble * sy) /
+        (n.toDouble * sxx - sx.toDouble * sx)
+      assert(r.getLong(1) == n)
+      assert(math.abs(r.getDouble(2) - slope) < 1e-3)
+      assert(math.abs(r.getDouble(3) - (sy - slope * sx) / n) < 1e-1)
+      // synthetic extendedprice is independent of quantity — the slope
+      // is small noise, not the TPC-H qty×unit-price relation
+      assert(math.abs(r.getDouble(2)) < 100000)
+    }
+  }
+
   test("DistRank plans carry no partition-less WindowExec") {
     val sortCols = Seq(col("c_acctbal"), col("c_custkey"))
     import org.apache.spark.sql.execution.window.WindowExec
