@@ -2803,7 +2803,93 @@ object Analytics {
       |   (cast(ss - sb as double) / cast(n - k as double)), 4) AS f_stat
       |FROM m""".stripMargin
 
+  /** HOLT LINEAR-TREND forecasting (double exponential smoothing,
+    * Holt 1957) — the first real forecasting step past q92's EWMA
+    * (which tracks level only and lags every trend): per event_type,
+    * daily revenue feeds the coupled level/trend recursion
+    * `l_t = v_t/5 + 4(l+b)/5`, `b_t = (l_t−l)/10 + 9b/10`
+    * (α = 1/5, β = 1/10) carried EXACTLY in integer milli-cents with
+    * Java's truncating `/` — measured (not assumed) to match DuckDB's
+    * `//`, which TRUNCATES toward zero (`SELECT -7 // 2` = −3), so
+    * negative trends agree exactly. A recursion is inherently sequential
+    * PER KEY, so the physical shape is the secondary-sort pattern
+    * (repartition by type, sort (type, day) within partitions, one
+    * O(1)-state pass) — per-series scan parallelized across series,
+    * which is exactly how a 100 TB fleet of per-key time series
+    * forecasts. Output: final level/trend and the 7-step-ahead
+    * forecast per type; oracle = an unrolled recursive CTE over the
+    * same ordered days. */
+  def q125HoltForecast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = t(spark, dir, "events")
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("v"))
+      .select(col("event_type"), col("day"), col("v"))
+    val folded = daily
+      .repartition(col("event_type"))
+      .sortWithinPartitions(col("event_type"), col("day"))
+      .as[(String, java.sql.Timestamp, Long)]
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(String, Long, Long, Long)]
+        var cur: String = null
+        var n = 0L; var l = 0L; var b = 0L; var prevV = 0L
+        def flush(): Unit =
+          if (cur != null) out += ((cur, n, l, b))
+        for ((tpe, _, v) <- it) {
+          if (tpe != cur) { flush(); cur = tpe; n = 0L; l = 0L; b = 0L }
+          val vm = v * 1000L
+          if (n == 0) l = vm
+          else if (n == 1) { b = vm - l; l = vm }
+          else {
+            val l1 = vm / 5L + 4L * (l + b) / 5L
+            b = (l1 - l) / 10L + 9L * b / 10L
+            l = l1
+          }
+          prevV = v; n += 1
+        }
+        flush()
+        out.iterator
+      }
+      .toDF("event_type", "n_days", "level_milli", "trend_milli")
+    folded
+      .select(col("event_type"), col("n_days"), col("level_milli"),
+        col("trend_milli"),
+        (col("level_milli") + lit(7L) * col("trend_milli")).as("forecast7_milli"))
+      .orderBy(col("event_type"))
+  }
+
+  val q125Sql: String =
+    """WITH RECURSIVE daily AS (
+      | SELECT event_type, date_trunc('day', ts) AS day,
+      |  sum(cast(round(value * 100) as bigint)) AS v
+      | FROM events GROUP BY 1, 2),
+      |seq AS (
+      | SELECT event_type, v,
+      |  row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+      |  count(*) OVER (PARTITION BY event_type) AS n
+      | FROM daily),
+      |holt(event_type, rn, n, l, b) AS (
+      | SELECT event_type, 1, n, v * 1000, cast(0 as bigint)
+      | FROM seq WHERE rn = 1
+      | UNION ALL
+      | SELECT s.event_type, s.rn, h.n,
+      |  CASE WHEN s.rn = 2 THEN s.v * 1000
+      |       ELSE (s.v * 1000) // 5 + (4 * (h.l + h.b)) // 5 END,
+      |  CASE WHEN s.rn = 2 THEN s.v * 1000 - h.l
+      |       ELSE ((s.v * 1000) // 5 + (4 * (h.l + h.b)) // 5 - h.l) // 10
+      |            + (9 * h.b) // 10 END
+      | FROM holt h JOIN seq s
+      |  ON s.event_type = h.event_type AND s.rn = h.rn + 1)
+      |SELECT event_type, cast(n as bigint) AS n_days,
+      | cast(l as bigint) AS level_milli, cast(b as bigint) AS trend_milli,
+      | cast(l + 7 * b as bigint) AS forecast7_milli
+      |FROM holt WHERE rn = n
+      |ORDER BY event_type""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("q125_holt_forecast", q125HoltForecast, Some(q125Sql)),
     GQuery("q122_anova", q122Anova, Some(q122Sql)),
     GQuery("meta_wasserstein", metaWasserstein, Some(metaWassersteinSql)),
     GQuery("meta_runs_test", metaRunsTest, Some(metaRunsTestSql)),

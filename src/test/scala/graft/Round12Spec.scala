@@ -1117,6 +1117,34 @@ class Round12Spec extends AnyFunSuite {
     }
   }
 
+  test("holt forecast: sequential JVM referee reproduces the integer " +
+      "recursion for every type") {
+    val rows = SparkEntry.queries("q125_holt_forecast")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val daily = util.t(spark, sf, "events")
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("v"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+    for (r <- rows) {
+      val series = daily.filter(_._1 == r.getString(0)).sortBy(_._2.getTime).map(_._3)
+      var l = 0L; var b = 0L
+      for ((v, i) <- series.zipWithIndex) {
+        val vm = v * 1000L
+        if (i == 0) l = vm
+        else if (i == 1) { b = vm - l; l = vm }
+        else {
+          val l1 = vm / 5L + 4L * (l + b) / 5L
+          b = (l1 - l) / 10L + 9L * b / 10L
+          l = l1
+        }
+      }
+      assert(r.getLong(1) == series.length)
+      assert(r.getLong(2) == l && r.getLong(3) == b,
+        s"${r.getString(0)}: got (${r.getLong(2)},${r.getLong(3)}) want ($l,$b)")
+      assert(r.getLong(4) == l + 7 * b)
+    }
+  }
+
   test("DistRank plans carry no partition-less WindowExec") {
     val sortCols = Seq(col("c_acctbal"), col("c_custkey"))
     import org.apache.spark.sql.execution.window.WindowExec
