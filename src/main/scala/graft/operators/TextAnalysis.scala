@@ -1808,7 +1808,64 @@ object TextAnalysis {
       |GROUP BY c.tok, t.df, n.nd
       |ORDER BY df DESC, c.tok""".stripMargin
 
+  /** TOKENIZER COVERAGE / OOV-RATE EVAL — the report read before
+    * shipping a vocabulary: train a top-16 frequency vocab on the
+    * TRAIN split (doc_id % 10 ≠ 0, the bloom entries' split), then
+    * measure per-language out-of-vocabulary token share on the
+    * HELD-OUT docs — the generalization number (`text_vocab_encode`
+    * measures in-corpus coverage, which is optimistically biased by
+    * construction). Vocab selection is deterministic (count desc,
+    * token asc) so the WHOLE pipeline — training included — replays
+    * relationally in DuckDB; OOV membership is an id-keyed left anti
+    * semantics via left join + null check. Scale: one train-side
+    * frequency agg, a vocab-row broadcast, one held-out scan; the
+    * eval is answer-bounded per language. Vocab budget 16 — half the
+    * fixture's 31-token vocabulary, so the eval shows a real coverage
+    * gap (~46 % OOV); a production run raises the budget, the shape
+    * is identical. */
+  def oovRate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val isHeld = col("doc_id") % 10 === 0
+    val vocab = docs.filter(!isHeld)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(16)
+      .select(col("tok"), lit(1L).as("in_vocab"))
+    docs.filter(isHeld)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"),
+        countDistinct(when(col("in_vocab").isNull, col("tok"))).as("oov_types"))
+      .select(col("lang"), col("n_tokens"), col("n_oov"),
+        col("oov_types").cast("long").as("oov_types"),
+        expr("n_oov * 10000 div n_tokens").as("oov_bp"))
+      .orderBy(col("lang"))
+  }
+
+  val oovRateSql: String =
+    """WITH vocab AS (
+      | SELECT tok, 1 AS in_vocab FROM (
+      |  SELECT tok, count(*) AS c
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+      |        FROM documents WHERE doc_id % 10 <> 0)
+      |  GROUP BY tok ORDER BY c DESC, tok LIMIT 16)),
+      |held AS (
+      | SELECT lang, unnest(string_split(text, ' ')) AS tok
+      | FROM documents WHERE doc_id % 10 = 0)
+      |SELECT h.lang, cast(count(*) as bigint) AS n_tokens,
+      | cast(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) as bigint)
+      |   AS n_oov,
+      | cast(count(DISTINCT CASE WHEN v.in_vocab IS NULL THEN h.tok END)
+      |   as bigint) AS oov_types,
+      | cast(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) * 10000
+      |   // count(*) as bigint) AS oov_bp
+      |FROM held h LEFT JOIN vocab v USING (tok)
+      |GROUP BY h.lang ORDER BY h.lang""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("text_oov_rate", oovRate, Some(oovRateSql)),
     GQuery("text_burstiness", burstiness, Some(burstinessSql)),
     GQuery("text_zipf_stats", zipfStats, Some(zipfStatsSql)),
     GQuery("text_textrank_keywords", textrankKeywords, Some(textrankKeywordsSql)),

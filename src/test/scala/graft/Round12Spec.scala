@@ -1145,6 +1145,28 @@ class Round12Spec extends AnyFunSuite {
     }
   }
 
+  test("oov rate: JVM referee rebuilds the vocab and recounts one " +
+      "language; coverage laws hold") {
+    val rows = SparkEntry.queries("text_oov_rate")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getLong(2) <= r.getLong(1) && r.getLong(3) <= r.getLong(2))
+      assert(r.getLong(4) == r.getLong(2) * 10000 / r.getLong(1))
+      assert(r.getLong(2) > 0, "16-token vocab must leave OOV mass on this corpus")
+    }
+    val docs = util.t(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(d => (d.getLong(0), d.getString(1), d.getString(2).split(" ", -1)))
+    val vocab = docs.filter(_._1 % 10 != 0).flatMap(_._3)
+      .groupBy(identity).view.mapValues(_.length).toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(16).map(_._1).toSet
+    val lang = rows.head.getString(0)
+    val held = docs.filter(d => d._1 % 10 == 0 && d._2 == lang).flatMap(_._3)
+    assert(rows.head.getLong(1) == held.length)
+    assert(rows.head.getLong(2) == held.count(t => !vocab.contains(t)))
+    assert(rows.head.getLong(3) == held.filterNot(vocab.contains).distinct.length)
+  }
+
   test("DistRank plans carry no partition-less WindowExec") {
     val sortCols = Seq(col("c_acctbal"), col("c_custkey"))
     import org.apache.spark.sql.execution.window.WindowExec
