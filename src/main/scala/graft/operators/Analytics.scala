@@ -2888,7 +2888,100 @@ object Analytics {
       |FROM holt WHERE rn = n
       |ORDER BY event_type""".stripMargin
 
+  /** CUSUM CONTROL CHART (Page 1954) — the ONLINE companion to
+    * [[metaChangepoint]]'s retrospective split: per event_type the
+    * daily revenue stream drives the classic one-sided cumulative
+    * sums S⁺ = max(0, S⁺ + x − μ − k) and S⁻ = max(0, S⁻ + μ − x − k)
+    * with slack k = μ/20 and alarm threshold h = μ/2 (re-arming by
+    * reset after each alarm). Everything is integer cents — μ is the
+    * series' floor mean, the clipped recursion is exact — so the
+    * alarm COUNT and peak excursions are bit-deterministic. The
+    * recursion is sequential per key ⇒ the same secondary-sort
+    * one-pass fold as [[q125HoltForecast]] (sequential per series,
+    * parallel across series); the oracle replays it as a recursive
+    * CTE. Fixture expectation: i.i.d. daily sums ⇒ zero or near-zero
+    * alarms — the chart stays in control. */
+  def q126Cusum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = t(spark, dir, "events")
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("v"))
+    val means = daily.groupBy(col("event_type"))
+      .agg(expr("sum(v) div count(*)").as("mu"))
+    val folded = daily.join(broadcast(means), Seq("event_type"))
+      .repartition(col("event_type"))
+      .sortWithinPartitions(col("event_type"), col("day"))
+      .select(col("event_type"), col("day"), col("v"), col("mu"))
+      .as[(String, java.sql.Timestamp, Long, Long)]
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(String, Long, Long, Long, Long, Long)]
+        var cur: String = null
+        var n = 0L; var sp = 0L; var sn = 0L
+        var maxP = 0L; var maxN = 0L; var alarms = 0L; var mu = 0L
+        def flush(): Unit =
+          if (cur != null) out += ((cur, n, mu, maxP, maxN, alarms))
+        for ((tpe, _, v, m) <- it) {
+          if (tpe != cur) {
+            flush(); cur = tpe; n = 0L; sp = 0L; sn = 0L
+            maxP = 0L; maxN = 0L; alarms = 0L; mu = m
+          }
+          val k = mu / 20L; val h = mu / 2L
+          sp = math.max(0L, sp + v - mu - k)
+          sn = math.max(0L, sn + mu - v - k)
+          maxP = math.max(maxP, sp); maxN = math.max(maxN, sn)
+          if (sp > h) { alarms += 1; sp = 0L }
+          if (sn > h) { alarms += 1; sn = 0L }
+          n += 1
+        }
+        flush()
+        out.iterator
+      }
+      .toDF("event_type", "n_days", "mu_cents", "max_s_pos", "max_s_neg",
+        "n_alarms")
+    folded.orderBy(col("event_type"))
+  }
+
+  val q126Sql: String =
+    """WITH RECURSIVE daily AS (
+      | SELECT event_type, date_trunc('day', ts) AS day,
+      |  sum(cast(round(value * 100) as bigint)) AS v
+      | FROM events GROUP BY 1, 2),
+      |mu AS (SELECT event_type, sum(v) // count(*) AS mu
+      |       FROM daily GROUP BY event_type),
+      |seq AS (
+      | SELECT d.event_type, d.v, m.mu,
+      |  row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS rn,
+      |  count(*) OVER (PARTITION BY d.event_type) AS n
+      | FROM daily d JOIN mu m USING (event_type)),
+      |cusum(event_type, rn, n, mu, sp, sn, maxp, maxn, alarms) AS (
+      | SELECT event_type, 0, n, mu, cast(0 as bigint), cast(0 as bigint),
+      |  cast(0 as bigint), cast(0 as bigint), cast(0 as bigint)
+      | FROM seq WHERE rn = 1
+      | UNION ALL
+      | SELECT s.event_type, s.rn, c.n, c.mu,
+      |  CASE WHEN greatest(0, c.sp + s.v - c.mu - c.mu // 20) > c.mu // 2
+      |       THEN 0 ELSE greatest(0, c.sp + s.v - c.mu - c.mu // 20) END,
+      |  CASE WHEN greatest(0, c.sn + c.mu - s.v - c.mu // 20) > c.mu // 2
+      |       THEN 0 ELSE greatest(0, c.sn + c.mu - s.v - c.mu // 20) END,
+      |  greatest(c.maxp, greatest(0, c.sp + s.v - c.mu - c.mu // 20)),
+      |  greatest(c.maxn, greatest(0, c.sn + c.mu - s.v - c.mu // 20)),
+      |  c.alarms
+      |   + CASE WHEN greatest(0, c.sp + s.v - c.mu - c.mu // 20) > c.mu // 2
+      |          THEN 1 ELSE 0 END
+      |   + CASE WHEN greatest(0, c.sn + c.mu - s.v - c.mu // 20) > c.mu // 2
+      |          THEN 1 ELSE 0 END
+      | FROM cusum c JOIN seq s
+      |  ON s.event_type = c.event_type AND s.rn = c.rn + 1)
+      |SELECT event_type, cast(n as bigint) AS n_days, cast(mu as bigint)
+      |  AS mu_cents,
+      | cast(maxp as bigint) AS max_s_pos, cast(maxn as bigint) AS max_s_neg,
+      | cast(alarms as bigint) AS n_alarms
+      |FROM cusum WHERE rn = n
+      |ORDER BY event_type""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("q126_cusum", q126Cusum, Some(q126Sql)),
     GQuery("q125_holt_forecast", q125HoltForecast, Some(q125Sql)),
     GQuery("q122_anova", q122Anova, Some(q122Sql)),
     GQuery("meta_wasserstein", metaWasserstein, Some(metaWassersteinSql)),

@@ -1167,6 +1167,32 @@ class Round12Spec extends AnyFunSuite {
     assert(rows.head.getLong(3) == held.filterNot(vocab.contains).distinct.length)
   }
 
+  test("cusum: sequential JVM referee; in-control fixture raises few alarms") {
+    val rows = SparkEntry.queries("q126_cusum")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val daily = util.t(spark, sf, "events")
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("v"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+    for (r <- rows) {
+      val series = daily.filter(_._1 == r.getString(0)).sortBy(_._2.getTime).map(_._3)
+      val mu = series.sum / series.length
+      var sp = 0L; var sn = 0L; var maxP = 0L; var maxN = 0L; var alarms = 0L
+      val k = mu / 20; val h = mu / 2
+      for (v <- series) {
+        sp = math.max(0L, sp + v - mu - k); sn = math.max(0L, sn + mu - v - k)
+        maxP = math.max(maxP, sp); maxN = math.max(maxN, sn)
+        if (sp > h) { alarms += 1; sp = 0 }
+        if (sn > h) { alarms += 1; sn = 0 }
+      }
+      assert(r.getLong(1) == series.length && r.getLong(2) == mu)
+      assert(r.getLong(3) == maxP && r.getLong(4) == maxN)
+      assert(r.getLong(5) == alarms)
+      // i.i.d. daily sums: the chart should stay (nearly) in control
+      assert(r.getLong(5) <= 2, s"${r.getString(0)} alarms ${r.getLong(5)}")
+    }
+  }
+
   test("DistRank plans carry no partition-less WindowExec") {
     val sortCols = Seq(col("c_acctbal"), col("c_custkey"))
     import org.apache.spark.sql.execution.window.WindowExec
