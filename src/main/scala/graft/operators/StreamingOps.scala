@@ -1689,6 +1689,137 @@ object StreamingOps {
       |       - cast(s1 as hugeint) * s1)
       |ORDER BY event_id""".stripMargin
 
+  /** One daily observation entering the control chart. */
+  case class CusumIn(event_type: String, day_us: Long, v: Long, mu: Long)
+  /** Converged chart state per series. */
+  case class CusumState(n: Long, sp: Long, sn: Long, maxp: Long, maxn: Long,
+      alarms: Long)
+  /** Per-batch chart emission (state + its series key). */
+  case class CusumOut(event_type: String, n: Long, maxp: Long, maxn: Long,
+      alarms: Long)
+
+  /** CUSUM SERVED ONLINE — [[graft.operators.Analytics.q126Cusum]]'s
+    * control chart as a stream: each day's total enters the clipped
+    * S⁺/S⁻ recursion through `transformWithState` ValueState (6 longs
+    * per series — bounded however long the chart runs), alarms fire
+    * and re-arm exactly as in batch, and because the fold is the
+    * identical integer recursion applied in day order (sorted within
+    * each micro-batch, state carrying across), ANY day-ordered
+    * chunking converges to the batch chart bit-for-bit — the oracle
+    * IS q126's recursive CTE. The feed is the answer-sized daily
+    * table (|types|·|days| rows — the monitoring-stream shape; raw
+    * events would be aggregated upstream by a watermarked window). */
+  final class CusumProcessor extends StatefulProcessor[String, CusumIn, CusumOut] {
+    @transient private var st: ValueState[CusumState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[CusumState]("cusum",
+        Encoders.product[CusumState], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[CusumIn],
+        timerValues: TimerValues): Iterator[CusumOut] = {
+      val cur = Option(st.get()).getOrElse(CusumState(0L, 0L, 0L, 0L, 0L, 0L))
+      var (n, sp, sn, maxp, maxn, alarms) =
+        (cur.n, cur.sp, cur.sn, cur.maxp, cur.maxn, cur.alarms)
+      rows.toArray.sortBy(_.day_us).foreach { r =>
+        val k = r.mu / 20L; val h = r.mu / 2L
+        sp = math.max(0L, sp + r.v - r.mu - k)
+        sn = math.max(0L, sn + r.mu - r.v - k)
+        maxp = math.max(maxp, sp); maxn = math.max(maxn, sn)
+        if (sp > h) { alarms += 1; sp = 0L }
+        if (sn > h) { alarms += 1; sn = 0L }
+        n += 1
+      }
+      val s = CusumState(n, sp, sn, maxp, maxn, alarms)
+      st.update(s)
+      Iterator(CusumOut(key, n, maxp, maxn, alarms))
+    }
+  }
+
+  def streamCusumMonitor(spark: SparkSession, dir: String): DataFrame =
+    withStatePartitions(spark) {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        import spark.implicits._
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val daily = graft.util.t(spark, dir, "events")
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("v"))
+        val means = daily.groupBy(col("event_type"))
+          .agg(expr("sum(v) div count(*)").as("mu"))
+        // answer-sized feed (|types|·|days| rows), day-ordered, split
+        // into 4 chunks so the chart state provably carries across
+        // micro-batches
+        val rows = daily.join(means, Seq("event_type"))
+          .select(col("event_type"), unix_micros(col("day")).as("day_us"),
+            col("v"), col("mu"))
+          .as[CusumIn].collect().sortBy(r => (r.day_us, r.event_type))
+        implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+        val ms = MemoryStream[CusumIn]
+        val name = uniq("cusum_mon")
+        val q = ms.toDS().groupByKey(_.event_type)
+          .transformWithState(new CusumProcessor, TimeMode.None(),
+            OutputMode.Update())
+          .writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Update).start()
+        rows.grouped(math.max(rows.length / 4, 1)).foreach { c =>
+          ms.addData(c.toIndexedSeq); q.processAllAvailable()
+        }
+        q.stop()
+        // converged chart = the emission with the largest n per series
+        // (n grows with every batch that touches the key, so it IS the
+        // emission order — no reliance on memory-sink row order)
+        spark.table(name)
+          .groupBy(col("event_type"))
+          .agg(max_by(struct(col("n"), col("maxp"), col("maxn"), col("alarms")),
+            col("n")).as("s"))
+          .select(col("event_type"), col("s.n").as("n_days"),
+            col("s.maxp").as("max_s_pos"), col("s.maxn").as("max_s_neg"),
+            col("s.alarms").as("n_alarms"))
+          .orderBy(col("event_type"))
+      } finally {
+        prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+      }
+    }
+
+  val streamCusumMonitorSql: String =
+    """WITH RECURSIVE daily AS (
+      | SELECT event_type, date_trunc('day', ts) AS day,
+      |  sum(cast(round(value * 100) as bigint)) AS v
+      | FROM events GROUP BY 1, 2),
+      |mu AS (SELECT event_type, sum(v) // count(*) AS mu
+      |       FROM daily GROUP BY event_type),
+      |seq AS (
+      | SELECT d.event_type, d.v, m.mu,
+      |  row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS rn,
+      |  count(*) OVER (PARTITION BY d.event_type) AS n
+      | FROM daily d JOIN mu m USING (event_type)),
+      |cusum(event_type, rn, n, mu, sp, sn, maxp, maxn, alarms) AS (
+      | SELECT event_type, 0, n, mu, cast(0 as bigint), cast(0 as bigint),
+      |  cast(0 as bigint), cast(0 as bigint), cast(0 as bigint)
+      | FROM seq WHERE rn = 1
+      | UNION ALL
+      | SELECT s.event_type, s.rn, c.n, c.mu,
+      |  CASE WHEN greatest(0, c.sp + s.v - c.mu - c.mu // 20) > c.mu // 2
+      |       THEN 0 ELSE greatest(0, c.sp + s.v - c.mu - c.mu // 20) END,
+      |  CASE WHEN greatest(0, c.sn + c.mu - s.v - c.mu // 20) > c.mu // 2
+      |       THEN 0 ELSE greatest(0, c.sn + c.mu - s.v - c.mu // 20) END,
+      |  greatest(c.maxp, greatest(0, c.sp + s.v - c.mu - c.mu // 20)),
+      |  greatest(c.maxn, greatest(0, c.sn + c.mu - s.v - c.mu // 20)),
+      |  c.alarms
+      |   + CASE WHEN greatest(0, c.sp + s.v - c.mu - c.mu // 20) > c.mu // 2
+      |          THEN 1 ELSE 0 END
+      |   + CASE WHEN greatest(0, c.sn + c.mu - s.v - c.mu // 20) > c.mu // 2
+      |          THEN 1 ELSE 0 END
+      | FROM cusum c JOIN seq s
+      |  ON s.event_type = c.event_type AND s.rn = c.rn + 1)
+      |SELECT event_type, cast(n as bigint) AS n_days,
+      | cast(maxp as bigint) AS max_s_pos, cast(maxn as bigint) AS max_s_neg,
+      | cast(alarms as bigint) AS n_alarms
+      |FROM cusum WHERE rn = n
+      |ORDER BY event_type""".stripMargin
+
   def streamCdcApply(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
@@ -2098,6 +2229,7 @@ object StreamingOps {
     GQuery("stream_funnel", streamFunnel, Some(Analytics.q74Sql)),
     GQuery("stream_cdc_apply", streamCdcApply, Some(streamCdcApplySql)),
     GQuery("stream_zscore_anomaly", streamZscoreAnomaly, Some(streamZscoreAnomalySql)),
+    GQuery("stream_cusum_monitor", streamCusumMonitor, Some(streamCusumMonitorSql)),
     GQuery("stream_cdc_view", streamCdcView, Some(streamCdcViewSql)),
     GQuery("stream_ann_serve", streamAnnServe, Some(Similarity.ivfTopkSql)),
     GQuery("stream_filtered_ann_serve", streamFilteredAnnServe, Some(Similarity.filteredTopkSql)),

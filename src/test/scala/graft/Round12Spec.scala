@@ -1196,6 +1196,20 @@ class Round12Spec extends AnyFunSuite {
     }
   }
 
+  test("stream cusum: 4-batch arrival converges to the batch chart " +
+      "column-for-column") {
+    val streamed = SparkEntry.queries("stream_cusum_monitor")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val batch = SparkEntry.queries("q126_cusum")(spark, sf)
+      .select(col("event_type"), col("n_days"), col("max_s_pos"),
+        col("max_s_neg"), col("n_alarms"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(streamed == batch,
+      "the online chart must converge to the batch chart exactly")
+  }
+
   test("DistRank plans carry no partition-less WindowExec") {
     val sortCols = Seq(col("c_acctbal"), col("c_custkey"))
     import org.apache.spark.sql.execution.window.WindowExec
