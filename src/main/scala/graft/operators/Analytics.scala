@@ -2980,7 +2980,77 @@ object Analytics {
       |FROM cusum WHERE rn = n
       |ORDER BY event_type""".stripMargin
 
+  /** LAG AUTOCORRELATION — the seasonality detector: ACF at lags 1
+    * and 7 of the per-type daily revenue series (lag-7 ≈ weekly
+    * seasonality, the first thing a forecaster checks before trusting
+    * [[q125HoltForecast]]'s non-seasonal model). Deviations are
+    * centered on the integer floor mean, the lag pairing is a KEYED
+    * rn-offset self-join (row numbers from a per-type window — never
+    * global), the cross/auto products accumulate as exact integers
+    * (|x−μ| ≤ 10⁶ cents, ≤ 10⁵ days ⇒ products < 10¹⁷), and the
+    * final ratio is one mirrored double in basis points' precision
+    * (round 4). i.i.d. fixture ⇒ both lags ≈ 0. */
+  def metaAutocorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "events")
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("v"))
+    val mu = daily.groupBy(col("event_type"))
+      .agg(expr("sum(v) div count(*)").as("mu"))
+    val centered = daily.join(broadcast(mu), Seq("event_type"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("day"))).cast("long"))
+      .select(col("event_type"), col("rn"), (col("v") - col("mu")).as("d"))
+    val denom = centered.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("d") * col("d")).as("ss"))
+    def acf(lag: Int) = centered
+      .join(centered.select(col("event_type"),
+        (col("rn") - lag).as("rn"), col("d").as("dl")), Seq("event_type", "rn"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("d") * col("dl")).as(s"cross"))
+      .select(col("event_type"),
+        col("cross").as(s"cross_$lag"))
+    denom.join(acf(1), Seq("event_type")).join(acf(7), Seq("event_type"))
+      .select(col("event_type"), col("n_days"),
+        round(col("cross_1").cast("double") / col("ss").cast("double"), 4)
+          .as("acf_lag1"),
+        round(col("cross_7").cast("double") / col("ss").cast("double"), 4)
+          .as("acf_lag7"))
+      .orderBy(col("event_type"))
+  }
+
+  val metaAutocorrelationSql: String =
+    """WITH daily AS (
+      | SELECT event_type, date_trunc('day', ts) AS day,
+      |  sum(cast(round(value * 100) as bigint)) AS v
+      | FROM events GROUP BY 1, 2),
+      |mu AS (SELECT event_type, sum(v) // count(*) AS mu
+      |       FROM daily GROUP BY event_type),
+      |c AS (
+      | SELECT d.event_type,
+      |  row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS rn,
+      |  d.v - m.mu AS dd
+      | FROM daily d JOIN mu m USING (event_type)),
+      |den AS (
+      | SELECT event_type, cast(count(*) as bigint) AS n_days,
+      |  sum(dd * dd) AS ss
+      | FROM c GROUP BY event_type),
+      |l1 AS (
+      | SELECT a.event_type, sum(a.dd * b.dd) AS cross_1
+      | FROM c a JOIN c b ON b.event_type = a.event_type AND b.rn = a.rn + 1
+      | GROUP BY a.event_type),
+      |l7 AS (
+      | SELECT a.event_type, sum(a.dd * b.dd) AS cross_7
+      | FROM c a JOIN c b ON b.event_type = a.event_type AND b.rn = a.rn + 7
+      | GROUP BY a.event_type)
+      |SELECT d.event_type, d.n_days,
+      | round(cast(l1.cross_1 as double) / cast(d.ss as double), 4) AS acf_lag1,
+      | round(cast(l7.cross_7 as double) / cast(d.ss as double), 4) AS acf_lag7
+      |FROM den d JOIN l1 USING (event_type) JOIN l7 USING (event_type)
+      |ORDER BY d.event_type""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("meta_autocorrelation", metaAutocorrelation,
+      Some(metaAutocorrelationSql)),
     GQuery("q126_cusum", q126Cusum, Some(q126Sql)),
     GQuery("q125_holt_forecast", q125HoltForecast, Some(q125Sql)),
     GQuery("q122_anova", q122Anova, Some(q122Sql)),

@@ -1210,6 +1210,29 @@ class Round12Spec extends AnyFunSuite {
       "the online chart must converge to the batch chart exactly")
   }
 
+  test("autocorrelation: in-JVM referee; |acf| <= 1 and no strong " +
+      "seasonality in the i.i.d. fixture") {
+    val rows = SparkEntry.queries("meta_autocorrelation")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val daily = util.t(spark, sf, "events")
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("v"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+    for (r <- rows) {
+      assert(math.abs(r.getDouble(2)) <= 1.0001 && math.abs(r.getDouble(3)) <= 1.0001)
+      val s = daily.filter(_._1 == r.getString(0)).sortBy(_._2.getTime).map(_._3)
+      val mu = s.sum / s.length
+      val d = s.map(_ - mu)
+      val ss = d.map(x => x * x).sum
+      def acf(l: Int) =
+        d.dropRight(l).zip(d.drop(l)).map { case (a, b) => a * b }.sum.toDouble / ss
+      assert(math.abs(r.getDouble(2) - acf(1)) < 1e-3)
+      assert(math.abs(r.getDouble(3) - acf(7)) < 1e-3)
+      // i.i.d. daily sums: no strong weekly cycle
+      assert(math.abs(r.getDouble(3)) < 0.7)
+    }
+  }
+
   test("DistRank plans carry no partition-less WindowExec") {
     val sortCols = Seq(col("c_acctbal"), col("c_custkey"))
     import org.apache.spark.sql.execution.window.WindowExec
