@@ -3048,7 +3048,64 @@ object Analytics {
       |FROM den d JOIN l1 USING (event_type) JOIN l7 USING (event_type)
       |ORDER BY d.event_type""".stripMargin
 
+  /** LORENZ CURVE deciles — the distribution behind [[metaGini]]'s
+    * scalar: per customer-spend decile (zero-order customers
+    * included), the decile's revenue and the CUMULATIVE revenue share
+    * in basis points — "the top decile holds X % of revenue", the
+    * concentration report revenue teams actually read. Deciles come
+    * from [[DistRank.withNtile]] (range partition + prefix offsets —
+    * no single-partition window even though the order is global), and
+    * the cumulative sum over the 10-row decile relation is an
+    * answer-sized triangular self-join (decile ≤ d) — NOT a window,
+    * so the registry-wide no-global-window gate holds here too. All
+    * shares integer basis points. */
+  def q127LorenzDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val spend = t(spark, dir, "customer")
+      .join(t(spark, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("sp")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), coalesce(col("sp"), lit(0L)).as("cents"))
+    val tiled = DistRank.withNtile(spend,
+      Seq(col("cents"), col("c_custkey")), 10, "decile")
+    val perDecile = tiled.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("decile_cents"))
+    val total = perDecile.agg(sum(col("decile_cents")).as("tot"))
+    val cum = perDecile.select(col("decile").as("d2"),
+      col("decile_cents").as("c2"))
+    perDecile
+      .join(cum, col("d2") <= col("decile"))
+      .groupBy(col("decile"), col("n_customers"), col("decile_cents"))
+      .agg(sum(col("c2")).as("cum_cents"))
+      .crossJoin(broadcast(total))
+      .select(col("decile"), col("n_customers"), col("decile_cents"),
+        expr("cum_cents * 10000 div tot").as("cum_share_bp"))
+      .orderBy(col("decile"))
+  }
+
+  val q127Sql: String =
+    """WITH spend AS (
+      | SELECT c.c_custkey, coalesce(o.sp, 0) AS cents
+      | FROM customer c LEFT JOIN (
+      |  SELECT o_custkey, sum(cast(round(o_totalprice * 100) as bigint)) AS sp
+      |  FROM orders GROUP BY o_custkey) o ON o.o_custkey = c.c_custkey),
+      |tiled AS (
+      | SELECT cents, cast(ntile(10) OVER (ORDER BY cents, c_custkey) as bigint)
+      |   AS decile
+      | FROM spend),
+      |per AS (
+      | SELECT decile, cast(count(*) as bigint) AS n_customers,
+      |  cast(sum(cents) as bigint) AS decile_cents
+      | FROM tiled GROUP BY decile)
+      |SELECT a.decile, a.n_customers, a.decile_cents,
+      | cast(sum(b.decile_cents) * 10000
+      |   // (SELECT sum(decile_cents) FROM per) as bigint) AS cum_share_bp
+      |FROM per a JOIN per b ON b.decile <= a.decile
+      |GROUP BY a.decile, a.n_customers, a.decile_cents
+      |ORDER BY a.decile""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("q127_lorenz_deciles", q127LorenzDeciles, Some(q127Sql)),
     GQuery("meta_autocorrelation", metaAutocorrelation,
       Some(metaAutocorrelationSql)),
     GQuery("q126_cusum", q126Cusum, Some(q126Sql)),

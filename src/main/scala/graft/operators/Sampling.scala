@@ -793,7 +793,55 @@ object Sampling {
       |FROM ranked WHERE rank <= 5
       |ORDER BY epoch, rank""".stripMargin
 
+  /** CLASS-BALANCED RESAMPLING — the imbalanced-learning prep step:
+    * every embedding label downsampled to the MINORITY class's count
+    * (random undersampling, the baseline of the imbalance literature),
+    * membership decided by the per-class Knuth-priority rank so WHICH
+    * vectors survive is a pure function of the data — the oracle
+    * checks membership digests, not just counts. The minority count
+    * is a broadcast scalar; the per-class pick is the keyed-window
+    * clarity shape with [[graft.functions.BottomKByPriority]] as the
+    * ledgered 100 TB swap-in. Output per label: original count, kept
+    * count (= global minimum), xor/sum digests of kept ids. */
+  def balancedClasses(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+      .select(col("label").cast("long").as("label"), col("vec_id"))
+    val minority = e.groupBy(col("label")).agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("target"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(pmod(col("vec_id") * 2654435761L, lit(4294967296L)), col("vec_id"))
+    e.withColumn("rk", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(minority))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_original"),
+        sum(when(col("rk") <= col("target"), 1L).otherwise(0L)).as("n_kept"),
+        expr("bit_xor(CASE WHEN rk <= target THEN vec_id END)").cast("long")
+          .as("xor_kept"),
+        coalesce(sum(when(col("rk") <= col("target"), col("vec_id"))), lit(0L))
+          .as("sum_kept"))
+      .orderBy(col("label"))
+  }
+
+  val balancedClassesSql: String =
+    """WITH e AS (
+      | SELECT cast(label as bigint) AS label, vec_id FROM embeddings),
+      |ranked AS (
+      | SELECT label, vec_id, cast(row_number() OVER (PARTITION BY label
+      |   ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) as bigint) AS rk
+      | FROM e),
+      |target AS (
+      | SELECT min(n) AS t FROM (SELECT count(*) AS n FROM e GROUP BY label))
+      |SELECT label, cast(count(*) as bigint) AS n_original,
+      | cast(sum(CASE WHEN rk <= (SELECT t FROM target) THEN 1 ELSE 0 END)
+      |   as bigint) AS n_kept,
+      | cast(bit_xor(CASE WHEN rk <= (SELECT t FROM target) THEN vec_id END)
+      |   as bigint) AS xor_kept,
+      | cast(coalesce(sum(CASE WHEN rk <= (SELECT t FROM target)
+      |   THEN vec_id END), 0) as bigint) AS sum_kept
+      |FROM ranked GROUP BY label ORDER BY label""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("sample_balanced_classes", balancedClasses, Some(balancedClassesSql)),
     GQuery("pipeline_epoch_shuffle", epochShuffle, Some(epochShuffleSql)),
     GQuery("sample_dedup_split", dedupAwareSplit, Some(dedupAwareSplitSql)),
     GQuery("sample_systematic", systematicSample, Some(systematicSampleSql)),

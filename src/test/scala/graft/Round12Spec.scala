@@ -1233,6 +1233,46 @@ class Round12Spec extends AnyFunSuite {
     }
   }
 
+  test("lorenz deciles: curve laws (convex, ends at 10000) and no " +
+      "partition-less WindowExec") {
+    val df = SparkEntry.queries("q127_lorenz_deciles")(spark, sf)
+    import org.apache.spark.sql.execution.window.WindowExec
+    val bad = df.queryExecution.executedPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, s"single-partition WindowExec: $bad")
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == (1L to 10L))
+    assert(rows.last._4 == 10000, "cumulative share must end at 100%")
+    // shares nondecreasing; deciles ordered by spend so marginal
+    // decile revenue is nondecreasing too (convexity of Lorenz)
+    assert(rows.map(_._4).sliding(2).forall(p => p.length < 2 || p(1) >= p(0)))
+    assert(rows.map(_._3).sliding(2).forall(p => p.length < 2 || p(1) >= p(0)))
+    val n = customer.count()
+    assert(rows.map(_._2).sum == n)
+  }
+
+  test("balanced classes: every class kept at exactly the minority count; " +
+      "membership referee for one class") {
+    val rows = SparkEntry.queries("sample_balanced_classes")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val minority = rows.map(_._2).min
+    for ((_, orig, kept, _, _) <- rows) {
+      assert(kept == math.min(orig, minority))
+    }
+    assert(rows.exists(_._2 > minority), "fixture should be imbalanced")
+    // referee one class's exact membership
+    val (label, _, _, xorWant, sumWant) = rows.head
+    val ids = util.t(spark, sf, "embeddings")
+      .filter(col("label") === label).select(col("vec_id"))
+      .collect().map(_.getLong(0))
+    def pri(id: Long) = java.lang.Math.floorMod(id * 2654435761L, 4294967296L)
+    val kept = ids.sortBy(id => (pri(id), id)).take(minority.toInt)
+    assert(kept.fold(0L)(_ ^ _) == xorWant && kept.sum == sumWant)
+  }
+
   test("DistRank plans carry no partition-less WindowExec") {
     val sortCols = Seq(col("c_acctbal"), col("c_custkey"))
     import org.apache.spark.sql.execution.window.WindowExec
