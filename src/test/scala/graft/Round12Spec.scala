@@ -1167,7 +1167,7 @@ class Round12Spec extends AnyFunSuite {
     assert(rows.head.getLong(3) == held.filterNot(vocab.contains).distinct.length)
   }
 
-  test("cusum: sequential JVM referee; in-control fixture raises few alarms") {
+  test("cusum: sequential JVM referee; alarm count sanity-bounded") {
     val rows = SparkEntry.queries("q126_cusum")(spark, sf).collect()
     assert(rows.nonEmpty)
     val daily = util.t(spark, sf, "events")
