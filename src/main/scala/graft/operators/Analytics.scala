@@ -3104,7 +3104,62 @@ object Analytics {
       |GROUP BY a.decile, a.n_customers, a.decile_cents
       |ORDER BY a.decile""".stripMargin
 
+  /** MANN–KENDALL TREND TEST — the nonparametric "is this series
+    * trending?" beside [[metaAutocorrelation]]'s "is it seasonal?":
+    * S = Σ_{i<j} sign(x_j − x_i) over the per-type daily series, with
+    * Kendall's τ = S / (n(n−1)/2) reported in basis points by integer
+    * floor division — no distributional assumption, robust to any
+    * monotone transformation of the values. The pairwise comparison
+    * is an rn-keyed self-join PER SERIES — O(days²) per type, which
+    * is the right trade: the series is the DAILY rollup, so it grows
+    * by 365 rows a year while the underlying events grow by billions;
+    * the quadratic lives on the answer-sized relation, never the
+    * fact table. i.i.d. fixture ⇒ τ ≈ 0. */
+  def q128TrendTest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "events")
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("v"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("day"))).cast("long"))
+      .select(col("event_type"), col("rn"), col("v"))
+    daily.select(col("event_type"), col("rn").as("i"), col("v").as("vi"))
+      .join(daily.select(col("event_type"), col("rn").as("j"), col("v").as("vj")),
+        Seq("event_type"))
+      .filter(col("i") < col("j"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(signum(col("vj") - col("vi")).cast("long")).as("s_stat"))
+      .select(col("event_type"),
+        ((lit(1.0) + sqrt(lit(1.0) + lit(8.0) * col("n_pairs"))) / 2)
+          .cast("long").as("n_days"),
+        col("s_stat"),
+        expr("s_stat * 10000 div n_pairs").as("tau_bp"))
+      .orderBy(col("event_type"))
+  }
+
+  val q128Sql: String =
+    """WITH daily AS (
+      | SELECT event_type, date_trunc('day', ts) AS day,
+      |  sum(cast(round(value * 100) as bigint)) AS v
+      | FROM events GROUP BY 1, 2),
+      |seq AS (
+      | SELECT event_type, v,
+      |  row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      | FROM daily),
+      |pairs AS (
+      | SELECT a.event_type,
+      |  CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END AS sg
+      | FROM seq a JOIN seq b
+      |  ON b.event_type = a.event_type AND a.rn < b.rn)
+      |SELECT event_type,
+      | cast((1 + cast(sqrt(1.0 + 8.0 * count(*)) as bigint)) // 2 as bigint)
+      |   AS n_days,
+      | cast(sum(sg) as bigint) AS s_stat,
+      | cast(sum(sg) * 10000 // count(*) as bigint) AS tau_bp
+      |FROM pairs GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("q128_trend_test", q128TrendTest, Some(q128Sql)),
     GQuery("q127_lorenz_deciles", q127LorenzDeciles, Some(q127Sql)),
     GQuery("meta_autocorrelation", metaAutocorrelation,
       Some(metaAutocorrelationSql)),

@@ -1273,6 +1273,28 @@ class Round12Spec extends AnyFunSuite {
     assert(kept.fold(0L)(_ ^ _) == xorWant && kept.sum == sumWant)
   }
 
+  test("trend test: in-JVM pairwise referee; i.i.d. fixture shows no " +
+      "strong monotone trend") {
+    val rows = SparkEntry.queries("q128_trend_test")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val daily = util.t(spark, sf, "events")
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("v"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+    for (r <- rows) {
+      val s = daily.filter(_._1 == r.getString(0)).sortBy(_._2.getTime).map(_._3)
+      val n = s.length
+      var stat = 0L
+      for (i <- 0 until n; j <- i + 1 until n)
+        stat += java.lang.Long.signum(s(j) - s(i))
+      val pairs = n.toLong * (n - 1) / 2
+      assert(r.getLong(1) == n && r.getLong(2) == stat)
+      // Java / truncates toward zero — the measured DuckDB // semantics
+      assert(r.getLong(3) == stat * 10000 / pairs)
+      assert(math.abs(r.getLong(3)) < 5000, "i.i.d. series: |tau| small")
+    }
+  }
+
   test("DistRank plans carry no partition-less WindowExec") {
     val sortCols = Seq(col("c_acctbal"), col("c_custkey"))
     import org.apache.spark.sql.execution.window.WindowExec
