@@ -1864,7 +1864,71 @@ object TextAnalysis {
       |FROM held h LEFT JOIN vocab v USING (tok)
       |GROUP BY h.lang ORDER BY h.lang""".stripMargin
 
+  /** COMPRESSION-RATIO QUALITY FILTER — the Gopher/MassiveText-style
+    * repetitiveness signal (Rae et al. 2021 filter on "duplicate
+    * fraction"; compressibility is its information-theoretic form): a
+    * document that deflates far below typical prose is boilerplate or
+    * degenerate repetition; one that barely compresses is noise.
+    * Per-doc DEFLATE size (JDK Deflater, level 6 — deterministic for
+    * a fixed level) is computed partition-local in mapPartitions —
+    * the only engine-side stage, sidecar'd like every codec output —
+    * and the ratio classification + per-source rollup (docs flagged
+    * too_repetitive < 2000 bp / too_random > 9000 bp / kept) replay
+    * relationally in DuckDB. Scale: deflate is per-row CPU at scan
+    * speed, nothing wide; the report is answer-bounded per source. */
+  def compressionFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sizes = t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text")).as[(Long, String, String)]
+      .mapPartitions { it =>
+        it.map { case (id, src, text) =>
+          val raw = text.getBytes("UTF-8")
+          val d = new java.util.zip.Deflater(6)
+          d.setInput(raw); d.finish()
+          val buf = new Array[Byte](raw.length + 64)
+          var n = 0
+          while (!d.finished()) n += d.deflate(buf, n, buf.length - n)
+          d.end()
+          (id, src, raw.length.toLong, n.toLong)
+        }
+      }.toDF("doc_id", "source", "raw_bytes", "deflate_bytes")
+    oracleSidecar("deflate_sizes", sizes)
+    sizes
+      .withColumn("ratio_bp", expr("deflate_bytes * 10000 div raw_bytes"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ratio_bp") < 2000, 1L).otherwise(0L)).as("too_repetitive"),
+        sum(when(col("ratio_bp") > 9000, 1L).otherwise(0L)).as("too_random"),
+        sum(col("raw_bytes")).as("raw_bytes"),
+        sum(col("deflate_bytes")).as("deflate_bytes"))
+      .withColumn("kept",
+        col("n_docs") - col("too_repetitive") - col("too_random"))
+      .withColumn("corpus_ratio_bp",
+        expr("deflate_bytes * 10000 div raw_bytes"))
+      .orderBy(col("source"))
+  }
+
+  val compressionFilterSql: String =
+    s"""WITH s AS (
+       | SELECT doc_id, source, raw_bytes, deflate_bytes,
+       |  deflate_bytes * 10000 // raw_bytes AS ratio_bp
+       | FROM read_parquet('${oracleSidecarGlob("deflate_sizes")}'))
+       |SELECT source, cast(count(*) as bigint) AS n_docs,
+       | cast(sum(CASE WHEN ratio_bp < 2000 THEN 1 ELSE 0 END) as bigint)
+       |   AS too_repetitive,
+       | cast(sum(CASE WHEN ratio_bp > 9000 THEN 1 ELSE 0 END) as bigint)
+       |   AS too_random,
+       | cast(sum(raw_bytes) as bigint) AS raw_bytes,
+       | cast(sum(deflate_bytes) as bigint) AS deflate_bytes,
+       | cast(count(*) - sum(CASE WHEN ratio_bp < 2000 THEN 1 ELSE 0 END)
+       |   - sum(CASE WHEN ratio_bp > 9000 THEN 1 ELSE 0 END) as bigint) AS kept,
+       | cast(sum(deflate_bytes) * 10000 // sum(raw_bytes) as bigint)
+       |   AS corpus_ratio_bp
+       |FROM s GROUP BY source ORDER BY source""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("text_compression_filter", compressionFilter,
+      Some(compressionFilterSql)),
     GQuery("text_oov_rate", oovRate, Some(oovRateSql)),
     GQuery("text_burstiness", burstiness, Some(burstinessSql)),
     GQuery("text_zipf_stats", zipfStats, Some(zipfStatsSql)),

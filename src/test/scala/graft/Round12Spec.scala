@@ -1295,6 +1295,38 @@ class Round12Spec extends AnyFunSuite {
     }
   }
 
+  test("compression filter: deflate determinism, bucket accounting, and " +
+      "the repetition-compresses-better law") {
+    val rows = SparkEntry.queries("text_compression_filter")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3) + r.getLong(6))
+      assert(r.getLong(5) <= r.getLong(4) + 64 * r.getLong(1), "deflate bound")
+      assert(r.getLong(7) == r.getLong(5) * 10000 / r.getLong(4))
+    }
+    def deflate(s: String): Long = {
+      val raw = s.getBytes("UTF-8")
+      val d = new java.util.zip.Deflater(6)
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      var n = 0
+      while (!d.finished()) n += d.deflate(buf, n, buf.length - n)
+      d.end(); n.toLong
+    }
+    // determinism: same input, same size, twice
+    val sample = util.t(spark, sf, "documents").select(col("text"))
+      .collect()(0).getString(0)
+    assert(deflate(sample) == deflate(sample))
+    // the signal the filter relies on: a degenerate repetition
+    // deflates far below prose of the same length
+    val rep = "spam " * 200
+    val prose = sample.take(1000).padTo(1000, 'x')
+    // 2×, not more: the fixture "prose" itself draws on a 31-token
+    // vocabulary and compresses hard, so the gap is modest here
+    assert(deflate(rep) * 2 < deflate(prose.mkString),
+      "repetition must compress much better than prose")
+  }
+
   test("DistRank plans carry no partition-less WindowExec") {
     val sortCols = Seq(col("c_acctbal"), col("c_custkey"))
     import org.apache.spark.sql.execution.window.WindowExec
