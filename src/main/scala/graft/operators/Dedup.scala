@@ -556,6 +556,52 @@ object Dedup {
        |ORDER BY tau_bp""".stripMargin
   }
 
+  /** SOURCE-LEVEL OVERLAP — near-duplicate SOURCES, not documents:
+    * mirrored sites, re-crawled feeds, and syndicated content show up
+    * as source pairs whose trigram vocabularies overlap far beyond
+    * the corpus baseline (the collection-level screen run BEFORE
+    * doc-level dedup — dropping a mirrored source wholesale is
+    * cheaper than pairwise-dedup'ing its documents). Per source the
+    * DISTINCT shingle set (reused from the persisted relation);
+    * pairwise |∩| via ONE shingle-keyed self-join (a shingle shared
+    * by k sources contributes k(k−1)/2 pairs — postings-bounded,
+    * never |sources|²·|vocab|); Jaccard in basis points by integer
+    * division. All |sources|² = 190 result rows — answer-bounded. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sv = shinglesIndexed(spark, dir)
+      .join(t(spark, dir, "documents").select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .select(col("source"), col("s")).distinct()
+    val sizes = sv.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    sv.select(col("source").as("src_a"), col("s"))
+      .join(sv.select(col("source").as("src_b"), col("s")), Seq("s"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("i"))
+      .join(sizes.select(col("source").as("src_a"), col("n").as("na")), Seq("src_a"))
+      .join(sizes.select(col("source").as("src_b"), col("n").as("nb")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("i").as("n_shared"),
+        expr("i * 10000 div (na + nb - i)").as("jaccard_bp"))
+      .orderBy(col("jaccard_bp").desc, col("src_a"), col("src_b"))
+      .limit(10)
+  }
+
+  val sourceOverlapSql: String =
+    s"""WITH $shinglesSqlCte,
+       | sv AS (
+       |  SELECT DISTINCT d.source, sh.s
+       |  FROM sh JOIN documents d USING (doc_id)),
+       | sizes AS (SELECT source, count(*) AS n FROM sv GROUP BY source),
+       | inter AS (
+       |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS i
+       |  FROM sv a JOIN sv b ON a.s = b.s AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT i.src_a, i.src_b, cast(i.i as bigint) AS n_shared,
+       | cast(i.i * 10000 // (sa.n + sb.n - i.i) as bigint) AS jaccard_bp
+       |FROM inter i
+       | JOIN sizes sa ON sa.source = i.src_a
+       | JOIN sizes sb ON sb.source = i.src_b
+       |ORDER BY jaccard_bp DESC, i.src_a, i.src_b LIMIT 10""".stripMargin
+
   /** SimHash near-dup detection: 64-bit signature from token hashes;
     * hamming-distance candidates via 4×16-bit chunk banding (pigeonhole:
     * hamming ≤ 3 ⇒ at least one of 4 chunks identical), verified with
@@ -1874,6 +1920,7 @@ object Dedup {
     GQuery("dedup_minhash_lsh", minhashLshIndexed, Some(minhashLshSql)),
     GQuery("dedup_lsh_tuning", lshTuning, Some(lshTuningSql)),
     GQuery("dedup_recall_curve", recallCurve, Some(recallCurveSql)),
+    GQuery("dedup_source_overlap", sourceOverlap, Some(sourceOverlapSql)),
     GQuery("dedup_simhash", simhashPairs, Some(simhashPairsSql)),
     GQuery("dedup_embedding_cosine", embeddingNearDup, Some(embeddingNearDupSql)),
   )

@@ -528,6 +528,58 @@ object Multimodal {
        |      THEN 1 ELSE 0 END as bigint) AS structured
        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** CLIPPING DETECTION — the audio-QA gate beside VAD: a recording
+    * whose samples ride the int16 rails was over-driven at capture
+    * and is useless for acoustic training however good its
+    * transcript. Per clip, from the real RIFF decode: samples at or
+    * beyond ±30000, their share in basis points, and the LONGEST
+    * consecutive clipped run (sustained saturation ⇒ hard clipping;
+    * isolated rail hits can be legitimate peaks) — the run computed
+    * in the same partition-local pass as the decode, O(1) state per
+    * clip. The per-clip numbers are codec output → sidecar; the
+    * flag thresholds (> 900 bp clipped OR a run ≥ 4 — set to split
+    * this fixture's loud synthetic clips ~1:3; production audio
+    * flags at far lower bp) and rollup replay relationally. */
+  case class ClipStats(doc_id: Long, n_samples: Long, n_clipped: Long,
+      max_run: Long)
+
+  private[graft] def audioClipStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .filter(_.media_type == "audio")
+      .mapPartitions(_.map { r =>
+        val a = Wav.decode(r.payload)
+        var clipped = 0L; var run = 0L; var maxRun = 0L
+        for (s <- a.samples) {
+          if (s >= 30000 || s <= -30000) {
+            clipped += 1; run += 1; if (run > maxRun) maxRun = run
+          } else run = 0
+        }
+        ClipStats(r.doc_id, a.samples.length.toLong, clipped, maxRun)
+      }).toDF()
+  }
+
+  def audioClipping(spark: SparkSession, dir: String): DataFrame = {
+    val stats = audioClipStats(spark, dir)
+    oracleSidecar("audio_clip_stats", stats)
+    stats
+      .withColumn("clip_bp", expr("n_clipped * 10000 div n_samples"))
+      .select(col("doc_id"), col("n_samples"), col("n_clipped"),
+        col("max_run"), col("clip_bp"),
+        (col("clip_bp") > 900 || col("max_run") >= 4).cast("long").as("flagged"))
+      .orderBy(col("doc_id"))
+  }
+
+  val audioClippingSql: String =
+    s"""WITH s AS (
+       | SELECT doc_id, n_samples, n_clipped, max_run
+       | FROM read_parquet('${oracleSidecarGlob("audio_clip_stats")}'))
+       |SELECT doc_id, n_samples, n_clipped, max_run,
+       | n_clipped * 10000 // n_samples AS clip_bp,
+       | cast(CASE WHEN n_clipped * 10000 // n_samples > 900 OR max_run >= 4
+       |      THEN 1 ELSE 0 END as bigint) AS flagged
+       |FROM s ORDER BY doc_id""".stripMargin
+
   /** SILENCE TRIM — the sox/ffmpeg `silenceremove` shape every ASR
     * pipeline runs before training: per clip, the first and last
     * frame above the VAD energy floor bound the kept region; leading
@@ -647,6 +699,7 @@ object Multimodal {
 
   val all: Seq[GQuery] = Seq(
     GQuery("mm_image_tiles", imageTiles, Some(imageTilesSql)),
+    GQuery("mm_audio_clipping", audioClipping, Some(audioClippingSql)),
     GQuery("mm_silence_trim", silenceTrim, Some(silenceTrimSql)),
     GQuery("mm_audio_zcr", audioZcr, Some(audioZcrSql)),
     GQuery("mm_audio_segments", audioSegments, Some(audioSegmentsSql)),

@@ -1327,6 +1327,49 @@ class Round12Spec extends AnyFunSuite {
       "repetition must compress much better than prose")
   }
 
+  test("audio clipping: decode referee for one clip; run/threshold laws") {
+    val rows = SparkEntry.queries("mm_audio_clipping")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getLong(2) <= r.getLong(1) && r.getLong(3) <= r.getLong(2))
+      assert(r.getLong(4) == r.getLong(2) * 10000 / r.getLong(1))
+      assert((r.getLong(5) == 1) == (r.getLong(4) > 900 || r.getLong(3) >= 4))
+    }
+    assert(rows.exists(_.getLong(5) == 1) && rows.exists(_.getLong(5) == 0),
+      "thresholds should split the fixture population")
+    // referee: re-decode the first clip and recount
+    val docId = rows.head.getLong(0)
+    val text = util.t(spark, sf, "documents")
+      .filter(col("doc_id") === docId).select(col("text")).collect()(0).getString(0)
+    val a = functions.Wav.decode(functions.Wav.encode(functions.Wav.synth(text)))
+    var clipped = 0L; var run = 0L; var maxRun = 0L
+    for (s <- a.samples) {
+      if (s >= 30000 || s <= -30000) { clipped += 1; run += 1; maxRun = math.max(maxRun, run) }
+      else run = 0
+    }
+    assert(rows.head.getLong(1) == a.samples.length)
+    assert(rows.head.getLong(2) == clipped && rows.head.getLong(3) == maxRun)
+  }
+
+  test("source overlap: brute-force shingle-set referee on the top pair") {
+    val rows = SparkEntry.queries("dedup_source_overlap")(spark, sf).collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getLong(3)).sliding(2).forall(p => p.length < 2 || p(1) <= p(0)))
+    val docs = util.t(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(d => (d.getString(1), d.getString(2).split(" ", -1)))
+    def shingles(src: String): Set[String] = docs.filter(_._1 == src)
+      .flatMap { case (_, ws) =>
+        if (ws.length < 3) Seq.empty
+        else ws.sliding(3).map(_.mkString(" ")).toSeq
+      }.toSet
+    val top = rows.head
+    val (sa, sb) = (shingles(top.getString(0)), shingles(top.getString(1)))
+    val inter = (sa & sb).size.toLong
+    assert(top.getLong(2) == inter)
+    assert(top.getLong(3) == inter * 10000 / (sa.size + sb.size - inter))
+  }
+
   test("DistRank plans carry no partition-less WindowExec") {
     val sortCols = Seq(col("c_acctbal"), col("c_custkey"))
     import org.apache.spark.sql.execution.window.WindowExec
