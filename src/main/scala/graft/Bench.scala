@@ -1,9 +1,36 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** 1-minute load average from /proc/loadavg (-1.0 if unreadable —
+    * non-Linux or restricted container). */
+  private def load1(): Double =
+    try {
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      s.trim.split("\\s+")(0).toDouble
+    } catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // ---- quiet-host gate -------------------------------------------
+    // Two rounds running, the driver-of-record artifact captured a
+    // CONTENDED run (r12: pre-load ~4.8 from the just-finished test
+    // JVMs; sim_knn_join_exact 29.6 s vs 2.3 s quiet) while the real
+    // record lived in an archived sidecar. Wait (default ≤ 300 s) for
+    // 1-min load to drop below the threshold; if it never does, run
+    // anyway but stamp the JSON with contended:true + the measured
+    // loads so the artifact self-declares machine-readably.
+    val quietThresh = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_LOAD", "2.0").toDouble
+    val quietWaitS = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_WAIT", "300").toInt
+    val waitDeadline = System.nanoTime() + quietWaitS * 1000000000L
+    var loadPre = load1()
+    while (loadPre >= 0 && loadPre > quietThresh && System.nanoTime() < waitDeadline) {
+      System.err.println(f"[bench] host load1=$loadPre%.2f > $quietThresh%.2f — waiting for quiet host")
+      Thread.sleep(10000)
+      loadPre = load1()
+    }
+    val contendedPre = loadPre >= 0 && loadPre > quietThresh
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -95,13 +122,20 @@ object Bench {
       // trade-graph edge artifacts
       "graph_random_walks", "pipeline_walk_pairs")
       .filter(selected.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
+    // post-run load minus the bench's own contribution is unknowable,
+    // so contention is judged on the PRE-run load (taken on an idle
+    // gap); the post value is recorded for forensics only
+    val loadPost = load1()
+    def r2(v: Double): Double = math.rint(v * 100) / 100
+    val loadJson =
+      s""""load1_pre":${r2(loadPre)},"load1_post":${r2(loadPost)},"contended":$contendedPre"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
-        s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries":${fullQs.mkString("{", ",", "}")},"amortized":$amortized,"sf":"$sfDir"}""".getBytes("UTF-8"))
+        s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries":${fullQs.mkString("{", ",", "}")},"amortized":$amortized,$loadJson,"sf":"$sfDir"}""".getBytes("UTF-8"))
     } catch {
       case e: Exception => System.err.println(s"[bench] detail write failed: $e")
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries":$top,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries":$top,"detail":"BENCH_DETAIL.json",$loadJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -503,10 +503,17 @@ object Analytics {
     val touch = ev.filter(col("event_type") =!= "purchase")
       .select(col("user_id"), col("event_type").as("touch_type"),
         col("event_id").as("touch_id"), col("us").as("tus"))
+    // localCheckpoint: three attribution models (first/last/linear)
+    // each re-reference this join — without the barrier the
+    // conv ⋈ touch join executes three times per run (the r12
+    // double-execution class, caught by the Round13Spec plan gate).
+    // Materialized once, the three models are window/agg passes over
+    // the pair table (pairs are per-user bounded, scan-sized).
     val joined = conv.join(touch, Seq("user_id"))
       .filter(col("tus") < col("cus") ||
         (col("tus") === col("cus") && col("touch_id") < col("conv_id")))
       .select(col("conv_id"), col("touch_type"), col("touch_id"), col("tus"))
+      .localCheckpoint(true)
     val wF = Window.partitionBy(col("conv_id")).orderBy(col("tus"), col("touch_id"))
     val wL = Window.partitionBy(col("conv_id")).orderBy(col("tus").desc, col("touch_id").desc)
     val wN = Window.partitionBy(col("conv_id"))
@@ -2269,10 +2276,14 @@ object Analytics {
     * `n_l·n_r·(μ_l − μ_r)² div n` — the two-segment least-squares
     * objective, computed for EVERY candidate split in one pass from
     * prefix sums (two shared-sort windows), all exact integers.
-    * Division discipline: Spark `div` truncates toward zero while
-    * DuckDB `//` floors, so the oracle spells every mean as
-    * sign-split magnitude division (the q100 pattern) — the engines
-    * then agree even if a day's value total goes negative. Overflow:
+    * Division discipline: Spark `div` truncates toward zero, and the
+    * installed DuckDB's `//` was MEASURED to also truncate
+    * (-7 // 2 = -3, matching the q125 Holt finding) — but `//`
+    * semantics differ across DuckDB versions, so the oracle spells
+    * every mean as sign-split magnitude division (the q100 pattern),
+    * an identity under truncation that keeps the engines in
+    * agreement under EITHER `//` semantics if a day's value total
+    * goes negative. Overflow:
     * `t·(n−t)·d²` needs |d| < √(2⁶³/(n²/4)) — with calendar-bounded n
     * (≤ ~3.6k days) that is ~$16k of daily-mean shift in cents,
     * spec-asserted against the data (Round12Spec). Reports where each
@@ -2546,9 +2557,12 @@ object Analytics {
     * between a customer's two GLOBAL ranks. Both rankings are
     * tie-free by construction (tie-break on custkey), so the classic
     * formula is exact and all-integer — ρ reported in basis points by
-    * floor division, bit-identical in both engines (Σd² ≤ n³/3
-    * keeps 60000·Σd² inside int64 through n ≈ 5·10⁵ customers;
-    * beyond that the numerator moves to decimal(38), ledgered). The
+    * floor division, bit-identical in both engines. The rank moments
+    * accumulate as decimal(38,0): worst-case Σd² = (n³−n)/3 means
+    * 60000·Σd² wraps int64 already at n ≈ 7.7·10⁴ (even independent
+    * rankings wrap at sf1's 150k customers), while the DuckDB side
+    * sums in HUGEINT — decimal keeps Spark exact to n ≈ 1.7·10¹¹,
+    * spec-asserted on a synthetic 10⁶-row reversed ranking. The
     * SCALE point: each global ranking runs through
     * [[graft.operators.DistRank]] — range partition, prefix-sum
     * offsets, partition-local rank — so correlating two rankings of a
@@ -2572,17 +2586,37 @@ object Analytics {
     val r2 = graft.operators.DistRank.withRowNumber(
       joined, Seq(col("spend_cents"), col("c_custkey")), "r_spend")
       .select(col("c_custkey").as("k2"), col("r_spend"))
-    r1.join(r2, col("c_custkey") === col("k2"))
-      .select(((col("r_bal") - col("r_spend")) *
-        (col("r_bal") - col("r_spend"))).as("d2"))
-      .agg(count(lit(1)).as("n"), sum(col("d2")).as("sum_d2"))
-      .select(col("n"), col("sum_d2"),
+    spearmanFromRanks(
+      r1.join(r2, col("c_custkey") === col("k2")),
+      col("r_bal"), col("r_spend"))
+  }
+
+  /** Spearman rank-moment arithmetic from two tie-free rank columns —
+    * runs entirely in decimal(38,0): worst-case Σd² = (n³−n)/3, so
+    * 60000·Σd² wraps int64 already at n ≈ 7.7·10⁴ (and even
+    * independent rankings' Σd² ≈ n³/6 wraps at sf1's 150k customers),
+    * while DuckDB accumulates in HUGEINT — decimal keeps Spark exact
+    * to n ≈ 1.7·10¹¹ alongside the oracle at ANY row count, no
+    * row-count branch needed (spec-asserted on a synthetic 10⁶-row
+    * reversed ranking, where the closed form gives ρ = −1). The
+    * bigint display cast of sum_d2 is safe to n ≈ 3·10⁶ (sf ~20);
+    * rho_bp itself is exact at any n. */
+  def spearmanFromRanks(ranked: DataFrame,
+      ra: org.apache.spark.sql.Column,
+      rb: org.apache.spark.sql.Column): DataFrame = {
+    val dd = (ra - rb).cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    ranked
+      .select((dd * dd).as("d2"))
+      .agg(count(lit(1)).as("n"), sum(col("d2")).as("d2s"))
+      .select(col("n"), col("d2s").cast("long").as("sum_d2"),
         // greatest(…, 1): rank correlation is undefined at n = 1 (the
         // formula's denominator is 0); the guard returns the vacuous
         // ρ = 1 there instead of diverging the engines (DuckDB //
         // raises on 0, Spark div returns null)
-        expr("10000 - (60000 * sum_d2) div greatest(n * (n * n - 1), 1L)")
-          .as("rho_bp"))
+        expr("""cast(10000 - (cast(60000 as decimal(38,0)) * d2s) div
+          greatest(cast(n as decimal(38,0)) *
+            (cast(n as decimal(38,0)) * cast(n as decimal(38,0)) - 1),
+            cast(1 as decimal(38,0))) as bigint)""").as("rho_bp"))
   }
 
   val q117Sql: String =
@@ -2603,7 +2637,8 @@ object Analytics {
       |SELECT cast(count(*) as bigint) AS n,
       | cast(sum((r_bal - r_spend) * (r_bal - r_spend)) as bigint) AS sum_d2,
       | cast(10000 - (60000 * sum((r_bal - r_spend) * (r_bal - r_spend)))
-      |   // greatest(count(*) * (count(*) * count(*) - 1), 1) as bigint)
+      |   // greatest(cast(count(*) as hugeint)
+      |     * (cast(count(*) as hugeint) * count(*) - 1), 1) as bigint)
       |   AS rho_bp
       |FROM ranked""".stripMargin
 

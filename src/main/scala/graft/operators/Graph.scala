@@ -874,8 +874,11 @@ object Graph {
     * (per-src keyed window over the memoized edge table — edge-linear,
     * never per-seed) and both hops reuse it, so a node shared by many
     * seeds is sampled identically everywhere. The pick is the Knuth
-    * priority `((src·7919 + dst)·2654435761) mod 2³²` — pure integer
-    * row function (|node| ≤ 3·10⁵ keeps the product < 2⁶³), so BOTH
+    * priority `(((src·7919 + dst) mod 2³¹−1)·2654435761) mod 2³²` —
+    * pure integer row function whose inner mod bounds the Knuth
+    * product below 2⁶³ at ANY node id (the double-mod discipline of
+    * GraftRangeSource.keyOf; without it the product wraps at ids
+    * ~4.4·10⁵ and the engines' mod-of-negative semantics split), so BOTH
     * hops' exact membership is oracle-replayed, reported as
     * count + bit_xor/sum digests per seed. Seeds: nodes ≡ 0 (mod 40)
     * (customer nodes with custkey ≡ 0 mod 20, deterministic ~5 %).
@@ -885,9 +888,15 @@ object Graph {
     * ≤ 9·|seeds| rows — frontier-bounded, not graph-bounded. */
   def egoSample(spark: SparkSession, dir: String): DataFrame = {
     val sym = spark.read.parquet(s"${tradeGraphRoot(spark, dir)}/sym")
+    // double-mod (the GraftRangeSource.keyOf trick): reduce the mixed
+    // key mod 2³¹−1 BEFORE the Knuth multiply, so the product is ≤
+    // (2³¹−1)·2654435761 ≈ 5.7·10¹⁸ < 2⁶³ at ANY node id — the naive
+    // (src·7919+dst)·2654435761 wraps signed int64 once ids pass
+    // ~4.4·10⁵, where Spark's pmod-of-wrapped-negative and DuckDB's
+    // %-of-hugeint disagree and the sampled ego nets diverge.
     val sampled = sym
-      .withColumn("pri", pmod((col("src") * 7919L + col("dst")) * 2654435761L,
-        lit(4294967296L)))
+      .withColumn("pri", pmod(pmod(col("src") * 7919L + col("dst"),
+        lit(2147483647L)) * 2654435761L, lit(4294967296L)))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("src")).orderBy(col("pri"), col("dst"))))
       .filter(col("rk") <= 3)
@@ -927,7 +936,7 @@ object Graph {
       |sampled AS (
       |  SELECT src, dst FROM (
       |    SELECT src, dst, row_number() OVER (PARTITION BY src
-      |      ORDER BY ((src * 7919 + dst) * 2654435761) % 4294967296, dst) AS rk
+      |      ORDER BY (((src * 7919 + dst) % 2147483647) * 2654435761) % 4294967296, dst) AS rk
       |    FROM edges) WHERE rk <= 3),
       |hop1 AS (
       |  SELECT src AS seed, dst AS h1 FROM sampled WHERE src % 40 = 0),
@@ -965,16 +974,37 @@ object Graph {
     * broadcast scalar max — the normalization HITS needs for
     * convergence, made engine-exact (no float L2 norm; max-norm is
     * the standard alternative and keeps every value ≤ 10⁶, so the
-    * next sum is ≤ deg·10⁶ — overflow-free through any degree <
-    * 9·10¹²). The oracle unrolls the identical rounds as CTEs with
+    * next sum is ≤ deg·10⁶; the rescale product runs in
+    * decimal(38,0) because s·10⁶ alone would wrap int64 at degree
+    * ~9.2·10⁶ — DuckDB computes the same step in HUGEINT, so the
+    * decimal path keeps the engines in lockstep at any degree).
+    * Each normalized half-step is localCheckpoint'ed: the rescale
+    * references its input twice (max + join), and without the
+    * barrier the edge-join lineage re-inlines ~2⁶× across 3 rounds.
+    * The oracle unrolls the identical rounds as CTEs with
     * scalar-subquery maxima. Top-10 per side by (score desc, node). */
   def hits(spark: SparkSession, dir: String): DataFrame = {
     val edges = spark.read.parquet(s"${tradeGraphRoot(spark, dir)}/sym")
       .filter(pmod(col("src"), lit(2)) === 0) // directed: customer → supplier
     def rescale(df: DataFrame): DataFrame = {
-      val m = df.agg(max(col("s")).as("m"))
-      df.crossJoin(broadcast(m))
-        .select(col("node"), expr("s * 1000000L div greatest(m, 1L)").as("s"))
+      // localCheckpoint BEFORE the double reference below (once under
+      // agg(max), once in the crossJoin): without the barrier each
+      // half-step re-inlines the whole edge-join lineage of every
+      // previous half-step, ~2^6 copies after 3 rounds — the same
+      // re-inlining hazard the oracle's MATERIALIZED CTEs guard
+      // against. Sibling iterative entries (pageRank, LPA, frontier
+      // BFS, k-core) already checkpoint per round.
+      val mat = df.localCheckpoint(true)
+      val m = mat.agg(max(col("s")).as("m"))
+      // rescale through decimal(38,0): s ≤ deg·10⁶, so s·10⁶ wraps
+      // int64 once a node's degree exceeds ~9.2·10⁶ — real for a
+      // hub-heavy 100 TB graph. DuckDB's side is already exact (its
+      // SUM of bigint is HUGEINT); the decimal product keeps Spark
+      // exact at any degree, and IntegralDivide on decimal returns
+      // the bigint the schema needs.
+      mat.crossJoin(broadcast(m))
+        .select(col("node"),
+          expr("cast(s as decimal(38,0)) * 1000000 div greatest(m, 1L)").as("s"))
     }
     var hub = edges.select(col("src").as("node")).distinct()
       .withColumn("s", lit(1000000L))

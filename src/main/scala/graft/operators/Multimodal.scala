@@ -420,7 +420,12 @@ object Multimodal {
     * shape: decode partition-local, segment bounds from a lag-free
     * window, per-recording segment stats out. */
   def audioSegments(spark: SparkSession, dir: String): DataFrame = {
-    val f = audioFrameEnergies(spark, dir)
+    // localCheckpoint: both `speech` and `tot` reference the frame
+    // table, and without the barrier the codec decode (the expensive
+    // mapPartitions stage) executes twice — the r12 sim_mutual_nn
+    // defect class, caught by the Round13Spec physical plan gate.
+    // The checkpointed relation is 3 integers per frame.
+    val f = audioFrameEnergies(spark, dir).localCheckpoint(true)
     oracleSidecar("audio_frame_energies", f)
     val speech = f.filter(col("energy") > vadEnergyFloor)
       .withColumn("grp", col("frame_idx") - row_number().over(

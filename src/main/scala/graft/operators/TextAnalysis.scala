@@ -1581,9 +1581,15 @@ object TextAnalysis {
         concat_ws(" ", expr("transform(sort_array(collect_list(" +
           "struct(pos, w))), x -> x.w)")).as("phrase"))
       .filter(col("len") >= 2 && col("len") <= 4)
+    // localCheckpoint: the phrase-token table feeds BOTH the word
+    // stats and the final phrase scoring — without the barrier the
+    // tokens ⋈ phrases join executes twice per run (the r12
+    // double-execution class, caught by the Round13Spec plan gate).
+    // The relation is phrase-token-sized (≤ 4 rows per phrase).
     val phraseToks = marked.join(
       phrases.select(col("doc_id"), col("seg"), col("len"), col("phrase")),
       Seq("doc_id", "seg"))
+      .localCheckpoint(true)
     val wstats = phraseToks.groupBy(col("w"))
       .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
       .withColumn("wscore", expr("(deg * 1000000) div freq"))
@@ -1885,7 +1891,12 @@ object TextAnalysis {
           val raw = text.getBytes("UTF-8")
           val d = new java.util.zip.Deflater(6)
           d.setInput(raw); d.finish()
-          val buf = new Array[Byte](raw.length + 64)
+          // compressBound-style sizing: zlib's worst case for an
+          // incompressible input is ~len + len/1000 + 12 (5-byte
+          // stored-block headers per 64 KB + wrapper) — a raw+64
+          // buffer fills on large random docs and deflate() then
+          // returns 0 forever with finished() false: a hung task
+          val buf = new Array[Byte](raw.length + raw.length / 1000 + 128)
           var n = 0
           while (!d.finished()) n += d.deflate(buf, n, buf.length - n)
           d.end()

@@ -592,7 +592,8 @@ class Round12Spec extends AnyFunSuite {
       .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
     val edges = pairs.flatMap { case (c, s) => Seq((c, s), (s, c)) }
     def pri(src: Long, dst: Long): Long =
-      java.lang.Math.floorMod((src * 7919L + dst) * 2654435761L, 4294967296L)
+      java.lang.Math.floorMod(java.lang.Math.floorMod(
+        src * 7919L + dst, 2147483647L) * 2654435761L, 4294967296L)
     val sampled = edges.groupBy(_._1).map { case (src, es) =>
       src -> es.map(_._2).distinct.sortBy(d => (pri(src, d), d)).take(3).toSeq
     }

@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-13 specs: the decimal Spearman rank-moment path at a row
+  * count where int64 provably wraps, the IVF-tier mutual-NN twin
+  * (recombination referee + overlap bound vs the exact tier), and a
+  * registry-wide plan gate flagging any entry whose plan re-executes
+  * an expensive (scan-bearing join/agg) subtree twice without an
+  * intervening checkpoint barrier — the defect class behind r12's
+  * graph_hits and sim_mutual_nn findings.
+  */
+class Round13Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("spearman decimal path: exact at 10^6 rows where 60000*sum_d2 " +
+      "wraps int64 (reversed ranking => rho = -1, identity => +1)") {
+    val n = 1000000L
+    // reversed ranking: sum_d2 = (n^3 - n)/3 ~ 3.3e17 (fits the bigint
+    // display cast), but 60000 * sum_d2 ~ 2e22 >> 2^63 — the exact
+    // regime the decimal(38,0) accumulation exists for
+    val ranks = spark.range(1, n + 1)
+      .select(col("id").as("ra"), (lit(n + 1) - col("id")).as("rb"))
+    val rev = operators.Analytics
+      .spearmanFromRanks(ranks, col("ra"), col("rb")).collect()(0)
+    val wantD2 = (BigInt(n) * BigInt(n) * BigInt(n) - BigInt(n)) / 3
+    assert(rev.getLong(0) == n)
+    assert(BigInt(rev.getLong(1)) == wantD2, "sum_d2 closed form")
+    assert(rev.getLong(2) == -10000L, "reversed ranking is rho = -1 exactly")
+    val ident = operators.Analytics
+      .spearmanFromRanks(spark.range(1, n + 1)
+        .select(col("id").as("ra"), col("id").as("rb")),
+        col("ra"), col("rb")).collect()(0)
+    assert(ident.getLong(1) == 0L && ident.getLong(2) == 10000L)
+    // n = 1 guard: denominator would be 0; the vacuous rho = +1 comes
+    // back instead of a null/exception divergence between engines
+    val one = operators.Analytics
+      .spearmanFromRanks(spark.range(1, 2)
+        .select(col("id").as("ra"), col("id").as("rb")),
+        col("ra"), col("rb")).collect()(0)
+    assert(one.getLong(2) == 10000L)
+  }
+
+  test("mutual NN over the IVF tier: recombination referee from " +
+      "sim_knn_join_ivf; overlap with the exact tier at recall") {
+    val rows = SparkEntry.queries("sim_mutual_nn_ivf")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    for ((a, b, _, rab, rba) <- rows) {
+      assert(a < b, "each mutual pair emitted once, a < b")
+      assert(rab >= 1 && rab <= 3 && rba >= 1 && rba <= 3)
+    }
+    // referee: rebuild the mutual set by recombining the kNN table
+    // in the JVM — same definition, independent mechanism
+    val knn = SparkEntry.queries("sim_knn_join_ivf")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) ->
+        (r.getLong(1), r.getDouble(3))).toMap
+    val want = knn.keys.filter { case (q, nb) =>
+      q < nb && knn.contains((nb, q))
+    }.map { case (q, nb) =>
+      (q, nb, knn((q, nb))._2, knn((q, nb))._1, knn((nb, q))._1)
+    }.toSet
+    assert(rows.toSet == want, "recombination referee")
+    // the IVF tier must recover most of the exact tier's mutual pairs:
+    // pair recall compounds the per-direction recall (~0.8^2), measured
+    // 0.757 on the fixture — bound at 0.6 with noise headroom
+    val exact = SparkEntry.queries("sim_mutual_nn")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r._1, r._2)).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.6, s"mutual-pair recall vs exact tier = $recall")
+  }
+
+  test("registry-wide: no batch entry re-executes an expensive " +
+      "scan-bearing subtree twice without a reuse or checkpoint barrier") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    // the r12 defect class: graph_hits re-inlined its half-step
+    // edge-join lineage ~2^6 times, sim_mutual_nn ran its kNN scan
+    // twice — a DataFrame built from an expensive subtree referenced
+    // more than once with no barrier between. The honest gate runs at
+    // the PHYSICAL level: a duplicated LOGICAL subtree is often fine
+    // because ReuseExchange collapses identical exchanges into one
+    // executed stage — so we plan with AQE off (making ReusedExchange
+    // placement static), never descend into a ReusedExchangeExec (its
+    // subtree executes once by construction), and flag the duplicated
+    // scan-bearing wide subtrees that remain: those really do run
+    // twice. A localCheckpoint turns the subtree into an RDD scan
+    // leaf, so fixed entries pass by construction.
+    def scanLike(p: SparkPlan): Boolean = {
+      val n = p.getClass.getSimpleName
+      n.contains("FileSourceScan") || n.contains("BatchScan") ||
+        n.contains("RowDataSourceScan")
+    }
+    def isWide(p: SparkPlan): Boolean = {
+      val n = p.getClass.getSimpleName
+      n.contains("Join") || n.contains("Aggregate") || n.contains("Window") ||
+        n.contains("MapPartitions") || n.contains("SerializeFromObject")
+    }
+    // collect all subtrees WITHOUT descending through ReusedExchangeExec
+    def subtrees(p: SparkPlan): Seq[SparkPlan] = p match {
+      case _: ReusedExchangeExec => Seq.empty
+      case _ => p +: p.children.flatMap(subtrees)
+    }
+    def hasScanAbove(p: SparkPlan): Boolean =
+      subtrees(p).exists(scanLike) // scan reachable w/o crossing a reuse
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_.startsWith("stream_"))
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val offenders =
+      try names.flatMap { n =>
+        val df =
+          try SparkEntry.queries(n)(spark, sf)
+          catch { case e: Throwable => fail(s"entry $n failed to build: $e") }
+        val plan = df.queryExecution.executedPlan
+        val qual = subtrees(plan).filter(p =>
+          isWide(p) && hasScanAbove(p))
+        val dups = qual.groupBy(_.canonicalized).filter(_._2.size >= 2)
+        if (dups.isEmpty) None
+        else {
+          // report the largest duplicated subtree only (children of a
+          // duplicate necessarily duplicate too)
+          val biggest = dups.values.map(_.head).maxBy(subtrees(_).size)
+          Some(s"$n: ${dups.size} duplicated subtree group(s), largest = " +
+            s"${biggest.nodeName} of ${subtrees(biggest).size} nodes")
+        }
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert(offenders.isEmpty,
+      "entries re-executing an expensive subtree (add a localCheckpoint " +
+        "barrier or derive both references from one materialized frame):\n" +
+        offenders.mkString("\n"))
+  }
+}
