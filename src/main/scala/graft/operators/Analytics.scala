@@ -352,14 +352,31 @@ object Analytics {
       |SELECT doc_id, n_toks, n_uniq FROM counts ORDER BY doc_id""".stripMargin
 
   /** approx_percentile (t-digest-style sketch) — the 100 TB percentile
-    * path (no per-group sort). Sketches differ per engine → rows-only
-    * check; the spec bounds its error against the exact percentile. */
-  def q46ApproxPercentile(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "lineitem")
+    * path (no per-group sort). Sketches differ per engine, but the
+    * estimate is deterministic given the build → estimate-sidecar
+    * discipline: dump (flag, estimate), DuckDB recomputes the exact
+    * group counts and joins ⇒ hash-checked; the spec additionally
+    * bounds the estimate's error against the exact percentile. */
+  def q46ApproxPercentile(spark: SparkSession, dir: String): DataFrame = {
+    val est = t(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median"),
         count(lit(1)).as("n"))
-      .orderBy(col("l_returnflag"))
+    oracleSidecar("q46_estimates",
+      est.select(col("l_returnflag"), col("approx_median")))
+    est.orderBy(col("l_returnflag"))
+  }
+
+  val q46Sql: String =
+    s"""WITH est AS (
+       | SELECT l_returnflag, approx_median
+       | FROM read_parquet('${oracleSidecarGlob("q46_estimates")}')),
+       |ex AS (
+       | SELECT l_returnflag, count(*) AS n
+       | FROM lineitem GROUP BY 1)
+       |SELECT e.l_returnflag, s.approx_median, cast(e.n as bigint) AS n
+       |FROM ex e JOIN est s USING (l_returnflag)
+       |ORDER BY e.l_returnflag""".stripMargin
 
   /** Dedicated array-function family: construction, set algebra,
     * sorting, slicing, membership — over per-priority order-status
@@ -3250,7 +3267,7 @@ object Analytics {
     GQuery("q112_not_in_nulls", q112NotInNulls, Some(q112Sql)),
     GQuery("q113_division", q113Division, Some(q113Sql)),
     GQuery("q45_sql_cte", q45SqlCte, Some(q45Sql)),
-    GQuery("q46_approx_percentile", q46ApproxPercentile, None),
+    GQuery("q46_approx_percentile", q46ApproxPercentile, Some(q46Sql)),
     GQuery("q37_percentiles", q37Percentiles, Some(q37Sql)),
     GQuery("q38_stats_agg", q38StatsAgg, Some(q38Sql)),
     GQuery("q39_pivot", q39Pivot, Some(q39Sql)),

@@ -1038,13 +1038,32 @@ object Relational {
       |GROUP BY 1 ORDER BY period_id""".stripMargin
 
   /** approx_count_distinct (HLL sketch). Engines' sketches differ, so
-    * no value-oracle — the driver records a rows-only check. */
-  def q31ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "lineitem")
+    * the estimate can't be recomputed cross-engine — but it IS
+    * deterministic given the build, so the estimate-sidecar
+    * discipline applies: dump (flag, estimate), let DuckDB recompute
+    * the exact group counts and the true distinct (for the replayed
+    * error band) ⇒ hash-checked instead of rows-only. */
+  def q31ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val est = t(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
         count(lit(1)).as("n"))
-      .orderBy(col("l_returnflag"))
+    oracleSidecar("q31_estimates",
+      est.select(col("l_returnflag"), col("approx_parts")))
+    est.orderBy(col("l_returnflag"))
+  }
+
+  val q31Sql: String =
+    s"""WITH est AS (
+       | SELECT l_returnflag, approx_parts
+       | FROM read_parquet('${oracleSidecarGlob("q31_estimates")}')),
+       |ex AS (
+       | SELECT l_returnflag, count(*) AS n
+       | FROM lineitem GROUP BY 1)
+       |SELECT e.l_returnflag, cast(s.approx_parts as bigint) AS approx_parts,
+       | cast(e.n as bigint) AS n
+       |FROM ex e JOIN est s USING (l_returnflag)
+       |ORDER BY e.l_returnflag""".stripMargin
 
   val all: Seq[GQuery] = Seq(
     GQuery("q1_pricing_summary", q1PricingSummary, Some(q1Sql)),
@@ -1077,7 +1096,7 @@ object Relational {
     GQuery("q28_scalar_subquery", q28ScalarSubquery, Some(q28Sql)),
     GQuery("q29_in_subquery", q29InSubquery, Some(q29Sql)),
     GQuery("q30_grouping_sets", q30GroupingSets, Some(q30Sql)),
-    GQuery("q31_approx_count_distinct", q31ApproxDistinct, None),
+    GQuery("q31_approx_count_distinct", q31ApproxDistinct, Some(q31Sql)),
     GQuery("q32_join_right", q32JoinRight, Some(q32Sql)),
     GQuery("q33_map_funcs", q33MapFuncs, Some(q33Sql)),
     GQuery("q34_range_frame", q34RangeFrame, Some(q34Sql)),

