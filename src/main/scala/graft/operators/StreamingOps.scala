@@ -1354,6 +1354,90 @@ object StreamingOps {
       | cast(id as bigint) AS last_offset
       |FROM surv WHERE id % 11 <> 5 ORDER BY key""".stripMargin
 
+  /** END-TO-END EXACTLY-ONCE under a mid-run crash — the COMPOSITION
+    * of the three legs whose restart behavior is spec'd separately
+    * (replayable compacted DSv2 source, stateful latest-per-key
+    * upsert, transactional epoch-replace V2 sink), wired as one
+    * pipeline and CRASHED in the middle: run 1 drains a 10k-offset
+    * compacted log; the newest commit marker is then deleted (the JVM
+    * "died" after the sink published the epoch but before the
+    * checkpoint commit landed — the classic torn two-phase window);
+    * run 2 resumes against the GROWN 20k-offset log, so the restart
+    * must (a) replay the torn epoch into the sink idempotently,
+    * (b) rebuild nothing — upsert state persists in the checkpoint —
+    * and (c) continue draining the new offsets. The converged sink
+    * contents reduce to exactly `max(offset) per key minus
+    * tombstones` of the FINAL log — the same latest-per-key oracle as
+    * [[streamCompactedReplay]], but asserted through the sink files
+    * a downstream consumer would actually read. Tombstones survive
+    * the CSV sink as empty payloads (the compacted-sink convention)
+    * and are retracted by the snapshot read-back. At 100 TB: state is
+    * key-cardinality-sized, each epoch's publish is an O(files)
+    * rename transaction, and recovery cost is one epoch, not the
+    * log. */
+  /** One run of the e2e upsert pipeline: compacted DSv2 source →
+    * update-mode latest-per-key agg → transactional V2 text sink.
+    * Package-visible so the chaos spec can drive crashed and
+    * uninterrupted runs against the same wiring. */
+  private[graft] def e2eUpsertRun(spark: SparkSession, out: String,
+      ckpt: String, rows: Long): Unit = {
+    val q = spark.readStream.format("graft.sources.GraftRangeSource")
+      .option("rows", rows.toString).option("slices", "4")
+      .option("batchRows", "2500").option("compactedKeys", "101")
+      .load()
+      .select(
+        concat(lit("k"),
+          (((col("id") * 2654435761L) % 1000003L) % 101).cast("string")).as("key"),
+        when(col("id") % 11 === 5, lit("")) // tombstone = empty payload
+          .otherwise(concat(lit("lbl"), (col("id") % 5).cast("string"),
+            lit("@"), col("id").cast("string"))).as("value"),
+        timestamp_micros(col("id")).as("ts"))
+      .groupBy(col("key"))
+      .agg(max_by(col("value"), col("ts")).as("value"),
+        max(unix_micros(col("ts"))).as("last_offset"))
+      .writeStream.format("graft.sources.GraftTextSink")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Update()).start()
+    q.processAllAvailable(); q.stop()
+  }
+
+  /** Crash simulation: delete the newest commit marker — the restart
+    * believes the last epoch never committed and replays it. */
+  private[graft] def tearNewestCommit(ckpt: String): Unit = {
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    val torn = commits.last
+    new java.io.File(torn.getParentFile, s".${torn.getName}.crc").delete()
+    require(torn.delete(), "could not remove newest commit marker")
+  }
+
+  def streamE2eExactlyOnce(spark: SparkSession, dir: String): DataFrame =
+    withStatePartitions(spark) {
+      val out = graft.util.scratchDir("e2e_eo_out")
+      val ckpt = graft.util.scratchDir("e2e_eo_ckpt")
+      e2eUpsertRun(spark, out, ckpt, 10000)
+      tearNewestCommit(ckpt)
+      e2eUpsertRun(spark, out, ckpt, 20000)
+      // snapshot read-back: the update-mode changelog reduces by
+      // last-offset-wins per key; empty payload (CSV null) retracts
+      // max over (offset, value) structs, not max_by: a tombstone
+      // reads back as a NULL value and aggregate null-skipping must
+      // not resurrect an older non-null version — the struct max
+      // orders on the unique offset alone and carries the null along
+      spark.read.schema("key string, value string, last_offset long")
+        .csv(out)
+        .groupBy(col("key"))
+        .agg(max(struct(col("last_offset"), col("value"))).as("r"))
+        .filter(col("r.value").isNotNull)
+        .select(col("key"), col("r.value").as("value"),
+          col("r.last_offset").as("last_offset"))
+        .orderBy(col("key"))
+    }
+
+  /** Same latest-per-key truth as the compacted replay — the crash,
+    * replay, and sink transaction must be invisible in the answer. */
+  val streamE2eExactlyOnceSql: String = streamCompactedReplaySql
+
   final case class TopkSnap(key: String, total: Long, types: Seq[String], counts: Seq[Long])
 
   /** State-v2 processor on MAP state — the per-key sub-keyed state
@@ -2236,6 +2320,7 @@ object StreamingOps {
     GQuery("stream_chained_stateful", streamChainedStateful, Some(streamChainedStatefulSql)),
     GQuery("stream_dsv2_source", streamDsv2Source, Some(streamDsv2SourceSql)),
     GQuery("stream_compacted_replay", streamCompactedReplay, Some(streamCompactedReplaySql)),
+    GQuery("stream_e2e_exactly_once", streamE2eExactlyOnce, Some(streamE2eExactlyOnceSql)),
     GQuery("stream_dsv2_sink", streamDsv2Sink, Some(streamDsv2SinkSql)),
     GQuery("stream_user_topk", streamUserTopk, Some(streamUserTopkSql)),
     GQuery("stream_foreach_batch", streamForeachBatch, Some(streamForeachBatchSql)),

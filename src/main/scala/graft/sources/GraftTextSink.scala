@@ -58,8 +58,13 @@ class GraftTextTable(path: String, writeSchema: StructType)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
 
+  // SupportsStreamingUpdateAsAppend: Update-mode rows are written as
+  // appended changelog records (the Kafka-sink convention — a
+  // compacted/upsert sink where the READER reduces by latest-per-key),
+  // which is exactly this sink's read-back contract.
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
+    new WriteBuilder
+      with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new GraftTextBatchWrite(path, info.schema())
         override def toStreaming: streaming.StreamingWrite =

@@ -74,6 +74,54 @@ class Round13Spec extends AnyFunSuite {
     assert(recall >= 0.6, s"mutual-pair recall vs exact tier = $recall")
   }
 
+  test("e2e exactly-once chaos: compacted source -> stateful upsert -> " +
+      "transactional sink; kill-mid-epoch restart is file-identical to " +
+      "an uninterrupted run and both match the in-JVM referee") {
+    import scala.jdk.CollectionConverters._
+    def lines(out: String): Seq[String] =
+      new java.io.File(out).listFiles().toSeq
+        .filter(_.getName.startsWith("part-"))
+        .flatMap(f => java.nio.file.Files.readAllLines(f.toPath).asScala)
+        .sorted
+    // ---- leg 1: FILE-IDENTITY of the torn-epoch replay on a FIXED
+    // log. (On a GROWN log file-identity cannot hold by design: the
+    // broker re-compacted, so the replayed epoch's survivor set
+    // legitimately changed — that path is leg 2.)
+    val (outA, ckA) = (util.scratchDir("eo_chaos_a"), util.scratchDir("eo_chaos_a_ck"))
+    operators.StreamingOps.e2eUpsertRun(spark, outA, ckA, 20000)
+    operators.StreamingOps.tearNewestCommit(ckA)
+    operators.StreamingOps.e2eUpsertRun(spark, outA, ckA, 20000)
+    // uninterrupted reference: one fresh run over the same 20k log
+    val (outB, ckB) = (util.scratchDir("eo_chaos_b"), util.scratchDir("eo_chaos_b_ck"))
+    operators.StreamingOps.e2eUpsertRun(spark, outB, ckB, 20000)
+    val (got, want) = (lines(outA), lines(outB))
+    assert(want.nonEmpty)
+    assert(got == want,
+      s"crashed+restarted sink diverges: ${got.length} vs ${want.length} lines; " +
+        s"first diff: ${got.diff(want).headOption.orElse(want.diff(got).headOption)}")
+    // ---- leg 2: CONVERGENCE through crash + growth + re-compaction
+    // (the registry entry's own shape): drain 10k, tear the newest
+    // commit, resume against the grown re-compacted 20k log. The
+    // replayed epoch's contents legitimately differ — exactly-once
+    // here means the converged snapshot equals the in-JVM referee:
+    // survivor max-offset per key, tombstones (id % 11 == 5) retracted.
+    val (outC, ckC) = (util.scratchDir("eo_chaos_c"), util.scratchDir("eo_chaos_c_ck"))
+    operators.StreamingOps.e2eUpsertRun(spark, outC, ckC, 10000)
+    operators.StreamingOps.tearNewestCommit(ckC)
+    operators.StreamingOps.e2eUpsertRun(spark, outC, ckC, 20000)
+    val surv = (0L until 20000L)
+      .groupBy(id => ((id * 2654435761L) % 1000003L) % 101L)
+      .view.mapValues(_.max).toMap
+    val expect = surv.toSeq.collect {
+      case (k, id) if id % 11 != 5 => (s"k$k", s"lbl${id % 5}@$id", id)
+    }.sortBy(_._1)
+    val snap = lines(outC).map(_.split(",", -1))
+      .map(a => (a(0), a(1), a(2).toLong))
+      .groupBy(_._1).view.mapValues(_.maxBy(_._3)).values
+      .filter(_._2.nonEmpty).toSeq.sortBy(_._1)
+    assert(snap == expect, "converged snapshot diverges from referee")
+  }
+
   test("registry-wide: no batch entry re-executes an expensive " +
       "scan-bearing subtree twice without a reuse or checkpoint barrier") {
     import org.apache.spark.sql.execution.SparkPlan
