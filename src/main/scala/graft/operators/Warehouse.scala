@@ -1039,6 +1039,86 @@ object Warehouse {
        |FROM ex e JOIN est s USING (scope)
        |ORDER BY e.scope""".stripMargin
 
+  /** RESOURCE AUDIT of the heavy-tier entries — wall time predicts
+    * 100× behavior worse than STATE GROWTH does, so this entry runs
+    * the registry's heaviest batch operators at the two smallest
+    * published scale factors and measures, per run, the task-metric
+    * totals a capacity planner actually needs: peak execution memory
+    * (max over tasks), spilled bytes (memory + disk), and shuffle
+    * records written. The headline column is `growth_ratio_bp`
+    * (shuffle records hi/lo in basis points): the fixture SF ratio is
+    * 10×, so a linear operator reads ≈ 100 000 bp and anything
+    * `superlinear` (> 2× the data ratio, i.e. > 200 000 bp) is flagged
+    * — a quadratic candidate generator would read ~10⁶ bp. Shuffle
+    * RECORDS (not bytes) are the signal because they are
+    * deterministic given the plan, while memory/spill are
+    * environment-dependent (reported, but rows-only — hence no
+    * DuckDB oracle; the spec asserts the laws: panel coverage,
+    * non-negative metrics, sub-superlinear growth for every entry).
+    * The audit pins the two SMALLEST SFs regardless of the serving
+    * `dir`, so its own cost stays answer-sized at any scale; the
+    * growth LAW, not the absolute SF, is what it certifies. */
+  def metaResourceAudit(spark: SparkSession, dir: String): DataFrame = {
+    import java.util.concurrent.atomic.AtomicLong
+    val parent = new java.io.File(dir).getParentFile
+    def sfDir(name: String): Option[String] = {
+      val f = new java.io.File(parent, name)
+      if (f.isDirectory) Some(f.getPath) else None
+    }
+    val lo = sfDir("sf0.001").getOrElse(dir)
+    val hi = sfDir("sf0.01").getOrElse(dir)
+    val panel: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      ("graph_hits", Graph.hits),
+      ("graph_shortest_paths_frontier", Graph.shortestPathsFrontier),
+      ("sim_knn_join_ivf", Similarity.knnJoinIvf),
+      ("sim_mutual_nn", Similarity.mutualNn),
+      ("q103_abc_xyz", Analytics.q103AbcXyz))
+    final class Probe extends org.apache.spark.scheduler.SparkListener {
+      val peak = new AtomicLong(0L)
+      val spilled = new AtomicLong(0L)
+      val shuffleRecs = new AtomicLong(0L)
+      val tasks = new AtomicLong(0L)
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          peak.getAndAccumulate(m.peakExecutionMemory, math.max)
+          spilled.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+          shuffleRecs.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+          tasks.incrementAndGet()
+          ()
+        }
+      }
+    }
+    def measure(fn: (SparkSession, String) => DataFrame, d: String):
+        (Long, Long, Long) = {
+      val p = new Probe
+      spark.sparkContext.addSparkListener(p)
+      try {
+        fn(spark, d).count()
+        // the listener bus is async: poll until the task counter is
+        // stable for 200 ms (bounded at 5 s) before reading totals
+        var last = -1L; var stable = 0; var waited = 0
+        while (stable < 2 && waited < 50) {
+          val now = p.tasks.get()
+          if (now == last) stable += 1 else { stable = 0; last = now }
+          Thread.sleep(100); waited += 1
+        }
+      } finally spark.sparkContext.removeSparkListener(p)
+      (p.shuffleRecs.get(), p.peak.get(), p.spilled.get())
+    }
+    import spark.implicits._
+    panel.map { case (name, fn) =>
+      val (recLo, _, _) = measure(fn, lo)
+      val (recHi, peakHi, spillHi) = measure(fn, hi)
+      val ratioBp = if (recLo > 0) recHi * 10000L / recLo else 0L
+      (name, recLo, recHi, ratioBp, ratioBp > 200000L, peakHi, spillHi)
+    }.toDF("entry", "shuffle_records_lo", "shuffle_records_hi",
+      "growth_ratio_bp", "superlinear", "peak_mem_hi_bytes",
+      "spilled_hi_bytes")
+      .orderBy(col("entry"))
+  }
+
   /** Data-quality expectations report (dbt-test/Deequ-style): each row
     * is one declared constraint over the star schema — key uniqueness,
     * non-null, referential integrity, accepted range — with its
@@ -1709,6 +1789,7 @@ object Warehouse {
     GQuery("meta_join_estimate", metaJoinEstimate, Some(metaJoinEstimateSql)),
     GQuery("meta_quantile_sketch", metaQuantileSketch, Some(metaQuantileSketchSql)),
     GQuery("meta_kll_quantiles", metaKllQuantiles, Some(metaKllQuantilesSql)),
+    GQuery("meta_resource_audit", metaResourceAudit, None),
     GQuery("meta_expectations", metaExpectations, Some(metaExpectationsSql)),
   )
 }

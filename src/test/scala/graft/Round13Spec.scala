@@ -74,6 +74,28 @@ class Round13Spec extends AnyFunSuite {
     assert(recall >= 0.6, s"mutual-pair recall vs exact tier = $recall")
   }
 
+  test("resource audit: heavy-tier panel covered, metrics lawful, and " +
+      "no entry's shuffle state grows superlinearly in SF") {
+    val rows = SparkEntry.queries("meta_resource_audit")(spark, sf).collect()
+    val byName = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4),
+        r.getLong(5), r.getLong(6))).toMap
+    assert(byName.keySet == Set("graph_hits", "graph_shortest_paths_frontier",
+      "sim_knn_join_ivf", "sim_mutual_nn", "q103_abc_xyz"))
+    for ((n, (lo, hi, ratioBp, superlinear, peak, spill)) <- byName) {
+      assert(lo >= 0 && hi >= 0 && peak >= 0 && spill >= 0, n)
+      assert(ratioBp == (if (lo > 0) hi * 10000L / lo else 0L), n)
+      // the audit's verdict: nothing in the heavy tier may scale its
+      // shuffled state superlinearly between the two fixture SFs
+      assert(!superlinear,
+        s"$n shuffle records grew ${ratioBp / 10000.0}x across a 10x SF step")
+    }
+    // the fixture tables really do differ ~10x, so a linear entry must
+    // show materially more shuffle at the larger SF
+    assert(byName.values.exists { case (lo, hi, _, _, _, _) => hi > lo },
+      "audit measured no growth at all — probe wiring broken?")
+  }
+
   test("e2e exactly-once chaos: compacted source -> stateful upsert -> " +
       "transactional sink; kill-mid-epoch restart is file-identical to " +
       "an uninterrupted run and both match the in-JVM referee") {
