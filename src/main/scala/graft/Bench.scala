@@ -107,7 +107,7 @@ object Bench {
       "dedup_apply_components", "dedup_apply_neardup", "dedup_cluster_components",
       "dedup_cluster_star", "dedup_fuzzy_edit", "dedup_semantic_clusters",
       "sim_ivf_topk", "sim_ivfpq_topk", "sim_pq_topk", "sim_range_search",
-      "sim_filtered_topk", "sim_knn_join_ivf", "sim_index_add",
+      "sim_filtered_topk", "sim_knn_join_ivf", "sim_mutual_nn_ivf", "sim_index_add",
       "stream_ann_serve", "stream_filtered_ann_serve",
       "graph_pagerank", "graph_triangles", "graph_kcore_peel",
       "graph_label_propagation", "graph_ppr", "graph_shortest_paths",

@@ -984,27 +984,37 @@ object Graph {
     * The oracle unrolls the identical rounds as CTEs with
     * scalar-subquery maxima. Top-10 per side by (score desc, node). */
   def hits(spark: SparkSession, dir: String): DataFrame = {
+    // checkpoint the edge table ONCE: six half-steps join against it,
+    // and re-scanning the artifact parquet per half-step was ~35 % of
+    // the entry's cost (the iterative-floor discipline every sibling
+    // fixpoint follows)
     val edges = spark.read.parquet(s"${tradeGraphRoot(spark, dir)}/sym")
       .filter(pmod(col("src"), lit(2)) === 0) // directed: customer → supplier
+      .localCheckpoint(true)
     def rescale(df: DataFrame): DataFrame = {
       // localCheckpoint BEFORE the double reference below (once under
-      // agg(max), once in the crossJoin): without the barrier each
-      // half-step re-inlines the whole edge-join lineage of every
+      // the max, once in the rescale projection): without the barrier
+      // each half-step re-inlines the whole edge-join lineage of every
       // previous half-step, ~2^6 copies after 3 rounds — the same
       // re-inlining hazard the oracle's MATERIALIZED CTEs guard
       // against. Sibling iterative entries (pageRank, LPA, frontier
       // BFS, k-core) already checkpoint per round.
-      val mat = df.localCheckpoint(true)
-      val m = mat.agg(max(col("s")).as("m"))
+      // the normalizer is ONE scalar — observe() computes it IN the
+      // materialization job (no separate max job, no broadcast
+      // exchange + crossJoin per half-step; the literal then folds
+      // into the projection). Bounded by construction, like
+      // DistRank's partition partials.
+      val obs = org.apache.spark.sql.Observation()
+      val mat = df.observe(obs, max(col("s")).as("m")).localCheckpoint(true)
+      val m = math.max(obs.get("m").asInstanceOf[Long], 1L)
       // rescale through decimal(38,0): s ≤ deg·10⁶, so s·10⁶ wraps
       // int64 once a node's degree exceeds ~9.2·10⁶ — real for a
       // hub-heavy 100 TB graph. DuckDB's side is already exact (its
       // SUM of bigint is HUGEINT); the decimal product keeps Spark
       // exact at any degree, and IntegralDivide on decimal returns
       // the bigint the schema needs.
-      mat.crossJoin(broadcast(m))
-        .select(col("node"),
-          expr("cast(s as decimal(38,0)) * 1000000 div greatest(m, 1L)").as("s"))
+      mat.select(col("node"),
+        expr(s"cast(s as decimal(38,0)) * 1000000 div ${m}L").as("s"))
     }
     var hub = edges.select(col("src").as("node")).distinct()
       .withColumn("s", lit(1000000L))

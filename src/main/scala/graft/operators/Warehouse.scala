@@ -1097,12 +1097,12 @@ object Warehouse {
       try {
         fn(spark, d).count()
         // the listener bus is async: poll until the task counter is
-        // stable for 200 ms (bounded at 5 s) before reading totals
+        // stable for 100 ms (bounded at 5 s) before reading totals
         var last = -1L; var stable = 0; var waited = 0
-        while (stable < 2 && waited < 50) {
+        while (stable < 2 && waited < 100) {
           val now = p.tasks.get()
           if (now == last) stable += 1 else { stable = 0; last = now }
-          Thread.sleep(100); waited += 1
+          Thread.sleep(50); waited += 1
         }
       } finally spark.sparkContext.removeSparkListener(p)
       (p.shuffleRecs.get(), p.peak.get(), p.spilled.get())
