@@ -957,13 +957,43 @@ object Analytics {
     * cell sketches re-estimates the cohort size — identical to the
     * offset-0 cell — within the same bound). Cells under k are EXACT
     * (θ = 1); estimation begins only where exactness would cost.
-    * Engine-specific hashing → rows-only check + error-bound spec. */
-  def q75bRetentionSketch(spark: SparkSession, dir: String): DataFrame =
-    retentionCellSketches(spark, dir)
+    * Hashing is engine-specific but the estimates are deterministic
+    * given the build (KMV is an exact bottom-k set, merge-order
+    * independent) → estimate-sidecar discipline: DuckDB recomputes
+    * the exact per-cell counts (q75's own aggregation — the referee
+    * column) and joins the dumped estimates ⇒ hash-green; the spec
+    * keeps the 3σ error bound. */
+  def q75bRetentionSketch(spark: SparkSession, dir: String): DataFrame = {
+    val est = retentionCellSketches(spark, dir)
       .select(col("cohort_week"), col("week_offset"),
         round(graft.functions.KmvSketch.kmvEstimate(col("sk")))
           .cast("long").as("est_users"))
+    oracleSidecar("q75b_estimates", est)
+    est.join(
+        q75RetentionCohorts(spark, dir)
+          .select(col("cohort_week"), col("week_offset"),
+            col("active_users").as("exact_users")),
+        Seq("cohort_week", "week_offset"))
       .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val q75bSql: String =
+    s"""WITH est AS (
+       | SELECT cohort_week, week_offset, est_users
+       | FROM read_parquet('${oracleSidecarGlob("q75b_estimates")}')),
+       |uw AS (
+       | SELECT DISTINCT user_id, (epoch_ns(ts) // 1000) // 604800000000 AS week
+       | FROM events),
+       |cohort AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY 1),
+       |ex AS (
+       | SELECT c.cohort_week, u.week - c.cohort_week AS week_offset,
+       |  cast(count(DISTINCT u.user_id) AS bigint) AS exact_users
+       | FROM uw u JOIN cohort c USING (user_id)
+       | GROUP BY 1, 2)
+       |SELECT e.cohort_week, e.week_offset,
+       | cast(s.est_users as bigint) AS est_users, e.exact_users
+       |FROM ex e JOIN est s USING (cohort_week, week_offset)
+       |ORDER BY e.cohort_week, e.week_offset""".stripMargin
 
   /** The stored sketch table behind [[q75bRetentionSketch]] — exposed
     * so the spec can union cells into cohort rollups. */
@@ -3250,7 +3280,7 @@ object Analytics {
     GQuery("q84_ivm_join", q84IvmJoin, Some(q84Sql)),
     GQuery("q85_islands", q85Islands, Some(q85Sql)),
     GQuery("q75_retention_cohorts", q75RetentionCohorts, Some(q75Sql)),
-    GQuery("q75b_retention_sketch", q75bRetentionSketch, None),
+    GQuery("q75b_retention_sketch", q75bRetentionSketch, Some(q75bSql)),
     GQuery("q69_setops_all", q69SetopsAll, Some(q69Sql)),
     GQuery("q67_mode_median", q67ModeMedian, Some(q67Sql)),
     GQuery("q66_sessionize_scan", q66SessionizeScan, Some(q66Sql)),

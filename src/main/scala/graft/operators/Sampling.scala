@@ -840,8 +840,81 @@ object Sampling {
       |   THEN vec_id END), 0) as bigint) AS sum_kept
       |FROM ranked GROUP BY label ORDER BY label""".stripMargin
 
+  /** SEQUENCE PACKING — the concat-then-chunk step every GPT-style
+    * pretraining pipeline runs between tokenization and training: the
+    * corpus is one long token stream in corpus (doc_id) order, cut
+    * into fixed 2048-token training windows; a document occupies
+    * [prefix−n, prefix) of the stream and therefore lands in chunks
+    * ⌊start/B⌋ .. ⌊(end−1)/B⌋ — documents straddling a cut are the
+    * boundary-split docs an attention-mask reset has to handle, and
+    * the packer's whole job is knowing exactly which they are. The
+    * global prefix sum runs through [[DistRank.withPrefix]] (range
+    * partition + partition partials — never a single-partition
+    * window); per-doc chunk spans explode output-linearly (a doc with
+    * T tokens touches ≤ T/B + 1 chunks); the per-chunk rollup is one
+    * equi-shuffle on chunk_id. Every chunk except the last carries
+    * EXACTLY B tokens — the law the spec pins — so downstream
+    * training-shard manifests can address the stream arithmetically.
+    * All integer ⇒ DuckDB replays the identical packing. */
+  val packChunkTokens = 2048L
+
+  def sequencePack(spark: SparkSession, dir: String): DataFrame = {
+    val B = packChunkTokens
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+    val pre = graft.operators.DistRank.withPrefix(
+      toks, Seq(col("doc_id")), col("n_toks"), "sum", "pend")
+      .select(col("doc_id"), col("n_toks"),
+        (col("pend") - col("n_toks")).as("pstart"), col("pend"))
+    val spans = pre
+      .withColumn("first_chunk", (col("pstart") / B).cast("long"))
+      .withColumn("last_chunk", ((col("pend") - 1) / B).cast("long"))
+      .withColumn("chunk_id",
+        explode(sequence(col("first_chunk"), col("last_chunk"))))
+      .withColumn("tok_in_chunk",
+        least(col("pend"), (col("chunk_id") + 1) * B) -
+          greatest(col("pstart"), col("chunk_id") * B))
+    spans.groupBy(col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("first_chunk") === col("chunk_id") &&
+          col("last_chunk") === col("chunk_id"), 1L).otherwise(0L))
+          .as("n_full_docs"),
+        sum(col("tok_in_chunk")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("chunk_id"))
+  }
+
+  val sequencePackSql: String =
+    s"""WITH toks AS (
+       | SELECT doc_id, cast(len(string_split(text, ' ')) as bigint) AS n_toks
+       | FROM documents),
+       |pre AS (
+       | SELECT doc_id, n_toks,
+       |  cast(sum(n_toks) OVER (ORDER BY doc_id) - n_toks as bigint) AS pstart,
+       |  cast(sum(n_toks) OVER (ORDER BY doc_id) as bigint) AS pend
+       | FROM toks),
+       |spans AS (
+       | SELECT doc_id, pstart, pend,
+       |  pstart // ${packChunkTokens} AS first_chunk,
+       |  (pend - 1) // ${packChunkTokens} AS last_chunk,
+       |  unnest(range(pstart // ${packChunkTokens},
+       |               (pend - 1) // ${packChunkTokens} + 1)) AS chunk_id
+       | FROM pre)
+       |SELECT cast(chunk_id as bigint) AS chunk_id,
+       | cast(count(*) as bigint) AS n_docs,
+       | cast(sum(CASE WHEN first_chunk = chunk_id AND last_chunk = chunk_id
+       |   THEN 1 ELSE 0 END) as bigint) AS n_full_docs,
+       | cast(sum(least(pend, (chunk_id + 1) * ${packChunkTokens})
+       |   - greatest(pstart, chunk_id * ${packChunkTokens})) as bigint)
+       |   AS n_tokens,
+       | cast(min(doc_id) as bigint) AS first_doc,
+       | cast(max(doc_id) as bigint) AS last_doc
+       |FROM spans GROUP BY chunk_id ORDER BY chunk_id""".stripMargin
+
   val all: Seq[GQuery] = Seq(
     GQuery("sample_balanced_classes", balancedClasses, Some(balancedClassesSql)),
+    GQuery("pipeline_sequence_pack", sequencePack, Some(sequencePackSql)),
     GQuery("pipeline_epoch_shuffle", epochShuffle, Some(epochShuffleSql)),
     GQuery("sample_dedup_split", dedupAwareSplit, Some(dedupAwareSplitSql)),
     GQuery("sample_systematic", systematicSample, Some(systematicSampleSql)),

@@ -805,13 +805,35 @@ object StreamingOps {
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Update).start()
       q.processAllAvailable(); q.stop()
-      spark.table(name).groupBy(col("event_type"))
+      val est = spark.table(name).groupBy(col("event_type"))
         .agg(max(col("est_distinct")).as("est_distinct"))
+      // estimate-sidecar discipline: KMV's converged estimate is
+      // deterministic (the sketch is an exact bottom-k set, arrival-
+      // order independent) — dump it, let DuckDB recompute the exact
+      // distinct per type as the referee column ⇒ hash-green.
+      graft.util.oracleSidecar("stream_kmv_estimates", est)
+      est.join(
+          spark.read.parquet(s"$dir/events.parquet")
+            .groupBy(col("event_type"))
+            .agg(countDistinct(col("user_id")).as("exact_distinct")),
+          Seq("event_type"))
         .orderBy(col("event_type"))
     } finally {
       prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
     }
   }
+
+  val streamKmvDistinctSql: String =
+    s"""WITH est AS (
+       | SELECT event_type, est_distinct
+       | FROM read_parquet('${graft.util.oracleSidecarGlob("stream_kmv_estimates")}')),
+       |ex AS (
+       | SELECT event_type, cast(count(DISTINCT user_id) as bigint)
+       |   AS exact_distinct
+       | FROM events GROUP BY 1)
+       |SELECT e.event_type, s.est_distinct, e.exact_distinct
+       |FROM ex e JOIN est s USING (event_type)
+       |ORDER BY e.event_type""".stripMargin
 
   /** STREAMING POINT-IN-TIME ENRICHMENT — each purchase event is
     * enriched with the SCD2 dimension version valid AT ITS EVENT TIME
@@ -2338,7 +2360,7 @@ object StreamingOps {
     GQuery("stream_punctuate_snapshot", streamPunctuateSnapshot, Some(streamPunctuateSnapshotSql)),
     GQuery("stream_session_counts", streamSessionCounts, Some(streamSessionCountsSql)),
     GQuery("stream_dedup_corpus", streamDedupCorpus, Some(streamDedupCorpusSql)),
-    GQuery("stream_kmv_distinct", streamKmvDistinct, None),
+    GQuery("stream_kmv_distinct", streamKmvDistinct, Some(streamKmvDistinctSql)),
     GQuery("stream_kll_quantiles", streamKllQuantiles, None),
     GQuery("stream_scd2_enrich", streamScd2Enrich, Some(streamScd2EnrichSql)),
     GQuery("stream_mv_maintain", streamMvMaintain, Some(Warehouse.q87Sql)),

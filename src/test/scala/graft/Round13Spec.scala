@@ -74,6 +74,44 @@ class Round13Spec extends AnyFunSuite {
     assert(recall >= 0.6, s"mutual-pair recall vs exact tier = $recall")
   }
 
+  test("sequence pack: every chunk but the last carries exactly B " +
+      "tokens; totals reconcile; sequential packer referee agrees") {
+    val B = operators.Sampling.packChunkTokens
+    val rows = SparkEntry.queries("pipeline_sequence_pack")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).toSeq == rows.indices.map(_.toLong),
+      "chunk ids are dense from 0")
+    for ((cid, nd, nf, nt, _, _) <- rows.init)
+      assert(nt == B, s"chunk $cid carries $nt tokens, want $B")
+    assert(rows.last._4 <= B && rows.last._4 > 0)
+    for ((cid, nd, nf, _, _, _) <- rows) assert(nf <= nd, s"chunk $cid")
+    // sequential referee: pack the collected corpus in doc order
+    val docs = util.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).length.toLong))
+      .sortBy(_._1)
+    val total = docs.map(_._2).sum
+    assert(rows.map(_._4).sum == total, "token totals reconcile")
+    var off = 0L
+    val touch = scala.collection.mutable.Map
+      .empty[Long, (Long, Long, Long, Long, Long)] // cid -> (nd, nf, nt, fdoc, ldoc)
+    for ((id, n) <- docs) {
+      val (s, e) = (off, off + n); off = e
+      val (fc, lc) = (s / B, (e - 1) / B)
+      for (c <- fc to lc) {
+        val nt = math.min(e, (c + 1) * B) - math.max(s, c * B)
+        val cur = touch.getOrElse(c, (0L, 0L, 0L, Long.MaxValue, Long.MinValue))
+        touch(c) = (cur._1 + 1, cur._2 + (if (fc == lc) 1L else 0L),
+          cur._3 + nt, math.min(cur._4, id), math.max(cur._5, id))
+      }
+    }
+    val want = touch.toSeq.sortBy(_._1)
+      .map { case (c, (nd, nf, nt, fd, ld)) => (c, nd, nf, nt, fd, ld) }
+    assert(rows.toSeq == want, "sequential packer referee")
+  }
+
   test("resource audit: heavy-tier panel covered, metrics lawful, and " +
       "no entry's shuffle state grows superlinearly in SF") {
     val rows = SparkEntry.queries("meta_resource_audit")(spark, sf).collect()
