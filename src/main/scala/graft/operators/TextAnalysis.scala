@@ -253,6 +253,44 @@ object TextAnalysis {
       |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** LANGUAGE-ID EVALUATION — the confusion matrix of [[langId]]'s
+    * marker-vote heuristic against the corpus labels, with per-cell
+    * recall (share of the TRUE language routed here) and precision
+    * (share of THIS prediction that is right) in basis points: the
+    * numbers that decide whether a language router is good enough to
+    * gate a multilingual training mix. One answer-sized confusion
+    * aggregate (|langs|² ≤ dozens of rows), checkpointed because the
+    * marginals re-reference it (the r12 double-execution class);
+    * everything integer ⇒ fully DuckDB-replayed on top of the langId
+    * derivation itself. */
+  def langIdEval(spark: SparkSession, dir: String): DataFrame = {
+    val conf = langId(spark, dir)
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val byTrue = conf.groupBy(col("lang")).agg(sum(col("n")).as("t"))
+    val byPred = conf.groupBy(col("pred_lang")).agg(sum(col("n")).as("p"))
+    conf.join(broadcast(byTrue), Seq("lang"))
+      .join(broadcast(byPred), Seq("pred_lang"))
+      .select(col("lang"), col("pred_lang"), col("n"),
+        expr("n * 10000 div t").as("recall_bp"),
+        expr("n * 10000 div p").as("precision_bp"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
+  val langIdEvalSql: String =
+    s"""WITH li AS ($langIdSql),
+       |conf AS (
+       | SELECT lang, pred_lang, cast(count(*) as bigint) AS n
+       | FROM li GROUP BY 1, 2),
+       |tt AS (SELECT lang, cast(sum(n) as bigint) AS t FROM conf GROUP BY 1),
+       |tp AS (SELECT pred_lang, cast(sum(n) as bigint) AS p FROM conf GROUP BY 1)
+       |SELECT c.lang, c.pred_lang, c.n,
+       | cast(c.n * 10000 // tt.t as bigint) AS recall_bp,
+       | cast(c.n * 10000 // tp.p as bigint) AS precision_bp
+       |FROM conf c JOIN tt USING (lang) JOIN tp USING (pred_lang)
+       |ORDER BY c.lang, c.pred_lang""".stripMargin
+
   /** Document fingerprint: winnowed rolling hash — min/max xxhash64
     * over 4-token windows (content-defined, shift-invariant). The
     * hash fn is engine-specific, but hash-green since round 10 via
@@ -2006,6 +2044,7 @@ object TextAnalysis {
     GQuery("text_tfidf_top_terms", tfidfTopTerms, Some(tfidfTopTermsSql)),
     GQuery("text_bm25_topk", bm25Topk, Some(bm25TopkSql)),
     GQuery("text_lang_id", langId, Some(langIdSql)),
+    GQuery("text_langid_eval", langIdEval, Some(langIdEvalSql)),
     GQuery("text_fingerprint", fingerprint, Some(fingerprintSql)),
   )
 }

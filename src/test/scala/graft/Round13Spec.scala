@@ -74,6 +74,30 @@ class Round13Spec extends AnyFunSuite {
     assert(recall >= 0.6, s"mutual-pair recall vs exact tier = $recall")
   }
 
+  test("langid eval: confusion matrix recombines from langId's own " +
+      "output; marginals are lawful") {
+    val rows = SparkEntry.queries("text_langid_eval")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // referee: rebuild the confusion matrix from the per-doc entry
+    val docs = SparkEntry.queries("text_lang_id")(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val conf = docs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val byT = docs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val byP = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val want = conf.toSeq.map { case ((t0, p0), n) =>
+      (t0, p0, n, n * 10000 / byT(t0), n * 10000 / byP(p0))
+    }.sortBy(x => (x._1, x._2))
+    assert(rows.toSeq == want, "confusion referee")
+    // each true language's recall cells floor-sum to ≤ 10000 and
+    // within |preds| of it (flooring loses < 1 bp per cell)
+    for ((t0, cells) <- rows.groupBy(_._1)) {
+      val s = cells.map(_._4).sum
+      assert(s <= 10000 && s > 10000 - cells.length, s"$t0 recall sums to $s")
+    }
+  }
+
   test("sequence pack: every chunk but the last carries exactly B " +
       "tokens; totals reconcile; sequential packer referee agrees") {
     val B = operators.Sampling.packChunkTokens
