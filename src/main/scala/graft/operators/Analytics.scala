@@ -3158,10 +3158,14 @@ object Analytics {
     perDecile
       .join(cum, col("d2") <= col("decile"))
       .groupBy(col("decile"), col("n_customers"), col("decile_cents"))
-      .agg(sum(col("c2")).as("cum_cents"))
+      // decimal(38,0): cum_cents is a cumulative corpus-revenue sum —
+      // ×10⁴ wraps int64 at ~$9.2·10¹⁴ cents while DuckDB's window
+      // sum is HUGEINT; decimal keeps the engines in lockstep
+      .agg(sum(col("c2").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        .as("cum_cents"))
       .crossJoin(broadcast(total))
       .select(col("decile"), col("n_customers"), col("decile_cents"),
-        expr("cum_cents * 10000 div tot").as("cum_share_bp"))
+        expr("cast(cum_cents * 10000 div tot as bigint)").as("cum_share_bp"))
       .orderBy(col("decile"))
   }
 

@@ -321,8 +321,16 @@ object Graph {
       .crossJoin(broadcast(m))
       .select(col("label").as("community"), col("n_members"),
         coalesce(col("e_c"), lit(0L)).as("e_c"), col("d_c"), col("m"))
+      // decimal(38,0) per term: d_c ≤ 2m, so d_c²·10⁶ wraps int64
+      // already at community degree-sum ~3·10⁶ (a community covering
+      // 1.5M edges — routine at 100 TB), and 4·m² wraps at m ≈ 1.5·10⁹
+      // edges; the oracle mirrors with HUGEINT casts so neither engine
+      // wraps OR raises at any graph size. Both per-term quotients are
+      // ≥ 0 ⇒ truncation ≡ floor in both engines.
       .withColumn("q_micro",
-        expr("(e_c * 1000000) div m - (d_c * d_c * 1000000) div (4 * m * m)"))
+        expr("""cast(e_c as decimal(38,0)) * 1000000 div m
+          - cast(d_c as decimal(38,0)) * d_c * 1000000
+            div (cast(4 as decimal(38,0)) * m * m)"""))
       .select(col("community"), col("n_members"), col("e_c"), col("d_c"), col("q_micro"))
       .orderBy(col("community"))
   }
@@ -344,8 +352,9 @@ object Graph {
        |  FROM final f JOIN deg d ON d.node = f.node GROUP BY f.label)
        |SELECT c.label AS community, c.n_members,
        | coalesce(i.e_c, 0) AS e_c, g.d_c,
-       | (coalesce(i.e_c, 0) * 1000000) // m.m
-       |   - (g.d_c * g.d_c * 1000000) // (4 * m.m * m.m) AS q_micro
+       | cast((cast(coalesce(i.e_c, 0) as hugeint) * 1000000) // m.m
+       |   - (cast(g.d_c as hugeint) * g.d_c * 1000000)
+       |     // (cast(4 as hugeint) * m.m * m.m) as bigint) AS q_micro
        |FROM comm c
        | LEFT JOIN intra i ON i.label = c.label
        | JOIN degsum g ON g.label = c.label

@@ -320,10 +320,17 @@ object Sampling {
     ev.crossJoin(r)
       .select(col("rep"), k.as("k"), col("cents"))
       .groupBy(col("rep"))
+      // accumulate in decimal(38,0): total_cents is a CORPUS-scale
+      // money sum and ×10⁶ wraps int64 already at ~$92B — DuckDB's
+      // sum() is HUGEINT, so the decimal path keeps the engines in
+      // lockstep at any SF (the long display cast of total_cents is
+      // safe to ~$9.2·10¹⁶, documented like q117's sum_d2)
       .agg(sum(col("k")).cast("long").as("n_drawn"),
-        sum(col("k") * col("cents")).cast("long").as("total_cents"))
-      .withColumn("mean_micro",
-        expr("(total_cents * 1000000) div n_drawn").cast("long"))
+        sum((col("k") * col("cents"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("tc"))
+      .select(col("rep"), col("n_drawn"),
+        col("tc").cast("long").as("total_cents"),
+        expr("cast(tc * 1000000 div n_drawn as bigint)").as("mean_micro"))
       .orderBy(col("rep"))
   }
 
