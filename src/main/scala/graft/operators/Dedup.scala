@@ -1465,7 +1465,7 @@ object Dedup {
       .withColumn("full_copies", expr("target_toks div natural_toks"))
       .withColumn("partial_budget", expr("target_toks - full_copies * natural_toks"))
     val wOrd = Window.partitionBy(col("lang"))
-      .orderBy(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)), col("doc_id"))
+      .orderBy(pmod(pmod(col("doc_id"), lit(2147483648L)) * 2654435761L, lit(4294967296L)), col("doc_id"))
     val partial = docs
       .withColumn("cum", sum(col("toks")).over(
         wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -1502,7 +1502,7 @@ object Dedup {
       |cum AS (
       |  SELECT lang, toks,
       |         sum(toks) OVER (PARTITION BY lang
-      |           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+      |           ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id
       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       |  FROM docs),
       |partial AS (

@@ -745,7 +745,7 @@ object Graph {
     for (s <- 1 to 4) {
       val withIdx = pos.join(deg, col("node") === col("src")).drop("src")
         .withColumn("idx",
-          expr(s"((walk_id * 2654435761 + $s * 40503) % 4294967296 " +
+          expr(s"(((walk_id % 2147483648) * 2654435761 + $s * 40503) % 4294967296 " +
             "+ 4294967296) % 4294967296 % d"))
       pos = withIdx
         .join(ranked, col("node") === col("src") && col("idx") === col("nbr_rank"))
@@ -762,7 +762,7 @@ object Graph {
          | FROM p${s - 1} p
          | JOIN deg ON deg.src = p.node
          | JOIN ranked r ON r.src = p.node AND r.nbr_rank =
-         |  ((p.walk_id * 2654435761 + $s * 40503) % 4294967296
+         |  (((p.walk_id % 2147483648) * 2654435761 + $s * 40503) % 4294967296
          |    + 4294967296) % 4294967296 % deg.d)""".stripMargin
     }.mkString(",\n")
     val emits = (0 to 4).map(s =>

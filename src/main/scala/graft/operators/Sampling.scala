@@ -76,7 +76,7 @@ object Sampling {
     * score = ⌊√n_l⌋ (exact in double far beyond any corpus size), a
     * 200-doc budget split by floor allocation `budget·score div Σscore`
     * capped at the stratum size, and the WHICH-docs choice made by the
-    * Knuth multiplicative priority `(doc_id·2654435761) mod 2³²` — a
+    * Knuth multiplicative priority `((doc_id mod 2³¹)·2654435761) mod 2³²` — a
     * pure row function both engines compute identically, so membership
     * (not just counts) is oracle-checked. Per-stratum window sort is
     * the clarity shape; at 100 TB swap in the
@@ -91,7 +91,7 @@ object Sampling {
       .withColumn("target", least(col("stratum_n"), expr("200 * score div tot")))
       .select(col("lang"), col("stratum_n"), col("score"), col("target"))
     val w = Window.partitionBy(col("lang"))
-      .orderBy(pmod(col("doc_id") * 2654435761L, lit(4294967296L)), col("doc_id"))
+      .orderBy(pmod(pmod(col("doc_id"), lit(2147483648L)) * 2654435761L, lit(4294967296L)), col("doc_id"))
     docs.withColumn("rk", row_number().over(w).cast("long"))
       .join(broadcast(alloc), Seq("lang"))
       .filter(col("rk") <= col("target"))
@@ -111,7 +111,7 @@ object Sampling {
       | FROM counts),
       |ranked AS (
       | SELECT lang, doc_id, cast(row_number() OVER (PARTITION BY lang
-      |   ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) as bigint) AS rk
+      |   ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id) as bigint) AS rk
       | FROM documents)
       |SELECT r.lang, r.rk, r.doc_id, a.stratum_n, cast(a.target as bigint) AS target
       |FROM ranked r JOIN alloc a USING (lang)
@@ -128,7 +128,7 @@ object Sampling {
     * row of every stratum. Fully oracle-checkable (row_number twin). */
   def reservoirGroup(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
-      .withColumn("pri", pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)))
+      .withColumn("pri", pmod(pmod(col("doc_id"), lit(2147483648L)) * 2654435761L, lit(4294967296L)))
       .groupBy(col("lang"))
       .agg(graft.functions.BottomKByPriority.bottomK(col("pri"), col("doc_id"), 10).as("ids"))
       .select(col("lang"), posexplode(col("ids")).as(Seq("sample_rank", "doc_id")))
@@ -140,7 +140,7 @@ object Sampling {
       |  SELECT lang, doc_id,
       |         row_number() OVER (
       |           PARTITION BY lang
-      |           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS sample_rank
+      |           ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id) AS sample_rank
       |  FROM documents)
       |SELECT lang, sample_rank, doc_id FROM ranked
       |WHERE sample_rank <= 10
@@ -158,7 +158,7 @@ object Sampling {
     * pipeline cut). ln() last-ulp behavior is libm-specific → rows-only;
     * specs pin determinism, exact size, and the heavy-doc bias. */
   def weightedSample(spark: SparkSession, dir: String): DataFrame = {
-    val u = (pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)) + 1).cast("double") /
+    val u = (pmod(pmod(col("doc_id"), lit(2147483648L)) * 2654435761L, lit(4294967296L)) + 1).cast("double") /
       lit(4294967296.0)
     val pri = (-log(u) / col("n_chars") * lit(1e15)).cast("long")
     val docs = t(spark, dir, "documents")
@@ -204,7 +204,7 @@ object Sampling {
   def abSplit(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
       .withColumn("arm",
-        when(pmod(col("user_id") * lit(2654435761L), lit(4294967296L)) % 100 < 50, "A")
+        when(pmod(pmod(col("user_id"), lit(2147483648L)) * 2654435761L, lit(4294967296L)) % 100 < 50, "A")
           .otherwise("B"))
       .groupBy(col("arm"), col("event_type"))
       .agg(countDistinct(col("user_id")).as("n_users"),
@@ -213,7 +213,7 @@ object Sampling {
       .orderBy(col("arm"), col("event_type"))
 
   val abSplitSql: String =
-    s"""SELECT CASE WHEN (user_id * 2654435761) % 4294967296 % 100 < 50
+    s"""SELECT CASE WHEN ((user_id % 2147483648) * 2654435761) % 4294967296 % 100 < 50
        |       THEN 'A' ELSE 'B' END AS arm,
        | event_type,
        | count(DISTINCT user_id) AS n_users,
@@ -313,7 +313,7 @@ object Sampling {
     val ev = t(spark, dir, "events")
       .select(col("event_id"), round(col("value") * 100).cast("long").as("cents"))
     val r = spark.range(reps).select(col("id").as("rep"))
-    val u32 = pmod(col("event_id") * lit(2654435761L) +
+    val u32 = pmod(pmod(col("event_id"), lit(2147483648L)) * 2654435761L +
       (col("rep") + 1) * lit(2246822519L), lit(4294967296L))
     val k = poissonCdf32.map(t => when(u32 >= t, 1L).otherwise(0L))
       .reduce(_ + _)
@@ -339,7 +339,7 @@ object Sampling {
       s"CASE WHEN u32 >= $t THEN 1 ELSE 0 END").mkString(" + ")
     s"""WITH d AS (
        | SELECT r.rep,
-       |  ((e.event_id * 2654435761 + (r.rep + 1) * 2246822519)
+       |  (((e.event_id % 2147483648) * 2654435761 + (r.rep + 1) * 2246822519)
        |     % 4294967296 + 4294967296) % 4294967296 AS u32,
        |  cast(round(e.value * 100) as bigint) AS cents
        | FROM events e
@@ -364,7 +364,7 @@ object Sampling {
   def kfoldSplit(spark: SparkSession, dir: String): DataFrame = {
     val ev = t(spark, dir, "events")
       .select(col("event_type"),
-        pmod(col("event_id") * lit(2654435761L), lit(4294967296L))
+        pmod(pmod(col("event_id"), lit(2147483648L)) * 2654435761L, lit(4294967296L))
           .mod(5).cast("long").as("fold"))
     val foldTotals = ev.groupBy(col("fold")).agg(count(lit(1)).as("fn"))
     ev.groupBy(col("fold"), col("event_type"))
@@ -378,7 +378,7 @@ object Sampling {
   val kfoldSplitSql: String =
     """WITH ev AS (
       | SELECT event_type,
-      |  ((event_id * 2654435761) % 4294967296 + 4294967296)
+      |  (((event_id % 2147483648) * 2654435761) % 4294967296 + 4294967296)
       |    % 4294967296 % 5 AS fold
       | FROM events),
       |ft AS (SELECT fold, count(*) AS fn FROM ev GROUP BY fold)
@@ -524,7 +524,7 @@ object Sampling {
       .crossJoin(broadcast(nItems))
       .withColumn("j", explode(sequence(lit(0L), lit(19L))))
       .withColumn("item",
-        expr("1 + ((cust * 2654435761 + j * 40503) % 4294967296 + 4294967296) " +
+        expr("1 + (((cust % 2147483648) * 2654435761 + j * 40503) % 4294967296 + 4294967296) " +
           "% 4294967296 % n_items"))
     val keepw = Window.partitionBy(col("cust")).orderBy(col("j"))
     draws.join(pos, Seq("cust", "item"), "left_anti")
@@ -542,7 +542,7 @@ object Sampling {
       |ni AS (SELECT max(p_partkey) AS n_items FROM part),
       |draws AS (
       | SELECT c.c_custkey AS cust, j,
-      |  1 + ((c.c_custkey * 2654435761 + j * 40503) % 4294967296
+      |  1 + (((c.c_custkey % 2147483648) * 2654435761 + j * 40503) % 4294967296
       |    + 4294967296) % 4294967296 % n_items AS item
       | FROM customer c CROSS JOIN ni
       |  CROSS JOIN (SELECT unnest(generate_series(0, 19)) AS j)),
@@ -570,7 +570,7 @@ object Sampling {
     t(spark, dir, "events")
       .select(col("event_id"), col("user_id"))
       .withColumn("split",
-        when(expr("((user_id * 2654435761) % 4294967296 + 4294967296) " +
+        when(expr("(((user_id % 2147483648) * 2654435761) % 4294967296 + 4294967296) " +
           "% 4294967296 % 5") < 4, lit("train")).otherwise(lit("holdout")))
       .groupBy(col("split"))
       .agg(count(lit(1)).cast("long").as("n_rows"),
@@ -583,7 +583,7 @@ object Sampling {
   val groupHoldoutSql: String =
     """WITH ev AS (
       | SELECT event_id, user_id,
-      |  CASE WHEN ((user_id * 2654435761) % 4294967296 + 4294967296)
+      |  CASE WHEN (((user_id % 2147483648) * 2654435761) % 4294967296 + 4294967296)
       |    % 4294967296 % 5 < 4 THEN 'train' ELSE 'holdout' END AS split
       | FROM events)
       |SELECT split, cast(count(*) as bigint) AS n_rows,
@@ -634,7 +634,7 @@ object Sampling {
         least(col("stratum_n"), expr("300 * score div greatest(tot, 1L)")))
       .select(col("segment"), col("stratum_n"), col("score"), col("target"))
     val w = Window.partitionBy(col("segment"))
-      .orderBy(pmod(col("c_custkey") * 2654435761L, lit(4294967296L)), col("c_custkey"))
+      .orderBy(pmod(pmod(col("c_custkey"), lit(2147483648L)) * 2654435761L, lit(4294967296L)), col("c_custkey"))
     cust.withColumn("rk", row_number().over(w).cast("long"))
       .join(broadcast(alloc), Seq("segment"))
       .filter(col("rk") <= col("target"))
@@ -664,7 +664,7 @@ object Sampling {
       | FROM scored),
       |ranked AS (
       | SELECT segment, c_custkey, cast(row_number() OVER (PARTITION BY segment
-      |   ORDER BY (c_custkey * 2654435761) % 4294967296, c_custkey) as bigint) AS rk
+      |   ORDER BY ((c_custkey % 2147483648) * 2654435761) % 4294967296, c_custkey) as bigint) AS rk
       | FROM cust)
       |SELECT r.segment, r.rk, r.c_custkey, a.stratum_n, a.score,
       | cast(a.target as bigint) AS target
@@ -689,7 +689,7 @@ object Sampling {
     val pop = t(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
-      .withColumn("pri", pmod(col("o_orderkey") * 2654435761L, lit(4294967296L)))
+      .withColumn("pri", pmod(pmod(col("o_orderkey"), lit(2147483648L)) * 2654435761L, lit(4294967296L)))
     graft.operators.DistRank
       .withRowNumber(pop, Seq(col("pri"), col("o_orderkey")), "rk")
       .filter(pmod(col("rk"), lit(20)) === 7)
@@ -702,7 +702,7 @@ object Sampling {
       | SELECT o_orderkey, o_custkey,
       |  cast(round(o_totalprice * 100) as bigint) AS cents,
       |  cast(row_number() OVER (
-      |   ORDER BY (o_orderkey * 2654435761) % 4294967296, o_orderkey) as bigint)
+      |   ORDER BY ((o_orderkey % 2147483648) * 2654435761) % 4294967296, o_orderkey) as bigint)
       |   AS rk
       | FROM orders)
       |SELECT rk, o_orderkey, o_custkey, cents FROM ranked
@@ -732,7 +732,7 @@ object Sampling {
       .join(comp, Seq("doc_id"), "left")
       .withColumn("k", coalesce(col("root"), col("doc_id")))
       .withColumn("side",
-        when(pmod(pmod(col("k") * 2654435761L, lit(4294967296L)), lit(10)) < 8,
+        when(pmod(pmod(pmod(col("k"), lit(2147483648L)) * 2654435761L, lit(4294967296L)), lit(10)) < 8,
           "train").otherwise("test"))
       .groupBy(col("side"))
       .agg(count(lit(1)).as("n_docs"),
@@ -748,7 +748,7 @@ object Sampling {
        |keyed AS (
        | SELECT d.doc_id, d.n_chars, coalesce(c.root, d.doc_id) AS k
        | FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
-       |SELECT CASE WHEN ((k * 2654435761) % 4294967296) % 10 < 8
+       |SELECT CASE WHEN (((k % 2147483648) * 2654435761) % 4294967296) % 10 < 8
        |         THEN 'train' ELSE 'test' END AS side,
        | cast(count(*) as bigint) AS n_docs,
        | cast(bit_xor(doc_id) as bigint) AS xor_ids,
@@ -772,12 +772,14 @@ object Sampling {
     * every priority, which preserves the order almost everywhere and
     * gives three near-identical "shuffles" (the spec's
     * distinct-permutation law caught exactly that in the first
-    * draft). (doc_id + 3·16777259)·2654435761 < 2⁶³ with room. */
+    * draft). The mixed key reduces mod 2³¹ before the Knuth multiply
+    * (the double-mod discipline applied registry-wide in round 13),
+    * so the product is < 2⁶³ at ANY doc_id, not just the fixture's. */
   def epochShuffle(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"), explode(expr("sequence(1, 3)")).as("epoch"))
       .withColumn("pri", pmod(
-        (col("doc_id") + col("epoch") * 16777259L) * 2654435761L,
+        pmod(col("doc_id") + col("epoch") * 16777259L, lit(2147483648L)) * 2654435761L,
         lit(4294967296L)))
       .groupBy(col("epoch"))
       .agg(graft.functions.BottomKByPriority.bottomK(col("pri"), col("doc_id"), 5)
@@ -793,7 +795,7 @@ object Sampling {
       |ranked AS (
       | SELECT epoch, doc_id,
       |  cast(row_number() OVER (PARTITION BY epoch
-      |   ORDER BY ((doc_id + epoch * 16777259) * 2654435761) % 4294967296, doc_id)
+      |   ORDER BY (((doc_id + epoch * 16777259) % 2147483648) * 2654435761) % 4294967296, doc_id)
       |   as bigint) AS rank
       | FROM e)
       |SELECT cast(epoch as bigint) AS epoch, rank, doc_id
@@ -816,7 +818,7 @@ object Sampling {
     val minority = e.groupBy(col("label")).agg(count(lit(1)).as("n"))
       .agg(min(col("n")).as("target"))
     val w = Window.partitionBy(col("label"))
-      .orderBy(pmod(col("vec_id") * 2654435761L, lit(4294967296L)), col("vec_id"))
+      .orderBy(pmod(pmod(col("vec_id"), lit(2147483648L)) * 2654435761L, lit(4294967296L)), col("vec_id"))
     e.withColumn("rk", row_number().over(w).cast("long"))
       .crossJoin(broadcast(minority))
       .groupBy(col("label"))
@@ -834,7 +836,7 @@ object Sampling {
       | SELECT cast(label as bigint) AS label, vec_id FROM embeddings),
       |ranked AS (
       | SELECT label, vec_id, cast(row_number() OVER (PARTITION BY label
-      |   ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) as bigint) AS rk
+      |   ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id) as bigint) AS rk
       | FROM e),
       |target AS (
       | SELECT min(n) AS t FROM (SELECT count(*) AS n FROM e GROUP BY label))

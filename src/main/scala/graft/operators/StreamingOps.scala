@@ -1315,7 +1315,7 @@ object StreamingOps {
   val streamDsv2SourceSql: String =
     s"""SELECT 'lbl' || (id % 5) AS label, count(*) AS n,
        | cast(sum(id % 16) as bigint) AS bsum,
-       | ${graft.util.sqlDsum("cast((id * 2654435761) % 1000 as double) / 10.0")} AS vsum
+       | ${graft.util.sqlDsum("cast(((id % 1000) * 2654435761) % 1000 as double) / 10.0")} AS vsum
        |FROM (SELECT range AS id FROM range(0, 10000))
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
@@ -1574,7 +1574,7 @@ object StreamingOps {
   val streamDsv2SinkSql: String =
     s"""SELECT 'lbl' || (id % 5) AS label, count(*) AS n,
        | cast(sum(id % 16) as bigint) AS bsum,
-       | ${graft.util.sqlDsum("cast((id * 2654435761) % 1000 as double) / 10.0")} AS vsum,
+       | ${graft.util.sqlDsum("cast(((id % 1000) * 2654435761) % 1000 as double) / 10.0")} AS vsum,
        | min(id) AS min_id, max(id) AS max_id
        |FROM (SELECT range AS id FROM range(0, 10000))
        |GROUP BY 1 ORDER BY 1""".stripMargin

@@ -1216,7 +1216,8 @@ object TextAnalysis {
     * oracle-checked because the hash is plain integer arithmetic. */
   def shardPlan(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
-      .withColumn("shard", col("doc_id") * lit(2654435761L) % lit(1000000007L) % lit(8))
+      .withColumn("shard",
+        col("doc_id") % lit(1000000007L) * lit(2654435761L) % lit(1000000007L) % lit(8))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
@@ -1224,7 +1225,7 @@ object TextAnalysis {
       .orderBy(col("shard"))
 
   val shardPlanSql: String =
-    """SELECT (doc_id * 2654435761) % 1000000007 % 8 AS shard,
+    """SELECT (doc_id % 1000000007) * 2654435761 % 1000000007 % 8 AS shard,
       | count(*) AS n_docs,
       | cast(sum(len(string_split(text, ' '))) as bigint) AS n_tokens,
       | min(doc_id) AS min_doc, max(doc_id) AS max_doc

@@ -958,7 +958,7 @@ object Warehouse {
   val metaQuantileSketchSql: String =
     """WITH pk AS (
       | SELECT strftime(o_orderdate, '%Y-%m') AS m,
-      |  ((o_orderkey * 2654435761) % 4294967296) * 134217728
+      |  (((o_orderkey % 2147483648) * 2654435761) % 4294967296) * 134217728
       |    + cast(round(o_totalprice * 100, 0) as bigint) AS packed
       | FROM orders),
       |ms AS (SELECT m, packed FROM (
@@ -1574,7 +1574,7 @@ object Warehouse {
   def metaPartitionBalance(spark: SparkSession, dir: String): DataFrame = {
     def audit(table: String, key: String): DataFrame =
       t(spark, dir, table)
-        .select(expr(s"(($key * 2654435761L) % 4294967296L) % 32").as("p"))
+        .select(expr(s"((($key % 2147483648L) * 2654435761L) % 4294967296L) % 32").as("p"))
         .groupBy(col("p")).agg(count(lit(1)).as("rows_p"))
         .agg(count(lit(1)).as("parts_used"), sum(col("rows_p")).as("rows_total"),
           min(col("rows_p")).as("min_rows"), max(col("rows_p")).as("max_rows"))
@@ -1600,7 +1600,7 @@ object Warehouse {
          | cast(min(rows_p) as bigint) AS min_rows,
          | cast(max(rows_p) as bigint) AS max_rows,
          | cast(max(rows_p) * 32 * 100 // sum(rows_p) as bigint) AS imbalance_x100
-         |FROM (SELECT (($key * 2654435761) % 4294967296) % 32 AS p, count(*) AS rows_p
+         |FROM (SELECT ((($key % 2147483648) * 2654435761) % 4294967296) % 32 AS p, count(*) AS rows_p
          |      FROM $table GROUP BY 1)""".stripMargin
     Seq("lineitem" -> "l_orderkey", "lineitem" -> "l_linenumber",
         "orders" -> "o_custkey")

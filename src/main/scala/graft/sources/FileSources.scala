@@ -187,7 +187,7 @@ object FileSources {
   val dsv2SourceSql: String =
     s"""SELECT 'lbl' || (id % 5) AS label, count(*) AS n,
        | cast(sum(id % 16) as bigint) AS bsum,
-       | ${sqlDsum("cast((id * 2654435761) % 1000 as double) / 10.0")} AS vsum,
+       | ${sqlDsum("cast(((id % 1000) * 2654435761) % 1000 as double) / 10.0")} AS vsum,
        | min(id) AS min_id, max(id) AS max_id
        |FROM (SELECT range AS id FROM range(25000, 50000))
        |GROUP BY 1 ORDER BY 1""".stripMargin
@@ -255,7 +255,7 @@ object FileSources {
   val dsv2SinkSql: String =
     s"""SELECT 'lbl' || (id % 5) AS label, count(*) AS n,
        | cast(sum(id % 16) as bigint) AS bsum,
-       | ${sqlDsum("cast((id * 2654435761) % 1000 as double) / 10.0")} AS vsum,
+       | ${sqlDsum("cast(((id % 1000) * 2654435761) % 1000 as double) / 10.0")} AS vsum,
        | min(id) AS min_id, max(id) AS max_id
        |FROM (SELECT range AS id FROM range(0, 10000))
        |GROUP BY 1 ORDER BY 1""".stripMargin

@@ -58,7 +58,10 @@ object GraftRangeSource {
   // every column is a pure function of id (replayable in the oracle)
   def bucketOf(id: Long): Long = id % 16
   def labelOf(id: Long): String = "lbl" + (id % 5)
-  def valueOf(id: Long): Double = ((id * 2654435761L) % 1000L).toDouble / 10.0
+  // (id % 1000)·K % 1000 ≡ id·K % 1000 exactly (mod-arithmetic identity),
+  // and the reduced product is ≤ 999·2654435761 < 2^63 at ANY offset —
+  // the naive form wraps silently once a topic passes ~3.47e9 records
+  def valueOf(id: Long): Double = (((id % 1000L) * 2654435761L) % 1000L).toDouble / 10.0
 
   /** Compacted-log mode (`compactedKeys=K`, K>0): the served offsets
     * are what a log-compacted Kafka topic retains — per record key,
