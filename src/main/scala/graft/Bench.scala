@@ -1,14 +1,40 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
-  /** 1-minute load average from /proc/loadavg (-1.0 if unreadable —
-    * non-Linux or restricted container). */
-  private def load1(): Double =
+  /** (1-minute, 5-minute) load averages from /proc/loadavg
+    * ((-1,-1) if unreadable — non-Linux or restricted container).
+    * BOTH matter: r13's contaminated run passed a load1-only gate at
+    * 1.8 because the 1-min average had already decayed from the
+    * just-finished Verify phase while the machine was still busy —
+    * the 5-min average was the honest signal. */
+  private def loads(): (Double, Double) =
     try {
-      val s = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
-      s.trim.split("\\s+")(0).toDouble
-    } catch { case _: Throwable => -1.0 }
+      val a = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").trim.split("\\s+")
+      (a(0).toDouble, a(1).toDouble)
+    } catch { case _: Throwable => (-1.0, -1.0) }
+
+  /** SENTINEL CANARY pins: committed QUIET 3-rep sf0.1 medians
+    * (BENCH_DETAIL_r13_close.json, load1_pre 1.02) for three cheap,
+    * stable, shape-diverse queries — a projection scan, a binned
+    * range join, and a cached-artifact graph triangle count. The
+    * canary re-times them at the END of the run: loadavg says what
+    * the host looked like, the sentinels say what the run actually
+    * experienced. */
+  private[graft] val sentinelPins: Map[String, Double] = Map(
+    "q2_filter_project" -> 0.123,
+    "q10_range_join" -> 0.434,
+    "graph_triangles" -> 0.180)
+
+  /** Contention verdict from measured sentinel ratios (measured /
+    * pinned quiet median): contended iff a MAJORITY of sentinels ran
+    * >2x their pin, or ANY ran >5x. One mildly-slow sentinel is
+    * measurement noise (the r13 judge re-run saw 1.5-1.8x on a host
+    * with load1 1.12 and accepted it); the r13 contamination showed
+    * 8-47x across the board — the two thresholds separate those
+    * regimes with wide margins on both sides. */
+  private[graft] def sentinelContended(ratios: Seq[Double]): Boolean =
+    ratios.count(_ > 2.0) * 2 > ratios.size || ratios.exists(_ > 5.0)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -24,13 +50,18 @@ object Bench {
     val quietThresh = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_LOAD", "2.0").toDouble
     val quietWaitS = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_WAIT", "300").toInt
     val waitDeadline = System.nanoTime() + quietWaitS * 1000000000L
-    var loadPre = load1()
-    while (loadPre >= 0 && loadPre > quietThresh && System.nanoTime() < waitDeadline) {
-      System.err.println(f"[bench] host load1=$loadPre%.2f > $quietThresh%.2f — waiting for quiet host")
+    // gate on BOTH load1 and load5: load1 alone let r13's contaminated
+    // run through at 1.8 while load5 was still elevated from Verify
+    var (loadPre, load5Pre) = loads()
+    while (loadPre >= 0 &&
+        (loadPre > quietThresh || load5Pre > quietThresh) &&
+        System.nanoTime() < waitDeadline) {
+      System.err.println(f"[bench] host load1=$loadPre%.2f load5=$load5Pre%.2f > $quietThresh%.2f — waiting for quiet host")
       Thread.sleep(10000)
-      loadPre = load1()
+      val l = loads(); loadPre = l._1; load5Pre = l._2
     }
-    val contendedPre = loadPre >= 0 && loadPre > quietThresh
+    val contendedPre = loadPre >= 0 &&
+      (loadPre > quietThresh || load5Pre > quietThresh)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -72,8 +103,15 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
-    val results = selected.map { case (name, fn) =>
-      val times = (0 until reps).map { _ =>
+    // measurement panels, not operators: meta_resource_audit runs 10
+    // Spark sub-jobs (5 operators x 2 SFs) per invocation — 3 reps of
+    // that was 12% of the whole bench. One rep is the honest cost of
+    // running the panel once; its entry stays oracle-declared and
+    // spec-carried regardless of bench weighting.
+    val onceOnly = Set("meta_resource_audit")
+    def timeQuery(name: String, fn: (SparkSession, String) => DataFrame): Double = {
+      val n = if (onceOnly(name)) 1 else reps
+      val times = (0 until n).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
@@ -82,8 +120,9 @@ object Bench {
         spark.catalog.clearCache()
         dt
       }.sorted
-      name -> times(times.length / 2)
+      times(times.length / 2)
     }
+    val results = selected.map { case (name, fn) => name -> timeQuery(name, fn) }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     val total = r3(if (results.nonEmpty) results.values.sum else 0.0)
     // The driver captures only the last ~2000 chars of output: a
@@ -120,15 +159,38 @@ object Bench {
       "q87_mv_rewrite", "q88_mv_rollup", "graph_link_predict",
       // round 11: walks (and their pair extraction) read the cached
       // trade-graph edge artifacts
-      "graph_random_walks", "pipeline_walk_pairs")
+      "graph_random_walks", "pipeline_walk_pairs",
+      // round 14: the resource-audit panel is a measurement harness
+      // (10 sub-jobs per invocation) timed at 1 rep, not an operator
+      "meta_resource_audit")
       .filter(selected.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
+    // ---- sentinel canary (end of run) --------------------------------
+    // loadavg is a PRE-run prediction; the sentinels are a POST-run
+    // measurement of what the run actually experienced. Pins are sf0.1
+    // quiet medians, so the canary only applies to the driver's sf0.1
+    // full-registry run (targeted SPARK_GRAFT_BENCH_ONLY runs and
+    // other SFs fall back to the loadavg verdict alone).
+    val canaryApplies = sfDir.stripSuffix("/").endsWith("sf0.1") && only.isEmpty
+    val sentinelRatios: Map[String, Double] =
+      if (!canaryApplies) Map.empty
+      else sentinelPins.flatMap { case (name, pin) =>
+        SparkEntry.queries.get(name).map { fn =>
+          name -> timeQuery(name, fn) / pin
+        }
+      }
+    val contendedSentinel =
+      sentinelRatios.nonEmpty && sentinelContended(sentinelRatios.values.toSeq)
+    val contended = contendedPre || contendedSentinel
     // post-run load minus the bench's own contribution is unknowable,
-    // so contention is judged on the PRE-run load (taken on an idle
-    // gap); the post value is recorded for forensics only
-    val loadPost = load1()
+    // so the load half of the verdict uses the PRE-run values (taken
+    // on an idle gap); the post value is recorded for forensics only
+    val loadPost = loads()._1
     def r2(v: Double): Double = math.rint(v * 100) / 100
+    val sentJson = sentinelRatios.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + r2(v) }
+      .mkString("{", ",", "}")
     val loadJson =
-      s""""load1_pre":${r2(loadPre)},"load1_post":${r2(loadPost)},"contended":$contendedPre"""
+      s""""load1_pre":${r2(loadPre)},"load5_pre":${r2(load5Pre)},"load1_post":${r2(loadPost)},"sentinel_ratios":$sentJson,"contended":$contended"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
         s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries":${fullQs.mkString("{", ",", "}")},"amortized":$amortized,$loadJson,"sf":"$sfDir"}""".getBytes("UTF-8"))

@@ -358,10 +358,17 @@ object Analytics {
     * group counts and joins ⇒ hash-checked; the spec additionally
     * bounds the estimate's error against the exact percentile. */
   def q46ApproxPercentile(spark: SparkSession, dir: String): DataFrame = {
-    val est = t(spark, dir, "lineitem")
+    // MATERIALIZE the estimate ONCE: approx_percentile merges partial
+    // QuantileSummaries in shuffle-fetch order, which is NOT
+    // deterministic across executions — the estimate-sidecar premise
+    // ("deterministic given the build") holds for HLL/KMV/CMS but not
+    // the GK sketch, so dumping the sidecar from one execution and
+    // returning a second would hash-mismatch intermittently. One
+    // bounded collect (|returnflag| rows) feeds both.
+    val est = materializeLocal(t(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median"),
-        count(lit(1)).as("n"))
+        count(lit(1)).as("n")))
     oracleSidecar("q46_estimates",
       est.select(col("l_returnflag"), col("approx_median")))
     est.orderBy(col("l_returnflag"))

@@ -1041,14 +1041,57 @@ object Dedup {
   /** `dedup_index_build` entry: ensure the graph exists, report the
     * per-artifact (rows, checksum) summary — first execution in a
     * process tree pays the one-time build, everything after reads.
-    * Engine-specific → rows-only; the determinism spec builds twice
-    * into fresh roots and asserts identical summaries, and the
-    * equivalence specs pin `pairs_exact` ≡ live [[jaccardPairs]]. */
+    * HASH-GREEN since round 14: every artifact's ROW COUNT is
+    * independently recomputable by DuckDB — shingles/sigs/pairs_exact/
+    * components from the base `documents` table (the shingle +
+    * recursive-component CTEs the sibling oracles already replay),
+    * pairs_minhash by re-verifying the dumped LSH candidate pairs
+    * (engine-side banding, replayable exact Jaccard) — with only the
+    * xxhash checksums joined from the sidecar. The determinism spec
+    * still builds twice into fresh roots and asserts identical
+    * summaries, and the equivalence specs pin `pairs_exact` ≡ live
+    * [[jaccardPairs]]. */
   def dedupIndexBuild(spark: SparkSession, dir: String): DataFrame = {
     val root = dedupGraphRoot(spark, dir)
-    dedupArtifacts.map(a => dfSummary(spark.read.parquet(s"$root/$a"), a))
-      .reduce(_ unionAll _).orderBy(col("artifact"))
+    val out = dedupArtifacts.map(a => dfSummary(spark.read.parquet(s"$root/$a"), a))
+      .reduce(_ unionAll _)
+    // deterministic re-reads of frozen parquet — safe to execute for
+    // both the sidecar dump and the returned answer
+    oracleSidecar("dedup_index_summary", out)
+    // the banding candidates (xxhash64 band keys — the ONLY engine-
+    // specific stage) let DuckDB re-verify the pairs_minhash count
+    oracleSidecar("dedup_index_cands",
+      lshCandidatesOf(spark.read.parquet(s"$root/sigs")))
+    out.orderBy(col("artifact"))
   }
+
+  lazy val dedupIndexBuildSql: String =
+    s"""WITH RECURSIVE $componentsSqlCtes,
+       | sc AS (
+       |  SELECT artifact, "rows", checksum
+       |  FROM read_parquet('${oracleSidecarGlob("dedup_index_summary")}')),
+       | cands AS (
+       |  SELECT a_id, b_id
+       |  FROM read_parquet('${oracleSidecarGlob("dedup_index_cands")}')),
+       | mhv AS (
+       |  SELECT c.a_id, c.b_id, sa.n AS na, sb.n AS nb, count(*) AS i
+       |  FROM cands c
+       |  JOIN sh a ON a.doc_id = c.a_id
+       |  JOIN sh b ON b.doc_id = c.b_id AND b.s = a.s
+       |  JOIN sizes sa ON sa.doc_id = c.a_id
+       |  JOIN sizes sb ON sb.doc_id = c.b_id
+       |  GROUP BY 1, 2, 3, 4),
+       | ex AS (
+       |  SELECT 'shingles' AS artifact, (SELECT count(*) FROM sh) AS xrows
+       |  UNION ALL SELECT 'sigs', (SELECT count(DISTINCT doc_id) FROM sh)
+       |  UNION ALL SELECT 'pairs_exact', (SELECT count(*) FROM pairs)
+       |  UNION ALL SELECT 'pairs_minhash',
+       |   (SELECT count(*) FROM mhv
+       |    WHERE round(i * 1.0 / (na + nb - i), 6) >= 0.8)
+       |  UNION ALL SELECT 'components', (SELECT count(*) FROM comp))
+       |SELECT sc.artifact, cast(ex.xrows AS bigint) AS "rows", sc.checksum
+       |FROM sc JOIN ex USING (artifact)
+       |ORDER BY sc.artifact""".stripMargin
 
   /** The exact-Jaccard near-dup component labels (id, root) as a
     * recursive-CTE chain — shared by every oracle that consumes the
@@ -1911,7 +1954,7 @@ object Dedup {
     GQuery("dedup_exact", exactDedup, Some(exactDedupSql)),
     GQuery("dedup_normalized", normalizedDedup, Some(normalizedDedupSql)),
     GQuery("dedup_jaccard_pairs", jaccardPairsIndexed, Some(jaccardPairsSql)),
-    GQuery("dedup_index_build", dedupIndexBuild, None),
+    GQuery("dedup_index_build", dedupIndexBuild, Some(dedupIndexBuildSql)),
     GQuery("dedup_prefix_filter", prefixFilterPairs, Some(jaccardPairsSql)),
     GQuery("pipeline_incremental_ingest", incrementalIngest, Some(incrementalIngestSql)),
     GQuery("dedup_bloom_ingest", bloomIngest, Some(bloomIngestSql)),

@@ -1015,7 +1015,11 @@ object Graph {
       // DistRank's partition partials.
       val obs = org.apache.spark.sql.Observation()
       val mat = df.observe(obs, max(col("s")).as("m")).localCheckpoint(true)
-      val m = math.max(obs.get("m").asInstanceOf[Long], 1L)
+      // max over an EMPTY frame observes null — unboxing that would
+      // NPE inside the rescale instead of failing diagnosably; an
+      // empty score frame rescales by 1 (and stays empty downstream)
+      val m = math.max(
+        Option(obs.get("m")).map(_.asInstanceOf[Long]).getOrElse(1L), 1L)
       // rescale through decimal(38,0): s ≤ deg·10⁶, so s·10⁶ wraps
       // int64 once a node's degree exceeds ~9.2·10⁶ — real for a
       // hub-heavy 100 TB graph. DuckDB's side is already exact (its

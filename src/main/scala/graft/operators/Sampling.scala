@@ -877,8 +877,13 @@ object Sampling {
       .select(col("doc_id"), col("n_toks"),
         (col("pend") - col("n_toks")).as("pstart"), col("pend"))
     val spans = pre
-      .withColumn("first_chunk", (col("pstart") / B).cast("long"))
-      .withColumn("last_chunk", ((col("pend") - 1) / B).cast("long"))
+      // INTEGER division (div), not float `/` + cast: the float path
+      // is exact only while prefix sums stay below 2^53 — a real
+      // corpus passes that within ~1 PB of tokens, and the DuckDB
+      // twin's `//` is integral at any scale. Keep the packer exact
+      // for any corpus size, as the entry claims.
+      .withColumn("first_chunk", expr(s"pstart div ${B}L"))
+      .withColumn("last_chunk", expr(s"(pend - 1) div ${B}L"))
       .withColumn("chunk_id",
         explode(sequence(col("first_chunk"), col("last_chunk"))))
       .withColumn("tok_in_chunk",

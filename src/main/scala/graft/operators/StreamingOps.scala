@@ -5,7 +5,7 @@ import graft.streaming.KStreams
 import graft.streaming.KStreams.Record
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 
 /** Oracle-verified Structured Streaming runs: each query executes a
   * real streaming pipeline over the events parquet (readStream →
@@ -1338,27 +1338,33 @@ object StreamingOps {
     * 100 TB the survivor set is the topic's key cardinality —
     * answer-sized, maintained by the broker's cleaner, never a raw-log
     * scan. */
+  /** The compacted-log record stream both replay entries consume:
+    * survivors-only DSv2 micro-batches over a 20k-offset key-hashed
+    * log, deserialized to keyed records (null payload = tombstone). */
+  private def compactedRecordStream(spark: SparkSession): Dataset[Record] = {
+    import spark.implicits._
+    spark.readStream.format("graft.sources.GraftRangeSource")
+      .option("rows", "20000").option("slices", "4")
+      .option("batchRows", "2500").option("compactedKeys", "101")
+      .load()
+      .select(
+        concat(lit("k"),
+          (((col("id") * 2654435761L) % 1000003L) % 101).cast("string")).as("key"),
+        // the deserializer's view: payload at offset id, null = tombstone
+        when(col("id") % 11 === 5, lit(null).cast("string"))
+          .otherwise(concat(lit("lbl"), (col("id") % 5).cast("string"),
+            lit("@"), col("id").cast("string"))).as("value"),
+        // event time = offset (a compacted log's records keep their
+        // append timestamps; monotone in offset), so latest-by-ts in
+        // the table layer IS latest-by-offset
+        timestamp_micros(col("id")).as("ts"))
+      .as[KStreams.Record]
+  }
+
   def streamCompactedReplay(spark: SparkSession, dir: String): DataFrame =
     withStatePartitions(spark) {
-      import spark.implicits._
       val name = uniq("compacted")
-      val records = spark.readStream.format("graft.sources.GraftRangeSource")
-        .option("rows", "20000").option("slices", "4")
-        .option("batchRows", "2500").option("compactedKeys", "101")
-        .load()
-        .select(
-          concat(lit("k"),
-            (((col("id") * 2654435761L) % 1000003L) % 101).cast("string")).as("key"),
-          // the deserializer's view: payload at offset id, null = tombstone
-          when(col("id") % 11 === 5, lit(null).cast("string"))
-            .otherwise(concat(lit("lbl"), (col("id") % 5).cast("string"),
-              lit("@"), col("id").cast("string"))).as("value"),
-          // event time = offset (a compacted log's records keep their
-          // append timestamps; monotone in offset), so latest-by-ts in
-          // the table layer IS latest-by-offset
-          timestamp_micros(col("id")).as("ts"))
-        .as[KStreams.Record]
-      val q = KStreams.KStreamDS(records).toTable.toMemory(name)
+      val q = KStreams.KStreamDS(compactedRecordStream(spark)).toTable.toMemory(name)
       q.processAllAvailable(); q.stop()
       KStreams.snapshot(spark, name)
         .select(col("key"), col("value"),
@@ -1375,6 +1381,43 @@ object StreamingOps {
       | 'lbl' || cast(id % 5 as varchar) || '@' || cast(id as varchar) AS value,
       | cast(id as bigint) AS last_offset
       |FROM surv WHERE id % 11 <> 5 ORDER BY key""".stripMargin
+
+  /** Trigger.AvailableNow BATCH-DRAIN of the compacted replay — the
+    * one Structured Streaming execution mode the registry didn't
+    * exercise, and exactly what the reference's earliest-offset
+    * full-history replay (`KStreamsToKTable.java:75`) models for
+    * BOUNDED reprocessing: drain everything available at query start
+    * in paced micro-batches (the source still delivers 2500-offset
+    * triggers — state, admission control, and checkpointing all run
+    * as in a live query), then SELF-TERMINATE — no processAllAvailable
+    * and no stop() anywhere; `awaitTermination` returning is the mode's
+    * contract (`GraftRangeMicroBatchStream.prepareForTriggerAvailableNow`).
+    * The converged table must equal [[streamCompactedReplay]]'s —
+    * the same latest-per-key-minus-tombstones oracle. At 100 TB this
+    * is the nightly catch-up job: same topology code as the 24/7
+    * query, one trigger-mode line changed, cluster released when the
+    * backlog is drained. */
+  def streamAvailableNowReplay(spark: SparkSession, dir: String): DataFrame =
+    withStatePartitions(spark) {
+      val name = uniq("availnow")
+      val q = KStreams.KStreamDS(compactedRecordStream(spark)).toTable.ds
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update)
+        .trigger(Trigger.AvailableNow()).start()
+      // self-termination IS the assertion: a regression that leaves the
+      // query running (e.g. the source forgetting its AvailableNow
+      // contract) fails loudly here instead of hanging the registry
+      require(q.awaitTermination(300000),
+        "Trigger.AvailableNow query failed to self-terminate within 300 s")
+      KStreams.snapshot(spark, name)
+        .select(col("key"), col("value"),
+          unix_micros(col("ts")).as("last_offset"))
+        .orderBy(col("key"))
+    }
+
+  /** Same truth as the compacted replay — the trigger mode must be
+    * invisible in the converged answer. */
+  val streamAvailableNowReplaySql: String = streamCompactedReplaySql
 
   /** END-TO-END EXACTLY-ONCE under a mid-run crash — the COMPOSITION
     * of the three legs whose restart behavior is spec'd separately
@@ -2342,6 +2385,7 @@ object StreamingOps {
     GQuery("stream_chained_stateful", streamChainedStateful, Some(streamChainedStatefulSql)),
     GQuery("stream_dsv2_source", streamDsv2Source, Some(streamDsv2SourceSql)),
     GQuery("stream_compacted_replay", streamCompactedReplay, Some(streamCompactedReplaySql)),
+    GQuery("stream_available_now_replay", streamAvailableNowReplay, Some(streamAvailableNowReplaySql)),
     GQuery("stream_e2e_exactly_once", streamE2eExactlyOnce, Some(streamE2eExactlyOnceSql)),
     GQuery("stream_dsv2_sink", streamDsv2Sink, Some(streamDsv2SinkSql)),
     GQuery("stream_user_topk", streamUserTopk, Some(streamUserTopkSql)),

@@ -1000,7 +1000,13 @@ object Warehouse {
     val allScope = monthly
       .agg(kllMerge(col("sk")).as("sk"))
       .select(lit("ALL").as("m"), col("sk"))
-    val out = monthly.unionByName(allScope)
+    // MATERIALIZE once (scope-count rows): the ALL scope merges the
+    // monthly sketches in shuffle-fetch order, and KLL compaction is
+    // merge-order-sensitive — executing the plan twice (sidecar dump +
+    // returned answer) could therefore dump estimates that differ from
+    // the answer's and fail the hash intermittently. One bounded
+    // collect feeds both (same guard as q46ApproxPercentile).
+    val out = materializeLocal(monthly.unionByName(allScope)
       .select(col("m").as("scope"),
         kllCount(col("sk")).as("n"),
         kllQuantiles(col("sk"), array(lit(0.5), lit(0.9), lit(0.99))).as("qs"),
@@ -1009,7 +1015,7 @@ object Warehouse {
         element_at(col("qs"), 1).as("p50_cents"),
         element_at(col("qs"), 2).as("p90_cents"),
         element_at(col("qs"), 3).as("p99_cents"),
-        col("sketch_bytes"))
+        col("sketch_bytes")))
     // estimate-sidecar discipline: quantile estimates + retained-size
     // are engine-side but deterministic given the build — dump them
     // and let DuckDB recompute every scope's EXACT n from orders
@@ -1058,60 +1064,98 @@ object Warehouse {
     * The audit pins the two SMALLEST SFs regardless of the serving
     * `dir`, so its own cost stays answer-sized at any scale; the
     * growth LAW, not the absolute SF, is what it certifies. */
-  def metaResourceAudit(spark: SparkSession, dir: String): DataFrame = {
+  /** JOB-GROUP-SCOPED task-metric probe: counts ONLY tasks whose stage
+    * belongs to a job started under `groupId` — any concurrent job on
+    * the shared SparkContext (a parallel bench rep, a zombie stream's
+    * micro-batch) would otherwise pollute the growth ratios the audit
+    * certifies. Stage→group membership is learned from onJobStart
+    * (which carries the submitting thread's jobGroup property and the
+    * job's stage ids); onTaskEnd filters on that stage set. */
+  private[graft] final class AuditProbe(groupId: String)
+      extends org.apache.spark.scheduler.SparkListener {
     import java.util.concurrent.atomic.AtomicLong
-    val parent = new java.io.File(dir).getParentFile
-    def sfDir(name: String): Option[String] = {
-      val f = new java.io.File(parent, name)
-      if (f.isDirectory) Some(f.getPath) else None
+    val peak = new AtomicLong(0L)
+    val spilled = new AtomicLong(0L)
+    val shuffleRecs = new AtomicLong(0L)
+    val tasks = new AtomicLong(0L)
+    private val myStages =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    override def onJobStart(
+        js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+      if (js.properties != null &&
+          groupId == js.properties.getProperty("spark.jobGroup.id")) {
+        js.stageIds.foreach(id => myStages.add(id))
+        ()
+      }
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null && myStages.contains(te.stageId)) {
+        peak.getAndAccumulate(m.peakExecutionMemory, math.max)
+        spilled.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        shuffleRecs.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+        tasks.incrementAndGet()
+        ()
+      }
     }
-    val lo = sfDir("sf0.001").getOrElse(dir)
-    val hi = sfDir("sf0.01").getOrElse(dir)
+  }
+
+  /** Run `fn(spark, d).count()` under a fresh audit job group and
+    * return its (shuffleRecords, peakMem, spilledBytes) — package-
+    * visible so the concurrent-pollution spec can exercise it with a
+    * rival job in flight. */
+  private[graft] def auditMeasure(spark: SparkSession,
+      fn: (SparkSession, String) => DataFrame, d: String): (Long, Long, Long) = {
+    val groupId = s"graft-audit-${java.util.UUID.randomUUID}"
+    val p = new AuditProbe(groupId)
+    spark.sparkContext.addSparkListener(p)
+    try {
+      spark.sparkContext.setJobGroup(groupId, "graft resource audit", false)
+      try fn(spark, d).count()
+      finally spark.sparkContext.clearJobGroup()
+      // the listener bus is async: poll until the task counter is
+      // stable for 100 ms (bounded at 5 s) before reading totals
+      var last = -1L; var stable = 0; var waited = 0
+      while (stable < 2 && waited < 100) {
+        val now = p.tasks.get()
+        if (now == last) stable += 1 else { stable = 0; last = now }
+        Thread.sleep(50); waited += 1
+      }
+    } finally spark.sparkContext.removeSparkListener(p)
+    (p.shuffleRecs.get(), p.peak.get(), p.spilled.get())
+  }
+
+  def metaResourceAudit(spark: SparkSession, dir: String): DataFrame = {
+    val parent = new java.io.File(dir).getParentFile
+    // FAIL, don't degrade: measuring the same dir twice reads ratio
+    // exactly 10000 bp and recLo==0 reads ratio 0 — both would pass
+    // the superlinear gate vacuously, turning a broken measurement
+    // into a false certificate. A missing fixture is a loud error.
+    def sfDir(name: String): String = {
+      val f = new java.io.File(parent, name)
+      require(f.isDirectory,
+        s"metaResourceAudit: fixture dir $f is missing — the growth " +
+        "ratio needs BOTH published small SFs; refusing to measure " +
+        "one dir twice (ratio would be vacuously linear)")
+      f.getPath
+    }
+    val lo = sfDir("sf0.001")
+    val hi = sfDir("sf0.01")
     val panel: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       ("graph_hits", Graph.hits),
       ("graph_shortest_paths_frontier", Graph.shortestPathsFrontier),
       ("sim_knn_join_ivf", Similarity.knnJoinIvf),
       ("sim_mutual_nn", Similarity.mutualNn),
       ("q103_abc_xyz", Analytics.q103AbcXyz))
-    final class Probe extends org.apache.spark.scheduler.SparkListener {
-      val peak = new AtomicLong(0L)
-      val spilled = new AtomicLong(0L)
-      val shuffleRecs = new AtomicLong(0L)
-      val tasks = new AtomicLong(0L)
-      override def onTaskEnd(
-          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-        val m = te.taskMetrics
-        if (m != null) {
-          peak.getAndAccumulate(m.peakExecutionMemory, math.max)
-          spilled.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
-          shuffleRecs.addAndGet(m.shuffleWriteMetrics.recordsWritten)
-          tasks.incrementAndGet()
-          ()
-        }
-      }
-    }
-    def measure(fn: (SparkSession, String) => DataFrame, d: String):
-        (Long, Long, Long) = {
-      val p = new Probe
-      spark.sparkContext.addSparkListener(p)
-      try {
-        fn(spark, d).count()
-        // the listener bus is async: poll until the task counter is
-        // stable for 100 ms (bounded at 5 s) before reading totals
-        var last = -1L; var stable = 0; var waited = 0
-        while (stable < 2 && waited < 100) {
-          val now = p.tasks.get()
-          if (now == last) stable += 1 else { stable = 0; last = now }
-          Thread.sleep(50); waited += 1
-        }
-      } finally spark.sparkContext.removeSparkListener(p)
-      (p.shuffleRecs.get(), p.peak.get(), p.spilled.get())
-    }
     import spark.implicits._
     panel.map { case (name, fn) =>
-      val (recLo, _, _) = measure(fn, lo)
-      val (recHi, peakHi, spillHi) = measure(fn, hi)
-      val ratioBp = if (recLo > 0) recHi * 10000L / recLo else 0L
+      val (recLo, _, _) = auditMeasure(spark, fn, lo)
+      val (recHi, peakHi, spillHi) = auditMeasure(spark, fn, hi)
+      require(recLo > 0,
+        s"metaResourceAudit: $name wrote 0 shuffle records at $lo — " +
+        "a zero baseline makes the growth ratio meaningless (every " +
+        "panel operator shuffles by design); measurement is broken")
+      val ratioBp = recHi * 10000L / recLo
       (name, recLo, recHi, ratioBp, ratioBp > 200000L, peakHi, spillHi)
     }.toDF("entry", "shuffle_records_lo", "shuffle_records_hi",
       "growth_ratio_bp", "superlinear", "peak_mem_hi_bytes",

@@ -77,7 +77,11 @@ object GraftRangeSource {
     * replays it as `max(id) GROUP BY key` over `range(rows)`. Models
     * the reference broker's `cleanup.policy=compact`
     * (docker-compose.yaml:31-32). */
-  def keyOf(id: Long, k: Int): Long = ((id * 2654435761L) % 1000003L) % k
+  // (id mod p)·K mod p ≡ id·K mod p (mod-multiplication identity), and
+  // the reduced product is ≤ 1000002·2654435761 ≈ 2.7e15 < 2^63 at ANY
+  // offset — the naive id·K wraps signed int64 once a topic passes
+  // ~3.47e9 records (same hazard valueOf was hardened against)
+  def keyOf(id: Long, k: Int): Long = (((id % 1000003L) * 2654435761L) % 1000003L) % k
 
   /** Offsets surviving compaction of the [0, rows) log over K keys —
     * max offset per key, ascending. Computed by a BACKWARD
@@ -237,7 +241,8 @@ class GraftRangeMicroBatchStream(
     rows: Long, slices: Int, batchRows: Long, required: StructType,
     lo: Long = 0L, hi: Long = Long.MaxValue, compacted: Int = 0)
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
-  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   // driver-side availability pacing: each trigger exposes batchRows
@@ -260,6 +265,19 @@ class GraftRangeMicroBatchStream(
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
   // basic-API form, unused once SupportsAdmissionControl is present
   override def latestOffset(): Offset = GraftRangeOffset(available)
+
+  /** Trigger.AvailableNow contract (bounded reprocessing — the batch-
+    * drain twin of the reference's earliest-offset full-history replay,
+    * KStreamsToKTable.java:75): snapshot "everything available at query
+    * start" as the terminal offset. This log is STATIC — its end is
+    * `rows` by construction — so there is nothing to snapshot; the
+    * pacer keeps delivering `batchRows` per trigger and the engine
+    * self-terminates once `latestOffset` reaches [[rows]]. A live
+    * source would freeze its broker end-offsets here. */
+  override def prepareForTriggerAvailableNow(): Unit = ()
+  /** The true end of the log regardless of pacing — AvailableNow polls
+    * this to know when the drain is complete. */
+  override def reportLatestOffset(): Offset = GraftRangeOffset(rows)
 
   override def deserializeOffset(json: String): Offset = {
     available = math.max(available, json.toLong)

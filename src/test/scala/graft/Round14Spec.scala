@@ -1,0 +1,193 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-14 specs: (1) the ANSI overflow property suite — every
+  * integer-arithmetic registry helper the round-12/13 double-mod sweep
+  * touched, run at 10⁹–10¹²-scale ids under `spark.sql.ansi.enabled`
+  * where a silent int64 wrap becomes a loud error, with BigInt
+  * referees; (2) the job-group-scoped resource-audit probe under a
+  * concurrent rival job; (3) the bench sentinel-canary contention
+  * verdict (pure-function laws + pin wiring); (4) the
+  * Trigger.AvailableNow batch-drain equals its processAllAvailable
+  * twin.
+  */
+class Round14Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  private def withAnsi[T](body: => T): T = {
+    val prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try body finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+
+  test("ANSI overflow: the canonical Knuth double-mod priority is exact " +
+      "and wrap-free at any id (boundaries, 10^9, 10^12, Long.MaxValue-1)") {
+    withAnsi {
+      val ids = Seq(0L, 1L, 2147483647L, 2147483648L, 1000000000L,
+        3470000000L, 1000000000000L, Long.MaxValue - 1)
+      val df = spark.createDataFrame(ids.map(Tuple1(_))).toDF("id")
+      // Sampling.scala's form: ((id mod 2^31) * K) mod 2^32 — the mod
+      // BEFORE the multiply is the whole point; under ANSI a naive
+      // id*K would throw ARITHMETIC_OVERFLOW at id ≥ ~3.5e9
+      val got = df.select(col("id"),
+        pmod(pmod(col("id"), lit(2147483648L)) * 2654435761L,
+          lit(4294967296L)).as("p")).collect()
+      for (r <- got) {
+        val id = BigInt(r.getLong(0))
+        val want = id.mod(BigInt(2147483648L)) * BigInt(2654435761L) mod BigInt(4294967296L)
+        assert(BigInt(r.getLong(1)) == want, s"id=$id")
+      }
+    }
+  }
+
+  test("ANSI overflow: the salted variants (random-walk step, A/B rep " +
+      "salt, ego-net mixed key) are exact at 10^12-scale ids") {
+    withAnsi {
+      val ids = Seq(0L, 1L, 999999937L, 2147483647L, 1000000000000L)
+      val df = spark.createDataFrame(ids.map(Tuple1(_))).toDF("id")
+      // Graph.scala:748 random-walk index (walk_id salt s*40503, d=7)
+      for (s <- 1 to 4) {
+        val got = df.select(col("id"), expr(
+          s"(((id % 2147483648) * 2654435761 + $s * 40503) % 4294967296 " +
+            "+ 4294967296) % 4294967296 % 7").as("idx")).collect()
+        for (r <- got) {
+          val id = BigInt(r.getLong(0))
+          val want = ((id.mod(BigInt(2147483648L)) * BigInt(2654435761L) +
+            s * 40503) mod BigInt(4294967296L)) mod BigInt(7)
+          assert(BigInt(r.getLong(1)) == want, s"id=$id s=$s")
+        }
+      }
+      // Graph.scala:907 ego-net mixed key: (src*7919 + dst) folded mod
+      // 2^31-1 BEFORE the Knuth multiply; src*7919 itself is safe to
+      // ~1.16e15, far above any real node-id space
+      val ego = df.select(col("id"), pmod(pmod(col("id") * 7919L + col("id") + 1,
+        lit(2147483647L)) * 2654435761L, lit(4294967296L)).as("p")).collect()
+      for (r <- ego) {
+        val id = BigInt(r.getLong(0))
+        val want = (id * 7919 + id + 1).mod(BigInt(2147483647L)) *
+          BigInt(2654435761L) mod BigInt(4294967296L)
+        assert(BigInt(r.getLong(1)) == want, s"id=$id")
+      }
+    }
+  }
+
+  test("ANSI overflow: GraftRangeSource.keyOf folds mod 1000003 before " +
+      "the multiply — exact at any offset, identical in-domain") {
+    // JVM-side helper: BigInt referee proves the double-mod form equals
+    // the mathematical (id*K mod p) mod k at ids where the naive
+    // product wraps int64 (~3.47e9)
+    for (id <- Seq(0L, 1L, 19999L, 3470000000L, 1000000000000L, Long.MaxValue - 1);
+         k <- Seq(11, 101)) {
+      val want = (BigInt(id) * BigInt(2654435761L))
+        .mod(BigInt(1000003L)).mod(BigInt(k))
+      assert(BigInt(sources.GraftRangeSource.keyOf(id, k)) == want,
+        s"keyOf($id, $k)")
+    }
+  }
+
+  test("ANSI overflow: spearman rank moments stay exact through the " +
+      "decimal path at 10^6 rows (closed form; int64 would wrap)") {
+    withAnsi {
+      val n = 1000000L
+      val rev = operators.Analytics.spearmanFromRanks(
+        spark.range(1, n + 1)
+          .select(col("id").as("ra"), (lit(n + 1) - col("id")).as("rb")),
+        col("ra"), col("rb")).collect()(0)
+      assert(rev.getLong(2) == -10000L, "reversed ranking rho under ANSI")
+    }
+  }
+
+  test("ANSI overflow: integer div (sequence-pack chunking, hits " +
+      "micro-unit rescale) is exact past 2^53 where float div rounds") {
+    withAnsi {
+      // pstart beyond 2^53: (pstart / B).cast(long) would round to the
+      // float grid; `div` must not
+      // the divergent cases sit just below a 2048-multiple at large
+      // magnitude: the double image rounds UP across the boundary
+      // ((2^62)-1 → 2.0^62), pushing the float quotient one chunk high
+      val ps = Seq(0L, 2047L, 2048L, (1L << 53) + 2047L, (1L << 62) - 1L)
+      val df = spark.createDataFrame(ps.map(Tuple1(_))).toDF("pstart")
+      val got = df.select(col("pstart"),
+        expr("pstart div 2048L").as("c"),
+        (col("pstart") / 2048L).cast("long").as("floaty")).collect()
+      var diverged = false
+      for (r <- got) {
+        val want = BigInt(r.getLong(0)) / 2048
+        assert(BigInt(r.getLong(1)) == want, s"pstart=${r.getLong(0)}")
+        if (r.getLong(2) != r.getLong(1)) diverged = true
+      }
+      assert(diverged, "float path should diverge past 2^53 — the very " +
+        "reason sequencePack uses integer div")
+      // Graph.hits rescale: decimal(38,0) product survives s near
+      // Long.MaxValue where s*1000000 wraps int64. Real shape: the
+      // divisor is the observed max, so the quotient is ≤ 10^6 — the
+      // decimal guard protects the PRODUCT, not the output range.
+      val ss = Seq(1L, 1000000L, 9223372036854L, Long.MaxValue / 2)
+      val m = ss.max
+      val sDf = spark.createDataFrame(ss.map(Tuple1(_))).toDF("s")
+      val scaled = sDf.select(col("s"),
+        expr(s"cast(s as decimal(38,0)) * 1000000 div ${m}L").as("r")).collect()
+      for (r <- scaled)
+        assert(BigInt(r.getLong(1)) == BigInt(r.getLong(0)) * 1000000 / m,
+          s"s=${r.getLong(0)}")
+    }
+  }
+
+  test("resource-audit probe is job-group scoped: a concurrent rival " +
+      "job does not pollute the measured totals") {
+    val fn = (s: org.apache.spark.sql.SparkSession, d: String) =>
+      util.t(s, d, "nation").groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"))
+    val solo = operators.Warehouse.auditMeasure(spark, fn, sf)
+    assert(solo._1 > 0, "the probe fixture must shuffle (groupBy)")
+    @volatile var halt = false
+    val rival = new Thread(() => {
+      while (!halt)
+        spark.range(0, 200000)
+          .select(pmod(col("id"), lit(97)).as("k"))
+          .groupBy(col("k")).count().count()
+    })
+    rival.setDaemon(true)
+    rival.start()
+    try {
+      Thread.sleep(200) // rival demonstrably in flight
+      val contended = operators.Warehouse.auditMeasure(spark, fn, sf)
+      assert(contended._1 == solo._1,
+        s"rival job polluted shuffle records: ${contended._1} vs ${solo._1}")
+    } finally { halt = true; rival.join(30000) }
+  }
+
+  test("bench sentinel verdict: majority-over-2x or any-over-5x stamps " +
+      "contended; mild single outliers and quiet runs do not") {
+    // quiet run
+    assert(!Bench.sentinelContended(Seq(0.9, 1.1, 1.0)))
+    // the r13 judge re-run shape (load1 1.12, accepted): 1.5-1.8x
+    assert(!Bench.sentinelContended(Seq(1.54, 1.78, 1.2)))
+    // one mild outlier = measurement noise
+    assert(!Bench.sentinelContended(Seq(2.2, 1.1, 0.9)))
+    // majority inflated
+    assert(Bench.sentinelContended(Seq(2.2, 2.5, 1.0)))
+    // the r13 contamination shape (8-47x): any single >5x suffices
+    assert(Bench.sentinelContended(Seq(26.4, 1.0, 1.0)))
+    assert(Bench.sentinelContended(Seq(53.8, 26.4, 46.9)))
+    // pins must name live registry entries with positive quiet medians
+    for ((name, pin) <- Bench.sentinelPins) {
+      assert(SparkEntry.queries.contains(name), s"sentinel $name not in registry")
+      assert(pin > 0.0, name)
+    }
+  }
+
+  test("Trigger.AvailableNow batch-drain: self-terminates (asserted in " +
+      "the entry) and converges to the processAllAvailable twin") {
+    val avail = SparkEntry.queries("stream_available_now_replay")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val cont = SparkEntry.queries("stream_compacted_replay")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(avail.nonEmpty)
+    assert(avail.toSeq == cont.toSeq,
+      "AvailableNow drain diverges from the continuous replay")
+  }
+}
