@@ -988,6 +988,109 @@ object Similarity {
        |FROM ex e LEFT JOIN hits h ON h.q_id = e.q_id
        |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
 
+  /** NPROBE TUNING CURVE — the IVF twin of `dedup_lsh_tuning`'s
+    * (bands, rows) matrix: the FAISS nprobe knob MEASURED, not
+    * assumed. For nprobe ∈ {2, 4, 6} the SAME persisted index is
+    * probed (postings and codebook never rebuilt; each config is just
+    * a rank filter on the once-computed query→list ranking), and the
+    * entry reports the two axes a capacity planner trades: CANDIDATES
+    * scanned (the cost — grows with nprobe since each probe opens
+    * another posting list) and panel recall@5 vs the exact ground
+    * truth (the quality bought). At 100 TB this is exactly how the
+    * knob is tuned — on a fixed query panel against panel-sized ground
+    * truth, never a corpus rerank. All joins stay equi-keyed on cid /
+    * (q_id, neighbor_id); the per-config relations are answer-sized
+    * and checkpointed once each (the count and the rerank both consume
+    * them — the plan-gate discipline). Fully hash-green: DuckDB
+    * replays every config's search through the index sidecars plus
+    * the exact panel, like [[recallEval]]. */
+  val nprobeGrid: Seq[Int] = Seq(2, 4, 6)
+
+  def nprobeCurve(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CosineSim.cosine
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val root = ivfPqIndexRoot(spark, dir)
+    oracleSidecar("ivf_coarse", spark.read.parquet(s"$root/coarse_raw"))
+    oracleSidecar("ivf_assign", spark.read.parquet(s"$root/assign_raw"))
+    val cents = spark.read.parquet(s"$root/coarse_raw")
+    val assign = spark.read.parquet(s"$root/assign_raw")
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v").as("vq"))
+    // rank every list once per query; each config is a filter on ark
+    val wA = Window.partitionBy(col("q_id")).orderBy(col("ac").desc, col("cid"))
+    val ranked = q.crossJoin(broadcast(cents))
+      .withColumn("ac", cosine(col("vq"), col("cv")))
+      .withColumn("ark", row_number().over(wA))
+      .select(col("q_id"), col("cid"), col("ark"))
+      .localCheckpoint(true) // |panel|·k rows, consumed once per config
+    val exact = topkBruteForce(spark, dir)
+      .select(col("q_id"), col("neighbor_id"))
+      .localCheckpoint(true) // 5·|panel| rows, consumed twice per config
+    nprobeGrid.map { np =>
+      val cand = ranked.filter(col("ark") <= np)
+        .join(assign, Seq("cid"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id")).distinct()
+        .localCheckpoint(true) // consumed twice: cost count + rerank
+      val wTop = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      val top5 = cand.join(q, Seq("q_id")).join(e, Seq("vec_id"))
+        .withColumn("cos", cosine(col("vq"), col("v")))
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"))
+      val nHits = exact.join(top5, Seq("q_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hits"))
+      val nCand = cand.agg(count(lit(1)).as("candidates"))
+      val nEx = exact.agg(count(lit(1)).as("n_exact"))
+      nCand.crossJoin(nHits).crossJoin(nEx)
+        .select(lit(np.toLong).as("nprobe"), col("candidates"),
+          col("n_hits"), expr("n_hits * 10000 div n_exact").as("recall_bp"))
+    }.reduce(_ unionAll _).orderBy(col("nprobe"))
+  }
+
+  lazy val nprobeCurveSql: String = {
+    val perNp = nprobeGrid.map { np =>
+      s""" qa$np AS (SELECT q_id, cid FROM qranked WHERE ark <= $np),
+         | cand$np AS (SELECT DISTINCT qa.q_id, p.vec_id
+         |  FROM qa$np qa JOIN postings p USING (cid) WHERE p.vec_id <> qa.q_id),
+         | top$np AS (SELECT q_id, vec_id AS neighbor_id FROM (
+         |  SELECT c.q_id, c.vec_id, row_number() OVER (PARTITION BY c.q_id
+         |    ORDER BY ${sqlCos("q.vq", "e.embedding::DOUBLE[]")} DESC, c.vec_id) AS rk
+         |  FROM cand$np c
+         |   JOIN embeddings e ON e.vec_id = c.vec_id
+         |   JOIN q ON q.q_id = c.q_id) WHERE rk <= 5),
+         | hits$np AS (SELECT count(*) AS n FROM ex JOIN top$np USING (q_id, neighbor_id))""".stripMargin
+    }.mkString(",\n")
+    val rows = nprobeGrid.map { np =>
+      s"""SELECT $np AS nprobe, (SELECT count(*) FROM cand$np) AS candidates,
+         | (SELECT n FROM hits$np) AS n_hits,
+         | (SELECT n FROM hits$np) * 10000 // (SELECT count(*) FROM ex) AS recall_bp"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH cents AS (SELECT cid, cv FROM read_parquet('${oracleSidecarGlob("ivf_coarse")}')),
+       | postings AS (SELECT vec_id, cid FROM read_parquet('${oracleSidecarGlob("ivf_assign")}')),
+       | q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS vq
+       |  FROM embeddings WHERE vec_id < 20),
+       | qranked AS (SELECT q_id, cid, ark FROM (
+       |  SELECT q.q_id, c.cid, row_number() OVER (PARTITION BY q.q_id
+       |    ORDER BY ${sqlCos("q.vq", "c.cv")} DESC, c.cid) AS ark
+       |  FROM q, cents c)),
+       | ex AS (SELECT q_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, neighbor_id) AS rk FROM (
+       |   SELECT qq.q_id, e.vec_id AS neighbor_id,
+       |    ${sqlCos("qq.vq", "e.embedding::DOUBLE[]")} AS cos
+       |   FROM q qq JOIN embeddings e ON e.vec_id <> qq.q_id))
+       |  WHERE rk <= 5),
+       |$perNp
+       |SELECT cast(nprobe as bigint) AS nprobe,
+       | cast(candidates as bigint) AS candidates,
+       | cast(n_hits as bigint) AS n_hits,
+       | cast(recall_bp as bigint) AS recall_bp
+       |FROM ($rows) ORDER BY nprobe""".stripMargin
+  }
+
   /** IVF top-k for an ARBITRARY query relation (vec_id, v) — the
     * serve-path core shared by the batch entry and the streaming
     * serve loop (`stream_ann_serve` answers each query micro-batch
@@ -1832,6 +1935,7 @@ object Similarity {
     GQuery("sim_ann_lsh", annLsh, Some(annLshSql)),
     GQuery("sim_ivf_topk", ivfTopk, Some(ivfTopkSql)),
     GQuery("sim_recall_eval", recallEval, Some(recallEvalSql)),
+    GQuery("sim_nprobe_curve", nprobeCurve, Some(nprobeCurveSql)),
     GQuery("sim_pq_topk", pqTopk, Some(pqTopkSql)),
     GQuery("sim_ivfpq_topk", ivfpqTopk, Some(ivfpqTopkSql)),
     GQuery("sim_index_build", indexBuild, Some(indexBuildSql)),

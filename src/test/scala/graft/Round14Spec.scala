@@ -180,6 +180,27 @@ class Round14Spec extends AnyFunSuite {
     }
   }
 
+  test("nprobe curve: candidate cost and recall are monotone in nprobe " +
+      "(same total order ⇒ a displaced true positive is replaced by a " +
+      "better one); nprobe=6 reproduces sim_recall_eval's panel totals") {
+    val rows = SparkEntry.queries("sim_nprobe_curve")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq(2L, 4L, 6L))
+    assert(rows.forall(r => r._2 > 0), "every config generates candidates")
+    assert(rows.sliding(2).forall(p => p(0)._2 <= p(1)._2),
+      "candidate cost must grow with nprobe (posting lists are supersets)")
+    assert(rows.sliding(2).forall(p => p(0)._3 <= p(1)._3),
+      "recall must not drop as candidates grow under one total order")
+    // the production config (nprobe = ivfNProbe = 6) must agree with the
+    // standing recall entry — same index, same panel, same pipeline
+    val eval = SparkEntry.queries("sim_recall_eval")(spark, sf).collect()
+    val totEx = eval.map(_.getLong(1)).sum
+    val totHits = eval.map(_.getLong(2)).sum
+    assert(rows.last._3 == totHits && rows.last._4 == totHits * 10000 / totEx,
+      "nprobe=6 row diverges from sim_recall_eval totals")
+    assert(rows.last._4 >= 8000, s"panel recall@5 at nprobe=6 = ${rows.last._4} bp")
+  }
+
   test("Trigger.AvailableNow batch-drain: self-terminates (asserted in " +
       "the entry) and converges to the processAllAvailable twin") {
     val avail = SparkEntry.queries("stream_available_now_replay")(spark, sf)
