@@ -696,8 +696,9 @@ object Similarity {
     * construction and the only approximation is list recall
     * (spec-asserted ≥ 0.8 on the strong-match stratum). τ = 0.3 sits
     * ~2.4σ above the random-pair background (σ ≈ 1/√64), so output
-    * stays answer-sized at every SF. Sketch-routed → rows-only driver
-    * check. */
+    * stays answer-sized at every SF. Hash-green via the index
+    * sidecars (DuckDB replays probe assignment, candidate join, and
+    * the τ-cut). */
   def rangeSearch(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.CosineSim.cosine
     val tau = 0.3

@@ -976,11 +976,17 @@ object StreamingOps {
     * matter how many events arrive — the percentile-latency /
     * price-distribution monitor that cannot hold raw values at
     * 100 TB. Complete mode re-emits the converged per-group sketch;
-    * the snapshot serves p50/p90/p99 from kilobytes. Compaction
-    * follows micro-batch merge order ⇒ rows-only; the spec referees
-    * the converged quantiles against exact per-group order statistics
-    * at the 3/k rank-error bound and replays a 4-chunk arrival to pin
-    * cross-batch state merging. */
+    * the snapshot serves p50/p90/p99 from kilobytes. HASH-GREEN since
+    * round 14 via the estimate-sidecar discipline (the meta_kll twin):
+    * compaction follows micro-batch merge order, but the estimates
+    * are deterministic given THIS converged run — materialized once
+    * (per-type rows) so the sidecar dump and the answer cannot
+    * diverge, while DuckDB recomputes every group's EXACT n from
+    * events (KLL tracks n exactly by contract — a mismatch is a real
+    * bug) and joins the estimates. The spec still referees the
+    * quantiles against exact order statistics at the 3/k rank-error
+    * bound and replays a 4-chunk arrival to pin cross-batch state
+    * merging. */
   def streamKllQuantiles(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
     import graft.functions.KllSketch._
     val name = uniq("kll_stream")
@@ -992,15 +998,28 @@ object StreamingOps {
       .writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Complete).start()
     q.processAllAvailable(); q.stop()
-    spark.table(name)
+    val out = graft.util.materializeLocal(spark.table(name)
       .select(col("event_type"), kllCount(col("sk")).as("n"),
         kllQuantiles(col("sk"), array(lit(0.5), lit(0.9), lit(0.99))).as("qs"))
       .select(col("event_type"), col("n"),
         element_at(col("qs"), 1).as("p50"),
         element_at(col("qs"), 2).as("p90"),
-        element_at(col("qs"), 3).as("p99"))
-      .orderBy(col("event_type"))
+        element_at(col("qs"), 3).as("p99")))
+    graft.util.oracleSidecar("stream_kll_estimates",
+      out.select(col("event_type"), col("p50"), col("p90"), col("p99")))
+    out.orderBy(col("event_type"))
   }
+
+  /** Exact per-type row counts recomputed by DuckDB (KLL's n is exact
+    * by contract); quantile estimates joined from the sidecar. */
+  val streamKllQuantilesSql: String =
+    s"""WITH est AS (
+       | SELECT event_type, p50, p90, p99
+       | FROM read_parquet('${graft.util.oracleSidecarGlob("stream_kll_estimates")}')),
+       |ex AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1)
+       |SELECT e.event_type, cast(e.n as bigint) AS n, s.p50, s.p90, s.p99
+       |FROM ex e JOIN est s USING (event_type)
+       |ORDER BY e.event_type""".stripMargin
 
   /** One (band, band_key) posting of one document's MinHash signature. */
   case class BandedDoc(band: Int, band_key: Long, doc_id: Long)
@@ -2405,7 +2424,7 @@ object StreamingOps {
     GQuery("stream_session_counts", streamSessionCounts, Some(streamSessionCountsSql)),
     GQuery("stream_dedup_corpus", streamDedupCorpus, Some(streamDedupCorpusSql)),
     GQuery("stream_kmv_distinct", streamKmvDistinct, Some(streamKmvDistinctSql)),
-    GQuery("stream_kll_quantiles", streamKllQuantiles, None),
+    GQuery("stream_kll_quantiles", streamKllQuantiles, Some(streamKllQuantilesSql)),
     GQuery("stream_scd2_enrich", streamScd2Enrich, Some(streamScd2EnrichSql)),
     GQuery("stream_mv_maintain", streamMvMaintain, Some(Warehouse.q87Sql)),
     GQuery("stream_neardup_minhash", streamNearDupMinhash, Some(Dedup.streamNearDupSql)),

@@ -99,12 +99,18 @@ object FileSources {
     * their two or three hottest filter columns at 100 TB. This entry
     * writes orders twice (z-ordered vs orderkey-sorted), reads back
     * per-file min/max spans via input_file_name, and reports the mean
-    * span fraction per (layout, column): z-order must shrink the
-    * non-sort column's span far below the sorted layout's ~1.0
-    * (spec-asserted). File-boundary sampling makes exact spans
-    * run-specific → rows-only check; the spec carries the guarantee.
-    * Runs on orders (o_orderkey × o_custkey): the demonstration needs
-    * two independent keys, not the biggest table. */
+    * span fraction per (layout, column) in integer BASIS POINTS:
+    * z-order must shrink the non-sort column's span far below the
+    * sorted layout's ~10000 bp (spec-asserted). HASH-GREEN since
+    * round 14: repartitionByRange samples its boundaries, but the
+    * layouts are memoized artifacts, so the per-file (rows, min, max)
+    * stats are deterministic given the build — they go to a sidecar,
+    * and DuckDB recomputes the GLOBAL ranges and the total row count
+    * from the base `orders` table (a lost row at either extreme or
+    * anywhere in the files flips the hash) plus the all-integer span
+    * arithmetic. Runs on orders (o_orderkey × o_custkey): the
+    * demonstration needs two independent keys, not the biggest
+    * table. */
   def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
     val src = t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
     // Scale BOTH columns onto a common 16-bit grid before interleaving
@@ -142,26 +148,59 @@ object FileSources {
     val zOut = s"$root/zorder"
     val sOut = s"$root/sorted"
     def spans(path: String, layout: String): DataFrame = {
-      // per-file min/max in ONE scan; global ranges fold from the same
-      // 8 aggregate rows (max-of-maxes), no second pass over the data
+      // per-file rows + min/max in ONE scan; global ranges fold from
+      // the same 8 aggregate rows, no second pass over the data. The
+      // per-file stats are the engine-specific part (sampled range
+      // boundaries, frozen in the artifact) → sidecar'd for the
+      // oracle; everything downstream is exact integer arithmetic.
       val perFile = spark.read.parquet(path)
         .groupBy(input_file_name().as("f"))
-        .agg(min(col("o_orderkey")).as("o_min"), max(col("o_orderkey")).as("o_max"),
+        .agg(count(lit(1)).as("rows"),
+          min(col("o_orderkey")).as("o_min"), max(col("o_orderkey")).as("o_max"),
           min(col("o_custkey")).as("p_min"), max(col("o_custkey")).as("p_max"))
+      oracleSidecar(s"zorder_files_$layout", perFile)
       perFile
-        .agg(
-          (avg(col("o_max") - col("o_min")) /
-            (max(col("o_max")) - min(col("o_min"))).cast("double")).as("o_span"),
-          (avg(col("p_max") - col("p_min")) /
-            (max(col("p_max")) - min(col("p_min"))).cast("double")).as("p_span"))
-        .select(lit(layout).as("layout"), explode(map(
-          lit("o_orderkey"), col("o_span"),
-          lit("o_custkey"), col("p_span"))).as(Seq("column", "avg_file_span")))
+        .agg(count(lit(1)).as("nf"), sum(col("rows")).as("nrows"),
+          sum(col("o_max") - col("o_min")).as("o_ss"),
+          sum(col("p_max") - col("p_min")).as("p_ss"),
+          (max(col("o_max")) - min(col("o_min"))).as("o_range"),
+          (max(col("p_max")) - min(col("p_min"))).as("p_range"))
+        .select(lit(layout).as("layout"), col("nrows").as("rows"), explode(map(
+          lit("o_custkey"), expr("p_ss * 10000 div (nf * p_range)"),
+          lit("o_orderkey"), expr("o_ss * 10000 div (nf * o_range)")))
+          .as(Seq("column", "avg_file_span_bp")))
     }
     spans(zOut, "zorder").union(spans(sOut, "sorted_by_orderkey"))
-      .select(col("layout"), col("column"), round(col("avg_file_span"), 3).as("avg_file_span"))
+      .select(col("layout"), col("column"), col("avg_file_span_bp"), col("rows"))
       .orderBy(col("layout"), col("column"))
   }
+
+  /** Per-file stats from the sidecars; global ranges + total rows
+    * recomputed from the base table — a layout that lost ANY row
+    * breaks the count, and a lost extreme breaks the range. */
+  lazy val zorderLayoutSql: String =
+    s"""WITH g AS (SELECT min(o_orderkey) AS o_lo, max(o_orderkey) AS o_hi,
+       |  min(o_custkey) AS p_lo, max(o_custkey) AS p_hi,
+       |  count(*) AS n FROM orders),
+       | pf AS (
+       |  SELECT 'zorder' AS layout, *
+       |  FROM read_parquet('${oracleSidecarGlob("zorder_files_zorder")}')
+       |  UNION ALL
+       |  SELECT 'sorted_by_orderkey', *
+       |  FROM read_parquet('${oracleSidecarGlob("zorder_files_sorted_by_orderkey")}')),
+       | agg AS (
+       |  SELECT layout, count(*) AS nf,
+       |   sum(o_max - o_min) AS o_ss, sum(p_max - p_min) AS p_ss
+       |  FROM pf GROUP BY layout)
+       |SELECT a.layout, c."column",
+       | cast(CASE c."column"
+       |  WHEN 'o_orderkey' THEN a.o_ss * 10000 // (a.nf * (g.o_hi - g.o_lo))
+       |  ELSE a.p_ss * 10000 // (a.nf * (g.p_hi - g.p_lo)) END as bigint)
+       |   AS avg_file_span_bp,
+       | cast(g.n as bigint) AS "rows"
+       |FROM agg a CROSS JOIN g
+       | CROSS JOIN (VALUES ('o_orderkey'), ('o_custkey')) AS c("column")
+       |ORDER BY a.layout, c."column"""".stripMargin
 
   /** Reads through the custom DataSource V2 connector
     * (`GraftRangeSource` — TableProvider → ScanBuilder with column
@@ -1272,7 +1311,7 @@ object FileSources {
     GQuery("src_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),
     GQuery("src_avro_roundtrip", avroRoundtrip, Some(avroRoundtripSql)),
     GQuery("src_orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql)),
-    GQuery("src_zorder_layout", zorderLayout, None),
+    GQuery("src_zorder_layout", zorderLayout, Some(zorderLayoutSql)),
     GQuery("src_dsv2_source", dsv2Source, Some(dsv2SourceSql)),
     GQuery("src_compacted_scan", compactedScan, Some(compactedScanSql)),
     GQuery("src_dsv2_sink", dsv2Sink, Some(dsv2SinkSql)),

@@ -295,15 +295,18 @@ class Round4Spec extends AnyFunSuite {
   }
 
   test("z-order layout clusters BOTH filter columns; single sort only one") {
-    val spans = SparkEntry.queries("src_zorder_layout")(spark, sf)
-      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val rows = SparkEntry.queries("src_zorder_layout")(spark, sf).collect()
+    val spans = rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     // sorted layout: near-perfect on the sort column, useless on the other
-    assert(spans(("sorted_by_orderkey", "o_orderkey")) < 0.35)
-    assert(spans(("sorted_by_orderkey", "o_custkey")) > 0.9)
+    assert(spans(("sorted_by_orderkey", "o_orderkey")) < 3500)
+    assert(spans(("sorted_by_orderkey", "o_custkey")) > 9000)
     // z-order: both columns meaningfully clustered — every file's
     // min/max span covers well under the full range of either key
-    assert(spans(("zorder", "o_orderkey")) < 0.8)
-    assert(spans(("zorder", "o_custkey")) < 0.8)
+    assert(spans(("zorder", "o_orderkey")) < 8000)
+    assert(spans(("zorder", "o_custkey")) < 8000)
+    // row conservation: both layouts carry every orders row
+    val n = util.t(spark, sf, "orders").count()
+    assert(rows.forall(_.getLong(3) == n), "layout lost rows")
   }
 
   test("CBO estimates filter selectivity from analyzed column statistics") {
