@@ -416,6 +416,102 @@ object TextAnalysis {
       | cast(sum(delta) as bigint) AS chars_delta
       |FROM r GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** The committed phrase blocklist for [[blocklistFilter]]. Every
+    * phrase is BORDERLESS (no proper prefix that is also a suffix) —
+    * asserted by Round14Spec via [[graft.functions.PhraseMatchCount
+    * .isBorderless]] — which is the precondition making the DuckDB
+    * replace-count twin exactly equal to the automaton's
+    * all-occurrences count (borderless ⇒ a phrase cannot overlap
+    * itself, so non-overlapping count = total count). */
+  val blocklistPhrases: Seq[String] = Seq(
+    "slow fast", "hash value", "table value", "key agg row",
+    "merge batch", "scan slow", "spark")
+
+  /** Blocklist phrase filter — the wordlist/NSFW-phrase screening pass
+    * every web-corpus pipeline runs before training. Multi-phrase
+    * matching is ONE fused Aho–Corasick scan per document via the
+    * native codegen expression [[graft.functions.PhraseMatchCount]]:
+    * at 100 TB the alternatives either explode |tokens| rows into an
+    * n-gram equi-join (shuffles the token count of the corpus) or run
+    * one regexp per phrase (P regex scans per row); this is O(bytes)
+    * per row for any blocklist size, no shuffle before the final
+    * per-(lang, source) rollup, and the compiled automaton ships once
+    * as a codegen reference object. Reference scope: the sandbox's
+    * filter stage (KStreamsToKTable.java:64-66) keys on exact
+    * key==value equality; this is the corpus-scale generalization to
+    * content phrase screening. */
+  def blocklistFilter(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("hits",
+        graft.functions.PhraseMatchCount.phraseHits(col("text"), blocklistPhrases))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("hits") > 0, 1L).otherwise(0L)).as("docs_flagged"),
+        sum(col("hits")).as("total_hits"),
+        max(col("hits")).as("max_hits"))
+      .orderBy(col("lang"), col("source"))
+
+  val blocklistFilterSql: String = {
+    val perPhrase = blocklistPhrases.map(p =>
+      s"(length(text) - length(replace(text, '$p', ''))) // ${p.length}")
+      .mkString("\n      |   + ")
+    s"""WITH h AS (
+      | SELECT lang, source,
+      |   cast($perPhrase as bigint) AS hits
+      | FROM documents)
+      |SELECT lang, source, count(*) AS n_docs,
+      | cast(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) as bigint) AS docs_flagged,
+      | cast(sum(hits) as bigint) AS total_hits,
+      | cast(max(hits) as bigint) AS max_hits
+      |FROM h GROUP BY lang, source ORDER BY lang, source""".stripMargin
+  }
+
+  /** Length-bucketed batching economics — the padding-waste ledger a
+    * training pipeline consults when choosing bucket boundaries for
+    * fixed-shape batches: each document lands in the smallest
+    * power-of-two token cap that holds it, and the report prices the
+    * padding each (lang, cap) bucket pays, in integer basis points
+    * (waste_bp = padding·10⁴ div capacity — no float division, any
+    * corpus size). The cap chain is a static CASE (never float log2:
+    * ln-ratio log2 misrounds at exact powers of two, e.g.
+    * ln(64)/ln(2) → 6.000000000000001 → ceil 7). One narrow
+    * projection + one small-cardinality rollup — nothing here grows
+    * with more than the document count. */
+  def lengthBuckets(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("cap",
+        when(col("n_tokens") <= 16, 16L).when(col("n_tokens") <= 32, 32L)
+          .when(col("n_tokens") <= 64, 64L).when(col("n_tokens") <= 128, 128L)
+          .when(col("n_tokens") <= 256, 256L).when(col("n_tokens") <= 512, 512L)
+          .otherwise(1024L))
+      .groupBy(col("lang"), col("cap"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("cap") - col("n_tokens")).as("total_padding"))
+      .withColumn("waste_bp",
+        expr("total_padding * 10000 div (n_docs * cap)"))
+      .orderBy(col("lang"), col("cap"))
+
+  val lengthBucketsSql: String =
+    """WITH b AS (
+      | SELECT lang,
+      |  cast(len(string_split(text, ' ')) as bigint) AS n_tokens,
+      |  cast(CASE WHEN len(string_split(text, ' ')) <= 16 THEN 16
+      |            WHEN len(string_split(text, ' ')) <= 32 THEN 32
+      |            WHEN len(string_split(text, ' ')) <= 64 THEN 64
+      |            WHEN len(string_split(text, ' ')) <= 128 THEN 128
+      |            WHEN len(string_split(text, ' ')) <= 256 THEN 256
+      |            WHEN len(string_split(text, ' ')) <= 512 THEN 512
+      |            ELSE 1024 END as bigint) AS cap
+      | FROM documents)
+      |SELECT lang, cap, count(*) AS n_docs,
+      | cast(sum(n_tokens) as bigint) AS total_tokens,
+      | cast(sum(cap - n_tokens) as bigint) AS total_padding,
+      | cast(sum(cap - n_tokens) * 10000 // (count(*) * cap) as bigint)
+      |   AS waste_bp
+      |FROM b GROUP BY lang, cap ORDER BY lang, cap""".stripMargin
+
   /** Repetition filter — the boilerplate detector of the published
     * corpus-quality rulesets: fraction of duplicate word 2-grams per
     * document, documents above 0.2 flagged. Per-language report uses
@@ -2038,6 +2134,8 @@ object TextAnalysis {
     GQuery("text_source_quality", sourceQuality, Some(sourceQualitySql)),
     GQuery("text_pack_sequences", packSequences, Some(packSequencesSql)),
     GQuery("text_pii_scrub", piiScrub, Some(piiScrubSql)),
+    GQuery("text_blocklist_filter", blocklistFilter, Some(blocklistFilterSql)),
+    GQuery("pipeline_length_buckets", lengthBuckets, Some(lengthBucketsSql)),
     GQuery("text_token_regex", tokenRegex, Some(tokenRegexSql)),
     GQuery("text_token_stats", tokenStats, Some(tokenStatsSql)),
     GQuery("text_lang_stats", langStats, Some(langStatsSql)),

@@ -211,4 +211,76 @@ class Round14Spec extends AnyFunSuite {
     assert(avail.toSeq == cont.toSeq,
       "AvailableNow drain diverges from the continuous replay")
   }
+
+  test("Aho–Corasick automaton: counts every (pattern, end-position) " +
+      "occurrence — brute-force referee over 200 random texts, with " +
+      "overlapping and pattern-in-pattern cases pinned") {
+    import graft.functions.AcAutomaton
+    import org.apache.spark.unsafe.types.UTF8String
+    def naive(text: String, pats: Seq[String]): Long =
+      pats.map { p =>
+        (0 to text.length - p.length).count(i => text.regionMatches(i, p, 0, p.length)).toLong
+      }.sum
+    // Pinned laws: self-overlap and containment both count per occurrence
+    val ac1 = new AcAutomaton(Array("aa"))
+    assert(ac1.countMatches(UTF8String.fromString("aaaa")) == 3L)
+    val ac2 = new AcAutomaton(Array("a", "aa"))
+    assert(ac2.countMatches(UTF8String.fromString("aaa")) == 3L + 2L)
+    // Property: agree with the brute-force referee on adversarial
+    // small-alphabet texts (dense borders and shared prefixes)
+    val rnd = new scala.util.Random(42)
+    val pats = Seq("a", "ab", "ba b", "aa", "b a", "abab")
+    val ac = new AcAutomaton(pats.toArray)
+    for (_ <- 1 to 200) {
+      val t = (1 to (1 + rnd.nextInt(40))).map(_ => "ab ".charAt(rnd.nextInt(3))).mkString
+      assert(ac.countMatches(UTF8String.fromString(t)) == naive(t, pats), s"text='$t'")
+    }
+  }
+
+  test("blocklist filter: committed phrases are borderless (the DuckDB " +
+      "replace-count oracle's validity precondition) and the codegen " +
+      "DataFrame path equals the interpreted automaton per document") {
+    import graft.functions.{AcAutomaton, PhraseMatchCount}
+    import org.apache.spark.unsafe.types.UTF8String
+    val phrases = operators.TextAnalysis.blocklistPhrases
+    phrases.foreach(p => assert(PhraseMatchCount.isBorderless(p),
+      s"phrase '$p' has a border — its occurrences can self-overlap and " +
+        "the replace-count oracle undercounts"))
+    val ac = new AcAutomaton(phrases.toArray)
+    val docs = util.t(spark, sf, "documents").limit(200)
+    val got = docs.select(col("doc_id"), col("text"),
+        PhraseMatchCount.phraseHits(col("text"), phrases).as("hits"))
+      .collect()
+    assert(got.exists(_.getLong(2) > 0), "blocklist never fires on the corpus")
+    got.foreach { r =>
+      assert(r.getLong(2) == ac.countMatches(UTF8String.fromString(r.getString(1))),
+        s"doc ${r.getLong(0)}: codegen vs interpreted mismatch")
+    }
+    // null text → null count (UnaryExpression null propagation)
+    val one = spark.sql("SELECT cast(null as string) AS text")
+      .select(PhraseMatchCount.phraseHits(col("text"), phrases).as("h")).collect()
+    assert(one.head.isNullAt(0))
+  }
+
+  test("length buckets: caps are powers of two covering every doc, docs " +
+      "are conserved, and bucketing never pays more padding than " +
+      "padding every doc to its language max") {
+    val out = SparkEntry.queries("pipeline_length_buckets")(spark, sf).collect()
+    out.foreach { r =>
+      val cap = r.getLong(1)
+      assert((cap & (cap - 1)) == 0 && cap >= 16 && cap <= 1024, s"cap=$cap")
+      assert(r.getLong(4) == (r.getLong(2) * cap - r.getLong(3)),
+        "padding != capacity - tokens")
+    }
+    val nDocs = util.t(spark, sf, "documents").count()
+    assert(out.map(_.getLong(2)).sum == nDocs, "docs not conserved across buckets")
+    val bucketPad = out.map(_.getLong(4)).sum
+    val maxPad = util.t(spark, sf, "documents")
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n"))
+      .withColumn("mx", max(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))))
+      .agg(sum(col("mx") - col("n"))).collect()(0).getLong(0)
+    assert(bucketPad <= maxPad,
+      s"bucketing pays MORE padding ($bucketPad) than pad-to-max ($maxPad)")
+  }
 }
