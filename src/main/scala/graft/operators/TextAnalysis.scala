@@ -1193,9 +1193,8 @@ object TextAnalysis {
     * training operator of an LLM data pipeline, run distributed (see
     * [[bpeTrain]]). Output is the learned merge table (rank, left,
     * right, merged, weighted pair count). Deterministic (fixed
-    * tie-break, no RNG) but 16 dependent argmax rounds are not
-    * SQL-expressible ⇒ rows-only; a sequential in-JVM referee
-    * recomputes the identical table in the spec. */
+    * tie-break, no RNG) — and, since round 14, fully DuckDB-replayed:
+    * see [[bpeCtes]] for how the 16 dependent argmax rounds unroll. */
   /** Trained-tokenizer artifacts (merge table + final word
     * segmentations), built once per (documents fingerprint, rounds)
     * in the cross-JVM cache — the production tokenizer lifecycle:
@@ -1212,6 +1211,85 @@ object TextAnalysis {
 
   def bpeTrainTable(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"${bpeRoot(spark, dir)}/merges").orderBy(col("rank"))
+
+  /** The DuckDB replay of [[bpeTrain]] — 16 dependent argmax rounds
+    * UNROLLED as a chained-CTE training loop, which makes both BPE
+    * entries hash-checked (they were the canonical "not
+    * SQL-expressible ⇒ rows-only" pair since round 7).
+    *
+    * Two ideas make the unroll exact:
+    *
+    * 1. Segmentation state per word is a STRING with every token
+    *    bracketed by `|` (`regexp_replace(word,'(.)','|\1|','g')` →
+    *    `cat` = `|c||a||t|`). The greedy left-to-right merge with the
+    *    justMerged `i += 2` rule ([[bpeMergeFold]]) is then EXACTLY
+    *    one `replace(s, '|a||b|', '|ab|')`: SQL replace scans left to
+    *    right and resumes AFTER each replacement, so a token produced
+    *    by a merge can never be the left element of another merge in
+    *    the same round — and because each token carries its own
+    *    brackets, consuming a match never eats the neighbor's
+    *    delimiter (the naive single-delimiter encoding fails exactly
+    *    there: `;a;a;a;` → one merge instead of `aaaa` → two). The
+    *    corpus alphabet is `[a-y ]` (spec-asserted), so `|` can never
+    *    collide with token bytes.
+    * 2. Every CTE is `AS MATERIALIZED`: round r's state is referenced
+    *    twice (pair count r+1 AND rewrite r+1), so inlined CTEs
+    *    re-derive the whole chain per reference — 2^16 scans. The
+    *    materialization barrier is the SQL twin of the per-round
+    *    `localCheckpoint` in [[bpeTrain]], for the same reason.
+    *
+    * Each round is: adjacent-pair count from the split state
+    * (overlapping occurrences counted, like the engine's transform
+    * over i=1..n-1), argmax under the engine's (cnt desc, a, b) total
+    * order guarded by the cnt >= 2 stop rule (an empty argmax leaves
+    * the state unchanged via coalesce — NULL pattern propagates
+    * through replace), then the bracket-encoded rewrite. Validated
+    * merge-for-merge against the sequential referee at sf0.001/0.01/
+    * 0.1 (16 full rounds at each). */
+  private def bpeCtes(rounds: Int): String = {
+    val w0 =
+      """w0 AS MATERIALIZED (
+        |  SELECT word, count(*)::BIGINT AS freq,
+        |         regexp_replace(word, '(.)', 'QBARQ\1QBARQ', 'g') AS s
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE word <> '' GROUP BY word)""".stripMargin
+        .replace("QBARQ", "|")
+    val rest = (1 to rounds).map { r =>
+      s"""p$r AS MATERIALIZED (
+  SELECT toks[i] AS a, toks[i+1] AS b, sum(freq)::BIGINT AS cnt
+  FROM (SELECT freq, string_split(s[2:len(s)-1], '||') AS toks FROM w${r - 1}),
+       unnest(generate_series(1, len(toks)-1)) AS t(i)
+  WHERE len(toks) >= 2
+  GROUP BY 1, 2),
+b$r AS MATERIALIZED (
+  SELECT a, b, cnt FROM p$r WHERE cnt >= 2
+  ORDER BY cnt DESC, a, b LIMIT 1),
+w$r AS MATERIALIZED (
+  SELECT word, freq,
+    coalesce(replace(s,
+      '|' || (SELECT a FROM b$r) || '||' || (SELECT b FROM b$r) || '|',
+      '|' || (SELECT a FROM b$r) || (SELECT b FROM b$r) || '|'), s) AS s
+  FROM w${r - 1})"""
+    }
+    (w0 +: rest).mkString(",\n")
+  }
+
+  private val bpeRounds = 16
+
+  val bpeTrainSql: String = {
+    val union = (1 to bpeRounds).map(r =>
+      s"""SELECT $r AS "rank", a AS "left", b AS "right", a||b AS merged, cnt AS pair_count FROM b$r""")
+      .mkString(" UNION ALL ")
+    s"WITH ${bpeCtes(bpeRounds)}\nSELECT * FROM ($union) ORDER BY \"rank\""
+  }
+
+  val bpeTokensSql: String =
+    s"""WITH ${bpeCtes(bpeRounds)}
+SELECT d.doc_id, count(*)::BIGINT AS n_words,
+       sum(len(string_split(w.s[2:len(w.s)-1], '||')))::BIGINT AS n_bpe_tokens
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) d
+JOIN w$bpeRounds w USING (word) WHERE d.word <> ''
+GROUP BY d.doc_id ORDER BY d.doc_id"""
 
   /** BPE application over the training corpus: after training, the
     * word table's final segmentations ARE the tokenization of every
@@ -2119,8 +2197,8 @@ object TextAnalysis {
     GQuery("text_inverted_index", invertedIndex, Some(invertedIndexSql)),
     GQuery("text_index_lookup", indexLookup, Some(indexLookupSql)),
     GQuery("text_shard_plan", shardPlan, Some(shardPlanSql)),
-    GQuery("text_bpe_train", bpeTrainTable, None),
-    GQuery("text_bpe_tokens", bpeTokens, None),
+    GQuery("text_bpe_train", bpeTrainTable, Some(bpeTrainSql)),
+    GQuery("text_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
     GQuery("text_cms_termfreq", cmsTermFreq, Some(cmsTermFreqSql)),
     GQuery("text_nb_classifier", nbClassifier, Some(nbClassifierSql)),
     GQuery("text_ccnet_buckets", ccnetBuckets, Some(ccnetBucketsSql)),

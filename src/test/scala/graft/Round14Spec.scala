@@ -283,4 +283,72 @@ class Round14Spec extends AnyFunSuite {
     assert(bucketPad <= maxPad,
       s"bucketing pays MORE padding ($bucketPad) than pad-to-max ($maxPad)")
   }
+
+  // ---- BPE oracle conversion (rows-only → hash-green) ----------------
+  // The DuckDB twin of bpeTrain unrolls 16 argmax rounds as chained
+  // CTEs whose greedy rewrite is string replace over a |tok||tok|
+  // bracket encoding. Two laws carry the conversion; both are pinned
+  // here in-JVM so the oracle can never silently drift from the fold.
+
+  test("bpe bracket encoding: the corpus alphabet excludes '|' at this " +
+      "SF, so bracketed tokens can never collide with the delimiter") {
+    val bad = util.t(spark, sf, "documents")
+      .filter(col("text").contains("|")).count()
+    assert(bad == 0L, s"$bad documents contain the bracket delimiter")
+  }
+
+  test("bpe bracket encoding: String.replace on |a||b| brackets IS the " +
+      "greedy justMerged merge — property-checked against the " +
+      "sequential scan on adversarial small-alphabet words") {
+    def encode(segs: Seq[String]): String = segs.map("|" + _ + "|").mkString
+    def decode(s: String): Seq[String] =
+      if (s.isEmpty) Seq.empty
+      else s.substring(1, s.length - 1).split("\\|\\|", -1).toSeq
+    def greedy(segs: Seq[String], a: String, b: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < segs.length) {
+        if (i + 1 < segs.length && segs(i) == a && segs(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += segs(i); i += 1 }
+      }
+      out.toSeq
+    }
+    val rnd = new scala.util.Random(42)
+    // worst-case alphabet {a,b}: every overlap/containment shape a
+    // merge can hit ("aaaa", "abab", "aabb", ...) occurs by volume
+    for (_ <- 1 to 2000) {
+      val word = Seq.fill(1 + rnd.nextInt(10))(if (rnd.nextBoolean()) "a" else "b")
+      val (pa, pb) = (if (rnd.nextBoolean()) "a" else "b",
+        if (rnd.nextBoolean()) "a" else "b")
+      val viaReplace = decode(encode(word)
+        .replace(s"|$pa||$pb|", s"|$pa$pb|"))
+      assert(viaReplace == greedy(word, pa, pb),
+        s"word=$word pair=($pa,$pb): replace=$viaReplace greedy=${greedy(word, pa, pb)}")
+    }
+    // multi-round chain on a real shape: merged tokens feed later rounds
+    var segs: Seq[String] = "banana".map(_.toString).toSeq
+    var enc = encode(segs)
+    for ((a, b) <- Seq(("a", "n"), ("b", "an"), ("ban", "an"))) {
+      segs = greedy(segs, a, b)
+      enc = enc.replace(s"|$a||$b|", s"|$a$b|")
+      assert(decode(enc) == segs, s"chain diverged at ($a,$b)")
+    }
+    assert(segs == Seq("banan", "a"))
+  }
+
+  test("bpe train oracle SQL is structurally sound: 16 materialized " +
+      "rounds, stop-rule guard, bracket pattern, and both entries " +
+      "declare it") {
+    val sql = operators.TextAnalysis.bpeTrainSql
+    for (r <- 0 to 16) assert(sql.contains(s"w$r AS MATERIALIZED"),
+      s"round-$r state CTE missing/not materialized (inlined CTEs " +
+        "re-derive the chain 2^16 times)")
+    assert(sql.contains("WHERE cnt >= 2"), "stop-rule guard missing")
+    assert(sql.contains("coalesce(replace(s,"),
+      "early-stop must leave state unchanged, not NULL it")
+    assert(SparkEntry.oracleSql.contains("text_bpe_train") &&
+      SparkEntry.oracleSql.contains("text_bpe_tokens"),
+      "BPE entries must be oracle-declared after the conversion")
+  }
 }
