@@ -1514,7 +1514,13 @@ object Similarity {
     * so (priority asc, id asc) ≡ the oracle's (cos desc, neighbor_id)
     * including ties; the k·n winners rejoin the vectors to re-emit the
     * cosine (k·n fused-loop re-computations — noise next to the scan). */
-  private def finishTopK(e: DataFrame, scored: DataFrame, k: Int): DataFrame = {
+  private def finishTopK(e: DataFrame, scored: DataFrame, k: Int): DataFrame =
+    finishTopKUnsorted(e, scored, k).orderBy(col("q_id"), col("rk"))
+
+  /** [[finishTopK]] without the presentation sort — see
+    * [[knnJoinExactUnsorted]] for why internal consumers must compose
+    * over the unsorted frame. */
+  private def finishTopKUnsorted(e: DataFrame, scored: DataFrame, k: Int): DataFrame = {
     import graft.functions.CosineSim.cosine
     scored.groupBy(col("q_id"))
       .agg(graft.functions.BottomKByPriority.bottomK(col("pri"), col("vec_id"), k).as("ids"))
@@ -1542,7 +1548,19 @@ object Similarity {
     d / (math.sqrt(nx) * math.sqrt(ny))
   }
 
-  def knnJoinExact(spark: SparkSession, dir: String): DataFrame = {
+  def knnJoinExact(spark: SparkSession, dir: String): DataFrame =
+    knnJoinExactUnsorted(spark, dir).orderBy(col("q_id"), col("rk"))
+
+  /** The exact tier WITHOUT the presentation sort — what internal
+    * consumers ([[mutualPairs]], [[knnClassifier]]) compose over. The
+    * final global orderBy is oracle cosmetics; under a `.count()` the
+    * optimizer eliminates it, but a `localCheckpoint`/reuse barrier
+    * MATERIALIZES it — and a range-partitioned sort executes its child
+    * twice (sampling pass + sort pass), so checkpointing the sorted
+    * frame re-runs the whole kNN DAG (measured 7.4 s vs 4.2 s for the
+    * IVF tier at sf0.1). Compose unsorted; sort only at the entry
+    * boundary. */
+  private def knnJoinExactUnsorted(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -1579,7 +1597,6 @@ object Similarity {
         top.zipWithIndex.map { case ((c, nid), rk0) => (qid, (rk0 + 1).toLong, nid, c) }
       }
     }.toDF("q_id", "rk", "neighbor_id", "cos")
-      .orderBy(col("q_id"), col("rk"))
   }
 
   val knnJoinExactSql: String =
@@ -1696,7 +1713,12 @@ object Similarity {
     * re-scoring and a per-query top-3. Same output shape as the exact
     * twin; recall@3 ≥ 0.8 spec at sf0.001 (training is engine-specific
     * ⇒ rows-only here). */
-  def knnJoinIvf(spark: SparkSession, dir: String): DataFrame = {
+  def knnJoinIvf(spark: SparkSession, dir: String): DataFrame =
+    knnJoinIvfUnsorted(spark, dir).orderBy(col("q_id"), col("rk"))
+
+  /** The IVF tier without the presentation sort — see
+    * [[knnJoinExactUnsorted]]. */
+  private def knnJoinIvfUnsorted(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     // prebuilt codebook + index-side postings; the query-side probe
@@ -1732,7 +1754,7 @@ object Similarity {
         graft.functions.CosineSim.cosine(col("vq"), col("vn")), 6)) * 1e6, 0)
         .cast("long"))
       .select(col("q_id"), col("vec_id"), col("pri"))
-    finishTopK(e, scored, 3)
+    finishTopKUnsorted(e, scored, 3)
   }
 
 
@@ -1823,7 +1845,7 @@ object Similarity {
   def knnClassifier(spark: SparkSession, dir: String): DataFrame = {
     val labels = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("label").cast("long").as("lbl"))
-    val knn = knnJoinExact(spark, dir)
+    val knn = knnJoinExactUnsorted(spark, dir)
     val votes = knn
       .join(labels.select(col("vec_id").as("neighbor_id"),
         col("lbl").as("nlbl")), Seq("neighbor_id"))
@@ -1877,8 +1899,14 @@ object Similarity {
   /** Shared mutual-pair extraction: localCheckpoint BEFORE the
     * fwd/rev self-join — both sides reference the kNN DataFrame, and
     * without the barrier the underlying kNN scan executes TWICE per
-    * run (measured 3.9 s vs 2.3 s for the broadcast tier's kNN join
-    * itself). The checkpointed relation is k·n rows of scalars. */
+    * run. The checkpointed relation is k·n rows of scalars, and it is
+    * the UNSORTED kNN tier: checkpointing the entry-shaped (sorted)
+    * frame materializes the range-partitioned presentation sort,
+    * whose sampling pass re-executes the child — that was the r13
+    * "mutual NN didn't get faster" residue. Measured after the
+    * unsorted fix: exact-tier mutual 2.38 s vs 2.23 s for its kNN
+    * input (3-rep sf0.1 medians) — the mutual filter itself now
+    * costs the ~0.15 s the self-join is worth. */
   private def mutualPairs(knnRaw: DataFrame): DataFrame = {
     val knn = knnRaw
       .select(col("q_id"), col("neighbor_id"), col("rk"), col("cos"))
@@ -1896,7 +1924,7 @@ object Similarity {
   }
 
   def mutualNn(spark: SparkSession, dir: String): DataFrame =
-    mutualPairs(knnJoinExact(spark, dir))
+    mutualPairs(knnJoinExactUnsorted(spark, dir))
 
   /** Mutual nearest neighbors over the IVF tier — the variant that
     * survives 100×: the kNN input is [[knnJoinIvf]] (candidate
@@ -1908,7 +1936,7 @@ object Similarity {
     * the probe knob buys (spec-bounded). Fully DuckDB-replayed via
     * the IVF index sidecars, like [[knnJoinIvf]] itself. */
   def mutualNnIvf(spark: SparkSession, dir: String): DataFrame =
-    mutualPairs(knnJoinIvf(spark, dir))
+    mutualPairs(knnJoinIvfUnsorted(spark, dir))
 
   private def mutualPairsSql(knnSql: String): String =
     s"""WITH knn AS ($knnSql)
