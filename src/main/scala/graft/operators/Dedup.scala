@@ -446,9 +446,13 @@ object Dedup {
         .as(Seq("band", "band_key")))
       val l = banded.select(col("doc_id").as("a_id"), col("band"), col("band_key"))
       val rr = banded.select(col("doc_id").as("b_id"), col("band"), col("band_key"))
+      // answer-sized candidate table, consumed three ways (sidecar
+      // dump, cost count, verify join): checkpoint once so the banding
+      // self-join runs once per config, not per consumer
       val cand = l.join(rr, Seq("band", "band_key"))
         .filter(col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id")).distinct()
+        .localCheckpoint(true)
       oracleSidecar(s"lsh_tuning_$label", cand)
       cand.agg(count(lit(1)).as("n_candidates"))
         .crossJoin(verifyPairs(sh, sizes, cand)
@@ -516,6 +520,9 @@ object Dedup {
       // exact J in basis points: i·10000 div (|A|+|B|−i) — pure integer
       .withColumn("j_bp", expr("i * 10000 div (na + nb - i)"))
       .join(cand.withColumn("is_cand", lit(1L)), Seq("a_id", "b_id"), "left")
+      // pair-table-sized and consumed once PER TAU below: checkpoint so
+      // the shingle self-join + exact-Jaccard DAG runs once, not 5x
+      .localCheckpoint(true)
     Seq(5000L, 6000L, 7000L, 8000L, 9000L).map { tau =>
       inter.filter(col("j_bp") >= tau)
         .agg(count(lit(1)).as("n_truth"),

@@ -19,7 +19,15 @@ object Similarity {
   /** Brute-force exact top-5 cosine neighbors for query vectors
     * (vec_id < 20). Broadcast the tiny query side; the corpus side
     * streams — the shape that survives a 100 TB corpus. */
-  def topkBruteForce(spark: SparkSession, dir: String): DataFrame = {
+  def topkBruteForce(spark: SparkSession, dir: String): DataFrame =
+    topkBruteForceUnsorted(spark, dir).orderBy(col("q_id"), col("rk"))
+
+  /** The ground-truth panel without the presentation sort — internal
+    * consumers that CHECKPOINT it ([[nprobeCurve]], [[recallEval]])
+    * must compose over this form: materializing the sorted frame pays
+    * the range-partitioner's sampling pass, which re-runs the whole
+    * corpus scan (see [[knnJoinExactUnsorted]]). */
+  private def topkBruteForceUnsorted(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val q = e.filter(col("vec_id") < 20)
@@ -30,7 +38,6 @@ object Similarity {
     joined.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 5)
       .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cos"))
-      .orderBy(col("q_id"), col("rk"))
   }
 
   val topkBruteForceSql: String =
@@ -940,8 +947,11 @@ object Similarity {
   def recallEval(spark: SparkSession, dir: String): DataFrame = {
     val approx = ivfTopk(spark, dir) // dumps ivf_coarse/ivf_assign sidecars
       .select(col("q_id"), col("neighbor_id"))
-    val exact = topkBruteForce(spark, dir)
+    // consumed twice (hits join + n_exact agg): checkpoint the UNSORTED
+    // panel once instead of scanning the corpus twice
+    val exact = topkBruteForceUnsorted(spark, dir)
       .select(col("q_id"), col("neighbor_id"))
+      .localCheckpoint(true)
     val hits = exact.join(approx, Seq("q_id", "neighbor_id"))
       .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
     exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
@@ -1025,7 +1035,7 @@ object Similarity {
       .withColumn("ark", row_number().over(wA))
       .select(col("q_id"), col("cid"), col("ark"))
       .localCheckpoint(true) // |panel|·k rows, consumed once per config
-    val exact = topkBruteForce(spark, dir)
+    val exact = topkBruteForceUnsorted(spark, dir)
       .select(col("q_id"), col("neighbor_id"))
       .localCheckpoint(true) // 5·|panel| rows, consumed twice per config
     nprobeGrid.map { np =>
