@@ -27,7 +27,7 @@ object Similarity {
     * must compose over this form: materializing the sorted frame pays
     * the range-partitioner's sampling pass, which re-runs the whole
     * corpus scan (see [[knnJoinExactUnsorted]]). */
-  private def topkBruteForceUnsorted(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def topkBruteForceUnsorted(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val q = e.filter(col("vec_id") < 20)
@@ -1542,7 +1542,6 @@ object Similarity {
       // is exactly non-increasing per query and oracle-comparable
       .withColumn("cos", round(cosine(col("vq"), col("vn")), 6))
       .select(col("q_id"), col("rk"), col("neighbor_id"), col("cos"))
-      .orderBy(col("q_id"), col("rk"))
   }
 
   /** Spark's `round(double, 6)` (HALF_UP over the double's canonical
@@ -1570,7 +1569,7 @@ object Similarity {
     * frame re-runs the whole kNN DAG (measured 7.4 s vs 4.2 s for the
     * IVF tier at sf0.1). Compose unsorted; sort only at the entry
     * boundary. */
-  private def knnJoinExactUnsorted(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def knnJoinExactUnsorted(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -1728,7 +1727,7 @@ object Similarity {
 
   /** The IVF tier without the presentation sort — see
     * [[knnJoinExactUnsorted]]. */
-  private def knnJoinIvfUnsorted(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def knnJoinIvfUnsorted(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     // prebuilt codebook + index-side postings; the query-side probe

@@ -351,4 +351,27 @@ class Round14Spec extends AnyFunSuite {
       SparkEntry.oracleSql.contains("text_bpe_tokens"),
       "BPE entries must be oracle-declared after the conversion")
   }
+
+  test("unsorted composition tiers carry no global sort: checkpointing " +
+      "a range-partitioned sort pays its sampling pass, so the frames " +
+      "internal consumers materialize must plan sort-free") {
+    // optimized LOGICAL plan: under AQE the executed plan is an
+    // adaptive wrapper whose inner sort is invisible pre-execution
+    def globalSorts(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case s: org.apache.spark.sql.catalyst.plans.logical.Sort if s.global =>
+          s.order.mkString(", ")
+      }
+    def hasGlobalSort(df: org.apache.spark.sql.DataFrame): Boolean =
+      globalSorts(df).nonEmpty
+    assert(!hasGlobalSort(operators.Similarity.knnJoinExactUnsorted(spark, sf)),
+      "knnJoinExactUnsorted plans a global sort")
+    assert(!hasGlobalSort(operators.Similarity.knnJoinIvfUnsorted(spark, sf)),
+      s"knnJoinIvfUnsorted plans a global sort: ${globalSorts(operators.Similarity.knnJoinIvfUnsorted(spark, sf))}")
+    assert(!hasGlobalSort(operators.Similarity.topkBruteForceUnsorted(spark, sf)),
+      "topkBruteForceUnsorted plans a global sort")
+    // and the entry-shaped twins DO sort — the split is real, not vacuous
+    assert(hasGlobalSort(operators.Similarity.knnJoinExact(spark, sf)),
+      "entry tier lost its presentation sort")
+  }
 }
