@@ -1959,7 +1959,144 @@ object Similarity {
   val mutualNnSql: String = mutualPairsSql(knnJoinExactSql)
   val mutualNnIvfSql: String = mutualPairsSql(knnJoinIvfSql)
 
+  // ------------------------------------------------------------------
+  // MMR diversity re-ranking
+  // ------------------------------------------------------------------
+
+  /** λ·10 for the MMR score (λ = 0.7): score_micro stays all-integer
+    * as λ10·rel_micro − (10−λ10)·maxsim_micro. */
+  val mmrLambda10 = 7L
+  val mmrShortlist = 8
+  val mmrPicks = 4
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR'98) — the diversity-aware selection operator of a retrieval
+    * or data-curation stack (beside [[graft.operators.Sampling]]'s
+    * corpus-level farthest-point coreset, this is the QUERY-TIME
+    * knob): from each query's relevance shortlist, greedily pick k
+    * documents maximizing λ·rel(c) − (1−λ)·max_{s∈picked} sim(c, s) —
+    * the first pick is the relevance argmax, every later pick is
+    * penalized by its similarity to what's already picked, so
+    * near-duplicates of a selected result fall down the ranking.
+    *
+    * 100 TB shape: MMR never touches the corpus — it runs on the
+    * SHORTLIST (k²·|queries| work; at scale the shortlist comes from
+    * the IVF tier, here from the exact panel so the oracle is
+    * ground-truth-deterministic), the pairwise-sim table is
+    * shortlist², and each greedy round is a per-query WINDOW argmax
+    * over an answer-sized frame — fully distributed, one row per
+    * query per round, never a driver-side loop (contrast the BPE
+    * argmax, which is global and must visit the driver). All-integer
+    * micro-unit scores on the round-6 cosine grid with (score desc,
+    * vec_id) tie-break ⇒ the [[mmrPicks]] dependent rounds unroll
+    * exactly in DuckDB (the chained-CTE discipline of
+    * [[graft.operators.TextAnalysis.bpeCtes]]). */
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CosineSim.cosine
+    def micro(c: Column): Column = round(c * 1e6, 0).cast("long")
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v").as("vq"))
+    val wS = Window.partitionBy(col("q_id"))
+      .orderBy(col("rel_micro").desc, col("vec_id"))
+    val shortlist = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("rel_micro", micro(round(cosine(col("vq"), col("v")), 6)))
+      .withColumn("srk", row_number().over(wS))
+      .filter(col("srk") <= mmrShortlist)
+      .select(col("q_id"), col("vec_id"), col("v"), col("rel_micro"))
+      .localCheckpoint(true) // shortlist-sized; feeds psim + every round
+    val psim = shortlist.select(col("q_id"), col("vec_id").as("a_id"), col("v").as("va"))
+      .join(shortlist.select(col("q_id"), col("vec_id").as("b_id"), col("v").as("vb")),
+        Seq("q_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("sim_micro", micro(round(cosine(col("va"), col("vb")), 6)))
+      .select(col("q_id"), col("a_id"), col("b_id"), col("sim_micro"))
+      .localCheckpoint(true) // shortlist² rows; consumed once per round
+    val wPick = Window.partitionBy(col("q_id"))
+      .orderBy(col("score_micro").desc, col("vec_id"))
+    var selected = shortlist
+      .withColumn("score_micro", lit(mmrLambda10) * col("rel_micro"))
+      .withColumn("prk", row_number().over(wPick))
+      .filter(col("prk") === 1)
+      .select(col("q_id"), col("vec_id"), lit(1).as("pick"), col("score_micro"))
+      .localCheckpoint(true)
+    for (r <- 2 to mmrPicks) {
+      val maxsim = psim
+        .join(selected.select(col("q_id"), col("vec_id").as("b_id")), Seq("q_id", "b_id"))
+        .groupBy(col("q_id"), col("a_id"))
+        .agg(max(col("sim_micro")).as("maxsim_micro"))
+        .select(col("q_id"), col("a_id").as("vec_id"), col("maxsim_micro"))
+      val next = shortlist
+        .join(selected.select(col("q_id"), col("vec_id")), Seq("q_id", "vec_id"), "left_anti")
+        .join(maxsim, Seq("q_id", "vec_id")) // picked ⊆ shortlist ⇒ inner is total
+        .withColumn("score_micro",
+          lit(mmrLambda10) * col("rel_micro") -
+            lit(10L - mmrLambda10) * col("maxsim_micro"))
+        .withColumn("prk", row_number().over(wPick))
+        .filter(col("prk") === 1)
+        .select(col("q_id"), col("vec_id"), lit(r).as("pick"), col("score_micro"))
+      selected = selected.unionByName(next).localCheckpoint(true)
+    }
+    selected.orderBy(col("q_id"), col("pick"))
+  }
+
+  val mmrRerankSql: String = {
+    val relM = s"cast(round(${sqlCos("q.vq", "e.v")} * 1000000, 0) as bigint)"
+    val simM = s"cast(round(${sqlCos("ea.v", "eb.v")} * 1000000, 0) as bigint)"
+    val lam = mmrLambda10
+    val rounds = (2 to mmrPicks).map { r =>
+      s"""ms$r AS MATERIALIZED (
+  SELECT p.q_id, p.a_id AS vec_id, max(p.sim_micro) AS maxsim_micro
+  FROM psim p JOIN sel${r - 1} s ON s.q_id = p.q_id AND s.vec_id = p.b_id
+  GROUP BY 1, 2),
+p$r AS MATERIALIZED (
+  SELECT q_id, vec_id, $r AS pick, score_micro FROM (
+    SELECT sl.q_id, sl.vec_id,
+      $lam * sl.rel_micro - ${10 - lam} * m.maxsim_micro AS score_micro,
+      row_number() OVER (PARTITION BY sl.q_id
+        ORDER BY $lam * sl.rel_micro - ${10 - lam} * m.maxsim_micro DESC,
+                 sl.vec_id) AS prk
+    FROM shortlist sl
+    JOIN ms$r m ON m.q_id = sl.q_id AND m.vec_id = sl.vec_id
+    WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} s
+                      WHERE s.q_id = sl.q_id AND s.vec_id = sl.vec_id))
+  WHERE prk = 1),
+sel$r AS MATERIALIZED (
+  SELECT q_id, vec_id FROM sel${r - 1} UNION ALL SELECT q_id, vec_id FROM p$r)"""
+    }.mkString(",\n")
+    val unions = (1 to mmrPicks).map(r => s"SELECT * FROM p$r").mkString(" UNION ALL ")
+    s"""WITH ev AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qv AS (SELECT vec_id AS q_id, v AS vq FROM ev WHERE vec_id < 20),
+shortlist AS MATERIALIZED (
+  SELECT q_id, vec_id, rel_micro FROM (
+    SELECT q.q_id, e.vec_id, $relM AS rel_micro,
+      row_number() OVER (PARTITION BY q.q_id
+        ORDER BY $relM DESC, e.vec_id) AS srk
+    FROM qv q JOIN ev e ON e.vec_id <> q.q_id)
+  WHERE srk <= $mmrShortlist),
+psim AS MATERIALIZED (
+  SELECT sa.q_id, sa.vec_id AS a_id, sb.vec_id AS b_id, $simM AS sim_micro
+  FROM shortlist sa
+  JOIN shortlist sb ON sb.q_id = sa.q_id AND sb.vec_id <> sa.vec_id
+  JOIN ev ea ON ea.vec_id = sa.vec_id
+  JOIN ev eb ON eb.vec_id = sb.vec_id),
+p1 AS MATERIALIZED (
+  SELECT q_id, vec_id, 1 AS pick, score_micro FROM (
+    SELECT q_id, vec_id, $lam * rel_micro AS score_micro,
+      row_number() OVER (PARTITION BY q_id
+        ORDER BY $lam * rel_micro DESC, vec_id) AS prk
+    FROM shortlist)
+  WHERE prk = 1),
+sel1 AS MATERIALIZED (SELECT q_id, vec_id FROM p1),
+$rounds
+SELECT q_id, vec_id, pick, score_micro FROM ($unions)
+ORDER BY q_id, pick"""
+  }
+
   val all: Seq[GQuery] = Seq(
+    GQuery("sim_mmr_rerank", mmrRerank, Some(mmrRerankSql)),
     GQuery("sim_mutual_nn", mutualNn, Some(mutualNnSql)),
     GQuery("sim_mutual_nn_ivf", mutualNnIvf, Some(mutualNnIvfSql)),
     GQuery("sim_knn_classifier", knnClassifier, Some(knnClassifierSql)),

@@ -374,4 +374,49 @@ class Round14Spec extends AnyFunSuite {
     assert(hasGlobalSort(operators.Similarity.knnJoinExact(spark, sf)),
       "entry tier lost its presentation sort")
   }
+
+  test("MMR rerank: a sequential in-JVM greedy referee reproduces every " +
+      "pick and score; picks are distinct shortlist members led by the " +
+      "relevance argmax") {
+    import operators.Similarity.{mmrLambda10, mmrPicks, mmrShortlist}
+    val emb = util.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cosMicro(a: Array[Double], b: Array[Double]): Long = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      val c6 = java.math.BigDecimal.valueOf(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      math.rint(c6 * 1e6).toLong
+    }
+    val got = SparkEntry.queries("sim_mmr_rerank")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getLong(1), r.getLong(3)))
+    val ref = scala.collection.mutable.ArrayBuffer[(Long, Int, Long, Long)]()
+    for (qid <- emb.keys.filter(_ < 20).toSeq.sorted) {
+      val rel = emb.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => id -> cosMicro(emb(qid), v) }
+        .sortBy { case (id, r) => (-r, id) }.take(mmrShortlist)
+      val relMap = rel.toMap
+      val picked = scala.collection.mutable.ArrayBuffer[Long]()
+      for (p <- 1 to mmrPicks) {
+        val cand = rel.filterNot(c => picked.contains(c._1)).map { case (id, r) =>
+          val pen = if (picked.isEmpty) 0L
+            else picked.map(s => cosMicro(emb(id), emb(s))).max
+          (id, mmrLambda10 * r - (if (picked.isEmpty) 0L else (10L - mmrLambda10) * pen))
+        }
+        val (bid, bscore) = cand.minBy { case (id, s) => (-s, id) }
+        ref += ((qid, p, bid, bscore))
+        picked += bid
+      }
+      // law: pick 1 is the relevance argmax of the shortlist
+      assert(ref.find(r => r._1 == qid && r._2 == 1).get._3 ==
+        rel.minBy { case (id, r) => (-r, id) }._1)
+      // law: picks are distinct shortlist members
+      val qp = ref.filter(_._1 == qid).map(_._3)
+      assert(qp.distinct.size == mmrPicks && qp.forall(relMap.contains))
+    }
+    assert(got.sorted.toSeq == ref.sorted.toSeq,
+      s"MMR diverged from the sequential referee: " +
+        s"got=${got.sorted.take(6).toSeq} ref=${ref.sorted.take(6).toSeq}")
+  }
 }
