@@ -1620,6 +1620,91 @@ object Dedup {
       |   AS n_dup_windows
       |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Duplicated-span EXCISION — the transformation twin of
+    * [[substringSpans]] (which only counts): Lee et al.'s ExactSubstr
+    * dedup REWRITES the corpus by cutting every cross-document
+    * duplicated span out of each document. Overlapping duplicated
+    * windows (60 chars at stride 20) merge into character ISLANDS by
+    * the classic gaps-and-islands pattern — running `max(e)` over
+    * preceding spans, a new island when `p` clears it — and the
+    * excision ledger per document is (n_chars, dup_chars = Σ island
+    * lengths, clean_chars = n_chars − dup_chars, keep = less than
+    * half the document duplicated). The paper's suffix array is a
+    * single-machine structure; the windowed approximation is the
+    * distributed shape (stride trades boundary slack for window
+    * count) and everything after the window groupBy is per-document
+    * window arithmetic — corpus-linear, one content shuffle, no
+    * all-pairs stage. Fully oracle-checked: DuckDB replays windows,
+    * dup detection, island merge, and the ledger. */
+  def spanExcision(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("n_chars"))
+    val wins = docs
+      .filter(col("n_chars") >= 60)
+      .select(col("doc_id"),
+        explode(expr("sequence(1, length(text) - 59, 20)")).as("p"),
+        col("text"))
+      .select(col("doc_id"), col("p"), (col("p") + 59).as("e"),
+        expr("substring(text, p, 60)").as("win"))
+      .localCheckpoint(true) // feeds dup-window build AND the span flag-back
+    val dup = wins.groupBy(col("win"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("win"))
+    val spans = wins.join(dup, Seq("win"), "left_semi")
+      .select(col("doc_id"), col("p"), col("e"))
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val islands = spans
+      .withColumn("prev_max_e", max(col("e")).over(wPrev))
+      .withColumn("flag",
+        when(col("prev_max_e").isNull || col("p") > col("prev_max_e") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("flag")).over(wRun))
+      .groupBy(col("doc_id"), col("island"))
+      .agg((max(col("e")) - min(col("p")) + 1).as("ilen"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("ilen")).cast("long").as("dup_chars"))
+    docs.join(islands, Seq("doc_id"), "left")
+      .withColumn("dup_chars", coalesce(col("dup_chars"), lit(0L)))
+      .select(col("doc_id"), col("n_chars"), col("dup_chars"),
+        (col("n_chars") - col("dup_chars")).as("clean_chars"),
+        (col("dup_chars") * 2 < col("n_chars")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val spanExcisionSql: String =
+    """WITH w AS MATERIALIZED (
+      | SELECT doc_id, s AS p, s + 59 AS e, substr(text, s, 60) AS win
+      | FROM documents, LATERAL (SELECT unnest(range(1, len(text)-58, 20)) AS s) g
+      | WHERE len(text) >= 60),
+      |dup AS (SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) >= 2),
+      |spans AS (SELECT doc_id, p, e FROM w WHERE win IN (SELECT win FROM dup)),
+      |flagged AS (
+      | SELECT doc_id, p, e,
+      |  CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY p
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |    OR p > max(e) OVER (PARTITION BY doc_id ORDER BY p
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+      |  THEN 1 ELSE 0 END AS flag
+      | FROM spans),
+      |isl AS (
+      | SELECT doc_id, sum(flag) OVER (PARTITION BY doc_id ORDER BY p) AS island, p, e
+      | FROM flagged),
+      |per_island AS (
+      | SELECT doc_id, island, max(e) - min(p) + 1 AS ilen
+      | FROM isl GROUP BY 1, 2),
+      |per_doc AS (
+      | SELECT doc_id, cast(sum(ilen) as bigint) AS dup_chars
+      | FROM per_island GROUP BY doc_id)
+      |SELECT d.doc_id, cast(len(d.text) as bigint) AS n_chars,
+      | coalesce(p.dup_chars, 0) AS dup_chars,
+      | cast(len(d.text) as bigint) - coalesce(p.dup_chars, 0) AS clean_chars,
+      | coalesce(p.dup_chars, 0) * 2 < len(d.text) AS keep
+      |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   /** BLOOM-PRUNED incremental exact gate — the shuffle-avoidance twin
     * of `pipeline_incremental_ingest`'s exact stage. The corpus side
     * aggregates its normalized-text fingerprints into a Bloom filter
@@ -1945,6 +2030,7 @@ object Dedup {
     GQuery("pipeline_data_card", dataCard, Some(dataCardSql)),
     GQuery("dedup_entity_resolution", entityResolution, Some(entityResolutionSql)),
     GQuery("dedup_substring_spans", substringSpans, Some(substringSpansSql)),
+    GQuery("dedup_span_excision", spanExcision, Some(spanExcisionSql)),
     GQuery("pipeline_mix_epochs", mixEpochs, Some(mixEpochsSql)),
     GQuery("dedup_semantic_clusters", semanticDedup, Some(semanticDedupSql)),
     GQuery("dedup_passages", passageDedup, Some(passageDedupSql)),

@@ -419,4 +419,44 @@ class Round14Spec extends AnyFunSuite {
       s"MMR diverged from the sequential referee: " +
         s"got=${got.sorted.take(6).toSeq} ref=${ref.sorted.take(6).toSeq}")
   }
+
+  test("span excision: an in-JVM interval-union referee reproduces every " +
+      "ledger row; excision is consistent with the span-detection twin") {
+    val docs = util.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // referee: same windows, dup set, interval union — sequentially
+    val winsOf = docs.toSeq.flatMap { case (id, t0) =>
+      if (t0.length < 60) Seq.empty
+      else (1 to (t0.length - 59) by 20).map(p => (id, p, t0.substring(p - 1, p + 59)))
+    }
+    val dupSet = winsOf.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+    val refLedger = docs.map { case (id, t0) =>
+      val spans = winsOf.filter(w => w._1 == id && dupSet(w._3))
+        .map(w => (w._2, w._2 + 59)).sortBy(_._1)
+      var dup = 0L; var curS = -1; var curE = -2
+      for ((p, e) <- spans) {
+        if (p > curE + 1) { if (curS >= 0) dup += curE - curS + 1; curS = p; curE = e }
+        else curE = math.max(curE, e)
+      }
+      if (curS >= 0) dup += curE - curS + 1
+      id -> (t0.length.toLong, dup)
+    }
+    val got = SparkEntry.queries("dedup_span_excision")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toMap
+    assert(got.keySet == docs.keySet, "ledger must cover every document")
+    for ((id, (n, dup)) <- refLedger) {
+      val (gn, gd, gc, gk) = got(id)
+      assert(gn == n && gd == dup, s"doc $id: got ($gn,$gd) ref ($n,$dup)")
+      assert(gc == gn - gd && gk == (gd * 2 < gn), s"doc $id ledger laws")
+      assert(gd == 0L || gd >= 60L, s"doc $id: island shorter than a window")
+    }
+    // consistency with the detection twin: dup chars iff dup windows
+    val det = SparkEntry.queries("dedup_substring_spans")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    for ((id, nd) <- det)
+      assert((nd > 0) == (got(id)._2 > 0),
+        s"doc $id: detection says $nd dup windows, excision says ${got(id)._2} chars")
+  }
 }
