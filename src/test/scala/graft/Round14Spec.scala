@@ -459,4 +459,47 @@ class Round14Spec extends AnyFunSuite {
       assert((nd > 0) == (got(id)._2 > 0),
         s"doc $id: detection says $nd dup windows, excision says ${got(id)._2} chars")
   }
+
+  test("span excision edge semantics on constructed fixtures: sub-window " +
+      "docs, exactly-adjacent islands, within-doc-only repeats, and the " +
+      "fully-duplicated drop verdict") {
+    import spark.implicits._
+    // the island/dup logic factored over a synthetic documents table,
+    // run through the SAME plan by pointing the entry at a temp dir
+    val base = "x" * 60                   // one shared 60-char window
+    val uniq = (0 until 140).map(i => ('a' + (i * 7) % 26).toChar).mkString
+    val docs = Seq(
+      // 1: 59 chars — below window size, no windows, dup 0, keep
+      (1L, "z" * 59),
+      // 2 & 3: identical 60-char docs — fully duplicated, dup 60 = n, DROP
+      (2L, base), (3L, base),
+      // 4: x*120 — EVERY stride-20 window (p=1,21,41,61) is the all-x
+      //    window shared with docs 2/3, so the four overlapping spans
+      //    merge into ONE island [1,120]: dup = 120 of 120 ⇒ DROP
+      (4L, base + base),
+      // 5: the shared window embedded mid-document at p=101: only that
+      //    grid-aligned window equals `base` (neighbors mix unique
+      //    chars), and the uniq halves repeat a 60-char run WITHIN the
+      //    doc only (p=41 ≡ p=161) — cross-doc rule ignores it ⇒ one
+      //    island of exactly 60, keep (60·2 < 260)
+      (5L, uniq.take(100) + base + uniq.drop(40)),
+      // 6: within-doc-only repeat (twice the same 60-char block, but the
+      //    block appears in NO other doc) — countDistinct(doc_id)=1 ⇒
+      //    cross-doc rule says dup 0, keep
+      (6L, ("q" * 60) + uniq.take(20) + ("q" * 60))
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("exc_edge").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("dedup_span_excision")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
+    assert(out(1L) == ((59L, 0L, true)), s"doc 1: ${out(1L)}")
+    assert(out(2L) == ((60L, 60L, false)) && out(3L) == ((60L, 60L, false)),
+      s"full duplicates must be dropped: ${out(2L)} ${out(3L)}")
+    assert(out(4L)._2 == 120L && !out(4L)._3, s"doc 4: ${out(4L)}")
+    assert(out(5L)._2 == 60L && out(5L)._3, s"doc 5: ${out(5L)}")
+    assert(out(6L)._2 == 0L && out(6L)._3,
+      s"within-doc-only repeats are NOT cross-doc duplicates: ${out(6L)}")
+  }
 }
