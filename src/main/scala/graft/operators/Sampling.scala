@@ -926,7 +926,82 @@ object Sampling {
        | cast(max(doc_id) as bigint) AS last_doc
        |FROM spans GROUP BY chunk_id ORDER BY chunk_id""".stripMargin
 
+  /** Draw count for the PPS design — a committed knob like the pack
+    * chunk size. */
+  val ppsDraws = 100L
+
+  /** PPS SYSTEMATIC sampling (Madow '49; the textbook
+    * probability-proportional-to-size design): lay every document's
+    * token count end to end on one integer line, then take
+    * [[ppsDraws]] equally-spaced grid points — step = T div k, first
+    * point at step div 2 (midpoint start: deterministic, no RNG; the
+    * classic randomized start is one committed integer here, exactly
+    * like every other seeded knob in the registry). A document is
+    * drawn once per grid point inside its [pstart, pend) interval, so
+    * inclusion is ∝ size and a document longer than the step is drawn
+    * MULTIPLE times — the with-replacement-like multiplicity that
+    * makes PPS estimators unbiased, reported as n_draws beside the
+    * exact expected-draw count in integer micro-units (n_toks·k·10⁶
+    * div T). This is the size-weighted twin of the equal-probability
+    * `sample_systematic`, and the sampling design behind
+    * token-budgeted corpus draws (sample tokens, not documents).
+    *
+    * Scale shape: prefix sums via [[DistRank.withPrefix]] (two-pass
+    * partition-boundary accumulation — NO global window anywhere),
+    * the 1-row total broadcast back, and the per-document draw count
+    * is pure closed-form integer arithmetic: count of grid points in
+    * [a, b) = ((b−1−s) div step) − ((a−1−s) div step), shifted by
+    * k·step so every operand is non-negative (Spark `div` and DuckDB
+    * `//` truncate toward zero, which equals floor only for
+    * non-negative operands — the shift makes the two engines and the
+    * math agree). Fully oracle-checked. */
+  def ppsSystematic(spark: SparkSession, dir: String): DataFrame = {
+    val k = ppsDraws
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+    val pre = graft.operators.DistRank.withPrefix(
+      toks, Seq(col("doc_id")), col("n_toks"), "sum", "pend")
+      .select(col("doc_id"), col("n_toks"),
+        (col("pend") - col("n_toks")).as("pstart"), col("pend"))
+    val tot = pre.agg(max(col("pend")).as("t"))
+    pre.crossJoin(broadcast(tot))
+      .withColumn("step", expr(s"t div ${k}L"))
+      .withColumn("st", expr("step div 2"))
+      .withColumn("n_draws", expr(
+        s"((pend - 1 - st + ${k}L * step) div step) - " +
+          s"((pstart - 1 - st + ${k}L * step) div step)"))
+      .filter(col("n_draws") >= 1)
+      .withColumn("expect_micro", expr(s"n_toks * ${k}L * 1000000L div t"))
+      .select(col("doc_id"), col("n_toks"), col("n_draws"), col("expect_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  val ppsSystematicSql: String =
+    s"""WITH toks AS (
+       | SELECT doc_id, cast(len(string_split(text, ' ')) as bigint) AS n_toks
+       | FROM documents),
+       |pre AS (
+       | SELECT doc_id, n_toks,
+       |  cast(sum(n_toks) OVER (ORDER BY doc_id) - n_toks as bigint) AS pstart,
+       |  cast(sum(n_toks) OVER (ORDER BY doc_id) as bigint) AS pend
+       | FROM toks),
+       |tot AS (SELECT max(pend) AS t FROM pre),
+       |j AS (
+       | SELECT p.doc_id, p.n_toks, p.pstart, p.pend, t.t,
+       |  t.t // ${ppsDraws} AS step, (t.t // ${ppsDraws}) // 2 AS st
+       | FROM pre p, tot t)
+       |SELECT doc_id, n_toks,
+       | cast(((pend - 1 - st + ${ppsDraws} * step) // step) -
+       |      ((pstart - 1 - st + ${ppsDraws} * step) // step) as bigint) AS n_draws,
+       | cast(n_toks * ${ppsDraws} * 1000000 // t as bigint) AS expect_micro
+       |FROM j
+       |WHERE ((pend - 1 - st + ${ppsDraws} * step) // step) -
+       |      ((pstart - 1 - st + ${ppsDraws} * step) // step) >= 1
+       |ORDER BY doc_id""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("sample_pps_systematic", ppsSystematic, Some(ppsSystematicSql)),
     GQuery("sample_balanced_classes", balancedClasses, Some(balancedClassesSql)),
     GQuery("pipeline_sequence_pack", sequencePack, Some(sequencePackSql)),
     GQuery("pipeline_epoch_shuffle", epochShuffle, Some(epochShuffleSql)),

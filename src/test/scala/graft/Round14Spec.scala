@@ -502,4 +502,38 @@ class Round14Spec extends AnyFunSuite {
     assert(out(6L)._2 == 0L && out(6L)._3,
       s"within-doc-only repeats are NOT cross-doc duplicates: ${out(6L)}")
   }
+
+  test("PPS systematic sampling: exactly k draws are conserved, a grid " +
+      "replay reproduces every count, and inclusion tracks size") {
+    import operators.Sampling.ppsDraws
+    val rows = SparkEntry.queries("sample_pps_systematic")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // LAW: systematic PPS draws EXACTLY k grid points, however the
+    // intervals fall — the conservation that makes the design valid
+    assert(rows.map(_._3).sum == ppsDraws,
+      s"sum(n_draws) = ${rows.map(_._3).sum}, want $ppsDraws")
+    // referee: replay the grid sequentially from the raw corpus
+    val toks = util.t(spark, sf, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val total = toks.map(_._2).sum
+    val step = total / ppsDraws
+    val start = step / 2
+    val grid = (0L until ppsDraws).map(i => start + i * step)
+    var cum = 0L
+    val ref = scala.collection.mutable.Map[Long, Long]()
+    for ((id, n) <- toks) {
+      val d = grid.count(g => g >= cum && g < cum + n)
+      if (d > 0) ref(id) = d.toLong
+      cum += n
+    }
+    assert(rows.map(r => r._1 -> r._3).toMap == ref.toMap,
+      "closed-form draw counts diverge from the sequential grid replay")
+    // inclusion ∝ size: expected-draw micro is exact, and any document
+    // longer than the step is drawn at least once by construction
+    for ((id, n, d, em) <- rows) {
+      assert(em == n * ppsDraws * 1000000L / total, s"doc $id expect_micro")
+      if (n > step) assert(d >= 1, s"doc $id longer than step but drawn 0")
+    }
+  }
 }
