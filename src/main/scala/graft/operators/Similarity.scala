@@ -1102,6 +1102,109 @@ object Similarity {
        |FROM ($rows) ORDER BY nprobe""".stripMargin
   }
 
+  /** NDCG@5 position-discount weights in micro-units:
+    * w(i) = round(10⁶ / log2(i+1)) for display position i = 1..5 —
+    * COMMITTED integer literals (like the packer chunk size), so both
+    * engines share the exact table and no runtime log/float ever runs.
+    * 10271927 = Σ (6−i)·w(i) is the ideal DCG of a full 5-list. */
+  private[graft] val ndcgWMicro: Seq[Long] =
+    Seq(1000000L, 630930L, 500000L, 430677L, 386853L)
+
+  /** CASE expression mapping a 1-based rank column to its weight;
+    * identical text works in Spark SQL and DuckDB. */
+  private def ndcgWCase(rkCol: String): String =
+    s"CASE $rkCol " + ndcgWMicro.zipWithIndex
+      .map { case (w, i) => s"WHEN ${i + 1} THEN $w" }
+      .mkString(" ") + " ELSE 0 END"
+
+  /** NDCG@5 EVALUATION of the IVF index against the exact panel — the
+    * GRADED twin of [[recallEval]] (Järvelin & Kekäläinen, TOIS'02):
+    * recall only asks "did the true neighbors appear"; NDCG also asks
+    * "in the right order, near the top". Gain of an approximate
+    * neighbor = 6 − its exact rank (exact-top-1 is worth 5, exact-top-5
+    * worth 1, non-members 0); DCG discounts by display position with
+    * the committed [[ndcgWMicro]] table; IDCG is the exact list scored
+    * against itself in order. All-integer micro arithmetic end to end —
+    * dcg ≤ idcg by the rearrangement inequality (decreasing gains ×
+    * decreasing weights), spec-asserted.
+    *
+    * Scale shape: identical to [[recallEval]] — both rankings are
+    * panel-sized (k·|queries| rows), the eval is one equi-join on
+    * (q_id, neighbor_id) plus two panel-sized aggregations; ground
+    * truth never touches the corpus beyond the fixed panel's exact
+    * search. The exact panel is checkpointed UNSORTED once (gain join +
+    * IDCG agg both consume it). Fully hash-green: DuckDB replays the
+    * IVF search through the index sidecars, the exact panel
+    * relationally, and the same weight table. */
+  def ndcgEval(spark: SparkSession, dir: String): DataFrame = {
+    val approx = ivfTopk(spark, dir) // dumps ivf_coarse/ivf_assign sidecars
+      .select(col("q_id"), col("rk").as("ark"), col("neighbor_id"))
+    val exact = topkBruteForceUnsorted(spark, dir)
+      .select(col("q_id"), col("rk").as("erk"), col("neighbor_id"))
+      .localCheckpoint(true)
+    val dcg = approx
+      .join(exact, Seq("q_id", "neighbor_id"), "left")
+      .withColumn("gain", coalesce(lit(6L) - col("erk"), lit(0L)))
+      .withColumn("w", expr(ndcgWCase("ark")).cast("long"))
+      .groupBy(col("q_id"))
+      .agg(sum(col("gain") * col("w")).as("dcg_micro"))
+    val ideal = exact
+      .withColumn("w", expr(ndcgWCase("erk")).cast("long"))
+      .groupBy(col("q_id"))
+      .agg(sum((lit(6L) - col("erk")) * col("w")).as("idcg_micro"))
+    ideal.join(dcg, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"),
+        col("idcg_micro"),
+        expr("coalesce(dcg_micro, 0L) * 10000 div idcg_micro").as("ndcg_bp"))
+      .orderBy(col("q_id"))
+  }
+
+  val ndcgEvalSql: String =
+    s"""WITH cents AS (SELECT cid, cv FROM read_parquet('${oracleSidecarGlob("ivf_coarse")}')),
+       | postings AS (SELECT vec_id, cid FROM read_parquet('${oracleSidecarGlob("ivf_assign")}')),
+       | q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS vq
+       |  FROM embeddings WHERE vec_id < 20),
+       | qscore AS (SELECT q.q_id, c.cid, ${sqlCos("q.vq", "c.cv")} AS ac
+       |  FROM q, cents c),
+       | qa AS (SELECT q_id, cid FROM (
+       |   SELECT q_id, cid, row_number() OVER (PARTITION BY q_id
+       |     ORDER BY ac DESC, cid) AS ark FROM qscore)
+       |  WHERE ark <= $ivfNProbe),
+       | cand AS (SELECT DISTINCT qa.q_id, p.vec_id
+       |  FROM qa JOIN postings p USING (cid) WHERE p.vec_id <> qa.q_id),
+       | scored AS (SELECT c.q_id, c.vec_id,
+       |   ${sqlCos("q.vq", "e.embedding::DOUBLE[]")} AS cos
+       |  FROM cand c
+       |   JOIN embeddings e ON e.vec_id = c.vec_id
+       |   JOIN q ON q.q_id = c.q_id),
+       | ivf AS (SELECT q_id, rk AS ark, vec_id AS neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, vec_id) AS rk FROM scored) WHERE rk <= 5),
+       | ex AS (SELECT q_id, rk AS erk, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, neighbor_id) AS rk FROM (
+       |   SELECT qq.q_id, e.vec_id AS neighbor_id,
+       |    ${sqlCos("qq.vq", "e.embedding::DOUBLE[]")} AS cos
+       |   FROM q qq JOIN embeddings e ON e.vec_id <> qq.q_id))
+       |  WHERE rk <= 5),
+       | dcg AS (SELECT i.q_id,
+       |   sum((CASE WHEN e.erk IS NULL THEN 0 ELSE 6 - e.erk END) *
+       |       (${ndcgWCase("i.ark")})) AS dcg_micro
+       |  FROM ivf i LEFT JOIN ex e
+       |   ON e.q_id = i.q_id AND e.neighbor_id = i.neighbor_id
+       |  GROUP BY i.q_id),
+       | ideal AS (SELECT q_id,
+       |   sum((6 - erk) * (${ndcgWCase("erk")})) AS idcg_micro
+       |  FROM ex GROUP BY q_id)
+       |SELECT d.q_id,
+       | cast(coalesce(r.dcg_micro, 0) as bigint) AS dcg_micro,
+       | cast(d.idcg_micro as bigint) AS idcg_micro,
+       | cast(coalesce(r.dcg_micro, 0) * 10000 // d.idcg_micro as bigint)
+       |   AS ndcg_bp
+       |FROM ideal d LEFT JOIN dcg r ON r.q_id = d.q_id
+       |ORDER BY d.q_id""".stripMargin
+
   /** IVF top-k for an ARBITRARY query relation (vec_id, v) — the
     * serve-path core shared by the batch entry and the streaming
     * serve loop (`stream_ann_serve` answers each query micro-batch
@@ -2110,6 +2213,7 @@ ORDER BY q_id, pick"""
     GQuery("sim_ann_lsh", annLsh, Some(annLshSql)),
     GQuery("sim_ivf_topk", ivfTopk, Some(ivfTopkSql)),
     GQuery("sim_recall_eval", recallEval, Some(recallEvalSql)),
+    GQuery("sim_ndcg_eval", ndcgEval, Some(ndcgEvalSql)),
     GQuery("sim_nprobe_curve", nprobeCurve, Some(nprobeCurveSql)),
     GQuery("sim_pq_topk", pqTopk, Some(pqTopkSql)),
     GQuery("sim_ivfpq_topk", ivfpqTopk, Some(ivfpqTopkSql)),

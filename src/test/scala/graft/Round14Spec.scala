@@ -536,4 +536,40 @@ class Round14Spec extends AnyFunSuite {
       if (n > step) assert(d >= 1, s"doc $id longer than step but drawn 0")
     }
   }
+
+  test("sim_ndcg_eval: in-JVM graded referee reproduces every row; " +
+      "dcg ≤ idcg (rearrangement inequality) and ndcg_bp ∈ [0, 10000]") {
+    val got = graft.operators.Similarity.ndcgEval(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val w = graft.operators.Similarity.ndcgWMicro
+    // the weight table is the committed round(1e6/log2(i+1)) grid —
+    // re-derive it so a typo in the literals cannot hide
+    for ((wi, i) <- w.zipWithIndex)
+      assert(wi == math.round(1e6 / (math.log(i + 2) / math.log(2))), s"w($i)")
+    val exact = graft.operators.Similarity.topkBruteForce(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val approx = graft.operators.Similarity.ivfTopk(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val erkOf = exact.map { case (q, rk, nb) => (q, nb) -> rk }.toMap
+    val qs = exact.map(_._1).distinct
+    assert(qs.nonEmpty && got.size == qs.size)
+    for (q <- qs) {
+      val idcg = exact.collect { case (`q`, rk, _) =>
+        (6 - rk) * w(rk.toInt - 1) }.sum
+      val dcg = approx.collect { case (`q`, ark, nb) =>
+        erkOf.get((q, nb)).map(erk => (6 - erk) * w(ark.toInt - 1))
+          .getOrElse(0L) }.sum
+      val (gd, gi, gn) = got(q)
+      assert(gd == dcg && gi == idcg, s"q=$q dcg/idcg")
+      assert(gn == dcg * 10000L / idcg, s"q=$q ndcg_bp")
+      assert(dcg <= idcg && gn >= 0 && gn <= 10000, s"q=$q bounds")
+    }
+    // graded metric is consistent with the membership metric: perfect
+    // NDCG requires perfect recall on that query
+    val rec = graft.operators.Similarity.recallEval(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    for (q <- qs if got(q)._3 == 10000L)
+      assert(rec(q) == 10000L, s"q=$q ndcg perfect but recall not")
+  }
 }
