@@ -148,6 +148,88 @@ object Similarity {
        |ORDER BY c.a_id, c.b_id""".stripMargin
   }
 
+  /** Number of hyperplanes in the multiprobe signature — 2^8 = 256
+    * buckets, probed at Hamming radius ≤ 1 (9 probes/query). */
+  private val mpPlanes = 8
+
+  /** MULTIPROBE LSH top-k (Lv, Josephson, Wang, Charikar & Li,
+    * VLDB'07) — the OTHER side of the LSH memory/recall trade from
+    * [[annLsh]]'s OR-amplification: instead of 8 independent tables
+    * (8× index memory) each probed once, keep ONE 8-bit
+    * random-hyperplane signature table and probe each query's home
+    * bucket PLUS every bucket at Hamming distance 1 (flip each of the
+    * 8 sign bits — the standard 1-step probing sequence; near
+    * neighbors that land across a single hyperplane are recovered by
+    * the flipped probe rather than by another table). Candidates are
+    * verified with exact native cosine and ranked top-5 per panel
+    * query.
+    *
+    * Scale shape: the index is ONE (vec_id, sig) pair per corpus
+    * vector — 8× smaller than the OR-amplified index; probing is an
+    * equi-join of the 9·|panel| probe rows against the bucketed
+    * corpus, so the join is candidate-linear and the vector payloads
+    * are joined exactly once after the distinct (the [[annLsh]]
+    * discipline). Hash-green via the signature sidecar: the
+    * xxhash-derived signatures — the only engine-specific stage — are
+    * dumped, and DuckDB replays probing (xor per mask), candidate
+    * dedup, exact-cosine verify, and ranking. */
+  def multiprobeLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // sign bit of the dot product with deterministic pseudo-random
+    // hyperplane j (components from xxhash64(j, dim) — reproducible
+    // index, same family as annLsh but a disjoint plane-id range)
+    def planeBit(j: Int): Column = {
+      val dot = expr(
+        s"""aggregate(zip_with(v, sequence(1, size(v)), (x, d) ->
+           |  x * ((pmod(xxhash64(${100 + j}, d), 1000)) / 1000.0 - 0.5)),
+           |  0D, (acc, x) -> acc + x)""".stripMargin)
+      when(dot > 0, lit(1L)).otherwise(0L)
+    }
+    val sig = e.select(col("vec_id"),
+      (0 until mpPlanes).map(j => planeBit(j) * (1L << j)).reduce(_ + _).as("sig"))
+      .localCheckpoint(true) // consumed twice: probe side + corpus side
+    oracleSidecar("mp_sigs", sig)
+    val q = sig.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("sig").as("qsig"))
+    val masks = 0L +: (0 until mpPlanes).map(j => 1L << j)
+    val probes = q.select(col("q_id"), explode(array(
+      masks.map(m => expr(s"qsig ^ $m")): _*)).as("psig"))
+    val cand = probes.join(sig, col("psig") === col("sig"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id")).distinct()
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    cand
+      .join(e.select(col("vec_id").as("q_id"), col("v").as("vq")), Seq("q_id"))
+      .join(e, Seq("vec_id"))
+      .withColumn("cos", graft.functions.CosineSim.cosine(col("vq"), col("v")))
+      .withColumn("rk", row_number().over(wTop).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  lazy val multiprobeLshSql: String = {
+    val masks = 0L +: (0 until mpPlanes).map(j => 1L << j)
+    val probeList = masks.map(m => s"xor(qsig, $m)").mkString(", ")
+    s"""WITH sigs AS (SELECT vec_id, sig FROM read_parquet('${oracleSidecarGlob("mp_sigs")}')),
+       | q AS (SELECT vec_id AS q_id, sig AS qsig FROM sigs WHERE vec_id < 20),
+       | probes AS (SELECT q_id, unnest([$probeList]) AS psig FROM q),
+       | cand AS (SELECT DISTINCT p.q_id, s.vec_id
+       |  FROM probes p JOIN sigs s ON s.sig = p.psig
+       |  WHERE s.vec_id <> p.q_id),
+       | e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       | scored AS (SELECT c.q_id, c.vec_id,
+       |   ${sqlCos("eq.v", "ev.v")} AS cos
+       |  FROM cand c
+       |   JOIN e eq ON eq.vec_id = c.q_id
+       |   JOIN e ev ON ev.vec_id = c.vec_id)
+       |SELECT q_id, rk, vec_id AS neighbor_id, cos FROM (
+       | SELECT *, cast(row_number() OVER (PARTITION BY q_id
+       |   ORDER BY cos DESC, vec_id) as bigint) AS rk FROM scored)
+       |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+  }
+
   /** Train a k-means codebook with DataFrame ops only — the coarse
     * quantizer for [[ivfTopk]].
     *
@@ -2211,6 +2293,7 @@ ORDER BY q_id, pick"""
     GQuery("sim_mips_topk", mipsTopk, Some(mipsTopkSql)),
     GQuery("sim_label_centroids", labelCentroids, Some(labelCentroidsSql)),
     GQuery("sim_ann_lsh", annLsh, Some(annLshSql)),
+    GQuery("sim_lsh_multiprobe", multiprobeLsh, Some(multiprobeLshSql)),
     GQuery("sim_ivf_topk", ivfTopk, Some(ivfTopkSql)),
     GQuery("sim_recall_eval", recallEval, Some(recallEvalSql)),
     GQuery("sim_ndcg_eval", ndcgEval, Some(ndcgEvalSql)),

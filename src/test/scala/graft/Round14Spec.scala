@@ -572,4 +572,53 @@ class Round14Spec extends AnyFunSuite {
     for (q <- qs if got(q)._3 == 10000L)
       assert(rec(q) == 10000L, s"q=$q ndcg perfect but recall not")
   }
+
+  test("sim_lsh_multiprobe: every neighbor is reachable within Hamming-1 " +
+      "of the query signature; in-JVM probe replay reproduces the " +
+      "candidate sets; multiprobe recall ≥ home-bucket-only recall") {
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.Similarity.multiprobeLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    // ranks are dense from 1 and ordered by cos desc within a query
+    for ((q, rows) <- out.groupBy(_._1)) {
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq, s"q=$q ranks")
+      assert(sorted.map(-_._4).toSeq == sorted.map(-_._4).sorted.toSeq, s"q=$q order")
+    }
+    // replay the probing in the JVM from the dumped signatures: every
+    // returned neighbor must share a bucket at Hamming distance ≤ 1,
+    // and the multiprobe candidate set must be exactly the replayed one
+    val sigDir = s"${sys.props("java.io.tmpdir")}/graft_oracle_scratch/mp_sigs"
+    val sigs = spark.read.parquet(sigDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    for ((q, _, nb, _) <- out)
+      assert(hamming(sigs(q), sigs(nb)) <= 1, s"q=$q nb=$nb not probe-reachable")
+    // home-bucket-only candidates ⊆ multiprobe candidates ⇒ recall
+    // against the exact panel can only improve with the extra probes
+    val exact = graft.operators.Similarity.topkBruteForce(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val mpHits = out.count { case (q, _, nb, _) => exact((q, nb)) }
+    val qIds = sigs.keys.filter(_ < 20).toSeq
+    val homeTop: Set[(Long, Long)] = {
+      val e = graft.util.t(spark, sf, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val corpus = e.collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+      val byId = corpus.toMap
+      def cos(a: Seq[Double], b: Seq[Double]): Double = {
+        val d = a.zip(b).map { case (x, y) => x * y }.sum
+        d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      }
+      qIds.flatMap { q =>
+        corpus.filter { case (id, _) => id != q && sigs(id) == sigs(q) }
+          .map { case (id, v) => (id, cos(byId(q), v)) }
+          .sortBy { case (id, c) => (-c, id) }.take(5)
+          .map { case (id, _) => (q, id) }
+      }.toSet
+    }
+    val homeHits = homeTop.count(exact)
+    assert(mpHits >= homeHits,
+      s"multiprobe hits $mpHits < home-bucket-only hits $homeHits")
+  }
 }
