@@ -3251,7 +3251,73 @@ object Analytics {
       | cast(sum(sg) * 10000 // count(*) as bigint) AS tau_bp
       |FROM pairs GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** THEIL–SEN robust slope (Theil '50; Sen JASA'68) — the MAGNITUDE
+    * companion to [[q128TrendTest]]'s Mann–Kendall significance, on
+    * the SAME per-type daily series: the median of all pairwise
+    * slopes (vj − vi)/(j − i), insensitive to ~29% outliers where OLS
+    * (q124) breaks on one. All-integer: slopes in micro-units via
+    * truncating division — Spark `div` and DuckDB `//` both truncate
+    * toward zero (verified on negatives), so the grids agree exactly —
+    * and the median is the LOWER median, picked by deterministic rank
+    * (n+1) div 2 under (s_micro, i, j) total order.
+    *
+    * Scale shape: aggregate FIRST (the only data-sized pass, one
+    * shuffle to daily grain), then the pair join runs on the tiny
+    * per-type series — pairs ≤ days², bounded by the calendar, never
+    * by row count; both windows share one (event_type) partitioning
+    * (single exchange). The checkpoint stops the daily aggregation
+    * from re-running for each side of the self-join. */
+  def q129TheilSen(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "events")
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("v"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("day"))).cast("long"))
+      .select(col("event_type"), col("rn"), col("v"))
+      .localCheckpoint(true)
+    val pairs = daily.select(col("event_type"), col("rn").as("i"), col("v").as("vi"))
+      .join(daily.select(col("event_type"), col("rn").as("j"), col("v").as("vj")),
+        Seq("event_type"))
+      .filter(col("i") < col("j"))
+      .withColumn("s_micro", expr("(vj - vi) * 1000000L div (j - i)"))
+    val wOrd = Window.partitionBy(col("event_type"))
+      .orderBy(col("s_micro"), col("i"), col("j"))
+    val wAll = Window.partitionBy(col("event_type"))
+    pairs.withColumn("rk", row_number().over(wOrd).cast("long"))
+      .withColumn("n_pairs", count(lit(1)).over(wAll))
+      .filter(col("rk") === expr("(n_pairs + 1) div 2"))
+      .select(col("event_type"), col("n_pairs"),
+        col("s_micro").as("slope_micro"))
+      .orderBy(col("event_type"))
+  }
+
+  val q129Sql: String =
+    """WITH daily AS (
+      | SELECT event_type, date_trunc('day', ts) AS day,
+      |  sum(cast(round(value * 100) as bigint)) AS v
+      | FROM events GROUP BY 1, 2),
+      |seq AS (
+      | SELECT event_type, v,
+      |  row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      | FROM daily),
+      |pairs AS (
+      | SELECT a.event_type, a.rn AS i, b.rn AS j,
+      |  (b.v - a.v) * 1000000 // (b.rn - a.rn) AS s_micro
+      | FROM seq a JOIN seq b
+      |  ON b.event_type = a.event_type AND a.rn < b.rn),
+      |ranked AS (
+      | SELECT event_type, s_micro,
+      |  row_number() OVER (PARTITION BY event_type
+      |    ORDER BY s_micro, i, j) AS rk,
+      |  count(*) OVER (PARTITION BY event_type) AS n_pairs
+      | FROM pairs)
+      |SELECT event_type, cast(n_pairs as bigint) AS n_pairs,
+      | cast(s_micro as bigint) AS slope_micro
+      |FROM ranked WHERE rk = (n_pairs + 1) // 2
+      |ORDER BY event_type""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("q129_theil_sen", q129TheilSen, Some(q129Sql)),
     GQuery("q128_trend_test", q128TrendTest, Some(q128Sql)),
     GQuery("q127_lorenz_deciles", q127LorenzDeciles, Some(q127Sql)),
     GQuery("meta_autocorrelation", metaAutocorrelation,

@@ -621,4 +621,39 @@ class Round14Spec extends AnyFunSuite {
     assert(mpHits >= homeHits,
       s"multiprobe hits $mpHits < home-bucket-only hits $homeHits")
   }
+
+  test("q129_theil_sen: sequential pairwise referee reproduces the lower-" +
+      "median micro slope per type; sign agrees with Mann–Kendall S " +
+      "whenever |S| exceeds the tie count") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val got = graft.operators.Analytics.q129TheilSen(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // rebuild the per-type daily series exactly as the entry does
+    val daily = graft.util.t(spark, sf, "events")
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("v"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("day"))).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getLong(2)))
+    assert(got.nonEmpty && daily.nonEmpty)
+    for ((typ, rows) <- daily.groupBy(_._1)) {
+      val seq0 = rows.sortBy(_._2).map(_._3)
+      val slopes = for {
+        i <- seq0.indices; j <- (i + 1) until seq0.length
+      } yield ((seq0(j) - seq0(i)) * 1000000L / (j - i), i.toLong, j.toLong)
+      val n = slopes.length.toLong
+      val med = slopes.sorted.apply(((n + 1) / 2 - 1).toInt)._1
+      val (gn, gs) = got(typ)
+      assert(gn == n, s"$typ n_pairs")
+      assert(gs == med, s"$typ slope: got $gs want $med")
+      // Mann–Kendall consistency: S = P − N over the same pairs; when
+      // |S| > Z (ties) a strict majority of slopes share the sign, so
+      // the median slope must carry it
+      val p = slopes.count(_._1 > 0); val ng = slopes.count(_._1 < 0)
+      val z = slopes.count(_._1 == 0)
+      if (p - ng > z) assert(gs > 0, s"$typ MK+ but slope $gs")
+      if (ng - p > z) assert(gs < 0, s"$typ MK- but slope $gs")
+    }
+  }
 }
