@@ -1000,7 +1000,95 @@ object Sampling {
        |      ((pstart - 1 - st + ${ppsDraws} * step) // step) >= 1
        |ORDER BY doc_id""".stripMargin
 
+  /** First-stage cluster draws / second-stage stride — committed
+    * design knobs like [[ppsDraws]]. */
+  val twoStageDraws = 6L
+  val twoStageStride = 5L
+
+  /** TWO-STAGE CLUSTER SAMPLING (Cochran ch. 10; Hansen & Hurwitz
+    * '43): the survey design behind "sample sources, then documents
+    * within sources" — the only affordable design when visiting a
+    * cluster has fixed cost (a crawl host, a shard, an archive).
+    * Stage 1 draws [[twoStageDraws]] clusters PPS-systematically on
+    * the cluster token-mass line (the [[ppsSystematic]] grid lifted
+    * to cluster grain — a big cluster can be drawn twice, the
+    * with-replacement multiplicity that keeps Hansen–Hurwitz
+    * unbiased); stage 2 takes every [[twoStageStride]]-th document
+    * within each drawn cluster by doc_id rank from a deterministic
+    * midpoint phase. Each sampled document carries its HH weight in
+    * micro-units: d_c · stride · T div (k · S_c) — inverse inclusion
+    * under the two stages, all integer.
+    *
+    * Scale shape: the cluster frame is CATALOG-sized (#sources, never
+    * #docs), so its cumulative window over 20 rows is free — the only
+    * data-sized passes are the per-doc token count and the stage-2
+    * rank within drawn clusters (window partitioned BY CLUSTER). The
+    * 1-row total and the drawn-cluster list broadcast. */
+  def twoStageCluster(spark: SparkSession, dir: String): DataFrame = {
+    val k = twoStageDraws
+    val r = twoStageStride
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+    val cl = docs.groupBy(col("source"))
+      .agg(sum(col("n_toks")).as("s"))
+    val pre = cl
+      .withColumn("pend", sum(col("s")).over(
+        Window.orderBy(col("source")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("pstart", col("pend") - col("s"))
+    val tot = pre.agg(max(col("pend")).as("t"))
+    val drawn = pre.crossJoin(broadcast(tot))
+      .withColumn("step", expr(s"t div ${k}L"))
+      .withColumn("st", expr("step div 2"))
+      .withColumn("d_c", expr(
+        s"((pend - 1 - st + ${k}L * step) div step) - " +
+          s"((pstart - 1 - st + ${k}L * step) div step)"))
+      .filter(col("d_c") >= 1)
+      .select(col("source"), col("s"), col("d_c"), col("t"))
+    docs.join(broadcast(drawn), Seq("source"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id"))).cast("long"))
+      .filter(expr(s"(rn - 1) % ${r}L = ${r / 2}L"))
+      .withColumn("weight_micro",
+        expr(s"d_c * ${r}L * t * 1000000L div (${k}L * s)"))
+      .select(col("doc_id"), col("source"), col("n_toks"),
+        col("d_c").as("cluster_draws"), col("weight_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  val twoStageClusterSql: String = {
+    val k = twoStageDraws
+    val r = twoStageStride
+    s"""WITH docs AS (
+       | SELECT doc_id, source,
+       |  cast(len(string_split(text, ' ')) as bigint) AS n_toks
+       | FROM documents),
+       |cl AS (SELECT source, cast(sum(n_toks) as bigint) AS s
+       |  FROM docs GROUP BY source),
+       |pre AS (SELECT source, s,
+       |  cast(sum(s) OVER (ORDER BY source) as bigint) AS pend,
+       |  cast(sum(s) OVER (ORDER BY source) - s as bigint) AS pstart
+       | FROM cl),
+       |tot AS (SELECT max(pend) AS t FROM pre),
+       |drawn AS (
+       | SELECT p.source, p.s, t.t, t.t // $k AS step, (t.t // $k) // 2 AS st,
+       |  ((p.pend - 1 - (t.t // $k) // 2 + $k * (t.t // $k)) // (t.t // $k)) -
+       |  ((p.pstart - 1 - (t.t // $k) // 2 + $k * (t.t // $k)) // (t.t // $k))
+       |    AS d_c
+       | FROM pre p, tot t),
+       |ranked AS (
+       | SELECT d.doc_id, d.source, d.n_toks, w.d_c, w.s, w.t,
+       |  row_number() OVER (PARTITION BY d.source ORDER BY d.doc_id) AS rn
+       | FROM docs d JOIN drawn w ON w.source = d.source AND w.d_c >= 1)
+       |SELECT doc_id, source, n_toks,
+       | cast(d_c as bigint) AS cluster_draws,
+       | cast(d_c * $r * t * 1000000 // ($k * s) as bigint) AS weight_micro
+       |FROM ranked WHERE (rn - 1) % $r = ${r / 2}
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[GQuery] = Seq(
+    GQuery("sample_two_stage", twoStageCluster, Some(twoStageClusterSql)),
     GQuery("sample_pps_systematic", ppsSystematic, Some(ppsSystematicSql)),
     GQuery("sample_balanced_classes", balancedClasses, Some(balancedClassesSql)),
     GQuery("pipeline_sequence_pack", sequencePack, Some(sequencePackSql)),

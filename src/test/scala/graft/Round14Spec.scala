@@ -656,4 +656,44 @@ class Round14Spec extends AnyFunSuite {
       if (ng - p > z) assert(gs < 0, s"$typ MK- but slope $gs")
     }
   }
+
+  test("sample_two_stage: cluster-grid replay reproduces first-stage " +
+      "draws (Σ = k), second-stage picks sit on the stride phase, and " +
+      "every weight is the exact Hansen–Hurwitz inverse inclusion") {
+    import org.apache.spark.sql.functions._
+    val S = graft.operators.Sampling
+    val out = S.twoStageCluster(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    val docs = graft.util.t(spark, sf, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // first stage: sequential PPS grid over clusters ordered by source
+    val clusters = docs.groupBy(_._2).map { case (src, rs) => src -> rs.map(_._3).sum }
+      .toSeq.sortBy(_._1)
+    val total = clusters.map(_._2).sum
+    val k = S.twoStageDraws; val r = S.twoStageStride
+    val step = total / k; val start = step / 2
+    val grid = (0L until k).map(i => start + i * step)
+    var cum = 0L
+    val drawRef = scala.collection.mutable.Map[String, Long]()
+    for ((src, s) <- clusters) {
+      val d = grid.count(g => g >= cum && g < cum + s)
+      if (d > 0) drawRef(src) = d.toLong
+      cum += s
+    }
+    assert(drawRef.values.sum == k, "first-stage draw conservation")
+    val clusterSize = clusters.toMap
+    // second stage: every output row's cluster was drawn, its rank sits
+    // on the committed phase, and no on-phase doc of a drawn cluster is
+    // missing
+    val expected = for {
+      (src, d) <- drawRef.toSeq
+      ranked = docs.filter(_._2 == src).sortBy(_._1).zipWithIndex
+      ((id, _, nt), idx) <- ranked if idx.toLong % r == r / 2
+    } yield (id, src, nt, d, d * r * total * 1000000L / (k * clusterSize(src)))
+    assert(out.sortBy(_._1).toSeq == expected.sortBy(_._1).toSeq,
+      "two-stage sample diverges from the sequential referee")
+  }
 }
