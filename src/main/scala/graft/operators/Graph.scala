@@ -558,6 +558,63 @@ object Graph {
       |SELECT node, min(dist) AS dist FROM bfs
       |GROUP BY node ORDER BY node""".stripMargin
 
+  /** HARMONIC CENTRALITY on a fixed seed panel (Boldi & Vigna,
+    * "Axioms for Centrality", Internet Math '14 — harmonic, not
+    * closeness, because Σ 1/d handles unreachable nodes without the
+    * disconnected-graph pathology): for the 8 smallest node ids,
+    * h(s) = Σ_{v≠s, d(s,v)≤4} 1/d(s,v), in integer micro-units
+    * (10⁶ div d — exact, both engines). Distances come from ONE
+    * multi-source BFS carrying (seed, node, dist) — the panel version
+    * of [[shortestPaths]]' min-combine supersteps, NOT 8 separate
+    * traversals and never the all-pairs matrix: message volume per
+    * round is |panel| × edge-linear, the per-seed state node-linear.
+    * This is the sampled-pivot methodology centrality at scale uses
+    * (HyperBall samples seeds; the exact panel here IS the contract).
+    * Oracle: recursive CTE seeded with the same panel. */
+  def harmonicCentrality(spark: SparkSession, dir: String): DataFrame = {
+    val e = spark.read.parquet(s"${tradeGraphRoot(spark, dir)}/sym")
+    val seeds = e.select(col("src")).distinct()
+      .orderBy(col("src")).limit(8)
+      .select(col("src").as("seed"), col("src").as("node"), lit(0L).as("dist"))
+    var dist = seeds.localCheckpoint(true)
+    for (_ <- 1 to 4) {
+      val relaxed = e.join(dist, col("src") === col("node"))
+        .select(col("seed"), col("dst").as("node"), (col("dist") + 1L).as("dist"))
+      dist = dist.unionAll(relaxed)
+        .groupBy(col("seed"), col("node")).agg(min(col("dist")).as("dist"))
+    }
+    dist.filter(col("dist") > 0)
+      .groupBy(col("seed"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("1000000L div dist")).as("harmonic_micro"))
+      .orderBy(col("seed"))
+  }
+
+  val harmonicCentralitySql: String =
+    """WITH RECURSIVE pairs AS (
+      |  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS c,
+      |                  CAST(l_suppkey * 2 + 1 AS BIGINT) AS s
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |edges AS (
+      |  SELECT c AS src, s AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT s AS src, c AS dst FROM pairs),
+      |seeds AS (
+      |  SELECT src AS seed FROM (
+      |    SELECT DISTINCT src FROM edges ORDER BY src LIMIT 8)),
+      |bfs(seed, node, dist) AS (
+      |  SELECT seed, seed, CAST(0 AS BIGINT) FROM seeds
+      |  UNION
+      |  SELECT b.seed, e.dst, b.dist + 1
+      |  FROM bfs b JOIN edges e ON e.src = b.node
+      |  WHERE b.dist < 4),
+      |d AS (
+      |  SELECT seed, node, min(dist) AS dist FROM bfs GROUP BY 1, 2)
+      |SELECT seed, cast(count(*) as bigint) AS n_reached,
+      | cast(sum(1000000 // dist) as bigint) AS harmonic_micro
+      |FROM d WHERE dist > 0
+      |GROUP BY seed ORDER BY seed""".stripMargin
+
   /** k-core peeling trace on the symmetric co-supply projection:
     * three rounds of "drop every node with degree < k", where
     * k = avg-degree + 1 is computed ONCE from the round-0 graph with
@@ -1147,6 +1204,8 @@ object Graph {
     GQuery("graph_ppr", personalizedPageRank, Some(personalizedPageRankSql)),
     GQuery("graph_triangles", triangles, Some(trianglesSql)),
     GQuery("graph_shortest_paths", shortestPaths, Some(shortestPathsSql)),
+    GQuery("graph_harmonic_centrality", harmonicCentrality,
+      Some(harmonicCentralitySql)),
     GQuery("graph_shortest_paths_frontier", shortestPathsFrontier, Some(shortestPathsSql)),
     GQuery("graph_kcore_peel", kcorePeel, Some(kcorePeelSql)),
     GQuery("graph_label_propagation", labelPropagation, Some(labelPropagationSql)),

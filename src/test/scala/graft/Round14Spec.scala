@@ -696,4 +696,27 @@ class Round14Spec extends AnyFunSuite {
     assert(out.sortBy(_._1).toSeq == expected.sortBy(_._1).toSeq,
       "two-stage sample diverges from the sequential referee")
   }
+
+  test("graph_harmonic_centrality: the min-seed row reproduces exactly " +
+      "from the single-source BFS entry; 8-seed panel; per-term bounds") {
+    val out = graft.operators.Graph.harmonicCentrality(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 8, s"panel size ${out.length}")
+    for ((seed, n, h) <- out) {
+      // every reached node contributes 10^6/d with 1 ≤ d ≤ 4
+      assert(h >= n * 250000L && h <= n * 1000000L, s"seed=$seed bounds")
+    }
+    // the smallest seed IS graph_shortest_paths' source: its harmonic
+    // sum must be re-derivable term-for-term from that entry's output
+    val sp = graft.operators.Graph.shortestPaths(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val minSeed = out.map(_._1).min
+    assert(sp.map(_._1).min == minSeed, "seed panels disagree on min node")
+    val wantN = sp.count { case (node, d) => node != minSeed && d > 0 }
+    val wantH = sp.collect { case (node, d) if node != minSeed && d > 0 =>
+      1000000L / d }.sum
+    val (_, gotN, gotH) = out.find(_._1 == minSeed).get
+    assert(gotN == wantN && gotH == wantH,
+      s"min-seed harmonic ($gotN, $gotH) != BFS-derived ($wantN, $wantH)")
+  }
 }
