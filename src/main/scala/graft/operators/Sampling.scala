@@ -1087,7 +1087,89 @@ object Sampling {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** HANSEN–HURWITZ ESTIMATOR EVAL — the sampling twin of
+    * `sim_recall_eval`: a sampling design is only trustworthy if its
+    * estimator is MEASURED against ground truth, so this entry runs
+    * the estimate and the exact answer side by side. From the
+    * [[ppsSystematic]] token-PPS draw, estimate the corpus total of a
+    * CORRELATED variable the design never saw — characters — via
+    * Ŷ = (1/k) Σ_draws y_i/p_i with p_i = t_i/T (all integer:
+    * Σ d_i·chars_i·T div (t_i·k) in micro-units), and report the
+    * signed error vs the exact Σ chars in basis points. Size-biased
+    * draws + inverse-inclusion weights cancel ⇒ small error; the
+    * entry demonstrates (and the spec bounds) exactly that.
+    *
+    * Scale shape: the draw table is sample-sized; the exact total is
+    * ONE aggregation pass; both join as 1-row broadcasts. */
+  def htEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val k = ppsDraws
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .localCheckpoint(true) // consumed by the draw, the estimate, and the truth
+    val pre = graft.operators.DistRank.withPrefix(
+      docs, Seq(col("doc_id")), col("n_toks"), "sum", "pend")
+      .select(col("doc_id"), col("n_chars"), col("n_toks"),
+        (col("pend") - col("n_toks")).as("pstart"), col("pend"))
+    val tot = pre.agg(max(col("pend")).as("t"))
+    val drawn = pre.crossJoin(broadcast(tot))
+      .withColumn("step", expr(s"t div ${k}L"))
+      .withColumn("st", expr("step div 2"))
+      .withColumn("d", expr(
+        s"((pend - 1 - st + ${k}L * step) div step) - " +
+          s"((pstart - 1 - st + ${k}L * step) div step)"))
+      .filter(col("d") >= 1)
+    // per-draw term d·(chars·10⁶ div toks) is SCALE-INVARIANT (a
+    // chars-per-token ratio, never corpus-sized), so the one place the
+    // corpus total T enters is the final S·T div k — int64-safe until
+    // T ≈ 1.8e10 tokens (~70 TB of text); beyond that drop the micro
+    // scale (report whole chars) rather than widening to decimal
+    val est = drawn.agg(
+      sum(expr("d * (n_chars * 1000000L div n_toks)")).as("s"),
+      max(col("t")).as("t"),
+      count(lit(1)).as("n_sampled"),
+      sum(col("d")).as("n_draws"))
+    val truth = docs.agg(sum(col("n_chars")).as("exact_chars"))
+    est.crossJoin(broadcast(truth))
+      .select(col("n_sampled"), col("n_draws"),
+        expr(s"s * t div ${k}L").as("estimate_micro"), col("exact_chars"),
+        expr(s"(s * t div ${k}L - exact_chars * 1000000L) * 10000L div " +
+          "(exact_chars * 1000000L)").as("err_bp"))
+  }
+
+  val htEstimateSql: String =
+    s"""WITH docs AS (
+       | SELECT doc_id, n_chars,
+       |  cast(len(string_split(text, ' ')) as bigint) AS n_toks
+       | FROM documents),
+       |pre AS (
+       | SELECT doc_id, n_chars, n_toks,
+       |  cast(sum(n_toks) OVER (ORDER BY doc_id) - n_toks as bigint) AS pstart,
+       |  cast(sum(n_toks) OVER (ORDER BY doc_id) as bigint) AS pend
+       | FROM docs),
+       |tot AS (SELECT max(pend) AS t FROM pre),
+       |drawn AS (
+       | SELECT p.doc_id, p.n_chars, p.n_toks, t.t,
+       |  ((p.pend - 1 - (t.t // ${ppsDraws}) // 2 + ${ppsDraws} * (t.t // ${ppsDraws}))
+       |    // (t.t // ${ppsDraws})) -
+       |  ((p.pstart - 1 - (t.t // ${ppsDraws}) // 2 + ${ppsDraws} * (t.t // ${ppsDraws}))
+       |    // (t.t // ${ppsDraws})) AS d
+       | FROM pre p, tot t),
+       |est AS (
+       | SELECT cast(count(*) as bigint) AS n_sampled,
+       |  cast(sum(d) as bigint) AS n_draws,
+       |  cast(sum(d * (n_chars * 1000000 // n_toks)) as bigint) AS s,
+       |  cast(max(t) as bigint) AS t
+       | FROM drawn WHERE d >= 1),
+       |truth AS (SELECT cast(sum(n_chars) as bigint) AS exact_chars FROM docs)
+       |SELECT n_sampled, n_draws,
+       | cast(s * t // ${ppsDraws} as bigint) AS estimate_micro, exact_chars,
+       | cast((s * t // ${ppsDraws} - exact_chars * 1000000) * 10000 //
+       |      (exact_chars * 1000000) as bigint) AS err_bp
+       |FROM est, truth""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("sample_ht_estimate", htEstimate, Some(htEstimateSql)),
     GQuery("sample_two_stage", twoStageCluster, Some(twoStageClusterSql)),
     GQuery("sample_pps_systematic", ppsSystematic, Some(ppsSystematicSql)),
     GQuery("sample_balanced_classes", balancedClasses, Some(balancedClassesSql)),

@@ -719,4 +719,40 @@ class Round14Spec extends AnyFunSuite {
     assert(gotN == wantN && gotH == wantH,
       s"min-seed harmonic ($gotN, $gotH) != BFS-derived ($wantN, $wantH)")
   }
+
+  test("sample_ht_estimate: sequential grid+estimator replay reproduces " +
+      "the row; draw conservation; design error within ±2% of truth") {
+    import org.apache.spark.sql.functions._
+    val S = graft.operators.Sampling
+    val Array(row) = S.htEstimate(spark, sf).collect()
+    val (nS, nD, est, exact, err) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
+    assert(nD == S.ppsDraws, "draw conservation Σd = k")
+    // sequential replay: grid draws, then the HH estimate with the
+    // entry's exact integer-truncation order
+    val docs = graft.util.t(spark, sf, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val total = docs.map(_._3).sum
+    val k = S.ppsDraws
+    val step = total / k; val start = step / 2
+    val grid = (0L until k).map(i => start + i * step)
+    var cum = 0L; var s = 0L; var nSamp = 0L; var nDraw = 0L
+    for ((_, ch, nt) <- docs) {
+      val d = grid.count(g => g >= cum && g < cum + nt).toLong
+      if (d > 0) { s += d * (ch * 1000000L / nt); nSamp += 1; nDraw += d }
+      cum += nt
+    }
+    val wantEst = s * total / k
+    val wantExact = docs.map(_._2).sum
+    assert((nS, nD, est, exact) == ((nSamp, nDraw, wantEst, wantExact)),
+      s"HT replay: got ($nS,$nD,$est,$exact) want ($nSamp,$nDraw,$wantEst,$wantExact)")
+    assert(err == (wantEst - wantExact * 1000000L) * 10000L / (wantExact * 1000000L))
+    // the point of the entry: size-biased draws × inverse-inclusion
+    // weights cancel — the estimate of a variable the design never
+    // saw lands within ±2% (measured: 4–23 bp across SFs)
+    assert(math.abs(err) <= 200L, s"design error $err bp exceeds 2%")
+  }
 }
