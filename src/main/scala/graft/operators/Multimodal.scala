@@ -533,6 +533,120 @@ object Multimodal {
        |      THEN 1 ELSE 0 END as bigint) AS structured
        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  case class PhashCell(doc_id: Long, gy: Int, gx: Int, luma_milli: Long)
+
+  /** 8×8 mean-luma grid per visual payload — the pHash input plane
+    * (one decode pass in mapPartitions, integer luma in milli-units,
+    * same 299/587/114 weights as the tile decoder). */
+  private[graft] def phashGrid(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .filter(_.media_type != "audio")
+      .mapPartitions(_.flatMap { r =>
+        val img = Ppm.decode(r.payload)
+        val (w, h) = (img.width, img.height)
+        for (gy <- 0 until 8; gx <- 0 until 8) yield {
+          val x0 = gx * w / 8; val x1 = math.max((gx + 1) * w / 8, x0 + 1)
+          val y0 = gy * h / 8; val y1 = math.max((gy + 1) * h / 8, y0 + 1)
+          var sum = 0L; var n = 0L
+          var y = y0
+          while (y < y1 && y < h) {
+            var x = x0
+            while (x < x1 && x < w) {
+              val p = (y * w + x) * 3
+              sum += 299L * (img.pixels(p) & 0xff) +
+                587L * (img.pixels(p + 1) & 0xff) +
+                114L * (img.pixels(p + 2) & 0xff)
+              n += 1; x += 1
+            }
+            y += 1
+          }
+          PhashCell(r.doc_id, gy, gx, if (n == 0) 0L else sum / n)
+        }
+      }).toDF()
+  }
+
+  /** Fixed-point DCT-II basis, C(u, x) = round(10⁴·cos(π(2x+1)u/16))
+    * — ONE table committed by construction (generated once in the JVM
+    * and embedded verbatim in the oracle SQL, so both engines multiply
+    * the identical integers; no runtime cos anywhere in a plan). */
+  private[graft] val dctBasis: Seq[(Int, Int, Long)] =
+    for (u <- 0 until 8; x <- 0 until 8)
+      yield (u, x, math.round(10000.0 * math.cos(math.Pi * (2 * x + 1) * u / 16)))
+
+  /** PERCEPTUAL HASH (pHash, the DCT variant — Zauner '10; the
+    * classic ImageHash/pHash.org algorithm) — the frequency-domain
+    * complement to [[imageDhashPairs]]' gradient dHash: dHash keys on
+    * local gradients (robust to re-encode), pHash keys on the
+    * image's low-frequency STRUCTURE (robust to blur/resize/small
+    * crops). Per visual payload: 8×8 mean-luma grid → 2-D DCT-II via
+    * the committed fixed-point basis — coef(u,v) = Σ L(gy,gx)·
+    * C(u,gy)·C(v,gx), all int64 (≤ 64·255000·10⁴·10⁴ ≈ 1.6e15) — →
+    * the 63 AC coefficients threshold at their LOWER MEDIAN (rank 32
+    * under a (coef,u,v) total order) → one bit each, packed into an
+    * int64 at position u·8+v−1 (the sign bit is never touched).
+    *
+    * Scale shape: decode is per-row CPU at scan; the DCT is a
+    * broadcast join against the 64-row basis (4096 intermediate rows
+    * per image, aggregated per (doc,u,v)); median and packing are
+    * per-image windows — embarrassingly parallel end to end, index
+    * output is (doc_id, one long). Hash-green: the grid (the only
+    * codec-derived stage) is the sidecar; DuckDB replays the DCT from
+    * the same basis literals, the median rank, and the bit packing. */
+  def imagePhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = phashGrid(spark, dir)
+    oracleSidecar("phash_grid", g)
+    val cu = spark.createDataFrame(dctBasis).toDF("u", "gy", "cu")
+    val cv = spark.createDataFrame(dctBasis).toDF("v", "gx", "cv")
+    val coefs = g.join(broadcast(cu), Seq("gy")).join(broadcast(cv), Seq("gx"))
+      .groupBy(col("doc_id"), col("u"), col("v"))
+      .agg(sum(col("luma_milli") * col("cu") * col("cv")).as("coef"))
+      .filter(!(col("u") === 0 && col("v") === 0)) // drop DC
+    val wMed = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("coef"), col("u"), col("v"))
+    val med = coefs.withColumn("rk", row_number().over(wMed))
+      .filter(col("rk") === 32)
+      .select(col("doc_id"), col("coef").as("med"))
+    coefs.join(med, Seq("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("coef") > col("med"),
+          expr("shiftleft(1L, cast(u * 8 + v - 1 as int))"))
+          .otherwise(0L)).as("phash"),
+        sum(when(col("coef") > col("med"), 1L).otherwise(0L)).as("n_pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val imagePhashSql: String = {
+    val basisRows = dctBasis.map { case (u, x, c) => s"($u, $x, $c)" }
+      .mkString(", ")
+    s"""WITH g AS (SELECT doc_id, gy, gx, luma_milli
+       |  FROM read_parquet('${oracleSidecarGlob("phash_grid")}')),
+       | basis(u, x, c) AS (VALUES $basisRows),
+       | coefs AS (
+       |  SELECT g.doc_id, cu.u, cv.u AS v,
+       |   sum(g.luma_milli * cu.c * cv.c) AS coef
+       |  FROM g JOIN basis cu ON cu.x = g.gy
+       |         JOIN basis cv ON cv.x = g.gx
+       |  GROUP BY 1, 2, 3
+       |  HAVING NOT (cu.u = 0 AND cv.u = 0)),
+       | med AS (
+       |  SELECT doc_id, coef AS med FROM (
+       |   SELECT doc_id, coef, row_number() OVER (PARTITION BY doc_id
+       |     ORDER BY coef, u, v) AS rk FROM coefs)
+       |  WHERE rk = 32)
+       |SELECT c.doc_id,
+       | cast(sum(CASE WHEN c.coef > m.med
+       |   THEN (1::BIGINT << (c.u * 8 + c.v - 1)) ELSE 0 END) as bigint)
+       |   AS phash,
+       | cast(sum(CASE WHEN c.coef > m.med THEN 1 ELSE 0 END) as bigint)
+       |   AS n_pos
+       |FROM coefs c JOIN med m USING (doc_id)
+       |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+  }
+
   /** CLIPPING DETECTION — the audio-QA gate beside VAD: a recording
     * whose samples ride the int16 rails was over-driven at capture
     * and is useless for acoustic training however good its
@@ -710,6 +824,7 @@ object Multimodal {
     GQuery("mm_audio_segments", audioSegments, Some(audioSegmentsSql)),
     GQuery("mm_scene_cuts", sceneCuts, Some(sceneCutsSql)),
     GQuery("mm_image_dhash_pairs", imageDhashPairs, Some(imageDhashPairsSql)),
+    GQuery("mm_image_phash", imagePhash, Some(imagePhashSql)),
     GQuery("mm_audio_frames", audioFrames, None),
     GQuery("mm_pack_struct", pack, Some(packSql)),
     GQuery("mm_shard_bybytes", shardByBytes, Some(shardByBytesSql)),

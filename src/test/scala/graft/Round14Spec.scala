@@ -755,4 +755,38 @@ class Round14Spec extends AnyFunSuite {
     // saw lands within ±2% (measured: 4–23 bp across SFs)
     assert(math.abs(err) <= 200L, s"design error $err bp exceeds 2%")
   }
+
+  test("mm_image_phash: JVM DCT referee reproduces every hash from the " +
+      "grid sidecar; popcount(phash) == n_pos ≤ 31; flat grid hashes to 0") {
+    val M = graft.operators.Multimodal
+    val out = M.imagePhash(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.nonEmpty)
+    val basis = M.dctBasis.map { case (u, x, c) => (u, x) -> c }.toMap
+    def phashOf(grid: Map[(Int, Int), Long]): (Long, Long) = {
+      val coefs = for (u <- 0 until 8; v <- 0 until 8 if u != 0 || v != 0)
+        yield ((u, v),
+          (for (gy <- 0 until 8; gx <- 0 until 8)
+            yield grid((gy, gx)) * basis((u, gy)) * basis((v, gx))).sum)
+      val med = coefs.sortBy { case ((u, v), c) => (c, u, v) }.apply(31)._2
+      val bits = coefs.collect { case ((u, v), c) if c > med => u * 8 + v - 1 }
+      (bits.foldLeft(0L)((h, b) => h | (1L << b)), bits.length.toLong)
+    }
+    val cells = spark.read.parquet(
+        s"${sys.props("java.io.tmpdir")}/graft_oracle_scratch/phash_grid")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    for ((doc, rows) <- cells.groupBy(_._1)) {
+      val grid = rows.map { case (_, gy, gx, l) => (gy, gx) -> l }.toMap
+      val (wantH, wantN) = phashOf(grid)
+      val (gotH, gotN) = out(doc)
+      assert(gotH == wantH && gotN == wantN, s"doc $doc")
+      assert(java.lang.Long.bitCount(gotH) == gotN, s"doc $doc popcount")
+      assert(gotN <= 31, s"doc $doc n_pos > 31") // 63 ACs, lower median
+    }
+    // a structureless (flat) image has every AC coefficient 0 ⇒ no bit
+    // can exceed the median ⇒ the hash is exactly 0
+    val flat = (for (gy <- 0 until 8; gx <- 0 until 8)
+      yield (gy, gx) -> 128000L).toMap
+    assert(phashOf(flat) == ((0L, 0L)), "flat grid must hash to 0")
+  }
 }
