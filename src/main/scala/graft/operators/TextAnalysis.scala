@@ -291,6 +291,60 @@ object TextAnalysis {
        |FROM conf c JOIN tt USING (lang) JOIN tp USING (pred_lang)
        |ORDER BY c.lang, c.pred_lang""".stripMargin
 
+  /** COHEN'S KAPPA (Cohen, Educ. Psychol. Meas. '60) for the language
+    * router — the CHANCE-CORRECTED summary the confusion matrix
+    * ([[langIdEval]]) doesn't give: raw agreement po flatters any
+    * classifier on a skewed label mix (predict the majority language
+    * and po is already high); kappa subtracts the agreement the
+    * margins produce by chance, κ = (po − pe)/(1 − pe). Computed as
+    * one exact integer rational: κ_bp = (N·Σdiag − Σ_c t_c·p_c)·10⁴
+    * div (N² − Σ_c t_c·p_c) — int64-exact to N ≈ 3·10⁷ docs per
+    * evaluated corpus slice (beyond that widen the two products to
+    * decimal(38,0), the Spearman discipline). Chance products join
+    * the two CLASS-sized margin tables — everything after the
+    * confusion aggregate is answer-sized. */
+  def langIdKappa(spark: SparkSession, dir: String): DataFrame = {
+    val conf = langId(spark, dir)
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // consumed by totals, diagonal, both margins
+    val totals = conf.agg(sum(col("n")).as("n_total"),
+      sum(when(col("lang") === col("pred_lang"), col("n")).otherwise(0L))
+        .as("n_agree"))
+    val byTrue = conf.groupBy(col("lang").as("c")).agg(sum(col("n")).as("t"))
+    val byPred = conf.groupBy(col("pred_lang").as("c")).agg(sum(col("n")).as("p"))
+    val chance = byTrue.join(byPred, Seq("c"))
+      .agg(coalesce(sum(expr("t * p")), lit(0L)).as("chance_sum"))
+    totals.crossJoin(broadcast(chance))
+      .select(col("n_total"), col("n_agree"),
+        expr("n_agree * 10000L div n_total").as("po_bp"),
+        expr("chance_sum * 10000L div (n_total * n_total)").as("pe_bp"),
+        expr("(n_agree * n_total - chance_sum) * 10000L div " +
+          "(n_total * n_total - chance_sum)").as("kappa_bp"))
+  }
+
+  val langIdKappaSql: String =
+    s"""WITH li AS ($langIdSql),
+       |conf AS (
+       | SELECT lang, pred_lang, cast(count(*) as bigint) AS n
+       | FROM li GROUP BY 1, 2),
+       |tot AS (
+       | SELECT cast(sum(n) as bigint) AS n_total,
+       |  cast(sum(CASE WHEN lang = pred_lang THEN n ELSE 0 END) as bigint)
+       |    AS n_agree
+       | FROM conf),
+       |tt AS (SELECT lang AS c, cast(sum(n) as bigint) AS t FROM conf GROUP BY 1),
+       |tp AS (SELECT pred_lang AS c, cast(sum(n) as bigint) AS p FROM conf GROUP BY 1),
+       |ch AS (
+       | SELECT cast(coalesce(sum(t * p), 0) as bigint) AS chance_sum
+       | FROM tt JOIN tp USING (c))
+       |SELECT n_total, n_agree,
+       | cast(n_agree * 10000 // n_total as bigint) AS po_bp,
+       | cast(chance_sum * 10000 // (n_total * n_total) as bigint) AS pe_bp,
+       | cast((n_agree * n_total - chance_sum) * 10000 //
+       |      (n_total * n_total - chance_sum) as bigint) AS kappa_bp
+       |FROM tot, ch""".stripMargin
+
   /** Document fingerprint: winnowed rolling hash — min/max xxhash64
     * over 4-token windows (content-defined, shift-invariant). The
     * hash fn is engine-specific, but hash-green since round 10 via
@@ -2222,6 +2276,7 @@ GROUP BY d.doc_id ORDER BY d.doc_id"""
     GQuery("text_bm25_topk", bm25Topk, Some(bm25TopkSql)),
     GQuery("text_lang_id", langId, Some(langIdSql)),
     GQuery("text_langid_eval", langIdEval, Some(langIdEvalSql)),
+    GQuery("text_langid_kappa", langIdKappa, Some(langIdKappaSql)),
     GQuery("text_fingerprint", fingerprint, Some(fingerprintSql)),
   )
 }

@@ -789,4 +789,40 @@ class Round14Spec extends AnyFunSuite {
       yield (gy, gx) -> 128000L).toMap
     assert(phashOf(flat) == ((0L, 0L)), "flat grid must hash to 0")
   }
+
+  test("text_langid_kappa: exact rational identity recomputed from the " +
+      "router output; kappa ≤ po; perfect/chance fixtures") {
+    val T = graft.operators.TextAnalysis
+    val Array(row) = T.langIdKappa(spark, sf).collect()
+    val (n, agree, po, pe, kap) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getLong(4))
+    // referee: rebuild the confusion counts from the langId entry
+    val pairs = T.langId(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val nn = pairs.length.toLong
+    val ag = pairs.count { case (a, b) => a == b }.toLong
+    val tC = pairs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val pC = pairs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val ch = tC.keySet.intersect(pC.keySet).toSeq
+      .map(c => tC(c) * pC(c)).sum
+    assert(n == nn && agree == ag, "totals diverge from router output")
+    assert(po == ag * 10000L / nn)
+    assert(pe == ch * 10000L / (nn * nn))
+    assert(kap == (ag * nn - ch) * 10000L / (nn * nn - ch))
+    assert(kap <= po && kap >= -10000L && kap <= 10000L, "kappa bounds")
+    // fixtures: perfect agreement ⇒ κ = 1; agreement exactly at the
+    // chance level ⇒ κ = 0 (the correction the entry exists for)
+    def kappaOf(cells: Map[(String, String), Long]): Long = {
+      val N = cells.values.sum
+      val d = cells.collect { case ((a, b), v) if a == b => v }.sum
+      val t = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+      val p = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+      val c = t.keySet.intersect(p.keySet).toSeq.map(k => t(k) * p(k)).sum
+      (d * N - c) * 10000L / (N * N - c)
+    }
+    assert(kappaOf(Map(("a", "a") -> 40L, ("b", "b") -> 60L)) == 10000L)
+    // margins 50/50 vs 50/50 with agreement exactly 50% = chance
+    assert(kappaOf(Map(("a", "a") -> 25L, ("a", "b") -> 25L,
+      ("b", "a") -> 25L, ("b", "b") -> 25L)) == 0L)
+  }
 }
