@@ -2977,6 +2977,118 @@ object Analytics {
       |FROM holt WHERE rn = n
       |ORDER BY event_type""".stripMargin
 
+  /** HOLT–WINTERS additive seasonal smoothing (Winters, Mgmt Sci '60)
+    * — the SEASONAL completion of [[q125HoltForecast]]'s level+trend
+    * pair: a third recurrence tracks a 7-slot weekly profile, so the
+    * h-step forecast is level + h·trend + the season of the target
+    * weekday. Committed integer recurrences (α=1/5, β=1/10, γ=1/4,
+    * milli-units, truncating division — identical in Scala `/` and
+    * DuckDB `//`): init at day 7 with l₀ = mean of the first week,
+    * b₀ = 0, s_i = v_i − l₀; then
+    * l' = (v−s_slot) div 5 + 4(l+b) div 5, b' = (l'−l) div 10 +
+    * 9b div 10, s_slot' = (v−l') div 4 + 3·s_slot div 4. Types with
+    * fewer than 8 days are excluded (no update ever ran).
+    *
+    * Scale shape: the recurrence is inherently sequential IN TIME but
+    * embarrassingly parallel ACROSS SERIES — the fold runs inside
+    * mapPartitions after one repartition+sort by series key, so state
+    * is O(m) per series and no driver collect exists (same shape as
+    * q125/q126). The oracle unrolls the same recurrences as a
+    * recursive CTE whose seasonal state is a LIST column rebuilt
+    * slot-by-slot each step. */
+  def q130HoltWinters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = 7
+    val daily = t(spark, dir, "events")
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("v"))
+      .select(col("event_type"), col("day"), col("v"))
+    daily
+      .repartition(col("event_type"))
+      .sortWithinPartitions(col("event_type"), col("day"))
+      .as[(String, java.sql.Timestamp, Long)]
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(String, Long, Long, Long, Long, Long, Long)]
+        var cur: String = null
+        var n = 0L; var l = 0L; var b = 0L
+        val s = new Array[Long](m)
+        val head = scala.collection.mutable.ArrayBuffer.empty[Long]
+        def flush(): Unit = if (cur != null && n >= 8) {
+          val f = (1 to 3).map(h => l + h * b + s(((n + h - 1) % m).toInt))
+          out += ((cur, n, l, b, f(0), f(1), f(2)))
+        }
+        for ((tpe, _, v) <- it) {
+          if (tpe != cur) {
+            flush(); cur = tpe; n = 0; l = 0; b = 0; head.clear()
+          }
+          val vm = v * 1000L
+          n += 1
+          if (n <= m) {
+            head += vm
+            if (n == m) {
+              l = head.sum / m
+              var i = 0
+              while (i < m) { s(i) = head(i) - l; i += 1 }
+              b = 0L
+            }
+          } else {
+            val idx = ((n - 1) % m).toInt
+            val sea = s(idx)
+            val l1 = (vm - sea) / 5L + 4L * (l + b) / 5L
+            b = (l1 - l) / 10L + 9L * b / 10L
+            s(idx) = (vm - l1) / 4L + 3L * sea / 4L
+            l = l1
+          }
+        }
+        flush()
+        out.iterator
+      }
+      .toDF("event_type", "n_days", "level_milli", "trend_milli",
+        "f1_milli", "f2_milli", "f3_milli")
+      .orderBy(col("event_type"))
+  }
+
+  val q130Sql: String =
+    """WITH RECURSIVE daily AS (
+      | SELECT event_type, date_trunc('day', ts) AS day,
+      |  sum(cast(round(value * 100) as bigint)) AS v
+      | FROM events GROUP BY 1, 2),
+      |seq AS (
+      | SELECT event_type, v,
+      |  row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+      |  count(*) OVER (PARTITION BY event_type) AS n
+      | FROM daily),
+      |init AS (
+      | SELECT event_type, any_value(n) AS n,
+      |  cast(sum(v * 1000) // 7 as bigint) AS l0,
+      |  list(v * 1000 ORDER BY rn) AS vs
+      | FROM seq WHERE rn <= 7 GROUP BY event_type
+      | HAVING count(*) = 7),
+      |hw(event_type, rn, n, l, b, s) AS (
+      | SELECT event_type, 7, n, l0, cast(0 as bigint),
+      |  [x - l0 FOR x IN vs]
+      | FROM init
+      | UNION ALL
+      | SELECT q.event_type, q.rn, h.n,
+      |  (q.v * 1000 - h.s[((q.rn - 1) % 7) + 1]) // 5 + (4 * (h.l + h.b)) // 5,
+      |  ((q.v * 1000 - h.s[((q.rn - 1) % 7) + 1]) // 5 + (4 * (h.l + h.b)) // 5
+      |    - h.l) // 10 + (9 * h.b) // 10,
+      |  [CASE WHEN i = ((q.rn - 1) % 7) + 1
+      |    THEN (q.v * 1000 -
+      |      ((q.v * 1000 - h.s[i]) // 5 + (4 * (h.l + h.b)) // 5)) // 4
+      |      + (3 * h.s[i]) // 4
+      |    ELSE h.s[i] END FOR i IN range(1, 8)]
+      | FROM hw h JOIN seq q
+      |  ON q.event_type = h.event_type AND q.rn = h.rn + 1)
+      |SELECT event_type, cast(n as bigint) AS n_days,
+      | cast(l as bigint) AS level_milli, cast(b as bigint) AS trend_milli,
+      | cast(l + 1 * b + s[((n + 0) % 7) + 1] as bigint) AS f1_milli,
+      | cast(l + 2 * b + s[((n + 1) % 7) + 1] as bigint) AS f2_milli,
+      | cast(l + 3 * b + s[((n + 2) % 7) + 1] as bigint) AS f3_milli
+      |FROM hw WHERE rn = n AND n >= 8
+      |ORDER BY event_type""".stripMargin
+
   /** CUSUM CONTROL CHART (Page 1954) — the ONLINE companion to
     * [[metaChangepoint]]'s retrospective split: per event_type the
     * daily revenue stream drives the classic one-sided cumulative
@@ -3318,6 +3430,7 @@ object Analytics {
 
   val all: Seq[GQuery] = Seq(
     GQuery("q129_theil_sen", q129TheilSen, Some(q129Sql)),
+    GQuery("q130_holt_winters", q130HoltWinters, Some(q130Sql)),
     GQuery("q128_trend_test", q128TrendTest, Some(q128Sql)),
     GQuery("q127_lorenz_deciles", q127LorenzDeciles, Some(q127Sql)),
     GQuery("meta_autocorrelation", metaAutocorrelation,

@@ -1032,9 +1032,12 @@ object Sampling {
         size(split(col("text"), " ")).cast("long").as("n_toks"))
     val cl = docs.groupBy(col("source"))
       .agg(sum(col("n_toks")).as("s"))
-    val pre = cl
-      .withColumn("pend", sum(col("s")).over(
-        Window.orderBy(col("source")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // prefix sum via DistRank (two-pass boundary accumulation) even on
+    // the catalog-sized cluster frame — the registry-wide no-global-
+    // window plan law (Round12Spec) holds for every entry, so the
+    // cluster count never silently becomes a single-partition sort
+    val pre = graft.operators.DistRank.withPrefix(
+      cl, Seq(col("source")), col("s"), "sum", "pend")
       .withColumn("pstart", col("pend") - col("s"))
     val tot = pre.agg(max(col("pend")).as("t"))
     val drawn = pre.crossJoin(broadcast(tot))

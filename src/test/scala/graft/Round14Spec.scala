@@ -825,4 +825,46 @@ class Round14Spec extends AnyFunSuite {
     assert(kappaOf(Map(("a", "a") -> 25L, ("a", "b") -> 25L,
       ("b", "a") -> 25L, ("b", "b") -> 25L)) == 0L)
   }
+
+  test("q130_holt_winters: sequential fold referee reproduces every " +
+      "row; short series excluded; constant series is a fixed point") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    def referee(vs0: Seq[Long]): Option[(Long, Long, Long, Seq[Long])] = {
+      val m = 7; val vs = vs0.map(_ * 1000L); val n = vs.length
+      if (n < 8) return None
+      var l = vs.take(m).sum / m; var b = 0L
+      val s = Array.tabulate(m)(i => vs(i) - l)
+      for (i <- m until n) {
+        val idx = i % m // rn = i+1; (rn-1) % 7
+        val sea = s(idx); val vm = vs(i)
+        val l1 = (vm - sea) / 5L + 4L * (l + b) / 5L
+        b = (l1 - l) / 10L + 9L * b / 10L
+        s(idx) = (vm - l1) / 4L + 3L * sea / 4L
+        l = l1
+      }
+      Some((n.toLong, l, b,
+        (1 to 3).map(h => l + h * b + s((n + h - 1) % m))))
+    }
+    val got = graft.operators.Analytics.q130HoltWinters(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        Seq(r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val daily = graft.util.t(spark, sf, "events")
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("v"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("day"))))
+      .collect().map(r => (r.getString(0), r.getInt(3), r.getLong(2)))
+    val want = daily.groupBy(_._1).flatMap { case (tpe, rows) =>
+      referee(rows.sortBy(_._2).map(_._3).toSeq).map(tpe -> _)
+    }
+    assert(got == want, "Holt-Winters fold diverges from the referee")
+    assert(got.nonEmpty)
+    // constant series: level locks to v, trend 0, seasons 0, every
+    // horizon forecasts v — the smoothing recurrences' fixed point
+    assert(referee(Seq.fill(30)(42L)) ==
+      Some((30L, 42000L, 0L, Seq(42000L, 42000L, 42000L))))
+    // short series are excluded, not half-initialized
+    assert(referee(Seq.fill(7)(42L)).isEmpty)
+  }
 }
