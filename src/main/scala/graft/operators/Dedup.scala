@@ -2026,7 +2026,121 @@ object Dedup {
       |FROM card c JOIN top t USING (source)
       |ORDER BY c.source""".stripMargin
 
+  /** CDC design knobs — committed like every seeded constant: rolling
+    * window of 8 token lengths, base-17 polynomial mod 1000003, cut
+    * mask 16 (expected chunk ≈ 16 tokens). */
+  private val cdcWin = 8
+  private val cdcBase = 17L
+  private val cdcMod = 1000003L
+  private val cdcMask = 16L
+
+  /** CONTENT-DEFINED CHUNKING dedup ledger (LBFS, Muthitacharoen et
+    * al. SOSP'01; FastCDC ATC'16 — simplified to token grain): cut
+    * points come from the CONTENT (a rolling polynomial over the last
+    * [[cdcWin]] token lengths, cut where h mod [[cdcMask]] == mask−1),
+    * not from fixed offsets — so an insertion early in a document
+    * shifts every fixed-stride window but only LOCAL CDC chunks,
+    * which is the whole point of the technique for storage dedup and
+    * incremental re-tokenization. Chunk identity is md5 of the
+    * space-joined token run (engine-portable); a chunk is DUP when
+    * its content hash occurs more than once corpus-wide. Per-doc
+    * ledger: chunks, dup chunks, dup tokens, dup share in bp.
+    *
+    * Scale shape: everything is token-linear — the window hash is an
+    * 8-way self-equi-join on (doc, pos−j) against the broadcast power
+    * table, chunk assembly is a per-doc prefix count (partitioned
+    * window), and the dup test is one equi-join on the chunk-hash
+    * table (chunk-linear). No content shuffle is wider than a chunk
+    * row. Fully hash-green: the polynomial, the cuts, the md5s, and
+    * the ledger all replay relationally in DuckDB. */
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        col("tok"), length(col("tok")).cast("long").as("len"))
+      .localCheckpoint(true) // consumed by the hash join (×2 sides) + assembly
+    val powers = spark.createDataFrame(
+      (0 until cdcWin).map(j => (j.toLong, (0 until j)
+        .foldLeft(1L)((a, _) => a * cdcBase)))).toDF("j", "pj")
+    // h(pos) over lens at pos-7..pos: Σ len(pos-j)·17^j mod M, pos ≥ 8
+    val h = toks.select(col("doc_id"), col("pos"))
+      .crossJoin(broadcast(powers))
+      .join(toks.select(col("doc_id").as("qdoc"), col("pos").as("q"), col("len")),
+        col("qdoc") === col("doc_id") && col("q") === col("pos") - col("j"))
+      .groupBy(col("doc_id"), col("pos"))
+      .agg((sum(col("len") * col("pj")) % cdcMod).as("h"),
+        count(lit(1)).as("nw"))
+      .filter(col("nw") === cdcWin) // full windows only (pos ≥ 8)
+    val cuts = h.select(col("doc_id"), col("pos"),
+      (col("h") % cdcMask === cdcMask - 1).cast("long").as("cut"))
+    val wPre = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val assigned = toks.join(cuts.select(col("doc_id"), col("pos"), col("cut")),
+        Seq("doc_id", "pos"), "left")
+      .withColumn("chunk_id",
+        coalesce(sum(col("cut")).over(wPre), lit(0L)))
+    val chunks = assigned.groupBy(col("doc_id"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        md5(array_join(transform(array_sort(collect_list(
+          struct(col("pos"), col("tok")))), x => x("tok")), " ")).as("chash"))
+      .localCheckpoint(true) // consumed by the occurrence count and the ledger
+    val occ = chunks.groupBy(col("chash")).agg(count(lit(1)).as("occ"))
+    chunks.join(occ, Seq("chash"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_toks")).as("n_toks"),
+        sum(when(col("occ") > 1, 1L).otherwise(0L)).as("dup_chunks"),
+        sum(when(col("occ") > 1, col("n_toks")).otherwise(0L)).as("dup_toks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_toks"),
+        col("dup_chunks"), col("dup_toks"),
+        expr("dup_toks * 10000 div n_toks").as("dup_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val cdcChunksSql: String = {
+    val powerRows = (0 until cdcWin).map(j =>
+      s"($j, ${(0 until j).foldLeft(1L)((a, _) => a * cdcBase)})").mkString(", ")
+    s"""WITH toks AS (
+       | SELECT doc_id,
+       |  cast(generate_subscripts(string_split(text, ' '), 1) as bigint) AS pos,
+       |  unnest(string_split(text, ' ')) AS tok
+       | FROM documents),
+       |tl AS (SELECT doc_id, pos, tok, cast(length(tok) as bigint) AS len FROM toks),
+       |powers(j, pj) AS (VALUES $powerRows),
+       |h AS (
+       | SELECT a.doc_id, a.pos,
+       |  cast(sum(b.len * p.pj) % $cdcMod as bigint) AS h,
+       |  count(*) AS nw
+       | FROM tl a CROSS JOIN powers p
+       |  JOIN tl b ON b.doc_id = a.doc_id AND b.pos = a.pos - p.j
+       | GROUP BY 1, 2 HAVING count(*) = $cdcWin),
+       |cuts AS (
+       | SELECT doc_id, pos,
+       |  CASE WHEN h % $cdcMask = ${cdcMask - 1} THEN 1 ELSE 0 END AS cut
+       | FROM h),
+       |assigned AS (
+       | SELECT t.doc_id, t.pos, t.tok,
+       |  cast(coalesce(sum(c.cut) OVER (PARTITION BY t.doc_id ORDER BY t.pos
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) as bigint)
+       |    AS chunk_id
+       | FROM tl t LEFT JOIN cuts c ON c.doc_id = t.doc_id AND c.pos = t.pos),
+       |chunks AS (
+       | SELECT doc_id, chunk_id, cast(count(*) as bigint) AS n_toks,
+       |  md5(string_agg(tok, ' ' ORDER BY pos)) AS chash
+       | FROM assigned GROUP BY 1, 2),
+       |occ AS (SELECT chash, count(*) AS occ FROM chunks GROUP BY 1)
+       |SELECT c.doc_id, cast(count(*) as bigint) AS n_chunks,
+       | cast(sum(c.n_toks) as bigint) AS n_toks,
+       | cast(sum(CASE WHEN o.occ > 1 THEN 1 ELSE 0 END) as bigint) AS dup_chunks,
+       | cast(sum(CASE WHEN o.occ > 1 THEN c.n_toks ELSE 0 END) as bigint) AS dup_toks,
+       | cast(sum(CASE WHEN o.occ > 1 THEN c.n_toks ELSE 0 END) * 10000 //
+       |      sum(c.n_toks) as bigint) AS dup_bp
+       |FROM chunks c JOIN occ o USING (chash)
+       |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+  }
+
   val all: Seq[GQuery] = Seq(
+    GQuery("dedup_cdc_chunks", cdcChunks, Some(cdcChunksSql)),
     GQuery("pipeline_data_card", dataCard, Some(dataCardSql)),
     GQuery("dedup_entity_resolution", entityResolution, Some(entityResolutionSql)),
     GQuery("dedup_substring_spans", substringSpans, Some(substringSpansSql)),

@@ -867,4 +867,58 @@ class Round14Spec extends AnyFunSuite {
     // short series are excluded, not half-initialized
     assert(referee(Seq.fill(7)(42L)).isEmpty)
   }
+
+  test("dedup_cdc_chunks: sequential chunker referee reproduces every " +
+      "ledger row; a prepended token only perturbs LOCAL chunks (the " +
+      "property fixed-stride windows lack)") {
+    import org.apache.spark.sql.functions._
+    // the committed design: window 8 token lengths, base 17 mod
+    // 1000003, cut where h % 16 == 15 (after the window's last token)
+    def chunksOf(toks: Seq[String]): Seq[Seq[String]] = {
+      val lens = toks.map(_.length.toLong)
+      val pow = (0 until 8).map(j => (0 until j).foldLeft(1L)((a, _) => a * 17L))
+      val cuts = (8 to toks.length).filter { pos => // 1-based, full windows
+        val h = (0 until 8).map(j => lens(pos - 1 - j) * pow(j)).sum % 1000003L
+        h % 16L == 15L
+      }.toSet
+      val out = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+      var cur = scala.collection.mutable.ArrayBuffer.empty[String]
+      for ((tk, i) <- toks.zipWithIndex) {
+        cur += tk
+        if (cuts(i + 1)) { out += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer.empty }
+      }
+      if (cur.nonEmpty) out += cur.toSeq
+      out.toSeq
+    }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = graft.util.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val refChunks = docs.map { case (id, text) =>
+      id -> chunksOf(text.split(" ").toSeq) }.toMap
+    val occ = refChunks.values.flatten.toSeq
+      .groupBy(cs => md5hex(cs.mkString(" "))).view.mapValues(_.size).toMap
+    val want = refChunks.map { case (id, cs) =>
+      val dup = cs.filter(c => occ(md5hex(c.mkString(" "))) > 1)
+      val nt = cs.map(_.size.toLong).sum
+      val dt = dup.map(_.size.toLong).sum
+      id -> (cs.length.toLong, nt, dup.length.toLong, dt, dt * 10000L / nt)
+    }
+    val got = graft.operators.Dedup.cdcChunks(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(got == want, "CDC ledger diverges from the sequential chunker")
+    // locality: prepend one token to a long doc — the chunk CONTENT
+    // sets must agree on all but a bounded prefix (cut decisions
+    // depend only on the last 8 token lengths, which are unshifted
+    // content past the first window)
+    val base = docs.maxBy(_._2.length)._2.split(" ").toSeq
+    val c1 = chunksOf(base).map(_.mkString(" ")).toSet
+    val c2 = chunksOf("zq" +: base).map(_.mkString(" ")).toSet
+    val shared = c1.intersect(c2).size
+    assert(shared >= c1.size - 2,
+      s"CDC locality broken: only $shared of ${c1.size} chunks survive a prepend")
+  }
 }
