@@ -3089,6 +3089,92 @@ object Analytics {
       |FROM hw WHERE rn = n AND n >= 8
       |ORDER BY event_type""".stripMargin
 
+  /** Committed lead–lag panel: (driver, follower) series pairs whose
+    * cross-correlation a growth analyst actually reads. */
+  private val ccPairs = Seq(
+    ("click", "purchase"), ("view", "click"), ("signup", "purchase"))
+
+  /** CROSS-CORRELATION at lags −3..+3 between pairs of per-type daily
+    * series — the LEAD–LAG companion to [[metaAutocorrelation]]'s
+    * self-similarity: ccf(a→b, k) > ccf(a→b, 0) at k > 0 means a
+    * LEADS b by k days (clicks today, purchases in two days), the
+    * question attribution models start from. Same integer centering
+    * (μ = Σv div n) and Σ dᵃ·dᵇ cross-sums as the ACF entry;
+    * normalization √(ssₐ)·√(ss_b) is taken as two separate sqrt
+    * calls so no int64 product of two ~10¹⁰ sums ever forms, and the
+    * quotient is rounded to 4 dp (both engines' IEEE sqrt/÷ are
+    * correctly rounded ⇒ cell-exact).
+    *
+    * Scale shape: series aggregate first; the (pair, lag) grid is a
+    * 21-row broadcast; each cross-sum is one equi-join on
+    * (type, rn+lag) over calendar-bounded series — nothing here is
+    * data-sized after the daily rollup. Centered series and ss stats
+    * are each checkpointed once (consumed per lag). */
+  def q132CrossCorr(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "events")
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("v"))
+    val mu = daily.groupBy(col("event_type"))
+      .agg(expr("sum(v) div count(*)").as("mu"))
+    val centered = daily.join(broadcast(mu), Seq("event_type"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("day"))).cast("long"))
+      .select(col("event_type"), col("rn"), (col("v") - col("mu")).as("d"))
+      .localCheckpoint(true)
+    val ss = centered.groupBy(col("event_type"))
+      .agg(sum(col("d") * col("d")).as("ss"))
+      .localCheckpoint(true)
+    val grid = spark.createDataFrame(for {
+      (a, b) <- ccPairs; k <- -3 to 3
+    } yield (a, b, k.toLong)).toDF("a", "b", "lag")
+    val ca = centered.select(col("event_type").as("a"), col("rn"), col("d").as("da"))
+    val cb = centered.select(col("event_type").as("bb"), col("rn").as("rnb"), col("d").as("db"))
+    broadcast(grid).join(ca, Seq("a"))
+      .join(cb, col("bb") === col("b") && col("rnb") === col("rn") + col("lag"))
+      .groupBy(col("a"), col("b"), col("lag"))
+      .agg(count(lit(1)).as("n_overlap"), sum(col("da") * col("db")).as("cross"))
+      .join(broadcast(ss.select(col("event_type").as("a"), col("ss").as("ssa"))), Seq("a"))
+      .join(broadcast(ss.select(col("event_type").as("b"), col("ss").as("ssb"))), Seq("b"))
+      .select(col("a"), col("b"), col("lag"), col("n_overlap"),
+        round(col("cross").cast("double") /
+          (sqrt(col("ssa").cast("double")) * sqrt(col("ssb").cast("double"))), 4)
+          .as("ccf"))
+      .orderBy(col("a"), col("b"), col("lag"))
+  }
+
+  lazy val q132Sql: String = {
+    val gridRows = (for { (a, b) <- ccPairs; k <- -3 to 3 }
+      yield s"('$a', '$b', $k)").mkString(", ")
+    s"""WITH daily AS (
+       | SELECT event_type, date_trunc('day', ts) AS day,
+       |  sum(cast(round(value * 100) as bigint)) AS v
+       | FROM events GROUP BY 1, 2),
+       |mu AS (SELECT event_type, sum(v) // count(*) AS mu
+       |       FROM daily GROUP BY event_type),
+       |c AS (
+       | SELECT d.event_type,
+       |  cast(row_number() OVER (PARTITION BY d.event_type ORDER BY d.day)
+       |    as bigint) AS rn,
+       |  d.v - m.mu AS dd
+       | FROM daily d JOIN mu m USING (event_type)),
+       |ss AS (SELECT event_type, sum(dd * dd) AS ss FROM c GROUP BY 1),
+       |grid(a, b, lag) AS (VALUES $gridRows),
+       |x AS (
+       | SELECT g.a, g.b, cast(g.lag as bigint) AS lag,
+       |  cast(count(*) as bigint) AS n_overlap,
+       |  sum(ca.dd * cb.dd) AS crs
+       | FROM grid g
+       |  JOIN c ca ON ca.event_type = g.a
+       |  JOIN c cb ON cb.event_type = g.b AND cb.rn = ca.rn + g.lag
+       | GROUP BY 1, 2, 3)
+       |SELECT x.a, x.b, x.lag, x.n_overlap,
+       | round(cast(x.crs as double) /
+       |   (sqrt(cast(sa.ss as double)) * sqrt(cast(sb.ss as double))), 4) AS ccf
+       |FROM x JOIN ss sa ON sa.event_type = x.a
+       |       JOIN ss sb ON sb.event_type = x.b
+       |ORDER BY x.a, x.b, x.lag""".stripMargin
+  }
+
   /** CUSUM CONTROL CHART (Page 1954) — the ONLINE companion to
     * [[metaChangepoint]]'s retrospective split: per event_type the
     * daily revenue stream drives the classic one-sided cumulative
@@ -3431,6 +3517,7 @@ object Analytics {
   val all: Seq[GQuery] = Seq(
     GQuery("q129_theil_sen", q129TheilSen, Some(q129Sql)),
     GQuery("q130_holt_winters", q130HoltWinters, Some(q130Sql)),
+    GQuery("q132_cross_corr", q132CrossCorr, Some(q132Sql)),
     GQuery("q128_trend_test", q128TrendTest, Some(q128Sql)),
     GQuery("q127_lorenz_deciles", q127LorenzDeciles, Some(q127Sql)),
     GQuery("meta_autocorrelation", metaAutocorrelation,

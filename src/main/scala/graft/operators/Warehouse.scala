@@ -1802,7 +1802,114 @@ object Warehouse {
       |   // (count(*) * sum(x)) as bigint) AS gini_micro
       |FROM ranked GROUP BY seg ORDER BY seg""".stripMargin
 
+  /** Committed FD candidates: (table, lhs, rhs) — the determinations
+    * a schema designer would assert; some hold, some don't, which is
+    * what makes the check a CHECK. */
+  private val fdCandidates = Seq(
+    ("nation", "n_nationkey", "n_regionkey"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+    ("part", "p_brand", "p_type"))
+
+  /** FUNCTIONAL-DEPENDENCY CHECK (data profiling à la Papenbrock et
+    * al., VLDB'15's FD-discovery problem, restricted to a committed
+    * candidate panel): lhs → rhs holds iff no lhs value maps to two
+    * rhs values. Per candidate: distinct lhs count, distinct
+    * (lhs, rhs) pairs, lhs values with >1 rhs (the violators), and
+    * the verdict. One groupBy per candidate — aggregation-sized,
+    * never pairwise; the five candidate plans union into one
+    * answer-sized result. The panel MIXES holding and failing FDs so
+    * a broken check cannot pass vacuously. */
+  def fdCheck(spark: SparkSession, dir: String): DataFrame =
+    fdCandidates.map { case (tbl, lhs, rhs) =>
+      t(spark, dir, tbl)
+        .groupBy(col(lhs).as("lv"))
+        .agg(countDistinct(col(rhs)).as("nr"))
+        .agg(count(lit(1)).as("n_lhs"), sum(col("nr")).as("n_pairs"),
+          sum(when(col("nr") > 1, 1L).otherwise(0L)).as("violating_lhs"))
+        .select(lit(tbl).as("tbl"), lit(s"$lhs->$rhs").as("fd"),
+          col("n_lhs"), col("n_pairs"), col("violating_lhs"),
+          (col("violating_lhs") === 0L).cast("long").as("holds"))
+    }.reduce(_ unionAll _).orderBy(col("tbl"), col("fd"))
+
+  lazy val fdCheckSql: String =
+    fdCandidates.map { case (tbl, lhs, rhs) =>
+      s"""SELECT '$tbl' AS tbl, '$lhs->$rhs' AS fd,
+         | cast(count(*) as bigint) AS n_lhs,
+         | cast(sum(nr) as bigint) AS n_pairs,
+         | cast(sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) as bigint)
+         |   AS violating_lhs,
+         | cast(CASE WHEN sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) = 0
+         |   THEN 1 ELSE 0 END as bigint) AS holds
+         |FROM (SELECT $lhs, count(DISTINCT $rhs) AS nr
+         |      FROM $tbl GROUP BY $lhs)""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY tbl, fd"
+
+  /** Committed FK candidates: (child table, child col, parent table,
+    * parent col) — the joins every query in this registry relies on
+    * (all hold on this fixture, events.user_id included), plus one
+    * deliberately MISWIRED declaration (events.event_id against the
+    * customer key — a surrogate id declared as an FK, the classic
+    * schema-registration mistake) so the orphan path is exercised
+    * and a broken audit cannot pass vacuously. */
+  private val fkCandidates = Seq(
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+    ("events", "event_id", "customer", "c_custkey"))
+
+  /** REFERENTIAL-INTEGRITY AUDIT — the FK half of profiling beside
+    * [[fdCheck]]'s FD half: per declared (child → parent) edge, how
+    * many child rows and distinct keys point nowhere. Plain parquet
+    * enforces nothing, so the audit IS the constraint — the query a
+    * warehouse runs after every load. Orphan keys via LEFT ANTI on
+    * the DISTINCT child keys (key-linear, never row×parent), orphan
+    * rows by joining the orphan keys back (broadcast — orphan sets
+    * are failure-sized). */
+  def fkOrphans(spark: SparkSession, dir: String): DataFrame =
+    fkCandidates.map { case (ct, cc, pt, pc) =>
+      val parent = t(spark, dir, pt).select(col(pc).cast("long").as("pk"))
+      // ONE child scan: per-key row counts carry everything the ledger
+      // needs, so neither totals nor orphan rows re-read the table
+      val keys = t(spark, dir, ct).select(col(cc).cast("long").as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true) // consumed by totals and the anti join
+      val totals = keys.agg(sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_keys"))
+      val orphans = keys.join(parent, col("k") === col("pk"), "left_anti")
+        .agg(coalesce(count(lit(1)), lit(0L)).as("orphan_keys"),
+          coalesce(sum(col("cnt")), lit(0L)).as("orphan_rows"))
+      totals.crossJoin(orphans)
+        .select(lit(ct).as("child_tbl"), lit(s"$cc->$pt.$pc").as("fk"),
+          col("n_rows"), col("n_keys"), col("orphan_keys"), col("orphan_rows"),
+          expr("orphan_rows * 10000 div n_rows").as("orphan_bp"))
+    }.reduce(_ unionAll _).orderBy(col("child_tbl"), col("fk"))
+
+  lazy val fkOrphansSql: String =
+    fkCandidates.map { case (ct, cc, pt, pc) =>
+      s"""SELECT '$ct' AS child_tbl, '$cc->$pt.$pc' AS fk,
+         | (SELECT cast(count(*) as bigint) FROM $ct) AS n_rows,
+         | (SELECT cast(count(DISTINCT $cc) as bigint) FROM $ct) AS n_keys,
+         | (SELECT cast(count(*) as bigint) FROM
+         |   (SELECT DISTINCT cast($cc as bigint) AS k FROM $ct) ck
+         |   WHERE NOT EXISTS (SELECT 1 FROM $pt p
+         |     WHERE cast(p.$pc as bigint) = ck.k)) AS orphan_keys,
+         | (SELECT cast(count(*) as bigint) FROM $ct
+         |   WHERE NOT EXISTS (SELECT 1 FROM $pt p
+         |     WHERE cast(p.$pc as bigint) = cast($cc as bigint)))
+         |   AS orphan_rows,
+         | (SELECT cast(count(*) as bigint) FROM $ct
+         |   WHERE NOT EXISTS (SELECT 1 FROM $pt p
+         |     WHERE cast(p.$pc as bigint) = cast($cc as bigint)))
+         |   * 10000 // (SELECT count(*) FROM $ct) AS orphan_bp""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY child_tbl, fk"
+
   val all: Seq[GQuery] = Seq(
+    GQuery("meta_fd_check", fdCheck, Some(fdCheckSql)),
+    GQuery("meta_fk_orphans", fkOrphans, Some(fkOrphansSql)),
     GQuery("meta_gini", metaGini, Some(metaGiniSql)),
     GQuery("meta_histogram_equidepth", metaHistogramEquidepth,
       Some(metaHistogramEquidepthSql)),

@@ -921,4 +921,81 @@ class Round14Spec extends AnyFunSuite {
     assert(shared >= c1.size - 2,
       s"CDC locality broken: only $shared of ${c1.size} chunks survive a prepend")
   }
+
+  test("q132_cross_corr: sequential referee reproduces every cell; " +
+      "ccf bounded in [-1,1]; n_overlap = n - |lag|") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val got = graft.operators.Analytics.q132CrossCorr(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->
+        (r.getLong(3), r.getDouble(4))).toMap
+    assert(got.size == 21, "3 pairs x 7 lags")
+    val daily = graft.util.t(spark, sf, "events")
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("v"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("day"))))
+      .collect().map(r => (r.getString(0), r.getInt(3), r.getLong(2)))
+    val series = daily.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toArray).toMap
+    def centered(t0: String): Array[Long] = {
+      val v = series(t0); val mu = v.sum / v.length
+      v.map(_ - mu)
+    }
+    for (((a, b, lag), (nOv, ccf)) <- got) {
+      val da = centered(a); val db = centered(b)
+      val n = da.length
+      val idx = (0 until n).filter(i => i + lag >= 0 && i + lag < n)
+      assert(nOv == idx.length && nOv == n - math.abs(lag).toInt,
+        s"($a,$b,$lag) overlap")
+      val cross = idx.map(i => da(i) * db((i + lag).toInt)).sum
+      val want = BigDecimal(cross.toDouble /
+        (math.sqrt(da.map(x => x * x).sum.toDouble) *
+          math.sqrt(db.map(x => x * x).sum.toDouble)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(ccf - want) < 1e-12, s"($a,$b,$lag): $ccf vs $want")
+      assert(ccf >= -1.0 && ccf <= 1.0, s"($a,$b,$lag) out of range")
+    }
+  }
+
+  test("meta_fd_check / meta_fk_orphans: set-based referees agree; the " +
+      "panels mix holding and failing cases (no vacuous pass)") {
+    val fd = graft.operators.Warehouse.fdCheck(spark, sf).collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toMap
+    // nation's key determines its region; the rest genuinely fail here
+    assert(fd("n_nationkey->n_regionkey")._4 == 1L, "nation FD must hold")
+    assert(fd.values.count(_._4 == 0L) >= 3, "failing FDs must be present")
+    for ((name, (nl, np, viol, holds)) <- fd) {
+      assert(np >= nl, s"$name pairs < lhs")
+      assert((viol == 0L) == (holds == 1L), s"$name verdict")
+    }
+    // FD referee on the smallest candidate (nation)
+    val nat = graft.util.t(spark, sf, "nation")
+      .select(org.apache.spark.sql.functions.col("n_nationkey"),
+        org.apache.spark.sql.functions.col("n_regionkey"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(fd("n_nationkey->n_regionkey")._1 == nat.map(_._1).distinct.length)
+    assert(fd("n_nationkey->n_regionkey")._2 == nat.distinct.length)
+    val fk = graft.operators.Warehouse.fkOrphans(spark, sf).collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))).toMap
+    // every real edge is clean; the miswired surrogate-id edge is not
+    for ((name, (_, _, ok, orows, obp)) <- fk if name != "event_id->customer.c_custkey") {
+      assert(ok == 0L && orows == 0L && obp == 0L, s"$name should be clean")
+    }
+    val (_, nKeys, oKeys, oRows, oBp) = fk("event_id->customer.c_custkey")
+    assert(oKeys > 0L && oRows >= oKeys && oBp > 0L,
+      "the miswired edge must surface orphans")
+    // referee the miswired edge with sets
+    val evIds = graft.util.t(spark, sf, "events")
+      .select(org.apache.spark.sql.functions.col("event_id"))
+      .collect().map(_.getLong(0))
+    val custIds = graft.util.t(spark, sf, "customer")
+      .select(org.apache.spark.sql.functions.col("c_custkey"))
+      .collect().map(_.getLong(0)).toSet
+    assert(nKeys == evIds.distinct.length)
+    assert(oKeys == evIds.distinct.count(!custIds(_)))
+    assert(oRows == evIds.count(!custIds(_)))
+  }
 }
