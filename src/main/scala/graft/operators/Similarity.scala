@@ -1287,6 +1287,63 @@ object Similarity {
        |FROM ideal d LEFT JOIN dcg r ON r.q_id = d.q_id
        |ORDER BY d.q_id""".stripMargin
 
+  /** IVF CODEBOOK QUALITY — the clustering-eval piece of the index
+    * lifecycle (build / add / search / recall / nprobe exist; this is
+    * the "is the codebook any good" panel a vector store publishes
+    * after training, the per-cluster half of a Davies–Bouldin read):
+    * per coarse list, its SIZE, its COHESION (decimal-exact mean of
+    * the 6-dp member→centroid cosines — the davg discipline) and its
+    * SEPARATION (similarity to the nearest OTHER centroid; higher =
+    * worse), plus the margin cohesion − nn_sim. A list whose margin
+    * goes negative overlaps its neighbor more than it holds its own
+    * members — the signal to retrain or split.
+    *
+    * Scale shape: one corpus-linear pass (assignments ⋈ vectors ⋈
+    * broadcast centroids) for cohesion; separation is a k×k centroid
+    * self-join — codebook-sized, free. Hash-green via the index
+    * sidecars like every IVF entry. */
+  def ivfQuality(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CosineSim.cosine
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val root = ivfPqIndexRoot(spark, dir)
+    oracleSidecar("ivf_coarse", spark.read.parquet(s"$root/coarse_raw"))
+    oracleSidecar("ivf_assign", spark.read.parquet(s"$root/assign_raw"))
+    val cents = spark.read.parquet(s"$root/coarse_raw")
+    val assign = spark.read.parquet(s"$root/assign_raw")
+    val within = assign.join(e, Seq("vec_id")).join(broadcast(cents), Seq("cid"))
+      .withColumn("c6", cosine(col("v"), col("cv")))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"), davg(col("c6")).as("cohesion"))
+    val cc = cents.crossJoin(broadcast(
+        cents.select(col("cid").as("cid2"), col("cv").as("cv2"))))
+      .filter(col("cid") =!= col("cid2"))
+      .withColumn("s6", cosine(col("cv"), col("cv2")))
+      .groupBy(col("cid")).agg(max(col("s6")).as("nn_sim"))
+    within.join(cc, Seq("cid"))
+      .select(col("cid").cast("long").as("cid"), col("n_vecs"),
+        col("cohesion"), col("nn_sim"),
+        round(col("cohesion") - col("nn_sim"), 4).as("margin"))
+      .orderBy(col("cid"))
+  }
+
+  val ivfQualitySql: String =
+    s"""WITH cents AS (SELECT cid, cv FROM read_parquet('${oracleSidecarGlob("ivf_coarse")}')),
+       | assign AS (SELECT vec_id, cid FROM read_parquet('${oracleSidecarGlob("ivf_assign")}')),
+       | e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       | w AS (
+       |  SELECT a.cid, cast(count(*) as bigint) AS n_vecs,
+       |   ${sqlDavg(sqlCos("e.v", "c.cv"))} AS cohesion
+       |  FROM assign a JOIN e USING (vec_id) JOIN cents c USING (cid)
+       |  GROUP BY a.cid),
+       | cc AS (
+       |  SELECT c1.cid, max(${sqlCos("c1.cv", "c2.cv")}) AS nn_sim
+       |  FROM cents c1 JOIN cents c2 ON c2.cid <> c1.cid
+       |  GROUP BY c1.cid)
+       |SELECT cast(w.cid as bigint) AS cid, w.n_vecs, w.cohesion, cc.nn_sim,
+       | round(w.cohesion - cc.nn_sim, 4) AS margin
+       |FROM w JOIN cc USING (cid) ORDER BY cid""".stripMargin
+
   /** IVF top-k for an ARBITRARY query relation (vec_id, v) — the
     * serve-path core shared by the batch entry and the streaming
     * serve loop (`stream_ann_serve` answers each query micro-batch
@@ -2297,6 +2354,7 @@ ORDER BY q_id, pick"""
     GQuery("sim_ivf_topk", ivfTopk, Some(ivfTopkSql)),
     GQuery("sim_recall_eval", recallEval, Some(recallEvalSql)),
     GQuery("sim_ndcg_eval", ndcgEval, Some(ndcgEvalSql)),
+    GQuery("sim_ivf_quality", ivfQuality, Some(ivfQualitySql)),
     GQuery("sim_nprobe_curve", nprobeCurve, Some(nprobeCurveSql)),
     GQuery("sim_pq_topk", pqTopk, Some(pqTopkSql)),
     GQuery("sim_ivfpq_topk", ivfpqTopk, Some(ivfpqTopkSql)),

@@ -998,4 +998,36 @@ class Round14Spec extends AnyFunSuite {
     assert(oKeys == evIds.distinct.count(!custIds(_)))
     assert(oRows == evIds.count(!custIds(_)))
   }
+
+  test("sim_ivf_quality: sizes conserve the corpus, margin is the exact " +
+      "difference, every list coheres better than it blends (positive " +
+      "margin on this trained codebook)") {
+    val rows = graft.operators.Similarity.ivfQuality(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    // the index is built with multi-probe assignment (each vector in
+    // ivfMultiProbe lists — the FAISS replication trade for recall),
+    // so list sizes conserve probes × corpus, not the corpus itself
+    val n = graft.util.t(spark, sf, "embeddings").count()
+    assert(rows.map(_._2).sum ==
+      n * graft.operators.Similarity.ivfMultiProbe,
+      "list sizes must conserve probes x corpus")
+    for ((cid, nv, coh, nn, m) <- rows) {
+      assert(nv > 0, s"cid=$cid empty list in the quality panel")
+      assert(coh >= -1.0 && coh <= 1.0 && nn >= -1.0 && nn <= 1.0, s"cid=$cid range")
+      val want = BigDecimal(coh - nn)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(m - want) < 1e-12, s"cid=$cid margin")
+    }
+    // the k-means objective did its job IN AGGREGATE: most lists
+    // cohere better than they blend, and the mean margin is positive.
+    // (Individual lists MAY go negative on a tiny corpus — cid 5 does
+    // at sf0.001 — and surfacing exactly that is the entry's job, so
+    // a per-list pin would be wrong.)
+    val margins = rows.map(_._5)
+    assert(margins.count(_ > 0.0) * 2 > margins.length,
+      "majority of lists must have positive margin")
+    assert(margins.sum / margins.length > 0.0, "mean margin must be positive")
+  }
 }
