@@ -1344,6 +1344,65 @@ object Similarity {
        | round(w.cohesion - cc.nn_sim, 4) AS margin
        |FROM w JOIN cc USING (cid) ORDER BY cid""".stripMargin
 
+  /** BINARY (sign-bit) embeddings + Hamming top-k — the 64× compression
+    * tier beside int8 ([[quantizeInt8]]), PQ and Matryoshka: binarize
+    * each dimension to its SIGN (Charikar's SRP with the identity
+    * rotation — at dim 64 the signature is exactly 64 bits), store two
+    * int32 halves per vector (no sign-bit games in either engine), and
+    * answer the panel's top-5 by Hamming distance — `bit_count(xor)`,
+    * a handful of ALU ops per comparison vs 64 FMAs for cosine, which
+    * is why binary prefilters front real vector stores. Entirely
+    * per-dimension deterministic arithmetic ⇒ fully hash-green with NO
+    * sidecar: DuckDB rebuilds the signatures from the raw vectors and
+    * replays the search.
+    *
+    * Scale shape: signatures are 16 bytes/vector (the corpus pass is
+    * computed once and checkpointed); the search is the broadcast-
+    * panel shape of [[topkBruteForce]] with a 16-byte payload instead
+    * of 512. The quality ledger vs the float panel lives in the spec
+    * (recall@5 bound) — rank agreement is approximate by design. */
+  def binaryHamming(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    def sigHalf(lo: Int): org.apache.spark.sql.Column = expr(
+      s"aggregate(sequence($lo, ${lo + 31}), 0L, (acc, i) -> " +
+        s"acc + IF(element_at(v, i) > 0D, shiftleft(1L, i - $lo), 0L))")
+    val sigs = e.select(col("vec_id"), sigHalf(1).as("slo"), sigHalf(33).as("shi"))
+      .localCheckpoint(true) // one corpus pass; consumed by both join sides
+    val q = sigs.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("slo").as("qlo"), col("shi").as("qhi"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("hamming"), col("vec_id"))
+    sigs.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("hamming",
+        expr("bit_count(slo ^ qlo) + bit_count(shi ^ qhi)").cast("long"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"), col("hamming"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  val binaryHammingSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |sigs AS (SELECT vec_id,
+      |  list_reduce(list_transform(range(1, 33), i ->
+      |    CASE WHEN v[i] > 0 THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END),
+      |    (x, y) -> x + y) AS slo,
+      |  list_reduce(list_transform(range(33, 65), i ->
+      |    CASE WHEN v[i] > 0 THEN (1::BIGINT << (i - 33)) ELSE 0::BIGINT END),
+      |    (x, y) -> x + y) AS shi
+      | FROM e),
+      |q AS (SELECT vec_id AS q_id, slo AS qlo, shi AS qhi
+      |      FROM sigs WHERE vec_id < 20)
+      |SELECT q_id, rk, neighbor_id, hamming FROM (
+      | SELECT q.q_id, s.vec_id AS neighbor_id,
+      |  cast(bit_count(xor(s.slo, q.qlo)) + bit_count(xor(s.shi, q.qhi))
+      |    as bigint) AS hamming,
+      |  cast(row_number() OVER (PARTITION BY q.q_id
+      |    ORDER BY bit_count(xor(s.slo, q.qlo)) + bit_count(xor(s.shi, q.qhi)),
+      |             s.vec_id) as bigint) AS rk
+      | FROM sigs s JOIN q ON s.vec_id <> q.q_id)
+      |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
   /** IVF top-k for an ARBITRARY query relation (vec_id, v) — the
     * serve-path core shared by the batch entry and the streaming
     * serve loop (`stream_ann_serve` answers each query micro-batch
@@ -2355,6 +2414,7 @@ ORDER BY q_id, pick"""
     GQuery("sim_recall_eval", recallEval, Some(recallEvalSql)),
     GQuery("sim_ndcg_eval", ndcgEval, Some(ndcgEvalSql)),
     GQuery("sim_ivf_quality", ivfQuality, Some(ivfQualitySql)),
+    GQuery("sim_binary_hamming", binaryHamming, Some(binaryHammingSql)),
     GQuery("sim_nprobe_curve", nprobeCurve, Some(nprobeCurveSql)),
     GQuery("sim_pq_topk", pqTopk, Some(pqTopkSql)),
     GQuery("sim_ivfpq_topk", ivfpqTopk, Some(ivfpqTopkSql)),
