@@ -1171,7 +1171,56 @@ object Sampling {
        |      (exact_chars * 1000000) as bigint) AS err_bp
        |FROM est, truth""".stripMargin
 
+  /** SOURCE-BALANCED INTERLEAVING — the deterministic epoch ORDER
+    * beside `sample_temperature_mix` (which picks the mix) and
+    * `pipeline_epoch_shuffle` (which decorrelates): every source's
+    * documents are spread EVENLY through the training order (the
+    * low-discrepancy stride used for dataset interleaving in training
+    * loaders), so a consumer reading any prefix sees each source at
+    * its corpus rate — no "all of source A first" curriculum
+    * accidents and no RNG. The k-th doc of a source with n docs gets
+    * line position (2k−1)·10⁶ div (2n) — the midpoint lattice, exact
+    * integers — and the global order is (position, source, doc_id).
+    *
+    * Scale shape: one per-source rank window (partitioned), the
+    * source sizes broadcast, and the global order assigned by
+    * [[DistRank.withRowNumber]] (two-pass, no single-partition
+    * window). Fully hash-green — every step is integer arithmetic
+    * both engines share. */
+  def interleaveSources(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("source"))
+    val ranked = docs.withColumn("src_rank", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id"))).cast("long"))
+    val sizes = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val keyed = ranked.join(broadcast(sizes), Seq("source"))
+      .withColumn("key_micro", expr("(2 * src_rank - 1) * 1000000L div (2 * n_s)"))
+    graft.operators.DistRank.withRowNumber(
+        keyed, Seq(col("key_micro"), col("source"), col("doc_id")), "pos")
+      .select(col("pos"), col("doc_id"), col("source"),
+        col("src_rank"), col("key_micro"))
+      .orderBy(col("pos"))
+  }
+
+  val interleaveSourcesSql: String =
+    """WITH ranked AS (
+      | SELECT doc_id, source,
+      |  cast(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+      |    as bigint) AS src_rank
+      | FROM documents),
+      |sizes AS (SELECT source, cast(count(*) as bigint) AS n_s
+      |          FROM documents GROUP BY source),
+      |keyed AS (
+      | SELECT r.doc_id, r.source, r.src_rank,
+      |  (2 * r.src_rank - 1) * 1000000 // (2 * s.n_s) AS key_micro
+      | FROM ranked r JOIN sizes s USING (source))
+      |SELECT cast(row_number() OVER (ORDER BY key_micro, source, doc_id)
+      |  as bigint) AS pos,
+      | doc_id, source, src_rank, cast(key_micro as bigint) AS key_micro
+      |FROM keyed ORDER BY pos""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("pipeline_interleave_sources", interleaveSources,
+      Some(interleaveSourcesSql)),
     GQuery("sample_ht_estimate", htEstimate, Some(htEstimateSql)),
     GQuery("sample_two_stage", twoStageCluster, Some(twoStageClusterSql)),
     GQuery("sample_pps_systematic", ppsSystematic, Some(ppsSystematicSql)),

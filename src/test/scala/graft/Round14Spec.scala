@@ -1070,4 +1070,31 @@ class Round14Spec extends AnyFunSuite {
     val recallBp = hits * 10000L / exact.size
     assert(recallBp >= 2000L, s"binary recall $recallBp bp below floor")
   }
+
+  test("pipeline_interleave_sources: lattice referee reproduces the " +
+      "order; every prefix is source-balanced within one doc; positions " +
+      "are a permutation") {
+    val out = graft.operators.Sampling.interleaveSources(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+    val n = out.length
+    assert(out.map(_._1).sorted.toSeq == (1L to n).toSeq, "pos permutation")
+    // referee: rebuild the midpoint-lattice keys and the total order
+    val bySource = out.groupBy(_._3)
+    val wantOrder = out.map { case (_, id, src, k, _) =>
+      val ns = bySource(src).length.toLong
+      ((2 * k - 1) * 1000000L / (2 * ns), src, id)
+    }.sorted.map(_._3)
+    assert(out.sortBy(_._1).map(_._2).toSeq == wantOrder.toSeq,
+      "interleave order diverges from the lattice referee")
+    // evenness: in any prefix of length p, source s appears
+    // floor/ceil of p·n_s/n times, within 1 (low-discrepancy law)
+    val posBySrc = out.map(t0 => t0._3 -> t0._1)
+    for (p <- Seq(n / 4, n / 2, (3 * n) / 4); (src, rows) <- bySource) {
+      val cnt = posBySrc.count { case (s, pos) => s == src && pos <= p }
+      val expect = p.toLong * rows.length / n
+      assert(math.abs(cnt - expect) <= 1,
+        s"source $src has $cnt docs in prefix $p, expected ~$expect")
+    }
+  }
 }
