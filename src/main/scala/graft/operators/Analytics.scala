@@ -3175,6 +3175,96 @@ object Analytics {
        |ORDER BY x.a, x.b, x.lag""".stripMargin
   }
 
+  /** KAPLAN–MEIER survival estimator (Kaplan & Meier, JASA '58) —
+    * survival analysis enters the registry as the censoring-correct
+    * upgrade of [[q102 time-to-convert]]-style means: S(t) = Π_{tᵢ≤t}
+    * (1 − dᵢ/nᵢ) over the time-to-first-purchase life table. The
+    * event is a user's FIRST purchase, measured in days from their
+    * first event; users who never purchase are CENSORED at their last
+    * observed day — a plain conversion-time average silently drops
+    * them and biases fast. The product folds in integer MILLI-units
+    * with truncating division per step (S' = S·(nᵢ−dᵢ) div nᵢ) — a
+    * committed deterministic grid both engines share exactly; no
+    * float product reassociation anywhere.
+    *
+    * Scale shape: the ONLY data-sized pass is the per-user
+    * first/last/first-purchase aggregate (one shuffle on user_id).
+    * The life table is CALENDAR-BOUNDED, so its at-risk counts route
+    * through DistRank (no single-partition window) and the
+    * sequential KM fold runs over the answer-sized single partition
+    * — the q125/q130 fold discipline, never a data-sized driver
+    * loop. Oracle: recursive CTE over the same life table with the
+    * same milli recurrence. */
+  def q133KaplanMeier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val users = t(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("d0"),
+        max(to_date(col("ts"))).as("dlast"),
+        min(when(col("event_type") === "purchase", to_date(col("ts"))))
+          .as("dconv"))
+    val spans = users.select(
+      when(col("dconv").isNotNull, datediff(col("dconv"), col("d0")))
+        .otherwise(datediff(col("dlast"), col("d0")))
+        .cast("long").as("t"),
+      col("dconv").isNotNull.cast("long").as("observed"))
+    val grouped = spans.groupBy(col("t"))
+      .agg(count(lit(1)).as("cnt"), sum(col("observed")).as("d"))
+    // at-risk nᵢ = #users with duration ≥ tᵢ: total − prefix(cnt) + cnt
+    val withPre = graft.operators.DistRank.withPrefix(
+      grouped, Seq(col("t")), col("cnt"), "sum", "cum")
+    val total = spans.agg(count(lit(1)).as("n_total"))
+    withPre.crossJoin(broadcast(total))
+      .select(col("t"), col("cnt"), col("d"),
+        (col("n_total") - col("cum") + col("cnt")).as("n_risk"))
+      .repartition(1).sortWithinPartitions(col("t"))
+      .as[(Long, Long, Long, Long)]
+      .mapPartitions { it =>
+        var s = 1000000L
+        it.map { case (t0, cnt, d, nRisk) =>
+          s = s * (nRisk - d) / nRisk
+          (t0, nRisk, d, cnt, s)
+        }
+      }
+      .toDF("t_days", "n_risk", "n_events", "n_ending", "surv_milli")
+      .orderBy(col("t_days"))
+  }
+
+  val q133Sql: String =
+    """WITH RECURSIVE users AS (
+      | SELECT user_id, min(cast(ts as date)) AS d0,
+      |  max(cast(ts as date)) AS dlast,
+      |  min(CASE WHEN event_type = 'purchase' THEN cast(ts as date) END)
+      |    AS dconv
+      | FROM events GROUP BY user_id),
+      |spans AS (
+      | SELECT CASE WHEN dconv IS NOT NULL
+      |   THEN cast(date_diff('day', d0, dconv) as bigint)
+      |   ELSE cast(date_diff('day', d0, dlast) as bigint) END AS t,
+      |  CASE WHEN dconv IS NOT NULL THEN 1 ELSE 0 END AS observed
+      | FROM users),
+      |grouped AS (
+      | SELECT t, cast(count(*) as bigint) AS cnt,
+      |  cast(sum(observed) as bigint) AS d
+      | FROM spans GROUP BY t),
+      |tot AS (SELECT cast(count(*) as bigint) AS n_total FROM spans),
+      |life AS (
+      | SELECT g.t, g.cnt, g.d,
+      |  cast(tt.n_total - sum(g.cnt) OVER (ORDER BY g.t) + g.cnt as bigint)
+      |    AS n_risk,
+      |  cast(row_number() OVER (ORDER BY g.t) as bigint) AS rn
+      | FROM grouped g, tot tt),
+      |km(rn, t, n_risk, d, cnt, s) AS (
+      | SELECT rn, t, n_risk, d, cnt, 1000000 * (n_risk - d) // n_risk
+      | FROM life WHERE rn = 1
+      | UNION ALL
+      | SELECT l.rn, l.t, l.n_risk, l.d, l.cnt,
+      |  k.s * (l.n_risk - l.d) // l.n_risk
+      | FROM km k JOIN life l ON l.rn = k.rn + 1)
+      |SELECT t AS t_days, n_risk, d AS n_events, cnt AS n_ending,
+      | cast(s as bigint) AS surv_milli
+      |FROM km ORDER BY t_days""".stripMargin
+
   /** CUSUM CONTROL CHART (Page 1954) — the ONLINE companion to
     * [[metaChangepoint]]'s retrospective split: per event_type the
     * daily revenue stream drives the classic one-sided cumulative
@@ -3518,6 +3608,7 @@ object Analytics {
     GQuery("q129_theil_sen", q129TheilSen, Some(q129Sql)),
     GQuery("q130_holt_winters", q130HoltWinters, Some(q130Sql)),
     GQuery("q132_cross_corr", q132CrossCorr, Some(q132Sql)),
+    GQuery("q133_kaplan_meier", q133KaplanMeier, Some(q133Sql)),
     GQuery("q128_trend_test", q128TrendTest, Some(q128Sql)),
     GQuery("q127_lorenz_deciles", q127LorenzDeciles, Some(q127Sql)),
     GQuery("meta_autocorrelation", metaAutocorrelation,

@@ -1097,4 +1097,50 @@ class Round14Spec extends AnyFunSuite {
         s"source $src has $cnt docs in prefix $p, expected ~$expect")
     }
   }
+
+  test("q133_kaplan_meier: sequential life-table referee reproduces the " +
+      "curve; survival and at-risk are monotone; censoring does not " +
+      "count as an event (all-censored fixture stays at 1.0)") {
+    import org.apache.spark.sql.functions._
+    val got = graft.operators.Analytics.q133KaplanMeier(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    // referee from the raw events: per-user spans with censoring
+    val users = graft.util.t(spark, sf, "events")
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("dl"),
+        min(when(col("event_type") === "purchase", to_date(col("ts")))).as("dc"))
+      .collect().map { r =>
+        val d0 = r.getDate(1).toLocalDate
+        val dl = r.getDate(2).toLocalDate
+        val dc = Option(r.getDate(3)).map(_.toLocalDate)
+        val t0 = java.time.temporal.ChronoUnit.DAYS.between(d0, dc.getOrElse(dl))
+        (t0, dc.isDefined)
+      }
+    def kmFold(spans: Seq[(Long, Boolean)]): Seq[(Long, Long, Long, Long, Long)] = {
+      val grouped = spans.groupBy(_._1).toSeq.sortBy(_._1)
+      val total = spans.length.toLong
+      var cum = 0L; var s = 1000000L
+      grouped.map { case (t0, rows) =>
+        val cnt = rows.length.toLong
+        val d = rows.count(_._2).toLong
+        val nRisk = total - cum
+        cum += cnt
+        s = s * (nRisk - d) / nRisk
+        (t0, nRisk, d, cnt, s)
+      }
+    }
+    assert(got.toSeq == kmFold(users.toSeq), "KM curve diverges from referee")
+    // monotonicity: S never rises, at-risk strictly falls
+    val sv = got.map(_._5); val nr = got.map(_._2)
+    assert(sv.zip(sv.tail).forall { case (a, b) => b <= a }, "S must not rise")
+    assert(nr.zip(nr.tail).forall { case (a, b) => b < a }, "n_risk must fall")
+    assert(nr.head == users.length.toLong, "first at-risk = all users")
+    assert(got.map(_._4).sum == users.length.toLong, "spans conserve users")
+    // censoring law on a fixture: users who never convert reduce the
+    // risk set but are NOT events — survival stays exactly 1.0
+    val allCensored = kmFold(Seq((1L, false), (3L, false), (5L, false)))
+    assert(allCensored.forall(_._5 == 1000000L),
+      "censored exits must not drop survival")
+  }
 }
