@@ -3265,6 +3265,101 @@ object Analytics {
       | cast(s as bigint) AS surv_milli
       |FROM km ORDER BY t_days""".stripMargin
 
+  /** Randomization-test replication count — committed like every
+    * seeded knob; p-value granularity is 1/(R+1). */
+  private val permReps = 100
+
+  /** RANDOMIZATION (permutation-style) TEST — nonparametric two-sample
+    * inference with NO distributional assumption and NO RNG state
+    * (Fisher '35 exact-test logic, Monte-Carlo'd with DETERMINISTIC
+    * hash relabelings): does the mean purchase value differ from the
+    * mean click value more than chance relabeling explains? The
+    * statistic is the all-integer scaled mean gap T = Σ_A·n_B −
+    * Σ_B·n_A (sign and order of |T| match mean_A − mean_B without a
+    * single division); each replicate reassigns every row by the
+    * registry's Knuth double-mod hash of (event_id, rep) — pure
+    * arithmetic, identical in DuckDB, so the whole test replays
+    * relationally. p_bp = (1 + #{|T_r| ≥ |T_obs|})·10⁴ div (R+1),
+    * the add-one Monte-Carlo estimator (Davison & Hinkley).
+    *
+    * Scale shape: one pass computes T_obs; the R replicates explode
+    * a rep index and reduce by ONE groupBy(rep) whose map-side
+    * partial aggregation shrinks the shuffle to R×partials — never
+    * R copies of the data across the wire. Σ·count products are
+    * int64-safe to ~10⁸ rows at cent scale (decimal(38,0) beyond —
+    * documented, the Spearman discipline). */
+  def metaPermutationTest(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_id"),
+        round(col("value") * 100).cast("long").as("v"),
+        (col("event_type") === "purchase").cast("long").as("is_a"))
+      .localCheckpoint(true) // consumed by the observed pass + replicates
+    val obs = base.agg(
+      sum(when(col("is_a") === 1, col("v"))).as("sum_a"),
+      sum(when(col("is_a") === 0, col("v"))).as("sum_b"),
+      sum(col("is_a")).as("n_a"),
+      sum(lit(1L) - col("is_a")).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        (col("sum_a") * col("n_b") - col("sum_b") * col("n_a")).as("t_obs"))
+    val n = base.count()
+    // per-rep relabeled statistic: row goes to A' iff h mod n < n_a —
+    // the observed group sizes are the permutation's margins
+    val perRep = base
+      .select(col("event_id"), col("v"),
+        explode(expr(s"sequence(1, $permReps)")).as("rep"))
+      .withColumn("h", expr(
+        s"pmod(pmod(event_id, 2147483648L) * 2654435761L + rep * 40503L, " +
+          "4294967296L)"))
+      .crossJoin(broadcast(obs.select(col("n_a").as("na0"))))
+      .withColumn("to_a", (pmod(col("h"), lit(n)) < col("na0")).cast("long"))
+      .groupBy(col("rep"))
+      .agg(sum(when(col("to_a") === 1, col("v"))).as("sa"),
+        sum(when(col("to_a") === 0, col("v"))).as("sb"),
+        sum(col("to_a")).as("na"),
+        sum(lit(1L) - col("to_a")).as("nb"))
+      .select(col("rep"), (col("sa") * col("nb") - col("sb") * col("na")).as("t_r"))
+    obs.crossJoin(broadcast(perRep.crossJoin(broadcast(obs.select(abs(col("t_obs")).as("ta"))))
+        .agg(sum((abs(col("t_r")) >= col("ta")).cast("long")).as("n_extreme"))))
+      .select(col("n_a"), col("n_b"), col("t_obs"), col("n_extreme"),
+        expr(s"(1 + n_extreme) * 10000 div ${permReps + 1}").as("p_bp"))
+  }
+
+  val metaPermutationTestSql: String =
+    s"""WITH base AS (
+       | SELECT event_id, cast(round(value * 100) as bigint) AS v,
+       |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a
+       | FROM events WHERE event_type IN ('purchase', 'click')),
+       |obs AS (
+       | SELECT cast(sum(is_a) as bigint) AS n_a,
+       |  cast(sum(1 - is_a) as bigint) AS n_b,
+       |  cast(sum(CASE WHEN is_a = 1 THEN v ELSE 0 END) * sum(1 - is_a)
+       |   - sum(CASE WHEN is_a = 0 THEN v ELSE 0 END) * sum(is_a) as bigint)
+       |   AS t_obs,
+       |  cast(count(*) as bigint) AS n
+       | FROM base),
+       |reps AS (
+       | SELECT b.event_id, b.v, r.rep,
+       |  ((b.event_id % 2147483648) * 2654435761 + r.rep * 40503)
+       |    % 4294967296 AS h
+       | FROM base b, (SELECT unnest(range(1, ${permReps + 1})) AS rep) r),
+       |labeled AS (
+       | SELECT r.rep, r.v,
+       |  CASE WHEN r.h % o.n < o.n_a THEN 1 ELSE 0 END AS to_a
+       | FROM reps r, obs o),
+       |per_rep AS (
+       | SELECT rep,
+       |  sum(CASE WHEN to_a = 1 THEN v ELSE 0 END) * sum(1 - to_a)
+       |   - sum(CASE WHEN to_a = 0 THEN v ELSE 0 END) * sum(to_a) AS t_r
+       | FROM labeled GROUP BY rep),
+       |ext AS (
+       | SELECT cast(sum(CASE WHEN abs(p.t_r) >= abs(o.t_obs)
+       |   THEN 1 ELSE 0 END) as bigint) AS n_extreme
+       | FROM per_rep p, obs o)
+       |SELECT o.n_a, o.n_b, o.t_obs, e.n_extreme,
+       | cast((1 + e.n_extreme) * 10000 // ${permReps + 1} as bigint) AS p_bp
+       |FROM obs o, ext e""".stripMargin
+
   /** CUSUM CONTROL CHART (Page 1954) — the ONLINE companion to
     * [[metaChangepoint]]'s retrospective split: per event_type the
     * daily revenue stream drives the classic one-sided cumulative
@@ -3609,6 +3704,7 @@ object Analytics {
     GQuery("q130_holt_winters", q130HoltWinters, Some(q130Sql)),
     GQuery("q132_cross_corr", q132CrossCorr, Some(q132Sql)),
     GQuery("q133_kaplan_meier", q133KaplanMeier, Some(q133Sql)),
+    GQuery("meta_permutation_test", metaPermutationTest, Some(metaPermutationTestSql)),
     GQuery("q128_trend_test", q128TrendTest, Some(q128Sql)),
     GQuery("q127_lorenz_deciles", q127LorenzDeciles, Some(q127Sql)),
     GQuery("meta_autocorrelation", metaAutocorrelation,

@@ -1143,4 +1143,69 @@ class Round14Spec extends AnyFunSuite {
     assert(allCensored.forall(_._5 == 1000000L),
       "censored exits must not drop survival")
   }
+
+  test("meta_permutation_test: sequential hash-relabeling referee " +
+      "reproduces the row; p is the add-one estimator; null fixture " +
+      "(identical groups) is not significant") {
+    import org.apache.spark.sql.functions._
+    val Array(row) = graft.operators.Analytics.metaPermutationTest(spark, sf)
+      .collect()
+    val (na, nb, tObs, nExt, pBp) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getLong(4))
+    val base = graft.util.t(spark, sf, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_id"), round(col("value") * 100).cast("long"),
+        (col("event_type") === "purchase").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = base.length.toLong
+    val wantNa = base.count(_._3 == 1L).toLong
+    val wantNb = n - wantNa
+    val sumA = base.collect { case (_, v, 1L) => v }.sum
+    val sumB = base.collect { case (_, v, 0L) => v }.sum
+    assert((na, nb) == ((wantNa, wantNb)))
+    assert(tObs == sumA * wantNb - sumB * wantNa, "observed statistic")
+    def hashOf(id: Long, rep: Long): Long =
+      (((id % 2147483648L) * 2654435761L + rep * 40503L) % 4294967296L +
+        4294967296L) % 4294967296L
+    val extremes = (1L to 100L).count { rep =>
+      var sa = 0L; var sb = 0L; var ca = 0L; var cb = 0L
+      for ((id, v, _) <- base) {
+        if (hashOf(id, rep) % n < wantNa) { sa += v; ca += 1 }
+        else { sb += v; cb += 1 }
+      }
+      math.abs(sa * cb - sb * ca) >= math.abs(tObs)
+    }
+    assert(nExt == extremes, s"extreme count: got $nExt want $extremes")
+    assert(pBp == (1 + nExt) * 10000L / 101L, "add-one estimator identity")
+    assert(pBp > 0L && pBp <= 10000L && nExt <= 100L)
+    // deterministic fixtures on the referee machinery (a "null" from
+    // real columns is unsafe — the synthetic generator can correlate
+    // value with id, and a true random null rejects 5% of the time by
+    // construction):
+    def pOf(rows: Seq[(Long, Long, Long)]): Long = {
+      val nn = rows.length.toLong
+      val qa = rows.count(_._3 == 1L).toLong
+      val sA = rows.collect { case (_, v, 1L) => v }.sum
+      val sB = rows.collect { case (_, v, 0L) => v }.sum
+      val obs0 = sA * (nn - qa) - sB * qa
+      val ext = (1L to 100L).count { rep =>
+        var sa = 0L; var sb = 0L; var ca = 0L; var cb = 0L
+        for ((id, v, _) <- rows) {
+          if (hashOf(id, rep) % nn < qa) { sa += v; ca += 1 }
+          else { sb += v; cb += 1 }
+        }
+        math.abs(sa * cb - sb * ca) >= math.abs(obs0)
+      }
+      (1 + ext) * 10000L / 101L
+    }
+    // constant values: every labeling gives T = 0, so ALL replicates
+    // tie the observed statistic and p is exactly 1
+    val const = (1L to 200L).map(i => (i, 7L, i % 2))
+    assert(pOf(const) == 10000L, "constant fixture must give p = 1")
+    // perfect separation at equal sizes: no relabeling of 200 rows
+    // reconstructs the observed split, p sits at the add-one floor
+    val sep = (1L to 200L).map(i =>
+      if (i <= 100) (i, 1000L, 1L) else (i, 0L, 0L))
+    assert(pOf(sep) == 10000L / 101L, "separated fixture must hit the floor")
+  }
 }
