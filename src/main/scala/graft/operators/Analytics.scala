@@ -3265,6 +3265,126 @@ object Analytics {
       | cast(s as bigint) AS surv_milli
       |FROM km ORDER BY t_days""".stripMargin
 
+  /** LOG-RANK TEST (Mantel '66; Peto & Peto '72) — the two-cohort
+    * comparison completing the survival family: does the cohort whose
+    * FIRST event is a 'view' convert on a different clock than
+    * everyone else? At each event time, cohort 1's observed events
+    * are compared with the hypergeometric expectation d·n₁/n given
+    * the at-risk margins, accumulating O−E and its variance; the
+    * statistic is χ² = (O−E)²/V on one degree of freedom. All
+    * arithmetic is integer micro-units with a COMMITTED sequential
+    * truncating-division order per term (divide early, multiply
+    * late), so no int64 product of four table margins ever forms and
+    * both engines share every intermediate bit.
+    *
+    * Scale shape: identical to [[q133KaplanMeier]] — one user-keyed
+    * aggregate is the only data-sized pass; the two-cohort life
+    * table is calendar-bounded, its at-risk counts route through
+    * TWO DistRank prefix passes (total and cohort-1), and the O/E/V
+    * sums are one answer-sized aggregation. */
+  def q134LogRank(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    // tie-break the "first event" under the (ts, event_id) total order
+    // in BOTH engines (alphabetical type would silently diverge from
+    // DuckDB's min_by on same-timestamp rows)
+    val firstType = ev
+      .groupBy(col("user_id"))
+      .agg(min(struct(col("ts"), col("event_id"), col("event_type"))).as("fst"))
+      .select(col("user_id"),
+        (col("fst.event_type") === "view").cast("long").as("g"))
+    val users = ev.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("d0"),
+        max(to_date(col("ts"))).as("dlast"),
+        min(when(col("event_type") === "purchase", to_date(col("ts"))))
+          .as("dconv"))
+      .join(firstType, Seq("user_id"))
+    val spans = users.select(
+      when(col("dconv").isNotNull, datediff(col("dconv"), col("d0")))
+        .otherwise(datediff(col("dlast"), col("d0")))
+        .cast("long").as("t"),
+      col("dconv").isNotNull.cast("long").as("observed"), col("g"))
+    val grouped = spans.groupBy(col("t"))
+      .agg(count(lit(1)).as("cnt"), sum(col("observed")).as("d"),
+        sum(col("g")).as("cnt1"),
+        sum(col("observed") * col("g")).as("d1"))
+    val pre1 = graft.operators.DistRank.withPrefix(
+      grouped, Seq(col("t")), col("cnt"), "sum", "cum")
+    val pre2 = graft.operators.DistRank.withPrefix(
+      pre1, Seq(col("t")), col("cnt1"), "sum", "cum1")
+    val totals = spans.agg(count(lit(1)).as("nt"), sum(col("g")).as("n1t"))
+    val life = pre2.crossJoin(broadcast(totals))
+      .select(col("t"), col("d"), col("d1"),
+        (col("nt") - col("cum") + col("cnt")).as("n"),
+        (col("n1t") - col("cum1") + col("cnt1")).as("n1"))
+      .filter(col("d") > 0 && col("n") > 1)
+    life.agg(
+        sum(col("d1")).as("o1"),
+        sum(expr("d * n1 * 1000000L div n")).as("e1_micro"),
+        // committed order: ((d·n1·10⁶ div n)·(n−n1) div n)·(n−d) div (n−1)
+        sum(expr("((d * n1 * 1000000L div n) * (n - n1) div n) " +
+          "* (n - d) div (n - 1)")).as("v_micro"))
+      .crossJoin(broadcast(totals))
+      .select(col("n1t").as("n_cohort1"), (col("nt") - col("n1t")).as("n_cohort0"),
+        col("o1"), col("e1_micro"), col("v_micro"),
+        expr("CASE WHEN v_micro > 0 THEN (o1 * 1000000L - e1_micro) * " +
+          "(o1 * 1000000L - e1_micro) div v_micro ELSE 0L END")
+          .as("chi2_micro"))
+      .select(col("n_cohort1"), col("n_cohort0"), col("o1"),
+        col("e1_micro"), col("v_micro"), col("chi2_micro"),
+        (col("chi2_micro") > 3841000L).cast("long").as("significant"))
+  }
+
+  val q134Sql: String =
+    """WITH firsts AS (
+      | SELECT user_id,
+      |  CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS g0
+      | FROM (SELECT user_id, event_type,
+      |   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |     AS frk FROM events)
+      | WHERE frk = 1),
+      |users AS (
+      | SELECT e.user_id, min(cast(e.ts as date)) AS d0,
+      |  max(cast(e.ts as date)) AS dlast,
+      |  min(CASE WHEN e.event_type = 'purchase' THEN cast(e.ts as date) END)
+      |    AS dconv,
+      |  any_value(f.g0) AS g
+      | FROM events e JOIN firsts f USING (user_id)
+      | GROUP BY e.user_id),
+      |spans AS (
+      | SELECT CASE WHEN dconv IS NOT NULL
+      |   THEN cast(date_diff('day', d0, dconv) as bigint)
+      |   ELSE cast(date_diff('day', d0, dlast) as bigint) END AS t,
+      |  CASE WHEN dconv IS NOT NULL THEN 1 ELSE 0 END AS observed, g
+      | FROM users),
+      |grouped AS (
+      | SELECT t, cast(count(*) as bigint) AS cnt,
+      |  cast(sum(observed) as bigint) AS d,
+      |  cast(sum(g) as bigint) AS cnt1,
+      |  cast(sum(observed * g) as bigint) AS d1
+      | FROM spans GROUP BY t),
+      |tot AS (SELECT cast(count(*) as bigint) AS nt,
+      |               cast(sum(g) as bigint) AS n1t FROM spans),
+      |life AS (
+      | SELECT g.t, g.d, g.d1,
+      |  cast(tt.nt - sum(g.cnt) OVER (ORDER BY g.t) + g.cnt as bigint) AS n,
+      |  cast(tt.n1t - sum(g.cnt1) OVER (ORDER BY g.t) + g.cnt1 as bigint) AS n1
+      | FROM grouped g, tot tt),
+      |sums AS (
+      | SELECT cast(sum(d1) as bigint) AS o1,
+      |  cast(sum(d * n1 * 1000000 // n) as bigint) AS e1_micro,
+      |  cast(sum(((d * n1 * 1000000 // n) * (n - n1) // n)
+      |    * (n - d) // (n - 1)) as bigint) AS v_micro
+      | FROM life WHERE d > 0 AND n > 1)
+      |SELECT t2.n1t AS n_cohort1, t2.nt - t2.n1t AS n_cohort0,
+      | s.o1, s.e1_micro, s.v_micro,
+      | cast(CASE WHEN s.v_micro > 0
+      |   THEN (s.o1 * 1000000 - s.e1_micro) * (s.o1 * 1000000 - s.e1_micro)
+      |     // s.v_micro ELSE 0 END as bigint) AS chi2_micro,
+      | cast(CASE WHEN s.v_micro > 0 AND (s.o1 * 1000000 - s.e1_micro) *
+      |   (s.o1 * 1000000 - s.e1_micro) // s.v_micro > 3841000
+      |   THEN 1 ELSE 0 END as bigint) AS significant
+      |FROM sums s, tot t2""".stripMargin
+
   /** Randomization-test replication count — committed like every
     * seeded knob; p-value granularity is 1/(R+1). */
   private val permReps = 100
@@ -3705,6 +3825,7 @@ object Analytics {
     GQuery("q132_cross_corr", q132CrossCorr, Some(q132Sql)),
     GQuery("q133_kaplan_meier", q133KaplanMeier, Some(q133Sql)),
     GQuery("meta_permutation_test", metaPermutationTest, Some(metaPermutationTestSql)),
+    GQuery("q134_log_rank", q134LogRank, Some(q134Sql)),
     GQuery("q128_trend_test", q128TrendTest, Some(q128Sql)),
     GQuery("q127_lorenz_deciles", q127LorenzDeciles, Some(q127Sql)),
     GQuery("meta_autocorrelation", metaAutocorrelation,

@@ -1208,4 +1208,63 @@ class Round14Spec extends AnyFunSuite {
       if (i <= 100) (i, 1000L, 1L) else (i, 0L, 0L))
     assert(pOf(sep) == 10000L / 101L, "separated fixture must hit the floor")
   }
+
+  test("q134_log_rank: life-table referee reproduces O/E/V/chi2 with the " +
+      "committed truncation order; cohort1 = everyone gives chi2 = 0") {
+    import org.apache.spark.sql.functions._
+    val Array(row) = graft.operators.Analytics.q134LogRank(spark, sf).collect()
+    val (n1, n0, o1, e1, v, chi2, sig) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getLong(4), row.getLong(5),
+      row.getLong(6))
+    // referee from raw events: first-event cohort + KM spans
+    val ev = graft.util.t(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2).getTime, r.getString(3)))
+    val byUser = ev.groupBy(_._1)
+    val spans = byUser.toSeq.map { case (_, rows) =>
+      val first = rows.minBy(e0 => (e0._3, e0._2))
+      val g = if (first._4 == "view") 1L else 0L
+      def day(ms: Long) = java.time.Instant.ofEpochMilli(ms)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate
+      val d0 = day(rows.map(_._3).min)
+      val dl = day(rows.map(_._3).max)
+      val dc = rows.filter(_._4 == "purchase").map(_._3).sorted.headOption.map(day)
+      val t0 = java.time.temporal.ChronoUnit.DAYS
+        .between(d0, dc.getOrElse(dl))
+      (t0, dc.isDefined, g)
+    }
+    assert(n1 == spans.count(_._3 == 1L) && n0 == spans.count(_._3 == 0L))
+    def logRank(sp: Seq[(Long, Boolean, Long)]): (Long, Long, Long) = {
+      val nt = sp.length.toLong
+      var cum = 0L; var cum1 = 0L
+      var oo = 0L; var ee = 0L; var vv = 0L
+      for ((t0, rows) <- sp.groupBy(_._1).toSeq.sortBy(_._1)) {
+        val cnt = rows.length.toLong
+        val cnt1 = rows.count(_._3 == 1L).toLong
+        val d = rows.count(_._2).toLong
+        val d1 = rows.count(r => r._2 && r._3 == 1L).toLong
+        val n = nt - cum + 0L; val nn1 = sp.count(_._3 == 1L).toLong - cum1
+        if (d > 0 && n > 1) {
+          oo += d1
+          val e0 = d * nn1 * 1000000L / n
+          ee += e0
+          vv += (e0 * (n - nn1) / n) * (n - d) / (n - 1)
+        }
+        cum += cnt; cum1 += cnt1
+      }
+      (oo, ee, vv)
+    }
+    val (wo, we, wv) = logRank(spans.toSeq)
+    assert((o1, e1, v) == ((wo, we, wv)),
+      s"O/E/V: got ($o1,$e1,$v) want ($wo,$we,$wv)")
+    val wantChi = if (wv > 0) (wo * 1000000L - we) * (wo * 1000000L - we) / wv
+      else 0L
+    assert(chi2 == wantChi && (sig == 1L) == (chi2 > 3841000L))
+    // vacuity fixture: if EVERYONE is cohort 1, O = Σd and E = Σd
+    // exactly (n1 = n at every time), so the statistic is 0
+    val allOne = spans.toSeq.map { case (t0, ob, _) => (t0, ob, 1L) }
+    val (ao, ae, _) = logRank(allOne)
+    assert(ao * 1000000L == ae, "cohort1=all must have O = E exactly")
+  }
 }
