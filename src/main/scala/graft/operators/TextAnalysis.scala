@@ -345,6 +345,71 @@ object TextAnalysis {
        |      (n_total * n_total - chance_sum) as bigint) AS kappa_bp
        |FROM tot, ch""".stripMargin
 
+  /** Vocabulary coverage grid — committed like every design knob. */
+  // grid sized to the fixture's 31-type vocabulary so the curve is a
+  // CURVE here (at production scale the same entry runs {1e4, 32e3,
+  // 1e5} — the knob, not the shape, changes)
+  private val coverageKs = Seq(4L, 8L, 16L)
+
+  /** VOCABULARY COVERAGE CURVE — the table a tokenizer budget is
+    * designed from: what share of all token OCCURRENCES do the top-k
+    * vocabulary types cover, for k on a committed grid? (Zipf's law
+    * says a tiny head covers most of the mass — `text_zipf_stats`
+    * fits the exponent; this entry gives the operational numbers: the
+    * OOV rate of a size-k vocab is 10⁴ − coverage_bp.) Types rank by
+    * (freq desc, term) — a total order, so the curve is exact, not
+    * sampled.
+    *
+    * Scale shape: one token-grain aggregation to the vocab table
+    * (type-sized from there on); rank and cumulative mass via two
+    * DistRank passes (no single-partition window); the k grid joins
+    * as a 3-row broadcast against the cumulative line. */
+  def coverageCurve(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = t(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    val ranked = graft.operators.DistRank.withRowNumber(
+      vocab, Seq(col("freq").desc, col("term")), "rk")
+    val withCum = graft.operators.DistRank.withPrefix(
+      ranked, Seq(col("rk")), col("freq"), "sum", "cum")
+      .localCheckpoint(true) // consumed once per grid point + the totals
+    val totals = withCum.agg(max(col("cum")).as("total"),
+      count(lit(1)).as("vocab_size"))
+    val grid = spark.createDataFrame(coverageKs.map(Tuple1(_))).toDF("k")
+    broadcast(grid)
+      .join(withCum, col("rk") === col("k"), "left") // cum at rank k
+      .crossJoin(broadcast(totals))
+      .select(col("k"), col("vocab_size"), col("total").as("total_tokens"),
+        coalesce(col("cum"), col("total")).as("covered_tokens"),
+        expr("coalesce(cum, total) * 10000 div total").as("coverage_bp"))
+      .orderBy(col("k"))
+  }
+
+  val coverageCurveSql: String = {
+    val ks = coverageKs.mkString(", ")
+    s"""WITH vocab AS (
+       | SELECT term, cast(count(*) as bigint) AS freq
+       | FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+       | GROUP BY term),
+       |ranked AS (
+       | SELECT freq,
+       |  cast(row_number() OVER (ORDER BY freq DESC, term) as bigint) AS rk
+       | FROM vocab),
+       |withcum AS (
+       | SELECT rk, cast(sum(freq) OVER (ORDER BY rk) as bigint) AS cum
+       | FROM ranked),
+       |tot AS (SELECT max(cum) AS total,
+       |        cast(count(*) as bigint) AS vocab_size FROM withcum),
+       |grid(k) AS (SELECT unnest([$ks]))
+       |SELECT cast(g.k as bigint) AS k, t.vocab_size,
+       | t.total AS total_tokens,
+       | cast(coalesce(w.cum, t.total) as bigint) AS covered_tokens,
+       | cast(coalesce(w.cum, t.total) * 10000 // t.total as bigint)
+       |   AS coverage_bp
+       |FROM grid g LEFT JOIN withcum w ON w.rk = g.k CROSS JOIN tot t
+       |ORDER BY k""".stripMargin
+  }
+
   /** Document fingerprint: winnowed rolling hash — min/max xxhash64
     * over 4-token windows (content-defined, shift-invariant). The
     * hash fn is engine-specific, but hash-green since round 10 via
@@ -2277,6 +2342,7 @@ GROUP BY d.doc_id ORDER BY d.doc_id"""
     GQuery("text_lang_id", langId, Some(langIdSql)),
     GQuery("text_langid_eval", langIdEval, Some(langIdEvalSql)),
     GQuery("text_langid_kappa", langIdKappa, Some(langIdKappaSql)),
+    GQuery("text_coverage_curve", coverageCurve, Some(coverageCurveSql)),
     GQuery("text_fingerprint", fingerprint, Some(fingerprintSql)),
   )
 }

@@ -1907,7 +1907,62 @@ object Warehouse {
          |   * 10000 // (SELECT count(*) FROM $ct) AS orphan_bp""".stripMargin
     }.mkString("\nUNION ALL\n") + "\nORDER BY child_tbl, fk"
 
+  /** CAPTURE–RECAPTURE population estimation (Lincoln–Petersen with
+    * the Chapman '51 small-sample correction) — the ecology estimator
+    * warehouses reuse to size a population only reachable through
+    * samples (how many distinct users/documents/keys exist when a
+    * full scan is off-budget): two independent deterministic marks
+    * (Knuth multiplicative hashes of the id under different salts,
+    * pure arithmetic — replayable in DuckDB, no engine hash), and
+    * N̂ = (n₁+1)(n₂+1) div (m+1) − 1 from the mark sizes and their
+    * overlap. Reported beside the exact count with the signed error
+    * in bp — the estimator-eval discipline of `sample_ht_estimate`.
+    * Everything is one aggregation over the id column; the marks are
+    * scan-level predicates at any scale. */
+  def captureRecapture(spark: SparkSession, dir: String): DataFrame = {
+    val marks = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        (pmod(pmod(col("doc_id"), lit(2147483648L)) * 2654435761L,
+          lit(4294967296L)) % 7L < 2L).cast("long").as("c1"),
+        // SECOND MULTIPLIER, not a salted id: the same multiplier on a
+        // shifted id gives NEGATIVELY correlated marks (measured m=165
+        // vs the 406 independence expects, inflating N-hat 2.4x); two
+        // independent Knuth-family primes restore m to its expectation
+        (pmod(pmod(col("doc_id"), lit(2147483648L)) * 2246822519L,
+          lit(4294967296L)) % 7L < 2L).cast("long").as("c2"))
+    marks.agg(count(lit(1)).as("n_true"),
+        sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+        sum(col("c1") * col("c2")).as("m"))
+      .select(col("n1"), col("n2"), col("m"),
+        expr("(n1 + 1) * (n2 + 1) div (m + 1) - 1").as("n_hat"),
+        col("n_true"),
+        expr("((n1 + 1) * (n2 + 1) div (m + 1) - 1 - n_true) * 10000 " +
+          "div n_true").as("err_bp"))
+  }
+
+  val captureRecaptureSql: String =
+    """WITH marks AS (
+      | SELECT doc_id,
+      |  CASE WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 % 7 < 2
+      |   THEN 1 ELSE 0 END AS c1,
+      |  CASE WHEN ((doc_id % 2147483648) * 2246822519)
+      |   % 4294967296 % 7 < 2 THEN 1 ELSE 0 END AS c2
+      | FROM documents),
+      |agg AS (
+      | SELECT cast(count(*) as bigint) AS n_true,
+      |  cast(sum(c1) as bigint) AS n1, cast(sum(c2) as bigint) AS n2,
+      |  cast(sum(c1 * c2) as bigint) AS m
+      | FROM marks)
+      |SELECT n1, n2, m,
+      | cast((n1 + 1) * (n2 + 1) // (m + 1) - 1 as bigint) AS n_hat,
+      | n_true,
+      | cast(((n1 + 1) * (n2 + 1) // (m + 1) - 1 - n_true) * 10000
+      |   // n_true as bigint) AS err_bp
+      |FROM agg""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("meta_capture_recapture", captureRecapture,
+      Some(captureRecaptureSql)),
     GQuery("meta_fd_check", fdCheck, Some(fdCheckSql)),
     GQuery("meta_fk_orphans", fkOrphans, Some(fkOrphansSql)),
     GQuery("meta_gini", metaGini, Some(metaGiniSql)),

@@ -1267,4 +1267,49 @@ class Round14Spec extends AnyFunSuite {
     val (ao, ae, _) = logRank(allOne)
     assert(ao * 1000000L == ae, "cohort1=all must have O = E exactly")
   }
+
+  test("meta_capture_recapture / text_coverage_curve: set referees " +
+      "agree; estimator error bounded; coverage monotone and unsaturated") {
+    val Array(cr) = graft.operators.Warehouse.captureRecapture(spark, sf)
+      .collect()
+    val (n1, n2, m, nHat, nTrue, err) = (cr.getLong(0), cr.getLong(1),
+      cr.getLong(2), cr.getLong(3), cr.getLong(4), cr.getLong(5))
+    val ids = graft.util.t(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"))
+      .collect().map(_.getLong(0))
+    def mark(id: Long, mult: Long): Boolean =
+      ((id % 2147483648L) * mult % 4294967296L + 4294967296L) %
+        4294967296L % 7L < 2L
+    val c1 = ids.filter(mark(_, 2654435761L)).toSet
+    val c2 = ids.filter(mark(_, 2246822519L)).toSet
+    assert((n1, n2, m, nTrue) ==
+      ((c1.size.toLong, c2.size.toLong, c1.intersect(c2).size.toLong,
+        ids.length.toLong)))
+    assert(nHat == (n1 + 1) * (n2 + 1) / (m + 1) - 1, "Chapman identity")
+    assert(m <= math.min(n1, n2))
+    assert(math.abs(err) <= 1500L,
+      s"mark-recapture error $err bp — marks likely correlated")
+    val cov = graft.operators.TextAnalysis.coverageCurve(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // referee: exact head mass under the (freq desc, term) total order
+    val toks = graft.util.t(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.col("text"))
+      .collect().flatMap(_.getString(0).split(" "))
+    val freq = toks.groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.sortBy { case (t0, f) => (-f, t0) }
+    val total = toks.length.toLong
+    for ((k, vs, tt, covered, bp) <- cov) {
+      assert(vs == freq.length.toLong && tt == total)
+      val want = freq.take(k.toInt).map(_._2).sum
+      assert(covered == want, s"k=$k covered")
+      assert(bp == want * 10000L / total, s"k=$k bp")
+    }
+    // curve laws: strictly more types never cover less, and the grid
+    // tops out BELOW the vocab so the curve is a curve, not a constant
+    val bps = cov.sortBy(_._1).map(_._5)
+    assert(bps.zip(bps.tail).forall { case (a, b) => b >= a })
+    assert(cov.map(_._1).max < freq.length.toLong && bps.last < 10000L,
+      "grid saturates the fixture vocabulary")
+  }
 }
