@@ -3265,6 +3265,78 @@ object Analytics {
       | cast(s as bigint) AS surv_milli
       |FROM km ORDER BY t_days""".stripMargin
 
+  /** PRICE INDICES (Laspeyres 1871 / Paasche 1874 / Fisher 1922) —
+    * the canonical economics aggregates over the lineitem panel: how
+    * did part prices move month over month, weighted by base-period
+    * quantities (Laspeyres: what the OLD basket costs now), by
+    * current quantities (Paasche: what the NEW basket would have
+    * cost), and their geometric compromise (Fisher ideal, reported as
+    * the integer sqrt of the L·P product in basis points). Prices
+    * are per-part monthly mean unit prices in cents (exact integer
+    * division of cent sums by quantities); only parts present in
+    * BOTH the base month and the report month enter (matched-model
+    * index — the standard treatment of entry/exit).
+    *
+    * Scale shape: one aggregation to (part, month) grain — the only
+    * data-sized pass — then every index is an equi-join of a month
+    * slice against the broadcast base-month slice, part-grain all
+    * the way. isqrt is exact integer Newton (both engines share the
+    * committed floor-sqrt semantics via their native isqrt/floor). */
+  def q135PriceIndex(spark: SparkSession, dir: String): DataFrame = {
+    val pm = t(spark, dir, "lineitem")
+      .groupBy(col("l_partkey").as("pk"),
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate")) - 1)
+          .cast("long").as("m"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"),
+        sum(col("l_quantity").cast("long")).as("qty"))
+      .select(col("pk"), col("m"), col("qty"),
+        expr("cents div qty").as("p")) // unit price, cents
+      .localCheckpoint(true) // consumed by the base slice and every month
+    val base = pm.agg(min(col("m")).as("m0"))
+    val baseSlice = pm.join(broadcast(base), col("m") === col("m0"))
+      .select(col("pk"), col("p").as("p0"), col("qty").as("q0"))
+    pm.join(broadcast(baseSlice), Seq("pk"))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("p") * col("q0")).as("lnum"),
+        sum(col("p0") * col("q0")).as("lden"),
+        sum(col("p") * col("qty")).as("pnum"),
+        sum(col("p0") * col("qty")).as("pden"))
+      .select(col("m").as("month_idx"), col("n_parts"),
+        expr("lnum * 10000 div lden").as("laspeyres_bp"),
+        expr("pnum * 10000 div pden").as("paasche_bp"),
+        // floor BEFORE the int cast: Spark's double->bigint cast
+        // truncates but DuckDB's ROUNDS — floor() makes both exact
+        expr("cast(floor(sqrt(cast((lnum * 10000 div lden) as double) * " +
+          "cast((pnum * 10000 div pden) as double))) as bigint)")
+          .as("fisher_bp"))
+      .orderBy(col("month_idx"))
+  }
+
+  val q135Sql: String =
+    """WITH pm AS (
+      | SELECT l_partkey AS pk,
+      |  cast(year(l_shipdate) * 12 + month(l_shipdate) - 1 as bigint) AS m,
+      |  cast(sum(l_quantity) as bigint) AS qty,
+      |  cast(sum(cast(round(l_extendedprice * 100) as bigint))
+      |    // sum(cast(l_quantity as bigint)) as bigint) AS p
+      | FROM lineitem GROUP BY 1, 2),
+      |b AS (SELECT min(m) AS m0 FROM pm),
+      |base AS (
+      | SELECT pk, p AS p0, qty AS q0 FROM pm, b WHERE pm.m = b.m0)
+      |SELECT pm.m AS month_idx, cast(count(*) as bigint) AS n_parts,
+      | cast(sum(pm.p * base.q0) * 10000 // sum(base.p0 * base.q0) as bigint)
+      |   AS laspeyres_bp,
+      | cast(sum(pm.p * pm.qty) * 10000 // sum(base.p0 * pm.qty) as bigint)
+      |   AS paasche_bp,
+      | cast(floor(sqrt(
+      |   cast(sum(pm.p * base.q0) * 10000 // sum(base.p0 * base.q0)
+      |     as double) *
+      |   cast(sum(pm.p * pm.qty) * 10000 // sum(base.p0 * pm.qty) as double)))
+      |   as bigint) AS fisher_bp
+      |FROM pm JOIN base USING (pk)
+      |GROUP BY pm.m ORDER BY month_idx""".stripMargin
+
   /** LOG-RANK TEST (Mantel '66; Peto & Peto '72) — the two-cohort
     * comparison completing the survival family: does the cohort whose
     * FIRST event is a 'view' convert on a different clock than
@@ -3826,6 +3898,7 @@ object Analytics {
     GQuery("q133_kaplan_meier", q133KaplanMeier, Some(q133Sql)),
     GQuery("meta_permutation_test", metaPermutationTest, Some(metaPermutationTestSql)),
     GQuery("q134_log_rank", q134LogRank, Some(q134Sql)),
+    GQuery("q135_price_index", q135PriceIndex, Some(q135Sql)),
     GQuery("q128_trend_test", q128TrendTest, Some(q128Sql)),
     GQuery("q127_lorenz_deciles", q127LorenzDeciles, Some(q127Sql)),
     GQuery("meta_autocorrelation", metaAutocorrelation,

@@ -1312,4 +1312,40 @@ class Round14Spec extends AnyFunSuite {
     assert(cov.map(_._1).max < freq.length.toLong && bps.last < 10000L,
       "grid saturates the fixture vocabulary")
   }
+
+  test("q135_price_index: matched-model referee reproduces all three " +
+      "indices; base month is exactly 10000; Fisher sits between " +
+      "Laspeyres and Paasche") {
+    import org.apache.spark.sql.functions._
+    val got = graft.operators.Analytics.q135PriceIndex(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got.nonEmpty)
+    val pm = graft.util.t(spark, sf, "lineitem")
+      .groupBy(col("l_partkey"),
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate")) - 1)
+          .cast("long").as("m"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("c"),
+        sum(col("l_quantity").cast("long")).as("q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2) / r.getLong(3), r.getLong(3)))
+    val m0 = pm.map(_._2).min
+    val base = pm.filter(_._2 == m0).map(t0 => t0._1 -> (t0._3, t0._4)).toMap
+    for ((m, rows) <- pm.groupBy(_._2)) {
+      val matched = rows.filter(r => base.contains(r._1))
+      val lnum = matched.map(r => r._3 * base(r._1)._2).sum
+      val lden = matched.map(r => base(r._1)._1 * base(r._1)._2).sum
+      val pnum = matched.map(r => r._3 * r._4).sum
+      val pden = matched.map(r => base(r._1)._1 * r._4).sum
+      val l = lnum * 10000L / lden; val p = pnum * 10000L / pden
+      val f = math.floor(math.sqrt(l.toDouble * p.toDouble)).toLong
+      val (gn, gl, gp, gf) = got(m)
+      assert((gn, gl, gp, gf) == ((matched.length.toLong, l, p, f)), s"m=$m")
+      assert(gf >= math.min(gl, gp) - 1 && gf <= math.max(gl, gp) + 1,
+        s"m=$m Fisher outside [min(L,P), max(L,P)]")
+    }
+    val (_, bl, bp0, bf) = got(m0)
+    assert(bl == 10000L && bp0 == 10000L && bf == 10000L,
+      "base month must index to exactly 1")
+  }
 }
