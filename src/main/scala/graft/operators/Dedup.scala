@@ -418,6 +418,85 @@ object Dedup {
        |WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.8
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** B-BIT MINHASH (Li & König, WWW'10): keep only the LOWEST BIT of
+    * each of the 16 minhashes — a 64× sketch-storage cut (16 bits vs
+    * 16 longs per doc) — and recover Jaccard from the bit-collision
+    * rate with the paper's correction Ĵ = (P̂ − C)/(1 − C), C = 1/2
+    * at b = 1, i.e. Ĵ = 2P̂ − 1 clamped at 0 (random bits collide
+    * half the time; only the excess is signal). The entry puts the
+    * three estimators side by side per LSH-candidate pair: exact
+    * Jaccard (intersection/union as INTEGERS, replayed relationally
+    * from the shingle relation), the full-width estimate m/16, and
+    * the b=1 estimate — the storage/accuracy trade measured, not
+    * cited.
+    *
+    * Scale shape: candidates come from the persisted index's banding
+    * (candidate-linear, never corpus²); the signature join carries 16
+    * longs per side ONCE per pair; the exact verify is the standard
+    * candidate-linear shingle rejoin. Sketch values are xxhash-derived
+    * → the per-pair (m16, c1) stats are the sidecar; DuckDB recomputes
+    * exact i/u from raw text and replays both estimator formulas. */
+  def minhashBbit(spark: SparkSession, dir: String): DataFrame = {
+    val root = dedupGraphRoot(spark, dir)
+    val sigs = spark.read.parquet(s"$root/sigs")
+    val cand = lshCandidatesOf(sigs).localCheckpoint(true)
+    val aSide = sigs.select(col("doc_id").as("a_id") +:
+      (0 until mhHashes).map(i => col(s"h$i").as(s"ah$i")): _*)
+    val bSide = sigs.select(col("doc_id").as("b_id") +:
+      (0 until mhHashes).map(i => col(s"h$i").as(s"bh$i")): _*)
+    val m16 = (0 until mhHashes)
+      .map(i => (col(s"ah$i") === col(s"bh$i")).cast("long")).reduce(_ + _)
+    val c1 = (0 until mhHashes)
+      .map(i => (expr(s"ah$i & 1") === expr(s"bh$i & 1")).cast("long"))
+      .reduce(_ + _)
+    val stats = cand.join(aSide, Seq("a_id")).join(bSide, Seq("b_id"))
+      .select(col("a_id"), col("b_id"), m16.as("m16"), c1.as("c1"))
+    oracleSidecar("bbit_stats", stats)
+    val sh = shinglesIndexed(spark, dir)
+    val interCnt = cand
+      .join(sh.select(col("doc_id").as("a_id"), col("s")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("s")), Seq("b_id", "s"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("i"))
+    val sizes = sigs.select(col("doc_id"), col("n"))
+    stats
+      .join(interCnt, Seq("a_id", "b_id"), "left")
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        coalesce(col("i"), lit(0L)).as("i"),
+        (col("na") + col("nb") - coalesce(col("i"), lit(0L))).as("u"),
+        col("m16"), col("c1"),
+        expr(s"m16 * 1000000L div ${mhHashes}L").as("est_full_micro"),
+        greatest(lit(0L),
+          expr(s"(c1 * 1000000L div ${mhHashes}L - 500000L) * 2")).as("est_b1_micro"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  lazy val minhashBbitSql: String =
+    s"""WITH $shinglesSqlCte,
+       | st AS (SELECT a_id, b_id, m16, c1
+       |   FROM read_parquet('${oracleSidecarGlob("bbit_stats")}')),
+       | sizes AS (SELECT doc_id, cast(count(*) as bigint) AS n
+       |   FROM sh GROUP BY doc_id),
+       | inter AS (
+       |  SELECT st.a_id, st.b_id, cast(count(*) as bigint) AS i
+       |  FROM st
+       |   JOIN sh a ON a.doc_id = st.a_id
+       |   JOIN sh b ON b.doc_id = st.b_id AND b.s = a.s
+       |  GROUP BY 1, 2)
+       |SELECT st.a_id, st.b_id,
+       | cast(coalesce(inter.i, 0) as bigint) AS i,
+       | cast(sa.n + sb.n - coalesce(inter.i, 0) as bigint) AS u,
+       | st.m16, st.c1,
+       | cast(st.m16 * 1000000 // $mhHashes as bigint) AS est_full_micro,
+       | cast(greatest(0, (st.c1 * 1000000 // $mhHashes - 500000) * 2)
+       |   as bigint) AS est_b1_micro
+       |FROM st
+       | LEFT JOIN inter ON inter.a_id = st.a_id AND inter.b_id = st.b_id
+       | JOIN sizes sa ON sa.doc_id = st.a_id
+       | JOIN sizes sb ON sb.doc_id = st.b_id
+       |ORDER BY st.a_id, st.b_id""".stripMargin
+
   /** LSH TUNING MATRIX — the (bands, rows) trade-off every MinHash
     * deployment has to pick (Leskovec/Rajaraman/Ullman MMDS §3.4: the
     * s-curve P(candidate | J) = 1 − (1 − J^r)^b steepens with r and
@@ -2141,6 +2220,7 @@ object Dedup {
 
   val all: Seq[GQuery] = Seq(
     GQuery("dedup_cdc_chunks", cdcChunks, Some(cdcChunksSql)),
+    GQuery("dedup_minhash_bbit", minhashBbit, Some(minhashBbitSql)),
     GQuery("pipeline_data_card", dataCard, Some(dataCardSql)),
     GQuery("dedup_entity_resolution", entityResolution, Some(entityResolutionSql)),
     GQuery("dedup_substring_spans", substringSpans, Some(substringSpansSql)),

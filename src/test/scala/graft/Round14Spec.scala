@@ -1348,4 +1348,30 @@ class Round14Spec extends AnyFunSuite {
     assert(bl == 10000L && bp0 == 10000L && bf == 10000L,
       "base month must index to exactly 1")
   }
+
+  test("dedup_minhash_bbit: estimator formulas exact; bit collisions " +
+      "dominate full matches; identical sets estimate exactly 1; the " +
+      "full-width estimator tracks exact Jaccard") {
+    val out = graft.operators.Dedup.minhashBbit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(out.nonEmpty)
+    for ((a, b, i, u, m16, c1, ef, e1) <- out) {
+      assert(c1 >= m16, s"($a,$b): a full hash match implies a bit match")
+      assert(ef == m16 * 1000000L / 16L, s"($a,$b) full formula")
+      assert(e1 == math.max(0L, (c1 * 1000000L / 16L - 500000L) * 2L),
+        s"($a,$b) b-bit formula")
+      assert(ef >= 0L && ef <= 1000000L && e1 >= 0L && e1 <= 1000000L)
+      assert(i <= u && u > 0, s"($a,$b) set algebra")
+      // identical shingle sets ⇒ identical minhashes ⇒ estimate is
+      // exactly 1 on both widths
+      if (i == u) assert(m16 == 16L && ef == 1000000L && e1 == 1000000L,
+        s"($a,$b) identical sets must estimate 1")
+    }
+    // quality: on LSH candidates (high-J by construction) the 16-hash
+    // estimator tracks exact Jaccard within ~2 standard errors
+    val meanAbsErr = out.map { case (_, _, i, u, _, _, ef, _) =>
+      math.abs(ef - i * 1000000L / u) }.sum / out.length
+    assert(meanAbsErr <= 200000L, s"mean |est-J| $meanAbsErr too large")
+  }
 }
