@@ -50,7 +50,7 @@ object Graph {
     * build, the one that matters most to amortize), `backbone`
     * (strong-tie bipartite edges for LPA). The supersteps stay live
     * per entry — they ARE the declared operators. */
-  private def tradeGraphRoot(spark: SparkSession, dir: String): String =
+  private[graft] def tradeGraphRoot(spark: SparkSession, dir: String): String =
     artifactRoot(s"tradegraph-${tableFingerprint(dir, "orders")}-${tableFingerprint(dir, "lineitem")}") { staged =>
       val pairs = t(spark, dir, "orders")
         .join(t(spark, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
@@ -647,6 +647,97 @@ object Graph {
       |FROM d WHERE dist > 0
       |GROUP BY seed ORDER BY seed""".stripMargin
 
+  /** Rich-club threshold MULTIPLIERS of the average degree — the
+    * relative, scale-free form of the knob (the k-core discipline:
+    * an absolute degree grid thins the club 3% at one SF and
+    * everything at another; multiples of the measured mean thin it
+    * comparably at every scale). */
+  private val richClubMults = Seq(1L, 2L, 4L, 8L)
+
+  /** RICH-CLUB COEFFICIENT φ(k) (Zhou & Mondragón '04; Colizza et al.
+    * Nat. Phys. '06 introduce the normalized variant — reported here
+    * RAW, documented as such, since the deterministic registry has no
+    * null-model rewiring): among nodes of degree > k, what share of
+    * possible links actually exist? A rising φ(k) means hubs form a
+    * club — traders that connect everyone ALSO trade with each other
+    * — the structural fact behind core-periphery supply topologies.
+    *
+    * Scale shape: one degree aggregation, then per grid point two
+    * LEFT SEMI joins filter the edge list by endpoint membership —
+    * edge-linear per k, the k-core filter shape; the degree table is
+    * checkpointed once and each club is node-linear. Counts are over
+    * the symmetric (directed-pair) representation consistently in
+    * numerator and denominator. */
+  def richClub(spark: SparkSession, dir: String): DataFrame = {
+    // the UNIPARTITE co-supply projection, not the bipartite trade
+    // graph: in a bipartite graph any degree threshold that selects
+    // one side yields a club with ZERO internal links by construction
+    // (measured: mult≥2 clubs were all-supplier, φ≡0) — rich-club is
+    // a statement about hubs linking EACH OTHER, so it needs a graph
+    // where that is possible
+    val base = spark.read.parquet(s"${tradeGraphRoot(spark, dir)}/cosupply")
+    val e = base.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(base.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    val avg = e.agg(expr("count(1) div count(distinct src)"))
+      .first().getLong(0) // one scalar, metadata-sized
+    richClubMults.map { m =>
+      val k = m * avg
+      val club = deg.filter(col("d") > k).select(col("src").as("node"))
+      val nk = club.agg(count(lit(1)).as("n_nodes"))
+      val ek = e.join(club, col("src") === col("node"), "left_semi")
+        .join(club, col("dst") === col("node"), "left_semi")
+        .agg(count(lit(1)).as("n_links"))
+      nk.crossJoin(ek)
+        .select(lit(m).as("mult"), lit(k).as("k"), col("n_nodes"),
+          col("n_links"),
+          expr("CASE WHEN n_nodes > 1 THEN n_links * 10000 div " +
+            "(n_nodes * (n_nodes - 1)) ELSE 0L END").as("phi_bp"))
+    }.reduce(_ unionAll _).orderBy(col("mult"))
+  }
+
+  val richClubSql: String = {
+    val rows = richClubMults.map { m =>
+      s"""SELECT $m AS mult, $m * (SELECT av FROM avgd) AS k,
+         | (SELECT cast(count(*) as bigint) FROM deg
+         |   WHERE d > $m * (SELECT av FROM avgd)) AS n_nodes,
+         | (SELECT cast(count(*) as bigint) FROM edges e
+         |   WHERE EXISTS (SELECT 1 FROM deg a WHERE a.src = e.src
+         |     AND a.d > $m * (SELECT av FROM avgd))
+         |     AND EXISTS (SELECT 1 FROM deg b WHERE b.src = e.dst
+         |     AND b.d > $m * (SELECT av FROM avgd)))
+         |   AS n_links"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |nsupp AS (SELECT count(DISTINCT s) AS ns FROM pairs),
+       |common AS MATERIALIZED (
+       |  SELECT x.s AS a, y.s AS b, count(*) AS common
+       |  FROM pairs x JOIN pairs y ON x.c = y.c AND x.s < y.s
+       |  GROUP BY 1, 2),
+       |tk AS MATERIALIZED (
+       |  SELECT a, b FROM (
+       |    SELECT a, b, row_number() OVER (ORDER BY common DESC, a, b) AS rk
+       |    FROM common) r CROSS JOIN nsupp
+       |  WHERE rk <= ns * 3),
+       |edges AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM tk
+       |  UNION ALL
+       |  SELECT b AS src, a AS dst FROM tk),
+       |deg AS MATERIALIZED (SELECT src, cast(count(*) as bigint) AS d
+       |        FROM edges GROUP BY src),
+       |avgd AS (SELECT count(*) // count(DISTINCT src) AS av FROM edges)
+       |SELECT cast(mult as bigint) AS mult, cast(k as bigint) AS k,
+       | n_nodes, n_links,
+       | cast(CASE WHEN n_nodes > 1
+       |   THEN n_links * 10000 // (n_nodes * (n_nodes - 1))
+       |   ELSE 0 END as bigint) AS phi_bp
+       |FROM ($rows) ORDER BY mult""".stripMargin
+  }
+
   /** k-core peeling trace on the symmetric co-supply projection:
     * three rounds of "drop every node with degree < k", where
     * k = avg-degree + 1 is computed ONCE from the round-0 graph with
@@ -1238,6 +1329,7 @@ object Graph {
     GQuery("graph_shortest_paths", shortestPaths, Some(shortestPathsSql)),
     GQuery("graph_harmonic_centrality", harmonicCentrality,
       Some(harmonicCentralitySql)),
+    GQuery("graph_rich_club", richClub, Some(richClubSql)),
     GQuery("graph_shortest_paths_frontier", shortestPathsFrontier, Some(shortestPathsSql)),
     GQuery("graph_kcore_peel", kcorePeel, Some(kcorePeelSql)),
     GQuery("graph_label_propagation", labelPropagation, Some(labelPropagationSql)),

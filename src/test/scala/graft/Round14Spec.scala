@@ -1374,4 +1374,33 @@ class Round14Spec extends AnyFunSuite {
       math.abs(ef - i * 1000000L / u) }.sum / out.length
     assert(meanAbsErr <= 200000L, s"mean |est-J| $meanAbsErr too large")
   }
+
+  test("graph_rich_club: set referee over the co-supply projection " +
+      "reproduces every row; clubs nest; phi formula exact") {
+    import org.apache.spark.sql.functions._
+    val got = graft.operators.Graph.richClub(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.length == 4)
+    // referee from the staged co-supply edges
+    val root = graft.operators.Graph.tradeGraphRoot(spark, sf)
+    val base = spark.read.parquet(s"$root/cosupply").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = base.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val avg = edges.length.toLong / deg.size.toLong
+    var prevClub: Option[Set[Long]] = None
+    for ((m, k, nN, nL, phi) <- got.sortBy(_._1)) {
+      assert(k == m * avg, s"mult=$m threshold")
+      val club = deg.filter(_._2 > k).keySet
+      val links = edges.count { case (a, b) => club(a) && club(b) }.toLong
+      assert((nN, nL) == ((club.size.toLong, links)), s"mult=$m club")
+      val want = if (club.size > 1)
+        links * 10000L / (club.size.toLong * (club.size - 1)) else 0L
+      assert(phi == want, s"mult=$m phi")
+      // a stricter threshold can only shrink the club
+      for (pc <- prevClub) assert(club.subsetOf(pc), s"mult=$m club not nested")
+      prevClub = Some(club)
+    }
+  }
 }
