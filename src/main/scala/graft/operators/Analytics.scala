@@ -3337,6 +3337,120 @@ object Analytics {
       |FROM pm JOIN base USING (pk)
       |GROUP BY pm.m ORDER BY month_idx""".stripMargin
 
+  /** Committed numeric panel for the correlation matrix: column name →
+    * integer-scaled expression (cents / hundredths — exact sums). */
+  private val corrCols: Seq[(String, String)] = Seq(
+    ("qty", "cast(l_quantity as bigint)"),
+    ("price_c", "cast(round(l_extendedprice * 100) as bigint)"),
+    ("disc_c", "cast(round(l_discount * 100) as bigint)"),
+    ("tax_c", "cast(round(l_tax * 100) as bigint)"))
+
+  /** PEARSON CORRELATION MATRIX over the lineitem numeric panel — the
+    * profiling table every EDA pass starts from, computed EXACTLY:
+    * all moments (Σx, Σx², Σxy) accumulate as INTEGER sums of the
+    * cent/hundredth-scaled columns in ONE data pass (no per-engine
+    * float reassociation anywhere — int64-safe to ~10⁹ rows at these
+    * scales), and only the final r = (nΣxy − ΣxΣy)/(√(nΣx²−(Σx)²)·
+    * √(nΣy²−(Σy)²)) evaluates in doubles from bit-identical integer
+    * operands, rounded to 6 dp. The 6 pairs reshape from the single
+    * moment row — answer-sized after the one scan. */
+  def q137CorrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(corrCols.map { case (n, e) => expr(e).as(n) }: _*)
+    // moments accumulate in decimal(38,0): Σ(price_c²) alone tops
+    // int64 at sf0.1 (10⁷ cents squared × 6·10⁵ rows ≈ 6·10¹⁹) —
+    // ANSI mode surfaced exactly that; decimal sums stay exact and
+    // order-independent, DuckDB's HUGEINT widening is the same move
+    val momentAggs =
+      corrCols.flatMap { case (n, _) =>
+        Seq(sum(col(n).cast("decimal(38,0)")).as(s"s_$n"),
+          sum((col(n) * col(n)).cast("decimal(38,0)")).as(s"ss_$n")) } ++
+      corrCols.combinations(2).toSeq.map { case Seq((a, _), (b, _)) =>
+        sum((col(a) * col(b)).cast("decimal(38,0)")).as(s"sp_${a}_$b") } :+
+      count(lit(1)).as("n")
+    val m = li.agg(momentAggs.head, momentAggs.tail: _*)
+    corrCols.combinations(2).toSeq.map { case Seq((a, _), (b, _)) =>
+      m.select(lit(a).as("x"), lit(b).as("y"), col("n").as("n_rows"),
+        round(
+          (col(s"sp_${a}_$b").cast("double") * col("n") -
+            col(s"s_$a").cast("double") * col(s"s_$b")) /
+          (sqrt(col(s"ss_$a").cast("double") * col("n") -
+            col(s"s_$a").cast("double") * col(s"s_$a")) *
+           sqrt(col(s"ss_$b").cast("double") * col("n") -
+            col(s"s_$b").cast("double") * col(s"s_$b"))), 6).as("r"))
+    }.reduce(_ unionAll _).orderBy(col("x"), col("y"))
+  }
+
+  lazy val q137Sql: String = {
+    val moments = corrCols.flatMap { case (n, e) =>
+      Seq(s"sum($e) AS s_$n", s"sum(($e) * ($e)) AS ss_$n") } ++
+      corrCols.combinations(2).toSeq.map { case Seq((a, ae), (b, be)) =>
+        s"sum(($ae) * ($be)) AS sp_${a}_$b" } :+ "count(*) AS n"
+    val rows = corrCols.combinations(2).toSeq.map { case Seq((a, _), (b, _)) =>
+      s"""SELECT '$a' AS x, '$b' AS y, cast(n as bigint) AS n_rows,
+         | round((cast(sp_${a}_$b as double) * n -
+         |   cast(s_$a as double) * cast(s_$b as double)) /
+         |  (sqrt(cast(ss_$a as double) * n -
+         |    cast(s_$a as double) * cast(s_$a as double)) *
+         |   sqrt(cast(ss_$b as double) * n -
+         |    cast(s_$b as double) * cast(s_$b as double))), 6) AS r
+         |FROM m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH m AS (SELECT ${moments.mkString(", ")} FROM lineitem)
+       |$rows
+       |ORDER BY x, y""".stripMargin
+  }
+
+  /** HERFINDAHL–HIRSCHMAN INDEX per month (the regulator's market-
+    * concentration standard; HHI = Σ shareᵢ², shares in bp so the
+    * index lands on the familiar 0–10⁸ scale where 1500²-style
+    * thresholds live — reported div 10⁴ back to the conventional
+    * 0–10⁴ reading): is supplier revenue concentrating month over
+    * month? Shares are integer bp of monthly revenue cents
+    * (truncating division — deterministic); the squared sum is exact
+    * int64 (≤ 10⁸·|suppliers|). One (supplier, month) aggregation is
+    * the only data-sized pass; shares join a broadcast monthly-total
+    * slice. */
+  def q138Herfindahl(spark: SparkSession, dir: String): DataFrame = {
+    val sm = t(spark, dir, "lineitem")
+      .groupBy(col("l_suppkey").as("sk"),
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate")) - 1)
+          .cast("long").as("m"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev"))
+      .localCheckpoint(true) // consumed by totals + shares
+    val tot = sm.groupBy(col("m")).agg(sum(col("rev")).as("tot"),
+      count(lit(1)).as("n_suppliers"))
+    sm.join(broadcast(tot), Seq("m"))
+      .withColumn("share_bp", expr("rev * 10000 div tot"))
+      .groupBy(col("m"))
+      .agg(max(col("n_suppliers")).as("n_suppliers"),
+        max(col("share_bp")).as("top_share_bp"),
+        expr("sum(share_bp * share_bp) div 10000").as("hhi"))
+      .select(col("m").as("month_idx"), col("n_suppliers"),
+        col("top_share_bp"), col("hhi"))
+      .orderBy(col("month_idx"))
+  }
+
+  val q138Sql: String =
+    """WITH sm AS (
+      | SELECT l_suppkey AS sk,
+      |  cast(year(l_shipdate) * 12 + month(l_shipdate) - 1 as bigint) AS m,
+      |  cast(sum(cast(round(l_extendedprice * 100) as bigint)) as bigint)
+      |    AS rev
+      | FROM lineitem GROUP BY 1, 2),
+      |tot AS (
+      | SELECT m, cast(sum(rev) as bigint) AS tot,
+      |  cast(count(*) as bigint) AS n_suppliers
+      | FROM sm GROUP BY m),
+      |shares AS (
+      | SELECT sm.m, t.n_suppliers, sm.rev * 10000 // t.tot AS share_bp
+      | FROM sm JOIN tot t USING (m))
+      |SELECT m AS month_idx,
+      | cast(max(n_suppliers) as bigint) AS n_suppliers,
+      | cast(max(share_bp) as bigint) AS top_share_bp,
+      | cast(sum(share_bp * share_bp) // 10000 as bigint) AS hhi
+      |FROM shares GROUP BY m ORDER BY month_idx""".stripMargin
+
   /** LOG-RANK TEST (Mantel '66; Peto & Peto '72) — the two-cohort
     * comparison completing the survival family: does the cohort whose
     * FIRST event is a 'view' convert on a different clock than
@@ -3899,6 +4013,8 @@ object Analytics {
     GQuery("meta_permutation_test", metaPermutationTest, Some(metaPermutationTestSql)),
     GQuery("q134_log_rank", q134LogRank, Some(q134Sql)),
     GQuery("q135_price_index", q135PriceIndex, Some(q135Sql)),
+    GQuery("q137_corr_matrix", q137CorrMatrix, Some(q137Sql)),
+    GQuery("q138_herfindahl", q138Herfindahl, Some(q138Sql)),
     GQuery("q128_trend_test", q128TrendTest, Some(q128Sql)),
     GQuery("q127_lorenz_deciles", q127LorenzDeciles, Some(q127Sql)),
     GQuery("meta_autocorrelation", metaAutocorrelation,

@@ -1403,4 +1403,49 @@ class Round14Spec extends AnyFunSuite {
       prevClub = Some(club)
     }
   }
+
+  test("q137_corr_matrix / q138_herfindahl: BigInt-moment and share " +
+      "referees agree; |r| ≤ 1; HHI bounded by monopoly and equality") {
+    import org.apache.spark.sql.functions._
+    val got = graft.operators.Analytics.q137CorrMatrix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.size == 6)
+    val rows = graft.util.t(spark, sf, "lineitem")
+      .select(expr("cast(l_quantity as bigint)"),
+        expr("cast(round(l_extendedprice * 100) as bigint)"),
+        expr("cast(round(l_discount * 100) as bigint)"),
+        expr("cast(round(l_tax * 100) as bigint)"))
+      .collect().map(r => Map("qty" -> r.getLong(0), "price_c" -> r.getLong(1),
+        "disc_c" -> r.getLong(2), "tax_c" -> r.getLong(3)))
+    val n = rows.length
+    def rOf(a: String, b: String): Double = {
+      val sa = rows.map(r => BigInt(r(a))).sum
+      val sb = rows.map(r => BigInt(r(b))).sum
+      val ssa = rows.map(r => BigInt(r(a)) * r(a)).sum
+      val ssb = rows.map(r => BigInt(r(b)) * r(b)).sum
+      val sab = rows.map(r => BigInt(r(a)) * r(b)).sum
+      val num = (sab * n - sa * sb).toDouble
+      val den = math.sqrt((ssa * n - sa * sa).toDouble) *
+        math.sqrt((ssb * n - sb * sb).toDouble)
+      BigDecimal(num / den).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+    for (((a, b), (nr, r)) <- got) {
+      assert(nr == n.toLong)
+      assert(math.abs(r) <= 1.0, s"($a,$b) out of range")
+      assert(math.abs(r - rOf(a, b)) < 1e-9, s"($a,$b): $r vs ${rOf(a, b)}")
+    }
+    val hhi = graft.operators.Analytics.q138Herfindahl(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(hhi.nonEmpty)
+    for ((m, ns, top, h) <- hhi) {
+      // monopoly caps the index at 10^4; perfect equality floors it
+      // near 10^4/n (bp-truncation can only lower both)
+      assert(h <= 10000L, s"m=$m HHI above monopoly")
+      assert(h >= 10000L / ns - 1, s"m=$m HHI below the equality floor")
+      assert(top * top / 10000L <= h, s"m=$m top share inconsistent")
+      assert(ns > 0 && top <= 10000L)
+    }
+  }
 }
