@@ -3571,6 +3571,154 @@ object Analytics {
       |   THEN 1 ELSE 0 END as bigint) AS significant
       |FROM sums s, tot t2""".stripMargin
 
+  /** NELSON–AALEN cumulative hazard (Nelson '72; Aalen '78) — the
+    * SUM-form survival companion to [[q133KaplanMeier]]'s product:
+    * H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ over the same time-to-first-purchase life
+    * table. Being a running SUM of per-time rationals it needs no
+    * sequential fold at all — per-time hazard dᵢ·10⁶ div nᵢ is
+    * row-local and the cumulative is a prefix sum, so the WHOLE curve
+    * is two DistRank passes after the user aggregate (contrast KM,
+    * whose product recurrence forces the answer-sized fold) — the
+    * shape a 100 TB survival panel wants. The KM relation
+    * S ≈ exp(−H) is spec-asserted as the bound S ≥ exp-free proxy
+    * 10⁶ − H_micro (1 − H ≤ e^(−H) ≤ S only one side holds exactly;
+    * the spec pins S_milli·1000 ≥ 10⁶ − H_micro, the first-order
+    * inequality that is EXACT arithmetic, not an approximation). */
+  def q139NelsonAalen(spark: SparkSession, dir: String): DataFrame = {
+    val users = t(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("d0"),
+        max(to_date(col("ts"))).as("dlast"),
+        min(when(col("event_type") === "purchase", to_date(col("ts"))))
+          .as("dconv"))
+    val spans = users.select(
+      when(col("dconv").isNotNull, datediff(col("dconv"), col("d0")))
+        .otherwise(datediff(col("dlast"), col("d0")))
+        .cast("long").as("t"),
+      col("dconv").isNotNull.cast("long").as("observed"))
+    val grouped = spans.groupBy(col("t"))
+      .agg(count(lit(1)).as("cnt"), sum(col("observed")).as("d"))
+    val withPre = graft.operators.DistRank.withPrefix(
+      grouped, Seq(col("t")), col("cnt"), "sum", "cum")
+    val total = spans.agg(count(lit(1)).as("n_total"))
+    val hazard = withPre.crossJoin(broadcast(total))
+      .select(col("t"), col("d"),
+        (col("n_total") - col("cum") + col("cnt")).as("n_risk"))
+      .withColumn("h_micro", expr("d * 1000000L div n_risk"))
+    graft.operators.DistRank.withPrefix(
+        hazard, Seq(col("t")), col("h_micro"), "sum", "cumh_micro")
+      .select(col("t").as("t_days"), col("n_risk"), col("d").as("n_events"),
+        col("h_micro"), col("cumh_micro"))
+      .orderBy(col("t_days"))
+  }
+
+  val q139Sql: String =
+    """WITH users AS (
+      | SELECT user_id, min(cast(ts as date)) AS d0,
+      |  max(cast(ts as date)) AS dlast,
+      |  min(CASE WHEN event_type = 'purchase' THEN cast(ts as date) END)
+      |    AS dconv
+      | FROM events GROUP BY user_id),
+      |spans AS (
+      | SELECT CASE WHEN dconv IS NOT NULL
+      |   THEN cast(date_diff('day', d0, dconv) as bigint)
+      |   ELSE cast(date_diff('day', d0, dlast) as bigint) END AS t,
+      |  CASE WHEN dconv IS NOT NULL THEN 1 ELSE 0 END AS observed
+      | FROM users),
+      |grouped AS (
+      | SELECT t, cast(count(*) as bigint) AS cnt,
+      |  cast(sum(observed) as bigint) AS d
+      | FROM spans GROUP BY t),
+      |tot AS (SELECT cast(count(*) as bigint) AS n_total FROM spans),
+      |hz AS (
+      | SELECT g.t, g.d,
+      |  cast(tt.n_total - sum(g.cnt) OVER (ORDER BY g.t) + g.cnt as bigint)
+      |    AS n_risk
+      | FROM grouped g, tot tt)
+      |SELECT t AS t_days, n_risk, d AS n_events,
+      | cast(d * 1000000 // n_risk as bigint) AS h_micro,
+      | cast(sum(d * 1000000 // n_risk) OVER (ORDER BY t) as bigint)
+      |   AS cumh_micro
+      |FROM hz ORDER BY t_days""".stripMargin
+
+  /** Poisson(1) inverse-CDF thresholds ×10⁵, committed integer
+    * literals (re-derived from e⁻¹ in the spec so a typo cannot
+    * hide): u < 36788 → 0 draws, < 73576 → 1, < 91970 → 2,
+    * < 98101 → 3, < 99634 → 4, < 99941 → 5, < 99992 → 6, else 7. */
+  private[graft] val poisCdf5: Seq[Long] =
+    Seq(36788L, 73576L, 91970L, 98101L, 99634L, 99941L, 99992L)
+
+  private def poisCase(uCol: String): String =
+    "CASE " + poisCdf5.zipWithIndex.map { case (thr, k) =>
+      s"WHEN $uCol < $thr THEN $k" }.mkString(" ") +
+      s" ELSE ${poisCdf5.length} END"
+
+  /** POISSON-BOOTSTRAP CONFIDENCE INTERVAL for the mean purchase
+    * value (Efron '79 bootstrap; the Poisson(1)-weight form is THE
+    * distributed variant — Chamandy et al., "Estimating Uncertainty
+    * for Massive Data Streams", Google '12 — because it needs no
+    * global resample: each row draws its replicate multiplicity
+    * independently). Weights come from the registry's deterministic
+    * Knuth hash of (event_id, rep) pushed through the committed
+    * integer Poisson CDF — no RNG state, fully replayable in DuckDB.
+    * 100 replicate means (integer cents, truncating division), CI =
+    * the 5th and 96th order statistics — a ~90% percentile interval.
+    *
+    * Scale shape: the replicate means reduce by ONE groupBy(rep)
+    * with map-side partials (the permutation-test shape); the
+    * 100-row replicate frame ranks via DistRank (no single-partition
+    * window) and the interval is two rank filters. */
+  def metaBootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"),
+        round(col("value") * 100).cast("long").as("v"))
+      .localCheckpoint(true) // consumed by the observed mean + replicates
+    val obs = base.agg(count(lit(1)).as("n_rows"),
+      expr("sum(v) div count(1)").as("mean_cents"))
+    val reps = base
+      .select(col("event_id"), col("v"),
+        explode(expr(s"sequence(1, $permReps)")).as("rep"))
+      .withColumn("u", expr(
+        s"pmod(pmod(event_id, 2147483648L) * 2654435761L + rep * 40503L, " +
+          "4294967296L) % 100000L"))
+      .withColumn("w", expr(poisCase("u")).cast("long"))
+      .groupBy(col("rep"))
+      .agg(expr("sum(w * v) div sum(w)").as("mean_r"))
+    val ranked = graft.operators.DistRank.withRowNumber(
+      reps, Seq(col("mean_r"), col("rep")), "rk")
+    val lo = ranked.filter(col("rk") === 5)
+      .select(col("mean_r").as("ci_lo_cents"))
+    val hi = ranked.filter(col("rk") === 96)
+      .select(col("mean_r").as("ci_hi_cents"))
+    obs.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+      .select(col("n_rows"), col("mean_cents"),
+        col("ci_lo_cents"), col("ci_hi_cents"))
+  }
+
+  lazy val metaBootstrapCiSql: String =
+    s"""WITH base AS (
+       | SELECT event_id, cast(round(value * 100) as bigint) AS v
+       | FROM events WHERE event_type = 'purchase'),
+       |obs AS (
+       | SELECT cast(count(*) as bigint) AS n_rows,
+       |  cast(sum(v) // count(*) as bigint) AS mean_cents
+       | FROM base),
+       |reps AS (
+       | SELECT r.rep,
+       |  cast(sum((${poisCase(s"(((b.event_id % 2147483648) * 2654435761 + r.rep * 40503) % 4294967296) % 100000")}) * b.v)
+       |   // sum(${poisCase(s"(((b.event_id % 2147483648) * 2654435761 + r.rep * 40503) % 4294967296) % 100000")})
+       |   as bigint) AS mean_r
+       | FROM base b, (SELECT unnest(range(1, ${permReps + 1})) AS rep) r
+       | GROUP BY r.rep),
+       |ranked AS (
+       | SELECT mean_r, row_number() OVER (ORDER BY mean_r, rep) AS rk
+       | FROM reps)
+       |SELECT o.n_rows, o.mean_cents,
+       | (SELECT cast(mean_r as bigint) FROM ranked WHERE rk = 5) AS ci_lo_cents,
+       | (SELECT cast(mean_r as bigint) FROM ranked WHERE rk = 96) AS ci_hi_cents
+       |FROM obs o""".stripMargin
+
   /** Randomization-test replication count — committed like every
     * seeded knob; p-value granularity is 1/(R+1). */
   private val permReps = 100
@@ -4010,7 +4158,9 @@ object Analytics {
     GQuery("q130_holt_winters", q130HoltWinters, Some(q130Sql)),
     GQuery("q132_cross_corr", q132CrossCorr, Some(q132Sql)),
     GQuery("q133_kaplan_meier", q133KaplanMeier, Some(q133Sql)),
+    GQuery("q139_nelson_aalen", q139NelsonAalen, Some(q139Sql)),
     GQuery("meta_permutation_test", metaPermutationTest, Some(metaPermutationTestSql)),
+    GQuery("meta_bootstrap_ci", metaBootstrapCi, Some(metaBootstrapCiSql)),
     GQuery("q134_log_rank", q134LogRank, Some(q134Sql)),
     GQuery("q135_price_index", q135PriceIndex, Some(q135Sql)),
     GQuery("q137_corr_matrix", q137CorrMatrix, Some(q137Sql)),

@@ -1448,4 +1448,72 @@ class Round14Spec extends AnyFunSuite {
       assert(ns > 0 && top <= 10000L)
     }
   }
+
+  test("q139_nelson_aalen: hazard referee reproduces the curve; cumH " +
+      "is the exact prefix sum; first-order KM consistency S ≥ 1 − H") {
+    val na = graft.operators.Analytics.q139NelsonAalen(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val km = graft.operators.Analytics.q133KaplanMeier(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(4)))
+      .toMap
+    assert(na.nonEmpty && na.map(_._1).toSet == km.keySet,
+      "the two survival entries must share one life table")
+    var cum = 0L
+    for ((t0, nRisk, d, h, cumh) <- na.sortBy(_._1)) {
+      val (kmRisk, kmD, _) = km(t0)
+      assert(nRisk == kmRisk && d == kmD, s"t=$t0 life table diverges")
+      assert(h == d * 1000000L / nRisk, s"t=$t0 hazard")
+      cum += h
+      assert(cumh == cum, s"t=$t0 cumulative hazard")
+      // 1 − H(t) ≤ S(t): exact first-order inequality, no exp needed
+      val (_, _, survMilli) = km(t0)
+      assert(survMilli * 1000L >= 1000000L - cumh - 1000L,
+        s"t=$t0 KM/NA first-order consistency")
+    }
+    // hazards fall out of at-risk counts that strictly decrease
+    val risks = na.sortBy(_._1).map(_._2)
+    assert(risks.zip(risks.tail).forall { case (a, b) => b < a })
+  }
+
+  test("meta_bootstrap_ci: replicate replay reproduces the interval; " +
+      "the Poisson table is the true inverse CDF; lo ≤ hi brackets") {
+    import org.apache.spark.sql.functions._
+    val Array(row) = graft.operators.Analytics.metaBootstrapCi(spark, sf)
+      .collect()
+    val (n, mean, lo, hi) = (row.getLong(0), row.getLong(1), row.getLong(2),
+      row.getLong(3))
+    // the committed thresholds ARE Poisson(1): re-derive from e^-1
+    val table = graft.operators.Analytics.poisCdf5
+    var p = math.exp(-1.0); var cdf = p
+    for ((thr, k) <- table.zipWithIndex) {
+      assert(thr == math.round(cdf * 100000L), s"threshold $k")
+      p = p / (k + 1); cdf += p
+    }
+    val base = graft.util.t(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), round(col("value") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(n == base.length.toLong)
+    assert(mean == base.map(_._2).sum / n)
+    def w(id: Long, rep: Long): Long = {
+      val h = ((id % 2147483648L) * 2654435761L + rep * 40503L) %
+        4294967296L
+      val u = ((h + 4294967296L) % 4294967296L) % 100000L
+      table.indexWhere(u < _) match { case -1 => table.length.toLong
+        case k => k.toLong }
+    }
+    val means = (1L to 100L).map { rep =>
+      val (sw, swv) = base.foldLeft((0L, 0L)) { case ((a, b), (id, v)) =>
+        val wi = w(id, rep); (a + wi, b + wi * v)
+      }
+      (swv / sw, rep)
+    }.sorted
+    assert(lo == means(4)._1 && hi == means(95)._1,
+      s"interval ($lo, $hi) vs referee (${means(4)._1}, ${means(95)._1})")
+    assert(lo <= hi, "interval must bracket")
+    // the 90% percentile interval is tight around the mean on 20k
+    // purchase rows — sanity that replicates actually vary
+    assert(means.map(_._1).distinct.length > 10, "replicates degenerate")
+  }
 }
