@@ -571,15 +571,16 @@ object Graph {
     * This is the sampled-pivot methodology centrality at scale uses
     * (HyperBall samples seeds; the exact panel here IS the contract).
     * Oracle: recursive CTE seeded with the same panel. */
-  def harmonicCentrality(spark: SparkSession, dir: String): DataFrame = {
+  /** MS-BFS bitmask engine (Then et al., VLDB'14): all 8 BFS waves
+    * share ONE traversal — per-node state is an 8-bit seed mask, so
+    * state stays NODE-linear and messages EDGE-linear (a naive
+    * (seed, node, dist) product is 8× both; measured 8.9 s vs 3.6 s
+    * at sf0.1). Distance is implicit: the round a seed's bit first
+    * reaches a node IS d(seed, node). Returns the per-(seed, round)
+    * discovery counts — the shared core of [[harmonicCentrality]]
+    * and [[effectiveDiameter]]. */
+  private[graft] def msBfsRounds(spark: SparkSession, dir: String): DataFrame = {
     val e = spark.read.parquet(s"${tradeGraphRoot(spark, dir)}/sym")
-    // MS-BFS bitmask engine (Then et al., VLDB'14): all 8 BFS waves
-    // share ONE traversal — per-node state is an 8-bit seed mask, so
-    // state stays NODE-linear and messages EDGE-linear (a naive
-    // (seed, node, dist) product is 8× both; measured 8.9 s vs 2.4 s
-    // at sf0.1). Distance is implicit: the round a seed's bit first
-    // reaches a node IS d(seed, node), so each round contributes
-    // count·(10⁶ div r) to that seed's harmonic sum.
     // the 8-seed panel is answer-sized: collect the ids (the codebook
     // discipline — k longs, never data-sized) and assign bits on the
     // driver; a row_number here would be a partition-less Window
@@ -608,19 +609,78 @@ object Graph {
       perRound += newly.crossJoin(broadcast(seedBits))
         .filter(expr("shiftright(mask, cast(bit as int)) & 1 = 1"))
         .groupBy(col("seed")).agg(count(lit(1)).as("c"))
-        .select(col("seed"), col("c"),
-          lit(1000000L / r).as("w")) // 10⁶ div r, exact
+        .select(col("seed"), lit(r.toLong).as("r"), col("c"))
       visited = visited.unionAll(newly)
         .groupBy(col("node")).agg(expr("bit_or(mask)").as("mask"))
         .localCheckpoint(true)
       frontier = newly
     }
     perRound.reduce(_ unionAll _)
+  }
+
+  def harmonicCentrality(spark: SparkSession, dir: String): DataFrame =
+    msBfsRounds(spark, dir)
       .groupBy(col("seed"))
       .agg(sum(col("c")).as("n_reached"),
-        sum(col("c") * col("w")).as("harmonic_micro"))
+        sum(col("c") * expr("1000000L div r")).as("harmonic_micro"))
       .orderBy(col("seed"))
+
+  /** EFFECTIVE DIAMETER from the seed panel's distance distribution —
+    * the ANF / HyperANF methodology (Palmer et al. KDD'02; Boldi,
+    * Rosa & Vigna WWW'11 run it with HyperLogLog counters; the exact
+    * 8-seed panel here IS the sampled neighborhood function): per
+    * BFS round, how many (seed, node) pairs are first reached, the
+    * cumulative share of all reached pairs, and the flag on the first
+    * round clearing 90% — the "effective diameter" that
+    * small-world claims quote. Costs one [[msBfsRounds]] traversal;
+    * everything after is a 4-row frame through a DistRank prefix. */
+  def effectiveDiameter(spark: SparkSession, dir: String): DataFrame = {
+    val dist = msBfsRounds(spark, dir)
+      .groupBy(col("r")).agg(sum(col("c")).as("pairs"))
+    val withCum = graft.operators.DistRank.withPrefix(
+      dist, Seq(col("r")), col("pairs"), "sum", "cum")
+    val tot = dist.agg(sum(col("pairs")).as("t"))
+    withCum.crossJoin(broadcast(tot))
+      .select(col("r"), col("pairs"), col("cum"),
+        expr("cum * 10000 div t").as("cum_share_bp"),
+        (expr("cum * 10000 div t") >= 9000L &&
+          expr("(cum - pairs) * 10000 div t") < 9000L)
+          .cast("long").as("is_effective_diameter"))
+      .orderBy(col("r"))
   }
+
+  val effectiveDiameterSql: String =
+    """WITH RECURSIVE pairs AS (
+      |  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS c,
+      |                  CAST(l_suppkey * 2 + 1 AS BIGINT) AS s
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |edges AS (
+      |  SELECT c AS src, s AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT s AS src, c AS dst FROM pairs),
+      |seeds AS (
+      |  SELECT src AS seed FROM (
+      |    SELECT DISTINCT src FROM edges ORDER BY src LIMIT 8)),
+      |bfs(seed, node, dist) AS (
+      |  SELECT seed, seed, CAST(0 AS BIGINT) FROM seeds
+      |  UNION
+      |  SELECT b.seed, e.dst, b.dist + 1
+      |  FROM bfs b JOIN edges e ON e.src = b.node
+      |  WHERE b.dist < 4),
+      |d AS (
+      |  SELECT seed, node, min(dist) AS dist FROM bfs GROUP BY 1, 2),
+      |dd AS (
+      |  SELECT dist AS r, cast(count(*) as bigint) AS pairs
+      |  FROM d WHERE dist > 0 GROUP BY dist),
+      |tot AS (SELECT cast(sum(pairs) as bigint) AS t FROM dd)
+      |SELECT r, pairs,
+      | cast(sum(pairs) OVER (ORDER BY r) as bigint) AS cum,
+      | cast(sum(pairs) OVER (ORDER BY r) * 10000 // t as bigint)
+      |   AS cum_share_bp,
+      | cast(CASE WHEN sum(pairs) OVER (ORDER BY r) * 10000 // t >= 9000
+      |   AND (sum(pairs) OVER (ORDER BY r) - pairs) * 10000 // t < 9000
+      |   THEN 1 ELSE 0 END as bigint) AS is_effective_diameter
+      |FROM dd, tot ORDER BY r""".stripMargin
 
   val harmonicCentralitySql: String =
     """WITH RECURSIVE pairs AS (
@@ -1330,6 +1390,8 @@ object Graph {
     GQuery("graph_harmonic_centrality", harmonicCentrality,
       Some(harmonicCentralitySql)),
     GQuery("graph_rich_club", richClub, Some(richClubSql)),
+    GQuery("graph_effective_diameter", effectiveDiameter,
+      Some(effectiveDiameterSql)),
     GQuery("graph_shortest_paths_frontier", shortestPathsFrontier, Some(shortestPathsSql)),
     GQuery("graph_kcore_peel", kcorePeel, Some(kcorePeelSql)),
     GQuery("graph_label_propagation", labelPropagation, Some(labelPropagationSql)),

@@ -1516,4 +1516,30 @@ class Round14Spec extends AnyFunSuite {
     // purchase rows — sanity that replicates actually vary
     assert(means.map(_._1).distinct.length > 10, "replicates degenerate")
   }
+
+  test("graph_effective_diameter: conserves the harmonic entry's " +
+      "reach; exactly one flagged round at the 90% crossing; shares " +
+      "are an exact prefix of the distance distribution") {
+    val dd = graft.operators.Graph.effectiveDiameter(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val hc = graft.operators.Graph.harmonicCentrality(spark, sf).collect()
+      .map(r => r.getLong(1)).sum
+    assert(dd.map(_._2).sum == hc,
+      "distance distribution must conserve the per-seed reach totals")
+    var cum = 0L
+    val total = dd.map(_._2).sum
+    var flags = 0
+    for ((r, pairs, c, share, flag) <- dd.sortBy(_._1)) {
+      val prevShare = cum * 10000L / total
+      cum += pairs
+      assert(c == cum, s"r=$r cum")
+      assert(share == cum * 10000L / total, s"r=$r share")
+      val wantFlag = if (share >= 9000L && prevShare < 9000L) 1L else 0L
+      assert(flag == wantFlag, s"r=$r flag")
+      flags += flag.toInt
+    }
+    assert(flags == 1, "exactly one effective-diameter round")
+    assert(dd.maxBy(_._1)._4 == 10000L, "final share must be total")
+  }
 }
