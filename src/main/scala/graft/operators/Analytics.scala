@@ -4153,7 +4153,170 @@ object Analytics {
       |FROM ranked WHERE rk = (n_pairs + 1) // 2
       |ORDER BY event_type""".stripMargin
 
+  /** CLASSICAL ADDITIVE SEASONAL DECOMPOSITION (Kendall & Stuart; the
+    * `decompose` of R/statsmodels, Macaulay '31 moving-average form) —
+    * monthly lineitem revenue split into trend + seasonal + remainder:
+    * trend is the standard 2×12 centered moving average for an even
+    * period (half weight on the ±6 endpoints, so the window is
+    * symmetric), seasonal indices are the month-of-year means of the
+    * detrended series re-centered to sum ≈ 0, remainder is what's
+    * left. All integer cents: trend = (y₋₆ + y₊₆ + 2·Σ₋₅..₊₅) div 24
+    * over strictly positive revenues; the two means over possibly
+    * NEGATIVE detrended values use the shift-non-negative floor trick
+    * ((s + K·n) div n − K, K = 10¹²) so Spark `div` ≡ DuckDB `//` ≡
+    * floor on every operand (truncation vs floor diverges on
+    * negatives — the [[q129TheilSen]]-family lesson applied before
+    * the bug, not after).
+    *
+    * Scale shape: ONE data-sized aggregation to monthly grain; the
+    * centered window is an explode(-6..6)+regroup over the
+    * answer-sized series (calendar-bounded — never a data-sized
+    * window); seasonal is a 12-row frame; everything joins back
+    * broadcast. Edge months without the full 13-month window report
+    * NULL trend/remainder, exactly as R's decompose does. */
+  def q140SeasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = t(spark, dir, "lineitem")
+      .groupBy((year(col("l_shipdate")) * 12 + month(col("l_shipdate")) - 1)
+        .cast("long").as("m"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev"))
+      .localCheckpoint(true) // consumed by the MA regroup + the join-back
+    val trend = monthly
+      .withColumn("k", explode(expr("sequence(-6, 6)")))
+      .select((col("m") - col("k")).as("c"),
+        when(abs(col("k")) === 6, lit(1L)).otherwise(lit(2L)).as("w"),
+        col("rev"))
+      .groupBy(col("c"))
+      .agg(sum(expr("w * rev")).as("wsum"), sum(col("w")).as("wtot"))
+      .filter(col("wtot") === 24) // full 13-month window only
+      .select(col("c").as("m"), expr("wsum div 24").as("trend"))
+    val detr = monthly.join(trend, Seq("m"), "left")
+      .withColumn("detr", col("rev") - col("trend"))
+      .withColumn("moy", pmod(col("m"), lit(12L)))
+      .localCheckpoint(true) // consumed by seasonal means + final select
+    val sraw = detr.filter(col("detr").isNotNull)
+      .groupBy(col("moy"))
+      .agg(expr("(sum(detr) + 1000000000000L * count(1)) div count(1) " +
+        "- 1000000000000L").as("s_raw"))
+    val g = sraw.agg(expr("(sum(s_raw) + 1000000000000L * count(1)) " +
+      "div count(1) - 1000000000000L").as("g"))
+    val seasonal = sraw.crossJoin(broadcast(g))
+      .select(col("moy"), (col("s_raw") - col("g")).as("seasonal"))
+    detr.join(broadcast(seasonal), Seq("moy"))
+      .select(col("m").as("month_idx"), col("moy"),
+        col("rev").as("rev_cents"), col("trend").as("trend_cents"),
+        col("seasonal").as("seasonal_cents"),
+        (col("detr") - col("seasonal")).as("remainder_cents"))
+      .orderBy(col("month_idx"))
+  }
+
+  val q140Sql: String =
+    """WITH monthly AS (
+      | SELECT cast(year(l_shipdate) * 12 + month(l_shipdate) - 1 as bigint)
+      |   AS m,
+      |  cast(sum(cast(round(l_extendedprice * 100) as bigint)) as bigint)
+      |   AS rev
+      | FROM lineitem GROUP BY 1),
+      |trend AS (
+      | SELECT m - k AS m, sum(CASE WHEN abs(k) = 6 THEN 1 ELSE 2 END * rev)
+      |   // 24 AS trend
+      | FROM monthly, (SELECT unnest(range(-6, 7)) AS k)
+      | GROUP BY m - k
+      | HAVING sum(CASE WHEN abs(k) = 6 THEN 1 ELSE 2 END) = 24),
+      |detr AS (
+      | SELECT mo.m, mo.m % 12 AS moy, mo.rev, tr.trend,
+      |  mo.rev - tr.trend AS detr
+      | FROM monthly mo LEFT JOIN trend tr ON tr.m = mo.m),
+      |sraw AS (
+      | SELECT moy,
+      |  (sum(detr) + 1000000000000 * count(*)) // count(*)
+      |   - 1000000000000 AS s_raw
+      | FROM detr WHERE detr IS NOT NULL GROUP BY moy),
+      |g AS (
+      | SELECT (sum(s_raw) + 1000000000000 * count(*)) // count(*)
+      |   - 1000000000000 AS g
+      | FROM sraw),
+      |seasonal AS (SELECT moy, s_raw - g.g AS seasonal FROM sraw, g)
+      |SELECT d.m AS month_idx, cast(d.moy as bigint) AS moy,
+      | d.rev AS rev_cents, cast(d.trend as bigint) AS trend_cents,
+      | cast(s.seasonal as bigint) AS seasonal_cents,
+      | cast(d.detr - s.seasonal as bigint) AS remainder_cents
+      |FROM detr d JOIN seasonal s USING (moy)
+      |ORDER BY month_idx""".stripMargin
+
+  /** KENDALL'S τ-b (Kendall, Biometrika '38; tie correction '45) —
+    * rank correlation between the monthly ORDER COUNT and monthly
+    * REVENUE series, the robust companion to [[q117Spearman]]: τ
+    * counts concordant minus discordant pairs, so a single outlier
+    * month moves it by at most 2/n(n−1). Pure integer pair counts
+    * (concordant, discordant, x-ties, y-ties over all month pairs
+    * i<j); the only float is the final
+    * τ_b = (nc − nd) / (√(n₀−Tx)·√(n₀−Ty)), taken as TWO separate
+    * IEEE sqrt calls on bit-identical integer operands (the
+    * [[q132CrossCorr]] normalization discipline) and rounded 6 dp.
+    *
+    * Scale shape: aggregate FIRST to the calendar-bounded monthly
+    * series (the one data-sized pass), then the pair grid is months²
+    * ≈ 84² — answer-sized, via one broadcast self-join. At any data
+    * scale the pair stage is constant-cost. */
+  def q141KendallTau(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = t(spark, dir, "orders")
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+        .cast("long").as("m"))
+      .agg(count(lit(1)).as("x"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("y"))
+      .localCheckpoint(true) // both sides of the pair self-join
+    val pairs = monthly.select(col("m").as("i"), col("x").as("xi"), col("y").as("yi"))
+      .join(broadcast(monthly.select(col("m").as("j"), col("x").as("xj"), col("y").as("yj"))),
+        col("i") < col("j"))
+    val agg = pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      sum(when((col("xi") < col("xj") && col("yi") < col("yj")) ||
+        (col("xi") > col("xj") && col("yi") > col("yj")), 1L).otherwise(0L))
+        .as("concordant"),
+      sum(when((col("xi") < col("xj") && col("yi") > col("yj")) ||
+        (col("xi") > col("xj") && col("yi") < col("yj")), 1L).otherwise(0L))
+        .as("discordant"),
+      sum(when(col("xi") === col("xj"), 1L).otherwise(0L)).as("tied_x"),
+      sum(when(col("yi") === col("yj"), 1L).otherwise(0L)).as("tied_y"))
+    val n = monthly.agg(count(lit(1)).as("n_months"))
+    agg.crossJoin(broadcast(n))
+      .select(col("n_months"), col("n_pairs"), col("concordant"),
+        col("discordant"), col("tied_x"), col("tied_y"),
+        expr("round((concordant - discordant) / " +
+          "(sqrt(cast(n_pairs - tied_x as double)) * " +
+          "sqrt(cast(n_pairs - tied_y as double))), 6)").as("tau_b"))
+  }
+
+  val q141Sql: String =
+    """WITH monthly AS (
+      | SELECT cast(year(o_orderdate) * 12 + month(o_orderdate) - 1 as bigint)
+      |   AS m,
+      |  cast(count(*) as bigint) AS x,
+      |  cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint) AS y
+      | FROM orders GROUP BY 1),
+      |pairs AS (
+      | SELECT a.x AS xi, a.y AS yi, b.x AS xj, b.y AS yj
+      | FROM monthly a JOIN monthly b ON a.m < b.m),
+      |agg AS (
+      | SELECT cast(count(*) as bigint) AS n_pairs,
+      |  cast(sum(CASE WHEN (xi < xj AND yi < yj) OR (xi > xj AND yi > yj)
+      |    THEN 1 ELSE 0 END) as bigint) AS concordant,
+      |  cast(sum(CASE WHEN (xi < xj AND yi > yj) OR (xi > xj AND yi < yj)
+      |    THEN 1 ELSE 0 END) as bigint) AS discordant,
+      |  cast(sum(CASE WHEN xi = xj THEN 1 ELSE 0 END) as bigint) AS tied_x,
+      |  cast(sum(CASE WHEN yi = yj THEN 1 ELSE 0 END) as bigint) AS tied_y
+      | FROM pairs),
+      |n AS (SELECT cast(count(*) as bigint) AS n_months FROM monthly)
+      |SELECT n.n_months, a.n_pairs, a.concordant, a.discordant,
+      | a.tied_x, a.tied_y,
+      | round((a.concordant - a.discordant) /
+      |  (sqrt(cast(a.n_pairs - a.tied_x as double)) *
+      |   sqrt(cast(a.n_pairs - a.tied_y as double))), 6) AS tau_b
+      |FROM agg a, n""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("q140_seasonal_decompose", q140SeasonalDecompose, Some(q140Sql)),
+    GQuery("q141_kendall_tau", q141KendallTau, Some(q141Sql)),
     GQuery("q129_theil_sen", q129TheilSen, Some(q129Sql)),
     GQuery("q130_holt_winters", q130HoltWinters, Some(q130Sql)),
     GQuery("q132_cross_corr", q132CrossCorr, Some(q132Sql)),
