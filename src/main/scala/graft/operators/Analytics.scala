@@ -4314,7 +4314,242 @@ object Analytics {
       |   sqrt(cast(a.n_pairs - a.tied_y as double))), 6) AS tau_b
       |FROM agg a, n""".stripMargin
 
+  /** KRUSKAL–WALLIS one-way rank test (Kruskal & Wallis, JASA '52) —
+    * the nonparametric companion to [[q122Anova]]: do order totals
+    * come from the same distribution across the five customer
+    * REGIONS? Average ranks with ties are exact in HALF-UNITS
+    * (r2 = 2·cum − cnt + 1, an integer for any tie group), the
+    * per-region rank sums accumulate in int64, and the two places a
+    * square or cross-product exceeds int64 (R²_g, 12·10⁶·S, the tie
+    * polynomial n³−n at 10⁹⁺ rows) run in decimal(38,0) with
+    * IntegralDivide — exact and order-independent at any scale,
+    * mirroring DuckDB's HUGEINT widening. The per-group quotient
+    * t_g = R2²_g div (4·n_g) is a COMMITTED truncation (both engines
+    * truncate identically; the error is < 1 rank unit per group).
+    * H is then tie-corrected by the (n³−n)/(n³−n−Σ(t³−t)) factor and
+    * compared with the committed χ²₀.₀₅ critical value for df = 4.
+    *
+    * Scale shape: ONE data-sized groupBy(value) for the tie table,
+    * ranks via the two-pass DistRank prefix sum (no global window),
+    * one data-sized equi-join back on value, then everything is a
+    * 5-row frame. Dimension joins broadcast (customer ≤ 10⁶ rows at
+    * the published SFs; at true scale swap for a shuffle join —
+    * noted, not coded, since the hint is one word). */
+  def q142KruskalWallis(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nat = t(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_regionkey"))
+    val reg = t(spark, dir, "region")
+      .select(col("r_regionkey"), col("r_name"))
+    val rows = t(spark, dir, "orders")
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("v"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("v"))
+      .localCheckpoint(true) // consumed by the tie table + the join-back
+    val byV = rows.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    val ranked = graft.operators.DistRank.withPrefix(
+        byV, Seq(col("v")), col("cnt"), "sum", "cum")
+      .withColumn("r2", lit(2L) * col("cum") - col("cnt") + 1)
+    val perRegion = rows.join(ranked.select(col("v"), col("r2")), Seq("v"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_g"), sum(col("r2")).as("rank2_sum"))
+      .localCheckpoint(true) // 5 rows; consumed by S + the output grid
+    val ties = ranked.agg(
+      sum(col("cnt")).as("n"),
+      sum(expr("cnt * cnt * cnt - cnt")).as("tsum"))
+    val s = perRegion.agg(sum(expr(
+      "cast(rank2_sum as decimal(38,0)) * rank2_sum div (4 * n_g)")).as("s4"))
+    val summary = ties.crossJoin(broadcast(s))
+      .withColumn("h_micro", expr(
+        "cast(s4 as decimal(38,0)) * 12000000 div (n * (n + 1)) " +
+          "- 3000000 * (n + 1)"))
+      .withColumn("h_corr_micro", expr(
+        "cast(h_micro as decimal(38,0)) " +
+          "* (cast(n as decimal(38,0)) * n * n - n) " +
+          "div (cast(n as decimal(38,0)) * n * n - n - tsum)"))
+      .select(col("n").as("n_total"), col("tsum").as("tie_sum"),
+        col("h_micro"), col("h_corr_micro"),
+        (col("h_corr_micro") > 9488000L).cast("long").as("significant"))
+    perRegion
+      .withColumn("mean_rank_milli", expr("rank2_sum * 500 div n_g"))
+      .crossJoin(broadcast(summary))
+      .select(col("r_name"), col("n_g"), col("rank2_sum"),
+        col("mean_rank_milli"), col("n_total"), col("tie_sum"),
+        col("h_micro"), col("h_corr_micro"), col("significant"))
+      .orderBy(col("r_name"))
+  }
+
+  val q142Sql: String =
+    """WITH rows_ AS (
+      | SELECT r.r_name, cast(round(o.o_totalprice * 100) as bigint) AS v
+      | FROM orders o
+      | JOIN customer c ON c.c_custkey = o.o_custkey
+      | JOIN nation n ON n.n_nationkey = c.c_nationkey
+      | JOIN region r ON r.r_regionkey = n.n_regionkey),
+      |byv AS (
+      | SELECT v, cast(count(*) as bigint) AS cnt FROM rows_ GROUP BY v),
+      |ranked AS (
+      | SELECT v, cnt,
+      |  2 * sum(cnt) OVER (ORDER BY v) - cnt + 1 AS r2
+      | FROM byv),
+      |per_region AS (
+      | SELECT r_name, cast(count(*) as bigint) AS n_g,
+      |  cast(sum(rk.r2) as bigint) AS rank2_sum
+      | FROM rows_ d JOIN ranked rk USING (v) GROUP BY r_name),
+      |ties AS (
+      | SELECT cast(sum(cnt) as bigint) AS n,
+      |  cast(sum(cnt * cnt * cnt - cnt) as bigint) AS tsum
+      | FROM ranked),
+      |s AS (
+      | SELECT cast(sum(cast(rank2_sum as hugeint) * rank2_sum
+      |   // (4 * n_g)) as bigint) AS s4
+      | FROM per_region),
+      |summary AS (
+      | SELECT t.n AS n_total, t.tsum AS tie_sum,
+      |  cast(cast(s.s4 as hugeint) * 12000000 // (t.n * (t.n + 1))
+      |   - 3000000 * (t.n + 1) as bigint) AS h_micro,
+      |  cast((cast(s.s4 as hugeint) * 12000000 // (t.n * (t.n + 1))
+      |    - 3000000 * (t.n + 1))
+      |   * (cast(t.n as hugeint) * t.n * t.n - t.n)
+      |   // (cast(t.n as hugeint) * t.n * t.n - t.n - t.tsum) as bigint)
+      |   AS h_corr_micro
+      | FROM ties t, s)
+      |SELECT p.r_name, p.n_g, p.rank2_sum,
+      | cast(p.rank2_sum * 500 // p.n_g as bigint) AS mean_rank_milli,
+      | su.n_total, su.tie_sum, su.h_micro, su.h_corr_micro,
+      | cast(CASE WHEN su.h_corr_micro > 9488000 THEN 1 ELSE 0 END as bigint)
+      |   AS significant
+      |FROM per_region p, summary su
+      |ORDER BY p.r_name""".stripMargin
+
+  /** POPULATION STABILITY INDEX (the credit-scoring drift standard;
+    * see Siddiqi, "Credit Risk Scorecards" '06) — completes the drift
+    * family beside [[Warehouse]]'s KS / χ² / Wasserstein entries with
+    * the metric production scorecards actually alarm on: bin purchase
+    * values by the REFERENCE period's rank-deciles, then
+    * PSI = Σ (p_ref − p_cur)·ln(p_ref/p_cur) over the 10 bins.
+    * Reference = first half of the event timeline by the integer
+    * midpoint (min+max) div 2 of epoch-micros. Bin edges come from
+    * reference ranks (DistRank row numbers), but BOTH sides then bin
+    * by VALUE against those edges, so ties never straddle a boundary
+    * inconsistently. Shares are Laplace-smoothed ((c+1)/(n+10), the
+    * standard zero-bin guard) as exact integer rationals; each bin's
+    * ln runs on bit-identical integer products and is rounded 6 dp,
+    * and the total sums those 6-dp terms in decimal(18,6) — the
+    * [[TextAnalysis]] log-term discipline, order-independent.
+    *
+    * Scale shape: one data-sized filter+tag pass, ranks only on the
+    * reference side via two-pass DistRank, a 9-value edge array
+    * broadcast to bin both sides in one fused scan, and a 10-row
+    * result. PSI ≥ 0.25 = "significant shift" (industry rule of
+    * thumb) is flagged per run. */
+  def metaPsi(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("v"))
+    val bounds = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+    val tagged = ev.crossJoin(broadcast(bounds))
+      .withColumn("is_ref", (col("us") <= col("mid")).cast("long"))
+      .select(col("event_id"), col("v"), col("is_ref"))
+      .localCheckpoint(true) // consumed by the rank pass + the bin pass
+    val ref = tagged.filter(col("is_ref") === 1L)
+    val nRef = ref.agg(count(lit(1)).as("n_ref"))
+    val ranked = graft.operators.DistRank.withRowNumber(
+        ref, Seq(col("v"), col("event_id")), "rk")
+      .crossJoin(broadcast(nRef))
+      .withColumn("bucket", expr("(rk - 1) * 10 div n_ref"))
+    val edges = ranked.filter(col("bucket") < 9)
+      .groupBy(col("bucket")).agg(max(col("v")).as("hi"))
+      .agg(sort_array(collect_list(col("hi"))).as("edges"))
+    val binned = tagged.crossJoin(broadcast(edges))
+      .withColumn("bin", expr("cast(size(filter(edges, e -> e < v)) as bigint)"))
+      .groupBy(col("bin"))
+      .agg(sum(col("is_ref")).as("ref_count"),
+        sum(lit(1L) - col("is_ref")).as("cur_count"))
+    val grid = spark.range(0, 10).select(col("id").as("bin"))
+      .join(binned, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("ref_count"), lit(0L)).as("ref_count"),
+        coalesce(col("cur_count"), lit(0L)).as("cur_count"))
+      .localCheckpoint(true) // 10 rows; consumed by terms + total
+    val tot = grid.agg(sum(col("ref_count")).as("na"),
+      sum(col("cur_count")).as("nb"))
+    val terms = grid.crossJoin(broadcast(tot))
+      .withColumn("psi_term", round(
+        ((col("ref_count") + 1) / (col("na") + 10) -
+          (col("cur_count") + 1) / (col("nb") + 10)) *
+          log(((col("ref_count") + 1) * (col("nb") + 10)) /
+            ((col("cur_count") + 1) * (col("na") + 10))), 6))
+      .localCheckpoint(true) // consumed by the total + the output
+    val total = terms.agg(
+      sum(col("psi_term").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+        .cast("double").as("psi_total"))
+    terms.crossJoin(broadcast(total))
+      .select(col("bin"), col("ref_count"), col("cur_count"),
+        col("psi_term"), col("psi_total"),
+        (col("psi_total") >= 0.25).cast("long").as("shifted"))
+      .orderBy(col("bin"))
+  }
+
+  val metaPsiSql: String =
+    """WITH ev AS (
+      | SELECT event_id, epoch_us(ts) AS us,
+      |  cast(round(value * 100) as bigint) AS v
+      | FROM events WHERE event_type = 'purchase'),
+      |bounds AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+      |tagged AS (
+      | SELECT event_id, v,
+      |  CASE WHEN us <= b.mid THEN 1 ELSE 0 END AS is_ref
+      | FROM ev, bounds b),
+      |ref AS (
+      | SELECT v, row_number() OVER (ORDER BY v, event_id) AS rk
+      | FROM tagged WHERE is_ref = 1),
+      |nref AS (SELECT cast(count(*) as bigint) AS n_ref FROM ref),
+      |edges AS (
+      | SELECT list_sort(list(hi)) AS edges
+      | FROM (SELECT bucket, max(v) AS hi
+      |       FROM (SELECT (rk - 1) * 10 // n.n_ref AS bucket, v
+      |             FROM ref, nref n)
+      |       WHERE bucket < 9 GROUP BY bucket)),
+      |binned AS (
+      | SELECT cast(len(list_filter(e.edges, x -> x < t.v)) as bigint) AS bin,
+      |  cast(sum(t.is_ref) as bigint) AS ref_count,
+      |  cast(sum(1 - t.is_ref) as bigint) AS cur_count
+      | FROM tagged t, edges e GROUP BY 1),
+      |grid AS (
+      | SELECT g.bin, coalesce(b.ref_count, 0) AS ref_count,
+      |  coalesce(b.cur_count, 0) AS cur_count
+      | FROM (SELECT unnest(range(0, 10)) AS bin) g
+      | LEFT JOIN binned b ON b.bin = g.bin),
+      |tot AS (
+      | SELECT cast(sum(ref_count) as bigint) AS na,
+      |  cast(sum(cur_count) as bigint) AS nb FROM grid),
+      |terms AS (
+      | SELECT g.bin, g.ref_count, g.cur_count,
+      |  round(((g.ref_count + 1) / cast(t.na + 10 as double)
+      |    - (g.cur_count + 1) / cast(t.nb + 10 as double))
+      |   * ln(((g.ref_count + 1) * (t.nb + 10))
+      |     / cast((g.cur_count + 1) * (t.na + 10) as double)), 6)
+      |   AS psi_term
+      | FROM grid g, tot t),
+      |total AS (
+      | SELECT cast(sum(cast(psi_term as decimal(18,6))) as double)
+      |   AS psi_total
+      | FROM terms)
+      |SELECT te.bin, te.ref_count, te.cur_count, te.psi_term, tt.psi_total,
+      | cast(CASE WHEN tt.psi_total >= 0.25 THEN 1 ELSE 0 END as bigint)
+      |   AS shifted
+      |FROM terms te, total tt
+      |ORDER BY te.bin""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("q142_kruskal_wallis", q142KruskalWallis, Some(q142Sql)),
+    GQuery("meta_psi", metaPsi, Some(metaPsiSql)),
     GQuery("q140_seasonal_decompose", q140SeasonalDecompose, Some(q140Sql)),
     GQuery("q141_kendall_tau", q141KendallTau, Some(q141Sql)),
     GQuery("q129_theil_sen", q129TheilSen, Some(q129Sql)),

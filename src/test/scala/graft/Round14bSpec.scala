@@ -104,6 +104,103 @@ class Round14bSpec extends AnyFunSuite {
     assert(math.abs(tau - want) < 1e-9, s"tau=$tau want=$want")
   }
 
+  test("q142: rank-sum conservation (sum of 2x rank sums = n(n+1)), the " +
+      "committed integer H matches a BigInt referee, and the tie " +
+      "correction only increases a positive H") {
+    val rows = operators.Analytics.q142KruskalWallis(spark, sf).collect()
+    assert(rows.length == 5, "five TPC-H regions")
+    val n = rows.head.getAs[Long]("n_total")
+    val sumR2 = rows.map(_.getAs[Long]("rank2_sum")).sum
+    assert(BigInt(sumR2) == BigInt(n) * (n + 1),
+      s"rank conservation: $sumR2 vs ${BigInt(n) * (n + 1)}")
+    // BigInt referee of the committed recurrence from raw data
+    val raw = util.t(spark, sf, "orders")
+      .join(util.t(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(util.t(spark, sf, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(util.t(spark, sf, "region"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), round(col("o_totalprice") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val cnt = raw.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val sortedV = cnt.keys.toVector.sorted
+    var cum = 0L
+    val r2 = scala.collection.mutable.Map.empty[Long, Long]
+    for (v <- sortedV) { cum += cnt(v); r2(v) = 2 * cum - cnt(v) + 1 }
+    val byRegion = raw.groupBy(_._1).view.mapValues { vs =>
+      (vs.length.toLong, vs.map(x => BigInt(r2(x._2))).sum)
+    }.toMap
+    val s4 = byRegion.values.map { case (ng, rs) => rs * rs / (4 * ng) }.sum
+    val nn = BigInt(n)
+    val hMicro = s4 * 12000000 / (nn * (nn + 1)) - 3000000 * (nn + 1)
+    val tsum = cnt.values.map(c => BigInt(c) * c * c - c).sum
+    val hCorr = hMicro * (nn * nn * nn - nn) / (nn * nn * nn - nn - tsum)
+    assert(BigInt(rows.head.getAs[Long]("h_micro")) == hMicro)
+    assert(BigInt(rows.head.getAs[Long]("h_corr_micro")) == hCorr)
+    if (hMicro >= 0) assert(hCorr >= hMicro, "tie correction must not shrink H")
+    for (r <- rows) {
+      val (ng, rs) = byRegion(r.getAs[String]("r_name"))
+      assert(r.getAs[Long]("n_g") == ng)
+      assert(BigInt(r.getAs[Long]("rank2_sum")) == rs)
+    }
+  }
+
+  test("meta_psi: ten bins, count conservation, every smoothed term is " +
+      "non-negative up to the 6-dp rounding, and the total is their sum") {
+    val rows = operators.Analytics.metaPsi(spark, sf).collect()
+    assert(rows.length == 10, s"got ${rows.length} bins")
+    val nPurch = util.t(spark, sf, "events")
+      .filter(col("event_type") === "purchase").count()
+    val refSum = rows.map(_.getAs[Long]("ref_count")).sum
+    val curSum = rows.map(_.getAs[Long]("cur_count")).sum
+    assert(refSum + curSum == nPurch, "every purchase lands in one bin")
+    assert(refSum > 0 && curSum > 0, "midpoint split must populate both sides")
+    var total = BigDecimal(0)
+    for (r <- rows) {
+      val term = r.getAs[Double]("psi_term")
+      // (a-b)ln(a/b) >= 0 for smoothed shares; rounding can dip 5e-7
+      assert(term >= -1e-6, s"negative PSI term $term at $r")
+      total += BigDecimal(term)
+    }
+    val psiTotal = rows.head.getAs[Double]("psi_total")
+    assert(math.abs(psiTotal - total.toDouble) < 1e-9,
+      s"total $psiTotal vs sum $total")
+    assert(rows.map(_.getAs[Long]("shifted")).toSet.size == 1)
+  }
+
+  test("meta_psi: reference bins are rank-deciles — each of the ten bins " +
+      "holds between floor(n/10)-ties and the tie-inflated bound of its " +
+      "rank slice (sequential edge referee)") {
+    // referee the 9 edges: sort reference values, edge_k = the value at
+    // the last row of rank-bucket k (bucket = (rk-1)*10 div n), then
+    // every reference row bins by value < edge exactly as the engine did
+    val ev = util.t(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val mid = {
+      val us = ev.map(_._2); (us.min + us.max) / 2
+    }
+    val ref = ev.filter(_._2 <= mid).map(t => (t._3, t._1)).sorted
+    val n = ref.length
+    val edges = (0 until 9).map { k =>
+      // max v of bucket k, bucket = (rk-1)*10 div n — a direct scan,
+      // affordable at sf0.001
+      ref.zipWithIndex.filter { case (_, i) => i * 10 / n == k }.map(_._1._1).max
+    }
+    val got = operators.Analytics.metaPsi(spark, sf).collect()
+    val refCounts = got.sortBy(_.getAs[Long]("bin")).map(_.getAs[Long]("ref_count"))
+    val wantCounts = Array.fill(10)(0L)
+    for ((v, _) <- ref) {
+      val bin = edges.count(_ < v)
+      wantCounts(bin) += 1
+    }
+    assert(refCounts.toSeq == wantCounts.toSeq,
+      s"ref bin counts ${refCounts.toSeq} vs referee ${wantCounts.toSeq}")
+  }
+
   test("q141: tau_b = 1 on a perfectly concordant synthetic series") {
     // identity check of the formula wiring, not the data: x=y strictly
     // increasing means every pair is concordant and no ties exist
