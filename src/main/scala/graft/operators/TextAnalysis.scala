@@ -2298,7 +2298,55 @@ GROUP BY d.doc_id ORDER BY d.doc_id"""
        |   AS corpus_ratio_bp
        |FROM s GROUP BY source ORDER BY source""".stripMargin
 
+  /** CORPUS REPRODUCIBILITY MANIFEST — the per-source content
+    * fingerprint a training run pins in its data card so "same
+    * corpus" is a checkable claim, not a directory name: doc counts,
+    * exact char totals, id ranges, and an ORDER-INVARIANT content
+    * checksum (bit_xor of xxhash64(doc_id, text) — XOR commutes, so
+    * the checksum is independent of partitioning, task order, and
+    * shuffle nondeterminism; flipping one character anywhere flips
+    * it). The checksum is engine-specific (xxhash64), so it rides the
+    * estimate-sidecar discipline: DuckDB recomputes every RELATIONAL
+    * column (counts, chars, id ranges) from the base table and joins
+    * the engine checksums from the sidecar — the checksum VALUES are
+    * spec-pinned (two independent builds under different
+    * partitionings must agree; see Round14bSpec).
+    *
+    * Scale shape: one fused scan + one groupBy(source) with map-side
+    * partial XOR/sums — answer-sized output, no second pass. */
+  def pipelineReproHash(spark: SparkSession, dir: String): DataFrame = {
+    val man = t(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars_total"),
+        min(col("doc_id")).as("id_lo"),
+        max(col("doc_id")).as("id_hi"),
+        expr("bit_xor(xxhash64(doc_id, text))").as("checksum"))
+    oracleSidecar("repro_hash",
+      man.select(col("source"), col("checksum")))
+    man.select(col("source"), col("n_docs"), col("n_chars_total"),
+        col("id_lo"), col("id_hi"), col("checksum"))
+      .orderBy(col("source"))
+  }
+
+  lazy val pipelineReproHashSql: String =
+    s"""WITH man AS (
+       | SELECT source, cast(count(*) as bigint) AS n_docs,
+       |  cast(sum(n_chars) as bigint) AS n_chars_total,
+       |  cast(min(doc_id) as bigint) AS id_lo,
+       |  cast(max(doc_id) as bigint) AS id_hi
+       | FROM documents GROUP BY source),
+       |side AS (
+       | SELECT source, checksum
+       | FROM read_parquet('${oracleSidecarGlob("repro_hash")}'))
+       |SELECT m.source, m.n_docs, m.n_chars_total, m.id_lo, m.id_hi,
+       | s.checksum
+       |FROM man m JOIN side s USING (source)
+       |ORDER BY m.source""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("pipeline_repro_hash", pipelineReproHash,
+      Some(pipelineReproHashSql)),
     GQuery("text_compression_filter", compressionFilter,
       Some(compressionFilterSql)),
     GQuery("text_oov_rate", oovRate, Some(oovRateSql)),

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.GQuery
 import graft.util._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -1960,7 +1960,119 @@ object Warehouse {
       |   // n_true as bigint) AS err_bp
       |FROM agg""".stripMargin
 
+  /** One (rowdim × coldim) contingency summary: χ² in micro-units
+    * (decimal(38,0) cross-moments, the committed per-cell truncation),
+    * Cramér's V from two IEEE steps on bit-identical integers, and
+    * mutual information as 6-dp ln terms summed in decimal(18,6) —
+    * the [[graft.operators.Analytics.metaPsi]] float discipline. */
+  private def assocPair(df: DataFrame, a: Column, b: Column,
+      pair: String): DataFrame = {
+    val cells = df.select(a.as("a"), b.as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("o"))
+      .localCheckpoint(true) // consumed by both margins + the cell pass
+    val rt = cells.groupBy(col("a")).agg(sum(col("o")).as("rt"))
+    val ct = cells.groupBy(col("b")).agg(sum(col("o")).as("ct"))
+    val n = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("a")).as("r_levels"),
+      countDistinct(col("b")).as("c_levels"))
+    cells.join(broadcast(rt), Seq("a")).join(broadcast(ct), Seq("b"))
+      .crossJoin(broadcast(n))
+      .withColumn("num", expr("o * n - rt * ct"))
+      .withColumn("chi2_cell_micro", expr(
+        "cast(num as decimal(38,0)) * num * 1000000 " +
+          "div (cast(rt as decimal(38,0)) * ct * n)"))
+      .withColumn("mi_term", round((col("o") / col("n")) *
+        log((col("o") * col("n")) / (col("rt") * col("ct"))), 6))
+      .agg(max(col("n")).as("n"),
+        max(col("r_levels")).as("r_levels"),
+        max(col("c_levels")).as("c_levels"),
+        sum(col("chi2_cell_micro")).as("chi2_micro"),
+        sum(col("mi_term").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("mi_nats"))
+      .select(lit(pair).as("pair"), col("n"), col("r_levels"),
+        col("c_levels"),
+        ((col("r_levels") - 1) * (col("c_levels") - 1)).as("df"),
+        col("chi2_micro"),
+        when(least(col("r_levels"), col("c_levels")) > 1,
+          round(sqrt(col("chi2_micro") /
+            (col("n") * least(col("r_levels"), col("c_levels")) - col("n"))
+            / 1000000.0), 6)).as("cramers_v"),
+        col("mi_nats"))
+  }
+
+  /** CATEGORICAL ASSOCIATION PANEL — Cramér's V (Cramér '46) and
+    * mutual information over a committed set of categorical pairs,
+    * the data-profiling companion to the numeric [[metaGini]]/
+    * correlation entries: which column pairs carry structure? Panel:
+    * events (event_type × calendar month — seasonal mix), documents
+    * (lang × source — corpus composition), orders (status ×
+    * priority). χ² accumulates the exact integer cross-moment
+    * (o·N − rt·ct)²·10⁶ div (rt·ct·N) per cell in decimal(38,0)
+    * (int64 would wrap at o·N ≈ 10¹²·², and DuckDB mirrors in
+    * HUGEINT); V = √(χ²/(N·(min(r,c)−1))); MI in nats from the same
+    * margins. A V near 0 with χ² above its critical value is the
+    * classic "significant but tiny" large-N read — both are reported
+    * so the panel teaches that lesson.
+    *
+    * Scale shape: per pair ONE data-sized groupBy to the contingency
+    * cells; margins and everything after are cells-sized (≤ r·c
+    * rows). Three pairs union to a 3-row frame. */
+  def metaCramersV(spark: SparkSession, dir: String): DataFrame = {
+    // events span one calendar month at every published SF, so the
+    // calendar dimension is DAY-OF-WEEK, computed portably as days
+    // since the 1970-01-01 epoch (a Thursday) mod 7 — Spark's
+    // dayofweek() and DuckDB's dayofweek() disagree on the 0-base
+    val ev = assocPair(t(spark, dir, "events"), col("event_type"),
+      expr("pmod(datediff(to_date(ts), date'1970-01-01'), 7)").cast("long"),
+      "events:type_x_dow")
+    val doc = assocPair(t(spark, dir, "documents"),
+      col("lang"), col("source"), "documents:lang_x_source")
+    val ord = assocPair(t(spark, dir, "orders"),
+      col("o_orderstatus"), col("o_orderpriority"), "orders:status_x_priority")
+    ev.unionAll(doc).unionAll(ord).orderBy(col("pair"))
+  }
+
+  private def assocPairSql(from: String, a: String, b: String,
+      pair: String): String =
+    s"""SELECT '$pair' AS pair, n, r_levels, c_levels,
+       | (r_levels - 1) * (c_levels - 1) AS df, chi2_micro,
+       | CASE WHEN least(r_levels, c_levels) > 1 THEN
+       |  round(sqrt(chi2_micro / cast(n * least(r_levels, c_levels) - n
+       |    as double) / 1000000.0), 6) END AS cramers_v, mi_nats
+       |FROM (
+       | SELECT max(n) AS n, max(r_levels) AS r_levels,
+       |  max(c_levels) AS c_levels,
+       |  cast(sum(cast(num as hugeint) * num * 1000000
+       |    // (cast(rt as hugeint) * ct * n)) as bigint) AS chi2_micro,
+       |  cast(sum(cast(round((o / cast(n as double)) *
+       |    ln((o * n) / cast(rt * ct as double)), 6) as decimal(18,6)))
+       |    as double) AS mi_nats
+       | FROM (
+       |  SELECT c.o, c.rt, c.ct, t.n, t.r_levels, t.c_levels,
+       |   c.o * t.n - c.rt * c.ct AS num
+       |  FROM (
+       |   SELECT a, b, o,
+       |    sum(o) OVER (PARTITION BY a) AS rt,
+       |    sum(o) OVER (PARTITION BY b) AS ct
+       |   FROM (SELECT $a AS a, $b AS b, cast(count(*) as bigint) AS o
+       |         FROM $from GROUP BY 1, 2)) c,
+       |   (SELECT cast(count(*) as bigint) AS n,
+       |     cast(count(distinct $a) as bigint) AS r_levels,
+       |     cast(count(distinct $b) as bigint) AS c_levels
+       |    FROM $from) t))""".stripMargin
+
+  val metaCramersVSql: String =
+    Seq(
+      assocPairSql("events", "event_type",
+        "cast(date_diff('day', DATE '1970-01-01', cast(ts as date)) % 7 as bigint)",
+        "events:type_x_dow"),
+      assocPairSql("documents", "lang", "source", "documents:lang_x_source"),
+      assocPairSql("orders", "o_orderstatus", "o_orderpriority",
+        "orders:status_x_priority"))
+      .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY pair")
+
   val all: Seq[GQuery] = Seq(
+    GQuery("meta_cramers_v", metaCramersV, Some(metaCramersVSql)),
     GQuery("meta_capture_recapture", captureRecapture,
       Some(captureRecaptureSql)),
     GQuery("meta_fd_check", fdCheck, Some(fdCheckSql)),

@@ -201,6 +201,68 @@ class Round14bSpec extends AnyFunSuite {
       s"ref bin counts ${refCounts.toSeq} vs referee ${wantCounts.toSeq}")
   }
 
+  test("meta_cramers_v: BigInt referee on the documents pair, V bounds, " +
+      "and df = (r-1)(c-1) on every panel row") {
+    val rows = operators.Warehouse.metaCramersV(spark, sf).collect()
+    assert(rows.length == 3)
+    for (r <- rows) {
+      val rl = r.getAs[Long]("r_levels"); val cl = r.getAs[Long]("c_levels")
+      assert(r.getAs[Long]("df") == (rl - 1) * (cl - 1))
+      if (!r.isNullAt(r.fieldIndex("cramers_v"))) {
+        val v = r.getAs[Double]("cramers_v")
+        assert(v >= 0.0 && v <= 1.0, s"V=$v out of range at $r")
+      }
+      assert(r.getAs[Long]("chi2_micro") >= 0L)
+    }
+    // referee the documents pair cell by cell with BigInt arithmetic
+    val raw = util.t(spark, sf, "documents")
+      .select(col("lang"), col("source")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val cells = raw.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rt = raw.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val ct = raw.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = raw.length.toLong
+    val chi2 = cells.map { case ((a, b), o) =>
+      val num = BigInt(o) * n - BigInt(rt(a)) * ct(b)
+      num * num * 1000000 / (BigInt(rt(a)) * ct(b) * n)
+    }.sum
+    val doc = rows.find(_.getAs[String]("pair") == "documents:lang_x_source").get
+    assert(BigInt(doc.getAs[Long]("chi2_micro")) == chi2,
+      s"chi2 referee: engine ${doc.getAs[Long]("chi2_micro")} vs $chi2")
+    assert(doc.getAs[Long]("n") == n)
+    assert(doc.getAs[Long]("r_levels") == rt.size)
+    assert(doc.getAs[Long]("c_levels") == ct.size)
+    // MI referee with the same per-cell 6-dp rounding
+    val mi = cells.map { case ((a, b), o) =>
+      BigDecimal(math.rint((o.toDouble / n) *
+        math.log((o.toDouble * n) / (rt(a).toDouble * ct(b))) * 1e6) / 1e6)
+    }.sum
+    assert(math.abs(doc.getAs[Double]("mi_nats") - mi.toDouble) < 1e-9,
+      s"MI referee: ${doc.getAs[Double]("mi_nats")} vs $mi")
+  }
+
+  test("pipeline_repro_hash: the XOR-of-xxhash64 checksum is invariant " +
+      "under repartitioning and matches the entry, and flipping one " +
+      "character flips it") {
+    val entry = operators.TextAnalysis.pipelineReproHash(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("checksum")).toMap
+    for (parts <- Seq(3, 7)) {
+      val alt = util.t(spark, sf, "documents").repartition(parts)
+        .groupBy(col("source"))
+        .agg(expr("bit_xor(xxhash64(doc_id, text))").as("checksum"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(alt == entry, s"checksum varies under repartition($parts)")
+    }
+    import spark.implicits._
+    val base = Seq((1L, "hello", "s"), (2L, "world", "s"))
+      .toDF("doc_id", "text", "source")
+    val flipped = Seq((1L, "hellp", "s"), (2L, "world", "s"))
+      .toDF("doc_id", "text", "source")
+    def ck(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(expr("bit_xor(xxhash64(doc_id, text))")).collect().head.getLong(0)
+    assert(ck(base) != ck(flipped), "single-char flip must change the checksum")
+  }
+
   test("q141: tau_b = 1 on a perfectly concordant synthetic series") {
     // identity check of the formula wiring, not the data: x=y strictly
     // increasing means every pair is concordant and no ties exist
