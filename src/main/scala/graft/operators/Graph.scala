@@ -1375,7 +1375,173 @@ object Graph {
       |        cast(n * syy - sy * sy as double)), 4) AS r_assort
       |FROM m""".stripMargin
 
+  /** SAMPLED BETWEENNESS CENTRALITY (Brandes, J. Math. Soc. '01;
+    * pivot sampling per Brandes & Pich '07 — exact betweenness is
+    * O(V·E), so every at-scale system samples sources and this entry
+    * COMMITS the sample: the same 8-seed panel as
+    * [[harmonicCentrality]], windowed to ≤ 4 hops like the whole
+    * panel family). Two phases, both level-synchronous and fully
+    * unrollable (the bound is what makes the DuckDB twin exact):
+    *
+    * FORWARD — per level r, σ(s,v) = number of shortest s→v paths
+    * arrives as one groupBy-sum of predecessor σ over the frontier's
+    * out-edges (σ must ride per-seed, so this is the explicit
+    * (seed, node) state machine, 8× edge-linear messages — the shape
+    * [[msBfsRounds]] bitmasks away, but σ-sums can't share bits).
+    *
+    * BACKWARD — Brandes' dependency accumulation
+    * δ(u) += σ(u)/σ(w)·(1+δ(w)) over shortest-path-DAG edges, which
+    * at level l are EXACTLY the graph edges into level l+1: three
+    * equi-joins, one per level, in committed integer micro-units
+    * (δ_micro(u) += σ(u)·(10⁶+δ_micro(w)) div σ(w), decimal(38,0)
+    * product before the IntegralDivide — σ·δ can pass int64 on a
+    * hub-heavy graph; DuckDB mirrors in HUGEINT).
+    *
+    * Output: top 30 nodes by summed dependency under the total order
+    * (bt desc, node) — a TakeOrdered, never a global window. Scale
+    * shape: every frame is (8 × node)-linear, every join equi-keyed
+    * on (seed, node); the 4+3 rounds are the committed window, so
+    * the whole entry is 7 bounded BSP supersteps. */
+  def betweenness(spark: SparkSession, dir: String): DataFrame = {
+    val e = spark.read.parquet(s"${tradeGraphRoot(spark, dir)}/sym")
+      .localCheckpoint(true) // referenced by 4 forward + 3 backward joins
+    val seeds = e.select(col("src")).distinct().orderBy(col("src")).limit(8)
+    val l0 = seeds.select(col("src").as("seed"), col("src").as("node"),
+      lit(1L).as("sigma")).localCheckpoint(true)
+    val levels = scala.collection.mutable.ArrayBuffer(l0)
+    var visited = l0.select(col("seed"), col("node")).localCheckpoint(true)
+    for (_ <- 1 to 4) {
+      val msgs = e.join(
+          levels.last.select(col("seed"), col("node").as("fnode"),
+            col("sigma")), col("src") === col("fnode"))
+        .groupBy(col("seed"), col("dst")).agg(sum(col("sigma")).as("sigma"))
+        .select(col("seed"), col("dst").as("node"), col("sigma"))
+      val newly = msgs.join(
+          visited.select(col("seed").as("vseed"), col("node").as("vnode")),
+          col("seed") === col("vseed") && col("node") === col("vnode"),
+          "left_anti")
+        .localCheckpoint(true) // wave-sized; consumed by next round + backward
+      // no checkpoint: a union of already-checkpointed waves has
+      // shallow lineage and is consumed once per round as an anti-side
+      visited = visited.unionAll(newly.select(col("seed"), col("node")))
+      levels += newly
+    }
+    // backward accumulation: delta at the deepest level is 0
+    val deltas = new Array[DataFrame](5)
+    deltas(4) = levels(4).withColumn("delta_micro", lit(0L))
+    for (l <- 3 to 1 by -1) {
+      val contrib = e.join(
+          levels(l).select(col("seed"), col("node").as("unode"),
+            col("sigma").as("usig")), col("src") === col("unode"))
+        .join(deltas(l + 1).select(col("seed").as("wseed"),
+            col("node").as("wnode"), col("sigma").as("wsig"),
+            col("delta_micro").as("wdelta")),
+          col("dst") === col("wnode") && col("seed") === col("wseed"))
+        .withColumn("c", expr(
+          "cast(usig as decimal(38,0)) * (1000000 + wdelta) div wsig"))
+        .groupBy(col("seed"), col("unode")).agg(sum(col("c")).as("d"))
+        .select(col("seed"), col("unode").as("node"), col("d"))
+      deltas(l) = levels(l)
+        .join(contrib, Seq("seed", "node"), "left")
+        .withColumn("delta_micro", coalesce(col("d"), lit(0L)))
+        .select(col("seed"), col("node"), col("sigma"), col("delta_micro"))
+        .localCheckpoint(true) // consumed by level l-1 + the final sum
+    }
+    (1 to 4).map(l => deltas(l).select(col("node"), col("delta_micro")))
+      .reduce(_ unionAll _)
+      .groupBy(col("node")).agg(sum(col("delta_micro")).as("bt_micro"))
+      .orderBy(col("bt_micro").desc, col("node")).limit(30)
+  }
+
+  val betweennessSql: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS c,
+      |                  CAST(l_suppkey * 2 + 1 AS BIGINT) AS s
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |edges AS (
+      |  SELECT c AS src, s AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT s AS src, c AS dst FROM pairs),
+      |l0 AS (
+      |  SELECT src AS seed, src AS node, CAST(1 AS BIGINT) AS sigma
+      |  FROM (SELECT DISTINCT src FROM edges ORDER BY src LIMIT 8)),
+      |l1 AS (
+      |  SELECT u.seed, e.dst AS node, cast(sum(u.sigma) as bigint) AS sigma
+      |  FROM l0 u JOIN edges e ON e.src = u.node
+      |  WHERE NOT EXISTS (SELECT 1 FROM l0 v
+      |    WHERE v.seed = u.seed AND v.node = e.dst)
+      |  GROUP BY 1, 2),
+      |l2 AS (
+      |  SELECT u.seed, e.dst AS node, cast(sum(u.sigma) as bigint) AS sigma
+      |  FROM l1 u JOIN edges e ON e.src = u.node
+      |  WHERE NOT EXISTS (SELECT 1 FROM l0 v
+      |    WHERE v.seed = u.seed AND v.node = e.dst)
+      |   AND NOT EXISTS (SELECT 1 FROM l1 v
+      |    WHERE v.seed = u.seed AND v.node = e.dst)
+      |  GROUP BY 1, 2),
+      |l3 AS (
+      |  SELECT u.seed, e.dst AS node, cast(sum(u.sigma) as bigint) AS sigma
+      |  FROM l2 u JOIN edges e ON e.src = u.node
+      |  WHERE NOT EXISTS (SELECT 1 FROM l0 v
+      |    WHERE v.seed = u.seed AND v.node = e.dst)
+      |   AND NOT EXISTS (SELECT 1 FROM l1 v
+      |    WHERE v.seed = u.seed AND v.node = e.dst)
+      |   AND NOT EXISTS (SELECT 1 FROM l2 v
+      |    WHERE v.seed = u.seed AND v.node = e.dst)
+      |  GROUP BY 1, 2),
+      |l4 AS (
+      |  SELECT u.seed, e.dst AS node, cast(sum(u.sigma) as bigint) AS sigma
+      |  FROM l3 u JOIN edges e ON e.src = u.node
+      |  WHERE NOT EXISTS (SELECT 1 FROM l0 v
+      |    WHERE v.seed = u.seed AND v.node = e.dst)
+      |   AND NOT EXISTS (SELECT 1 FROM l1 v
+      |    WHERE v.seed = u.seed AND v.node = e.dst)
+      |   AND NOT EXISTS (SELECT 1 FROM l2 v
+      |    WHERE v.seed = u.seed AND v.node = e.dst)
+      |   AND NOT EXISTS (SELECT 1 FROM l3 v
+      |    WHERE v.seed = u.seed AND v.node = e.dst)
+      |  GROUP BY 1, 2),
+      |d4 AS (SELECT seed, node, sigma, CAST(0 AS BIGINT) AS delta_micro
+      |       FROM l4),
+      |d3 AS (
+      |  SELECT u.seed, u.node, u.sigma,
+      |   coalesce(c.d, 0) AS delta_micro
+      |  FROM l3 u LEFT JOIN (
+      |    SELECT uu.seed, uu.node,
+      |     cast(sum(cast(uu.sigma as hugeint) * (1000000 + w.delta_micro)
+      |       // w.sigma) as bigint) AS d
+      |    FROM l3 uu JOIN edges e ON e.src = uu.node
+      |    JOIN d4 w ON w.seed = uu.seed AND w.node = e.dst
+      |    GROUP BY 1, 2) c ON c.seed = u.seed AND c.node = u.node),
+      |d2 AS (
+      |  SELECT u.seed, u.node, u.sigma,
+      |   coalesce(c.d, 0) AS delta_micro
+      |  FROM l2 u LEFT JOIN (
+      |    SELECT uu.seed, uu.node,
+      |     cast(sum(cast(uu.sigma as hugeint) * (1000000 + w.delta_micro)
+      |       // w.sigma) as bigint) AS d
+      |    FROM l2 uu JOIN edges e ON e.src = uu.node
+      |    JOIN d3 w ON w.seed = uu.seed AND w.node = e.dst
+      |    GROUP BY 1, 2) c ON c.seed = u.seed AND c.node = u.node),
+      |d1 AS (
+      |  SELECT u.seed, u.node, u.sigma,
+      |   coalesce(c.d, 0) AS delta_micro
+      |  FROM l1 u LEFT JOIN (
+      |    SELECT uu.seed, uu.node,
+      |     cast(sum(cast(uu.sigma as hugeint) * (1000000 + w.delta_micro)
+      |       // w.sigma) as bigint) AS d
+      |    FROM l1 uu JOIN edges e ON e.src = uu.node
+      |    JOIN d2 w ON w.seed = uu.seed AND w.node = e.dst
+      |    GROUP BY 1, 2) c ON c.seed = u.seed AND c.node = u.node)
+      |SELECT node, cast(sum(delta_micro) as bigint) AS bt_micro
+      |FROM (SELECT node, delta_micro FROM d1
+      |      UNION ALL SELECT node, delta_micro FROM d2
+      |      UNION ALL SELECT node, delta_micro FROM d3
+      |      UNION ALL SELECT node, delta_micro FROM d4)
+      |GROUP BY node ORDER BY bt_micro DESC, node LIMIT 30""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("graph_betweenness", betweenness, Some(betweennessSql)),
     GQuery("graph_assortativity", assortativity, Some(assortativitySql)),
     GQuery("graph_hits", hits, Some(hitsSql)),
     GQuery("graph_ego_sample", egoSample, Some(egoSampleSql)),

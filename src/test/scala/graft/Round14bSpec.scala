@@ -263,6 +263,58 @@ class Round14bSpec extends AnyFunSuite {
     assert(ck(base) != ck(flipped), "single-char flip must change the checksum")
   }
 
+  test("graph_betweenness: the full top-30 matches a sequential in-JVM " +
+      "Brandes referee replicating the committed integer recurrence, " +
+      "and every dependency is non-negative") {
+    // rebuild the trade graph exactly as tradeGraphRoot does
+    val pairs = util.t(spark, sf, "orders")
+      .join(util.t(spark, sf, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).cast("long").as("c"),
+        (col("l_suppkey") * 2 + 1).cast("long").as("s"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, List[Long]]
+      .withDefaultValue(Nil)
+    for ((c, s) <- pairs) { adj(c) = s :: adj(c); adj(s) = c :: adj(s) }
+    val seeds = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted.take(8)
+    val bt = scala.collection.mutable.Map.empty[Long, BigInt]
+      .withDefaultValue(BigInt(0))
+    for (seed <- seeds) {
+      val dist = scala.collection.mutable.Map(seed -> 0)
+      val sigma = scala.collection.mutable.Map(seed -> BigInt(1))
+      var frontier = List(seed)
+      val levels = scala.collection.mutable.ArrayBuffer(List(seed))
+      for (r <- 1 to 4) {
+        val next = scala.collection.mutable.Map.empty[Long, BigInt]
+        for (u <- frontier; v <- adj(u) if !dist.contains(v))
+          next(v) = next.getOrElse(v, BigInt(0)) + sigma(u)
+        // nodes discovered this round (dist assigned after the sweep so
+        // same-level edges never contribute)
+        for ((v, sg) <- next) { dist(v) = r; sigma(v) = sg }
+        frontier = next.keys.toList
+        levels += frontier
+      }
+      val delta = scala.collection.mutable.Map.empty[Long, BigInt]
+        .withDefaultValue(BigInt(0))
+      for (l <- 3 to 1 by -1; u <- levels(l); w <- adj(u)
+           if dist.get(w).contains(l + 1))
+        delta(u) += sigma(u) * (BigInt(1000000) + delta(w)) / sigma(w)
+      for ((v, d) <- delta if v != seed) bt(v) += d
+    }
+    val want = bt.toSeq.filter(_._2 > 0)
+      .sortBy { case (n, b) => (-b, n) }.take(30)
+    val got = operators.Graph.betweenness(spark, sf).collect()
+      .map(r => (r.getAs[Long]("node"), BigInt(r.getAs[Long]("bt_micro"))))
+    assert(got.forall(_._2 >= 0), "negative dependency")
+    // the engine's top-30 may include zero-dependency tail nodes if
+    // fewer than 30 have positive bt — compare the positive prefix
+    val gotPos = got.filter(_._2 > 0).toSeq
+    assert(gotPos.length == math.min(30, want.length),
+      s"positive-row count ${gotPos.length} vs ${math.min(30, want.length)}")
+    assert(gotPos == want.take(gotPos.length),
+      s"betweenness referee mismatch:\n got=$gotPos\nwant=${want.take(30)}")
+  }
+
   test("q141: tau_b = 1 on a perfectly concordant synthetic series") {
     // identity check of the formula wiring, not the data: x=y strictly
     // increasing means every pair is concordant and no ties exist
