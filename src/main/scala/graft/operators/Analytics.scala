@@ -4547,7 +4547,124 @@ object Analytics {
       |FROM terms te, total tt
       |ORDER BY te.bin""".stripMargin
 
+  /** BENJAMINI–HOCHBERG FDR CORRECTION (Benjamini & Hochberg, JRSS-B
+    * '95) over a family of deterministic randomization tests — the
+    * multiple-testing discipline every metric-mining pipeline needs
+    * once it screens MANY hypotheses: here, "does weekday d's mean
+    * purchase value differ?" for each of the 7 days-of-week. Each
+    * per-day p-value is EXACT INTEGER arithmetic — the
+    * [[metaPermutationTest]] machinery (Knuth-hash relabelings,
+    * committed 100 replicates, cross-product statistic
+    * |s_d·n_rest − s_rest·n_d| so no division ever happens), p =
+    * (1 + #{t_rep ≥ t_obs}) / (R+1) kept as a numerator over the
+    * committed denominator 101. The BH step-up is then pure integer:
+    * rank p ascending, k qualifies iff p_num·m·20 ≤ k·(R+1)
+    * (α = 1/20, m = 7), reject every rank ≤ the largest qualifying k.
+    * NO floats anywhere — the whole multiple-testing chain is exact.
+    *
+    * Scale shape: one data-sized explode ×100 with a single
+    * groupBy(rep, label) carrying map-side partials (the permutation
+    * test's shape); everything after is a 700-row then 7-row frame
+    * ranked via DistRank. */
+  def q143FdrBh(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"),
+        round(col("value") * 100).cast("long").as("v"),
+        expr("pmod(datediff(to_date(ts), date'1970-01-01'), 7)")
+          .cast("long").as("dow"))
+      .localCheckpoint(true) // consumed by the observed pass + replicates
+    val tot = base.agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    val obs = base.groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_d"), sum(col("v")).as("s_d"))
+      .crossJoin(broadcast(tot))
+      .withColumn("t_obs", abs(col("s_d") * (col("n") - col("n_d")) -
+        (col("sv") - col("s_d")) * col("n_d")))
+      .select(col("dow"), col("n_d"), col("t_obs"))
+    val reps = base
+      .select(col("v"),
+        explode(expr(s"sequence(1, $permReps)")).as("rep"),
+        col("event_id"))
+      .withColumn("lab", expr(
+        s"pmod(pmod(event_id, 2147483648L) * 2654435761L + rep * 40503L, " +
+          "4294967296L) % 7"))
+      .groupBy(col("rep"), col("lab"))
+      .agg(count(lit(1)).as("c"), sum(col("v")).as("s"))
+      .crossJoin(broadcast(tot))
+      .withColumn("t_r", abs(col("s") * (col("n") - col("c")) -
+        (col("sv") - col("s")) * col("c")))
+      .select(col("lab"), col("t_r"))
+    val counted = obs.join(reps, col("lab") === col("dow"), "left")
+      .groupBy(col("dow"), col("n_d"), col("t_obs"))
+      .agg(coalesce(sum((col("t_r") >= col("t_obs")).cast("long")), lit(0L))
+        .as("cnt_ge"))
+      .withColumn("p_num", col("cnt_ge") + 1)
+      .localCheckpoint(true) // 7 rows; DistRank's two passes must not
+                             // re-run the 100-replicate explode
+    val ranked = graft.operators.DistRank.withRowNumber(
+        counted, Seq(col("p_num"), col("dow")), "rk")
+      .withColumn("bh_ok",
+        (col("p_num") * 140 <= col("rk") * (permReps + 1)).cast("long"))
+      .localCheckpoint(true) // 7 rows; consumed by kmax + output
+    val kmax = ranked.agg(
+      coalesce(max(when(col("bh_ok") === 1, col("rk"))), lit(0L)).as("kmax"))
+    ranked.crossJoin(broadcast(kmax))
+      .select(col("dow"), col("n_d"), col("t_obs"), col("cnt_ge"),
+        col("p_num"), lit(permReps + 1L).as("p_den"), col("rk"),
+        col("bh_ok"), (col("rk") <= col("kmax")).cast("long").as("rejected"))
+      .orderBy(col("dow"))
+  }
+
+  lazy val q143Sql: String =
+    s"""WITH base AS (
+       | SELECT event_id, cast(round(value * 100) as bigint) AS v,
+       |  cast(date_diff('day', DATE '1970-01-01', cast(ts as date)) % 7
+       |    as bigint) AS dow
+       | FROM events WHERE event_type = 'purchase'),
+       |tot AS (SELECT cast(count(*) as bigint) AS n,
+       |               cast(sum(v) as bigint) AS sv FROM base),
+       |obs AS (
+       | SELECT dow, cast(count(*) as bigint) AS n_d,
+       |  abs(cast(sum(v) as bigint) * (t.n - count(*))
+       |    - (t.sv - cast(sum(v) as bigint)) * count(*)) AS t_obs
+       | FROM base, tot t GROUP BY dow, t.n, t.sv),
+       |reps AS (
+       | SELECT r.rep,
+       |  (((b.event_id % 2147483648) * 2654435761 + r.rep * 40503)
+       |    % 4294967296) % 7 AS lab,
+       |  cast(count(*) as bigint) AS c, cast(sum(b.v) as bigint) AS s
+       | FROM base b, (SELECT unnest(range(1, ${permReps + 1})) AS rep) r
+       | GROUP BY 1, 2),
+       |repstats AS (
+       | SELECT lab, abs(s * (t.n - c) - (t.sv - s) * c) AS t_r
+       | FROM reps, tot t),
+       |counted AS (
+       | SELECT o.dow, o.n_d, o.t_obs,
+       |  cast(coalesce(sum(CASE WHEN r.t_r >= o.t_obs THEN 1 ELSE 0 END), 0)
+       |    as bigint) AS cnt_ge
+       | FROM obs o LEFT JOIN repstats r ON r.lab = o.dow
+       | GROUP BY 1, 2, 3),
+       |ranked AS (
+       | SELECT *, cnt_ge + 1 AS p_num,
+       |  row_number() OVER (ORDER BY cnt_ge + 1, dow) AS rk
+       | FROM counted),
+       |flags AS (
+       | SELECT *, CASE WHEN p_num * 140 <= rk * ${permReps + 1}
+       |   THEN 1 ELSE 0 END AS bh_ok
+       | FROM ranked),
+       |kmax AS (
+       | SELECT coalesce(max(CASE WHEN bh_ok = 1 THEN rk END), 0) AS kmax
+       | FROM flags)
+       |SELECT f.dow, f.n_d, f.t_obs, f.cnt_ge,
+       | cast(f.p_num as bigint) AS p_num,
+       | cast(${permReps + 1} as bigint) AS p_den,
+       | cast(f.rk as bigint) AS rk, cast(f.bh_ok as bigint) AS bh_ok,
+       | cast(CASE WHEN f.rk <= k.kmax THEN 1 ELSE 0 END as bigint)
+       |   AS rejected
+       |FROM flags f, kmax k ORDER BY f.dow""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("q143_fdr_bh", q143FdrBh, Some(q143Sql)),
     GQuery("q142_kruskal_wallis", q142KruskalWallis, Some(q142Sql)),
     GQuery("meta_psi", metaPsi, Some(metaPsiSql)),
     GQuery("q140_seasonal_decompose", q140SeasonalDecompose, Some(q140Sql)),

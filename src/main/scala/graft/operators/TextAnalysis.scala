@@ -2344,7 +2344,107 @@ GROUP BY d.doc_id ORDER BY d.doc_id"""
        |FROM man m JOIN side s USING (source)
        |ORDER BY m.source""".stripMargin
 
+  /** JENSEN–SHANNON DIVERGENCE between per-source unigram
+    * distributions (Lin, IEEE-IT '91) — the pairwise corpus-drift
+    * matrix a data-mixing pipeline reads before weighting sources:
+    * JSD is symmetric, bounded by ln 2, and zero-safe (unlike KL).
+    * Token space is the [[hashingTrick]]'s committed 128-bucket
+    * feature hash (vocab→bucket map shipped to the oracle as the
+    * same sidecar discipline), so every distribution is a fixed
+    * 128-vector and the pair stage is |sources|²·128 — answer-sized
+    * at any corpus scale. Each side's per-bucket term
+    * ½·(c/n)·ln(2·c·n' / (c·n' + c'·n)) runs on bit-identical
+    * integer products, is zero when c = 0 (the 0·ln 0 limit), is
+    * rounded 6 dp and summed in decimal(18,6) — the PSI float
+    * discipline.
+    *
+    * Scale shape: ONE data-sized tokenize+count to (source, bucket),
+    * then a broadcast self-join over the 20×128 count matrix. */
+  def sourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val toks = t(spark, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+    val vocabMap = toks.select(col("w")).distinct()
+      .withColumn("bucket", pmod(xxhash64(col("w")), lit(128L)))
+    oracleSidecar("jsd_vocab", vocabMap)
+    val counts = toks.join(broadcast(vocabMap), Seq("w"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // both sides of the pair self-join
+    val totals = counts.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val full = counts.join(broadcast(totals), Seq("source"))
+    val lhs = full.select(col("source").as("s1"), col("bucket"),
+      col("c").as("c1"), col("n").as("n1"))
+    val rhs = full.select(col("source").as("s2"), col("bucket"),
+      col("c").as("c2"), col("n").as("n2"))
+    // full outer per pair via the source-pair × bucket grid
+    val pairs = totals.select(col("source").as("s1"), col("n").as("n1"))
+      .join(broadcast(totals.select(col("source").as("s2"), col("n").as("n2"))),
+        col("s1") < col("s2"))
+    val grid = pairs.crossJoin(broadcast(
+      spark.range(0, 128).select(col("id").as("bucket"))))
+    val cells = grid
+      .join(lhs.select(col("s1"), col("bucket"), col("c1")),
+        Seq("s1", "bucket"), "left")
+      .join(rhs.select(col("s2"), col("bucket"), col("c2")),
+        Seq("s2", "bucket"), "left")
+      .withColumn("a", coalesce(col("c1"), lit(0L)))
+      .withColumn("b", coalesce(col("c2"), lit(0L)))
+      .withColumn("t1", when(col("a") > 0, round(
+        (col("a") / col("n1")) * log((lit(2) * col("a") * col("n2")) /
+          (col("a") * col("n2") + col("b") * col("n1"))) / 2, 6))
+        .otherwise(lit(0.0)))
+      .withColumn("t2", when(col("b") > 0, round(
+        (col("b") / col("n2")) * log((lit(2) * col("b") * col("n1")) /
+          (col("a") * col("n2") + col("b") * col("n1"))) / 2, 6))
+        .otherwise(lit(0.0)))
+    cells.groupBy(col("s1"), col("s2"))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        sum(col("t1").cast(org.apache.spark.sql.types.DecimalType(18, 6)) +
+          col("t2").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("jsd_nats"))
+      .orderBy(col("s1"), col("s2"))
+  }
+
+  lazy val sourceDivergenceSql: String =
+    s"""WITH vocab AS (
+       | SELECT w, bucket FROM read_parquet('${oracleSidecarGlob("jsd_vocab")}')),
+       |toks AS (
+       | SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+       |counts AS (
+       | SELECT source, bucket, cast(count(*) as bigint) AS c
+       | FROM toks JOIN vocab USING (w) GROUP BY 1, 2),
+       |totals AS (
+       | SELECT source, cast(sum(c) as bigint) AS n FROM counts GROUP BY 1),
+       |pairs AS (
+       | SELECT a.source AS s1, a.n AS n1, b.source AS s2, b.n AS n2
+       | FROM totals a JOIN totals b ON a.source < b.source),
+       |grid AS (
+       | SELECT p.*, g.bucket
+       | FROM pairs p, (SELECT unnest(range(0, 128)) AS bucket) g),
+       |cells AS (
+       | SELECT g.s1, g.s2, g.n1, g.n2,
+       |  coalesce(l.c, 0) AS a, coalesce(r.c, 0) AS b
+       | FROM grid g
+       | LEFT JOIN counts l ON l.source = g.s1 AND l.bucket = g.bucket
+       | LEFT JOIN counts r ON r.source = g.s2 AND r.bucket = g.bucket),
+       |terms AS (
+       | SELECT s1, s2, n1, n2,
+       |  CASE WHEN a > 0 THEN round((a / cast(n1 as double)) *
+       |    ln((2 * a * n2) / cast(a * n2 + b * n1 as double)) / 2, 6)
+       |   ELSE 0.0 END AS t1,
+       |  CASE WHEN b > 0 THEN round((b / cast(n2 as double)) *
+       |    ln((2 * b * n1) / cast(a * n2 + b * n1 as double)) / 2, 6)
+       |   ELSE 0.0 END AS t2
+       | FROM cells)
+       |SELECT s1, s2, max(n1) AS n1, max(n2) AS n2,
+       | cast(sum(cast(t1 as decimal(18,6)) + cast(t2 as decimal(18,6)))
+       |   as double) AS jsd_nats
+       |FROM terms GROUP BY s1, s2
+       |ORDER BY s1, s2""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("text_source_divergence", sourceDivergence,
+      Some(sourceDivergenceSql)),
     GQuery("pipeline_repro_hash", pipelineReproHash,
       Some(pipelineReproHashSql)),
     GQuery("text_compression_filter", compressionFilter,

@@ -315,6 +315,93 @@ class Round14bSpec extends AnyFunSuite {
       s"betweenness referee mismatch:\n got=$gotPos\nwant=${want.take(30)}")
   }
 
+  test("q143_fdr_bh: exact BigInt referee of the whole chain — " +
+      "relabeled statistics, integer p-values, BH step-up — and the " +
+      "rejected set is a prefix of the p-ascending ranking") {
+    val reps = 100
+    val base = util.t(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), round(col("value") * 100).cast("long"),
+        expr("pmod(datediff(to_date(ts), date'1970-01-01'), 7)").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = BigInt(base.length); val sv = base.map(t => BigInt(t._2)).sum
+    def stat(s: BigInt, c: BigInt): BigInt =
+      ((s * (n - c)) - (sv - s) * c).abs
+    val obs = base.groupBy(_._3).map { case (d, rows) =>
+      d -> stat(rows.map(t => BigInt(t._2)).sum, rows.length)
+    }
+    val repStats = (1 to reps).flatMap { rep =>
+      val byLab = base.groupBy { case (id, _, _) =>
+        ((id % 2147483648L) * 2654435761L % 4294967296L +
+          rep * 40503L) % 4294967296L % 7L
+      }
+      byLab.map { case (lab, rows) =>
+        lab -> stat(rows.map(t => BigInt(t._2)).sum, rows.length)
+      }
+    }
+    val pNum = obs.map { case (d, t) =>
+      d -> (1 + repStats.count { case (l, tr) => l == d && tr >= t })
+    }
+    val ranked = pNum.toSeq.sortBy { case (d, p) => (p, d) }.zipWithIndex
+      .map { case ((d, p), i) => (d, p, i + 1L) }
+    val kmax = ranked.filter { case (_, p, k) => p * 140 <= k * (reps + 1) }
+      .map(_._3).maxOption.getOrElse(0L)
+    val got = operators.Analytics.q143FdrBh(spark, sf).collect()
+    assert(got.length == 7)
+    for (r <- got) {
+      val d = r.getAs[Long]("dow")
+      assert(r.getAs[Long]("t_obs") == obs(d), s"t_obs at dow=$d")
+      assert(r.getAs[Long]("p_num") == pNum(d), s"p_num at dow=$d")
+      val (_, _, k) = ranked.find(_._1 == d).get
+      assert(r.getAs[Long]("rk") == k)
+      assert(r.getAs[Long]("rejected") == (if (k <= kmax) 1L else 0L))
+      assert(r.getAs[Long]("p_num") >= 1 && r.getAs[Long]("p_num") <= 101)
+    }
+    // step-up property: rejections are exactly ranks 1..kmax
+    val rej = got.filter(_.getAs[Long]("rejected") == 1).map(_.getAs[Long]("rk"))
+    assert(rej.sorted.toSeq == (1L to kmax).toSeq)
+  }
+
+  test("text_source_divergence: JSD is non-negative, bounded by ln 2, " +
+      "covers all source pairs, and matches an in-JVM referee replaying " +
+      "the committed per-bucket rounding") {
+    val got = operators.TextAnalysis.sourceDivergence(spark, sf).collect()
+    val sources = util.t(spark, sf, "documents")
+      .select(col("source")).distinct().collect().map(_.getString(0))
+    assert(got.length == sources.length * (sources.length - 1) / 2)
+    for (r <- got) {
+      val j = r.getAs[Double]("jsd_nats")
+      assert(j >= -1e-4 && j <= math.log(2) + 1e-4, s"jsd=$j out of bounds")
+    }
+    // referee: rebuild (source, bucket) counts with the engine's own
+    // bucket map, then replay the exact term arithmetic per pair
+    val counts = util.t(spark, sf, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("bucket", pmod(xxhash64(col("w")), lit(128L)))
+      .groupBy(col("source"), col("bucket")).agg(count(lit(1)).as("c"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    val totals = counts.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (r <- got.take(20)) {
+      val s1 = r.getAs[String]("s1"); val s2 = r.getAs[String]("s2")
+      val n1 = totals(s1); val n2 = totals(s2)
+      var sum = BigDecimal(0)
+      for (bkt <- 0L until 128L) {
+        val a = counts.getOrElse((s1, bkt), 0L)
+        val b = counts.getOrElse((s2, bkt), 0L)
+        val t1 = if (a > 0) r6((a.toDouble / n1) *
+          math.log((2.0 * a * n2) / (a * n2 + b * n1).toDouble) / 2) else 0.0
+        val t2 = if (b > 0) r6((b.toDouble / n2) *
+          math.log((2.0 * b * n1) / (a * n2 + b * n1).toDouble) / 2) else 0.0
+        sum += BigDecimal(t1) + BigDecimal(t2)
+      }
+      assert(math.abs(r.getAs[Double]("jsd_nats") - sum.toDouble) < 1e-9,
+        s"JSD referee mismatch at ($s1,$s2)")
+    }
+  }
+
   test("q141: tau_b = 1 on a perfectly concordant synthetic series") {
     // identity check of the formula wiring, not the data: x=y strictly
     // increasing means every pair is concordant and no ties exist
