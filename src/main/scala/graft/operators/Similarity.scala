@@ -2396,7 +2396,114 @@ SELECT q_id, vec_id, pick, score_micro FROM ($unions)
 ORDER BY q_id, pick"""
   }
 
+  /** SIMPLIFIED SILHOUETTE over the IVF partition (Rousseeuw, JCAM
+    * '87; the "simplified" centroid form is what scikit-learn calls
+    * it — per-POINT distances go to CENTROIDS, not all points, so it
+    * is corpus×k, never corpus²): a(i) = cosine distance to the own
+    * list's centroid, b(i) = distance to the nearest OTHER centroid,
+    * s(i) = (b−a)/max(a,b) ∈ [−1, 1]. The partition under audit is
+    * the index's STORED primary assignment, so s < 0 is an
+    * assignment-DRIFT alarm (a stored list that is no longer the
+    * vector's nearest — e.g. after centroid retraining without
+    * reassignment); on a faithful index every s ≥ 0 by construction,
+    * and the spec pins exactly that. The per-point grain is what
+    * [[ivfQuality]]'s per-LIST cohesion/margin panel cannot see.
+    * All arithmetic is exact micro-unit integers on the round-6
+    * cosine grid; the signed division uses the shift identity
+    * (b−a+M)·10⁶ div M − 10⁶ (numerator non-negative ⇒ Spark `div`
+    * ≡ DuckDB `//` ≡ floor — the [[graft.operators.Analytics]]
+    * negative-operand discipline).
+    *
+    * Scale shape: ONE corpus×k cosine pass (k centroids broadcast,
+    * the IVF assignment cost) folded to per-vector (a, b) by a single
+    * groupBy, then per-list aggregation. Hash-green via the index
+    * sidecars. */
+  def silhouette(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CosineSim.cosine
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val root = ivfPqIndexRoot(spark, dir)
+    oracleSidecar("sil_coarse", spark.read.parquet(s"$root/coarse_raw"))
+    oracleSidecar("sil_assign", spark.read.parquet(s"$root/assign_raw"))
+    val cents = spark.read.parquet(s"$root/coarse_raw")
+      .select(col("cid").as("cid2"), col("cv"))
+    val assign = spark.read.parquet(s"$root/assign_raw")
+    // corpus × k distance table (the IVF assignment cost), micro grid
+    val dists = e.crossJoin(broadcast(cents))
+      .withColumn("d_micro",
+        (lit(1000000L) - round(cosine(col("v"), col("cv")) * 1e6))
+          .cast("long"))
+      .select(col("vec_id"), col("cid2"), col("d_micro"))
+      .localCheckpoint(true) // consumed by the primary pick + the (a,b) fold
+    // the STORED assignment is multiprobe (2 lists/vector); the
+    // partition under audit is its PRIMARY row — nearest by the same
+    // (distance, cid) total order the builder used. Packing (d, cid)
+    // into d·100+cid keeps the argmin portable integer arithmetic.
+    val own = dists
+      .join(assign.select(col("vec_id"), col("cid").as("cid2")),
+        Seq("vec_id", "cid2"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("d_micro") * 100 + col("cid2")).as("ok"))
+      .select(col("vec_id"), pmod(col("ok"), lit(100L)).as("cid"))
+    val perVec = dists.join(own, Seq("vec_id"))
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(max(when(col("cid2") === col("cid"), col("d_micro"))).as("a"),
+        min(when(col("cid2") =!= col("cid"), col("d_micro"))).as("b"))
+      .withColumn("m", greatest(col("a"), col("b")))
+      .withColumn("s_micro", when(col("m") > 0,
+        expr("(b - a + m) * 1000000L div m - 1000000L")).otherwise(lit(0L)))
+    perVec.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("(sum(s_micro) + 1000000000000L * count(1)) div count(1) " +
+          "- 1000000000000L").as("mean_sil_micro"),
+        min(col("s_micro")).as("min_sil_micro"),
+        sum((col("s_micro") < 0).cast("long")).as("n_negative"))
+      .withColumn("neg_share_bp", expr("n_negative * 10000 div n_vecs"))
+      .select(col("cid").cast("long").as("cid"), col("n_vecs"),
+        col("mean_sil_micro"), col("min_sil_micro"), col("n_negative"),
+        col("neg_share_bp"))
+      .orderBy(col("cid"))
+  }
+
+  val silhouetteSql: String =
+    s"""WITH cents AS (SELECT cid AS cid2, cv FROM read_parquet('${oracleSidecarGlob("sil_coarse")}')),
+       | assign AS (SELECT vec_id, cid FROM read_parquet('${oracleSidecarGlob("sil_assign")}')),
+       | e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       | dists AS (
+       |  SELECT e.vec_id, c.cid2,
+       |   cast(1000000 - round(${sqlCos("e.v", "c.cv")} * 1e6) as bigint)
+       |     AS d_micro
+       |  FROM e CROSS JOIN cents c),
+       | own AS (
+       |  SELECT d.vec_id, min(d.d_micro * 100 + d.cid2) % 100 AS cid
+       |  FROM dists d JOIN assign a
+       |   ON a.vec_id = d.vec_id AND a.cid = d.cid2
+       |  GROUP BY d.vec_id),
+       | per_vec AS (
+       |  SELECT d.vec_id, o.cid,
+       |   max(CASE WHEN d.cid2 = o.cid THEN d.d_micro END) AS a,
+       |   min(CASE WHEN d.cid2 <> o.cid THEN d.d_micro END) AS b
+       |  FROM dists d JOIN own o USING (vec_id)
+       |  GROUP BY 1, 2),
+       | sil AS (
+       |  SELECT vec_id, cid, a, b, greatest(a, b) AS m,
+       |   CASE WHEN greatest(a, b) > 0
+       |    THEN (b - a + greatest(a, b)) * 1000000 // greatest(a, b)
+       |         - 1000000
+       |    ELSE 0 END AS s_micro
+       |  FROM per_vec)
+       |SELECT cast(cid as bigint) AS cid, cast(count(*) as bigint) AS n_vecs,
+       | cast((sum(s_micro) + 1000000000000 * count(*)) // count(*)
+       |   - 1000000000000 as bigint) AS mean_sil_micro,
+       | cast(min(s_micro) as bigint) AS min_sil_micro,
+       | cast(sum(CASE WHEN s_micro < 0 THEN 1 ELSE 0 END) as bigint)
+       |   AS n_negative,
+       | cast(sum(CASE WHEN s_micro < 0 THEN 1 ELSE 0 END) * 10000
+       |   // count(*) as bigint) AS neg_share_bp
+       |FROM sil GROUP BY cid ORDER BY cid""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("sim_silhouette", silhouette, Some(silhouetteSql)),
     GQuery("sim_mmr_rerank", mmrRerank, Some(mmrRerankSql)),
     GQuery("sim_mutual_nn", mutualNn, Some(mutualNnSql)),
     GQuery("sim_mutual_nn_ivf", mutualNnIvf, Some(mutualNnIvfSql)),

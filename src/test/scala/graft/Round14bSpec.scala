@@ -402,6 +402,68 @@ class Round14bSpec extends AnyFunSuite {
     }
   }
 
+  test("sim_silhouette: per-vector referee replaying the exact micro-unit " +
+      "recurrence from the index artifacts, bounds, and corpus " +
+      "conservation") {
+    val got = operators.Similarity.silhouette(spark, sf).collect()
+    val nCorpus = util.t(spark, sf, "embeddings").count()
+    assert(got.map(_.getAs[Long]("n_vecs")).sum == nCorpus)
+    for (r <- got) {
+      assert(r.getAs[Long]("mean_sil_micro") >= -1000000L &&
+        r.getAs[Long]("mean_sil_micro") <= 1000000L)
+      assert(r.getAs[Long]("min_sil_micro") >= -1000000L)
+      val bp = r.getAs[Long]("neg_share_bp")
+      assert(bp >= 0 && bp <= 10000)
+    }
+    // referee: recompute (a, b, s) per vector in-JVM from the same
+    // centroids/assignment the engine used
+    val root = operators.Similarity.ivfPqIndexRoot(spark, sf)
+    val cents = spark.read.parquet(s"$root/coarse_raw").collect()
+      .map(r => r.getAs[Int]("cid") ->
+        r.getAs[Seq[Double]]("cv").toArray).toMap
+    // stored assignment is multiprobe: candidates per vector
+    val assignAll = spark.read.parquet(s"$root/assign_raw").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cid"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val vecs = util.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Seq[Double]](1).toArray)
+    def cos6(x: Array[Double], y: Array[Double]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0
+      for (i <- x.indices) { d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i) }
+      BigDecimal(d / (math.sqrt(nx) * math.sqrt(ny)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = scala.collection.mutable.Map.empty[Int, (Long, Long, Long)]
+      .withDefaultValue((0L, 0L, 0L)) // (n, sumS, nNeg)
+    for ((id, v) <- vecs) {
+      val ds = cents.view.mapValues(cv =>
+        1000000L - math.rint(cos6(v, cv) * 1e6).toLong).toMap
+      // primary = min (d, cid) over the stored candidates
+      val own = assignAll(id).minBy(c => (ds(c), c))
+      val a = ds(own)
+      val b = ds.collect { case (c, d) if c != own => d }.min
+      val m = math.max(a, b)
+      val s = if (m > 0) Math.floorDiv((b - a + m) * 1000000L, m) - 1000000L
+        else 0L
+      val (n0, s0, g0) = want(own)
+      want(own) = (n0 + 1, s0 + s, g0 + (if (s < 0) 1L else 0L))
+    }
+    for (r <- got) {
+      val cid = r.getAs[Long]("cid").toInt
+      val (n, sSum, nNeg) = want(cid)
+      assert(r.getAs[Long]("n_vecs") == n, s"n at cid=$cid")
+      assert(r.getAs[Long]("n_negative") == nNeg, s"n_negative at cid=$cid")
+      val meanWant = Math.floorDiv(sSum + 1000000000000L * n, n) - 1000000000000L
+      assert(r.getAs[Long]("mean_sil_micro") == meanWant, s"mean at cid=$cid")
+      // faithfulness law: the stored primary IS the nearest list, so no
+      // silhouette can be negative on this index
+      assert(r.getAs[Long]("n_negative") == 0L,
+        s"assignment drift detected at cid=$cid")
+      assert(r.getAs[Long]("mean_sil_micro") >= 0L)
+    }
+  }
+
   test("q141: tau_b = 1 on a perfectly concordant synthetic series") {
     // identity check of the formula wiring, not the data: x=y strictly
     // increasing means every pair is concordant and no ties exist
