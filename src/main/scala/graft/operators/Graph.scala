@@ -1540,7 +1540,106 @@ object Graph {
       |      UNION ALL SELECT node, delta_micro FROM d4)
       |GROUP BY node ORDER BY bt_micro DESC, node LIMIT 30""".stripMargin
 
+  /** K-TRUSS PEELING (Cohen, NSA TR '08; the edge-level cohesion
+    * companion to [[kcorePeel]]'s node-level cores): an edge survives
+    * iff it sits in enough triangles — support(a,b) = |N(a) ∩ N(b)|
+    * — so trusses keep the densely-interlocked cores that degree
+    * alone overstates. The threshold is RELATIVE TO THE MEASURED MEAN
+    * support (t = avg div 2 + 1 — the k-core relative-knob lesson:
+    * absolute grids thin to nothing at a different SF), committed 3
+    * peel rounds with a convergence flag per round, trace output.
+    *
+    * Scale shape: per round, support is ONE triangle join (edge ⋈
+    * sym ⋈ sym equi-keyed on the shared neighbor) over the
+    * node-linear co-supply edge budget (3·ns edges by construction),
+    * then a filter; the threshold scalar is an answer-sized first().
+    * The DuckDB twin unrolls the rounds as MATERIALIZED CTEs (the
+    * [[kcorePeel]] inlining lesson — each round is referenced twice). */
+  def ktruss(spark: SparkSession, dir: String): DataFrame = {
+    val base = spark.read.parquet(s"${tradeGraphRoot(spark, dir)}/cosupply")
+    def support(e: DataFrame): DataFrame = {
+      val sym = e.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      e.join(sym.select(col("src").as("xa"), col("dst").as("xc")),
+          col("a") === col("xa"))
+        .join(sym.select(col("src").as("yb"), col("dst").as("yc")),
+          col("b") === col("yb") && col("xc") === col("yc"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("s"))
+        .join(e, Seq("a", "b"), "right")
+        .select(col("a"), col("b"), coalesce(col("s"), lit(0L)).as("s"))
+    }
+    var e = base.select(col("a"), col("b")).localCheckpoint()
+    val sup0 = support(e).localCheckpoint()
+    val t = sup0.agg(expr("sum(s) div (2 * count(1)) + 1")).first().getLong(0)
+    val trace = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var sup = sup0
+    for (r <- 1 to 3) {
+      val before = e
+      e = sup.filter(col("s") >= t).select(col("a"), col("b"))
+        .localCheckpoint()
+      trace += e.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(broadcast(before.agg(count(lit(1)).as("n_before"))))
+        .crossJoin(broadcast(
+          e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+            .agg(countDistinct(col("v")).as("n_nodes"))))
+        .select(lit(r.toLong).as("round"), lit(t).as("threshold"),
+          col("n_before"), col("n_edges"), col("n_nodes"),
+          (col("n_edges") === col("n_before")).cast("long").as("converged"))
+      if (r < 3) sup = support(e).localCheckpoint()
+    }
+    trace.reduce(_ unionAll _).orderBy(col("round"))
+  }
+
+  val ktrussSql: String = {
+    def supSql(r: Int): String =
+      s"""sym$r AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst FROM e$r
+         |  UNION ALL SELECT b AS src, a AS dst FROM e$r),
+         |sup$r AS MATERIALIZED (
+         |  SELECT e.a, e.b, coalesce(t.s, 0) AS s
+         |  FROM e$r e LEFT JOIN (
+         |    SELECT e.a, e.b, count(*) AS s
+         |    FROM e$r e JOIN sym$r x ON x.src = e.a
+         |                JOIN sym$r y ON y.src = e.b AND y.dst = x.dst
+         |    GROUP BY 1, 2) t ON t.a = e.a AND t.b = e.b)""".stripMargin
+    val rounds = (1 to 3).map { r =>
+      s"""e$r AS MATERIALIZED (
+         |  SELECT a, b FROM sup${r - 1}, tt WHERE s >= tt.t)""".stripMargin +
+        (if (r < 3) ",\n" + supSql(r) else "")
+    }.mkString(",\n")
+    val out = (1 to 3).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round,
+         | (SELECT t FROM tt) AS threshold,
+         | (SELECT count(*) FROM e${r - 1}) AS n_before,
+         | count(*) AS n_edges,
+         | (SELECT count(DISTINCT v) FROM (
+         |   SELECT a AS v FROM e$r UNION ALL SELECT b FROM e$r)) AS n_nodes,
+         | CAST(CASE WHEN count(*) = (SELECT count(*) FROM e${r - 1})
+         |   THEN 1 ELSE 0 END AS BIGINT) AS converged
+         |FROM e$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |nsupp AS (SELECT count(DISTINCT s) AS ns FROM pairs),
+       |common AS MATERIALIZED (
+       |  SELECT x.s AS a, y.s AS b, count(*) AS common
+       |  FROM pairs x JOIN pairs y ON x.c = y.c AND x.s < y.s
+       |  GROUP BY 1, 2),
+       |e0 AS MATERIALIZED (
+       |  SELECT a, b FROM (
+       |    SELECT a, b, row_number() OVER (ORDER BY common DESC, a, b) AS rk
+       |    FROM common) r CROSS JOIN nsupp
+       |  WHERE rk <= ns * 3),
+       |${supSql(0)},
+       |tt AS (SELECT cast(sum(s) // (2 * count(*)) + 1 as bigint) AS t
+       |       FROM sup0),
+       |$rounds
+       |SELECT * FROM ($out) ORDER BY round""".stripMargin
+  }
+
   val all: Seq[GQuery] = Seq(
+    GQuery("graph_ktruss", ktruss, Some(ktrussSql)),
     GQuery("graph_betweenness", betweenness, Some(betweennessSql)),
     GQuery("graph_assortativity", assortativity, Some(assortativitySql)),
     GQuery("graph_hits", hits, Some(hitsSql)),

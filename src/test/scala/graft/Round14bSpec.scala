@@ -464,6 +464,45 @@ class Round14bSpec extends AnyFunSuite {
     }
   }
 
+  test("graph_ktruss: sequential peel referee, monotone edge counts, " +
+      "and a truthful convergence flag") {
+    val got = operators.Graph.ktruss(spark, sf).collect()
+    assert(got.length == 3)
+    val edges0 = spark.read.parquet(
+        s"${operators.Graph.tradeGraphRoot(spark, sf)}/cosupply")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def supportOf(es: Set[(Long, Long)]): Map[(Long, Long), Long] = {
+      val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+        .withDefaultValue(Set.empty)
+      for ((a, b) <- es) { adj(a) += b; adj(b) += a }
+      es.map { case (a, b) => (a, b) -> (adj(a) & adj(b)).size.toLong }.toMap
+    }
+    val sup0 = supportOf(edges0)
+    val t = sup0.values.sum / (2 * edges0.size) + 1
+    var es = edges0
+    for (r <- 1 to 3) {
+      val sup = if (r == 1) sup0 else supportOf(es)
+      val before = es.size
+      es = es.filter(e => sup(e) >= t)
+      val row = got(r - 1)
+      assert(row.getAs[Long]("threshold") == t)
+      assert(row.getAs[Long]("n_before") == before, s"round $r n_before")
+      assert(row.getAs[Long]("n_edges") == es.size, s"round $r n_edges")
+      assert(row.getAs[Long]("n_nodes") ==
+        es.flatMap(e => Seq(e._1, e._2)).size, s"round $r n_nodes")
+      assert(row.getAs[Long]("converged") ==
+        (if (es.size == before) 1L else 0L), s"round $r converged")
+      assert(row.getAs[Long]("n_edges") <= row.getAs[Long]("n_before"),
+        "peel must be monotone")
+    }
+    // at a converged round, every survivor meets the threshold in the
+    // survivor-induced graph
+    if (got.last.getAs[Long]("converged") == 1L) {
+      val supF = supportOf(es)
+      assert(es.forall(e => supF(e) >= t), "non-truss edge survived")
+    }
+  }
+
   test("q141: tau_b = 1 on a perfectly concordant synthetic series") {
     // identity check of the formula wiring, not the data: x=y strictly
     // increasing means every pair is concordant and no ties exist
