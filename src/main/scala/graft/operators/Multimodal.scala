@@ -816,7 +816,84 @@ object Multimodal {
        | cast(max(zcr) as bigint) AS max_zcr
        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  case class HistBin(doc_id: Long, bin: Int, pix: Long)
+
+  /** Per-pixel 8-bin luma histogram, counted INSIDE the decode loop —
+    * only the 8 (doc, bin, count) rows ever leave the partition (the
+    * [[sceneCuts]] codec-output discipline: per-pixel rows would be
+    * w·h× the payload). Bin = luma_milli·8 div 255001 ∈ [0, 7]. */
+  private[graft] def imageHistBins(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .filter(_.media_type != "audio")
+      .mapPartitions(_.flatMap { r =>
+        val img = Ppm.decode(r.payload)
+        val counts = new Array[Long](8)
+        var p = 0
+        while (p < img.width * img.height * 3) {
+          val luma = 299L * (img.pixels(p) & 0xff) +
+            587L * (img.pixels(p + 1) & 0xff) +
+            114L * (img.pixels(p + 2) & 0xff)
+          counts((luma * 8 / 255001L).toInt) += 1
+          p += 3
+        }
+        (0 until 8).map(b => HistBin(r.doc_id, b, counts(b)))
+      }).toDF()
+  }
+
+  /** EXPOSURE / TONAL-DISTRIBUTION AUDIT per image — the luma
+    * histogram every ingest pipeline computes before training on
+    * pixels (under/over-exposure gates, flat-image culls): per-pixel
+    * Rec.601 luma from the REAL PPM decode binned 8-ways
+    * partition-locally, then pure relational semantics — dominant
+    * bin (packed-argmax under the (count, smaller-bin) total order),
+    * basis-point shares of the darkest and brightest bins, and a
+    * flatness flag (no bin above 25%). The binned counts are the
+    * codec-output sidecar; DuckDB replays every derived column. */
+  def imageHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val bins = imageHistBins(spark, dir)
+    oracleSidecar("image_hist_bins", bins)
+    bins.groupBy(col("doc_id"))
+      .agg(sum(col("pix")).as("n_pixels"),
+        max(col("pix") * 10 + (lit(7) - col("bin"))).as("dom_key"),
+        sum(when(col("bin") === 0, col("pix")).otherwise(0L)).as("dark"),
+        sum(when(col("bin") === 7, col("pix")).otherwise(0L)).as("bright"),
+        max(col("pix")).as("max_pix"))
+      .select(col("doc_id"), col("n_pixels"),
+        (lit(7L) - pmod(col("dom_key"), lit(10L))).as("dominant_bin"),
+        expr("(dom_key div 10) * 10000 div n_pixels")
+          .as("dominant_share_bp"),
+        expr("dark * 10000 div n_pixels").as("dark_share_bp"),
+        expr("bright * 10000 div n_pixels").as("bright_share_bp"),
+        (expr("max_pix * 10000 div n_pixels") < 2500L).cast("long")
+          .as("flat"))
+      .orderBy(col("doc_id"))
+  }
+
+  val imageHistogramSql: String =
+    s"""WITH b AS (
+       | SELECT doc_id, bin, pix
+       | FROM read_parquet('${oracleSidecarGlob("image_hist_bins")}')),
+       |agg AS (
+       | SELECT doc_id, cast(sum(pix) as bigint) AS n_pixels,
+       |  cast(max(pix * 10 + (7 - bin)) as bigint) AS dom_key,
+       |  cast(sum(CASE WHEN bin = 0 THEN pix ELSE 0 END) as bigint) AS dark,
+       |  cast(sum(CASE WHEN bin = 7 THEN pix ELSE 0 END) as bigint)
+       |    AS bright,
+       |  cast(max(pix) as bigint) AS max_pix
+       | FROM b GROUP BY doc_id)
+       |SELECT doc_id, n_pixels,
+       | cast(7 - dom_key % 10 as bigint) AS dominant_bin,
+       | cast((dom_key // 10) * 10000 // n_pixels as bigint)
+       |   AS dominant_share_bp,
+       | cast(dark * 10000 // n_pixels as bigint) AS dark_share_bp,
+       | cast(bright * 10000 // n_pixels as bigint) AS bright_share_bp,
+       | cast(CASE WHEN max_pix * 10000 // n_pixels < 2500
+       |   THEN 1 ELSE 0 END as bigint) AS flat
+       |FROM agg ORDER BY doc_id""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("mm_image_histogram", imageHistogram, Some(imageHistogramSql)),
     GQuery("mm_image_tiles", imageTiles, Some(imageTilesSql)),
     GQuery("mm_audio_clipping", audioClipping, Some(audioClippingSql)),
     GQuery("mm_silence_trim", silenceTrim, Some(silenceTrimSql)),

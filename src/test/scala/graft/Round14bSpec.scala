@@ -503,6 +503,48 @@ class Round14bSpec extends AnyFunSuite {
     }
   }
 
+  test("mm_image_histogram: bin counts conserve w*h per image (direct " +
+      "decode referee), shares are bp-bounded, and the dominant bin is " +
+      "the argmax under the committed total order") {
+    import spark.implicits._
+    val bins = operators.Multimodal.imageHistBins(spark, sf)
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    // direct referee: re-decode every visual payload and re-count
+    val media = operators.Multimodal.mediaTable(spark, sf)
+      .filter(_.media_type != "audio").collect()
+    assert(media.nonEmpty && bins.size == media.length)
+    for (m <- media.take(30)) {
+      val img = graft.functions.Ppm.decode(m.payload)
+      val want = new Array[Long](8)
+      var p = 0
+      while (p < img.width * img.height * 3) {
+        val luma = 299L * (img.pixels(p) & 0xff) +
+          587L * (img.pixels(p + 1) & 0xff) + 114L * (img.pixels(p + 2) & 0xff)
+        want((luma * 8 / 255001L).toInt) += 1
+        p += 3
+      }
+      val gotB = bins(m.doc_id)
+      for (b <- 0 until 8)
+        assert(gotB.getOrElse(b, 0L) == want(b), s"doc ${m.doc_id} bin $b")
+      assert(want.sum == img.width.toLong * img.height, "pixel conservation")
+    }
+    val rows = operators.Multimodal.imageHistogram(spark, sf).collect()
+    for (r <- rows) {
+      val doc = r.getAs[Long]("doc_id")
+      val hb = bins(doc)
+      assert(r.getAs[Long]("n_pixels") == hb.values.sum)
+      val domWant = (0 until 8).maxBy(b => (hb.getOrElse(b, 0L), -b))
+      assert(r.getAs[Long]("dominant_bin") == domWant, s"dominant at $doc")
+      for (cname <- Seq("dominant_share_bp", "dark_share_bp", "bright_share_bp")) {
+        val v = r.getAs[Long](cname)
+        assert(v >= 0 && v <= 10000, s"$cname=$v at $doc")
+      }
+      assert(r.getAs[Long]("dominant_share_bp") >= 1250 - 1,
+        "dominant bin cannot be below the uniform floor")
+    }
+  }
+
   test("q141: tau_b = 1 on a perfectly concordant synthetic series") {
     // identity check of the formula wiring, not the data: x=y strictly
     // increasing means every pair is concordant and no ties exist
