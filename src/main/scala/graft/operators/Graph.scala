@@ -1638,7 +1638,74 @@ object Graph {
        |SELECT * FROM ($out) ORDER BY round""".stripMargin
   }
 
+  /** CONDUCTANCE of each LPA community (Kannan, Vempala & Vetta,
+    * JACM '04 — the cut-quality measure spectral theory optimizes):
+    * φ(S) = cut(S) / min(vol(S), vol(V∖S)). [[modularity]] scores
+    * the PARTITION globally; conductance scores EACH community's
+    * boundary, which is what a practitioner reads to keep or discard
+    * a community. Integer basis points with the committed truncating
+    * division (both quotient operands non-negative); a community
+    * holding every edge-endpoint reports NULL (min side 0 — the
+    * undefined case, surfaced rather than faked).
+    *
+    * Scale shape: two label equi-joins on the edge list (checkpointed
+    * once — the two-sided endpoint unpivot would otherwise re-run
+    * them), one groupBy(label); everything is edge-linear over the
+    * thresholded backbone and the output is communities-sized. Same
+    * unrolled-LPA oracle chain as the histogram/modularity twins. */
+  def conductance(spark: SparkSession, dir: String): DataFrame = {
+    val ed = spark.read.parquet(s"${tradeGraphRoot(spark, dir)}/backbone")
+    val labels = lpaLabels(spark, dir).localCheckpoint(true)
+    val m = ed.agg(count(lit(1)).as("m"))
+    val j = ed
+      .join(labels.select(col("node").as("c"), col("label").as("lc")), "c")
+      .join(labels.select(col("node").as("s"), col("label").as("ls")), "s")
+      .select(col("lc"), col("ls"))
+      .localCheckpoint(true) // consumed by both unpivot legs
+    val ends = j.select(col("lc").as("label"),
+        (col("lc") =!= col("ls")).cast("long").as("is_cut"))
+      .unionAll(j.select(col("ls").as("label"),
+        (col("lc") =!= col("ls")).cast("long").as("is_cut")))
+    val per = ends.groupBy(col("label"))
+      .agg(count(lit(1)).as("vol"), sum(col("is_cut")).as("cut"))
+    val members = labels.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+    per.join(members, Seq("label")).crossJoin(broadcast(m))
+      .select(col("label").as("community"), col("n_members"), col("vol"),
+        col("cut").as("cut_edges"),
+        when(least(col("vol"), lit(2L) * col("m") - col("vol")) > 0,
+          expr("cut * 10000 div least(vol, 2 * m - vol)")).as("phi_bp"))
+      .orderBy(col("community"))
+  }
+
+  val conductanceSql: String =
+    s"""WITH $lpaCtes,
+       |j AS MATERIALIZED (
+       |  SELECT lc.label AS lc, ls.label AS ls
+       |  FROM edges e JOIN final lc ON lc.node = e.c
+       |               JOIN final ls ON ls.node = e.s),
+       |ends AS (
+       |  SELECT lc AS label, CASE WHEN lc <> ls THEN 1 ELSE 0 END AS is_cut
+       |  FROM j
+       |  UNION ALL
+       |  SELECT ls, CASE WHEN lc <> ls THEN 1 ELSE 0 END FROM j),
+       |per AS (
+       |  SELECT label, cast(count(*) as bigint) AS vol,
+       |   cast(sum(is_cut) as bigint) AS cut
+       |  FROM ends GROUP BY label),
+       |mem AS (
+       |  SELECT label, cast(count(*) as bigint) AS n_members
+       |  FROM final GROUP BY label),
+       |mm AS (SELECT cast(count(*) as bigint) AS m FROM edges)
+       |SELECT p.label AS community, mem.n_members, p.vol,
+       | p.cut AS cut_edges,
+       | CASE WHEN least(p.vol, 2 * mm.m - p.vol) > 0
+       |   THEN cast(p.cut * 10000 // least(p.vol, 2 * mm.m - p.vol)
+       |        as bigint) END AS phi_bp
+       |FROM per p JOIN mem USING (label), mm
+       |ORDER BY community""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("graph_conductance", conductance, Some(conductanceSql)),
     GQuery("graph_ktruss", ktruss, Some(ktrussSql)),
     GQuery("graph_betweenness", betweenness, Some(betweennessSql)),
     GQuery("graph_assortativity", assortativity, Some(assortativitySql)),

@@ -545,6 +545,35 @@ class Round14bSpec extends AnyFunSuite {
     }
   }
 
+  test("graph_conductance: volume conservation (sum vol = 2m), cut " +
+      "symmetry, per-community bounds, and community agreement with " +
+      "the LPA histogram entry") {
+    val got = operators.Graph.conductance(spark, sf).collect()
+    val m = spark.read.parquet(
+      s"${operators.Graph.tradeGraphRoot(spark, sf)}/backbone").count()
+    assert(got.map(_.getAs[Long]("vol")).sum == 2 * m,
+      "endpoint volumes must sum to 2m")
+    // every cut edge is counted once from each of its two communities
+    assert(got.map(_.getAs[Long]("cut_edges")).sum % 2 == 0)
+    for (r <- got) {
+      val vol = r.getAs[Long]("vol"); val cut = r.getAs[Long]("cut_edges")
+      assert(cut <= vol, s"cut > vol at $r")
+      if (!r.isNullAt(r.fieldIndex("phi_bp"))) {
+        val phi = r.getAs[Long]("phi_bp")
+        assert(phi >= 0 && phi <= 10000, s"phi=$phi out of range")
+        // phi replays from its own row: cut*10000 div min(vol, 2m-vol)
+        assert(phi == cut * 10000 / math.min(vol, 2 * m - vol))
+      } else {
+        assert(math.min(vol, 2 * m - vol) == 0, "NULL only on a zero side")
+      }
+    }
+    val hist = operators.Graph.labelPropagation(spark, sf).collect()
+      .map(r => r.getAs[Long]("community") -> r.getAs[Long]("n_members")).toMap
+    val mine = got.map(r =>
+      r.getAs[Long]("community") -> r.getAs[Long]("n_members")).toMap
+    assert(mine == hist, "community partition must match the LPA entry")
+  }
+
   test("q141: tau_b = 1 on a perfectly concordant synthetic series") {
     // identity check of the formula wiring, not the data: x=y strictly
     // increasing means every pair is concordant and no ties exist
