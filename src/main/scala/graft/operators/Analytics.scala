@@ -4663,7 +4663,67 @@ object Analytics {
        |   AS rejected
        |FROM flags f, kmax k ORDER BY f.dow""".stripMargin
 
+  /** ROLLING MEDIAN over a trailing 7-day window per event type — the
+    * robust smoother ops dashboards overlay on spiky daily series
+    * (the median ignores a single outage/burst day that would drag
+    * [[q92EwmaHalflife]]'s mean-family smoothers). SQL window frames
+    * cannot express a moving PERCENTILE, so the window materializes
+    * as a bounded offset self-join (≤ 7 rows per center — calendar-
+    * bounded, the [[q140SeasonalDecompose]] shape) and the median is
+    * the committed LOWER median: the value at rank (n+1) div 2 under
+    * the (value, day) total order — integer-exact, tie-deterministic.
+    *
+    * Scale shape: ONE data-sized aggregation to (type, day); the
+    * self-join and rank run on the answer-sized daily series with one
+    * (type) partitioning. Warm-up days report their shorter-window
+    * median (n < 7), flagged by n_in_window. */
+  def q144RollingMedian(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "events")
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit(java.sql.Date.valueOf("1970-01-01")))
+          .cast("long").as("d"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("v"))
+      .localCheckpoint(true) // both sides of the offset self-join
+    val j = daily.join(
+      daily.select(col("event_type"), col("d").as("d2"), col("v").as("v2")),
+      Seq("event_type"))
+      .filter(col("d2") >= col("d") - 6 && col("d2") <= col("d"))
+    val w = Window.partitionBy(col("event_type"), col("d"))
+      .orderBy(col("v2"), col("d2"))
+    val wAll = Window.partitionBy(col("event_type"), col("d"))
+    j.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("d").as("day_idx"),
+        col("n").as("n_in_window"), col("v2").as("median_cents"),
+        col("v").as("today_cents"))
+      .orderBy(col("event_type"), col("day_idx"))
+  }
+
+  val q144Sql: String =
+    """WITH daily AS (
+      | SELECT event_type,
+      |  cast(date_diff('day', DATE '1970-01-01', cast(ts as date))
+      |    as bigint) AS d,
+      |  cast(sum(cast(round(value * 100) as bigint)) as bigint) AS v
+      | FROM events GROUP BY 1, 2),
+      |j AS (
+      | SELECT a.event_type, a.d, a.v, b.d AS d2, b.v AS v2
+      | FROM daily a JOIN daily b ON b.event_type = a.event_type
+      |  AND b.d >= a.d - 6 AND b.d <= a.d),
+      |ranked AS (
+      | SELECT *,
+      |  row_number() OVER (PARTITION BY event_type, d
+      |    ORDER BY v2, d2) AS rn,
+      |  count(*) OVER (PARTITION BY event_type, d) AS n
+      | FROM j)
+      |SELECT event_type, d AS day_idx, cast(n as bigint) AS n_in_window,
+      | v2 AS median_cents, v AS today_cents
+      |FROM ranked WHERE rn = (n + 1) // 2
+      |ORDER BY event_type, day_idx""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("q144_rolling_median", q144RollingMedian, Some(q144Sql)),
     GQuery("q143_fdr_bh", q143FdrBh, Some(q143Sql)),
     GQuery("q142_kruskal_wallis", q142KruskalWallis, Some(q142Sql)),
     GQuery("meta_psi", metaPsi, Some(metaPsiSql)),

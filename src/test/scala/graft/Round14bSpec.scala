@@ -574,6 +574,28 @@ class Round14bSpec extends AnyFunSuite {
     assert(mine == hist, "community partition must match the LPA entry")
   }
 
+  test("q144_rolling_median: the lower median matches a sequential " +
+      "referee on every (type, day) window, including warm-up days") {
+    val daily = util.t(spark, sf, "events")
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit(java.sql.Date.valueOf("1970-01-01")))
+          .cast("long").as("d"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byType = daily.groupBy(_._1)
+    val got = operators.Analytics.q144RollingMedian(spark, sf).collect()
+    assert(got.length == daily.length, "one output row per (type, day)")
+    for (r <- got) {
+      val tp = r.getAs[String]("event_type"); val d = r.getAs[Long]("day_idx")
+      val window = byType(tp).filter(x => x._2 >= d - 6 && x._2 <= d)
+        .map(x => (x._3, x._2)).sorted
+      assert(r.getAs[Long]("n_in_window") == window.length)
+      val med = window((window.length + 1) / 2 - 1)._1
+      assert(r.getAs[Long]("median_cents") == med,
+        s"median referee at ($tp, $d)")
+    }
+  }
+
   test("q141: tau_b = 1 on a perfectly concordant synthetic series") {
     // identity check of the formula wiring, not the data: x=y strictly
     // increasing means every pair is concordant and no ties exist
