@@ -2502,7 +2502,104 @@ ORDER BY q_id, pick"""
        |   // count(*) as bigint) AS neg_share_bp
        |FROM sil GROUP BY cid ORDER BY cid""".stripMargin
 
+  /** ROCCHIO PSEUDO-RELEVANCE FEEDBACK (Rocchio '71, the SMART
+    * system; the PRF baseline every IR stack still ships): assume the
+    * first-round top-5 are relevant, expand the query toward their
+    * centroid — q' = q + β·mean(top5), committed β = 1/2 — and
+    * re-rank. The per-dimension expansion is EXACT: embeddings are
+    * float32-exact doubles, so a 5-term sum never rounds (≤ 27
+    * significand bits) and is shuffle-order-independent; the single
+    * /10 and the cosine fold are IEEE-identical on identical inputs
+    * in both engines (the [[topkBruteForce]] determinism contract).
+    * Output is the second-round top-5 with an `in_round1` flag — the
+    * query-drift ledger PRF evaluations report.
+    *
+    * Scale shape: two bounded panel passes (20 queries × corpus, the
+    * ground-truth tier shape) plus a 100-row expansion aggregate;
+    * the first-round table is checkpointed (consumed by the
+    * expansion AND the overlap flag). */
+  def rocchioFeedback(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CosineSim.cosine
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .localCheckpoint(true) // corpus pass ×2 + neighbor-vector fetch
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v").as("vq"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    val r1 = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("vq"), col("v")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"))
+      .localCheckpoint(true) // consumed by expansion + overlap flag
+    val fbSum = r1
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v")), Seq("neighbor_id"))
+      .select(col("q_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("q_id"), col("pos")).agg(sum(col("x")).as("s"))
+    val qExp = q.select(col("q_id"), posexplode(col("vq")).as(Seq("pos", "qx")))
+      .join(fbSum, Seq("q_id", "pos"))
+      .withColumn("xp", col("qx") + col("s") / 10)
+      .groupBy(col("q_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, xp))), " +
+        "p -> p.xp)").as("vq2"))
+    val w2 = Window.partitionBy(col("q_id")).orderBy(col("cos2").desc, col("vec_id"))
+    e.join(broadcast(qExp), col("vec_id") =!= col("q_id"))
+      .withColumn("cos2", cosine(col("vq2"), col("v")))
+      .withColumn("rk", row_number().over(w2).cast("long"))
+      .filter(col("rk") <= 5)
+      .join(r1.select(col("q_id").as("r1q"), col("neighbor_id").as("r1n"),
+          lit(1L).as("in_round1")),
+        col("q_id") === col("r1q") && col("vec_id") === col("r1n"),
+        "left_outer")
+      .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"),
+        col("cos2"), coalesce(col("in_round1"), lit(0L)).as("in_round1"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  val rocchioFeedbackSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, v AS vq FROM e WHERE vec_id < 20),
+      |r1 AS MATERIALIZED (
+      | SELECT q_id, neighbor_id FROM (
+      |  SELECT q.q_id, e.vec_id AS neighbor_id,
+      |   row_number() OVER (PARTITION BY q.q_id ORDER BY
+      |    round(list_dot_product(q.vq, e.v) /
+      |     (sqrt(list_dot_product(q.vq, q.vq)) *
+      |      sqrt(list_dot_product(e.v, e.v))), 6) DESC, e.vec_id) AS rk
+      |  FROM q JOIN e ON e.vec_id <> q.q_id)
+      | WHERE rk <= 5),
+      |dims AS (SELECT unnest(range(1, 65)) AS pos),
+      |fb AS (
+      | SELECT r.q_id, p.pos, sum(e.v[p.pos]) AS s
+      | FROM r1 r JOIN e ON e.vec_id = r.neighbor_id, dims p
+      | GROUP BY 1, 2),
+      |qexp AS (
+      | SELECT qd.q_id, list(qd.qx + f.s / 10 ORDER BY qd.pos) AS vq2
+      | FROM (SELECT q.q_id, p.pos, q.vq[p.pos] AS qx
+      |       FROM q, dims p) qd
+      | JOIN fb f ON f.q_id = qd.q_id AND f.pos = qd.pos
+      | GROUP BY qd.q_id),
+      |r2 AS (
+      | SELECT q_id, rk, neighbor_id, cos2 FROM (
+      |  SELECT x.q_id, e.vec_id AS neighbor_id,
+      |   round(list_dot_product(x.vq2, e.v) /
+      |    (sqrt(list_dot_product(x.vq2, x.vq2)) *
+      |     sqrt(list_dot_product(e.v, e.v))), 6) AS cos2,
+      |   row_number() OVER (PARTITION BY x.q_id ORDER BY
+      |    round(list_dot_product(x.vq2, e.v) /
+      |     (sqrt(list_dot_product(x.vq2, x.vq2)) *
+      |      sqrt(list_dot_product(e.v, e.v))), 6) DESC, e.vec_id) AS rk
+      |  FROM qexp x JOIN e ON e.vec_id <> x.q_id)
+      | WHERE rk <= 5)
+      |SELECT r2.q_id, cast(r2.rk as bigint) AS rk, r2.neighbor_id, r2.cos2,
+      | cast(CASE WHEN r1.neighbor_id IS NOT NULL THEN 1 ELSE 0 END
+      |   as bigint) AS in_round1
+      |FROM r2 LEFT JOIN r1
+      | ON r1.q_id = r2.q_id AND r1.neighbor_id = r2.neighbor_id
+      |ORDER BY r2.q_id, r2.rk""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("sim_rocchio_feedback", rocchioFeedback, Some(rocchioFeedbackSql)),
     GQuery("sim_silhouette", silhouette, Some(silhouetteSql)),
     GQuery("sim_mmr_rerank", mmrRerank, Some(mmrRerankSql)),
     GQuery("sim_mutual_nn", mutualNn, Some(mutualNnSql)),

@@ -596,6 +596,43 @@ class Round14bSpec extends AnyFunSuite {
     }
   }
 
+  test("sim_rocchio_feedback: both retrieval rounds match a sequential " +
+      "in-JVM referee (exact float32 expansion), and the overlap flag " +
+      "is truthful") {
+    val vecs = util.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Seq[Double]](1).toArray)
+      .toMap
+    def cos6(x: Array[Double], y: Array[Double]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0
+      for (i <- x.indices) { d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i) }
+      BigDecimal(d / (math.sqrt(nx) * math.sqrt(ny)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def top5(qid: Long, qv: Array[Double]): Seq[(Long, Double)] =
+      vecs.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos6(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5)
+    val got = operators.Similarity.rocchioFeedback(spark, sf).collect()
+    assert(got.length == 20 * 5)
+    for (qid <- 0L until 20L) {
+      val r1 = top5(qid, vecs(qid)).map(_._1)
+      val fb = Array.fill(64)(0.0)
+      for (n <- r1; i <- 0 until 64) fb(i) += vecs(n)(i)
+      val q2 = (0 until 64).map(i => vecs(qid)(i) + fb(i) / 10).toArray
+      val r2 = top5(qid, q2)
+      val mine = got.filter(_.getAs[Long]("q_id") == qid)
+        .sortBy(_.getAs[Long]("rk"))
+      for ((row, i) <- mine.zipWithIndex) {
+        assert(row.getAs[Long]("neighbor_id") == r2(i)._1,
+          s"round-2 neighbor at q=$qid rk=${i + 1}")
+        assert(math.abs(row.getAs[Double]("cos2") - r2(i)._2) < 1e-9)
+        assert(row.getAs[Long]("in_round1") ==
+          (if (r1.contains(r2(i)._1)) 1L else 0L))
+      }
+    }
+  }
+
   test("q141: tau_b = 1 on a perfectly concordant synthetic series") {
     // identity check of the formula wiring, not the data: x=y strictly
     // increasing means every pair is concordant and no ties exist
