@@ -4722,7 +4722,108 @@ object Analytics {
       |FROM ranked WHERE rn = (n + 1) // 2
       |ORDER BY event_type, day_idx""".stripMargin
 
+  /** INTERRUPTED TIME-SERIES ANALYSIS (segmented regression; Wagner
+    * et al., J Clin Pharm Ther '02 — the standard quasi-experimental
+    * read when an intervention has a known date and no control
+    * group): fit OLS on daily purchase revenue SEPARATELY before and
+    * after the committed break point (the timeline midpoint day —
+    * deterministic, like [[metaPsi]]'s split), then report the two
+    * causal quantities: the LEVEL JUMP (both segments' fitted values
+    * AT the break, difference) and the SLOPE CHANGE. All arithmetic
+    * is exact until one committed floor per reported number: moments
+    * (n, Σx, Σy, Σxy, Σx²) accumulate in int64, every cross-product
+    * runs in decimal(38,0) (DuckDB: HUGEINT), the slope is the exact
+    * rational N/D floored via the shift identity, and the fitted
+    * level at x₀ uses the UN-truncated rational
+    * (Σy·D + N·(n·x₀−Σx)) / (n·D) so no error compounds.
+    *
+    * Scale shape: one data-sized aggregation to daily grain, one
+    * 2-row moment aggregate, answer-sized arithmetic after. */
+  def q145InterruptedTs(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(datediff(to_date(col("ts")),
+        lit(java.sql.Date.valueOf("1970-01-01"))).cast("long").as("d"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+      .localCheckpoint(true) // consumed by the bounds + the moment pass
+    val x0f = daily.agg(expr("(min(d) + max(d)) div 2").as("x0"))
+    val m = daily.crossJoin(broadcast(x0f))
+      .withColumn("seg", (col("d") <= col("x0")).cast("long"))
+      .groupBy(col("seg"))
+      .agg(max(col("x0")).as("x0"), count(lit(1)).as("n"),
+        sum(col("d")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("d * y")).as("sxy"), sum(expr("d * d")).as("sxx"))
+      .withColumn("nn", expr("cast(n as decimal(38,0)) * sxy " +
+        "- cast(sx as decimal(38,0)) * sy"))
+      .withColumn("dd", expr("cast(n as decimal(38,0)) * sxx " +
+        "- cast(sx as decimal(38,0)) * sx"))
+      .withColumn("slope_micro", expr("CASE WHEN dd > 0 THEN " +
+        "(nn * 1000000 + 1000000000000 * dd) div dd - 1000000000000 END"))
+      .withColumn("level_micro", expr("CASE WHEN dd > 0 THEN " +
+        "((cast(sy as decimal(38,0)) * dd + nn * (n * x0 - sx)) * 1000000 " +
+        " + 10000000000000000 * (cast(n as decimal(38,0)) * dd)) " +
+        " div (cast(n as decimal(38,0)) * dd) - 10000000000000000 END"))
+      .localCheckpoint(true) // 2 rows; consumed by the pivot twice
+    def pick(c: String, seg: Int) =
+      max(when(col("seg") === seg, col(c))).as(s"${c}_${if (seg == 1) "pre" else "post"}")
+    m.agg(max(col("x0")).as("break_day"),
+        pick("n", 1), pick("n", 0),
+        pick("slope_micro", 1), pick("slope_micro", 0),
+        pick("level_micro", 1), pick("level_micro", 0))
+      .select(col("break_day"), col("n_pre"), col("n_post"),
+        col("slope_micro_pre"), col("slope_micro_post"),
+        (col("slope_micro_post") - col("slope_micro_pre"))
+          .as("slope_delta_micro"),
+        col("level_micro_pre"), col("level_micro_post"),
+        (col("level_micro_post") - col("level_micro_pre")).as("jump_micro"))
+  }
+
+  val q145Sql: String =
+    """WITH daily AS (
+      | SELECT cast(date_diff('day', DATE '1970-01-01', cast(ts as date))
+      |   as bigint) AS d,
+      |  cast(sum(cast(round(value * 100) as bigint)) as bigint) AS y
+      | FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |x0f AS (SELECT (min(d) + max(d)) // 2 AS x0 FROM daily),
+      |m AS (
+      | SELECT CASE WHEN d <= x.x0 THEN 1 ELSE 0 END AS seg,
+      |  max(x.x0) AS x0, cast(count(*) as bigint) AS n,
+      |  cast(sum(d) as bigint) AS sx, cast(sum(y) as bigint) AS sy,
+      |  cast(sum(d * y) as bigint) AS sxy,
+      |  cast(sum(d * d) as bigint) AS sxx
+      | FROM daily, x0f x GROUP BY 1),
+      |per AS (
+      | SELECT seg, x0, n,
+      |  cast(n as hugeint) * sxy - cast(sx as hugeint) * sy AS nn,
+      |  cast(n as hugeint) * sxx - cast(sx as hugeint) * sx AS dd,
+      |  sx, sy
+      | FROM m),
+      |calc AS (
+      | SELECT seg, x0, n,
+      |  CASE WHEN dd > 0 THEN cast(
+      |   (nn * 1000000 + 1000000000000 * dd) // dd - 1000000000000
+      |   as bigint) END AS slope_micro,
+      |  CASE WHEN dd > 0 THEN cast(
+      |   ((cast(sy as hugeint) * dd + nn * (n * x0 - sx)) * 1000000
+      |    + 10000000000000000 * (cast(n as hugeint) * dd))
+      |   // (cast(n as hugeint) * dd) - 10000000000000000 as bigint)
+      |  END AS level_micro
+      | FROM per)
+      |SELECT max(x0) AS break_day,
+      | max(CASE WHEN seg = 1 THEN n END) AS n_pre,
+      | max(CASE WHEN seg = 0 THEN n END) AS n_post,
+      | max(CASE WHEN seg = 1 THEN slope_micro END) AS slope_micro_pre,
+      | max(CASE WHEN seg = 0 THEN slope_micro END) AS slope_micro_post,
+      | max(CASE WHEN seg = 0 THEN slope_micro END)
+      |  - max(CASE WHEN seg = 1 THEN slope_micro END) AS slope_delta_micro,
+      | max(CASE WHEN seg = 1 THEN level_micro END) AS level_micro_pre,
+      | max(CASE WHEN seg = 0 THEN level_micro END) AS level_micro_post,
+      | max(CASE WHEN seg = 0 THEN level_micro END)
+      |  - max(CASE WHEN seg = 1 THEN level_micro END) AS jump_micro
+      |FROM calc""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("q145_interrupted_ts", q145InterruptedTs, Some(q145Sql)),
     GQuery("q144_rolling_median", q144RollingMedian, Some(q144Sql)),
     GQuery("q143_fdr_bh", q143FdrBh, Some(q143Sql)),
     GQuery("q142_kruskal_wallis", q142KruskalWallis, Some(q142Sql)),

@@ -633,6 +633,45 @@ class Round14bSpec extends AnyFunSuite {
     }
   }
 
+  test("q145_interrupted_ts: BigInt referee of both segments' exact-" +
+      "rational slope and level, and delta columns are differences of " +
+      "the reported values") {
+    val daily = util.t(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(datediff(to_date(col("ts")),
+        lit(java.sql.Date.valueOf("1970-01-01"))).cast("long").as("d"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val x0 = (daily.map(_._1).min + daily.map(_._1).max) / 2
+    def fit(rows: Seq[(Long, Long)]): (BigInt, BigInt) = {
+      val n = BigInt(rows.length)
+      val sx = rows.map(r => BigInt(r._1)).sum
+      val sy = rows.map(r => BigInt(r._2)).sum
+      val sxy = rows.map(r => BigInt(r._1) * r._2).sum
+      val sxx = rows.map(r => BigInt(r._1) * r._1).sum
+      val nn = n * sxy - sx * sy
+      val dd = n * sxx - sx * sx
+      def shiftDiv(num: BigInt, den: BigInt, k: BigInt): BigInt =
+        (num + k * den) / den - k
+      val slope = shiftDiv(nn * 1000000, dd, BigInt(1000000000000L))
+      val level = shiftDiv((sy * dd + nn * (n * x0 - sx)) * 1000000,
+        n * dd, BigInt("10000000000000000"))
+      (slope, level)
+    }
+    val (sPre, lPre) = fit(daily.filter(_._1 <= x0))
+    val (sPost, lPost) = fit(daily.filter(_._1 > x0))
+    val r = operators.Analytics.q145InterruptedTs(spark, sf).collect().head
+    assert(r.getAs[Long]("break_day") == x0)
+    assert(BigInt(r.getAs[Long]("slope_micro_pre")) == sPre)
+    assert(BigInt(r.getAs[Long]("slope_micro_post")) == sPost)
+    assert(BigInt(r.getAs[Long]("level_micro_pre")) == lPre)
+    assert(BigInt(r.getAs[Long]("level_micro_post")) == lPost)
+    assert(r.getAs[Long]("slope_delta_micro") ==
+      r.getAs[Long]("slope_micro_post") - r.getAs[Long]("slope_micro_pre"))
+    assert(r.getAs[Long]("jump_micro") ==
+      r.getAs[Long]("level_micro_post") - r.getAs[Long]("level_micro_pre"))
+  }
+
   test("q141: tau_b = 1 on a perfectly concordant synthetic series") {
     // identity check of the formula wiring, not the data: x=y strictly
     // increasing means every pair is concordant and no ties exist
