@@ -4822,7 +4822,95 @@ object Analytics {
       |  - max(CASE WHEN seg = 1 THEN level_micro END) AS jump_micro
       |FROM calc""".stripMargin
 
+  /** SHIFT-SHARE (volume/rate/mix) DECOMPOSITION — the classic BI
+    * bridge ("why did revenue move?"): per order-priority segment,
+    * the period-over-period revenue delta splits EXACTLY into
+    * Δrev = Δn·rate₀ + n₀·Δrate + Δn·Δrate, with rate = revenue per
+    * order. Periods are the two halves of the order timeline
+    * (committed integer midpoint of epoch days). Rates are committed
+    * micro-cent truncations (rev·10⁶ div n), so the three effects
+    * don't exactly reconstruct the delta — the RESIDUAL column
+    * carries the truncation remainder honestly instead of hiding it
+    * (|residual| < n₁ micro-cents by construction, spec-pinned).
+    * Products run in decimal(38,0)/HUGEINT: Δn·rate_micro already
+    * passes int64 at ~10⁶ orders × 10¹³ micro-rate.
+    *
+    * Scale shape: one data-sized groupBy(segment, period); the
+    * decomposition is arithmetic on a 5×2 frame. */
+  def q146ShiftShare(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+      .select(col("o_orderpriority").as("seg"),
+        datediff(col("o_orderdate"), lit(java.sql.Date.valueOf("1970-01-01")))
+          .cast("long").as("d"),
+        round(col("o_totalprice") * 100).cast("long").as("rev"))
+      .localCheckpoint(true) // consumed by bounds + the period aggregate
+    val mid = ord.agg(expr("(min(d) + max(d)) div 2").as("mid"))
+    val per = ord.crossJoin(broadcast(mid))
+      .withColumn("p", (col("d") > col("mid")).cast("long"))
+      .groupBy(col("seg"))
+      .agg(sum(when(col("p") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("p") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("p") === 0, col("rev")).otherwise(0L)).as("rev0"),
+        sum(when(col("p") === 1, col("rev")).otherwise(0L)).as("rev1"))
+      .withColumn("rate0",
+        expr("cast(rev0 as decimal(38,0)) * 1000000 div n0"))
+      .withColumn("rate1",
+        expr("cast(rev1 as decimal(38,0)) * 1000000 div n1"))
+    per.select(col("seg"), col("n0"), col("n1"), col("rev0"), col("rev1"),
+        col("rate0").as("rate0_micro"), col("rate1").as("rate1_micro"),
+        expr("cast(n1 - n0 as decimal(38,0)) * rate0")
+          .cast("long").as("volume_effect_micro"),
+        expr("cast(n0 as decimal(38,0)) * (rate1 - rate0)")
+          .cast("long").as("rate_effect_micro"),
+        expr("cast(n1 - n0 as decimal(38,0)) * (rate1 - rate0)")
+          .cast("long").as("interaction_micro"),
+        expr("cast(rev1 - rev0 as decimal(38,0)) * 1000000 " +
+          "- (cast(n1 - n0 as decimal(38,0)) * rate0 " +
+          "+ cast(n0 as decimal(38,0)) * (rate1 - rate0) " +
+          "+ cast(n1 - n0 as decimal(38,0)) * (rate1 - rate0))")
+          .cast("long").as("residual_micro"))
+      .orderBy(col("seg"))
+  }
+
+  val q146Sql: String =
+    """WITH ord AS (
+      | SELECT o_orderpriority AS seg,
+      |  cast(date_diff('day', DATE '1970-01-01', o_orderdate) as bigint)
+      |    AS d,
+      |  cast(round(o_totalprice * 100) as bigint) AS rev
+      | FROM orders),
+      |mid AS (SELECT (min(d) + max(d)) // 2 AS mid FROM ord),
+      |per AS (
+      | SELECT seg,
+      |  cast(sum(CASE WHEN d <= m.mid THEN 1 ELSE 0 END) as bigint) AS n0,
+      |  cast(sum(CASE WHEN d > m.mid THEN 1 ELSE 0 END) as bigint) AS n1,
+      |  cast(sum(CASE WHEN d <= m.mid THEN rev ELSE 0 END) as bigint)
+      |    AS rev0,
+      |  cast(sum(CASE WHEN d > m.mid THEN rev ELSE 0 END) as bigint)
+      |    AS rev1
+      | FROM ord, mid m GROUP BY seg),
+      |rates AS (
+      | SELECT *, cast(cast(rev0 as hugeint) * 1000000 // n0 as bigint)
+      |    AS rate0,
+      |  cast(cast(rev1 as hugeint) * 1000000 // n1 as bigint) AS rate1
+      | FROM per)
+      |SELECT seg, n0, n1, rev0, rev1,
+      | rate0 AS rate0_micro, rate1 AS rate1_micro,
+      | cast(cast(n1 - n0 as hugeint) * rate0 as bigint)
+      |   AS volume_effect_micro,
+      | cast(cast(n0 as hugeint) * (rate1 - rate0) as bigint)
+      |   AS rate_effect_micro,
+      | cast(cast(n1 - n0 as hugeint) * (rate1 - rate0) as bigint)
+      |   AS interaction_micro,
+      | cast(cast(rev1 - rev0 as hugeint) * 1000000
+      |  - (cast(n1 - n0 as hugeint) * rate0
+      |     + cast(n0 as hugeint) * (rate1 - rate0)
+      |     + cast(n1 - n0 as hugeint) * (rate1 - rate0)) as bigint)
+      |   AS residual_micro
+      |FROM rates ORDER BY seg""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("q146_shift_share", q146ShiftShare, Some(q146Sql)),
     GQuery("q145_interrupted_ts", q145InterruptedTs, Some(q145Sql)),
     GQuery("q144_rolling_median", q144RollingMedian, Some(q144Sql)),
     GQuery("q143_fdr_bh", q143FdrBh, Some(q143Sql)),

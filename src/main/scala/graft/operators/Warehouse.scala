@@ -2071,7 +2071,86 @@ object Warehouse {
         "orders:status_x_priority"))
       .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY pair")
 
+  /** QUANTILE-QUANTILE DRIFT — the LOCATION companion to
+    * [[graft.operators.Analytics.metaPsi]]'s bin-share drift: PSI
+    * says "mass moved between bins", the Q-Q table says WHERE the
+    * distribution shifted, decile by decile (the plot drift reviews
+    * actually look at). Both halves of the event timeline (same
+    * integer midpoint split as PSI) are ranked independently
+    * (two-pass DistRank row numbers, no global window) and the value
+    * at rank (k·n) div 10 — a committed lower-quantile, an ACTUAL
+    * data value, so everything stays exact integer cents — is
+    * compared at k = 1..9 with absolute and basis-point deltas.
+    *
+    * Scale shape: two rank passes over the halves, a 9-row grid
+    * join; output is 9 rows at any data size. */
+  def metaQqDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("v"))
+    val bounds = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+    val tagged = ev.crossJoin(broadcast(bounds))
+      .withColumn("is_ref", (col("us") <= col("mid")).cast("long"))
+      .select(col("event_id"), col("v"), col("is_ref"))
+      .localCheckpoint(true) // both half-rank passes
+    def decilesOf(half: DataFrame, name: String): DataFrame = {
+      val n = half.agg(count(lit(1)).as("n"))
+      val ranked = graft.operators.DistRank.withRowNumber(
+        half, Seq(col("v"), col("event_id")), "rk")
+      spark.range(1, 10).select(col("id").as("k"))
+        .crossJoin(broadcast(n))
+        .withColumn("target", greatest(lit(1L), expr("k * n div 10")))
+        .join(ranked, col("rk") === col("target"))
+        .select(col("k"), col("v").as(name))
+    }
+    val ref = decilesOf(tagged.filter(col("is_ref") === 1L), "ref_value")
+    val cur = decilesOf(tagged.filter(col("is_ref") === 0L), "cur_value")
+    ref.join(cur, Seq("k"))
+      .select(col("k").as("decile"), col("ref_value"), col("cur_value"),
+        (col("cur_value") - col("ref_value")).as("diff_cents"),
+        when(col("ref_value") > 0, expr(
+          "((cur_value - ref_value) * 10000 + 1000000000 * ref_value) " +
+            "div ref_value - 1000000000")).as("rel_diff_bp"))
+      .orderBy(col("decile"))
+  }
+
+  val metaQqDriftSql: String =
+    """WITH ev AS (
+      | SELECT event_id, epoch_us(ts) AS us,
+      |  cast(round(value * 100) as bigint) AS v
+      | FROM events WHERE event_type = 'purchase'),
+      |bounds AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+      |tagged AS (
+      | SELECT event_id, v,
+      |  CASE WHEN us <= b.mid THEN 1 ELSE 0 END AS is_ref
+      | FROM ev, bounds b),
+      |refr AS (
+      | SELECT v, row_number() OVER (ORDER BY v, event_id) AS rk,
+      |  count(*) OVER () AS n
+      | FROM tagged WHERE is_ref = 1),
+      |curr AS (
+      | SELECT v, row_number() OVER (ORDER BY v, event_id) AS rk,
+      |  count(*) OVER () AS n
+      | FROM tagged WHERE is_ref = 0),
+      |ks AS (SELECT unnest(range(1, 10)) AS k),
+      |dr AS (
+      | SELECT k.k, r.v AS ref_value
+      | FROM ks k JOIN refr r ON r.rk = greatest(1, k.k * r.n // 10)),
+      |dc AS (
+      | SELECT k.k, c.v AS cur_value
+      | FROM ks k JOIN curr c ON c.rk = greatest(1, k.k * c.n // 10))
+      |SELECT cast(dr.k as bigint) AS decile, dr.ref_value, dc.cur_value,
+      | dc.cur_value - dr.ref_value AS diff_cents,
+      | CASE WHEN dr.ref_value > 0 THEN
+      |  cast(((dc.cur_value - dr.ref_value) * 10000
+      |    + 1000000000 * dr.ref_value) // dr.ref_value
+      |    - 1000000000 as bigint) END AS rel_diff_bp
+      |FROM dr JOIN dc USING (k)
+      |ORDER BY decile""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("meta_qq_drift", metaQqDrift, Some(metaQqDriftSql)),
     GQuery("meta_cramers_v", metaCramersV, Some(metaCramersVSql)),
     GQuery("meta_capture_recapture", captureRecapture,
       Some(captureRecaptureSql)),

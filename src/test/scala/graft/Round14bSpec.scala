@@ -672,6 +672,58 @@ class Round14bSpec extends AnyFunSuite {
       r.getAs[Long]("level_micro_post") - r.getAs[Long]("level_micro_pre"))
   }
 
+  test("meta_qq_drift: decile values match a sorted-halves referee and " +
+      "the signed bp delta replays exactly") {
+    val ev = util.t(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val mid = (ev.map(_._2).min + ev.map(_._2).max) / 2
+    def deciles(rows: Seq[(Long, Long)]): Map[Long, Long] = {
+      val sorted = rows.sortBy(identity).map(_._1) // (v, id) order on v
+      (1L to 9L).map { k =>
+        val idx = math.max(1L, k * sorted.length / 10).toInt - 1
+        k -> sorted(idx)
+      }.toMap
+    }
+    val ref = deciles(ev.filter(_._2 <= mid).map(t => (t._3, t._1)))
+    val cur = deciles(ev.filter(_._2 > mid).map(t => (t._3, t._1)))
+    val got = operators.Warehouse.metaQqDrift(spark, sf).collect()
+    assert(got.length == 9)
+    for (r <- got) {
+      val k = r.getAs[Long]("decile")
+      assert(r.getAs[Long]("ref_value") == ref(k), s"ref decile $k")
+      assert(r.getAs[Long]("cur_value") == cur(k), s"cur decile $k")
+      assert(r.getAs[Long]("diff_cents") == cur(k) - ref(k))
+      val bp = Math.floorDiv((cur(k) - ref(k)) * 10000, ref(k))
+      assert(r.getAs[Long]("rel_diff_bp") == bp, s"bp at decile $k")
+    }
+  }
+
+  test("q146_shift_share: the three effects plus the residual " +
+      "reconstruct the revenue delta EXACTLY, and the residual sits in " +
+      "the truncation bound (-n0, n1)") {
+    val rows = operators.Analytics.q146ShiftShare(spark, sf).collect()
+    assert(rows.length == 5, "five order priorities")
+    for (r <- rows) {
+      val dRev = BigInt(r.getAs[Long]("rev1")) - r.getAs[Long]("rev0")
+      val sum = BigInt(r.getAs[Long]("volume_effect_micro")) +
+        r.getAs[Long]("rate_effect_micro") +
+        r.getAs[Long]("interaction_micro") +
+        r.getAs[Long]("residual_micro")
+      assert(sum == dRev * 1000000, s"decomposition identity at $r")
+      val res = r.getAs[Long]("residual_micro")
+      assert(res > -r.getAs[Long]("n0") && res < r.getAs[Long]("n1"),
+        s"residual $res outside truncation bound at $r")
+      // rate replay
+      assert(r.getAs[Long]("rate0_micro") ==
+        (BigInt(r.getAs[Long]("rev0")) * 1000000 / r.getAs[Long]("n0")))
+      assert(r.getAs[Long]("rate1_micro") ==
+        (BigInt(r.getAs[Long]("rev1")) * 1000000 / r.getAs[Long]("n1")))
+    }
+  }
+
   test("q141: tau_b = 1 on a perfectly concordant synthetic series") {
     // identity check of the formula wiring, not the data: x=y strictly
     // increasing means every pair is concordant and no ties exist
