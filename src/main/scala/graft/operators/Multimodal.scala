@@ -892,7 +892,90 @@ object Multimodal {
        |   THEN 1 ELSE 0 END as bigint) AS flat
        |FROM agg ORDER BY doc_id""".stripMargin
 
+  case class BandFrame(doc_id: Long, frame_idx: Long,
+      lo_energy: Long, hi_energy: Long)
+
+  /** One-level HAAR band split per 160-sample frame — the first rung
+    * of the filterbank ladder every audio featurizer climbs (the
+    * QMF/wavelet decomposition in its simplest integer form): for
+    * each sample pair, low = (s₂ᵢ+s₂ᵢ₊₁) div 2 (truncating toward
+    * zero — Scala `/` on the JVM side only; the values never cross an
+    * engine boundary), high = (s₂ᵢ−s₂ᵢ₊₁) div 2; per-frame mean
+    * square of each band in integer units. Low-band energy tracks
+    * the envelope, high-band energy the sample-to-sample roughness
+    * (a zero-crossing-free noisiness proxy). Codec-output sidecar;
+    * every derived column replays in DuckDB. */
+  private[graft] def audioBandFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .filter(_.media_type == "audio")
+      .mapPartitions(_.flatMap { r =>
+        val a = Wav.decode(r.payload)
+        a.samples.grouped(160).zipWithIndex.map { case (fr, i) =>
+          var lo = 0L; var hi = 0L; var j = 0
+          while (j + 1 < fr.length) {
+            val l = (fr(j).toLong + fr(j + 1)) / 2
+            val h = (fr(j).toLong - fr(j + 1)) / 2
+            lo += l * l; hi += h * h
+            j += 2
+          }
+          val nPairs = math.max(1L, fr.length / 2)
+          BandFrame(r.doc_id, i.toLong, lo / nPairs, hi / nPairs)
+        }
+      }).toDF()
+  }
+
+  /** PER-CLIP BAND-ENERGY PROFILE over the Haar split: share of each
+    * frame's energy in the high band (bp, committed truncating
+    * division on non-negative operands), rough-frame share (high
+    * band dominant), and the clip-level band ratio — the integer
+    * skeleton of a spectral-balance audit. */
+  def audioHaarBands(spark: SparkSession, dir: String): DataFrame = {
+    val frames = audioBandFrames(spark, dir)
+    oracleSidecar("audio_band_frames", frames)
+    frames
+      .withColumn("hi_share_bp", expr(
+        "CASE WHEN lo_energy + hi_energy > 0 " +
+          "THEN hi_energy * 10000 div (lo_energy + hi_energy) ELSE 0 END"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("lo_energy")).as("lo_total"),
+        sum(col("hi_energy")).as("hi_total"),
+        sum((col("hi_share_bp") > 5000L).cast("long")).as("rough_frames"),
+        max(col("hi_share_bp")).as("max_hi_share_bp"))
+      .withColumn("clip_hi_share_bp", expr(
+        "CASE WHEN lo_total + hi_total > 0 " +
+          "THEN hi_total * 10000 div (lo_total + hi_total) ELSE 0 END"))
+      .withColumn("rough_share_bp", expr("rough_frames * 10000 div n_frames"))
+      .select(col("doc_id"), col("n_frames"), col("lo_total"),
+        col("hi_total"), col("clip_hi_share_bp"), col("rough_frames"),
+        col("rough_share_bp"), col("max_hi_share_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val audioHaarBandsSql: String =
+    s"""WITH f AS (
+       | SELECT doc_id, frame_idx, lo_energy, hi_energy,
+       |  CASE WHEN lo_energy + hi_energy > 0
+       |   THEN hi_energy * 10000 // (lo_energy + hi_energy) ELSE 0 END
+       |   AS hi_share_bp
+       | FROM read_parquet('${oracleSidecarGlob("audio_band_frames")}'))
+       |SELECT doc_id, cast(count(*) as bigint) AS n_frames,
+       | cast(sum(lo_energy) as bigint) AS lo_total,
+       | cast(sum(hi_energy) as bigint) AS hi_total,
+       | cast(CASE WHEN sum(lo_energy) + sum(hi_energy) > 0
+       |  THEN cast(sum(hi_energy) as hugeint) * 10000
+       |       // (sum(lo_energy) + sum(hi_energy)) ELSE 0 END as bigint)
+       |  AS clip_hi_share_bp,
+       | cast(sum(CASE WHEN hi_share_bp > 5000 THEN 1 ELSE 0 END) as bigint)
+       |  AS rough_frames,
+       | cast(sum(CASE WHEN hi_share_bp > 5000 THEN 1 ELSE 0 END) * 10000
+       |  // count(*) as bigint) AS rough_share_bp,
+       | cast(max(hi_share_bp) as bigint) AS max_hi_share_bp
+       |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("mm_audio_haar_bands", audioHaarBands, Some(audioHaarBandsSql)),
     GQuery("mm_image_histogram", imageHistogram, Some(imageHistogramSql)),
     GQuery("mm_image_tiles", imageTiles, Some(imageTilesSql)),
     GQuery("mm_audio_clipping", audioClipping, Some(audioClippingSql)),

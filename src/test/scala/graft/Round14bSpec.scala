@@ -724,6 +724,55 @@ class Round14bSpec extends AnyFunSuite {
     }
   }
 
+  test("mm_audio_haar_bands: Parseval-style energy consistency against " +
+      "a direct decode referee, and band laws (lo+hi reconstructs the " +
+      "pairwise energy up to the committed halving truncation)") {
+    import spark.implicits._
+    val frames = operators.Multimodal.audioBandFrames(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val media = operators.Multimodal.mediaTable(spark, sf)
+      .filter(_.media_type == "audio").collect()
+    assert(frames.keySet == media.map(_.doc_id).toSet)
+    for (m <- media.take(10)) {
+      val a = graft.functions.Wav.decode(m.payload)
+      val want = a.samples.grouped(160).zipWithIndex.map { case (fr, i) =>
+        var lo = 0L; var hi = 0L; var j = 0
+        while (j + 1 < fr.length) {
+          val l = (fr(j).toLong + fr(j + 1)) / 2
+          val h = (fr(j).toLong - fr(j + 1)) / 2
+          lo += l * l; hi += h * h; j += 2
+        }
+        val np = math.max(1L, fr.length / 2)
+        (i.toLong, lo / np, hi / np)
+      }.toSeq
+      val got = frames(m.doc_id).map(t => (t._2, t._3, t._4)).toSeq
+      assert(got == want.toSeq, s"band frames mismatch at doc ${m.doc_id}")
+      // Haar identity: l² + h² = (a²+b²)/2 exactly when a+b and a−b share
+      // parity (always — same parity sum/diff), up to the div-2 floor on
+      // each of l and h; check the reconstructed energy stays within the
+      // truncation envelope on one frame
+      val fr = a.samples.take(160)
+      var exact = 0L; var banded = 0L; var j = 0
+      while (j + 1 < fr.length) {
+        exact += (fr(j).toLong * fr(j) + fr(j + 1).toLong * fr(j + 1)) / 2
+        val l = (fr(j).toLong + fr(j + 1)) / 2
+        val h = (fr(j).toLong - fr(j + 1)) / 2
+        banded += l * l + h * h
+        j += 2
+      }
+      assert(banded <= exact && exact - banded <= fr.length.toLong *
+        (math.abs(fr.map(_.toInt).max) + 1),
+        s"Haar energy envelope at doc ${m.doc_id}")
+    }
+    val rows = operators.Multimodal.audioHaarBands(spark, sf).collect()
+    for (r <- rows) {
+      for (c <- Seq("clip_hi_share_bp", "rough_share_bp", "max_hi_share_bp"))
+        assert(r.getAs[Long](c) >= 0 && r.getAs[Long](c) <= 10000)
+      assert(r.getAs[Long]("rough_frames") <= r.getAs[Long]("n_frames"))
+    }
+  }
+
   test("q141: tau_b = 1 on a perfectly concordant synthetic series") {
     // identity check of the formula wiring, not the data: x=y strictly
     // increasing means every pair is concordant and no ties exist
