@@ -2598,7 +2598,131 @@ ORDER BY q_id, pick"""
       | ON r1.q_id = r2.q_id AND r1.neighbor_id = r2.neighbor_id
       |ORDER BY r2.q_id, r2.rk""".stripMargin
 
+  /** NEAREST-CENTROID CLASSIFIER EVALUATION — the confusion-matrix
+    * report card ([[knnClassifier]] predicts; this entry EVALUATES
+    * the cheaper centroid model the way an ML platform reports it):
+    * per-label centroids (exact decimal-mean per dimension, rounded
+    * to the committed 9-dp grid so both engines hold bit-identical
+    * arrays), every vector classified by max cosine to the 10
+    * centroids under the (cos desc, label) total order — a corpus×L
+    * pass, the classifier's true serving cost — then per-class
+    * precision/recall/F1 and macro-F1 in integer basis points
+    * (committed truncating divisions on non-negative operands,
+    * f1 = 2·p·r div (p+r)).
+    *
+    * Scale shape: one dimension-unpivot aggregate for centroids
+    * (L×64 rows), one corpus×L cosine join with a per-vector
+    * argmax window, one confusion aggregation — everything after
+    * the scan is labels²-sized. */
+  def centroidEval(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CosineSim.cosine
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .localCheckpoint(true) // centroid pass + classification pass
+    val cents = e
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(sum(col("x").cast("decimal(22,12)")).cast("double") /
+        count(lit(1)), 9).as("m"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), " +
+        "p -> p.m)").as("cv"))
+      .select(col("label").as("clabel"), col("cv"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("clabel"))
+    val pred = e.crossJoin(broadcast(cents))
+      .withColumn("cos", cosine(col("v"), col("cv")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("label"), col("clabel").as("pred"))
+      .localCheckpoint(true) // consumed by three margin aggregates
+    val tp = pred.filter(col("label") === col("pred"))
+      .groupBy(col("label")).agg(count(lit(1)).as("tp"))
+    val byTrue = pred.groupBy(col("label")).agg(count(lit(1)).as("n_true"))
+    val byPred = pred.groupBy(col("pred").as("label"))
+      .agg(count(lit(1)).as("n_pred"))
+    val perClass = byTrue
+      .join(byPred, Seq("label"), "left")
+      .join(tp, Seq("label"), "left")
+      .select(col("label"),
+        col("n_true"), coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("precision_bp", expr(
+        "CASE WHEN n_pred > 0 THEN tp * 10000 div n_pred ELSE 0 END"))
+      .withColumn("recall_bp", expr("tp * 10000 div n_true"))
+      .withColumn("f1_bp", expr(
+        "CASE WHEN precision_bp + recall_bp > 0 THEN " +
+          "2 * precision_bp * recall_bp div (precision_bp + recall_bp) " +
+          "ELSE 0 END"))
+      .localCheckpoint(true) // 10 rows; consumed by macro + output
+    val macroF1 = perClass.agg(
+      expr("sum(f1_bp) div count(1)").as("macro_f1_bp"))
+    perClass.crossJoin(broadcast(macroF1))
+      .select(col("label"), col("n_true"), col("n_pred"), col("tp"),
+        col("precision_bp"), col("recall_bp"), col("f1_bp"),
+        col("macro_f1_bp"))
+      .orderBy(col("label"))
+  }
+
+  val centroidEvalSql: String =
+    """WITH e AS (
+      | SELECT vec_id, cast(label as bigint) AS label,
+      |  embedding::DOUBLE[] AS v
+      | FROM embeddings),
+      |cents AS (
+      | SELECT label, list(m ORDER BY pos) AS cv
+      | FROM (
+      |  SELECT label, pos,
+      |   round(cast(sum(cast(x as decimal(22,12))) as double) / count(*), 9)
+      |     AS m
+      |  FROM (SELECT label, generate_subscripts(v, 1) AS pos,
+      |               unnest(v) AS x FROM e)
+      |  GROUP BY label, pos)
+      | GROUP BY label),
+      |pred AS (
+      | SELECT vec_id, label, pred FROM (
+      |  SELECT e.vec_id, e.label, c.label AS pred,
+      |   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |    round(list_dot_product(e.v, c.cv) /
+      |     (sqrt(list_dot_product(e.v, e.v)) *
+      |      sqrt(list_dot_product(c.cv, c.cv))), 6) DESC, c.label) AS rk
+      |  FROM e CROSS JOIN cents c)
+      | WHERE rk = 1),
+      |by_true AS (
+      | SELECT label, cast(count(*) as bigint) AS n_true
+      | FROM pred GROUP BY label),
+      |by_pred AS (
+      | SELECT pred AS label, cast(count(*) as bigint) AS n_pred
+      | FROM pred GROUP BY pred),
+      |tp AS (
+      | SELECT label, cast(count(*) as bigint) AS tp
+      | FROM pred WHERE label = pred GROUP BY label),
+      |per_class AS (
+      | SELECT t.label, t.n_true, coalesce(p.n_pred, 0) AS n_pred,
+      |  coalesce(tp.tp, 0) AS tp,
+      |  CASE WHEN coalesce(p.n_pred, 0) > 0
+      |   THEN coalesce(tp.tp, 0) * 10000 // p.n_pred ELSE 0 END
+      |   AS precision_bp,
+      |  coalesce(tp.tp, 0) * 10000 // t.n_true AS recall_bp
+      | FROM by_true t LEFT JOIN by_pred p USING (label)
+      |  LEFT JOIN tp USING (label)),
+      |f1 AS (
+      | SELECT *, CASE WHEN precision_bp + recall_bp > 0
+      |  THEN 2 * precision_bp * recall_bp // (precision_bp + recall_bp)
+      |  ELSE 0 END AS f1_bp
+      | FROM per_class),
+      |macro AS (
+      | SELECT cast(sum(f1_bp) // count(*) as bigint) AS macro_f1_bp
+      | FROM f1)
+      |SELECT f.label, f.n_true, f.n_pred, f.tp,
+      | cast(f.precision_bp as bigint) AS precision_bp,
+      | cast(f.recall_bp as bigint) AS recall_bp,
+      | cast(f.f1_bp as bigint) AS f1_bp, m.macro_f1_bp
+      |FROM f1 f, macro m ORDER BY f.label""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("sim_centroid_eval", centroidEval, Some(centroidEvalSql)),
     GQuery("sim_rocchio_feedback", rocchioFeedback, Some(rocchioFeedbackSql)),
     GQuery("sim_silhouette", silhouette, Some(silhouetteSql)),
     GQuery("sim_mmr_rerank", mmrRerank, Some(mmrRerankSql)),

@@ -773,6 +773,51 @@ class Round14bSpec extends AnyFunSuite {
     }
   }
 
+  test("sim_centroid_eval: in-JVM nearest-centroid referee (exact " +
+      "9-dp centroid grid), margin conservation, and F1 between its " +
+      "precision/recall bounds") {
+    val vecs = util.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label").cast("long"),
+        col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Seq[Double]](2).toArray))
+    // centroids on the committed 9-dp grid, decimal-exact means
+    val cents = vecs.groupBy(_._2).view.mapValues { vs =>
+      val n = vs.length
+      (0 until 64).map { i =>
+        val s = vs.map(v => BigDecimal(v._3(i)).setScale(12,
+          BigDecimal.RoundingMode.HALF_UP)).sum
+        BigDecimal(s.toDouble / n)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toArray
+    }.toMap
+    def cos6(x: Array[Double], y: Array[Double]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0
+      for (i <- x.indices) { d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i) }
+      BigDecimal(d / (math.sqrt(nx) * math.sqrt(ny)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val preds = vecs.map { case (_, label, v) =>
+      val p = cents.toSeq.map { case (l, cv) => (l, cos6(v, cv)) }
+        .minBy { case (l, c) => (-c, l) }._1
+      (label, p)
+    }
+    val got = operators.Similarity.centroidEval(spark, sf).collect()
+    assert(got.map(_.getAs[Long]("n_true")).sum == vecs.length)
+    assert(got.map(_.getAs[Long]("n_pred")).sum == vecs.length)
+    for (r <- got) {
+      val l = r.getAs[Long]("label")
+      assert(r.getAs[Long]("n_true") == preds.count(_._1 == l), s"n_true $l")
+      assert(r.getAs[Long]("n_pred") == preds.count(_._2 == l), s"n_pred $l")
+      assert(r.getAs[Long]("tp") == preds.count(p => p._1 == l && p._2 == l),
+        s"tp $l")
+      val p = r.getAs[Long]("precision_bp"); val rc = r.getAs[Long]("recall_bp")
+      val f1 = r.getAs[Long]("f1_bp")
+      assert(f1 <= math.max(p, rc) && (p.min(rc) == 0 || f1 >= p.min(rc) - 1),
+        s"F1 $f1 outside [$p, $rc] envelope at $l")
+    }
+  }
+
   test("q141: tau_b = 1 on a perfectly concordant synthetic series") {
     // identity check of the formula wiring, not the data: x=y strictly
     // increasing means every pair is concordant and no ties exist
