@@ -2442,7 +2442,54 @@ GROUP BY d.doc_id ORDER BY d.doc_id"""
        |FROM terms GROUP BY s1, s2
        |ORDER BY s1, s2""".stripMargin
 
+  /** LEXICAL DIVERSITY per document — the vocabulary-richness panel
+    * corpus linguists read next to [[zipfStats]]: type-token ratio
+    * (integer bp — the raw measure, length-biased by design and
+    * documented as such), Guiraud's R = types/√tokens ('54 — the
+    * classic length correction; two-sqrt-free single IEEE sqrt on
+    * bit-identical integers, 4 dp), and the hapax legomena share
+    * (once-occurring types — the long-tail mass that drives
+    * tokenizer vocabulary growth, cf. [[coverageCurve]]).
+    *
+    * Scale shape: one tokenize + (doc, word) count, one per-doc
+    * rollup — corpus-linear, map-side partials on both. */
+  def lexicalDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val wc = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    wc.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum((col("c") === 1).cast("long")).as("hapax"))
+      .withColumn("ttr_bp", expr("n_types * 10000 div n_tokens"))
+      .withColumn("guiraud",
+        round(col("n_types") / sqrt(col("n_tokens").cast("double")), 4))
+      .withColumn("hapax_share_bp", expr("hapax * 10000 div n_types"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("ttr_bp"),
+        col("guiraud"), col("hapax"), col("hapax_share_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val lexicalDiversitySql: String =
+    """WITH wc AS (
+      | SELECT doc_id, w, cast(count(*) as bigint) AS c
+      | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |       FROM documents)
+      | GROUP BY 1, 2),
+      |agg AS (
+      | SELECT doc_id, cast(sum(c) as bigint) AS n_tokens,
+      |  cast(count(*) as bigint) AS n_types,
+      |  cast(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) as bigint) AS hapax
+      | FROM wc GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, n_types,
+      | cast(n_types * 10000 // n_tokens as bigint) AS ttr_bp,
+      | round(n_types / sqrt(cast(n_tokens as double)), 4) AS guiraud,
+      | hapax, cast(hapax * 10000 // n_types as bigint) AS hapax_share_bp
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("text_lexical_diversity", lexicalDiversity,
+      Some(lexicalDiversitySql)),
     GQuery("text_source_divergence", sourceDivergence,
       Some(sourceDivergenceSql)),
     GQuery("pipeline_repro_hash", pipelineReproHash,

@@ -818,6 +818,30 @@ class Round14bSpec extends AnyFunSuite {
     }
   }
 
+  test("text_lexical_diversity: per-doc referee from a direct tokenize, " +
+      "TTR/hapax bounds, and Guiraud replay") {
+    val docs = util.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = operators.TextAnalysis.lexicalDiversity(spark, sf).collect()
+    assert(got.length == docs.size)
+    for (r <- got.take(50)) {
+      val id = r.getAs[Long]("doc_id")
+      val toks = docs(id).split(" ", -1)
+      val counts = toks.groupBy(identity).view.mapValues(_.length).toMap
+      assert(r.getAs[Long]("n_tokens") == toks.length, s"tokens at $id")
+      assert(r.getAs[Long]("n_types") == counts.size, s"types at $id")
+      assert(r.getAs[Long]("hapax") == counts.values.count(_ == 1))
+      assert(r.getAs[Long]("ttr_bp") ==
+        counts.size.toLong * 10000 / toks.length)
+      val g = BigDecimal(counts.size / math.sqrt(toks.length.toDouble))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("guiraud") - g) < 1e-9)
+      assert(r.getAs[Long]("ttr_bp") <= 10000)
+      assert(r.getAs[Long]("hapax_share_bp") <= 10000)
+    }
+  }
+
   test("q141: tau_b = 1 on a perfectly concordant synthetic series") {
     // identity check of the formula wiring, not the data: x=y strictly
     // increasing means every pair is concordant and no ties exist
