@@ -4909,7 +4909,80 @@ object Analytics {
       |   AS residual_micro
       |FROM rates ORDER BY seg""".stripMargin
 
+  /** SEASONAL / TREND STRENGTH of the decomposition (Hyndman &
+    * Athanasopoulos, "Forecasting: Principles and Practice" §STL
+    * features; Wang-Smith-Hyndman '06): F_seas = 1 − Var(R)/Var(S+R)
+    * and F_trend = 1 − Var(R)/Var(T+R) over [[q140SeasonalDecompose]]'s
+    * full-window months — the two numbers that say whether the
+    * decomposition actually found structure. Population variances
+    * as exact integer cross-moments n·Σx² − (Σx)² in decimal(38,0)
+    * (ΣR² passes int64 at ~10¹⁰-cent residuals); the shared n²
+    * denominator cancels in the ratio, so each strength is ONE
+    * committed floor: 10⁴ − (varR_num·10⁴) div varX_num, clamped at
+    * 0 like the reference definition.
+    *
+    * Scale shape: consumes the decomposition entry's own output
+    * (answer-sized), one aggregate. */
+  def q147DecompStrength(spark: SparkSession, dir: String): DataFrame = {
+    val comp = q140SeasonalDecompose(spark, dir)
+      .filter(col("trend_cents").isNotNull)
+      .select(col("remainder_cents").as("r"),
+        (col("seasonal_cents") + col("remainder_cents")).as("sr"),
+        (col("trend_cents") + col("remainder_cents")).as("tr"))
+    comp.agg(count(lit(1)).as("n"),
+        sum(col("r")).as("s_r"),
+        sum(expr("cast(r as decimal(38,0)) * r")).as("ss_r"),
+        sum(col("sr")).as("s_sr"),
+        sum(expr("cast(sr as decimal(38,0)) * sr")).as("ss_sr"),
+        sum(col("tr")).as("s_tr"),
+        sum(expr("cast(tr as decimal(38,0)) * tr")).as("ss_tr"))
+      .withColumn("var_r_num", expr("n * ss_r - cast(s_r as decimal(38,0)) * s_r"))
+      .withColumn("var_sr_num", expr("n * ss_sr - cast(s_sr as decimal(38,0)) * s_sr"))
+      .withColumn("var_tr_num", expr("n * ss_tr - cast(s_tr as decimal(38,0)) * s_tr"))
+      .select(col("n").as("n_full"),
+        expr("CASE WHEN var_sr_num > 0 THEN " +
+          "greatest(0L, 10000 - cast(var_r_num * 10000 div var_sr_num " +
+          "as bigint)) END").as("seas_strength_bp"),
+        expr("CASE WHEN var_tr_num > 0 THEN " +
+          "greatest(0L, 10000 - cast(var_r_num * 10000 div var_tr_num " +
+          "as bigint)) END").as("trend_strength_bp"),
+        col("var_r_num").cast("double").as("var_r_scaled"),
+        col("var_sr_num").cast("double").as("var_sr_scaled"),
+        col("var_tr_num").cast("double").as("var_tr_scaled"))
+  }
+
+  lazy val q147Sql: String =
+    s"""WITH comp AS (SELECT * FROM ($q140Sql) WHERE trend_cents IS NOT NULL),
+       |m AS (
+       | SELECT cast(count(*) as bigint) AS n,
+       |  cast(sum(remainder_cents) as hugeint) AS s_r,
+       |  sum(cast(remainder_cents as hugeint) * remainder_cents) AS ss_r,
+       |  cast(sum(seasonal_cents + remainder_cents) as hugeint) AS s_sr,
+       |  sum(cast(seasonal_cents + remainder_cents as hugeint)
+       |    * (seasonal_cents + remainder_cents)) AS ss_sr,
+       |  cast(sum(trend_cents + remainder_cents) as hugeint) AS s_tr,
+       |  sum(cast(trend_cents + remainder_cents as hugeint)
+       |    * (trend_cents + remainder_cents)) AS ss_tr
+       | FROM comp),
+       |v AS (
+       | SELECT n, n * ss_r - s_r * s_r AS var_r_num,
+       |  n * ss_sr - s_sr * s_sr AS var_sr_num,
+       |  n * ss_tr - s_tr * s_tr AS var_tr_num
+       | FROM m)
+       |SELECT n AS n_full,
+       | CASE WHEN var_sr_num > 0 THEN
+       |  greatest(0, 10000 - cast(var_r_num * 10000 // var_sr_num
+       |    as bigint)) END AS seas_strength_bp,
+       | CASE WHEN var_tr_num > 0 THEN
+       |  greatest(0, 10000 - cast(var_r_num * 10000 // var_tr_num
+       |    as bigint)) END AS trend_strength_bp,
+       | cast(var_r_num as double) AS var_r_scaled,
+       | cast(var_sr_num as double) AS var_sr_scaled,
+       | cast(var_tr_num as double) AS var_tr_scaled
+       |FROM v""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("q147_decomp_strength", q147DecompStrength, Some(q147Sql)),
     GQuery("q146_shift_share", q146ShiftShare, Some(q146Sql)),
     GQuery("q145_interrupted_ts", q145InterruptedTs, Some(q145Sql)),
     GQuery("q144_rolling_median", q144RollingMedian, Some(q144Sql)),

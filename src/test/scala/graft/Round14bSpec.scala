@@ -842,6 +842,35 @@ class Round14bSpec extends AnyFunSuite {
     }
   }
 
+  test("q147_decomp_strength: BigInt variance referee over the q140 " +
+      "components and strengths bounded in [0, 10000]") {
+    val comp = operators.Analytics.q140SeasonalDecompose(spark, sf)
+      .collect().filter(!_.isNullAt(3))
+      .map(r => (r.getAs[Long]("remainder_cents"),
+        r.getAs[Long]("seasonal_cents") + r.getAs[Long]("remainder_cents"),
+        r.getAs[Long]("trend_cents") + r.getAs[Long]("remainder_cents")))
+    val n = BigInt(comp.length)
+    def varNum(xs: Seq[Long]): BigInt = {
+      val s = xs.map(BigInt(_)).sum
+      n * xs.map(x => BigInt(x) * x).sum - s * s
+    }
+    val vr = varNum(comp.map(_._1))
+    val vsr = varNum(comp.map(_._2))
+    val vtr = varNum(comp.map(_._3))
+    val r = operators.Analytics.q147DecompStrength(spark, sf).collect().head
+    assert(r.getAs[Long]("n_full") == comp.length)
+    def strength(num: BigInt): Long =
+      (BigInt(10000) - vr * 10000 / num).max(BigInt(0)).toLong
+    assert(r.getAs[Long]("seas_strength_bp") == strength(vsr))
+    assert(r.getAs[Long]("trend_strength_bp") == strength(vtr))
+    for (c <- Seq("seas_strength_bp", "trend_strength_bp")) {
+      val v = r.getAs[Long](c)
+      assert(v >= 0 && v <= 10000, s"$c=$v")
+    }
+    assert(math.abs(r.getAs[Double]("var_r_scaled") - vr.toDouble) <
+      math.abs(vr.toDouble) * 1e-12 + 1)
+  }
+
   test("q141: tau_b = 1 on a perfectly concordant synthetic series") {
     // identity check of the formula wiring, not the data: x=y strictly
     // increasing means every pair is concordant and no ties exist
