@@ -2721,7 +2721,94 @@ ORDER BY q_id, pick"""
       | cast(f.f1_bp as bigint) AS f1_bp, m.macro_f1_bp
       |FROM f1 f, macro m ORDER BY f.label""".stripMargin
 
+  /** EMBEDDING-SPACE GEOMETRY AUDIT — the static health check run
+    * before trusting any similarity search (Ethayarajh, EMNLP '19
+    * measured how ANISOTROPIC real embedding spaces are: vectors
+    * crowd into a cone, inflating every cosine): corpus mean vector
+    * on the committed 9-dp grid, ANISOTROPY = mean cosine of each
+    * vector to that mean direction (≈ 0 for an isotropic cloud, → 1
+    * for a collapsed cone), and the norm distribution's committed
+    * lower deciles p10/p50/p90 in micro units (norm collapse is the
+    * other classic failure). One corpus pass for moments + one for
+    * cosines + a DistRank rank pass on norms; 1-row output.
+    *
+    * The norm and the cosine-to-mean are the [[topkBruteForce]]
+    * determinism contract (sequential IEEE folds over identical
+    * doubles); deciles are actual data values picked by rank. */
+  def geometryAudit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CosineSim.cosine
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .localCheckpoint(true) // mean pass + cosine pass + norm pass
+    val mean = e
+      .select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(round(sum(col("x").cast("decimal(22,12)")).cast("double") /
+        count(lit(1)), 9).as("m"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), " +
+        "p -> p.m)").as("mv"))
+    val withCos = e.crossJoin(broadcast(mean))
+      .withColumn("c6", cosine(col("v"), col("mv")))
+      .withColumn("norm_micro", expr(
+        "cast(round(sqrt(aggregate(v, 0D, (a, x) -> a + x * x)) * 1e6) " +
+          "as bigint)"))
+      .localCheckpoint(true) // consumed by the aggregate + the rank pass
+    val n = withCos.count()
+    val ranked = graft.operators.DistRank.withRowNumber(
+      withCos.select(col("vec_id"), col("norm_micro")),
+      Seq(col("norm_micro"), col("vec_id")), "rk")
+    val deciles = ranked
+      .filter(col("rk").isin(
+        math.max(1L, n / 10), math.max(1L, n / 2), math.max(1L, 9 * n / 10)))
+      .agg(min(col("norm_micro")).as("norm_p10_micro"),
+        expr("max(CASE WHEN rk = greatest(1, " + (n / 2) +
+          "L) THEN norm_micro END)").as("norm_p50_micro"),
+        max(col("norm_micro")).as("norm_p90_micro"))
+    withCos.agg(count(lit(1)).as("n_vectors"),
+        davg(col("c6")).as("anisotropy"),
+        expr("sum(norm_micro) div count(1)").as("mean_norm_micro"))
+      .crossJoin(broadcast(deciles))
+      .select(col("n_vectors"), col("anisotropy"), col("mean_norm_micro"),
+        col("norm_p10_micro"), col("norm_p50_micro"), col("norm_p90_micro"))
+  }
+
+  val geometryAuditSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |mean_v AS (
+       | SELECT list(m ORDER BY pos) AS mv FROM (
+       |  SELECT pos,
+       |   round(cast(sum(cast(x as decimal(22,12))) as double) / count(*), 9)
+       |     AS m
+       |  FROM (SELECT generate_subscripts(v, 1) AS pos, unnest(v) AS x
+       |        FROM e)
+       |  GROUP BY pos)),
+       |wc AS (
+       | SELECT e.vec_id, ${sqlCos("e.v", "m.mv")} AS c6,
+       |  cast(round(sqrt(list_dot_product(e.v, e.v)) * 1e6) as bigint)
+       |    AS norm_micro
+       | FROM e, mean_v m),
+       |rk AS (
+       | SELECT *, row_number() OVER (ORDER BY norm_micro, vec_id) AS rk,
+       |  count(*) OVER () AS n
+       | FROM wc),
+       |dec AS (
+       | SELECT
+       |  min(norm_micro) AS norm_p10_micro,
+       |  max(CASE WHEN rk = greatest(1, n // 2) THEN norm_micro END)
+       |    AS norm_p50_micro,
+       |  max(norm_micro) AS norm_p90_micro
+       | FROM rk WHERE rk IN (greatest(1, n // 10), greatest(1, n // 2),
+       |  greatest(1, 9 * n // 10)))
+       |SELECT cast(count(*) as bigint) AS n_vectors,
+       | ${sqlDavg("c6")} AS anisotropy,
+       | cast(cast(sum(norm_micro) as hugeint) // count(*) as bigint)
+       |   AS mean_norm_micro,
+       | d.norm_p10_micro, d.norm_p50_micro, d.norm_p90_micro
+       |FROM wc, dec d
+       |GROUP BY d.norm_p10_micro, d.norm_p50_micro, d.norm_p90_micro""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("sim_geometry_audit", geometryAudit, Some(geometryAuditSql)),
     GQuery("sim_centroid_eval", centroidEval, Some(centroidEvalSql)),
     GQuery("sim_rocchio_feedback", rocchioFeedback, Some(rocchioFeedbackSql)),
     GQuery("sim_silhouette", silhouette, Some(silhouetteSql)),

@@ -2149,7 +2149,74 @@ object Warehouse {
       |FROM dr JOIN dc USING (k)
       |ORDER BY decile""".stripMargin
 
+  /** TERMINAL-DIGIT PREFERENCE AUDIT — the forensic companion to the
+    * `meta_benford` LEADING-digit test: cent endings (price mod 100)
+    * should be ~uniform for
+    * organically-computed amounts; spikes at .99/.00/.50 reveal
+    * psychological pricing, rounding policy, or hand-keyed data
+    * (Nigrini's last-two-digits test, the standard audit-analytics
+    * step after Benford). Full χ² against uniform over the 100
+    * endings as ONE committed integer division —
+    * Σ(100·o − n)²·10⁶ div (100·n) in decimal(38,0)/HUGEINT — plus
+    * the top-10 endings under the (count desc, ending) total order
+    * with bp shares. df = 99, committed χ²₀.₀₅ critical 123.225.
+    *
+    * Scale shape: one groupBy(ending) — at most 100 groups with
+    * map-side partials; everything after is 100-row arithmetic. */
+  def metaPricePoints(spark: SparkSession, dir: String): DataFrame = {
+    val ends = t(spark, dir, "part")
+      .select(pmod(round(col("p_retailprice") * 100).cast("long"),
+        lit(100L)).as("ending"))
+      .groupBy(col("ending")).agg(count(lit(1)).as("o"))
+    val grid = spark.range(0, 100).select(col("id").as("ending"))
+      .join(ends, Seq("ending"), "left")
+      .select(col("ending"), coalesce(col("o"), lit(0L)).as("o"))
+      .localCheckpoint(true) // consumed by chi2 + top-10
+    val tot = grid.agg(sum(col("o")).as("n"),
+      sum(expr("cast(100 * o as decimal(38,0)) * (100 * o)")).as("ss"))
+    val chi2 = tot.select(col("n"),
+      expr("(ss - 200 * cast(n as decimal(38,0)) * n " +
+        "+ 100 * cast(n as decimal(38,0)) * n) * 1000000 div (100 * n)")
+        .as("chi2_micro"))
+    val top = grid.orderBy(col("o").desc, col("ending")).limit(10)
+    top.crossJoin(broadcast(chi2))
+      .select(col("ending"), col("o").as("cnt"),
+        expr("o * 10000 div n").as("share_bp"), col("n").as("n_total"),
+        col("chi2_micro"),
+        (col("chi2_micro") > 123225000L).cast("long").as("significant"))
+      .orderBy(col("cnt").desc, col("ending"))
+  }
+
+  val metaPricePointsSql: String =
+    """WITH ends AS (
+      | SELECT cast(round(p_retailprice * 100) as bigint) % 100 AS ending
+      | FROM part),
+      |grid AS (
+      | SELECT g.ending, cast(coalesce(c.o, 0) as bigint) AS o
+      | FROM (SELECT unnest(range(0, 100)) AS ending) g
+      | LEFT JOIN (SELECT ending, count(*) AS o FROM ends GROUP BY 1) c
+      |  ON c.ending = g.ending),
+      |tot AS (
+      | SELECT cast(sum(o) as bigint) AS n,
+      |  sum(cast(100 * o as hugeint) * (100 * o)) AS ss
+      | FROM grid),
+      |chi2 AS (
+      | SELECT n, cast((ss - 200 * cast(n as hugeint) * n
+      |   + 100 * cast(n as hugeint) * n) * 1000000 // (100 * n)
+      |  as bigint) AS chi2_micro
+      | FROM tot),
+      |top AS (
+      | SELECT ending, o FROM grid ORDER BY o DESC, ending LIMIT 10)
+      |SELECT t.ending, t.o AS cnt,
+      | cast(t.o * 10000 // c.n as bigint) AS share_bp,
+      | c.n AS n_total, c.chi2_micro,
+      | cast(CASE WHEN c.chi2_micro > 123225000 THEN 1 ELSE 0 END as bigint)
+      |   AS significant
+      |FROM top t, chi2 c
+      |ORDER BY cnt DESC, t.ending""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("meta_price_points", metaPricePoints, Some(metaPricePointsSql)),
     GQuery("meta_qq_drift", metaQqDrift, Some(metaQqDriftSql)),
     GQuery("meta_cramers_v", metaCramersV, Some(metaCramersVSql)),
     GQuery("meta_capture_recapture", captureRecapture,

@@ -871,6 +871,66 @@ class Round14bSpec extends AnyFunSuite {
       math.abs(vr.toDouble) * 1e-12 + 1)
   }
 
+  test("sim_geometry_audit: anisotropy/norm referee in-JVM and decile " +
+      "ordering p10 <= p50 <= p90") {
+    val vecs = util.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Seq[Double]](1).toArray)
+    val n = vecs.length
+    val mean = (0 until 64).map { i =>
+      val s = vecs.map(v => BigDecimal(v._2(i)).setScale(12,
+        BigDecimal.RoundingMode.HALF_UP)).sum
+      BigDecimal(s.toDouble / n)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toArray
+    def cos6(x: Array[Double], y: Array[Double]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0
+      for (i <- x.indices) { d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i) }
+      BigDecimal(d / (math.sqrt(nx) * math.sqrt(ny)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val r = operators.Similarity.geometryAudit(spark, sf).collect().head
+    assert(r.getAs[Long]("n_vectors") == n)
+    // davg referee: decimal(22,8) exact sum of the 6-dp cosines / n
+    val csum = vecs.map(v => BigDecimal(cos6(v._2, mean)).setScale(8,
+      BigDecimal.RoundingMode.HALF_UP)).sum
+    val aniso = BigDecimal(csum.toDouble).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble / n
+    assert(math.abs(r.getAs[Double]("anisotropy") - aniso) < 1e-9,
+      s"anisotropy ${r.getAs[Double]("anisotropy")} vs $aniso")
+    val p10 = r.getAs[Long]("norm_p10_micro")
+    val p50 = r.getAs[Long]("norm_p50_micro")
+    val p90 = r.getAs[Long]("norm_p90_micro")
+    assert(p10 <= p50 && p50 <= p90, s"deciles out of order: $p10 $p50 $p90")
+    val norms = vecs.map { case (_, v) =>
+      math.rint(math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x)) * 1e6).toLong
+    }.sorted
+    assert(p50 == norms(math.max(1, n / 2) - 1), "median norm referee")
+  }
+
+  test("meta_price_points: chi-square referee over the full 100-ending " +
+      "histogram and top-10 ordering") {
+    val ends = util.t(spark, sf, "part")
+      .select(pmod(round(col("p_retailprice") * 100).cast("long"),
+        lit(100L)))
+      .collect().map(_.getLong(0))
+    val counts = (0L until 100L).map(e =>
+      e -> ends.count(_ == e).toLong).toMap
+    val n = BigInt(ends.length)
+    val chi2 = counts.values.map { o =>
+      val d = BigInt(100) * o - n; d * d
+    }.sum * 1000000 / (100 * n)
+    val got = operators.Warehouse.metaPricePoints(spark, sf).collect()
+    assert(got.length == 10)
+    assert(BigInt(got.head.getAs[Long]("chi2_micro")) == chi2)
+    val wantTop = counts.toSeq.sortBy { case (e, o) => (-o, e) }.take(10)
+    for ((r, (e, o)) <- got.zip(wantTop)) {
+      assert(r.getAs[Long]("ending") == e && r.getAs[Long]("cnt") == o,
+        s"top-10 mismatch at $r vs ($e,$o)")
+      assert(r.getAs[Long]("share_bp") == o * 10000 / ends.length)
+    }
+  }
+
   test("q141: tau_b = 1 on a perfectly concordant synthetic series") {
     // identity check of the formula wiring, not the data: x=y strictly
     // increasing means every pair is concordant and no ties exist
