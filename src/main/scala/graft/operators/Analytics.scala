@@ -4981,7 +4981,75 @@ object Analytics {
        | cast(var_tr_num as double) AS var_tr_scaled
        |FROM v""".stripMargin
 
+  /** ACTIVITY HEATMAP — the (weekday × hour) event-density grid every
+    * ops dashboard opens with: counts, bp share of total, per-cell
+    * purchase rate (bp of that cell's events), and the peak flag
+    * under the (count desc, dow, hour) total order. Day-of-week is
+    * the portable epoch-mod-7 (Spark and DuckDB disagree on
+    * dayofweek's 0-base — the [[graft.operators.Warehouse]]
+    * association-panel lesson); hour is UTC. Zero-filled on the full
+    * 7×24 grid so the silent-cell pattern is visible, not absent.
+    *
+    * Scale shape: ONE data-sized groupBy onto ≤ 168 cells with
+    * map-side partials; grid fill and ranking are answer-sized. */
+  def q148ActivityHeatmap(spark: SparkSession, dir: String): DataFrame = {
+    val cells = t(spark, dir, "events")
+      .select(expr("pmod(datediff(to_date(ts), date'1970-01-01'), 7)")
+        .cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hr"),
+        (col("event_type") === "purchase").cast("long").as("is_p"))
+      .groupBy(col("dow"), col("hr"))
+      .agg(count(lit(1)).as("cnt"), sum(col("is_p")).as("purchases"))
+    val grid = spark.range(0, 7).select(col("id").as("dow"))
+      .crossJoin(spark.range(0, 24).select(col("id").as("hr")))
+      .join(cells, Seq("dow", "hr"), "left")
+      .select(col("dow"), col("hr"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"),
+        coalesce(col("purchases"), lit(0L)).as("purchases"))
+      .localCheckpoint(true) // consumed by the total + the peak rank
+    val tot = grid.agg(sum(col("cnt")).as("n"))
+    val peak = grid.orderBy(col("cnt").desc, col("dow"), col("hr")).limit(1)
+      .select(col("dow").as("pk_dow"), col("hr").as("pk_hr"))
+    grid.crossJoin(broadcast(tot)).crossJoin(broadcast(peak))
+      .select(col("dow"), col("hr"), col("cnt"),
+        expr("cnt * 10000 div n").as("share_bp"),
+        expr("CASE WHEN cnt > 0 THEN purchases * 10000 div cnt " +
+          "ELSE 0 END").as("purchase_rate_bp"),
+        (col("dow") === col("pk_dow") && col("hr") === col("pk_hr"))
+          .cast("long").as("is_peak"))
+      .orderBy(col("dow"), col("hr"))
+  }
+
+  val q148Sql: String =
+    """WITH cells AS (
+      | SELECT cast(date_diff('day', DATE '1970-01-01', cast(ts as date))
+      |   % 7 as bigint) AS dow,
+      |  cast(hour(ts) as bigint) AS hr,
+      |  cast(count(*) as bigint) AS cnt,
+      |  cast(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |    as bigint) AS purchases
+      | FROM events GROUP BY 1, 2),
+      |grid AS (
+      | SELECT d.dow, h.hr, coalesce(c.cnt, 0) AS cnt,
+      |  coalesce(c.purchases, 0) AS purchases
+      | FROM (SELECT unnest(range(0, 7)) AS dow) d
+      | CROSS JOIN (SELECT unnest(range(0, 24)) AS hr) h
+      | LEFT JOIN cells c ON c.dow = d.dow AND c.hr = h.hr),
+      |tot AS (SELECT cast(sum(cnt) as bigint) AS n FROM grid),
+      |peak AS (
+      | SELECT dow AS pk_dow, hr AS pk_hr FROM grid
+      | ORDER BY cnt DESC, dow, hr LIMIT 1)
+      |SELECT g.dow, g.hr, g.cnt,
+      | cast(g.cnt * 10000 // t.n as bigint) AS share_bp,
+      | cast(CASE WHEN g.cnt > 0 THEN g.purchases * 10000 // g.cnt
+      |   ELSE 0 END as bigint) AS purchase_rate_bp,
+      | cast(CASE WHEN g.dow = p.pk_dow AND g.hr = p.pk_hr
+      |   THEN 1 ELSE 0 END as bigint) AS is_peak
+      |FROM grid g, tot t, peak p
+      |ORDER BY g.dow, g.hr""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("q148_activity_heatmap", q148ActivityHeatmap, Some(q148Sql)),
     GQuery("q147_decomp_strength", q147DecompStrength, Some(q147Sql)),
     GQuery("q146_shift_share", q146ShiftShare, Some(q146Sql)),
     GQuery("q145_interrupted_ts", q145InterruptedTs, Some(q145Sql)),

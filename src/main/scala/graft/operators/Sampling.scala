@@ -1218,7 +1218,65 @@ object Sampling {
       | doc_id, source, src_rank, cast(key_micro as bigint) AS key_micro
       |FROM keyed ORDER BY pos""".stripMargin
 
+  /** LARGEST-REMAINDER QUOTA APPORTIONMENT (Hamilton's method — the
+    * apportionment algorithm, applied to the question every data-mix
+    * plan ends with: "given per-source weights and a batch budget of
+    * B documents, how many does each source get, EXACTLY?"). Floor
+    * quotas q_s = B·w_s div W leave r = B − Σq_s seats; the r
+    * largest remainders (B·w_s mod W, ties by source) each get one
+    * extra. All integer, exactly conserving B — the property
+    * proportional rounding by round() cannot give (it drifts by up
+    * to sources/2 either way). Weights here are per-source character
+    * mass, the same mass [[interleaveSources]] paces by.
+    *
+    * Scale shape: one groupBy(source), then 20-row arithmetic with
+    * a DistRank remainder ranking. */
+  def quotaApportionment(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 1000L
+    val mass = t(spark, dir, "documents")
+      .groupBy(col("source")).agg(sum(col("n_chars")).as("w"))
+      .localCheckpoint(true) // consumed by total + quotas
+    val tot = mass.agg(sum(col("w")).as("tw"))
+    val q = mass.crossJoin(broadcast(tot))
+      .withColumn("floor_quota", expr(s"$budget * w div tw"))
+      .withColumn("remainder", expr(s"($budget * w) % tw"))
+    val seats = q.agg((lit(budget) - sum(col("floor_quota"))).as("r"))
+    val ranked = graft.operators.DistRank.withRowNumber(
+      q, Seq(col("remainder").desc, col("source")), "rk")
+    ranked.crossJoin(broadcast(seats))
+      .withColumn("extra", (col("rk") <= col("r")).cast("long"))
+      .select(col("source"), col("w").as("mass"), col("floor_quota"),
+        col("remainder"), col("rk").as("remainder_rank"), col("extra"),
+        (col("floor_quota") + col("extra")).as("quota"))
+      .orderBy(col("source"))
+  }
+
+  val quotaApportionmentSql: String =
+    """WITH mass AS (
+      | SELECT source, cast(sum(n_chars) as bigint) AS w
+      | FROM documents GROUP BY source),
+      |tot AS (SELECT cast(sum(w) as bigint) AS tw FROM mass),
+      |q AS (
+      | SELECT m.source, m.w,
+      |  cast(1000 * m.w // t.tw as bigint) AS floor_quota,
+      |  cast((1000 * m.w) % t.tw as bigint) AS remainder
+      | FROM mass m, tot t),
+      |seats AS (
+      | SELECT cast(1000 - sum(floor_quota) as bigint) AS r FROM q),
+      |ranked AS (
+      | SELECT *, cast(row_number() OVER (ORDER BY remainder DESC, source)
+      |   as bigint) AS rk
+      | FROM q)
+      |SELECT ra.source, ra.w AS mass, ra.floor_quota, ra.remainder,
+      | ra.rk AS remainder_rank,
+      | cast(CASE WHEN ra.rk <= s.r THEN 1 ELSE 0 END as bigint) AS extra,
+      | ra.floor_quota + CASE WHEN ra.rk <= s.r THEN 1 ELSE 0 END AS quota
+      |FROM ranked ra, seats s
+      |ORDER BY ra.source""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("pipeline_quota_apportionment", quotaApportionment,
+      Some(quotaApportionmentSql)),
     GQuery("pipeline_interleave_sources", interleaveSources,
       Some(interleaveSourcesSql)),
     GQuery("sample_ht_estimate", htEstimate, Some(htEstimateSql)),

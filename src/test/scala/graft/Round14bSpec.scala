@@ -931,6 +931,49 @@ class Round14bSpec extends AnyFunSuite {
     }
   }
 
+  test("q148_activity_heatmap: full 168-cell grid, count conservation, " +
+      "exactly one peak at the true argmax") {
+    val got = operators.Analytics.q148ActivityHeatmap(spark, sf).collect()
+    assert(got.length == 7 * 24)
+    val nEvents = util.t(spark, sf, "events").count()
+    assert(got.map(_.getAs[Long]("cnt")).sum == nEvents)
+    val peaks = got.filter(_.getAs[Long]("is_peak") == 1)
+    assert(peaks.length == 1)
+    val maxCnt = got.map(_.getAs[Long]("cnt")).max
+    val wantPeak = got.filter(_.getAs[Long]("cnt") == maxCnt)
+      .minBy(r => (r.getAs[Long]("dow"), r.getAs[Long]("hr")))
+    assert(peaks.head.getAs[Long]("dow") == wantPeak.getAs[Long]("dow") &&
+      peaks.head.getAs[Long]("hr") == wantPeak.getAs[Long]("hr"))
+    for (r <- got) {
+      assert(r.getAs[Long]("share_bp") <= 10000)
+      assert(r.getAs[Long]("purchase_rate_bp") <= 10000)
+    }
+  }
+
+  test("pipeline_quota_apportionment: quotas conserve the budget " +
+      "EXACTLY, every quota is within 1 of its exact share, and the " +
+      "extra seats go to the largest remainders") {
+    val got = operators.Sampling.quotaApportionment(spark, sf).collect()
+    val B = 1000L
+    assert(got.map(_.getAs[Long]("quota")).sum == B,
+      "largest-remainder apportionment must conserve the budget exactly")
+    val tw = got.map(r => BigInt(r.getAs[Long]("mass"))).sum
+    for (r <- got) {
+      val exact = BigInt(B) * r.getAs[Long]("mass") // over tw
+      val fl = (exact / tw).toLong
+      assert(r.getAs[Long]("floor_quota") == fl)
+      assert(r.getAs[Long]("remainder") == (exact % tw).toLong)
+      val q = r.getAs[Long]("quota")
+      assert(q == fl || q == fl + 1, s"quota $q outside [floor, floor+1]")
+    }
+    // extras are exactly the top-r remainders under (remainder desc, source)
+    val sorted = got.sortBy(r =>
+      (-r.getAs[Long]("remainder"), r.getAs[String]("source")))
+    val rSeats = B - got.map(_.getAs[Long]("floor_quota")).sum
+    assert(sorted.take(rSeats.toInt).forall(_.getAs[Long]("extra") == 1))
+    assert(sorted.drop(rSeats.toInt).forall(_.getAs[Long]("extra") == 0))
+  }
+
   test("q141: tau_b = 1 on a perfectly concordant synthetic series") {
     // identity check of the formula wiring, not the data: x=y strictly
     // increasing means every pair is concordant and no ties exist
