@@ -5048,7 +5048,85 @@ object Analytics {
       |FROM grid g, tot t, peak p
       |ORDER BY g.dow, g.hr""".stripMargin
 
+  /** TWO-PROPORTION TEST on the 2×2 table — the A/B-testing
+    * workhorse (Pearson χ² on a fourfold table, algebraically
+    * z² for two proportions): did the PURCHASE SHARE of events
+    * change between the two halves of the timeline? χ² =
+    * n(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) is ONE exact integer rational
+    * — computed with a single committed floor in micro-units, every
+    * product in decimal(38,0)/HUGEINT ((ad−bc)² alone passes int64
+    * at ~10⁵ events). Committed χ²₀.₀₅ df=1 critical 3.841. The
+    * absolute-difference column (p₂−p₁ in micro) uses the signed
+    * shift identity.
+    *
+    * Scale shape: one data-sized aggregate to four cells. */
+  def q149ConversionAb(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(unix_micros(col("ts")).as("us"),
+        (col("event_type") === "purchase").cast("long").as("is_p"))
+    val bounds = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+    val cells = ev.crossJoin(broadcast(bounds))
+      .withColumn("h", (col("us") > col("mid")).cast("long"))
+      .agg(
+        sum(when(col("h") === 0, col("is_p")).otherwise(0L)).as("a"),
+        sum(when(col("h") === 0, lit(1L) - col("is_p")).otherwise(0L)).as("b"),
+        sum(when(col("h") === 1, col("is_p")).otherwise(0L)).as("c"),
+        sum(when(col("h") === 1, lit(1L) - col("is_p")).otherwise(0L)).as("d"))
+    cells
+      .withColumn("n", expr("a + b + c + d"))
+      .withColumn("chi2_micro", expr(
+        "cast(n as decimal(38,0)) " +
+          "* (cast(a as decimal(38,0)) * d - cast(b as decimal(38,0)) * c) " +
+          "* (cast(a as decimal(38,0)) * d - cast(b as decimal(38,0)) * c) " +
+          "* 1000000 div (cast(a + b as decimal(38,0)) * (c + d) " +
+          "* (a + c) * (b + d))"))
+      .select(col("a").as("conv_pre"), col("b").as("nonconv_pre"),
+        col("c").as("conv_post"), col("d").as("nonconv_post"),
+        expr("a * 1000000 div (a + b)").as("rate_pre_micro"),
+        expr("c * 1000000 div (c + d)").as("rate_post_micro"),
+        expr("(c * 1000000 div (c + d)) - (a * 1000000 div (a + b))")
+          .as("rate_delta_micro"),
+        col("chi2_micro"),
+        (col("chi2_micro") > 3841000L).cast("long").as("significant"))
+  }
+
+  val q149Sql: String =
+    """WITH ev AS (
+      | SELECT epoch_us(ts) AS us,
+      |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+      | FROM events),
+      |bounds AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+      |cells AS (
+      | SELECT
+      |  cast(sum(CASE WHEN us <= b.mid THEN is_p ELSE 0 END) as bigint)
+      |    AS a,
+      |  cast(sum(CASE WHEN us <= b.mid THEN 1 - is_p ELSE 0 END) as bigint)
+      |    AS b,
+      |  cast(sum(CASE WHEN us > b.mid THEN is_p ELSE 0 END) as bigint)
+      |    AS c,
+      |  cast(sum(CASE WHEN us > b.mid THEN 1 - is_p ELSE 0 END) as bigint)
+      |    AS d
+      | FROM ev, bounds b)
+      |SELECT a AS conv_pre, b AS nonconv_pre, c AS conv_post,
+      | d AS nonconv_post,
+      | cast(a * 1000000 // (a + b) as bigint) AS rate_pre_micro,
+      | cast(c * 1000000 // (c + d) as bigint) AS rate_post_micro,
+      | cast((c * 1000000 // (c + d)) - (a * 1000000 // (a + b)) as bigint)
+      |   AS rate_delta_micro,
+      | cast(cast(a + b + c + d as hugeint)
+      |  * (cast(a as hugeint) * d - cast(b as hugeint) * c)
+      |  * (cast(a as hugeint) * d - cast(b as hugeint) * c)
+      |  * 1000000 // (cast(a + b as hugeint) * (c + d) * (a + c) * (b + d))
+      |  as bigint) AS chi2_micro,
+      | cast(CASE WHEN cast(a + b + c + d as hugeint)
+      |  * (cast(a as hugeint) * d - cast(b as hugeint) * c)
+      |  * (cast(a as hugeint) * d - cast(b as hugeint) * c)
+      |  * 1000000 // (cast(a + b as hugeint) * (c + d) * (a + c) * (b + d))
+      |  > 3841000 THEN 1 ELSE 0 END as bigint) AS significant
+      |FROM cells""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("q149_conversion_ab", q149ConversionAb, Some(q149Sql)),
     GQuery("q148_activity_heatmap", q148ActivityHeatmap, Some(q148Sql)),
     GQuery("q147_decomp_strength", q147DecompStrength, Some(q147Sql)),
     GQuery("q146_shift_share", q146ShiftShare, Some(q146Sql)),

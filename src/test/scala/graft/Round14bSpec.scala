@@ -974,6 +974,38 @@ class Round14bSpec extends AnyFunSuite {
     assert(sorted.drop(rSeats.toInt).forall(_.getAs[Long]("extra") == 0))
   }
 
+  test("q149_conversion_ab: BigInt chi-square referee on the fourfold " +
+      "table, margin conservation, and the z-squared identity") {
+    val ev = util.t(spark, sf, "events")
+      .select(unix_micros(col("ts")),
+        (col("event_type") === "purchase").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val mid = (ev.map(_._1).min + ev.map(_._1).max) / 2
+    val a = ev.count(e => e._1 <= mid && e._2 == 1).toLong
+    val b = ev.count(e => e._1 <= mid && e._2 == 0).toLong
+    val c = ev.count(e => e._1 > mid && e._2 == 1).toLong
+    val d = ev.count(e => e._1 > mid && e._2 == 0).toLong
+    val r = operators.Analytics.q149ConversionAb(spark, sf).collect().head
+    assert(r.getAs[Long]("conv_pre") == a && r.getAs[Long]("nonconv_pre") == b)
+    assert(r.getAs[Long]("conv_post") == c && r.getAs[Long]("nonconv_post") == d)
+    val n = BigInt(a + b + c + d)
+    val det = BigInt(a) * d - BigInt(b) * c
+    val chi2 = n * det * det * 1000000 /
+      (BigInt(a + b) * (c + d) * (a + c) * (b + d))
+    assert(BigInt(r.getAs[Long]("chi2_micro")) == chi2)
+    assert(r.getAs[Long]("rate_pre_micro") == a * 1000000L / (a + b))
+    assert(r.getAs[Long]("rate_post_micro") == c * 1000000L / (c + d))
+    assert(r.getAs[Long]("rate_delta_micro") ==
+      r.getAs[Long]("rate_post_micro") - r.getAs[Long]("rate_pre_micro"))
+    // z² identity sanity: chi2 approximates (Δp)²·pooled-variance⁻¹;
+    // here just pin sign coherence — a larger |Δp| with these margins
+    // cannot yield chi2 = 0 unless Δ rounds to 0
+    if (r.getAs[Long]("rate_delta_micro") == 0)
+      assert(chi2 < 3841000, "flat rates cannot be significant")
+    assert(r.getAs[Long]("significant") ==
+      (if (chi2 > 3841000) 1L else 0L))
+  }
+
   test("q141: tau_b = 1 on a perfectly concordant synthetic series") {
     // identity check of the formula wiring, not the data: x=y strictly
     // increasing means every pair is concordant and no ties exist
