@@ -1704,7 +1704,74 @@ object Graph {
        |FROM per p JOIN mem USING (label), mm
        |ORDER BY community""".stripMargin
 
+  /** POWER-LAW TAIL EXPONENT via the Hill estimator (Hill, Ann.
+    * Stat. '75; the estimator Clauset-Shalizi-Newman '09 recommend
+    * as the MLE for discrete tails): α̂ = 1 + n_tail / Σ ln(d/d_min)
+    * over degrees d ≥ d_min — the scale-free claim behind every
+    * "hub" argument, MEASURED instead of assumed. d_min is the
+    * relative knob 2× the measured mean degree (the rich-club /
+    * k-core lesson: absolute cutoffs break across SFs). ln terms on
+    * bit-identical integer ratios, 6-dp, summed in decimal(18,6);
+    * the final α is one IEEE division of the committed operands.
+    *
+    * Scale shape: reads the persisted degree table, one aggregate —
+    * node-linear, nothing else. */
+  def powerlawAlpha(spark: SparkSession, dir: String): DataFrame = {
+    val deg = spark.read.parquet(s"${tradeGraphRoot(spark, dir)}/symdeg")
+      .select(col("src").as("node"), col("d")).distinct()
+      .localCheckpoint(true) // consumed by the mean pass + the tail pass
+    val knobs = deg.agg(count(lit(1)).as("n_nodes"),
+      expr("sum(d) div count(1)").as("mean_degree"))
+      .withColumn("d_min", col("mean_degree") * 2)
+    val tail = deg.crossJoin(broadcast(knobs))
+      .filter(col("d") >= col("d_min"))
+      .withColumn("lnr", round(log(col("d") / col("d_min")), 6))
+    tail.agg(max(col("n_nodes")).as("n_nodes"),
+        max(col("mean_degree")).as("mean_degree"),
+        max(col("d_min")).as("d_min"),
+        count(lit(1)).as("n_tail"),
+        sum(col("lnr").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("sum_ln"))
+      .select(col("n_nodes"), col("mean_degree"), col("d_min"),
+        col("n_tail"),
+        expr("n_tail * 10000 div n_nodes").as("tail_share_bp"),
+        col("sum_ln"),
+        when(col("sum_ln") > 0,
+          round(lit(1.0) + col("n_tail") / col("sum_ln"), 6)).as("alpha"))
+  }
+
+  val powerlawAlphaSql: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS c,
+      |                  CAST(l_suppkey * 2 + 1 AS BIGINT) AS s
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |edges AS (
+      |  SELECT c AS src, s AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT s AS src, c AS dst FROM pairs),
+      |deg AS (
+      |  SELECT src AS node, cast(count(*) as bigint) AS d
+      |  FROM edges GROUP BY src),
+      |knobs AS (
+      |  SELECT cast(count(*) as bigint) AS n_nodes,
+      |   cast(sum(d) // count(*) as bigint) AS mean_degree,
+      |   cast(sum(d) // count(*) as bigint) * 2 AS d_min
+      |  FROM deg),
+      |tail AS (
+      |  SELECT k.n_nodes, k.mean_degree, k.d_min,
+      |   round(ln(dg.d / cast(k.d_min as double)), 6) AS lnr
+      |  FROM deg dg, knobs k WHERE dg.d >= k.d_min)
+      |SELECT max(n_nodes) AS n_nodes, max(mean_degree) AS mean_degree,
+      | max(d_min) AS d_min, cast(count(*) as bigint) AS n_tail,
+      | cast(count(*) * 10000 // max(n_nodes) as bigint) AS tail_share_bp,
+      | cast(sum(cast(lnr as decimal(18,6))) as double) AS sum_ln,
+      | CASE WHEN cast(sum(cast(lnr as decimal(18,6))) as double) > 0
+      |  THEN round(1.0 + count(*) /
+      |   cast(sum(cast(lnr as decimal(18,6))) as double), 6) END AS alpha
+      |FROM tail""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("graph_powerlaw_alpha", powerlawAlpha, Some(powerlawAlphaSql)),
     GQuery("graph_conductance", conductance, Some(conductanceSql)),
     GQuery("graph_ktruss", ktruss, Some(ktrussSql)),
     GQuery("graph_betweenness", betweenness, Some(betweennessSql)),

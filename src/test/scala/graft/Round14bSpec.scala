@@ -1006,6 +1006,33 @@ class Round14bSpec extends AnyFunSuite {
       (if (chi2 > 3841000) 1L else 0L))
   }
 
+  test("graph_powerlaw_alpha: Hill referee from the raw degree table " +
+      "and alpha > 1 whenever a non-degenerate tail exists") {
+    val deg = spark.read.parquet(
+        s"${operators.Graph.tradeGraphRoot(spark, sf)}/symdeg")
+      .select(col("src"), col("d")).distinct()
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val n = deg.length.toLong
+    val meanDeg = deg.map(_._2).sum / n
+    val dMin = meanDeg * 2
+    val tail = deg.map(_._2).filter(_ >= dMin)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sumLn = tail.map(d => BigDecimal(r6(math.log(d.toDouble / dMin))))
+      .sum.toDouble
+    val r = operators.Graph.powerlawAlpha(spark, sf).collect().head
+    assert(r.getAs[Long]("n_nodes") == n)
+    assert(r.getAs[Long]("mean_degree") == meanDeg)
+    assert(r.getAs[Long]("d_min") == dMin)
+    assert(r.getAs[Long]("n_tail") == tail.length)
+    assert(math.abs(r.getAs[Double]("sum_ln") - sumLn) < 1e-9)
+    if (sumLn > 0) {
+      val alpha = r6(1.0 + tail.length / sumLn)
+      assert(math.abs(r.getAs[Double]("alpha") - alpha) < 1e-9)
+      assert(r.getAs[Double]("alpha") > 1.0, "Hill alpha is > 1 by form")
+    } else assert(r.isNullAt(r.fieldIndex("alpha")))
+  }
+
   test("q141: tau_b = 1 on a perfectly concordant synthetic series") {
     // identity check of the formula wiring, not the data: x=y strictly
     // increasing means every pair is concordant and no ties exist
