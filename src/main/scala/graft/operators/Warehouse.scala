@@ -2215,7 +2215,79 @@ object Warehouse {
       |FROM top t, chi2 c
       |ORDER BY cnt DESC, t.ending""".stripMargin
 
+  /** POWER ANALYSIS for the two-proportion test — the question every
+    * experiment review asks BEFORE reading
+    * [[graft.operators.Analytics.q149ConversionAb]]'s verdict: at
+    * the observed conversion rate, what sample gives what minimum
+    * detectable effect? Standard normal-approximation sizing
+    * n/arm = 2·p(1−p)·(z_{α/2}+z_β)²/Δ² at committed α = 0.05,
+    * power = 0.80 ((z₁+z₂)² committed as the integer micro constant
+    * 7848879). For each committed target MDE {1%, 0.5%, 0.1%}:
+    * required n by EXACT integer ceiling division — all-int64-safe at
+    * ANY scale because the numerator is capped by p(1−p) ≤ 1/4 in
+    * micro² (2·pq·C ≤ 3.93·10¹⁸ always); plus the MDE the CURRENT per-arm n
+    * already affords (one IEEE sqrt on bit-identical integer
+    * operands, rounded to micro). Feasibility flag per row.
+    *
+    * Scale shape: one data-sized aggregate to (purchases, total);
+    * then 3-row arithmetic. */
+  def metaPowerAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "events")
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("event_type") === "purchase").cast("long")).as("conv"))
+      .withColumn("p_micro", expr("conv * 1000000 div n_events"))
+      .withColumn("n_per_arm", expr("n_events div 2"))
+      .withColumn("pq", expr("p_micro * (1000000 - p_micro)"))
+    val targets = spark.range(0, 3)
+      .select(element_at(array(lit(10000L), lit(5000L), lit(1000L)),
+        (col("id") + 1).cast("int")).as("mde_target_micro"))
+    base.crossJoin(broadcast(targets))
+      .withColumn("n_required", expr(
+        "(2 * pq * 7848879 + 1000000 * mde_target_micro " +
+          "* mde_target_micro - 1) " +
+          "div (1000000 * mde_target_micro * mde_target_micro)"))
+      .withColumn("current_mde_micro", expr(
+        "cast(round(sqrt(cast(2 * pq * 7848879 as double) " +
+          "/ cast(1000000 * n_per_arm as double))) as bigint)"))
+      .select(col("p_micro"), col("n_per_arm"), col("current_mde_micro"),
+        col("mde_target_micro"), col("n_required"),
+        (col("n_required") <= col("n_per_arm")).cast("long").as("feasible"))
+      .orderBy(col("mde_target_micro").desc)
+  }
+
+  val metaPowerAnalysisSql: String =
+    """WITH base AS (
+      | SELECT cast(count(*) as bigint) AS n_events,
+      |  cast(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |    as bigint) AS conv
+      | FROM events),
+      |k AS (
+      | SELECT n_events, conv,
+      |  cast(conv * 1000000 // n_events as bigint) AS p_micro,
+      |  cast(n_events // 2 as bigint) AS n_per_arm
+      | FROM base),
+      |kk AS (
+      | SELECT *, p_micro * (1000000 - p_micro) AS pq FROM k),
+      |t AS (SELECT cast(unnest([10000, 5000, 1000]) as bigint)
+      |        AS mde_target_micro)
+      |SELECT kk.p_micro, kk.n_per_arm,
+      | cast(round(sqrt(cast(2 * kk.pq * 7848879 as double)
+      |   / cast(1000000 * kk.n_per_arm as double))) as bigint)
+      |   AS current_mde_micro,
+      | cast(t.mde_target_micro as bigint) AS mde_target_micro,
+      | cast((2 * kk.pq * 7848879
+      |   + 1000000 * t.mde_target_micro * t.mde_target_micro - 1)
+      |  // (1000000 * t.mde_target_micro * t.mde_target_micro)
+      |  as bigint) AS n_required,
+      | cast(CASE WHEN (2 * kk.pq * 7848879
+      |   + 1000000 * t.mde_target_micro * t.mde_target_micro - 1)
+      |  // (1000000 * t.mde_target_micro * t.mde_target_micro)
+      |  <= kk.n_per_arm THEN 1 ELSE 0 END as bigint) AS feasible
+      |FROM kk, t
+      |ORDER BY mde_target_micro DESC""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("meta_power_analysis", metaPowerAnalysis, Some(metaPowerAnalysisSql)),
     GQuery("meta_price_points", metaPricePoints, Some(metaPricePointsSql)),
     GQuery("meta_qq_drift", metaQqDrift, Some(metaQqDriftSql)),
     GQuery("meta_cramers_v", metaCramersV, Some(metaCramersVSql)),

@@ -1033,6 +1033,41 @@ class Round14bSpec extends AnyFunSuite {
     } else assert(r.isNullAt(r.fieldIndex("alpha")))
   }
 
+  test("meta_power_analysis: BigInt sizing referee, the ceiling " +
+      "property (n_required-1 would under-power), and MDE monotonicity") {
+    val got = operators.Warehouse.metaPowerAnalysis(spark, sf).collect()
+    assert(got.length == 3)
+    val n = util.t(spark, sf, "events").count()
+    val conv = util.t(spark, sf, "events")
+      .filter(col("event_type") === "purchase").count()
+    val p = conv * 1000000L / n
+    val pq = BigInt(p) * (1000000L - p)
+    for (r <- got) {
+      assert(r.getAs[Long]("p_micro") == p)
+      assert(r.getAs[Long]("n_per_arm") == n / 2)
+      val mde = BigInt(r.getAs[Long]("mde_target_micro"))
+      val den = BigInt(1000000) * mde * mde
+      val num = 2 * pq * 7848879
+      val want = (num + den - 1) / den
+      assert(BigInt(r.getAs[Long]("n_required")) == want)
+      // ceiling property: n_required satisfies the inequality and
+      // n_required - 1 does not (unless num divides exactly)
+      assert(want * den >= num)
+      assert((want - 1) * den < num)
+      assert(r.getAs[Long]("feasible") ==
+        (if (want <= n / 2) 1L else 0L))
+      val cur = r.getAs[Long]("current_mde_micro")
+      val curWant = math.round(math.sqrt(
+        num.toDouble / (BigInt(1000000) * (n / 2)).toDouble))
+      assert(cur == curWant, s"current MDE $cur vs $curWant")
+    }
+    // smaller target MDE must require more samples
+    val byMde = got.sortBy(-_.getAs[Long]("mde_target_micro"))
+      .map(_.getAs[Long]("n_required"))
+    assert(byMde.sorted.toSeq == byMde.toSeq, "n_required must increase " +
+      "as the target MDE shrinks")
+  }
+
   test("q141: tau_b = 1 on a perfectly concordant synthetic series") {
     // identity check of the formula wiring, not the data: x=y strictly
     // increasing means every pair is concordant and no ties exist
