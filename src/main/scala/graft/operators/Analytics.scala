@@ -5125,7 +5125,83 @@ object Analytics {
       |  > 3841000 THEN 1 ELSE 0 END as bigint) AS significant
       |FROM cells""".stripMargin
 
+  /** INDEX OF DISPERSION for lines-per-order (Fisher's variance-to-
+    * mean ratio; Cox & Lewis '66) — the first diagnostic on any COUNT
+    * variable: Poisson arrivals give D ≈ 1, clumping gives D > 1,
+    * regularity D < 1, and the χ² form (n−1)·D against df = n−1
+    * makes it a test. Exact integer path: per-order line counts, the
+    * population variance numerator n·Σc² − (Σc)² in
+    * decimal(38,0)/HUGEINT, D in micro as ONE committed floor
+    * D_micro = (n·Σc² − (Σc)²)·10⁶ div (n·Σc) — the n² of variance
+    * and the n of the mean cancel to n·Σc exactly, so no error
+    * compounds. Count histogram (min/max/mode) rides along; the
+    * committed two-sided normal approximation flags |D−1| beyond
+    * 2·√(2/(n−1)) (χ² normal limit), all in micro arithmetic with
+    * one IEEE sqrt.
+    *
+    * Scale shape: one groupBy(order), one moment aggregate. */
+  def q150Dispersion(spark: SparkSession, dir: String): DataFrame = {
+    val counts = t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // consumed by moments + mode
+    val mode = counts.groupBy(col("c")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("c")).limit(1)
+      .select(col("c").as("mode_lines"))
+    counts.agg(count(lit(1)).as("n_orders"),
+        sum(col("c")).as("total_lines"),
+        sum(expr("cast(c as decimal(38,0)) * c")).as("ss"),
+        min(col("c")).as("min_lines"), max(col("c")).as("max_lines"))
+      .withColumn("mean_micro", expr("total_lines * 1000000 div n_orders"))
+      .withColumn("d_micro", expr(
+        "(cast(n_orders as decimal(38,0)) * ss " +
+          "- cast(total_lines as decimal(38,0)) * total_lines) * 1000000 " +
+          "div (cast(n_orders as decimal(38,0)) * total_lines)"))
+      .withColumn("threshold_micro", expr(
+        "cast(round(2000000 * sqrt(2.0 / cast(n_orders - 1 as double))) " +
+          "as bigint)"))
+      .crossJoin(broadcast(mode))
+      .select(col("n_orders"), col("total_lines"), col("min_lines"),
+        col("max_lines"), col("mode_lines"), col("mean_micro"),
+        col("d_micro"), col("threshold_micro"),
+        (abs(col("d_micro") - 1000000L) > col("threshold_micro"))
+          .cast("long").as("non_poisson"))
+  }
+
+  val q150Sql: String =
+    """WITH counts AS (
+      | SELECT l_orderkey, cast(count(*) as bigint) AS c
+      | FROM lineitem GROUP BY 1),
+      |mode AS (
+      | SELECT c AS mode_lines FROM (
+      |  SELECT c, count(*) AS f FROM counts GROUP BY c
+      |  ORDER BY f DESC, c LIMIT 1)),
+      |m AS (
+      | SELECT cast(count(*) as bigint) AS n_orders,
+      |  cast(sum(c) as bigint) AS total_lines,
+      |  sum(cast(c as hugeint) * c) AS ss,
+      |  cast(min(c) as bigint) AS min_lines,
+      |  cast(max(c) as bigint) AS max_lines
+      | FROM counts)
+      |SELECT m.n_orders, m.total_lines, m.min_lines, m.max_lines,
+      | mo.mode_lines,
+      | cast(m.total_lines * 1000000 // m.n_orders as bigint) AS mean_micro,
+      | cast((cast(m.n_orders as hugeint) * m.ss
+      |   - cast(m.total_lines as hugeint) * m.total_lines) * 1000000
+      |  // (cast(m.n_orders as hugeint) * m.total_lines) as bigint)
+      |  AS d_micro,
+      | cast(round(2000000 * sqrt(2.0 / cast(m.n_orders - 1 as double)))
+      |   as bigint) AS threshold_micro,
+      | cast(CASE WHEN abs(cast((cast(m.n_orders as hugeint) * m.ss
+      |   - cast(m.total_lines as hugeint) * m.total_lines) * 1000000
+      |  // (cast(m.n_orders as hugeint) * m.total_lines) as bigint)
+      |  - 1000000) >
+      |  cast(round(2000000 * sqrt(2.0 / cast(m.n_orders - 1 as double)))
+      |    as bigint)
+      |  THEN 1 ELSE 0 END as bigint) AS non_poisson
+      |FROM m, mode mo""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("q150_dispersion", q150Dispersion, Some(q150Sql)),
     GQuery("q149_conversion_ab", q149ConversionAb, Some(q149Sql)),
     GQuery("q148_activity_heatmap", q148ActivityHeatmap, Some(q148Sql)),
     GQuery("q147_decomp_strength", q147DecompStrength, Some(q147Sql)),

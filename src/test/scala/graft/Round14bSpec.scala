@@ -1068,6 +1068,31 @@ class Round14bSpec extends AnyFunSuite {
       "as the target MDE shrinks")
   }
 
+  test("q150_dispersion: BigInt moment referee, the exact n-cancellation " +
+      "identity, and a truthful non-Poisson flag") {
+    val counts = util.t(spark, sf, "lineitem")
+      .groupBy(col("l_orderkey")).agg(count(lit(1)))
+      .collect().map(_.getLong(1))
+    val n = BigInt(counts.length)
+    val tot = BigInt(counts.sum)
+    val ss = counts.map(c => BigInt(c) * c).sum
+    val dMicro = (n * ss - tot * tot) * 1000000 / (n * tot)
+    val r = operators.Analytics.q150Dispersion(spark, sf).collect().head
+    assert(r.getAs[Long]("n_orders") == counts.length)
+    assert(r.getAs[Long]("total_lines") == counts.sum)
+    assert(BigInt(r.getAs[Long]("d_micro")) == dMicro)
+    assert(r.getAs[Long]("min_lines") == counts.min)
+    assert(r.getAs[Long]("max_lines") == counts.max)
+    val modeWant = counts.groupBy(identity).toSeq
+      .maxBy { case (c, v) => (v.length, -c) }._1
+    assert(r.getAs[Long]("mode_lines") == modeWant)
+    val thr = math.round(2000000 *
+      math.sqrt(2.0 / (counts.length - 1).toDouble))
+    assert(r.getAs[Long]("threshold_micro") == thr)
+    assert(r.getAs[Long]("non_poisson") ==
+      (if ((dMicro - 1000000).abs > thr) 1L else 0L))
+  }
+
   test("q141: tau_b = 1 on a perfectly concordant synthetic series") {
     // identity check of the formula wiring, not the data: x=y strictly
     // increasing means every pair is concordant and no ties exist
