@@ -2286,7 +2286,53 @@ object Warehouse {
       |FROM kk, t
       |ORDER BY mde_target_micro DESC""".stripMargin
 
+  /** GINI COEFFICIENT PER SEGMENT — the inequality DRILLDOWN beside
+    * the corpus-level [[metaGini]]: concentration of order value
+    * inside each order-priority class, via the rank formula
+    * G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) over ascending within-segment
+    * ranks. The numerator is non-negative BY THE REARRANGEMENT
+    * INEQUALITY (ascending order maximizes Σi·xᵢ), so one committed
+    * truncating division in decimal(38,0)/HUGEINT gives exact bp
+    * (Σi·xᵢ ≈ rank·value passes int64 at ~10⁵ orders × 10⁷ cents).
+    * Ranks are per-segment windows (partitioned — never global).
+    *
+    * Scale shape: one data-sized rank per segment partition, one
+    * aggregate; 5-row output. */
+  def metaGiniSegments(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("seg"))
+      .orderBy(col("v"), col("o_orderkey"))
+    val ranked = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority").as("seg"),
+        round(col("o_totalprice") * 100).cast("long").as("v"))
+      .withColumn("i", row_number().over(w).cast("long"))
+    ranked.groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v")).as("total_cents"),
+        sum(expr("cast(i as decimal(38,0)) * v")).as("iv"))
+      .withColumn("gini_bp", expr(
+        "(2 * iv - cast(n + 1 as decimal(38,0)) * total_cents) * 10000 " +
+          "div (cast(n as decimal(38,0)) * total_cents)"))
+      .select(col("seg"), col("n"), col("total_cents"),
+        col("gini_bp").cast("long").as("gini_bp"))
+      .orderBy(col("seg"))
+  }
+
+  val metaGiniSegmentsSql: String =
+    """WITH ranked AS (
+      | SELECT o_orderpriority AS seg,
+      |  cast(round(o_totalprice * 100) as bigint) AS v,
+      |  cast(row_number() OVER (PARTITION BY o_orderpriority
+      |    ORDER BY round(o_totalprice * 100), o_orderkey) as bigint) AS i
+      | FROM orders)
+      |SELECT seg, cast(count(*) as bigint) AS n,
+      | cast(sum(v) as bigint) AS total_cents,
+      | cast((2 * sum(cast(i as hugeint) * v)
+      |   - cast(count(*) + 1 as hugeint) * sum(v)) * 10000
+      |  // (cast(count(*) as hugeint) * sum(v)) as bigint) AS gini_bp
+      |FROM ranked GROUP BY seg ORDER BY seg""".stripMargin
+
   val all: Seq[GQuery] = Seq(
+    GQuery("meta_gini_segments", metaGiniSegments, Some(metaGiniSegmentsSql)),
     GQuery("meta_power_analysis", metaPowerAnalysis, Some(metaPowerAnalysisSql)),
     GQuery("meta_price_points", metaPricePoints, Some(metaPricePointsSql)),
     GQuery("meta_qq_drift", metaQqDrift, Some(metaQqDriftSql)),

@@ -1093,6 +1093,33 @@ class Round14bSpec extends AnyFunSuite {
       (if ((dMicro - 1000000).abs > thr) 1L else 0L))
   }
 
+  test("meta_gini_segments: BigInt rank-formula referee per segment, " +
+      "bounds [0, 10000), and equal-values => 0 identity") {
+    val raw = util.t(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val got = operators.Warehouse.metaGiniSegments(spark, sf).collect()
+    assert(got.length == 5)
+    for (r <- got) {
+      val seg = r.getAs[String]("seg")
+      val vs = raw.filter(_._2 == seg).sortBy(t => (t._3, t._1)).map(_._3)
+      val n = BigInt(vs.length)
+      val tot = vs.map(BigInt(_)).sum
+      val iv = vs.zipWithIndex.map { case (v, i) => BigInt(i + 1) * v }.sum
+      val gini = (2 * iv - (n + 1) * tot) * 10000 / (n * tot)
+      assert(r.getAs[Long]("n") == vs.length)
+      assert(BigInt(r.getAs[Long]("total_cents")) == tot)
+      assert(BigInt(r.getAs[Long]("gini_bp")) == gini, s"gini at $seg")
+      assert(r.getAs[Long]("gini_bp") >= 0 &&
+        r.getAs[Long]("gini_bp") < 10000)
+    }
+    // identity: equal values give exactly zero by the rank formula
+    val eq = Seq.fill(7)(100L)
+    val ivEq = eq.zipWithIndex.map { case (v, i) => BigInt(i + 1) * v }.sum
+    assert(2 * ivEq - BigInt(8) * eq.sum == 0)
+  }
+
   test("q141: tau_b = 1 on a perfectly concordant synthetic series") {
     // identity check of the formula wiring, not the data: x=y strictly
     // increasing means every pair is concordant and no ties exist
