@@ -4282,9 +4282,13 @@ object Analytics {
     agg.crossJoin(broadcast(n))
       .select(col("n_months"), col("n_pairs"), col("concordant"),
         col("discordant"), col("tied_x"), col("tied_y"),
-        expr("round((concordant - discordant) / " +
+        // a fully-tied series makes the denominator 0 (0/0 → NaN in
+        // Spark vs float-div in DuckDB): tau_b is undefined there, so
+        // return NULL — the degenerate-V guard discipline
+        expr("CASE WHEN n_pairs > tied_x AND n_pairs > tied_y THEN " +
+          "round((concordant - discordant) / " +
           "(sqrt(cast(n_pairs - tied_x as double)) * " +
-          "sqrt(cast(n_pairs - tied_y as double))), 6)").as("tau_b"))
+          "sqrt(cast(n_pairs - tied_y as double))), 6) END").as("tau_b"))
   }
 
   val q141Sql: String =
@@ -4309,9 +4313,10 @@ object Analytics {
       |n AS (SELECT cast(count(*) as bigint) AS n_months FROM monthly)
       |SELECT n.n_months, a.n_pairs, a.concordant, a.discordant,
       | a.tied_x, a.tied_y,
-      | round((a.concordant - a.discordant) /
-      |  (sqrt(cast(a.n_pairs - a.tied_x as double)) *
-      |   sqrt(cast(a.n_pairs - a.tied_y as double))), 6) AS tau_b
+      | CASE WHEN a.n_pairs > a.tied_x AND a.n_pairs > a.tied_y THEN
+      |  round((a.concordant - a.discordant) /
+      |   (sqrt(cast(a.n_pairs - a.tied_x as double)) *
+      |    sqrt(cast(a.n_pairs - a.tied_y as double))), 6) END AS tau_b
       |FROM agg a, n""".stripMargin
 
   /** KRUSKAL–WALLIS one-way rank test (Kruskal & Wallis, JASA '52) —
@@ -4367,8 +4372,12 @@ object Analytics {
       .withColumn("h_micro", expr(
         "cast(s4 as decimal(38,0)) * 12000000 div (n * (n + 1)) " +
           "- 3000000 * (n + 1)"))
+      // clamp at 0 before the tie-correction multiply: true H is
+      // non-negative; committed per-group truncations can push h_micro
+      // a few rank-units below 0, and a negative dividend is where
+      // Spark div (truncate) and DuckDB // diverge
       .withColumn("h_corr_micro", expr(
-        "cast(h_micro as decimal(38,0)) " +
+        "cast(greatest(h_micro, 0) as decimal(38,0)) " +
           "* (cast(n as decimal(38,0)) * n * n - n) " +
           "div (cast(n as decimal(38,0)) * n * n - n - tsum)"))
       .select(col("n").as("n_total"), col("tsum").as("tie_sum"),
@@ -4412,8 +4421,8 @@ object Analytics {
       | SELECT t.n AS n_total, t.tsum AS tie_sum,
       |  cast(cast(s.s4 as hugeint) * 12000000 // (t.n * (t.n + 1))
       |   - 3000000 * (t.n + 1) as bigint) AS h_micro,
-      |  cast((cast(s.s4 as hugeint) * 12000000 // (t.n * (t.n + 1))
-      |    - 3000000 * (t.n + 1))
+      |  cast(greatest(cast(s.s4 as hugeint) * 12000000 // (t.n * (t.n + 1))
+      |    - 3000000 * (t.n + 1), 0)
       |   * (cast(t.n as hugeint) * t.n * t.n - t.n)
       |   // (cast(t.n as hugeint) * t.n * t.n - t.n - t.tsum) as bigint)
       |   AS h_corr_micro

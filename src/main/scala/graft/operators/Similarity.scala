@@ -2568,7 +2568,10 @@ ORDER BY q_id, pick"""
       |      sqrt(list_dot_product(e.v, e.v))), 6) DESC, e.vec_id) AS rk
       |  FROM q JOIN e ON e.vec_id <> q.q_id)
       | WHERE rk <= 5),
-      |dims AS (SELECT unnest(range(1, 65)) AS pos),
+      |-- dims from the DATA (Spark derives them via posexplode): a
+      |-- hardcoded width would silently truncate if the table changed
+      |dims AS (SELECT unnest(range(1, (SELECT len(v) FROM e LIMIT 1) + 1))
+      |         AS pos),
       |fb AS (
       | SELECT r.q_id, p.pos, sum(e.v[p.pos]) AS s
       | FROM r1 r JOIN e ON e.vec_id = r.neighbor_id, dims p

@@ -2389,13 +2389,20 @@ GROUP BY d.doc_id ORDER BY d.doc_id"""
         Seq("s2", "bucket"), "left")
       .withColumn("a", coalesce(col("c1"), lit(0L)))
       .withColumn("b", coalesce(col("c2"), lit(0L)))
+      // log-argument products in decimal(38,0) (DuckDB mirrors in
+      // HUGEINT): c·n' wraps int64 once per-source token counts pass
+      // ~2e9 — the chi-square-entry widening discipline applies here too
+      .withColumn("den", expr("cast(cast(a as decimal(38,0)) * n2 " +
+        "+ cast(b as decimal(38,0)) * n1 as double)"))
       .withColumn("t1", when(col("a") > 0, round(
-        (col("a") / col("n1")) * log((lit(2) * col("a") * col("n2")) /
-          (col("a") * col("n2") + col("b") * col("n1"))) / 2, 6))
+        (col("a") / col("n1")) * log(
+          expr("cast(cast(a as decimal(38,0)) * n2 * 2 as double)") /
+            col("den")) / 2, 6))
         .otherwise(lit(0.0)))
       .withColumn("t2", when(col("b") > 0, round(
-        (col("b") / col("n2")) * log((lit(2) * col("b") * col("n1")) /
-          (col("a") * col("n2") + col("b") * col("n1"))) / 2, 6))
+        (col("b") / col("n2")) * log(
+          expr("cast(cast(b as decimal(38,0)) * n1 * 2 as double)") /
+            col("den")) / 2, 6))
         .otherwise(lit(0.0)))
     cells.groupBy(col("s1"), col("s2"))
       .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
@@ -2430,10 +2437,14 @@ GROUP BY d.doc_id ORDER BY d.doc_id"""
        |terms AS (
        | SELECT s1, s2, n1, n2,
        |  CASE WHEN a > 0 THEN round((a / cast(n1 as double)) *
-       |    ln((2 * a * n2) / cast(a * n2 + b * n1 as double)) / 2, 6)
+       |    ln(cast(2 * cast(a as hugeint) * n2 as double) /
+       |       cast(cast(a as hugeint) * n2 + cast(b as hugeint) * n1
+       |            as double)) / 2, 6)
        |   ELSE 0.0 END AS t1,
        |  CASE WHEN b > 0 THEN round((b / cast(n2 as double)) *
-       |    ln((2 * b * n1) / cast(a * n2 + b * n1 as double)) / 2, 6)
+       |    ln(cast(2 * cast(b as hugeint) * n1 as double) /
+       |       cast(cast(a as hugeint) * n2 + cast(b as hugeint) * n1
+       |            as double)) / 2, 6)
        |   ELSE 0.0 END AS t2
        | FROM cells)
        |SELECT s1, s2, max(n1) AS n1, max(n2) AS n2,

@@ -1975,14 +1975,24 @@ object Warehouse {
     val n = cells.agg(sum(col("o")).as("n"),
       countDistinct(col("a")).as("r_levels"),
       countDistinct(col("b")).as("c_levels"))
-    cells.join(broadcast(rt), Seq("a")).join(broadcast(ct), Seq("b"))
-      .crossJoin(broadcast(n))
+    // ZERO-FILL the full r×c grid: structural-zero cells (level pairs
+    // never observed together) still contribute rt·ct/N to χ² —
+    // cells-only accumulation understates χ² and V on sparse tables.
+    // The rt × ct cross join IS the grid with margins pre-attached
+    // (r·c rows, both sides cells-sized); observed counts left-join in.
+    val grid = broadcast(rt).crossJoin(broadcast(ct))
+      .join(cells, Seq("a", "b"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+    grid.crossJoin(broadcast(n))
       .withColumn("num", expr("o * n - rt * ct"))
       .withColumn("chi2_cell_micro", expr(
         "cast(num as decimal(38,0)) * num * 1000000 " +
           "div (cast(rt as decimal(38,0)) * ct * n)"))
-      .withColumn("mi_term", round((col("o") / col("n")) *
-        log((col("o") * col("n")) / (col("rt") * col("ct"))), 6))
+      // x·ln(x) → 0 as x → 0: zero cells contribute nothing to MI
+      .withColumn("mi_term", when(col("o") > 0,
+        round((col("o") / col("n")) *
+          log((col("o") * col("n")) / (col("rt") * col("ct"))), 6))
+        .otherwise(lit(0.0)))
       .agg(max(col("n")).as("n"),
         max(col("r_levels")).as("r_levels"),
         max(col("c_levels")).as("c_levels"),
@@ -2044,18 +2054,25 @@ object Warehouse {
        |  max(c_levels) AS c_levels,
        |  cast(sum(cast(num as hugeint) * num * 1000000
        |    // (cast(rt as hugeint) * ct * n)) as bigint) AS chi2_micro,
-       |  cast(sum(cast(round((o / cast(n as double)) *
-       |    ln((o * n) / cast(rt * ct as double)), 6) as decimal(18,6)))
-       |    as double) AS mi_nats
+       |  cast(sum(cast(CASE WHEN o > 0 THEN round((o / cast(n as double)) *
+       |    ln((o * n) / cast(rt * ct as double)), 6) ELSE 0 END
+       |    as decimal(18,6))) as double) AS mi_nats
        | FROM (
-       |  SELECT c.o, c.rt, c.ct, t.n, t.r_levels, t.c_levels,
-       |   c.o * t.n - c.rt * c.ct AS num
+       |  WITH cells AS (
+       |   SELECT $a AS a, $b AS b, cast(count(*) as bigint) AS o
+       |   FROM $from GROUP BY 1, 2),
+       |  rmarg AS (SELECT a, cast(sum(o) as bigint) AS rt
+       |            FROM cells GROUP BY 1),
+       |  cmarg AS (SELECT b, cast(sum(o) as bigint) AS ct
+       |            FROM cells GROUP BY 1)
+       |  -- zero-filled r x c grid: structural zeros contribute rt*ct/N
+       |  SELECT g.o, g.rt, g.ct, t.n, t.r_levels, t.c_levels,
+       |   g.o * t.n - g.rt * g.ct AS num
        |  FROM (
-       |   SELECT a, b, o,
-       |    sum(o) OVER (PARTITION BY a) AS rt,
-       |    sum(o) OVER (PARTITION BY b) AS ct
-       |   FROM (SELECT $a AS a, $b AS b, cast(count(*) as bigint) AS o
-       |         FROM $from GROUP BY 1, 2)) c,
+       |   SELECT rmarg.a, cmarg.b, rmarg.rt, cmarg.ct,
+       |    coalesce(c.o, 0) AS o
+       |   FROM rmarg CROSS JOIN cmarg
+       |   LEFT JOIN cells c ON c.a = rmarg.a AND c.b = cmarg.b) g,
        |   (SELECT cast(count(*) as bigint) AS n,
        |     cast(count(distinct $a) as bigint) AS r_levels,
        |     cast(count(distinct $b) as bigint) AS c_levels
