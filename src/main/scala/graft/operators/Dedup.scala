@@ -2125,10 +2125,13 @@ object Dedup {
     * its content hash occurs more than once corpus-wide. Per-doc
     * ledger: chunks, dup chunks, dup tokens, dup share in bp.
     *
-    * Scale shape: everything is token-linear — the window hash is an
-    * 8-way self-equi-join on (doc, pos−j) against the broadcast power
-    * table, chunk assembly is a per-doc prefix count (partitioned
-    * window), and the dup test is one equi-join on the chunk-hash
+    * Scale shape: everything is token-linear in ONE window pass — the
+    * 8-term polynomial is 7 `lag(len, j)` columns over the (doc, pos)
+    * window, the cut flag is a mod test on the same row, and the
+    * chunk id is the running cut count over the SAME partition/order
+    * (one sort, zero joins, no 8× row materialization — the r14 plan
+    * paid an 8-way self-equi-join through a shuffle for the identical
+    * polynomial). The dup test stays one equi-join on the chunk-hash
     * table (chunk-linear). No content shuffle is wider than a chunk
     * row. Fully hash-green: the polynomial, the cuts, the md5s, and
     * the ledger all replay relationally in DuckDB. */
@@ -2137,25 +2140,20 @@ object Dedup {
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos0", "tok")))
       .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
         col("tok"), length(col("tok")).cast("long").as("len"))
-      .localCheckpoint(true) // consumed by the hash join (×2 sides) + assembly
-    val powers = spark.createDataFrame(
-      (0 until cdcWin).map(j => (j.toLong, (0 until j)
-        .foldLeft(1L)((a, _) => a * cdcBase)))).toDF("j", "pj")
-    // h(pos) over lens at pos-7..pos: Σ len(pos-j)·17^j mod M, pos ≥ 8
-    val h = toks.select(col("doc_id"), col("pos"))
-      .crossJoin(broadcast(powers))
-      .join(toks.select(col("doc_id").as("qdoc"), col("pos").as("q"), col("len")),
-        col("qdoc") === col("doc_id") && col("q") === col("pos") - col("j"))
-      .groupBy(col("doc_id"), col("pos"))
-      .agg((sum(col("len") * col("pj")) % cdcMod).as("h"),
-        count(lit(1)).as("nw"))
-      .filter(col("nw") === cdcWin) // full windows only (pos ≥ 8)
-    val cuts = h.select(col("doc_id"), col("pos"),
-      (col("h") % cdcMask === cdcMask - 1).cast("long").as("cut"))
-    val wPre = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val assigned = toks.join(cuts.select(col("doc_id"), col("pos"), col("cut")),
-        Seq("doc_id", "pos"), "left")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val wPre = w.rowsBetween(Window.unboundedPreceding, -1)
+    // h(pos) over lens at pos-7..pos: Σ len(pos-j)·17^j mod M, pos ≥ 8.
+    // Max term len·17^7 ≈ 4e10·len — int64-safe for any token length.
+    val hExpr = (0 until cdcWin).map { j =>
+      val pj = (0 until j).foldLeft(1L)((a, _) => a * cdcBase)
+      (if (j == 0) col("len") else lag(col("len"), j).over(w)) * lit(pj)
+    }.reduce(_ + _) % cdcMod
+    val assigned = toks
+      // full windows only (pos ≥ 8); lags are non-null there since
+      // positions are contiguous 1..n per doc
+      .withColumn("h", when(col("pos") >= cdcWin, hExpr))
+      .withColumn("cut",
+        coalesce((col("h") % cdcMask === cdcMask - 1).cast("long"), lit(0L)))
       .withColumn("chunk_id",
         coalesce(sum(col("cut")).over(wPre), lit(0L)))
     val chunks = assigned.groupBy(col("doc_id"), col("chunk_id"))
