@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-15 specs for the self-healing bench-of-record: (1) the
+  * per-query requote detector laws on synthetic inflated timings —
+  * the r14 driver artifact's burst victims (3.6–13.7× their quiet
+  * pins) must all flag while honest round-over-round drift (≤ ~2×)
+  * and pinless/zero-pin entries never do; (2) the committed-detail
+  * pin parser on real and degenerate inputs, including the
+  * auto-refresh property that the sentinel pins come from the
+  * committed close, not code constants; (3) the targeted-run detail
+  * filename switch — a SPARK_GRAFT_BENCH_ONLY run must never clobber
+  * the full-registry BENCH_DETAIL.json (r14 lost the driver's
+  * 434-entry close to exactly that).
+  */
+class Round15Spec extends AnyFunSuite {
+
+  test("requote detector: burst victims over 3x their pin flag, honest " +
+      "drift and pinless entries do not, output is name-sorted") {
+    val pins = Map("a" -> 0.17, "b" -> 0.40, "c" -> 2.09, "d" -> 1.0,
+      "zero" -> 0.0, "neg" -> -1.0)
+    // r14 artifact shapes: kt_mapvalues 0.17->2.30 (13.5x),
+    // sample_walk_forward 0.40->4.51 (11.3x), text_ccnet_buckets
+    // 2.09->15.15 (7.2x); "d" drifts an honest 2x; "new" has no pin
+    val measured = Map("a" -> 2.30, "b" -> 4.51, "c" -> 15.15,
+      "d" -> 2.0, "new" -> 9.9, "zero" -> 5.0, "neg" -> 5.0)
+    assert(Bench.requoteNames(measured, pins) == Seq("a", "b", "c"))
+    // exactly at the factor is NOT over it
+    assert(Bench.requoteNames(Map("d" -> 3.0), pins).isEmpty)
+    assert(Bench.requoteNames(Map("d" -> 3.001), pins) == Seq("d"))
+    // no pins at all -> nothing to compare against
+    assert(Bench.requoteNames(measured, Map.empty).isEmpty)
+  }
+
+  test("detail pin parser: extracts the queries object, survives " +
+      "missing/empty/truncated JSON, and the committed close parses " +
+      "with live sentinel pins in it") {
+    val sample = """{"metric":"total","value":317.3,"unit":"sec","n":429,""" +
+      """"queries":{"q1_agg":0.5,"graph_triangles":0.18,"x":1.2e-1},""" +
+      """"amortized":["q1_agg"],"load1_pre":0.9,"contended":false}"""
+    val got = Bench.parseDetailQueries(sample)
+    assert(got == Map("q1_agg" -> 0.5, "graph_triangles" -> 0.18, "x" -> 0.12))
+    assert(Bench.parseDetailQueries("").isEmpty)
+    assert(Bench.parseDetailQueries("{\"metric\":\"total\"}").isEmpty)
+    assert(Bench.parseDetailQueries("{\"queries\":{").isEmpty)
+    // the committed full-registry close must carry every sentinel, so
+    // the canary auto-refreshes instead of rotting on code constants
+    val committed = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("BENCH_DETAIL.json")), "UTF-8")
+    val pins = Bench.parseDetailQueries(committed)
+    assert(pins.size > 400, s"committed close parsed only ${pins.size} pins")
+    for (name <- Bench.sentinelFallbackPins.keys) {
+      assert(pins.get(name).exists(_ > 0), s"sentinel $name missing from close")
+    }
+    // the live-pin merge prefers the committed value
+    for ((name, pin) <- Bench.sentinelPins) {
+      assert(pin == pins(name), s"live pin for $name not from the close")
+    }
+  }
+
+  test("targeted bench runs write a name-keyed sidecar, never the " +
+      "full-registry detail file") {
+    assert(Bench.detailFileName(None) == "BENCH_DETAIL.json")
+    val a = Bench.detailFileName(Some(Set("q1_agg", "q2_filter_project")))
+    assert(a.startsWith("BENCH_DETAIL_only_") && a.endsWith(".json"))
+    // deterministic and order-insensitive (Set iteration order varies)
+    assert(a == Bench.detailFileName(Some(Set("q2_filter_project", "q1_agg"))))
+    // different selections get different sidecars
+    val b = Bench.detailFileName(Some(Set("q1_agg")))
+    assert(b != a && b != "BENCH_DETAIL.json")
+  }
+}
