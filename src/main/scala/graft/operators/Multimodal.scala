@@ -26,13 +26,19 @@ object Multimodal {
   /** Media row shape used by the typed decode stage. */
   case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
 
-  /** Unified decode output: image fields are -1 for audio rows and
-    * vice versa (one wide row beats a union of per-modality tables —
-    * the downstream filter prunes by media_type). */
-  case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Long,
-      width: Int, height: Int, mean_r: Double, mean_g: Double, mean_b: Double,
-      mean_luma: Double, half_width: Int, half_height: Int,
-      sample_rate: Int, n_samples: Int, mean_abs: Double, zero_crossings: Long)
+  /** Raw codec accumulations per media row — the ONLY engine-side
+    * (non-relational) stage of the decode entries: integer channel /
+    * amplitude sums straight out of the byte plane, plus the actually
+    * downsampled dims. Image fields are -1 for audio rows and vice
+    * versa (one wide row beats a union of per-modality tables — the
+    * downstream filter prunes by media_type). Everything DOWNSTREAM
+    * of these sums (micro-unit means, Rec.601 luma, the floor-halved
+    * dim law, ordering) is relational and replays in DuckDB from the
+    * sidecar. */
+  case class MediaRawSums(doc_id: Long, media_type: String, n_bytes: Long,
+      width: Int, height: Int, sum_r: Long, sum_g: Long, sum_b: Long,
+      half_width: Int, half_height: Int,
+      sample_rate: Int, n_samples: Int, sum_abs: Long, zero_crossings: Long)
 
   /** Bundle text + embedding + metadata into one multimodal struct
     * column and read typed fields back out (schema-evolution select).
@@ -126,33 +132,103 @@ object Multimodal {
     * codec needs (each partition decodes its media locally; nothing
     * wide ever shuffles). The codec is chosen by CONTAINER DETECTION
     * (RIFF magic vs PPM magic), not by trusting the metadata column:
-    * images get header parse + channel means + Rec.601 luma + 2× box
-    * downsample, audio gets chunk walk + amplitude stats. */
+    * images get header parse + channel sums + a real 2× box
+    * downsample, audio gets chunk walk + amplitude accumulations.
+    *
+    * Hash-green discipline (the `mm_scene_cuts` pattern): the codec
+    * emits RAW INTEGER SUMS to a sidecar; every stat column is a
+    * committed truncating division in micro-units computed
+    * relationally from those sums, so DuckDB replays the whole
+    * feature stage and only the byte-plane loops stay engine-side.
+    * Micro-mean bounds: sums ≤ 255·n_px, so sum·10⁶ fits int64 to
+    * ~3.6e10 px/image (and 32768·10⁶-scale for audio) — answer-safe
+    * for any decodable frame. */
   def decodeFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    mediaTable(spark, dir).mapPartitions { rows =>
+    val raw = mediaTable(spark, dir).mapPartitions { rows =>
       rows.map { r =>
         val isRiff = r.payload.length >= 4 && r.payload(0) == 'R' &&
           r.payload(1) == 'I' && r.payload(2) == 'F' && r.payload(3) == 'F'
         if (isRiff) {
-          val f = Wav.features(r.payload)
-          MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong,
-            -1, -1, -1.0, -1.0, -1.0, -1.0, -1, -1,
-            f.sampleRate, f.nSamples,
-            math.rint(f.meanAbs * 1e6) / 1e6, f.zeroCrossings)
+          val a = Wav.decode(r.payload)
+          var sumAbs = 0L; var zc = 0L; var i = 0
+          while (i < a.samples.length) {
+            val s = a.samples(i)
+            sumAbs += math.abs(s.toInt)
+            if (i > 0 && ((s >= 0) != (a.samples(i - 1) >= 0))) zc += 1
+            i += 1
+          }
+          MediaRawSums(r.doc_id, r.media_type, r.payload.length.toLong,
+            -1, -1, -1L, -1L, -1L, -1, -1,
+            a.sampleRate, a.samples.length, sumAbs, zc)
         } else {
-          val f = Ppm.features(r.payload)
-          val half = Ppm.downsample2x(Ppm.decode(r.payload))
-          MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong,
-            f.width, f.height,
-            math.rint(f.meanR * 1e6) / 1e6, math.rint(f.meanG * 1e6) / 1e6,
-            math.rint(f.meanB * 1e6) / 1e6, math.rint(f.meanLuma * 1e6) / 1e6,
+          val img = Ppm.decode(r.payload)
+          var sr = 0L; var sg = 0L; var sb = 0L; var i = 0
+          while (i < img.pixels.length) {
+            sr += img.pixels(i) & 0xFF
+            sg += img.pixels(i + 1) & 0xFF
+            sb += img.pixels(i + 2) & 0xFF
+            i += 3
+          }
+          val half = Ppm.downsample2x(img) // the resize stage, for real
+          MediaRawSums(r.doc_id, r.media_type, r.payload.length.toLong,
+            img.width, img.height, sr, sg, sb,
             half.width, half.height,
-            -1, -1, -1.0, -1L)
+            -1, -1, -1L, -1L)
         }
       }
-    }.toDF().orderBy(col("doc_id"))
+    }.toDF()
+    graft.util.oracleSidecar("media_raw_sums", raw)
+    def chanMicro(sum: String): org.apache.spark.sql.Column = expr(
+      s"CASE WHEN width > 0 THEN $sum * 1000000 div " +
+        "(cast(width as bigint) * height) ELSE -1 END")
+    raw.select(col("doc_id"), col("media_type"), col("n_bytes"),
+        col("width"), col("height"),
+        chanMicro("sum_r").as("mean_r_micro"),
+        chanMicro("sum_g").as("mean_g_micro"),
+        chanMicro("sum_b").as("mean_b_micro"),
+        // Rec.601 luma in micro-units: 0.299·ΣR/n·10⁶ = 299000·ΣR/n
+        expr("CASE WHEN width > 0 THEN " +
+          "(299 * sum_r + 587 * sum_g + 114 * sum_b) * 1000 div " +
+          "(cast(width as bigint) * height) ELSE -1 END")
+          .as("mean_luma_micro"),
+        col("half_width"), col("half_height"),
+        col("sample_rate"), col("n_samples"),
+        expr("CASE WHEN n_samples > 0 THEN sum_abs * 1000000 div n_samples " +
+          "ELSE -1 END").as("mean_abs_micro"),
+        col("zero_crossings"))
+      .orderBy(col("doc_id"))
   }
+
+  lazy val decodeFeaturesSql: String =
+    s"""WITH raw AS (
+       | SELECT * FROM read_parquet('${oracleSidecarGlob("media_raw_sums")}'))
+       |SELECT doc_id, media_type, n_bytes, width, height,
+       | cast(CASE WHEN width > 0 THEN sum_r * 1000000
+       |   // (cast(width as bigint) * height) ELSE -1 END as bigint)
+       |   AS mean_r_micro,
+       | cast(CASE WHEN width > 0 THEN sum_g * 1000000
+       |   // (cast(width as bigint) * height) ELSE -1 END as bigint)
+       |   AS mean_g_micro,
+       | cast(CASE WHEN width > 0 THEN sum_b * 1000000
+       |   // (cast(width as bigint) * height) ELSE -1 END as bigint)
+       |   AS mean_b_micro,
+       | cast(CASE WHEN width > 0 THEN
+       |   (299 * sum_r + 587 * sum_g + 114 * sum_b) * 1000
+       |   // (cast(width as bigint) * height) ELSE -1 END as bigint)
+       |   AS mean_luma_micro,
+       | -- the floor-halving law of the 2x box downsample: the engine
+       | -- reports dims from the ACTUAL resized image; this recompute
+       | -- catches a codec that halves differently
+       | cast(CASE WHEN width > 0 THEN greatest(width // 2, 1)
+       |   ELSE -1 END as int) AS half_width,
+       | cast(CASE WHEN width > 0 THEN greatest(height // 2, 1)
+       |   ELSE -1 END as int) AS half_height,
+       | sample_rate, n_samples,
+       | cast(CASE WHEN n_samples > 0 THEN sum_abs * 1000000 // n_samples
+       |   ELSE -1 END as bigint) AS mean_abs_micro,
+       | zero_crossings
+       |FROM raw ORDER BY doc_id""".stripMargin
 
   /** Frame sampling: every 32nd byte of the payload as a "frame",
     * exploded to one row per frame with its offset — the plan shape of
@@ -180,27 +256,50 @@ object Multimodal {
   /** Audio framing: 20 ms (160-sample @ 8 kHz) windows per clip with
     * per-frame energy — the audio twin of video frame sampling (the
     * shape feeding any downstream acoustic model). Decode + frame
-    * locally in mapPartitions, then explode to one row per frame. */
-  case class AudioFrames(doc_id: Long, n_samples: Int, frame_energies: Array[Double])
+    * locally in mapPartitions; the codec emits one row per frame
+    * with the RAW integer sum of squares, so no explode is needed
+    * and the stage stays token-linear and partition-local.
+    *
+    * Hash-green discipline: the per-frame integer accumulations go
+    * to a sidecar; DuckDB recomputes the committed truncating mean
+    * (Σs² div len) AND the per-clip n_samples as Σ len over the
+    * doc — a real cross-check of the codec's sample total against
+    * its own frame partition. Σs² ≤ 32768²·len — int64-safe to
+    * ~8.6e9 samples/frame. */
+  case class AudioFrameRaw(doc_id: Long, n_samples: Int, frame_idx: Long,
+      sumsq: Long, flen: Int)
 
   def audioFrames(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val frameLen = 160
-    mediaTable(spark, dir)
+    val raw = mediaTable(spark, dir)
       .filter(_.media_type == "audio")
-      .mapPartitions(_.map { r =>
+      .mapPartitions(_.flatMap { r =>
         val a = Wav.decode(r.payload)
-        val energies = a.samples.grouped(frameLen).map { frame =>
-          math.rint(frame.foldLeft(0.0)((acc, s) =>
-            acc + s.toDouble * s.toDouble) / frame.length) / 1e6
-        }.toArray
-        AudioFrames(r.doc_id, a.samples.length, energies)
+        a.samples.grouped(frameLen).zipWithIndex.map { case (frame, idx) =>
+          var ss = 0L; var i = 0
+          while (i < frame.length) {
+            val s = frame(i).toLong; ss += s * s; i += 1
+          }
+          AudioFrameRaw(r.doc_id, a.samples.length, idx.toLong, ss, frame.length)
+        }
       })
       .toDF()
-      .select(col("doc_id"), col("n_samples"),
-        posexplode(col("frame_energies")).as(Seq("frame_idx", "energy")))
+    graft.util.oracleSidecar("audio_frame_raw",
+      raw.select(col("doc_id"), col("frame_idx"), col("sumsq"), col("flen")))
+    raw.select(col("doc_id"), col("n_samples").cast("long").as("n_samples"),
+        col("frame_idx"), expr("sumsq div flen").as("energy_mean_sq"))
       .orderBy(col("doc_id"), col("frame_idx"))
   }
+
+  lazy val audioFramesSql: String =
+    s"""WITH f AS (
+       | SELECT doc_id, frame_idx, sumsq, flen
+       | FROM read_parquet('${oracleSidecarGlob("audio_frame_raw")}'))
+       |SELECT doc_id,
+       | cast(sum(flen) OVER (PARTITION BY doc_id) as bigint) AS n_samples,
+       | frame_idx, cast(sumsq // flen as bigint) AS energy_mean_sq
+       |FROM f ORDER BY doc_id, frame_idx""".stripMargin
 
   /** Image near-dup detection by perceptual hash — the image half of
     * the dedup story (byte-identical re-encodes are caught by exact
@@ -985,10 +1084,10 @@ object Multimodal {
     GQuery("mm_scene_cuts", sceneCuts, Some(sceneCutsSql)),
     GQuery("mm_image_dhash_pairs", imageDhashPairs, Some(imageDhashPairsSql)),
     GQuery("mm_image_phash", imagePhash, Some(imagePhashSql)),
-    GQuery("mm_audio_frames", audioFrames, None),
+    GQuery("mm_audio_frames", audioFrames, Some(audioFramesSql)),
     GQuery("mm_pack_struct", pack, Some(packSql)),
     GQuery("mm_shard_bybytes", shardByBytes, Some(shardByBytesSql)),
-    GQuery("mm_decode_features", decodeFeatures, None),
+    GQuery("mm_decode_features", decodeFeatures, Some(decodeFeaturesSql)),
     GQuery("mm_frame_sample", frameSample, Some(frameSampleSql)),
   )
 }

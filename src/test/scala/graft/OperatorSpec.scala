@@ -73,7 +73,8 @@ class OperatorSpec extends AnyFunSuite {
     val img = df.filter(col("media_type") =!= "audio")
     assert(img.filter(col("width") < 4 || col("width") > 7 ||
       col("height") < 4 || col("height") > 7).count() == 0)
-    assert(img.filter(col("mean_luma") < 0 || col("mean_luma") > 255).count() == 0)
+    assert(img.filter(col("mean_luma_micro") < 0 ||
+      col("mean_luma_micro") > 255000000L).count() == 0)
     assert(img.filter(col("half_width") =!= expr("width div 2") ||
       col("half_height") =!= expr("height div 2")).count() == 0)
     // audio rows: real RIFF/WAV decode — synth rate and length, sane stats
@@ -81,7 +82,8 @@ class OperatorSpec extends AnyFunSuite {
     assert(aud.count() > 0)
     assert(aud.filter(col("sample_rate") =!= 8000).count() == 0)
     assert(aud.filter(col("n_samples") < 240 || col("n_samples") > 495).count() == 0)
-    assert(aud.filter(col("mean_abs") < 0 || col("mean_abs") > 32768).count() == 0)
+    assert(aud.filter(col("mean_abs_micro") < 0 ||
+      col("mean_abs_micro") > 32768000000L).count() == 0)
     assert(aud.filter(col("zero_crossings") >= col("n_samples")).count() == 0)
     df.unpersist()
   }
@@ -93,7 +95,9 @@ class OperatorSpec extends AnyFunSuite {
     // frame count = ceil(n_samples / 160)
     assert(perDoc.filter(col("frames") =!= ceil(col("n") / lit(160.0)).cast("long"))
       .count() == 0)
-    assert(df.filter(col("energy") < 0).count() == 0)
+    // mean squared amplitude is non-negative and bounded by peak²
+    assert(df.filter(col("energy_mean_sq") < 0 ||
+      col("energy_mean_sq") > 32768L * 32768L).count() == 0)
   }
 
   test("hash sampling is deterministic and near the target fraction") {
