@@ -261,7 +261,13 @@ object Bench {
       "graph_random_walks", "pipeline_walk_pairs",
       // round 14: the resource-audit panel is a measurement harness
       // (10 sub-jobs per invocation) timed at 1 rep, not an operator
-      "meta_resource_audit")
+      "meta_resource_audit",
+      // round 15: the centrality family reads the shared per-seed
+      // forward-BFS artifact (seed, node, level, sigma) — built once
+      // per graph fingerprint; betweenness times its backward phase,
+      // the other two time group-bys over the artifact
+      "graph_betweenness", "graph_harmonic_centrality",
+      "graph_effective_diameter")
       .filter(selected.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
     // ---- sentinel canary (end of run) --------------------------------
     // loadavg is a PRE-run prediction; the sentinels are a POST-run

@@ -571,58 +571,56 @@ object Graph {
     * This is the sampled-pivot methodology centrality at scale uses
     * (HyperBall samples seeds; the exact panel here IS the contract).
     * Oracle: recursive CTE seeded with the same panel. */
-  /** MS-BFS bitmask engine (Then et al., VLDB'14): all 8 BFS waves
-    * share ONE traversal — per-node state is an 8-bit seed mask, so
-    * state stays NODE-linear and messages EDGE-linear (a naive
-    * (seed, node, dist) product is 8× both; measured 8.9 s vs 3.6 s
-    * at sf0.1). Distance is implicit: the round a seed's bit first
-    * reaches a node IS d(seed, node). Returns the per-(seed, round)
-    * discovery counts — the shared core of [[harmonicCentrality]]
-    * and [[effectiveDiameter]]. */
-  private[graft] def msBfsRounds(spark: SparkSession, dir: String): DataFrame = {
-    val e = spark.read.parquet(s"${tradeGraphRoot(spark, dir)}/sym")
-    // the 8-seed panel is answer-sized: collect the ids (the codebook
-    // discipline — k longs, never data-sized) and assign bits on the
-    // driver; a row_number here would be a partition-less Window
-    val seedIds = e.select(col("src")).distinct()
-      .orderBy(col("src")).limit(8).collect().map(_.getLong(0))
-    val seedBits = spark.createDataFrame(
-      seedIds.sorted.zipWithIndex.map { case (s, i) => (s, i) }.toSeq)
-      .toDF("seed", "bit")
-    var visited = seedBits
-      .select(col("seed").as("node"),
-        expr("shiftleft(1L, cast(bit as int))").as("mask"))
-      .localCheckpoint(true)
-    var frontier = visited
-    val perRound = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    for (r <- 1 to 4) {
-      val msgs = e.join(frontier.withColumnRenamed("node", "fnode"),
-          col("src") === col("fnode"))
-        .groupBy(col("dst")).agg(expr("bit_or(mask)").as("m"))
-        .select(col("dst").as("node"), col("m"))
-      val newly = msgs.join(visited.withColumnRenamed("mask", "vmask"),
-          Seq("node"), "left")
-        .select(col("node"),
-          expr("m & ~coalesce(vmask, 0L)").as("mask"))
-        .filter(col("mask") =!= 0L)
-        .localCheckpoint(true) // wave-sized; consumed by counts + next state
-      perRound += newly.crossJoin(broadcast(seedBits))
-        .filter(expr("shiftright(mask, cast(bit as int)) & 1 = 1"))
-        .groupBy(col("seed")).agg(count(lit(1)).as("c"))
-        .select(col("seed"), lit(r.toLong).as("r"), col("c"))
-      visited = visited.unionAll(newly)
-        .groupBy(col("node")).agg(expr("bit_or(mask)").as("mask"))
-        .localCheckpoint(true)
-      frontier = newly
+  /** SHARED PER-SEED FORWARD-BFS ARTIFACT for the centrality family:
+    * [[betweenness]], [[harmonicCentrality]] and [[effectiveDiameter]]
+    * all traverse the SAME 8-seed ≤ 4-hop panel, and each used to
+    * re-run its own forward phase (r14 VERDICT: "a shared per-seed
+    * BFS artifact would roughly halve the pair"). The
+    * (seed, node, level, sigma) table is a pure function of
+    * (orders, lineitem), so it lives in the cross-JVM artifact cache
+    * like the trade graph itself — built once per graph fingerprint,
+    * read thereafter. σ (shortest-path counts) rides along for
+    * Brandes' backward phase; the distance-distribution entries are
+    * group-bys over (seed, level). σ is why this is the explicit
+    * (seed, node) state machine and not an MS-BFS bitmask (Then et
+    * al. VLDB'14): reach-bits can share a word, σ-sums can't. */
+  private[graft] def seedBfsRoot(spark: SparkSession, dir: String): String = {
+    val graphRoot = tradeGraphRoot(spark, dir)
+    artifactRoot(s"seedbfs-${tableFingerprint(dir, "orders")}-${tableFingerprint(dir, "lineitem")}") { staged =>
+      val e = spark.read.parquet(s"$graphRoot/sym")
+        .localCheckpoint(true) // referenced by all 4 forward joins
+      val seeds = e.select(col("src")).distinct().orderBy(col("src")).limit(8)
+      val l0 = seeds.select(col("src").as("seed"), col("src").as("node"),
+        lit(1L).as("sigma")).localCheckpoint(true)
+      val levels = scala.collection.mutable.ArrayBuffer(l0)
+      var visited = l0.select(col("seed"), col("node")).localCheckpoint(true)
+      for (_ <- 1 to 4) {
+        val msgs = e.join(
+            levels.last.select(col("seed"), col("node").as("fnode"),
+              col("sigma")), col("src") === col("fnode"))
+          .groupBy(col("seed"), col("dst")).agg(sum(col("sigma")).as("sigma"))
+          .select(col("seed"), col("dst").as("node"), col("sigma"))
+        val newly = msgs.join(
+            visited.select(col("seed").as("vseed"), col("node").as("vnode")),
+            col("seed") === col("vseed") && col("node") === col("vnode"),
+            "left_anti")
+          .localCheckpoint(true) // wave-sized; consumed by next wave + write
+        visited = visited.unionAll(newly.select(col("seed"), col("node")))
+        levels += newly
+      }
+      levels.zipWithIndex.map { case (df, l) =>
+        df.select(col("seed"), col("node"), lit(l.toLong).as("level"),
+          col("sigma"))
+      }.reduce(_ unionAll _).write.parquet(s"$staged/levels")
     }
-    perRound.reduce(_ unionAll _)
   }
 
   def harmonicCentrality(spark: SparkSession, dir: String): DataFrame =
-    msBfsRounds(spark, dir)
+    spark.read.parquet(s"${seedBfsRoot(spark, dir)}/levels")
+      .filter(col("level") > 0L) // level pushes down to the parquet scan
       .groupBy(col("seed"))
-      .agg(sum(col("c")).as("n_reached"),
-        sum(col("c") * expr("1000000L div r")).as("harmonic_micro"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("1000000L div level")).as("harmonic_micro"))
       .orderBy(col("seed"))
 
   /** EFFECTIVE DIAMETER from the seed panel's distance distribution —
@@ -632,11 +630,13 @@ object Graph {
     * BFS round, how many (seed, node) pairs are first reached, the
     * cumulative share of all reached pairs, and the flag on the first
     * round clearing 90% — the "effective diameter" that
-    * small-world claims quote. Costs one [[msBfsRounds]] traversal;
-    * everything after is a 4-row frame through a DistRank prefix. */
+    * small-world claims quote. Costs one group-by over the shared
+    * [[seedBfsRoot]] artifact; everything after is a 4-row frame
+    * through a DistRank prefix. */
   def effectiveDiameter(spark: SparkSession, dir: String): DataFrame = {
-    val dist = msBfsRounds(spark, dir)
-      .groupBy(col("r")).agg(sum(col("c")).as("pairs"))
+    val dist = spark.read.parquet(s"${seedBfsRoot(spark, dir)}/levels")
+      .filter(col("level") > 0L)
+      .groupBy(col("level").as("r")).agg(count(lit(1)).as("pairs"))
     val withCum = graft.operators.DistRank.withPrefix(
       dist, Seq(col("r")), col("pairs"), "sum", "cum")
     val tot = dist.agg(sum(col("pairs")).as("t"))
@@ -1386,8 +1386,10 @@ object Graph {
     * FORWARD — per level r, σ(s,v) = number of shortest s→v paths
     * arrives as one groupBy-sum of predecessor σ over the frontier's
     * out-edges (σ must ride per-seed, so this is the explicit
-    * (seed, node) state machine, 8× edge-linear messages — the shape
-    * [[msBfsRounds]] bitmasks away, but σ-sums can't share bits).
+    * (seed, node) state machine, 8× edge-linear messages). Since r15
+    * the forward table is the shared [[seedBfsRoot]] artifact — built
+    * once per graph fingerprint, read here and by the two
+    * distance-distribution entries.
     *
     * BACKWARD — Brandes' dependency accumulation
     * δ(u) += σ(u)/σ(w)·(1+δ(w)) over shortest-path-DAG edges, which
@@ -1404,28 +1406,12 @@ object Graph {
     * the whole entry is 7 bounded BSP supersteps. */
   def betweenness(spark: SparkSession, dir: String): DataFrame = {
     val e = spark.read.parquet(s"${tradeGraphRoot(spark, dir)}/sym")
-      .localCheckpoint(true) // referenced by 4 forward + 3 backward joins
-    val seeds = e.select(col("src")).distinct().orderBy(col("src")).limit(8)
-    val l0 = seeds.select(col("src").as("seed"), col("src").as("node"),
-      lit(1L).as("sigma")).localCheckpoint(true)
-    val levels = scala.collection.mutable.ArrayBuffer(l0)
-    var visited = l0.select(col("seed"), col("node")).localCheckpoint(true)
-    for (_ <- 1 to 4) {
-      val msgs = e.join(
-          levels.last.select(col("seed"), col("node").as("fnode"),
-            col("sigma")), col("src") === col("fnode"))
-        .groupBy(col("seed"), col("dst")).agg(sum(col("sigma")).as("sigma"))
-        .select(col("seed"), col("dst").as("node"), col("sigma"))
-      val newly = msgs.join(
-          visited.select(col("seed").as("vseed"), col("node").as("vnode")),
-          col("seed") === col("vseed") && col("node") === col("vnode"),
-          "left_anti")
-        .localCheckpoint(true) // wave-sized; consumed by next round + backward
-      // no checkpoint: a union of already-checkpointed waves has
-      // shallow lineage and is consumed once per round as an anti-side
-      visited = visited.unionAll(newly.select(col("seed"), col("node")))
-      levels += newly
-    }
+      .localCheckpoint(true) // referenced by the 3 backward joins
+    // forward phase = the shared artifact; the level filter prunes at
+    // the parquet scan, so each wave reads only its own rows
+    val lv = spark.read.parquet(s"${seedBfsRoot(spark, dir)}/levels")
+    val levels = (0 to 4).map(l => lv.filter(col("level") === l.toLong)
+      .select(col("seed"), col("node"), col("sigma")))
     // backward accumulation: delta at the deepest level is 0
     val deltas = new Array[DataFrame](5)
     deltas(4) = levels(4).withColumn("delta_micro", lit(0L))
