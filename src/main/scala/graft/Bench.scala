@@ -122,7 +122,11 @@ object Bench {
     // just-finished Verify phase. A genuinely idle host sits well
     // under 1; anything above ~1.2 is someone else's work in flight.
     val quietThresh = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_LOAD", "1.2").toDouble
-    val quietWaitS = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_WAIT", "300").toInt
+    // 600 s, not 300: the tighter 1.2 gate is usually waiting for the
+    // 5-MINUTE average to decay after the driver's Verify phase, and
+    // that takes ~5 min by definition — a 300 s cap would routinely
+    // expire just before the host actually quiets
+    val quietWaitS = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_WAIT", "600").toInt
     val waitDeadline = System.nanoTime() + quietWaitS * 1000000000L
     // gate on BOTH load1 and load5: load1 alone let r13's contaminated
     // run through at 1.8 while load5 was still elevated from Verify

@@ -214,7 +214,9 @@ class Round14bSpec extends AnyFunSuite {
       }
       assert(r.getAs[Long]("chi2_micro") >= 0L)
     }
-    // referee the documents pair cell by cell with BigInt arithmetic
+    // referee the documents pair cell by cell with BigInt arithmetic,
+    // over the ZERO-FILLED r×c grid (r15): structural-zero cells
+    // contribute rt·ct·10⁶ div (rt·ct·N) = 10⁶ div N-scaled mass
     val raw = util.t(spark, sf, "documents")
       .select(col("lang"), col("source")).collect()
       .map(r => (r.getString(0), r.getString(1)))
@@ -222,7 +224,11 @@ class Round14bSpec extends AnyFunSuite {
     val rt = raw.groupBy(_._1).view.mapValues(_.length.toLong).toMap
     val ct = raw.groupBy(_._2).view.mapValues(_.length.toLong).toMap
     val n = raw.length.toLong
-    val chi2 = cells.map { case ((a, b), o) =>
+    // .toSeq both: a for-comprehension over key SETS yields a Set and
+    // identical zero-cell contributions would collapse in the sum
+    val grid = for (a <- rt.keys.toSeq; b <- ct.keys.toSeq)
+      yield ((a, b), cells.getOrElse((a, b), 0L))
+    val chi2 = grid.map { case ((a, b), o) =>
       val num = BigInt(o) * n - BigInt(rt(a)) * ct(b)
       num * num * 1000000 / (BigInt(rt(a)) * ct(b) * n)
     }.sum
