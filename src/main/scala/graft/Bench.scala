@@ -53,11 +53,14 @@ object Bench {
     * shipped driver artifacts inflated by a mid-run burst that the
     * PRE-run load gate and the END-of-run sentinels straddled; the
     * only reliable detector is each query against its own history.
-    * 3× clears honest round-over-round drift (observed ≤ ~2×: plan
-    * changes, registry growth) but catches every burst victim in the
-    * r14 artifact (3.6–13.7×). */
+    * Factor 2.0: a requote is SAFE on honest drift (a genuinely
+    * 2×-slower query re-measures at the same value, so the min keeps
+    * it — only noise snaps back), so the factor only trades requote
+    * reps against detection floor; the r15 close showed burst victims
+    * at 2.5× that a 3.0 factor left uncorrected, while every real
+    * r14 victim was ≥ 3.6×. Cost: one extra rep per flagged query. */
   private[graft] def requoteNames(measured: Map[String, Double],
-      pins: Map[String, Double], factor: Double = 3.0): Seq[String] =
+      pins: Map[String, Double], factor: Double = 2.0): Seq[String] =
     measured.collect {
       case (n, v) if pins.get(n).exists(p => p > 0 && v > factor * p) => n
     }.toSeq.sorted
@@ -212,14 +215,17 @@ object Bench {
     // contention burst that slipped BETWEEN the pre-run load gate and
     // the end-of-run sentinels, and both self-stamped contended:false.
     // A per-RUN verdict cannot catch a per-WINDOW burst; re-measure
-    // (1 rep) every query whose median exceeds 3× its committed quiet
-    // pin and take the min — a genuinely regressed query stays slow on
-    // the re-measure, a burst victim snaps back to its real cost.
+    // (1 rep) every query whose median exceeds the requote factor ×
+    // its committed quiet pin and take the min — a genuinely regressed
+    // query stays slow on the re-measure, a burst victim snaps back.
     // Pins are sf0.1 full-registry medians, so the pass only applies
     // there (other SFs have no comparable history).
     val pinsApply = sfDir.stripSuffix("/").endsWith("sf0.1")
+    val requoteFactor =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REQUOTE_FACTOR", "2.0").toDouble
     val toRequote =
-      if (pinsApply) requoteNames(mainResults, priorPins) else Seq.empty
+      if (pinsApply) requoteNames(mainResults, priorPins, requoteFactor)
+      else Seq.empty
     val requoted = toRequote.map { name =>
       val again = timeQuery(name, selected(name), 1)
       System.err.println(f"[bench] requote $name: median ${mainResults(name)}%.3f -> 1-rep ${again}%.3f (pin ${priorPins(name)}%.3f)")

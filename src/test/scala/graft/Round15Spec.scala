@@ -16,19 +16,24 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class Round15Spec extends AnyFunSuite {
 
-  test("requote detector: burst victims over 3x their pin flag, honest " +
-      "drift and pinless entries do not, output is name-sorted") {
+  test("requote detector: entries over the factor x their pin flag, " +
+      "sub-factor drift and pinless entries do not, output is name-sorted") {
     val pins = Map("a" -> 0.17, "b" -> 0.40, "c" -> 2.09, "d" -> 1.0,
       "zero" -> 0.0, "neg" -> -1.0)
     // r14 artifact shapes: kt_mapvalues 0.17->2.30 (13.5x),
     // sample_walk_forward 0.40->4.51 (11.3x), text_ccnet_buckets
-    // 2.09->15.15 (7.2x); "d" drifts an honest 2x; "new" has no pin
+    // 2.09->15.15 (7.2x); "d" drifts 1.9x (under the 2.0 default);
+    // "new" has no pin
     val measured = Map("a" -> 2.30, "b" -> 4.51, "c" -> 15.15,
-      "d" -> 2.0, "new" -> 9.9, "zero" -> 5.0, "neg" -> 5.0)
+      "d" -> 1.9, "new" -> 9.9, "zero" -> 5.0, "neg" -> 5.0)
     assert(Bench.requoteNames(measured, pins) == Seq("a", "b", "c"))
-    // exactly at the factor is NOT over it
-    assert(Bench.requoteNames(Map("d" -> 3.0), pins).isEmpty)
-    assert(Bench.requoteNames(Map("d" -> 3.001), pins) == Seq("d"))
+    // exactly at the factor is NOT over it (default 2.0, explicit 3.0)
+    assert(Bench.requoteNames(Map("d" -> 2.0), pins).isEmpty)
+    assert(Bench.requoteNames(Map("d" -> 2.001), pins) == Seq("d"))
+    assert(Bench.requoteNames(Map("d" -> 3.0), pins, 3.0).isEmpty)
+    assert(Bench.requoteNames(Map("d" -> 3.001), pins, 3.0) == Seq("d"))
+    // the r15-close burst shape a 3.0 factor missed: 2.5x flags at 2.0
+    assert(Bench.requoteNames(Map("d" -> 2.5), pins) == Seq("d"))
     // no pins at all -> nothing to compare against
     assert(Bench.requoteNames(measured, Map.empty).isEmpty)
   }
