@@ -2851,12 +2851,14 @@ object Analytics {
     * second pass for the within-group deviations (the moment identity
     * does that algebraically). */
   def q122Anova(spark: SparkSession, dir: String): DataFrame = {
-    // x in whole dollars (⌊acctbal⌋, the sample_neyman unit discipline):
-    // S_g² ≤ 9·10¹⁶ through sf1's ~3·10⁴-customer segments keeps every
-    // per-group term inside int64, and the floor-divided Σ S_g²/n_g is
-    // a DETERMINISTIC integer — a float sum over groups would be
-    // partition-order dependent. The ≤1-unit-per-group floor loss is
-    // the declared statistic's definition, mirrored in the oracle.
+    // x in whole dollars (⌊acctbal⌋, the sample_neyman unit discipline);
+    // the squared sums S_g² and S² run in decimal(38,0) (DuckDB:
+    // HUGEINT) — int64 would wrap past ~3e9-dollar group sums — and the
+    // floor-divided Σ S_g²/n_g is a DETERMINISTIC integer (a float sum
+    // over groups would be partition-order dependent; dividends are
+    // squares ≥ 0, so Spark div ≡ DuckDB //). The ≤1-unit-per-group
+    // floor loss is the declared statistic's definition, mirrored in
+    // the oracle.
     val g = t(spark, dir, "customer")
       .select(col("c_mktsegment").as("seg"),
         floor(col("c_acctbal")).cast("long").as("x"))
@@ -2865,10 +2867,11 @@ object Analytics {
         sum(col("x") * col("x")).as("ssg"))
     g.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
         sum(col("sg")).as("s"), sum(col("ssg")).as("ss"),
-        sum(expr("sg * sg div ng")).as("sb"))
+        sum(expr("cast(sg as decimal(38,0)) * sg div ng")).as("sb"))
       .select(col("k"), col("n"),
         round(
-          ((col("sb") - expr("s * s div n")).cast("double") /
+          ((col("sb") - expr("cast(s as decimal(38,0)) * s div n"))
+            .cast("double") /
             (col("k") - 1).cast("double")) /
             ((col("ss") - col("sb")).cast("double") /
               (col("n") - col("k")).cast("double")),
@@ -2885,10 +2888,11 @@ object Analytics {
       |m AS (
       | SELECT cast(count(*) as bigint) AS k, cast(sum(ng) as bigint) AS n,
       |  cast(sum(sg) as bigint) AS s, cast(sum(ssg) as bigint) AS ss,
-      |  cast(sum(sg * sg // ng) as bigint) AS sb
+      |  cast(sum(cast(sg as hugeint) * sg // ng) as bigint) AS sb
       | FROM g)
       |SELECT k, n,
-      | round((cast(sb - s * s // n as double) / cast(k - 1 as double)) /
+      | round((cast(sb - cast(s as hugeint) * s // n as double)
+      |    / cast(k - 1 as double)) /
       |   (cast(ss - sb as double) / cast(n - k as double)), 4) AS f_stat
       |FROM m""".stripMargin
 
@@ -3136,9 +3140,13 @@ object Analytics {
       .join(broadcast(ss.select(col("event_type").as("a"), col("ss").as("ssa"))), Seq("a"))
       .join(broadcast(ss.select(col("event_type").as("b"), col("ss").as("ssb"))), Seq("b"))
       .select(col("a"), col("b"), col("lag"), col("n_overlap"),
-        round(col("cross").cast("double") /
-          (sqrt(col("ssa").cast("double")) * sqrt(col("ssb").cast("double"))), 4)
-          .as("ccf"))
+        // a constant daily series has ss = 0: ccf is undefined there
+        // (0/0 → NaN in Spark vs DuckDB float-div) — the tau_b
+        // degenerate-series guard discipline
+        when(col("ssa") > 0 && col("ssb") > 0,
+          round(col("cross").cast("double") /
+            (sqrt(col("ssa").cast("double")) *
+              sqrt(col("ssb").cast("double"))), 4)).as("ccf"))
       .orderBy(col("a"), col("b"), col("lag"))
   }
 
@@ -3168,8 +3176,10 @@ object Analytics {
        |  JOIN c cb ON cb.event_type = g.b AND cb.rn = ca.rn + g.lag
        | GROUP BY 1, 2, 3)
        |SELECT x.a, x.b, x.lag, x.n_overlap,
-       | round(cast(x.crs as double) /
-       |   (sqrt(cast(sa.ss as double)) * sqrt(cast(sb.ss as double))), 4) AS ccf
+       | CASE WHEN sa.ss > 0 AND sb.ss > 0 THEN
+       |  round(cast(x.crs as double) /
+       |   (sqrt(cast(sa.ss as double)) * sqrt(cast(sb.ss as double))), 4)
+       | END AS ccf
        |FROM x JOIN ss sa ON sa.event_type = x.a
        |       JOIN ss sb ON sb.event_type = x.b
        |ORDER BY x.a, x.b, x.lag""".stripMargin
@@ -3369,15 +3379,20 @@ object Analytics {
         sum((col(a) * col(b)).cast("decimal(38,0)")).as(s"sp_${a}_$b") } :+
       count(lit(1)).as("n")
     val m = li.agg(momentAggs.head, momentAggs.tail: _*)
+    // degenerate-series guard (the tau_b discipline): a constant
+    // column has zero variance and r is undefined — NULL, not NaN
+    def varPos(n: String): org.apache.spark.sql.Column =
+      col(s"ss_$n").cast("double") * col("n") -
+        col(s"s_$n").cast("double") * col(s"s_$n") > 0.0
     corrCols.combinations(2).toSeq.map { case Seq((a, _), (b, _)) =>
       m.select(lit(a).as("x"), lit(b).as("y"), col("n").as("n_rows"),
-        round(
+        when(varPos(a) && varPos(b), round(
           (col(s"sp_${a}_$b").cast("double") * col("n") -
             col(s"s_$a").cast("double") * col(s"s_$b")) /
           (sqrt(col(s"ss_$a").cast("double") * col("n") -
             col(s"s_$a").cast("double") * col(s"s_$a")) *
            sqrt(col(s"ss_$b").cast("double") * col("n") -
-            col(s"s_$b").cast("double") * col(s"s_$b"))), 6).as("r"))
+            col(s"s_$b").cast("double") * col(s"s_$b"))), 6)).as("r"))
     }.reduce(_ unionAll _).orderBy(col("x"), col("y"))
   }
 
@@ -3388,12 +3403,17 @@ object Analytics {
         s"sum(($ae) * ($be)) AS sp_${a}_$b" } :+ "count(*) AS n"
     val rows = corrCols.combinations(2).toSeq.map { case Seq((a, _), (b, _)) =>
       s"""SELECT '$a' AS x, '$b' AS y, cast(n as bigint) AS n_rows,
-         | round((cast(sp_${a}_$b as double) * n -
+         | CASE WHEN cast(ss_$a as double) * n -
+         |     cast(s_$a as double) * cast(s_$a as double) > 0
+         |   AND cast(ss_$b as double) * n -
+         |     cast(s_$b as double) * cast(s_$b as double) > 0 THEN
+         |  round((cast(sp_${a}_$b as double) * n -
          |   cast(s_$a as double) * cast(s_$b as double)) /
          |  (sqrt(cast(ss_$a as double) * n -
          |    cast(s_$a as double) * cast(s_$a as double)) *
          |   sqrt(cast(ss_$b as double) * n -
-         |    cast(s_$b as double) * cast(s_$b as double))), 6) AS r
+         |    cast(s_$b as double) * cast(s_$b as double))), 6)
+         | END AS r
          |FROM m""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""WITH m AS (SELECT ${moments.mkString(", ")} FROM lineitem)
@@ -4489,11 +4509,16 @@ object Analytics {
     val tot = grid.agg(sum(col("ref_count")).as("na"),
       sum(col("cur_count")).as("nb"))
     val terms = grid.crossJoin(broadcast(tot))
+      // ln-argument products in decimal(38,0) (DuckDB mirrors in
+      // HUGEINT): (c+1)·(n+10) wraps int64 once both sides pass ~3e9
+      // events — the chi-square-entry widening discipline
       .withColumn("psi_term", round(
         ((col("ref_count") + 1) / (col("na") + 10) -
           (col("cur_count") + 1) / (col("nb") + 10)) *
-          log(((col("ref_count") + 1) * (col("nb") + 10)) /
-            ((col("cur_count") + 1) * (col("na") + 10))), 6))
+          log(expr("cast(cast(ref_count + 1 as decimal(38,0)) * (nb + 10) " +
+              "as double)") /
+            expr("cast(cast(cur_count + 1 as decimal(38,0)) * (na + 10) " +
+              "as double)")), 6))
       .localCheckpoint(true) // consumed by the total + the output
     val total = terms.agg(
       sum(col("psi_term").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
@@ -4542,9 +4567,9 @@ object Analytics {
       | SELECT g.bin, g.ref_count, g.cur_count,
       |  round(((g.ref_count + 1) / cast(t.na + 10 as double)
       |    - (g.cur_count + 1) / cast(t.nb + 10 as double))
-      |   * ln(((g.ref_count + 1) * (t.nb + 10))
-      |     / cast((g.cur_count + 1) * (t.na + 10) as double)), 6)
-      |   AS psi_term
+      |   * ln(cast(cast(g.ref_count + 1 as hugeint) * (t.nb + 10) as double)
+      |     / cast(cast(g.cur_count + 1 as hugeint) * (t.na + 10) as double)),
+      |    6) AS psi_term
       | FROM grid g, tot t),
       |total AS (
       | SELECT cast(sum(cast(psi_term as decimal(18,6))) as double)

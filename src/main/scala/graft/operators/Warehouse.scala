@@ -1578,8 +1578,12 @@ object Warehouse {
           col("max_freq").cast("long"),
           expr("max_freq * 10000 div n_rows").cast("long").as("top1_bp"),
           // max/avg ×100 = max_freq·ndv·100/n; counts are nonnegative so
-          // Spark div (trunc) and DuckDB // (floor) agree
-          expr("max_freq * ndv * 100 div n_rows").cast("long").as("skew_x100"))
+          // Spark div (trunc) and DuckDB // (floor) agree. The product
+          // of two counts runs in decimal(38,0) (DuckDB: HUGEINT) —
+          // max_freq·ndv approaches n² on a skewed key and would wrap
+          // int64 near ~6e9 rows
+          expr("cast(max_freq as decimal(38,0)) * ndv * 100 div n_rows")
+            .cast("long").as("skew_x100"))
     Seq("lineitem" -> "l_orderkey", "lineitem" -> "l_partkey",
         "orders" -> "o_custkey", "events" -> "user_id")
       .map { case (tb, k) => keyStats(tb, k) }
@@ -1593,7 +1597,8 @@ object Warehouse {
          | cast(sum(f) as bigint) AS n_rows, cast(count(*) as bigint) AS ndv,
          | cast(max(f) as bigint) AS max_freq,
          | cast(max(f) * 10000 // sum(f) as bigint) AS top1_bp,
-         | cast(max(f) * count(*) * 100 // sum(f) as bigint) AS skew_x100
+         | cast(cast(max(f) as hugeint) * count(*) * 100 // sum(f)
+         |   as bigint) AS skew_x100
          |FROM (SELECT $key AS k, count(*) AS f FROM $table GROUP BY 1)""".stripMargin
     Seq("lineitem" -> "l_orderkey", "lineitem" -> "l_partkey",
         "orders" -> "o_custkey", "events" -> "user_id")
@@ -1988,10 +1993,13 @@ object Warehouse {
       .withColumn("chi2_cell_micro", expr(
         "cast(num as decimal(38,0)) * num * 1000000 " +
           "div (cast(rt as decimal(38,0)) * ct * n)"))
-      // x·ln(x) → 0 as x → 0: zero cells contribute nothing to MI
+      // x·ln(x) → 0 as x → 0: zero cells contribute nothing to MI.
+      // ln-argument products in decimal(38,0) (DuckDB: HUGEINT) —
+      // o·n and rt·ct wrap int64 once N passes ~3e9 rows
       .withColumn("mi_term", when(col("o") > 0,
         round((col("o") / col("n")) *
-          log((col("o") * col("n")) / (col("rt") * col("ct"))), 6))
+          log(expr("cast(cast(o as decimal(38,0)) * n as double)") /
+            expr("cast(cast(rt as decimal(38,0)) * ct as double)")), 6))
         .otherwise(lit(0.0)))
       .agg(max(col("n")).as("n"),
         max(col("r_levels")).as("r_levels"),
@@ -2055,7 +2063,8 @@ object Warehouse {
        |  cast(sum(cast(num as hugeint) * num * 1000000
        |    // (cast(rt as hugeint) * ct * n)) as bigint) AS chi2_micro,
        |  cast(sum(cast(CASE WHEN o > 0 THEN round((o / cast(n as double)) *
-       |    ln((o * n) / cast(rt * ct as double)), 6) ELSE 0 END
+       |    ln(cast(cast(o as hugeint) * n as double)
+       |       / cast(cast(rt as hugeint) * ct as double)), 6) ELSE 0 END
        |    as decimal(18,6))) as double) AS mi_nats
        | FROM (
        |  WITH cells AS (
