@@ -3523,17 +3523,24 @@ object Analytics {
         (col("nt") - col("cum") + col("cnt")).as("n"),
         (col("n1t") - col("cum1") + col("cnt1")).as("n1"))
       .filter(col("d") > 0 && col("n") > 1)
+    // the cross-moments d·n1·10⁶ and the chi-square numerator run in
+    // decimal(38,0) (DuckDB: HUGEINT) — with d, n1 ≤ n they approach
+    // n²·10⁶ and wrap int64 near n ≈ 3e6 users; the reported sums
+    // themselves stay answer-sized (≤ 10⁶·n) and cast back to long
     life.agg(
         sum(col("d1")).as("o1"),
-        sum(expr("d * n1 * 1000000L div n")).as("e1_micro"),
+        sum(expr("cast(d as decimal(38,0)) * n1 * 1000000 div n"))
+          .cast("long").as("e1_micro"),
         // committed order: ((d·n1·10⁶ div n)·(n−n1) div n)·(n−d) div (n−1)
-        sum(expr("((d * n1 * 1000000L div n) * (n - n1) div n) " +
-          "* (n - d) div (n - 1)")).as("v_micro"))
+        sum(expr("((cast(d as decimal(38,0)) * n1 * 1000000 div n) " +
+          "* (n - n1) div n) * (n - d) div (n - 1)"))
+          .cast("long").as("v_micro"))
       .crossJoin(broadcast(totals))
       .select(col("n1t").as("n_cohort1"), (col("nt") - col("n1t")).as("n_cohort0"),
         col("o1"), col("e1_micro"), col("v_micro"),
-        expr("CASE WHEN v_micro > 0 THEN (o1 * 1000000L - e1_micro) * " +
-          "(o1 * 1000000L - e1_micro) div v_micro ELSE 0L END")
+        expr("CASE WHEN v_micro > 0 THEN cast(cast(o1 * 1000000L - e1_micro " +
+          "as decimal(38,0)) * (o1 * 1000000L - e1_micro) div v_micro " +
+          "as long) ELSE 0L END")
           .as("chi2_micro"))
       .select(col("n_cohort1"), col("n_cohort0"), col("o1"),
         col("e1_micro"), col("v_micro"), col("chi2_micro"),
@@ -3577,16 +3584,19 @@ object Analytics {
       | FROM grouped g, tot tt),
       |sums AS (
       | SELECT cast(sum(d1) as bigint) AS o1,
-      |  cast(sum(d * n1 * 1000000 // n) as bigint) AS e1_micro,
-      |  cast(sum(((d * n1 * 1000000 // n) * (n - n1) // n)
+      |  cast(sum(cast(d as hugeint) * n1 * 1000000 // n) as bigint)
+      |    AS e1_micro,
+      |  cast(sum(((cast(d as hugeint) * n1 * 1000000 // n) * (n - n1) // n)
       |    * (n - d) // (n - 1)) as bigint) AS v_micro
       | FROM life WHERE d > 0 AND n > 1)
       |SELECT t2.n1t AS n_cohort1, t2.nt - t2.n1t AS n_cohort0,
       | s.o1, s.e1_micro, s.v_micro,
       | cast(CASE WHEN s.v_micro > 0
-      |   THEN (s.o1 * 1000000 - s.e1_micro) * (s.o1 * 1000000 - s.e1_micro)
+      |   THEN cast(s.o1 * 1000000 - s.e1_micro as hugeint)
+      |     * (s.o1 * 1000000 - s.e1_micro)
       |     // s.v_micro ELSE 0 END as bigint) AS chi2_micro,
-      | cast(CASE WHEN s.v_micro > 0 AND (s.o1 * 1000000 - s.e1_micro) *
+      | cast(CASE WHEN s.v_micro > 0 AND
+      |   cast(s.o1 * 1000000 - s.e1_micro as hugeint) *
       |   (s.o1 * 1000000 - s.e1_micro) // s.v_micro > 3841000
       |   THEN 1 ELSE 0 END as bigint) AS significant
       |FROM sums s, tot t2""".stripMargin
