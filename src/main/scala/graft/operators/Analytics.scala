@@ -3125,8 +3125,11 @@ object Analytics {
         Window.partitionBy(col("event_type")).orderBy(col("day"))).cast("long"))
       .select(col("event_type"), col("rn"), (col("v") - col("mu")).as("d"))
       .localCheckpoint(true)
+    // deviation products in decimal(38,0) (DuckDB: HUGEINT): a daily
+    // aggregate past ~3e9 cents makes d² wrap int64 in the single
+    // multiply — plausible at the 100 TB event volume this serves
     val ss = centered.groupBy(col("event_type"))
-      .agg(sum(col("d") * col("d")).as("ss"))
+      .agg(sum(expr("cast(d as decimal(38,0)) * d")).as("ss"))
       .localCheckpoint(true)
     val grid = spark.createDataFrame(for {
       (a, b) <- ccPairs; k <- -3 to 3
@@ -3136,7 +3139,8 @@ object Analytics {
     broadcast(grid).join(ca, Seq("a"))
       .join(cb, col("bb") === col("b") && col("rnb") === col("rn") + col("lag"))
       .groupBy(col("a"), col("b"), col("lag"))
-      .agg(count(lit(1)).as("n_overlap"), sum(col("da") * col("db")).as("cross"))
+      .agg(count(lit(1)).as("n_overlap"),
+        sum(expr("cast(da as decimal(38,0)) * db")).as("cross"))
       .join(broadcast(ss.select(col("event_type").as("a"), col("ss").as("ssa"))), Seq("a"))
       .join(broadcast(ss.select(col("event_type").as("b"), col("ss").as("ssb"))), Seq("b"))
       .select(col("a"), col("b"), col("lag"), col("n_overlap"),
@@ -3165,12 +3169,13 @@ object Analytics {
        |    as bigint) AS rn,
        |  d.v - m.mu AS dd
        | FROM daily d JOIN mu m USING (event_type)),
-       |ss AS (SELECT event_type, sum(dd * dd) AS ss FROM c GROUP BY 1),
+       |ss AS (SELECT event_type, sum(cast(dd as hugeint) * dd) AS ss
+      |       FROM c GROUP BY 1),
        |grid(a, b, lag) AS (VALUES $gridRows),
        |x AS (
        | SELECT g.a, g.b, cast(g.lag as bigint) AS lag,
        |  cast(count(*) as bigint) AS n_overlap,
-       |  sum(ca.dd * cb.dd) AS crs
+       |  sum(cast(ca.dd as hugeint) * cb.dd) AS crs
        | FROM grid g
        |  JOIN c ca ON ca.event_type = g.a
        |  JOIN c cb ON cb.event_type = g.b AND cb.rn = ca.rn + g.lag
