@@ -1978,8 +1978,13 @@ object Analytics {
     val xyz = grid.groupBy(col("p"))
       .agg(count(lit(1)).as("w"), sum(col("qw")).as("sq"),
         sum(col("qw") * col("qw")).as("sqq"))
+      // the CV² cross-moments run in decimal(38,0) (DuckDB: HUGEINT):
+      // W·Σq² and (Σq)² approach 10¹⁹ on a high-volume part at 100 TB;
+      // the dividend is ≥ 0 by Cauchy–Schwarz, so div stays exact
       .withColumn("cv2_micro",
-        expr("((w * sqq - sq * sq) * 1000000) div (sq * sq)"))
+        expr("((cast(w as decimal(38,0)) * sqq - " +
+          "cast(sq as decimal(38,0)) * sq) * 1000000) " +
+          "div (cast(sq as decimal(38,0)) * sq)"))
       .withColumn("xyz",
         when(col("cv2_micro") <= 250000, lit("X"))
           .when(col("cv2_micro") <= 1000000, lit("Y")).otherwise(lit("Z")))
@@ -2018,10 +2023,12 @@ object Analytics {
       | LEFT JOIN weekly w ON w.p = pp.p AND w.wk = gs.wk),
       |xyz AS (
       | SELECT p, CASE
-      |   WHEN ((count(*) * sum(qw * qw) - sum(qw) * sum(qw)) * 1000000)
-      |     // (sum(qw) * sum(qw)) <= 250000 THEN 'X'
-      |   WHEN ((count(*) * sum(qw * qw) - sum(qw) * sum(qw)) * 1000000)
-      |     // (sum(qw) * sum(qw)) <= 1000000 THEN 'Y'
+      |   WHEN ((cast(count(*) as hugeint) * sum(qw * qw)
+      |       - cast(sum(qw) as hugeint) * sum(qw)) * 1000000)
+      |     // (cast(sum(qw) as hugeint) * sum(qw)) <= 250000 THEN 'X'
+      |   WHEN ((cast(count(*) as hugeint) * sum(qw * qw)
+      |       - cast(sum(qw) as hugeint) * sum(qw)) * 1000000)
+      |     // (cast(sum(qw) as hugeint) * sum(qw)) <= 1000000 THEN 'Y'
       |   ELSE 'Z' END AS xyz
       | FROM grid GROUP BY p),
       |rev AS (SELECT p, sum(revd) AS revd FROM li GROUP BY 1),
