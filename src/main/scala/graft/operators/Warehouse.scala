@@ -1775,16 +1775,19 @@ object Warehouse {
     val bySeg = Window.partitionBy(col("seg")).orderBy(col("x"), col("p"))
     rev.withColumn("i", row_number().over(bySeg).cast("long"))
       .groupBy(col("seg"))
+      // Σ i·x accumulates in decimal(38,0) — i approaches the per-seg
+      // part count, so int64 wraps near 10²³-scale moments at 100 TB
+      // while DuckDB's sum() auto-widens to HUGEINT: the engines would
+      // silently diverge exactly there (the metaGiniSegments pattern)
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-        sum(col("i") * col("x")).as("six"))
+        sum(expr("cast(i as decimal(38,0)) * x")).as("six"))
       .select(col("seg"), col("n").cast("long").as("n_parts"),
         col("sx").cast("long").as("revenue_cents"),
-        // the ×10⁶ would overflow int64 at sf0.1 moment magnitudes —
-        // promote exactly that multiply to decimal(38,0); `div` on
-        // decimals is the same integral truncation (≡ floor here, the
-        // numerator is ≥ 0 for ascending ranks) as DuckDB's hugeint //
-        expr("(cast(2 * six - (n + 1) * sx as decimal(38,0)) * 1000000) " +
-          "div cast(n * sx as decimal(38,0))")
+        // every cross-moment in decimal(38,0); `div` on decimals is
+        // the same integral truncation (≡ floor here, the numerator
+        // is ≥ 0 for ascending ranks) as DuckDB's hugeint //
+        expr("(2 * six - cast(n + 1 as decimal(38,0)) * sx) * 1000000 " +
+          "div (cast(n as decimal(38,0)) * sx)")
           .cast("long").as("gini_micro"))
       .orderBy(col("seg"))
   }
@@ -1803,8 +1806,9 @@ object Warehouse {
       | FROM rev)
       |SELECT seg, cast(count(*) as bigint) AS n_parts,
       | cast(sum(x) as bigint) AS revenue_cents,
-      | cast(((2 * sum(i * x) - (count(*) + 1) * sum(x)) * 1000000)
-      |   // (count(*) * sum(x)) as bigint) AS gini_micro
+      | cast(((2 * sum(cast(i as hugeint) * x)
+      |     - cast(count(*) + 1 as hugeint) * sum(x)) * 1000000)
+      |   // (cast(count(*) as hugeint) * sum(x)) as bigint) AS gini_micro
       |FROM ranked GROUP BY seg ORDER BY seg""".stripMargin
 
   /** Committed FD candidates: (table, lhs, rhs) — the determinations
