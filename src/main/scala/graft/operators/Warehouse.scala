@@ -1331,12 +1331,20 @@ object Warehouse {
       .withColumn("negBelow",
         coalesce(sum(col("cn")).over(below), lit(0L)))
       .groupBy(col("neg_type"))
+      // the U statistic is n_pos·n_neg-scaled (n²): accumulate in
+      // decimal(38,0) (DuckDB: HUGEINT) and derive auc_micro — the
+      // bounded answer — from the exact decimal BEFORE the reported
+      // u2 narrows to int64 (u2 itself is a diagnostic, bounded to
+      // ~2e9 events per class as an int64 column)
       .agg(sum(col("cp")).cast("long").as("n_pos"),
         sum(col("cn")).cast("long").as("n_neg"),
-        sum(col("cp") * (col("negBelow") * 2 + col("cn")))
-          .cast("long").as("u2"))
+        sum(expr("cast(cp as decimal(38,0)) * (negBelow * 2 + cn)"))
+          .as("u2d"))
       .withColumn("auc_micro",
-        expr("(u2 * 1000000) div (2 * n_pos * n_neg)").cast("long"))
+        expr("(u2d * 1000000) div (cast(n_pos as decimal(38,0)) * n_neg * 2)")
+          .cast("long"))
+      .select(col("neg_type"), col("n_pos"), col("n_neg"),
+        col("u2d").cast("long").as("u2"), col("auc_micro"))
       .orderBy(col("neg_type"))
   }
 
@@ -1368,10 +1376,11 @@ object Warehouse {
       |rolled AS (
       | SELECT neg_type, cast(sum(cp) as bigint) AS n_pos,
       |  cast(sum(cn) as bigint) AS n_neg,
-      |  cast(sum(cp * (negBelow * 2 + cn)) as bigint) AS u2
+      |  sum(cast(cp as hugeint) * (negBelow * 2 + cn)) AS u2h
       | FROM cum GROUP BY 1)
-      |SELECT neg_type, n_pos, n_neg, u2,
-      | cast((u2 * 1000000) // (2 * n_pos * n_neg) as bigint) AS auc_micro
+      |SELECT neg_type, n_pos, n_neg, cast(u2h as bigint) AS u2,
+      | cast((u2h * 1000000) // (cast(n_pos as hugeint) * n_neg * 2)
+      |   as bigint) AS auc_micro
       |FROM rolled ORDER BY neg_type""".stripMargin
 
   /** Benford first-digit audit — the classic fabricated-data detector
