@@ -86,6 +86,23 @@ object Bench {
     sentinelFallbackPins.map { case (n, fb) => n -> prior.getOrElse(n, fb) }
   }
 
+  /** Median and p90 of measured/pin over all pinned queries — the
+    * BROAD-drift diagnostic the gate, sentinels and requote all miss:
+    * a uniform ~1.2× host slowdown inflates every query below the
+    * requote factor while three sentinels read as marginal noise.
+    * A quiet run reads ~1.0 here; the artifact self-declares anything
+    * else machine-readably. None when no pins match (fresh checkout,
+    * other SFs). */
+  private[graft] def pinRatioStats(measured: Map[String, Double],
+      pins: Map[String, Double]): Option[(Double, Double)] = {
+    val ratios = measured.flatMap { case (n, v) =>
+      pins.get(n).filter(_ > 0).map(v / _)
+    }.toSeq.sorted
+    if (ratios.isEmpty) None
+    else Some((ratios(ratios.size / 2),
+      ratios(math.min(ratios.size - 1, ratios.size * 9 / 10))))
+  }
+
   /** Targeted (SPARK_GRAFT_BENCH_ONLY) runs must never clobber the
     * full-registry detail: r14's driver close was lost to exactly
     * that. Partial runs write to a name-keyed sidecar instead. */
@@ -310,8 +327,17 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + r2(v) }
       .mkString("{", ",", "}")
     val requotedJson = toRequote.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // measured/pin distribution AFTER requotes: the broad-drift stamp
+    // (a uniform host slowdown that every per-query detector is blind
+    // to still shows up as a median visibly above 1.0)
+    val pinRatioJson =
+      (if (pinsApply) pinRatioStats(results, priorPins) else None) match {
+        case Some((med, p90)) =>
+          s""""pin_ratio_median":${r2(med)},"pin_ratio_p90":${r2(p90)},"""
+        case None => ""
+      }
     val loadJson =
-      s""""load1_pre":${r2(loadPre)},"load5_pre":${r2(load5Pre)},"load1_post":${r2(loadPost)},"sentinel_ratios":$sentJson,"requoted":$requotedJson,"contended":$contended"""
+      s""""load1_pre":${r2(loadPre)},"load5_pre":${r2(load5Pre)},"load1_post":${r2(loadPost)},"sentinel_ratios":$sentJson,"requoted":$requotedJson,$pinRatioJson"contended":$contended"""
     val detailFile = detailFileName(only)
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(detailFile),

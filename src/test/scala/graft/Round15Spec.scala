@@ -64,6 +64,26 @@ class Round15Spec extends AnyFunSuite {
     }
   }
 
+  test("pin-ratio stats: median and p90 of measured/pin — the broad-" +
+      "drift stamp a uniform slowdown leaves when every per-query " +
+      "detector stays silent") {
+    val pins = Map("a" -> 1.0, "b" -> 2.0, "c" -> 4.0, "zero" -> 0.0)
+    // quiet run: everything at its pin
+    assert(Bench.pinRatioStats(Map("a" -> 1.0, "b" -> 2.0, "c" -> 4.0), pins)
+      .contains((1.0, 1.0)))
+    // the r15 third-run shape: uniform ~1.2x, no query over 2x
+    val (med, p90) = Bench.pinRatioStats(
+      Map("a" -> 1.2, "b" -> 2.4, "c" -> 4.8), pins).get
+    assert(med > 1.19 && med < 1.21 && p90 > 1.19 && p90 < 1.21)
+    // zero/absent pins are excluded; none usable -> None
+    assert(Bench.pinRatioStats(Map("zero" -> 9.0, "new" -> 9.0), pins).isEmpty)
+    assert(Bench.pinRatioStats(Map("a" -> 1.0), Map.empty).isEmpty)
+    // p90 >= median on a skewed run
+    val (m2, p2) = Bench.pinRatioStats(
+      Map("a" -> 1.0, "b" -> 2.0, "c" -> 40.0), pins).get
+    assert(p2 >= m2 && p2 == 10.0)
+  }
+
   test("targeted bench runs write a name-keyed sidecar, never the " +
       "full-registry detail file") {
     assert(Bench.detailFileName(None) == "BENCH_DETAIL.json")
