@@ -15,6 +15,30 @@ import org.scalatest.funsuite.AnyFunSuite
   * 434-entry close to exactly that).
   */
 class Round15Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("seed-BFS artifact laws: 8 level-0 seeds with sigma 1, per-seed " +
+      "levels partition the reached set, sigma >= 1 everywhere, and the " +
+      "per-(seed, level) counts reconcile with harmonic centrality") {
+    import org.apache.spark.sql.functions._
+    val lv = spark.read.parquet(
+      s"${operators.Graph.seedBfsRoot(spark, sf)}/levels")
+    val l0 = lv.filter(col("level") === 0L)
+    assert(l0.count() == 8 && l0.filter(col("sigma") =!= 1L).count() == 0)
+    assert(l0.filter(col("seed") =!= col("node")).count() == 0)
+    assert(lv.filter(col("sigma") < 1L).count() == 0)
+    // a (seed, node) pair appears at EXACTLY one level (first reach)
+    assert(lv.groupBy(col("seed"), col("node")).count()
+      .filter(col("count") > 1L).count() == 0)
+    // the artifact's distance distribution IS harmonic's n_reached
+    val fromArtifact = lv.filter(col("level") > 0L)
+      .groupBy(col("seed")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val harmonic = operators.Graph.harmonicCentrality(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fromArtifact == harmonic.map { case (s, n) => s -> n })
+  }
 
   test("requote detector: entries over the factor x their pin flag, " +
       "sub-factor drift and pinless entries do not, output is name-sorted") {
