@@ -34,16 +34,45 @@ object Bench {
     }
   }
 
+  private[graft] def extractJsonString(json: String, field: String): Option[String] =
+    ("\"" + java.util.regex.Pattern.quote(field) + "\":\"([^\"]*)\"").r
+      .findFirstMatchIn(json).map(_.group(1))
+  private[graft] def extractJsonBool(json: String, field: String): Option[Boolean] =
+    ("\"" + java.util.regex.Pattern.quote(field) + "\":(true|false)").r
+      .findFirstMatchIn(json).map(_.group(1) == "true")
+  private[graft] def extractJsonLong(json: String, field: String): Option[Long] =
+    ("\"" + java.util.regex.Pattern.quote(field) + "\":(-?[0-9]+)").r
+      .findFirstMatchIn(json).map(_.group(1).toLong)
+
+  /** Validated pin source: the queries map of a detail-file body,
+    * accepted ONLY when the file self-declares as a quiet sf0.1
+    * full-registry run — `sf` ends with sf0.1, `contended` is false,
+    * and the parsed map's size equals the stamped `n` (a truncated or
+    * format-evolved artifact degrades to NO pins, never to silently
+    * wrong ones). r15's round close committed a 1.13×-drifted detail
+    * over the quiet one; with this guard (plus the write-side guard
+    * in [[detailWriteTarget]]) a drifted or foreign-SF artifact can
+    * never become the requote/sentinel baseline. */
+  private[graft] def quietSf01Pins(json: String): Map[String, Double] = {
+    val qs = parseDetailQueries(json)
+    val sfOk = extractJsonString(json, "sf")
+      .exists(_.stripSuffix("/").endsWith("sf0.1"))
+    val quiet = extractJsonBool(json, "contended").contains(false)
+    val nOk = extractJsonLong(json, "n").contains(qs.size.toLong)
+    if (sfOk && quiet && nOk) qs else Map.empty
+  }
+
   /** Per-query quiet pins from the COMMITTED BENCH_DETAIL.json (the
     * prior round's full-registry quiet close, in the repo root the
-    * driver runs sbt from). Read at launch — the run overwrites the
-    * file at exit. Empty when absent/unparseable: the requote pass
-    * and the sentinel refresh then degrade gracefully. */
+    * driver runs sbt from), accepted only through the
+    * [[quietSf01Pins]] validation. Empty when absent/unparseable/
+    * drifted/foreign-SF: the requote pass and the sentinel refresh
+    * then degrade gracefully. */
   private[graft] def priorQuietPins(): Map[String, Double] =
     try {
       val p = java.nio.file.Paths.get("BENCH_DETAIL.json")
       if (java.nio.file.Files.isReadable(p))
-        parseDetailQueries(
+        quietSf01Pins(
           new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
       else Map.empty
     } catch { case _: Throwable => Map.empty }
@@ -116,6 +145,35 @@ object Bench {
         s"BENCH_DETAIL_only_$h.json"
     }
 
+  /** Where a finished run may write its detail. BENCH_DETAIL.json is
+    * the PIN SOURCE — the committed quiet sf0.1 close every future
+    * run requotes and canaries against — so only a pin-clean run may
+    * take that name: full registry, sf0.1, zero requotes, and
+    * pin-ratio median within `driftBar` of 1.0 (r15's round close
+    * adopted a 1.13×-drifted detail as pins; ~5% is measurement
+    * noise, 13% is a different machine state). Anything else
+    * self-files as a sidecar: targeted runs keep their name-keyed
+    * `_only_` file, non-sf0.1 full runs get an SF-keyed file, and a
+    * drifted/requoted sf0.1 run gets a content-keyed `_drift_` file
+    * so the evidence survives without poisoning the baseline. A run
+    * with NO pin history (fresh bootstrap: no requotes possible,
+    * no ratio computable) still lands on BENCH_DETAIL.json. */
+  private[graft] def detailWriteTarget(only: Option[Set[String]],
+      sfDir: String, requoted: Seq[String],
+      pinRatioMedian: Option[Double], driftBar: Double = 1.05): String =
+    if (only.isDefined) detailFileName(only)
+    else if (!sfDir.stripSuffix("/").endsWith("sf0.1")) {
+      val tag = sfDir.stripSuffix("/").split("/").last
+        .replaceAll("[^A-Za-z0-9._-]", "_")
+      s"BENCH_DETAIL_sf_$tag.json"
+    } else if (requoted.nonEmpty || pinRatioMedian.exists(_ > driftBar)) {
+      val key = requoted.sorted.mkString(",") + "|" +
+        pinRatioMedian.fold("")(m => (math.rint(m * 100) / 100).toString)
+      val h = Integer.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(key))
+      s"BENCH_DETAIL_drift_$h.json"
+    } else "BENCH_DETAIL.json"
+
   /** Contention verdict from measured sentinel ratios (measured /
     * pinned quiet median): contended iff a MAJORITY of sentinels ran
     * >2x their pin, or ANY ran >5x. One mildly-slow sentinel is
@@ -125,6 +183,45 @@ object Bench {
     * regimes with wide margins on both sides. */
   private[graft] def sentinelContended(ratios: Seq[Double]): Boolean =
     ratios.count(_ > 2.0) * 2 > ratios.size || ratios.exists(_ > 5.0)
+
+  /** Entries whose fixture/index builds moved into the cross-JVM
+    * artifact cache in round 9 (built once per (fingerprint, params),
+    * read thereafter): their timings measure the READ path, with the
+    * build cost captured by the *_index_build entries — cross-round
+    * deltas against pre-r9 numbers are NOT engine-level speedups.
+    * Stamped into every detail JSON as `amortized`; the Round16Spec
+    * no-recompute gate asserts that a second same-session invocation
+    * of each performs ZERO artifact builds (a nondeterministic cache
+    * key would silently turn "amortized" into "rebuilt every rep"). */
+  private[graft] val amortizedEntries: Seq[String] = Seq(
+    "dedup_jaccard_pairs", "dedup_apply_minhash", "dedup_minhash_lsh",
+    "dedup_apply_components", "dedup_apply_neardup", "dedup_cluster_components",
+    "dedup_cluster_star", "dedup_fuzzy_edit", "dedup_semantic_clusters",
+    "sim_ivf_topk", "sim_ivfpq_topk", "sim_pq_topk", "sim_range_search",
+    "sim_filtered_topk", "sim_knn_join_ivf", "sim_mutual_nn_ivf", "sim_index_add",
+    "stream_ann_serve", "stream_filtered_ann_serve",
+    "graph_pagerank", "graph_triangles", "graph_kcore_peel",
+    "graph_label_propagation", "graph_ppr", "graph_shortest_paths",
+    "graph_shortest_paths_frontier",
+    "src_zorder_layout", "q78_partition_evolution", "q57_aqe_skew_join",
+    "text_bpe_train", "text_bpe_tokens",
+    // round 10: the matview entries read the fingerprint-keyed view
+    // after the first build — their timings measure rewrite + view
+    // scan, not the aggregate build
+    "q87_mv_rewrite", "q88_mv_rollup", "graph_link_predict",
+    // round 11: walks (and their pair extraction) read the cached
+    // trade-graph edge artifacts
+    "graph_random_walks", "pipeline_walk_pairs",
+    // round 14 (re-shaped r16): the resource-audit growth certificate
+    // is cached per (fixture fingerprints, panel plan hashes) — a
+    // bench invocation reads measurement.csv unless a plan changed
+    "meta_resource_audit",
+    // round 15: the centrality family reads the shared per-seed
+    // forward-BFS artifact (seed, node, level, sigma) — built once
+    // per graph fingerprint; betweenness times its backward phase,
+    // the other two time group-bys over the artifact
+    "graph_betweenness", "graph_harmonic_centrality",
+    "graph_effective_diameter")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -243,10 +340,15 @@ object Bench {
     val toRequote =
       if (pinsApply) requoteNames(mainResults, priorPins, requoteFactor)
       else Seq.empty
+    // the re-measure is a fresh median-of-reps and is committed AS IS
+    // (not min-ed with the burst median): min-of-two is biased low —
+    // one lucky warm rep would permanently replace the honest median.
+    // A burst victim's re-measure lands at quiet cost; a genuine
+    // regression re-measures just as slow and stays on the record.
     val requoted = toRequote.map { name =>
-      val again = timeQuery(name, selected(name), 1)
-      System.err.println(f"[bench] requote $name: median ${mainResults(name)}%.3f -> 1-rep ${again}%.3f (pin ${priorPins(name)}%.3f)")
-      name -> math.min(mainResults(name), again)
+      val again = timeQuery(name, selected(name), reps)
+      System.err.println(f"[bench] requote $name: burst median ${mainResults(name)}%.3f -> re-measured median ${again}%.3f (pin ${priorPins(name)}%.3f)")
+      name -> again
     }.toMap
     val results = mainResults ++ requoted
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
@@ -262,39 +364,7 @@ object Bench {
     // cwd-relative (the driver runs sbt from the repo root), and a
     // failed detail write must not lose the summary line below — the
     // whole bench run already happened
-    // entries whose fixture/index builds moved into the cross-JVM
-    // artifact cache in round 9 (built once per (fingerprint, params),
-    // read thereafter): their timings measure the READ path, with the
-    // build cost captured by the *_index_build entries — cross-round
-    // deltas against pre-r9 numbers are NOT engine-level speedups
-    val amortized = Seq(
-      "dedup_jaccard_pairs", "dedup_apply_minhash", "dedup_minhash_lsh",
-      "dedup_apply_components", "dedup_apply_neardup", "dedup_cluster_components",
-      "dedup_cluster_star", "dedup_fuzzy_edit", "dedup_semantic_clusters",
-      "sim_ivf_topk", "sim_ivfpq_topk", "sim_pq_topk", "sim_range_search",
-      "sim_filtered_topk", "sim_knn_join_ivf", "sim_mutual_nn_ivf", "sim_index_add",
-      "stream_ann_serve", "stream_filtered_ann_serve",
-      "graph_pagerank", "graph_triangles", "graph_kcore_peel",
-      "graph_label_propagation", "graph_ppr", "graph_shortest_paths",
-      "graph_shortest_paths_frontier",
-      "src_zorder_layout", "q78_partition_evolution", "q57_aqe_skew_join",
-      "text_bpe_train", "text_bpe_tokens",
-      // round 10: the matview entries read the fingerprint-keyed view
-      // after the first build — their timings measure rewrite + view
-      // scan, not the aggregate build
-      "q87_mv_rewrite", "q88_mv_rollup", "graph_link_predict",
-      // round 11: walks (and their pair extraction) read the cached
-      // trade-graph edge artifacts
-      "graph_random_walks", "pipeline_walk_pairs",
-      // round 14: the resource-audit panel is a measurement harness
-      // (10 sub-jobs per invocation) timed at 1 rep, not an operator
-      "meta_resource_audit",
-      // round 15: the centrality family reads the shared per-seed
-      // forward-BFS artifact (seed, node, level, sigma) — built once
-      // per graph fingerprint; betweenness times its backward phase,
-      // the other two time group-bys over the artifact
-      "graph_betweenness", "graph_harmonic_centrality",
-      "graph_effective_diameter")
+    val amortized = amortizedEntries
       .filter(selected.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
     // ---- sentinel canary (end of run) --------------------------------
     // loadavg is a PRE-run prediction; the sentinels are a POST-run
@@ -330,15 +400,20 @@ object Bench {
     // measured/pin distribution AFTER requotes: the broad-drift stamp
     // (a uniform host slowdown that every per-query detector is blind
     // to still shows up as a median visibly above 1.0)
-    val pinRatioJson =
-      (if (pinsApply) pinRatioStats(results, priorPins) else None) match {
-        case Some((med, p90)) =>
-          s""""pin_ratio_median":${r2(med)},"pin_ratio_p90":${r2(p90)},"""
-        case None => ""
-      }
+    val pinRatio = if (pinsApply) pinRatioStats(results, priorPins) else None
+    val pinRatioJson = pinRatio match {
+      case Some((med, p90)) =>
+        s""""pin_ratio_median":${r2(med)},"pin_ratio_p90":${r2(p90)},"""
+      case None => ""
+    }
     val loadJson =
       s""""load1_pre":${r2(loadPre)},"load5_pre":${r2(load5Pre)},"load1_post":${r2(loadPost)},"sentinel_ratios":$sentJson,"requoted":$requotedJson,$pinRatioJson"contended":$contended"""
-    val detailFile = detailFileName(only)
+    // pin-source guard: a drifted/requoted/foreign-SF run must not
+    // become the next run's baseline — it files as a sidecar instead
+    val detailFile =
+      detailWriteTarget(only, sfDir, toRequote, pinRatio.map(_._1))
+    if (detailFile != detailFileName(only))
+      System.err.println(s"[bench] run is not pin-clean (requoted=${toRequote.size}, pin_ratio_median=${pinRatio.map(_._1)}) — detail diverted to $detailFile; BENCH_DETAIL.json pins preserved")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(detailFile),
         s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries":${fullQs.mkString("{", ",", "}")},"amortized":$amortized,$loadJson,"sf":"$sfDir"}""".getBytes("UTF-8"))

@@ -154,6 +154,16 @@ object util {
 
   private val artifactRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Keys whose build closure actually RAN in this JVM, in order —
+    * observability for the no-recompute gate: an amortized entry's
+    * second same-session invocation must add nothing here (a
+    * nondeterministic cache key — a UUID, a timestamp, an unstable
+    * plan string — would rebuild per call and falsify every
+    * "measures the read path" claim). Appended only on a real build,
+    * not on a manifest hit. */
+  private[graft] val artifactBuildLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
   /** Repo-wide artifact-cache FORMAT/CODE revision, folded into the
     * cache base directory name. tableFingerprint keys artifacts by
     * source DATA, but a cache entry is a function of (data, params,
@@ -187,6 +197,7 @@ object util {
       val stable = new java.io.File(base, key)
       val manifest = new java.io.File(stable, "_MANIFEST")
       if (!manifest.isFile) {
+        artifactBuildLog.add(key)
         val staged = new java.io.File(base, s".tmp-${java.util.UUID.randomUUID}")
         registerShutdownDelete(staged.getPath) // no-op once renamed away
         build(staged.getPath)

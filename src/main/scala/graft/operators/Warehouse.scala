@@ -1149,12 +1149,46 @@ object Warehouse {
       ("q103_abc_xyz", Analytics.q103AbcXyz))
     import spark.implicits._
     panel.map { case (name, fn) =>
-      val (recLo, _, _) = auditMeasure(spark, fn, lo)
-      val (recHi, peakHi, spillHi) = auditMeasure(spark, fn, hi)
-      require(recLo > 0,
-        s"metaResourceAudit: $name wrote 0 shuffle records at $lo — " +
-        "a zero baseline makes the growth ratio meaningless (every " +
-        "panel operator shuffles by design); measurement is broken")
+      // MEASURE ONCE PER (data, plan) ACROSS JVMs: shuffle records are
+      // deterministic given the physical plan and the fixture bytes,
+      // so the certificate is cacheable like any trained index — the
+      // panel was 11.3 s (3.9% of the whole bench) re-measuring the
+      // same unchanged plans every run. The key folds in the
+      // CANONICALIZED optimized plan (exprIds normalized, then any
+      // residual #ids stripped) of BOTH fixture runs: re-planning an
+      // entry (e.g. the r16 q103 grid collapse) changes the key and
+      // forces an honest re-measurement; peak/spill ride along as the
+      // measuring run's environment-dependent observations (the entry
+      // is rows-only declared for exactly that reason).
+      def planKey(d: String): String = {
+        val s = fn(spark, d).queryExecution.optimizedPlan
+          .canonicalized.toString.replaceAll("#\\d+", "")
+        Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(s))
+      }
+      // data key spans every table the panel reads (graph: orders +
+      // lineitem, sim: embeddings, q103: lineitem) at both fixtures
+      val dataKey = Integer.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(
+          Seq(lo, hi).flatMap(d => Seq("orders", "lineitem", "embeddings")
+            .map(tableFingerprint(d, _))).mkString("|")))
+      val root = artifactRoot(
+          s"audit-$name-$dataKey-${planKey(lo)}-${planKey(hi)}") { staged =>
+        val (recLo, _, _) = auditMeasure(spark, fn, lo)
+        val (recHi, peakHi, spillHi) = auditMeasure(spark, fn, hi)
+        require(recLo > 0,
+          s"metaResourceAudit: $name wrote 0 shuffle records at $lo — " +
+          "a zero baseline makes the growth ratio meaningless (every " +
+          "panel operator shuffles by design); measurement is broken")
+        val d = new java.io.File(staged); d.mkdirs()
+        java.nio.file.Files.writeString(
+          d.toPath.resolve("measurement.csv"),
+          s"$recLo,$recHi,$peakHi,$spillHi\n")
+        ()
+      }
+      val Array(recLo, recHi, peakHi, spillHi) =
+        java.nio.file.Files.readString(
+          java.nio.file.Paths.get(root, "measurement.csv"))
+          .trim.split(",").map(_.toLong)
       val ratioBp = recHi * 10000L / recLo
       (name, recLo, recHi, ratioBp, ratioBp > 200000L, peakHi, spillHi)
     }.toDF("entry", "shuffle_records_lo", "shuffle_records_hi",
@@ -2002,7 +2036,13 @@ object Warehouse {
       .join(cells, Seq("a", "b"), "left")
       .withColumn("o", coalesce(col("o"), lit(0L)))
     grid.crossJoin(broadcast(n))
-      .withColumn("num", expr("o * n - rt * ct"))
+      // num itself must be decimal(38,0) (DuckDB: HUGEINT): o·N and
+      // rt·ct approach N² ≈ 10¹⁹ near N ≈ 3e9, where int64 wraps
+      // silently on Spark but RAISES on DuckDB — widening only the
+      // downstream square left a cross-engine divergence in the
+      // subtraction itself
+      .withColumn("num",
+        expr("cast(o as decimal(38,0)) * n - cast(rt as decimal(38,0)) * ct"))
       .withColumn("chi2_cell_micro", expr(
         "cast(num as decimal(38,0)) * num * 1000000 " +
           "div (cast(rt as decimal(38,0)) * ct * n)"))
@@ -2089,7 +2129,7 @@ object Warehouse {
        |            FROM cells GROUP BY 1)
        |  -- zero-filled r x c grid: structural zeros contribute rt*ct/N
        |  SELECT g.o, g.rt, g.ct, t.n, t.r_levels, t.c_levels,
-       |   g.o * t.n - g.rt * g.ct AS num
+       |   cast(g.o as hugeint) * t.n - cast(g.rt as hugeint) * g.ct AS num
        |  FROM (
        |   SELECT rmarg.a, cmarg.b, rmarg.rt, cmarg.ct,
        |    coalesce(c.o, 0) AS o

