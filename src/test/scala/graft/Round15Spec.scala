@@ -95,6 +95,15 @@ class Round15Spec extends AnyFunSuite {
     if (java.nio.file.Files.isReadable(p)) {
       val committed = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
       val pins = Bench.quietSf01Pins(committed)
+      // if the artifact CLAIMS to be a quiet sf0.1 close, the read
+      // guard must accept it — a claimed-quiet file with a broken n
+      // stamp is a real defect, not a skippable foreign artifact
+      val claimsQuiet =
+        Bench.extractJsonString(committed, "sf")
+          .exists(_.stripSuffix("/").endsWith("sf0.1")) &&
+          Bench.extractJsonBool(committed, "contended").contains(false)
+      assert(!claimsQuiet || pins.nonEmpty,
+        "committed detail claims quiet sf0.1 but fails pin validation")
       if (pins.nonEmpty) { // validated: sf0.1, contended:false, n matches
         assert(pins.size > 400, s"committed close parsed only ${pins.size}")
         for (name <- Bench.sentinelFallbackPins.keys) {
