@@ -188,8 +188,19 @@ object util {
     * another JVM published the identical (deterministic) build first
     * — use theirs, drop ours. `key` MUST encode both the source-data
     * fingerprint ([[tableFingerprint]]) and every build parameter. */
-  def artifactRoot(key: String)(build: String => Unit): String =
-    artifactRoots.computeIfAbsent(key, _ => {
+  def artifactRoot(key: String)(build: String => Unit): String = {
+    // REENTRANT by construction: build closures legitimately call
+    // artifactRoot for nested artifacts (the resource-audit
+    // certificate measures entries that read their own cached
+    // indexes), and ConcurrentHashMap.computeIfAbsent throws
+    // "Recursive update" whenever a nested compute lands in the same
+    // bin — a hash-placement lottery. So: plain get, then the
+    // stage-and-atomic-rename disk protocol (which already tolerates
+    // concurrent builders — a lost rename means an identical
+    // deterministic build published first), then putIfAbsent.
+    val cached = artifactRoots.get(key)
+    if (cached != null) cached
+    else {
       val base = new java.io.File(
         s"${sys.props("java.io.tmpdir")}/graft_artifact_cache_$CacheRev")
       base.mkdirs()
@@ -205,8 +216,10 @@ object util {
         if (!staged.renameTo(stable) && !manifest.isFile)
           sys.error(s"artifact publish failed: $staged -> $stable")
       }
+      artifactRoots.putIfAbsent(key, stable.getPath)
       stable.getPath
-    })
+    }
+  }
 
   /** Orphaned `.tmp-<uuid>` staging dirs leak when a building JVM is
     * killed mid-build (the shutdown-delete hook never runs), so every

@@ -1987,11 +1987,16 @@ object Analytics {
     // larger (p, wk) table instead measured 1.9 s vs 1.0 s at sf0.1).
     val weekly = li.groupBy(col("p"), col("wk"))
       .agg(sum(col("q")).as("qw"), sum(col("revd")).as("rw"))
+    // LAZY checkpoint: same barrier (first action materializes, every
+    // later job — DistRank's boundary pass included — reuses it), but
+    // CONSTRUCTING this DataFrame stays free, so plan-inspection
+    // probes (meta_resource_audit's plan-hash keys, the registry-wide
+    // plan gate) don't execute two fixture aggregations per probe
     val mom = weekly.groupBy(col("p"))
       .agg(sum(col("qw")).as("sq"), sum(col("qw") * col("qw")).as("sqq"),
         sum(col("rw")).as("revd"),
         min(col("wk")).as("mn"), max(col("wk")).as("mx"))
-      .localCheckpoint(true) // consumed by span + xyz + revenue
+      .localCheckpoint(false) // consumed by span + xyz + revenue
     val span = mom.agg(min(col("mn")).as("lo"), max(col("mx")).as("hi"))
     val xyz = mom
       .crossJoin(broadcast(span))

@@ -1125,6 +1125,30 @@ object Warehouse {
     (p.shuffleRecs.get(), p.peak.get(), p.spilled.get())
   }
 
+  /** MD5 (16 hex chars) over the compiled bytecode of every class the
+    * audit panel's behavior lives in — the certificate's code-version
+    * key. Panel entries: q103 (Analytics + DistRank), the graph pair
+    * (Graph), the sim pair (Similarity), plus this file (the
+    * measurement harness itself). Any edit to any of them re-keys the
+    * cache and forces a re-measurement. */
+  private[graft] lazy val auditCodeKey: String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (c <- Seq(Analytics.getClass, Graph.getClass, Similarity.getClass,
+        DistRank.getClass, Warehouse.getClass)) {
+      val res = "/" + c.getName.replace('.', '/') + ".class"
+      val in = c.getResourceAsStream(res)
+      require(in != null, s"auditCodeKey: bytecode for ${c.getName} not " +
+        "on the classpath — refusing a constant key (it would serve " +
+        "stale certificates forever)")
+      try {
+        val buf = new Array[Byte](8192)
+        var r = in.read(buf)
+        while (r > 0) { md.update(buf, 0, r); r = in.read(buf) }
+      } finally in.close()
+    }
+    md.digest().map("%02x".format(_)).mkString.take(16)
+  }
+
   def metaResourceAudit(spark: SparkSession, dir: String): DataFrame = {
     val parent = new java.io.File(dir).getParentFile
     // FAIL, don't degrade: measuring the same dir twice reads ratio
@@ -1149,30 +1173,29 @@ object Warehouse {
       ("q103_abc_xyz", Analytics.q103AbcXyz))
     import spark.implicits._
     panel.map { case (name, fn) =>
-      // MEASURE ONCE PER (data, plan) ACROSS JVMs: shuffle records are
-      // deterministic given the physical plan and the fixture bytes,
-      // so the certificate is cacheable like any trained index — the
-      // panel was 11.3 s (3.9% of the whole bench) re-measuring the
-      // same unchanged plans every run. The key folds in the
-      // CANONICALIZED optimized plan (exprIds normalized, then any
-      // residual #ids stripped) of BOTH fixture runs: re-planning an
-      // entry (e.g. the r16 q103 grid collapse) changes the key and
-      // forces an honest re-measurement; peak/spill ride along as the
-      // measuring run's environment-dependent observations (the entry
-      // is rows-only declared for exactly that reason).
-      def planKey(d: String): String = {
-        val s = fn(spark, d).queryExecution.optimizedPlan
-          .canonicalized.toString.replaceAll("#\\d+", "")
-        Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(s))
-      }
+      // MEASURE ONCE PER (data, code) ACROSS JVMs: shuffle records are
+      // deterministic given the plan and the fixture bytes, so the
+      // certificate is cacheable like any trained index — the panel
+      // was 11.3 s (3.9% of the whole bench) re-measuring the same
+      // unchanged plans every run. Invalidation keys on the BYTECODE
+      // of the classes implementing the panel (not on plan hashes:
+      // CONSTRUCTING an iterative entry like graph_hits executes its
+      // eager per-superstep checkpoints, so a plan probe costs as
+      // much as the measurement it tries to skip). Bytecode
+      // over-invalidates — any edit to those files forces one honest
+      // ~8 s re-measure — and never under-invalidates, the safe
+      // direction for a certificate. peak/spill ride along as the
+      // measuring run's environment-dependent observations (the
+      // entry is rows-only declared for exactly that reason).
       // data key spans every table the panel reads (graph: orders +
       // lineitem, sim: embeddings, q103: lineitem) at both fixtures
       val dataKey = Integer.toHexString(
         scala.util.hashing.MurmurHash3.stringHash(
           Seq(lo, hi).flatMap(d => Seq("orders", "lineitem", "embeddings")
             .map(tableFingerprint(d, _))).mkString("|")))
+      val codeKey = auditCodeKey
       val root = artifactRoot(
-          s"audit-$name-$dataKey-${planKey(lo)}-${planKey(hi)}") { staged =>
+          s"audit-$name-$dataKey-$codeKey") { staged =>
         val (recLo, _, _) = auditMeasure(spark, fn, lo)
         val (recHi, peakHi, spillHi) = auditMeasure(spark, fn, hi)
         require(recLo > 0,
