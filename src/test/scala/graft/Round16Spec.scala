@@ -114,6 +114,50 @@ class Round16Spec extends AnyFunSuite {
         "key?):\n" + offenders.mkString("\n"))
   }
 
+  test("artifactRoot is reentrant: a build closure may itself call " +
+      "artifactRoot (nested artifact) without tripping ConcurrentHashMap's " +
+      "'Recursive update' — both levels publish and both are served " +
+      "from cache afterwards") {
+    val outer = s"r16-reentrant-outer-${System.nanoTime()}"
+    val inner = s"r16-reentrant-inner-${System.nanoTime()}"
+    var innerBuilds = 0
+    def innerRoot(): String = util.artifactRoot(inner) { staged =>
+      innerBuilds += 1
+      val d = new java.io.File(staged); d.mkdirs()
+      java.nio.file.Files.writeString(d.toPath.resolve("x"), "inner\n")
+      ()
+    }
+    var outerBuilds = 0
+    val outerPath = util.artifactRoot(outer) { staged =>
+      outerBuilds += 1
+      val in = innerRoot() // the nested call that used to be a hash lottery
+      val d = new java.io.File(staged); d.mkdirs()
+      java.nio.file.Files.writeString(d.toPath.resolve("x"),
+        java.nio.file.Files.readString(
+          java.nio.file.Paths.get(in, "x")).trim + "-outer\n")
+      ()
+    }
+    assert(outerBuilds == 1 && innerBuilds == 1)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(outerPath, "x")).trim == "inner-outer")
+    // second touch of either key is a pure cache hit — no rebuild
+    val before = util.artifactBuildLog.size
+    assert(util.artifactRoot(outer)(_ => fail("outer rebuilt")) == outerPath)
+    innerRoot()
+    assert(innerBuilds == 1 && util.artifactBuildLog.size == before)
+    // cleanup: these synthetic keys should not linger in the cache dir
+    for (k <- Seq(outer, inner)) util.deleteRecursively(new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft_artifact_cache_r10/$k"))
+  }
+
+  test("auditCodeKey: 16 lowercase hex chars, stable within a JVM — " +
+      "the certificate's code-version key cannot be empty or drift " +
+      "between probes of the same build") {
+    val k = operators.Warehouse.auditCodeKey
+    assert(k.matches("[0-9a-f]{16}"), s"malformed code key: $k")
+    assert(k == operators.Warehouse.auditCodeKey)
+  }
+
   test("q103 re-plan: the zero-fill is analytic — no Generate " +
       "(explode) node and no left join survive in the physical plan") {
     val df = SparkEntry.queries("q103_abc_xyz")(spark, sf)
