@@ -59,7 +59,12 @@ object Bench {
       .exists(_.stripSuffix("/").endsWith("sf0.1"))
     val quiet = extractJsonBool(json, "contended").contains(false)
     val nOk = extractJsonLong(json, "n").contains(qs.size.toLong)
-    if (sfOk && quiet && nOk) qs else Map.empty
+    // a detail carrying errored queries (their timings are near-zero
+    // failure stubs) must never pin anything; absent field = pre-r16
+    // artifact = no errors recorded, accepted
+    val noErrors = """"errors":\[([^\]]*)\]""".r
+      .findFirstMatchIn(json).forall(_.group(1).trim.isEmpty)
+    if (sfOk && quiet && nOk && noErrors) qs else Map.empty
   }
 
   /** Per-query quiet pins from the COMMITTED BENCH_DETAIL.json (the
@@ -155,14 +160,22 @@ object Bench {
     * self-files as a sidecar: targeted runs keep their name-keyed
     * `_only_` file, non-sf0.1 full runs get an SF-keyed file, and a
     * drifted/requoted sf0.1 run gets a content-keyed `_drift_` file
-    * so the evidence survives without poisoning the baseline. A run
-    * with NO pin history (fresh bootstrap: no requotes possible,
-    * no ratio computable) still lands on BENCH_DETAIL.json. */
+    * so the evidence survives without poisoning the baseline, and a
+    * run with ANY errored query gets an `_errors_` file (a failed
+    * entry times near-zero, so its "pin" would mask a real regression
+    * AND flag a false burst once the entry heals). A run with NO pin
+    * history (fresh bootstrap: no requotes possible, no ratio
+    * computable) still lands on BENCH_DETAIL.json. */
   private[graft] def detailWriteTarget(only: Option[Set[String]],
       sfDir: String, requoted: Seq[String],
-      pinRatioMedian: Option[Double], driftBar: Double = 1.05): String =
+      pinRatioMedian: Option[Double], driftBar: Double = 1.05,
+      errors: Seq[String] = Nil): String =
     if (only.isDefined) detailFileName(only)
-    else if (!sfDir.stripSuffix("/").endsWith("sf0.1")) {
+    else if (errors.nonEmpty) {
+      val h = Integer.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(errors.sorted.mkString(",")))
+      s"BENCH_DETAIL_errors_$h.json"
+    } else if (!sfDir.stripSuffix("/").endsWith("sf0.1")) {
       val tag = sfDir.stripSuffix("/").split("/").last
         .replaceAll("[^A-Za-z0-9._-]", "_")
       s"BENCH_DETAIL_sf_$tag.json"
@@ -308,12 +321,21 @@ object Bench {
     // running the panel once; its entry stays oracle-declared and
     // spec-carried regardless of bench weighting.
     val onceOnly = Set("meta_resource_audit")
+    // a query that THROWS times as near-zero and silently DEFLATES the
+    // total (observed: a broken entry "benches" at 0.03 s) — record
+    // every failing name so the artifact self-declares and the pin
+    // guard can refuse the run as a baseline
+    val errored = scala.collection.mutable.TreeSet.empty[String]
     def timeQuery(name: String, fn: (SparkSession, String) => DataFrame,
         repsFor: Int): Double = {
       val n = if (onceOnly(name)) 1 else repsFor
       val times = (0 until n).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            if (errored.add(name))
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         // intra-query caches (LSH indexes etc.) must not leak memory
         // pressure into the NEXT run's measurement
@@ -406,14 +428,15 @@ object Bench {
         s""""pin_ratio_median":${r2(med)},"pin_ratio_p90":${r2(p90)},"""
       case None => ""
     }
+    val errorsJson = errored.map("\"" + _ + "\"").mkString("[", ",", "]")
     val loadJson =
-      s""""load1_pre":${r2(loadPre)},"load5_pre":${r2(load5Pre)},"load1_post":${r2(loadPost)},"sentinel_ratios":$sentJson,"requoted":$requotedJson,$pinRatioJson"contended":$contended"""
-    // pin-source guard: a drifted/requoted/foreign-SF run must not
-    // become the next run's baseline — it files as a sidecar instead
-    val detailFile =
-      detailWriteTarget(only, sfDir, toRequote, pinRatio.map(_._1))
+      s""""load1_pre":${r2(loadPre)},"load5_pre":${r2(load5Pre)},"load1_post":${r2(loadPost)},"sentinel_ratios":$sentJson,"requoted":$requotedJson,"errors":$errorsJson,$pinRatioJson"contended":$contended"""
+    // pin-source guard: a drifted/requoted/errored/foreign-SF run must
+    // not become the next run's baseline — it files as a sidecar
+    val detailFile = detailWriteTarget(only, sfDir, toRequote,
+      pinRatio.map(_._1), errors = errored.toSeq)
     if (detailFile != detailFileName(only))
-      System.err.println(s"[bench] run is not pin-clean (requoted=${toRequote.size}, pin_ratio_median=${pinRatio.map(_._1)}) — detail diverted to $detailFile; BENCH_DETAIL.json pins preserved")
+      System.err.println(s"[bench] run is not pin-clean (requoted=${toRequote.size}, errors=${errored.size}, pin_ratio_median=${pinRatio.map(_._1)}) — detail diverted to $detailFile; BENCH_DETAIL.json pins preserved")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(detailFile),
         s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries":${fullQs.mkString("{", ",", "}")},"amortized":$amortized,$loadJson,"sf":"$sfDir"}""".getBytes("UTF-8"))

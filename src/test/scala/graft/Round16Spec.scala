@@ -55,6 +55,14 @@ class Round16Spec extends AnyFunSuite {
     val only = Some(Set("q1_agg"))
     assert(Bench.detailWriteTarget(only, sf01, Nil, Some(1.5)) ==
       Bench.detailFileName(only))
+    // an errored run NEVER takes the pin-source name, even when
+    // otherwise pin-clean: the failed entry's near-zero timing would
+    // mask a real regression and false-flag a burst once it heals
+    val err = Bench.detailWriteTarget(None, sf01, Nil, Some(1.0),
+      errors = Seq("q7_star_join_broadcast"))
+    assert(err.startsWith("BENCH_DETAIL_errors_") && err.endsWith(".json"))
+    assert(err == Bench.detailWriteTarget(None, sf01, Nil, Some(1.0),
+      errors = Seq("q7_star_join_broadcast")), "error sidecar deterministic")
   }
 
   test("pin-source read guard: quietSf01Pins adopts only a quiet " +
@@ -86,6 +94,17 @@ class Round16Spec extends AnyFunSuite {
     assert(Bench.quietSf01Pins("").isEmpty)
     assert(Bench.quietSf01Pins("{\"queries\":{").isEmpty)
     assert(Bench.quietSf01Pins("{\"n\":0,\"queries\":{}}").isEmpty)
+    // a detail carrying errored queries is refused as a pin source
+    // (their timings are failure stubs); an empty errors array and a
+    // pre-r16 detail without the field are both accepted
+    val okDetail = detail("/root/testdata/sf0.1", contended = false, 2, qs)
+    assert(Bench.quietSf01Pins(okDetail).nonEmpty) // no errors field
+    val withEmpty = okDetail.replace("\"requoted\":[]",
+      "\"requoted\":[],\"errors\":[]")
+    assert(Bench.quietSf01Pins(withEmpty) == qs)
+    val withErr = okDetail.replace("\"requoted\":[]",
+      "\"requoted\":[],\"errors\":[\"q7_star_join_broadcast\"]")
+    assert(Bench.quietSf01Pins(withErr).isEmpty)
   }
 
   test("no-recompute gate: every amortized entry's SECOND same-session " +
