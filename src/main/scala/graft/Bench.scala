@@ -179,13 +179,101 @@ object Bench {
       val tag = sfDir.stripSuffix("/").split("/").last
         .replaceAll("[^A-Za-z0-9._-]", "_")
       s"BENCH_DETAIL_sf_$tag.json"
-    } else if (requoted.nonEmpty || pinRatioMedian.exists(_ > driftBar)) {
+    } else if (requoted.nonEmpty || pinRatioMedian.exists(m =>
+        m > driftBar || m < 2 - driftBar)) {
+      // SYMMETRIC: a median far BELOW 1.0 is by this guard's own
+      // definition a different machine state, not noise (ADVICE r16) —
+      // an unrepresentatively FAST close must not take the pin name
+      // either, or every honest run afterwards reads > driftBar and
+      // diverts forever (the wedge the adoption policy then has to
+      // unwind from the slow side only).
       val key = requoted.sorted.mkString(",") + "|" +
         pinRatioMedian.fold("")(m => (math.rint(m * 100) / 100).toString)
       val h = Integer.toHexString(
         scala.util.hashing.MurmurHash3.stringHash(key))
       s"BENCH_DETAIL_drift_$h.json"
     } else "BENCH_DETAIL.json"
+
+  /** PIN-ADOPTION POLICY (VERDICT r16 #1): the write guard correctly
+    * keeps drifted runs off the pin-source name, but when the host's
+    * fast state never returns the pins wedge stale-fast — every
+    * honest close reads ~1.13 and diverts forever, burning ~9 requotes
+    * per driver run against history that no longer describes the
+    * machine. The rule that unwedges them BY RULE, not judgment: a
+    * run that is itself honest (full registry, zero requotes, zero
+    * errors, not contended) but whose pin-ratio median sits in the
+    * ADOPTION BAND — beyond the driftBar noise margin yet small enough
+    * to be a machine-state change rather than a burst (burst victims
+    * measured 2.5–47× historically; state drift measured 1.13×) — is
+    * stamped an adoption CANDIDATE. When TWO CONSECUTIVE candidates
+    * agree with each other within ~5% per-query median, the second
+    * takes the pin-source name and the old pins are archived. The band
+    * is symmetric: an unrepresentatively FAST close wedges the dual
+    * way (ADVICE r16), and two agreeing fast candidates adopt the same
+    * way. */
+  private[graft] def isAdoptionCandidate(requoted: Seq[String],
+      errors: Seq[String], contended: Boolean,
+      pinRatioMedian: Option[Double], driftBar: Double = 1.05,
+      adoptCeil: Double = 1.25): Boolean =
+    requoted.isEmpty && errors.isEmpty && !contended &&
+      pinRatioMedian.exists(m =>
+        (m > driftBar && m <= adoptCeil) ||
+        (m < 2 - driftBar && m >= 1 / adoptCeil))
+
+  /** Two candidate runs AGREE when they cover (nearly) the same
+    * registry and the median of their per-query ratios is within
+    * `tol` of 1.0 — i.e. they describe the same machine state, not
+    * two different transients. Coverage guard: a candidate from a
+    * different registry shape (entries added/removed between runs)
+    * never "agrees" through the few names it shares. */
+  private[graft] def candidatesAgree(a: Map[String, Double],
+      b: Map[String, Double], tol: Double = 1.05): Boolean = {
+    val ratios = a.flatMap { case (n, v) =>
+      b.get(n).filter(_ > 0).map(v / _)
+    }.toSeq.sorted
+    ratios.size * 10 >= math.max(a.size, b.size) * 9 && {
+      val med = ratios(ratios.size / 2)
+      med <= tol && med * tol >= 1.0
+    }
+  }
+
+  private[graft] val adoptionCandidateFile = "BENCH_ADOPTION_CANDIDATE.json"
+
+  /** The prior adoption candidate's per-query medians — same
+    * validation as the pin source (full sf0.1, uncontended, n-stamp,
+    * no errors; its pin-ratio drift is the REASON it exists). Empty
+    * when absent or malformed. */
+  private[graft] def priorCandidatePins(): Map[String, Double] =
+    try {
+      val p = java.nio.file.Paths.get(adoptionCandidateFile)
+      if (java.nio.file.Files.isReadable(p))
+        quietSf01Pins(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+      else Map.empty
+    } catch { case _: Throwable => Map.empty }
+
+  /** SENTINEL PRE-PROBE (VERDICT r16 #6): a full sf0.1 close costs
+    * ~20 minutes; three of them were burned in r16 on a host whose
+    * state the first seconds of sentinel timing would have revealed.
+    * Three bands on the MEDIAN sentinel ratio (a single slow sentinel
+    * is noise — the [[sentinelContended]] reasoning):
+    * - ≤ bar: proceed — a pin-clean close is likely;
+    * - (bar, adoptCeil] (and the symmetric fast band): proceed — the
+    *   close will divert, but it is EXACTLY the adoption-candidate
+    *   evidence [[isAdoptionCandidate]] needs, so refusing it would
+    *   deadlock the adoption policy on a persistently-drifted host
+    *   (r16's three "wasted" closes were only wasted because no
+    *   adoption rule existed to consume them);
+    * - > adoptCeil: refuse — burst/contention territory (historical
+    *   bursts measured 2.5–47×), where the close is junk: neither
+    *   pin-clean nor a usable candidate.
+    * No pins — fresh checkout, foreign SF — always proceeds: there is
+    * nothing to be stale against. */
+  private[graft] def preProbeProceed(ratios: Seq[Double],
+      adoptCeil: Double = 1.25): Boolean =
+    ratios.isEmpty || {
+      val s = ratios.sorted
+      s(s.size / 2) <= adoptCeil
+    }
 
   /** Contention verdict from measured sentinel ratios (measured /
     * pinned quiet median): contended iff a MAJORITY of sentinels ran
@@ -344,6 +432,30 @@ object Bench {
       }.sorted
       times(times.length / 2)
     }
+    // pins/canary/requote all key on sf0.1 full-registry history
+    val pinsApply = sfDir.stripSuffix("/").endsWith("sf0.1")
+    // ---- sentinel pre-probe (opt-in close mode, VERDICT r16 #6) ----
+    // SPARK_GRAFT_BENCH_PREPROBE=1: spend ~2 s timing the three
+    // sentinels against live pins BEFORE committing to the ~20-minute
+    // full close; refuse with a machine-readable line when the host
+    // is in burst territory where the close could be neither
+    // pin-clean nor an adoption candidate (see preProbeProceed).
+    if (sys.env.get("SPARK_GRAFT_BENCH_PREPROBE").exists(v =>
+          v == "1" || v == "true") &&
+        pinsApply && only.isEmpty && priorPins.nonEmpty) {
+      val probe = sentinelFallbackPins.keys.toSeq.sorted.flatMap { n =>
+        for (fn <- SparkEntry.queries.get(n); p <- priorPins.get(n) if p > 0)
+          yield n -> (timeQuery(n, fn, reps) / p)
+      }
+      if (!preProbeProceed(probe.map(_._2))) {
+        val pj = probe.map { case (k, v) =>
+          "\"" + k + "\":" + (math.rint(v * 100) / 100)
+        }.mkString("{", ",", "}")
+        println(s"""{"metric":"preprobe_refused","sentinel_ratios":$pj,"sf":"$sfDir"}""")
+        spark.stop()
+        return
+      }
+    }
     val mainResults =
       selected.map { case (name, fn) => name -> timeQuery(name, fn, reps) }
     // ---- per-query self-healing requote ------------------------------
@@ -355,8 +467,7 @@ object Bench {
     // its committed quiet pin and take the min — a genuinely regressed
     // query stays slow on the re-measure, a burst victim snaps back.
     // Pins are sf0.1 full-registry medians, so the pass only applies
-    // there (other SFs have no comparable history).
-    val pinsApply = sfDir.stripSuffix("/").endsWith("sf0.1")
+    // there (other SFs have no comparable history — pinsApply above).
     val requoteFactor =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REQUOTE_FACTOR", "2.0").toDouble
     val toRequote =
@@ -433,17 +544,66 @@ object Bench {
       s""""load1_pre":${r2(loadPre)},"load5_pre":${r2(load5Pre)},"load1_post":${r2(loadPost)},"sentinel_ratios":$sentJson,"requoted":$requotedJson,"errors":$errorsJson,$pinRatioJson"contended":$contended"""
     // pin-source guard: a drifted/requoted/errored/foreign-SF run must
     // not become the next run's baseline — it files as a sidecar
-    val detailFile = detailWriteTarget(only, sfDir, toRequote,
+    var detailFile = detailWriteTarget(only, sfDir, toRequote,
       pinRatio.map(_._1), errors = errored.toSeq)
-    if (detailFile != detailFileName(only))
-      System.err.println(s"[bench] run is not pin-clean (requoted=${toRequote.size}, errors=${errored.size}, pin_ratio_median=${pinRatio.map(_._1)}) — detail diverted to $detailFile; BENCH_DETAIL.json pins preserved")
+    // ---- pin adoption (VERDICT r16 #1) -------------------------------
+    // An in-band drifted run is an adoption CANDIDATE; the SECOND of
+    // two consecutive agreeing candidates takes the pin-source name
+    // (old pins archived), so a persistent machine-state change
+    // replaces stale pins BY RULE. A pin-clean close clears any stale
+    // candidate — an ancient drifted run must never "agree" with a
+    // far-future one across an intervening healthy state.
+    var adoption = "none"
+    if (detailFile.startsWith("BENCH_DETAIL_drift_") &&
+        isAdoptionCandidate(toRequote, errored.toSeq, contended,
+          pinRatio.map(_._1))) {
+      val prior = priorCandidatePins()
+      if (prior.nonEmpty && candidatesAgree(results, prior)) {
+        try {
+          val old = java.nio.file.Paths.get("BENCH_DETAIL.json")
+          if (java.nio.file.Files.isReadable(old)) {
+            java.nio.file.Files.createDirectories(
+              java.nio.file.Paths.get("bench_archive"))
+            val oldBody = java.nio.file.Files.readAllBytes(old)
+            val h = Integer.toHexString(
+              scala.util.hashing.MurmurHash3.bytesHash(oldBody))
+            java.nio.file.Files.write(java.nio.file.Paths.get(
+              s"bench_archive/BENCH_DETAIL_replaced_$h.json"), oldBody)
+          }
+          java.nio.file.Files.deleteIfExists(
+            java.nio.file.Paths.get(adoptionCandidateFile))
+          detailFile = "BENCH_DETAIL.json"
+          adoption = "adopted"
+          System.err.println("[bench] pin ADOPTION: two consecutive " +
+            "agreeing drift candidates — this run takes the pin-source " +
+            "name; prior pins archived under bench_archive/")
+        } catch {
+          case e: Exception =>
+            System.err.println(s"[bench] pin adoption failed ($e) — " +
+              "keeping the drift sidecar")
+        }
+      } else adoption = "candidate"
+    } else if (detailFile == "BENCH_DETAIL.json" && only.isEmpty) {
+      try java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(adoptionCandidateFile))
+      catch { case _: Exception => () }
+    }
+    if (detailFile != detailFileName(only) && adoption != "adopted")
+      System.err.println(s"[bench] run is not pin-clean (requoted=${toRequote.size}, errors=${errored.size}, pin_ratio_median=${pinRatio.map(_._1)}) — detail diverted to $detailFile; BENCH_DETAIL.json pins preserved" +
+        (if (adoption == "candidate") " (stamped as adoption candidate)" else ""))
+    val detailBody =
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries":${fullQs.mkString("{", ",", "}")},"amortized":$amortized,"adoption":"$adoption",$loadJson,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(detailFile),
-        s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries":${fullQs.mkString("{", ",", "}")},"amortized":$amortized,$loadJson,"sf":"$sfDir"}""".getBytes("UTF-8"))
+        detailBody.getBytes("UTF-8"))
+      if (adoption == "candidate")
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(adoptionCandidateFile),
+          detailBody.getBytes("UTF-8"))
     } catch {
       case e: Exception => System.err.println(s"[bench] detail write failed: $e")
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries":$top,"detail":"$detailFile",$loadJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries":$top,"detail":"$detailFile","adoption":"$adoption",$loadJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -174,6 +174,33 @@ object util {
     * roots rebuild once under the new base and old bases age out. */
   private val CacheRev = "r10"
 
+  /** Base directory of the cross-JVM artifact cache for the CURRENT
+    * [[CacheRev]] — exposed so specs derive cleanup paths from the
+    * live revision instead of hardcoding a suffix that silently
+    * no-ops after a CacheRev bump (ADVICE r16). */
+  private[graft] def artifactCacheBase: java.io.File =
+    new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_artifact_cache_$CacheRev")
+
+  /** Per-key build monitors: ConcurrentHashMap.computeIfAbsent is safe
+    * HERE (the mapping function allocates a plain Object and cannot
+    * recurse into the map), and the monitor restores the same-JVM
+    * single-build guarantee that the r16 reentrancy fix traded away —
+    * two threads racing one unbuilt key used to both run the build and
+    * both append to [[artifactBuildLog]], which could spuriously trip
+    * the no-recompute gate. JVM monitors are PER-THREAD REENTRANT, so
+    * a build closure nesting artifactRoot for another key takes that
+    * key's own monitor; build nesting is strictly hierarchical (audit
+    * certificate → entry index → nothing), so no lock cycle exists. */
+  private val artifactLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Test-only: forget a synthetic key so its in-JVM entry doesn't
+    * outlive the spec that deleted its directory. */
+  private[graft] def artifactEvict(key: String): Unit = {
+    artifactRoots.remove(key)
+    artifactLocks.remove(key)
+    ()
+  }
 
   /** CROSS-JVM persistent artifact cache (trained indexes, candidate
     * graphs, materialized fixtures): returns the stable directory for
@@ -192,32 +219,38 @@ object util {
     // REENTRANT by construction: build closures legitimately call
     // artifactRoot for nested artifacts (the resource-audit
     // certificate measures entries that read their own cached
-    // indexes), and ConcurrentHashMap.computeIfAbsent throws
-    // "Recursive update" whenever a nested compute lands in the same
-    // bin — a hash-placement lottery. So: plain get, then the
+    // indexes), and ConcurrentHashMap.computeIfAbsent on THIS map
+    // throws "Recursive update" whenever a nested compute lands in
+    // the same bin — a hash-placement lottery. So: plain get, then a
+    // per-key monitor (reentrant, allocated via computeIfAbsent on a
+    // map whose mapping function cannot recurse — see
+    // [[artifactLocks]]) for same-JVM single-build, then the
     // stage-and-atomic-rename disk protocol (which already tolerates
-    // concurrent builders — a lost rename means an identical
-    // deterministic build published first), then putIfAbsent.
+    // concurrent CROSS-JVM builders — a lost rename means an
+    // identical deterministic build published first).
     val cached = artifactRoots.get(key)
     if (cached != null) cached
-    else {
-      val base = new java.io.File(
-        s"${sys.props("java.io.tmpdir")}/graft_artifact_cache_$CacheRev")
-      base.mkdirs()
-      if (sweptOnce.compareAndSet(false, true)) sweepStaleStaging(base)
-      val stable = new java.io.File(base, key)
-      val manifest = new java.io.File(stable, "_MANIFEST")
-      if (!manifest.isFile) {
-        artifactBuildLog.add(key)
-        val staged = new java.io.File(base, s".tmp-${java.util.UUID.randomUUID}")
-        registerShutdownDelete(staged.getPath) // no-op once renamed away
-        build(staged.getPath)
-        java.nio.file.Files.writeString(staged.toPath.resolve("_MANIFEST"), s"$key\n")
-        if (!staged.renameTo(stable) && !manifest.isFile)
-          sys.error(s"artifact publish failed: $staged -> $stable")
+    else artifactLocks.computeIfAbsent(key, _ => new Object).synchronized {
+      val again = artifactRoots.get(key)
+      if (again != null) again
+      else {
+        val base = artifactCacheBase
+        base.mkdirs()
+        if (sweptOnce.compareAndSet(false, true)) sweepStaleStaging(base)
+        val stable = new java.io.File(base, key)
+        val manifest = new java.io.File(stable, "_MANIFEST")
+        if (!manifest.isFile) {
+          artifactBuildLog.add(key)
+          val staged = new java.io.File(base, s".tmp-${java.util.UUID.randomUUID}")
+          registerShutdownDelete(staged.getPath) // no-op once renamed away
+          build(staged.getPath)
+          java.nio.file.Files.writeString(staged.toPath.resolve("_MANIFEST"), s"$key\n")
+          if (!staged.renameTo(stable) && !manifest.isFile)
+            sys.error(s"artifact publish failed: $staged -> $stable")
+        }
+        artifactRoots.putIfAbsent(key, stable.getPath)
+        stable.getPath
       }
-      artifactRoots.putIfAbsent(key, stable.getPath)
-      stable.getPath
     }
   }
 

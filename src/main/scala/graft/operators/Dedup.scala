@@ -369,6 +369,14 @@ object Dedup {
     // |B| come from the fused `n` in sigs — no second shingle scan
     verifyPairs(sh, sigs.select(col("doc_id"), col("n")), lshCandidatesOf(sigs))
 
+  /** Test-facing: the LSH banding candidates over the PERSISTED
+    * signatures for `dir` — exposed so the adversarial-skew tier can
+    * bound candidate counts under a hostile corpus (a hot shingle
+    * shared by half the documents must NOT degenerate banding to
+    * all-pairs — Round17SkewSpec). */
+  private[graft] def lshCandidatesFor(spark: SparkSession, dir: String): DataFrame =
+    lshCandidatesOf(spark.read.parquet(s"${dedupGraphRoot(spark, dir)}/sigs"))
+
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir).cache()
     minhashPairsOf(sh, minhashSigsOf(sh).cache())

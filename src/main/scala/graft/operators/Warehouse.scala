@@ -1125,27 +1125,60 @@ object Warehouse {
     (p.shuffleRecs.get(), p.peak.get(), p.spilled.get())
   }
 
-  /** MD5 (16 hex chars) over the compiled bytecode of every class the
-    * audit panel's behavior lives in — the certificate's code-version
-    * key. Panel entries: q103 (Analytics + DistRank), the graph pair
-    * (Graph), the sim pair (Similarity), plus this file (the
-    * measurement harness itself). Any edit to any of them re-keys the
-    * cache and forces a re-measurement. */
+  /** MD5 (16 hex chars) over the compiled bytecode of EVERY class in
+    * the graft package — the certificate's code-version key. The r16
+    * version hashed only five top-level module class files, but panel
+    * behavior also lives in separately-compiled nested and anonymous
+    * classes (Warehouse$AuditProbe — the listener doing the counting —
+    * Analytics$$anon$*, typecreators) and in helpers outside those
+    * files (util.t, source readers): an edit confined to such a class
+    * left every hashed file byte-identical and served a STALE
+    * certificate (ADVICE r16). Enumerating the whole package prefix
+    * over-invalidates — any graft edit forces one honest ~8 s
+    * re-measure — which is the safe direction for a certificate.
+    * Entries are sorted by resource name so the digest is independent
+    * of filesystem/jar iteration order. */
   private[graft] lazy val auditCodeKey: String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    for (c <- Seq(Analytics.getClass, Graph.getClass, Similarity.getClass,
-        DistRank.getClass, Warehouse.getClass)) {
-      val res = "/" + c.getName.replace('.', '/') + ".class"
-      val in = c.getResourceAsStream(res)
-      require(in != null, s"auditCodeKey: bytecode for ${c.getName} not " +
-        "on the classpath — refusing a constant key (it would serve " +
-        "stale certificates forever)")
-      try {
-        val buf = new Array[Byte](8192)
-        var r = in.read(buf)
-        while (r > 0) { md.update(buf, 0, r); r = in.read(buf) }
-      } finally in.close()
+    val src = Warehouse.getClass.getProtectionDomain.getCodeSource
+    require(src != null && src.getLocation != null,
+      "auditCodeKey: no code source for the graft classes — refusing " +
+      "a constant key (it would serve stale certificates forever)")
+    val loc = new java.io.File(src.getLocation.toURI)
+    def hashEntry(name: String, bytes: Array[Byte]): Unit = {
+      md.update(name.getBytes("UTF-8")); md.update(bytes)
     }
+    var n = 0
+    if (loc.isDirectory) {
+      def walk(f: java.io.File): Seq[java.io.File] = {
+        val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+        if (f.isDirectory) kids.flatMap(walk) else Seq(f)
+      }
+      val base = loc.toPath
+      walk(new java.io.File(loc, "graft"))
+        .filter(_.getName.endsWith(".class"))
+        .map(f => base.relativize(f.toPath).toString.replace('\\', '/') -> f)
+        .sortBy(_._1)
+        .foreach { case (name, f) =>
+          hashEntry(name, java.nio.file.Files.readAllBytes(f.toPath)); n += 1
+        }
+    } else {
+      val jar = new java.util.jar.JarFile(loc)
+      try {
+        import scala.jdk.CollectionConverters._
+        jar.entries().asScala
+          .filter(e => e.getName.startsWith("graft/") &&
+            e.getName.endsWith(".class"))
+          .toSeq.sortBy(_.getName)
+          .foreach { e =>
+            val in = jar.getInputStream(e)
+            try hashEntry(e.getName, in.readAllBytes()) finally in.close()
+            n += 1
+          }
+      } finally jar.close()
+    }
+    require(n > 0, "auditCodeKey: zero graft .class resources found " +
+      "under the code source — refusing a constant key")
     md.digest().map("%02x".format(_)).mkString.take(16)
   }
 
@@ -1178,24 +1211,40 @@ object Warehouse {
       // certificate is cacheable like any trained index — the panel
       // was 11.3 s (3.9% of the whole bench) re-measuring the same
       // unchanged plans every run. Invalidation keys on the BYTECODE
-      // of the classes implementing the panel (not on plan hashes:
-      // CONSTRUCTING an iterative entry like graph_hits executes its
-      // eager per-superstep checkpoints, so a plan probe costs as
-      // much as the measurement it tries to skip). Bytecode
-      // over-invalidates — any edit to those files forces one honest
-      // ~8 s re-measure — and never under-invalidates, the safe
-      // direction for a certificate. peak/spill ride along as the
+      // of the WHOLE graft package (not on plan hashes: CONSTRUCTING
+      // an iterative entry like graph_hits executes its eager
+      // per-superstep checkpoints, so a plan probe costs as much as
+      // the measurement it tries to skip). Package-wide bytecode
+      // over-invalidates — any graft edit forces one honest ~8 s
+      // re-measure — which is the safe direction for a certificate;
+      // the r16 five-file version under-invalidated on edits confined
+      // to nested/anon classes or helpers. peak/spill ride along as the
       // measuring run's environment-dependent observations (the
       // entry is rows-only declared for exactly that reason).
       // data key spans every table the panel reads (graph: orders +
-      // lineitem, sim: embeddings, q103: lineitem) at both fixtures
-      val dataKey = Integer.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(
-          Seq(lo, hi).flatMap(d => Seq("orders", "lineitem", "embeddings")
-            .map(tableFingerprint(d, _))).mkString("|")))
+      // lineitem, sim: embeddings, q103: lineitem) at both fixtures —
+      // per-table fingerprints CONCATENATED directly (collapsing them
+      // through a second 32-bit hash was weaker than the artifact-key
+      // discipline everywhere else, ADVICE r16)
+      val dataKey = Seq(lo, hi)
+        .flatMap(d => Seq("orders", "lineitem", "embeddings")
+          .map(tableFingerprint(d, _))).mkString("-")
+      // session conf shapes the physical plan and hence the shuffle-
+      // record counts (AQE, broadcast threshold, partition counts): a
+      // certificate measured under one conf must not be served as
+      // another JVM's own observation (ADVICE r16)
+      val confKey = Integer.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(Seq(
+          "spark.sql.adaptive.enabled",
+          "spark.sql.adaptive.coalescePartitions.enabled",
+          "spark.sql.adaptive.skewJoin.enabled",
+          "spark.sql.autoBroadcastJoinThreshold",
+          "spark.sql.shuffle.partitions")
+          .map(k => s"$k=${spark.conf.getOption(k).getOrElse("")}")
+          .mkString("|")))
       val codeKey = auditCodeKey
       val root = artifactRoot(
-          s"audit-$name-$dataKey-$codeKey") { staged =>
+          s"audit-$name-$dataKey-$confKey-$codeKey") { staged =>
         val (recLo, _, _) = auditMeasure(spark, fn, lo)
         val (recHi, peakHi, spillHi) = auditMeasure(spark, fn, hi)
         require(recLo > 0,

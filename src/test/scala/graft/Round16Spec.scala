@@ -165,8 +165,14 @@ class Round16Spec extends AnyFunSuite {
     innerRoot()
     assert(innerBuilds == 1 && util.artifactBuildLog.size == before)
     // cleanup: these synthetic keys should not linger in the cache dir
-    for (k <- Seq(outer, inner)) util.deleteRecursively(new java.io.File(
-      s"${sys.props("java.io.tmpdir")}/graft_artifact_cache_r10/$k"))
+    // — path derived from the LIVE CacheRev (a hardcoded suffix would
+    // silently no-op after a revision bump, ADVICE r16), and the
+    // in-JVM map entries are evicted so they can't point at deleted
+    // directories for the rest of the session
+    for (k <- Seq(outer, inner)) {
+      util.deleteRecursively(new java.io.File(util.artifactCacheBase, k))
+      util.artifactEvict(k)
+    }
   }
 
   test("auditCodeKey: 16 lowercase hex chars, stable within a JVM — " +
