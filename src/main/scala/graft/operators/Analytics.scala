@@ -1961,8 +1961,8 @@ object Analytics {
     * X ≤ 0.25 (CV ≤ ½), Y ≤ 1.0, else Z, all on the micro grid. The
     * zero-fill is ANALYTIC (no week fan-out): silent weeks add 0 to
     * both Σq and Σq², and the filled count is the constant
-    * hi − lo + 1 — one (part, week) aggregate, a broadcast span, two
-    * part-grain prefix ranks, a 3×3 answer. */
+    * hi − lo + 1 — one (part, week) aggregate, one scalar span+total
+    * pull, two part-grain prefix ranks, a 3×3 answer. */
   def q103AbcXyz(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
       .select(col("l_partkey").as("p"),
@@ -1988,19 +1988,30 @@ object Analytics {
     val weekly = li.groupBy(col("p"), col("wk"))
       .agg(sum(col("q")).as("qw"), sum(col("revd")).as("rw"))
     // LAZY checkpoint: same barrier (first action materializes, every
-    // later job — DistRank's boundary pass included — reuses it), but
-    // CONSTRUCTING this DataFrame stays free, so plan-inspection
-    // probes (meta_resource_audit's plan-hash keys, the registry-wide
-    // plan gate) don't execute two fixture aggregations per probe
+    // later job — DistRank's boundary pass included — reuses it).
+    // NOTE (r17): constructing this entry is no longer free — the
+    // fused scalar pull below executes the moments pass at build time
+    // (the scalar-subquery trade: one ~0.2 s fixture aggregation per
+    // plan probe bought the deletion of two broadcast subtrees and 4
+    // of 16 jobs from the hot path)
     val mom = weekly.groupBy(col("p"))
       .agg(sum(col("qw")).as("sq"), sum(col("qw") * col("qw")).as("sqq"),
         sum(col("rw")).as("revd"),
         min(col("wk")).as("mn"), max(col("wk")).as("mx"))
       .localCheckpoint(false) // consumed by span + xyz + revenue
-    val span = mom.agg(min(col("mn")).as("lo"), max(col("mx")).as("hi"))
+    // ONE scalar pass over the part-sized checkpoint fuses the week
+    // span AND the revenue grand total (r16 ran them as two broadcast
+    // subtrees — two jobs, two exchanges, two BNL joins; the job-count
+    // audit measured 16 jobs in the entry, so every barrier matters).
+    // Collecting ONE row is exactly how Catalyst executes a scalar
+    // subquery — bounded by contract, and the constants then inline
+    // into codegen instead of riding a broadcast join.
+    val g = mom.agg(min(col("mn")), max(col("mx")),
+      sum(col("revd"))).head()
+    val (wkLo, wkHi) = (g.getLong(0), g.getLong(1))
+    val totd = g.getDecimal(2)
     val xyz = mom
-      .crossJoin(broadcast(span))
-      .withColumn("w", col("hi") - col("lo") + lit(1L))
+      .withColumn("w", lit(wkHi - wkLo + 1L))
       // the CV² cross-moments run in decimal(38,0) (DuckDB: HUGEINT):
       // W·Σq² and (Σq)² approach 10¹⁹ on a high-volume part at 100 TB;
       // the dividend is ≥ 0 by Cauchy–Schwarz, so div stays exact
@@ -2014,13 +2025,12 @@ object Analytics {
       .select(col("p"), col("xyz"))
     // decimal sums re-aggregate associatively: Σ_p rw = Σ_p Σ_wk revd
     val rev = mom.select(col("p"), col("revd"))
-    val total = rev.agg(sum(col("revd")).as("totd"))
-    val abc = DistRank.withPrefix(rev.crossJoin(broadcast(total)),
+    val abc = DistRank.withPrefix(rev,
         Seq(desc("revd"), col("p")), col("revd"), "sum", "cum",
         inclusive = true)
       .withColumn("abc",
-        when(col("cum") * 100 <= col("totd") * 80, lit("A"))
-          .when(col("cum") * 100 <= col("totd") * 95, lit("B"))
+        when(col("cum") * 100 <= lit(totd) * 80, lit("A"))
+          .when(col("cum") * 100 <= lit(totd) * 95, lit("B"))
           .otherwise(lit("C")))
       .select(col("p"), col("abc"), col("revd"))
     abc.join(xyz, Seq("p"))

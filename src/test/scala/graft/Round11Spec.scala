@@ -195,13 +195,19 @@ class Round11Spec extends AnyFunSuite {
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"), util.dsum(col("l_extendedprice")).as("s"))
       .orderBy(col("l_returnflag"))
+    val c = plans.JoinElimination.FkConstraint(
+      s"$sf/orders.parquet", "o_orderkey",
+      s"$sf/lineitem.parquet", "l_orderkey")
+    // this dir's constraint may ALREADY be live: q93_join_elimination
+    // registers it as a construction side effect (persistent by
+    // design), and any suite that builds q93 first — the r13
+    // registry-wide plan gate does — would otherwise make probe 1
+    // order-sensitive
+    plans.JoinElimination.unregister(c)
     // 1. without a declaration the rule is inert
     assert(joins(joined()) == 1, "undeclared join must survive")
     val baseline = joined().collect().toSeq
     // 2. with the RELY constraint declared, the join is eliminated
-    val c = plans.JoinElimination.FkConstraint(
-      s"$sf/orders.parquet", "o_orderkey",
-      s"$sf/lineitem.parquet", "l_orderkey")
     plans.JoinElimination.register(c)
     try {
       assert(joins(joined()) == 0, "declared PK-FK join must be eliminated")

@@ -246,12 +246,17 @@ class Round13Spec extends AnyFunSuite {
       // listener totals — there is no deferred plan to inspect);
       // the audit's own spec covers it
       .filterNot(_ == "meta_resource_audit")
-    val prev = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // an ISOLATED session (own SQLConf, shared context/extensions):
+    // flipping AQE on the shared TestSpark session races concurrently
+    // running suites whose plan assertions assume AQE on — observed
+    // once the gate window grew (q103's r17 scalar pull executes jobs
+    // at construction time, lengthening the AQE-off span)
+    val gateSpark = spark.newSession()
+    gateSpark.conf.set("spark.sql.adaptive.enabled", "false")
     val offenders =
-      try names.flatMap { n =>
+      names.flatMap { n =>
         val df =
-          try SparkEntry.queries(n)(spark, sf)
+          try SparkEntry.queries(n)(gateSpark, sf)
           catch { case e: Throwable => fail(s"entry $n failed to build: $e") }
         val plan = df.queryExecution.executedPlan
         val qual = subtrees(plan).filter(p =>
@@ -265,7 +270,7 @@ class Round13Spec extends AnyFunSuite {
           Some(s"$n: ${dups.size} duplicated subtree group(s), largest = " +
             s"${biggest.nodeName} of ${subtrees(biggest).size} nodes")
         }
-      } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+      }
     assert(offenders.isEmpty,
       "entries re-executing an expensive subtree (add a localCheckpoint " +
         "barrier or derive both references from one materialized frame):\n" +
