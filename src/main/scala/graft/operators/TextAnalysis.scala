@@ -1186,14 +1186,17 @@ object TextAnalysis {
     * prunes to matching buckets at plan time (no shuffle, no full-index
     * scan). Memoized per JVM: an index is built once, queried many. */
   private[operators] def postingsTable(spark: SparkSession, dir: String): DataFrame = {
+    // a search index's reader ALWAYS wants the bucketed scan: the
+    // planner's DisableUnnecessaryBucketedScan demotes it when no
+    // join/agg needs the distribution, which would also discard the
+    // plan-time bucket PRUNING the term filter exists to exploit —
+    // turn the demotion off for THIS session on EVERY call, not just
+    // at build time: the table is memoized per JVM through the SHARED
+    // catalog, so a session that finds it already built (r17: the
+    // plan-gate's isolated session built it first) must still get the
+    // conf or its reads silently lose the pruning
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     if (!spark.catalog.tableExists(postingsTbl)) {
-      // a search index's reader ALWAYS wants the bucketed scan: the
-      // planner's DisableUnnecessaryBucketedScan demotes it when no
-      // join/agg needs the distribution, which would also discard the
-      // plan-time bucket PRUNING the term filter exists to exploit —
-      // turn the demotion off for the session (bucketed tables here
-      // are exactly the ones whose layout the queries rely on)
-      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       t(spark, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         .filter(col("term") =!= "")
