@@ -210,12 +210,27 @@ object Bench {
     * takes the pin-source name and the old pins are archived. The band
     * is symmetric: an unrepresentatively FAST close wedges the dual
     * way (ADVICE r16), and two agreeing fast candidates adopt the same
-    * way. */
+    * way.
+    *
+    * Requotes and candidacy: a requote that HEALED — its committed
+    * re-measure landed back inside the adoption ceiling of its pin —
+    * does NOT disqualify the run: the spike was a transient the
+    * machinery corrected, and the values on the record are honest
+    * (measured r17: graph_harmonic_centrality's first in-run median
+    * read ~2.1x its pin on EVERY close and re-measured to ~1.05x —
+    * a strict zero-requote rule would let that single flap block
+    * adoption forever). A requote that STAYED slow disqualifies: a
+    * genuine per-entry regression makes the run a mixed signal, not a
+    * machine-state measurement. `healedRatios` must carry committed/
+    * pin for every requoted name (callers compute it; a size mismatch
+    * fails closed). */
   private[graft] def isAdoptionCandidate(requoted: Seq[String],
       errors: Seq[String], contended: Boolean,
-      pinRatioMedian: Option[Double], driftBar: Double = 1.05,
-      adoptCeil: Double = 1.25): Boolean =
-    requoted.isEmpty && errors.isEmpty && !contended &&
+      pinRatioMedian: Option[Double], healedRatios: Seq[Double] = Nil,
+      driftBar: Double = 1.05, adoptCeil: Double = 1.25): Boolean =
+    errors.isEmpty && !contended &&
+      healedRatios.size == requoted.size &&
+      healedRatios.forall(r => r <= adoptCeil && r * adoptCeil >= 1.0) &&
       pinRatioMedian.exists(m =>
         (m > driftBar && m <= adoptCeil) ||
         (m < 2 - driftBar && m >= 1 / adoptCeil))
@@ -236,6 +251,25 @@ object Bench {
       med <= tol && med * tol >= 1.0
     }
   }
+
+  /** PIN-AFFIRMING run: not pin-clean (it carried healed requotes),
+    * but its median sits in the NOISE margin and every requote healed
+    * — the live pins still describe this machine. Such a run refutes
+    * any pending adoption candidate from a different machine state:
+    * the "two CONSECUTIVE candidates" chain breaks here (observed
+    * r17: the host's fast state returned mid-round — a 1.005-median
+    * close with one healed audit requote arrived while a stale
+    * 1.15-state candidate was pending; only strictly pin-clean closes
+    * used to clear it). Burst/contended runs deliberately do NOT
+    * affirm — they say nothing about the machine's steady state. */
+  private[graft] def pinAffirming(requoted: Seq[String],
+      errors: Seq[String], contended: Boolean,
+      pinRatioMedian: Option[Double], healedRatios: Seq[Double] = Nil,
+      driftBar: Double = 1.05, adoptCeil: Double = 1.25): Boolean =
+    errors.isEmpty && !contended &&
+      healedRatios.size == requoted.size &&
+      healedRatios.forall(r => r <= adoptCeil && r * adoptCeil >= 1.0) &&
+      pinRatioMedian.exists(m => m <= driftBar && m >= 2 - driftBar)
 
   private[graft] val adoptionCandidateFile = "BENCH_ADOPTION_CANDIDATE.json"
 
@@ -554,9 +588,11 @@ object Bench {
     // candidate — an ancient drifted run must never "agree" with a
     // far-future one across an intervening healthy state.
     var adoption = "none"
+    val healedRatios = toRequote.flatMap(n =>
+      priorPins.get(n).filter(_ > 0).map(results(n) / _))
     if (detailFile.startsWith("BENCH_DETAIL_drift_") &&
         isAdoptionCandidate(toRequote, errored.toSeq, contended,
-          pinRatio.map(_._1))) {
+          pinRatio.map(_._1), healedRatios)) {
       val prior = priorCandidatePins()
       if (prior.nonEmpty && candidatesAgree(results, prior)) {
         try {
@@ -583,7 +619,11 @@ object Bench {
               "keeping the drift sidecar")
         }
       } else adoption = "candidate"
-    } else if (detailFile == "BENCH_DETAIL.json" && only.isEmpty) {
+    } else if (only.isEmpty && (detailFile == "BENCH_DETAIL.json" ||
+        (pinsApply && pinAffirming(toRequote, errored.toSeq, contended,
+          pinRatio.map(_._1), healedRatios)))) {
+      // pin-clean OR pin-affirming: the live pins still describe this
+      // machine — refute any pending candidate from a different state
       try java.nio.file.Files.deleteIfExists(
         java.nio.file.Paths.get(adoptionCandidateFile))
       catch { case _: Exception => () }

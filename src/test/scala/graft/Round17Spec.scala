@@ -33,11 +33,13 @@ class Round17Spec extends AnyFunSuite {
   }
 
   test("adoption candidate: only an honest in-band drifted run " +
-      "qualifies — requotes, errors, contention, noise-margin medians " +
-      "and burst-level medians are all excluded; the band is symmetric") {
+      "qualifies — unhealed requotes, errors, contention, noise-margin " +
+      "medians and burst-level medians are all excluded; the band is " +
+      "symmetric; a HEALED requote does not disqualify") {
     def cand(req: Seq[String] = Nil, err: Seq[String] = Nil,
-        contended: Boolean = false, m: Option[Double]): Boolean =
-      Bench.isAdoptionCandidate(req, err, contended, m)
+        contended: Boolean = false, m: Option[Double],
+        healed: Seq[Double] = Nil): Boolean =
+      Bench.isAdoptionCandidate(req, err, contended, m, healed)
     // the r16 persistent-drift shape: zero requotes, median ~1.13
     assert(cand(m = Some(1.13)))
     assert(cand(m = Some(1.25))) // band ceiling inclusive
@@ -53,9 +55,21 @@ class Round17Spec extends AnyFunSuite {
     assert(!cand(m = Some(0.79)))
     assert(!cand(m = None))
     // any dishonesty disqualifies
-    assert(!cand(req = Seq("q1_agg"), m = Some(1.13)))
     assert(!cand(err = Seq("q1_agg"), m = Some(1.13)))
     assert(!cand(contended = true, m = Some(1.13)))
+    // a requote whose healed ratio is missing (no pin) or out of band
+    // disqualifies; one that healed back inside the band does not —
+    // the r17 close shape: harmonic flaps to 2.1x every run and heals
+    // to 1.06x, and must not block adoption forever
+    assert(!cand(req = Seq("q1_agg"), m = Some(1.13)))
+    assert(cand(req = Seq("graph_harmonic_centrality"), m = Some(1.15),
+      healed = Seq(1.06)))
+    assert(!cand(req = Seq("meta_resource_audit"), m = Some(1.15),
+      healed = Seq(1.32)), "healed beyond the ceiling still disqualifies")
+    assert(!cand(req = Seq("a", "b"), m = Some(1.15), healed = Seq(1.0)),
+      "healed-ratio count must cover every requoted name (fails closed)")
+    assert(cand(req = Seq("a", "b"), m = Some(1.13),
+      healed = Seq(0.99, 1.2)))
   }
 
   test("candidate agreement: same machine state within ~5% per-query " +
@@ -100,6 +114,9 @@ class Round17Spec extends AnyFunSuite {
     // close B: same state re-measured (within noise of A)
     val closeB = closeA.map { case (k, v) => k -> v * 1.01 }
     assert(Bench.isAdoptionCandidate(Nil, Nil, contended = false, Some(medA * 1.01)))
+    // the r17 variant: B carries one healed flap — still a candidate
+    assert(Bench.isAdoptionCandidate(Seq("graph_harmonic_centrality"),
+      Nil, contended = false, Some(medA * 1.01), Seq(1.06)))
     // B agrees with candidate A -> B adopts (takes the pin-source name)
     assert(Bench.candidatesAgree(closeB, closeA))
     // counterfactual: had B been a fresh burst instead (2x), it would
@@ -122,6 +139,37 @@ class Round17Spec extends AnyFunSuite {
         s""""pin_ratio_p90":1.2,"contended":false,""" +
         s""""sf":"/root/testdata/sf0.1"}"""
     assert(Bench.quietSf01Pins(body) == qs)
+  }
+
+  test("pin-affirming run: a noise-margin median with only healed " +
+      "requotes refutes a pending candidate; drifted, bursty, " +
+      "contended or unhealed runs do not") {
+    def affirm(req: Seq[String] = Nil, err: Seq[String] = Nil,
+        contended: Boolean = false, m: Option[Double],
+        healed: Seq[Double] = Nil): Boolean =
+      Bench.pinAffirming(req, err, contended, m, healed)
+    // the r17 shape: median 1.005, one healed audit requote — affirms
+    assert(affirm(req = Seq("meta_resource_audit"), m = Some(1.005),
+      healed = Seq(1.09)))
+    // strictly clean run affirms trivially
+    assert(affirm(m = Some(1.0)))
+    assert(affirm(m = Some(0.96)))
+    // an in-adoption-band median is a CANDIDATE, not an affirmation
+    assert(!affirm(m = Some(1.13)))
+    assert(!affirm(m = Some(0.9)))
+    // bursts/contention/errors say nothing about steady state
+    assert(!affirm(m = Some(2.0)))
+    assert(!affirm(contended = true, m = Some(1.0)))
+    assert(!affirm(err = Seq("x"), m = Some(1.0)))
+    // an unhealed requote is a mixed signal — no affirmation
+    assert(!affirm(req = Seq("x"), m = Some(1.0), healed = Seq(1.9)))
+    assert(!affirm(req = Seq("x"), m = Some(1.0)))
+    // exactly one of candidate/affirming can hold for a given median
+    for (m <- Seq(0.8, 0.9, 0.96, 1.0, 1.05, 1.13, 1.25, 1.4)) {
+      val c = Bench.isAdoptionCandidate(Nil, Nil, contended = false, Some(m))
+      val a = Bench.pinAffirming(Nil, Nil, contended = false, Some(m))
+      assert(!(c && a), s"median $m both candidate and affirming")
+    }
   }
 
   test("sentinel pre-probe: proceeds on a clean or in-band host (a " +
