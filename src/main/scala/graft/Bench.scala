@@ -425,6 +425,19 @@ object Bench {
     // untimed warmup: JIT/codegen + parquet footers land here, not on
     // whichever query the map iteration happens to run first
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // family warmup: the flagship entry never touches whole engine
+    // families, so the first few TIMED entries used to pay their
+    // residual cold tax — measured r17: graph_harmonic_centrality
+    // (position 2 in map order) read ~2.1x its pin on every
+    // drifted-host close and healed on requote; the tax belongs
+    // here, not on whichever entries the hash order put first. The
+    // three sentinels are shape-diverse by design (projection scan,
+    // binned range join, cached-artifact graph read), so they warm
+    // the scan/join/window/artifact paths in ~1 s.
+    for (n <- sentinelFallbackPins.keys.toSeq.sorted)
+      try SparkEntry.queries.get(n).foreach(_(spark, sfDir).count())
+      catch { case _: Throwable => () }
+    spark.catalog.clearCache()
     // median of 3 runs per query: single-shot timing on a shared host
     // has shown ~2.5× noise spikes (BENCH_r02's 26.96 s LSH artifact vs
     // a re-measured 2–6 s) — the median discards one bad run entirely
