@@ -1245,6 +1245,19 @@ object Warehouse {
       val codeKey = auditCodeKey
       val root = artifactRoot(
           s"audit-$name-$dataKey-$confKey-$codeKey") { staged =>
+        // WARM PASS (un-instrumented) at both SFs first: panel entries
+        // lazily build cross-JVM cached artifacts (trade graph, IVF
+        // index, seed BFS) on first touch, and in a fresh artifact
+        // cache that build lands INSIDE whichever SF's instrumented
+        // run reaches it first — the growth ratio then certifies
+        // cache state, not the entry's plan (observed on a fresh
+        // sandbox: graph_hits 630 → 113,507 records = "180×" because
+        // only the hi run paid the sf0.01 trade-graph build). The law
+        // this certificate carries is about the entry's own
+        // steady-state shuffle growth — the build cost is a separate,
+        // amortized concern (see Bench.amortizedEntries) — so measure
+        // warm on both sides, deterministically.
+        fn(spark, lo).count(); fn(spark, hi).count()
         val (recLo, _, _) = auditMeasure(spark, fn, lo)
         val (recHi, peakHi, spillHi) = auditMeasure(spark, fn, hi)
         require(recLo > 0,
