@@ -113,12 +113,34 @@ object Similarity {
         (0 until tables).map(t0 =>
           (0 until rowsPerBand).map(r => planeBit(t0 * rowsPerBand + r) * (1 << r))
             .reduce(_ + _)): _*))
-      .as(Seq("tbl", "sig"))).cache()
+      .as(Seq("tbl", "sig")))
+      // pre-partition the cached index on the banding key: both sides
+      // of the self-join inherit this partitioning, so the join (the
+      // pair-emission stage, millions of rows out of a tiny input)
+      // needs no exchange and runs one task per bucket group instead
+      // of on the single AQE-coalesced partition the 16k-row input
+      // otherwise collapses to. Count = defaultParallelism (bounded
+      // by the 8·2^rowsPerBand distinct buckets at this config).
+      .repartition(e.sparkSession.sparkContext.defaultParallelism,
+        col("tbl"), col("sig"))
+      .cache()
     val a = banded.select(col("vec_id").as("a_id"), col("tbl"), col("sig"))
     val b = banded.select(col("vec_id").as("b_id"), col("tbl"), col("sig"))
     val candidates = a.join(b, Seq("tbl", "sig"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id")).distinct()
+      .select(col("a_id"), col("b_id"))
+      // SPREAD THE DEDUP+VERIFY (guide §2.5): the banding self-join
+      // emits millions of id pairs but only ~27 MB of longs, so AQE
+      // coalesces the distinct's exchange to one partition and the
+      // exact-cosine verification — the compute-dense stage — runs
+      // single-task. An explicit repartition on the distinct's own
+      // keys replaces (not adds to) that exchange: distinct stays
+      // partition-local on top of it, and the verify joins are
+      // broadcast-narrow, so the whole verify runs at cluster
+      // parallelism. Count = defaultParallelism: scale-adaptive.
+      .repartition(e.sparkSession.sparkContext.defaultParallelism,
+        col("a_id"), col("b_id"))
+      .distinct()
     // hash-green since round 10 via the candidate sidecar (the
     // dedup_minhash_lsh discipline): the hyperplane-bucket candidates
     // — the only xxhash-derived stage — are dumped for the oracle,
@@ -1884,7 +1906,14 @@ object Similarity {
     // against the broadcast array with a fused loop and emits ONLY
     // k rows per query — no shuffle before the final orderBy.
     val bc = e.sparkSession.sparkContext.broadcast(e.collect())
-    e.mapPartitions { it =>
+    // the query side arrives as ONE parquet split at test SFs, so the
+    // n·|corpus| scoring loop below ran single-task (31 cores idle);
+    // spread the queries round-robin across the executor cores before
+    // the fused loop — the shuffle moves only |queries| rows, and each
+    // query's top-k is computed independently so the result set is
+    // partitioning-invariant (guide §2.5: per-task work, not skew)
+    e.repartition(e.sparkSession.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
       val corpus = bc.value
       it.flatMap { case (qid, qv) =>
         // bounded insertion into a k=3 list ordered by (cos6 desc, id)
@@ -2042,7 +2071,27 @@ object Similarity {
     // priority mapping makes (pri asc, id) ≡ (cos desc, id) exactly
     oracleSidecar("ivf_coarse", cents)
     oracleSidecar("ivf_assign", assign)
-    val qAssign = assignToBuckets(e, cents, knnJoinNProbe)
+    // SPREAD THE WHOLE CANDIDATE+VERIFY CHAIN (guide §2.5): everything
+    // from probe assignment down is narrow or partition-local — the
+    // probe window clusters by vec_id, the candidate join is broadcast,
+    // and the q_id hash-partitioning (via the rename) subsumes both the
+    // distinct's (q_id, vec_id) and bottomK's (q_id) clustering — so
+    // the query side's partitioning IS the verify stage's parallelism.
+    // The window's ENSURE_REQUIREMENTS exchange carries only ~10k tiny
+    // rows, so AQE coalesced it to ONE partition, and the candidate
+    // explosion (×|list| per probe) plus the fused-cosine re-rank ran
+    // single-task (measured at sf0.1/local[32]: one 4.6 s task doing
+    // ~1.25M cosines while 31 cores idled — Spark's size-based
+    // coalescing cannot see compute density). An EXPLICIT repartition
+    // of the query vectors on the same key replaces that exchange
+    // one-for-one (the window's requirement is satisfied, so no second
+    // shuffle appears) and is not coalescible. Count =
+    // defaultParallelism: scale-adaptive (cluster cores), and the
+    // exchange payload is the query vectors — the same rows the window
+    // exchange was already shuffling.
+    val qAssign = assignToBuckets(
+        e.repartition(e.sparkSession.sparkContext.defaultParallelism,
+          col("vec_id")), cents, knnJoinNProbe)
       .select(col("vec_id").as("q_id"), col("cid"))
     // candidate generation stays fully relational on COMPACT ids (the
     // scale path — equi-join on cid, never n²); the verify stage is
