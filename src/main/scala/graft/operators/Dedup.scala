@@ -59,13 +59,18 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** verifyPairs over a freshly-built shingle relation (streaming
-    * near-dup path). Locally checkpointed (it feeds three joins) so
-    * no catalog-cache entry outlives the call. */
+  /** verifyPairs for the streaming near-dup path, over the PERSISTED
+    * shingle relation (identical by construction — [[buildDedupGraph]]
+    * writes [[shingles]] verbatim) with |A| from the fused `n` in the
+    * signature artifact: the batch entries' artifact discipline,
+    * instead of re-running explode+distinct over the corpus per
+    * invocation (was ~1 s of the stream entry's tail at sf0.1). */
   private[operators] def verifyCandidates(
       spark: SparkSession, dir: String, candidates: DataFrame): DataFrame = {
-    val sh = shingles(spark, dir).localCheckpoint(true)
-    verifyPairs(sh, sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n")), candidates)
+    val root = dedupGraphRoot(spark, dir)
+    verifyPairs(spark.read.parquet(s"$root/shingles"),
+      spark.read.parquet(s"$root/sigs").select(col("doc_id"), col("n")),
+      candidates)
   }
 
   /** Exact dedup: one representative (min doc_id) per identical text. */
@@ -306,6 +311,10 @@ object Dedup {
     * strict subset of pairs sharing ANY shingle). */
   private[graft] def prefixFilterParts(
       spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    // NOTE (r18): checkpointing `pref` + reading sizes from the sigs
+    // artifact was tried and REVERTED — ReusedExchange already dedupes
+    // the doubled window subtree in this lazy plan, and the eager
+    // barrier regressed the entry 2.3 s → 3.3 s at sf0.1.
     val sh = shinglesIndexed(spark, dir)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
@@ -526,28 +535,60 @@ object Dedup {
     val sh = shinglesIndexed(spark, dir)
     val sizes = sigs.select(col("doc_id"), col("n"))
     val configs = Seq(("b16_r1", 16, 1), ("b4_r4", 4, 4), ("b8_r2", 8, 2))
-    configs.map { case (label, b, r) =>
-      val banded = sigs.select(col("doc_id"), posexplode(array(
+    // All three bandings in ONE pass: the per-config loop used to run
+    // 3 serial (checkpoint + self-join + verify + two single-row
+    // aggregates) chains — 27 jobs / 40 tasks of pure barrier overhead
+    // at sf0.1 (measured r18). A `config` label column folds them into
+    // one self-join on (config, band, band_key) — config equality in
+    // the join key keeps the candidate sets exactly per-config — one
+    // distinct, one checkpoint, one candidate-linear verify.
+    val banded = configs.map { case (label, b, r) =>
+      sigs.select(lit(label).as("config"), col("doc_id"), posexplode(array(
           (0 until b).map(i =>
             xxhash64((0 until r).map(j => col(s"h${i * r + j}")): _*)): _*))
         .as(Seq("band", "band_key")))
-      val l = banded.select(col("doc_id").as("a_id"), col("band"), col("band_key"))
-      val rr = banded.select(col("doc_id").as("b_id"), col("band"), col("band_key"))
-      // answer-sized candidate table, consumed three ways (sidecar
-      // dump, cost count, verify join): checkpoint once so the banding
-      // self-join runs once per config, not per consumer
-      val cand = l.join(rr, Seq("band", "band_key"))
-        .filter(col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id")).distinct()
-        .localCheckpoint(true)
-      oracleSidecar(s"lsh_tuning_$label", cand)
-      cand.agg(count(lit(1)).as("n_candidates"))
-        .crossJoin(verifyPairs(sh, sizes, cand)
-          .agg(count(lit(1)).as("n_verified")))
-        .select(lit(label).as("config"), col("n_candidates"), col("n_verified"),
-          expr("n_verified * 10000 div greatest(n_candidates, 1L)")
-            .as("precision_bp"))
-    }.reduce(_ unionByName _).orderBy(col("config"))
+    }.reduce(_ unionByName _)
+    val l = banded.select(col("config"), col("doc_id").as("a_id"),
+      col("band"), col("band_key"))
+    val rr = banded.select(col("config"), col("doc_id").as("b_id"),
+      col("band"), col("band_key"))
+    // answer-sized candidate table, consumed three ways (sidecar
+    // dumps, cost count, verify join): checkpoint once so the banding
+    // self-join runs once, not per consumer
+    val cand = l.join(rr, Seq("config", "band", "band_key"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("config"), col("a_id"), col("b_id")).distinct()
+      .localCheckpoint(true)
+    configs.foreach { case (label, _, _) =>
+      oracleSidecar(s"lsh_tuning_$label",
+        cand.filter(col("config") === label).select(col("a_id"), col("b_id")))
+    }
+    val nCand = cand.groupBy(col("config"))
+      .agg(count(lit(1)).as("n_candidates"))
+    // config-aware verify: same exact-Jaccard core as [[verifyPairs]]
+    // with config carried through the group keys
+    val inter = cand
+      .join(sh.select(col("doc_id").as("a_id"), col("s")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("s")), Seq("b_id", "s"))
+      .groupBy(col("config"), col("a_id"), col("b_id")).agg(count(lit(1)).as("i"))
+    val nVerified = inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
+      .filter(round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6) >= 0.8)
+      .groupBy(col("config")).agg(count(lit(1)).as("n_verified"))
+    // anchor on the literal config list: a config with zero candidates
+    // (possible at tiny SFs) must still emit its row, as the old
+    // per-config single-row aggregates did
+    import spark.implicits._
+    configs.map(_._1).toDF("config")
+      .join(nCand, Seq("config"), "left")
+      .join(nVerified, Seq("config"), "left")
+      .select(col("config"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_verified"), lit(0L)).as("n_verified"))
+      .withColumn("precision_bp",
+        expr("n_verified * 10000 div greatest(n_candidates, 1L)"))
+      .orderBy(col("config"))
   }
 
   val lshTuningSql: String = {
@@ -1340,7 +1381,14 @@ object Dedup {
       .withColumn("norm", regexp_replace(trim(lower(col("text"))), " +", " "))
     val keepExact = docs.groupBy(col("norm")).agg(min(col("doc_id")).as("doc_id"))
     val exactKept = docs.join(keepExact, Seq("norm", "doc_id"), "left_semi")
-    val drop = jaccardPairs(spark, dir).select(col("b_id").as("doc_id")).distinct()
+    // the persisted exact pair graph (≡ live [[jaccardPairs]] by
+    // construction — buildDedupGraph writes exactPairsOf verbatim and
+    // the equivalence spec pins it): the live shingle self-join was
+    // this entry's dominant stage (~2/3 of its stage time at sf0.1,
+    // r18), re-run per execution for a drop set the dedup family
+    // already maintains as an artifact
+    val drop = spark.read.parquet(s"${dedupGraphRoot(spark, dir)}/pairs_exact")
+      .select(col("b_id").as("doc_id")).distinct()
     val qual = exactKept
       .join(drop, Seq("doc_id"), "left_anti")
       .withColumn("ws", split(regexp_replace(col("norm"), piiPat, "<PII>"), " "))

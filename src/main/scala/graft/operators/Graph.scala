@@ -210,8 +210,24 @@ object Graph {
     * FULLY hash-checked. Output: the community histogram. */
   /** The converged (node, label) assignment of the 3-super-round
     * two-phase LPA — shared by the histogram entry and the modularity
-    * scorer below. */
-  private def lpaLabels(spark: SparkSession, dir: String): DataFrame = {
+    * scorer below. Persisted per graph fingerprint (the seedBfs
+    * discipline of the centrality family): three entries consume the
+    * SAME deterministic fixpoint, and re-running its 7 serial
+    * checkpointed supersteps inside every consumer was ~2/3 of the
+    * modularity/conductance job count at sf0.1 (r18). The live build
+    * below stays the spec-pinned ground truth; at 100 TB the labels
+    * table is the maintained artifact, exactly as the Scaladocs of
+    * the consumers already state. */
+  private def lpaLabels(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${lpaLabelsRoot(spark, dir)}/labels")
+
+  private def lpaLabelsRoot(spark: SparkSession, dir: String): String =
+    artifactRoot(s"lpalabels-${tableFingerprint(dir, "orders")}-" +
+        s"${tableFingerprint(dir, "lineitem")}-q48r3") { staged =>
+      lpaLabelsLive(spark, dir).write.parquet(s"$staged/labels")
+    }
+
+  private def lpaLabelsLive(spark: SparkSession, dir: String): DataFrame = {
     // HIGH-QUANTITY trade edges only (l_quantity >= 48, the top ~6 %):
     // the full bipartite trade graph is near-complete at every SF, so
     // LPA correctly — and uselessly — finds one community; community
@@ -303,7 +319,7 @@ object Graph {
     * one pass over edges. */
   def modularity(spark: SparkSession, dir: String): DataFrame = {
     val ed = spark.read.parquet(s"${tradeGraphRoot(spark, dir)}/backbone")
-    val labels = lpaLabels(spark, dir).localCheckpoint(true)
+    val labels = lpaLabels(spark, dir) // artifact parquet — re-scans are cheap
     val m = ed.agg(count(lit(1)).as("m"))
     val deg = ed.select(col("c").as("node")).unionAll(ed.select(col("s").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
@@ -528,7 +544,14 @@ object Graph {
       frontierSize = next.count()
       sizes += frontierSize // terminal 0 recorded: the wave's collapse
       if (frontierSize > 0L) {
-        settled = settled.unionAll(next).localCheckpoint(true)
+        // settled is a UNION of already-checkpointed per-round
+        // frontiers: every leg is an RDD scan, so there is no lineage
+        // to truncate — re-checkpointing the union here copied the
+        // full node-linear table once per round (O(rounds × nodes)
+        // block-manager traffic; ~2/3 of this entry's 494 tasks at
+        // sf0.1, r18). The union node grows by one leg per round,
+        // bounded by the wave count.
+        settled = settled.unionAll(next)
         frontier = next
       }
     }
@@ -970,6 +993,11 @@ object Graph {
     * from the smallest customer nodes. */
   def randomWalks(spark: SparkSession, dir: String): DataFrame = {
     val sym = spark.read.parquet(s"${tradeGraphRoot(spark, dir)}/sym")
+    // NOTE (r18): a checkpoint-per-superstep rewrite of this loop was
+    // tried and REVERTED — ReusedExchange already dedupes the repeated
+    // window/degree subtrees across the p0∪…∪p4 union in this lazy
+    // plan, so the barriers only added ~6 serial jobs (measured 2.7 s
+    // → 5.1 s at sf0.1). The lazy shape is the fast one.
     val ranked = sym
       .withColumn("nbr_rank", row_number().over(
         Window.partitionBy(col("src")).orderBy(col("dst"))).cast("long") - 1)
@@ -1641,7 +1669,7 @@ object Graph {
     * unrolled-LPA oracle chain as the histogram/modularity twins. */
   def conductance(spark: SparkSession, dir: String): DataFrame = {
     val ed = spark.read.parquet(s"${tradeGraphRoot(spark, dir)}/backbone")
-    val labels = lpaLabels(spark, dir).localCheckpoint(true)
+    val labels = lpaLabels(spark, dir) // artifact parquet — re-scans are cheap
     val m = ed.agg(count(lit(1)).as("m"))
     val j = ed
       .join(labels.select(col("node").as("c"), col("label").as("lc")), "c")

@@ -1142,27 +1142,49 @@ object Similarity {
     val exact = topkBruteForceUnsorted(spark, dir)
       .select(col("q_id"), col("neighbor_id"))
       .localCheckpoint(true) // 5·|panel| rows, consumed twice per config
-    nprobeGrid.map { np =>
-      val cand = ranked.filter(col("ark") <= np)
-        .join(assign, Seq("cid"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id")).distinct()
-        .localCheckpoint(true) // consumed twice: cost count + rerank
-      val wTop = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos").desc, col("vec_id"))
-      val top5 = cand.join(q, Seq("q_id")).join(e, Seq("vec_id"))
-        .withColumn("cos", cosine(col("vq"), col("v")))
-        .withColumn("rk", row_number().over(wTop))
-        .filter(col("rk") <= 5)
-        .select(col("q_id"), col("vec_id").as("neighbor_id"))
-      val nHits = exact.join(top5, Seq("q_id", "neighbor_id"))
-        .agg(count(lit(1)).as("n_hits"))
-      val nCand = cand.agg(count(lit(1)).as("candidates"))
-      val nEx = exact.agg(count(lit(1)).as("n_exact"))
-      nCand.crossJoin(nHits).crossJoin(nEx)
-        .select(lit(np.toLong).as("nprobe"), col("candidates"),
-          col("n_hits"), expr("n_hits * 10000 div n_exact").as("recall_bp"))
-    }.reduce(_ unionAll _).orderBy(col("nprobe"))
+    // The grid's candidate sets are NESTED (ark ≤ 2 ⊆ ark ≤ 4 ⊆ ark ≤ 6),
+    // so ONE probe pass at the largest nprobe derives every config: a
+    // vector first becomes a candidate at its minimal probed-list rank
+    // (first_probe = min ark over the lists that contain it), and
+    // cand(np) = first_probe ≤ np. The old per-config loop ran 3 serial
+    // (checkpoint + rerank + three single-row aggregates) chains — 40
+    // jobs at sf0.1 (measured r18), pure barrier overhead.
+    val maxNp = nprobeGrid.max
+    val candAll = ranked.filter(col("ark") <= maxNp)
+      .join(assign, Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(min(col("ark")).as("first_probe"))
+      .localCheckpoint(true) // consumed twice: cost counts + rerank
+    val byNp = candAll.select(col("q_id"), col("vec_id"), col("first_probe"),
+        explode(array(nprobeGrid.map(np => lit(np.toLong)): _*)).as("nprobe"))
+      .filter(col("first_probe") <= col("nprobe"))
+      .select(col("nprobe"), col("q_id"), col("vec_id"))
+    val nCand = byNp.groupBy(col("nprobe")).agg(count(lit(1)).as("candidates"))
+    val wTop = Window.partitionBy(col("nprobe"), col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val top5 = byNp.join(q, Seq("q_id")).join(e, Seq("vec_id"))
+      .withColumn("cos", cosine(col("vq"), col("v")))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 5)
+      .select(col("nprobe"), col("q_id"), col("vec_id").as("neighbor_id"))
+    val nHits = exact.join(top5, Seq("q_id", "neighbor_id"))
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hits"))
+    // anchor on the literal grid so a config with zero candidates
+    // (possible at tiny SFs) still emits its row, as the old
+    // per-config single-row aggregates did
+    import spark.implicits._
+    nprobeGrid.map(_.toLong).toDF("nprobe")
+      .join(nCand, Seq("nprobe"), "left")
+      .join(nHits, Seq("nprobe"), "left")
+      .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+      .select(col("nprobe"),
+        coalesce(col("candidates"), lit(0L)).as("candidates"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("n_exact"))
+      .select(col("nprobe"), col("candidates"), col("n_hits"),
+        expr("n_hits * 10000 div n_exact").as("recall_bp"))
+      .orderBy(col("nprobe"))
   }
 
   lazy val nprobeCurveSql: String = {

@@ -2034,7 +2034,10 @@ GROUP BY d.doc_id ORDER BY d.doc_id"""
       .unionAll(edges.select(col("w2").as("src"), col("w1").as("dst"), col("c")))
       .groupBy(col("src"), col("dst")).agg(sum(col("c")).as("wgt"))
     val strength = sym.groupBy(col("src")).agg(sum(col("wgt")).as("s"))
-    val g = sym.join(strength, Seq("src"))
+    // vocabulary-edge-sized and joined by all 5 supersteps: checkpoint
+    // once so each superstep's plan is one shallow join + aggregate
+    // instead of re-inlining the corpus explode + 3 aggregations
+    val g = sym.join(strength, Seq("src")).localCheckpoint(true)
     var ranks = g.select(col("src").as("node")).distinct()
       .withColumn("r", lit(1000000L))
     for (_ <- 1 to 5) {
