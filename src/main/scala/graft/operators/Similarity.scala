@@ -2026,7 +2026,15 @@ object Similarity {
       .withColumn("cb", explode(sequence(lit(0L), lit(b - 1))))
     val c = e.withColumn("cb", pmod(xxhash64(col("vec_id")), lit(b)))
       .withColumn("qb", explode(sequence(lit(0L), lit(b - 1))))
-    val scored = q.join(c, Seq("qb", "cb"))
+    // explicit (qb, cb) partitioning on BOTH sides: the replicated
+    // inputs are only ~n·B rows, so AQE's size-based coalescing folds
+    // the grid join into one partition and the n²/B² scoring loop runs
+    // single-task (the r17 sim_knn_join_ivf diagnosis — coalescing is
+    // blind to join-OUTPUT compute density). Same key ⇒ the join adds
+    // no further exchange; block keys are hash-uniform by construction
+    val parts = spark.sparkContext.defaultParallelism
+    val scored = q.repartition(parts, col("qb"), col("cb"))
+      .join(c.repartition(parts, col("qb"), col("cb")), Seq("qb", "cb"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("pri", round((lit(1.0) - round(
         graft.functions.CosineSim.cosine(col("vq"), col("v")), 6)) * 1e6, 0)

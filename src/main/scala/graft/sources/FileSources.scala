@@ -831,13 +831,22 @@ object FileSources {
     val vdir = new java.io.File(s"$root/_versions")
     vdir.mkdirs()
     val orders = graft.util.t(spark, dir, "orders")
-    // stage each committer's data file up front (sequential — the
-    // CONCURRENT part of the protocol is the manifest CAS, which is
-    // where multi-writer safety lives)
-    (0 until 8).foreach { i =>
-      orders.filter(col("o_orderkey") % 8 === i)
-        .select(col("o_orderkey"), lit(i.toLong).as("committer"))
-        .write.parquet(s"$root/data_$i")
+    // stage each committer's data file up front, the 8 independent
+    // write jobs OVERLAPPED from a thread pool (guide §2.6: the
+    // scheduler back-fills each job's task tail with the next job's
+    // tasks — measured r18: ~8 serial jobs of ~0.15 s collapsed to
+    // ~2 concurrent waves). The CONCURRENT part of the PROTOCOL is
+    // still the manifest CAS below, which is where multi-writer
+    // safety lives; staging order was never semantically relevant.
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      Await.result(Future.sequence((0 until 8).map { i => Future {
+        orders.filter(col("o_orderkey") % 8 === i)
+          .select(col("o_orderkey"), lit(i.toLong).as("committer"))
+          .write.parquet(s"$root/data_$i")
+      }}), Duration.Inf)
     }
     val retries = new java.util.concurrent.atomic.AtomicInteger(0)
     val start = new java.util.concurrent.CountDownLatch(1)
